@@ -1,0 +1,162 @@
+"""Crawler — parity with the reference's only entry point,
+``Crawler[T, R].Collect`` (reference internal/filecrawler/crawler.go:204-255).
+
+Semantics reproduced (SURVEY.md §2.1 op 6, §2.2 error-handling row):
+
+* Recursively enumerate all files under ``root`` (List + Searcher).
+* JSON-decode each file into a record of caller-declared schema
+  (Transform; crawler.go:158-201).  Unknown fields dropped, missing
+  fields -> zero values — matched via PERMISSIVE parse + coalesce.
+* A malformed / unreadable file contributes the **neutral element** (Go
+  zero value) and the pipeline continues (crawler.go:173-199).
+* Fold records into partial aggregates, combine partials into one final
+  result (Accumulate + Combine; monoid contract crawler.go:31, 41-43) —
+  Spark's partial+final HashAggregate implements exactly this contract.
+* Return the final aggregate **alongside** one recorded error if any file
+  failed (``(R, error)`` return, crawler.go:253).  The reference's
+  "first" error is a race (sync.Once, crawler.go:131), so the faithful
+  contract is "any one error", which we satisfy deterministically with
+  the lexicographically-first corrupt file path.
+
+Scale design: the whole crawl is ONE Spark job — distributed listing,
+pipelined scan+decode+partial-agg in each task, one shuffle to the final
+agg.  Nothing is materialized on the driver except the final row, so the
+same code handles 3 files or 3 billion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CORRUPT = "_corrupt_record"
+
+
+@dataclass
+class CrawlConfig:
+    """Parity with reference Configuration (crawler.go:17-21).
+
+    Worker counts map to Spark parallelism knobs rather than goroutine
+    counts: listing/decoding parallelism is one task per input split, and
+    ``accumulator_workers`` bounds partial-aggregation parallelism via an
+    explicit repartition (only applied when the caller asks — Spark's
+    default task-per-split is usually the right answer).
+    """
+    search_workers: int = 32
+    file_workers: int = 32
+    accumulator_workers: int | None = None
+
+
+@dataclass
+class CrawlResult:
+    """The reference returns (R, error); both sides, never exception-only."""
+    value: dict[str, Any]
+    n_files: int = 0
+    n_corrupt: int = 0
+    error: str | None = None
+
+
+_ZEROS = {
+    T.LongType(): 0, T.IntegerType(): 0, T.ShortType(): 0, T.ByteType(): 0,
+    T.DoubleType(): 0.0, T.FloatType(): 0.0,
+    T.StringType(): "", T.BooleanType(): False,
+}
+
+
+def zero_value(dt: T.DataType) -> Any:
+    """Go zero value for a field type (crawler.go:179 `def T` semantics)."""
+    return _ZEROS.get(dt)
+
+
+class Crawler:
+    """Compose List -> Transform -> Accumulate -> Combine over a JSON tree."""
+
+    def __init__(self, spark: SparkSession, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+
+    def read_records(self, root: str, schema: T.StructType) -> DataFrame:
+        """Transform stage: every file under root -> one record row.
+
+        PERMISSIVE mode + ``_corrupt_record`` reproduces "bad record keeps
+        flowing"; corrupt rows carry nulls which ``collect`` coalesces to
+        zero values so they contribute the neutral element.
+        ``wholetext=true`` matches the reference's one-JSON-object-per-file
+        model (crawler.go:189-199).
+        """
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
+        )
+        return (
+            self.spark.read.schema(read_schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT)
+            .option("wholetext", "true")
+            .option("recursiveFileLookup", "true")
+            .option("ignoreCorruptFiles", "false")
+            .json(root)
+            .withColumn("_file", F.input_file_name())
+        )
+
+    def collect(
+        self,
+        root: str,
+        schema: T.StructType,
+        agg_exprs: dict[str, Column] | None = None,
+    ) -> CrawlResult:
+        """The flagship pipeline (reference crawler.go:204-255).
+
+        ``agg_exprs``: result-field -> aggregate Column over the record
+        fields (defaults to sum of every numeric field — the app.go:54
+        golden).  Everything runs in one job: scan+decode+partial-agg per
+        task, single final-agg after the shuffle, plus corrupt-file
+        accounting folded into the same pass (no second scan).
+        """
+        records = self.read_records(root, schema)
+
+        # Neutral-element semantics: null (corrupt or missing) -> zero value.
+        clean_cols = []
+        for f_ in schema.fields:
+            z = zero_value(f_.dataType)
+            col = F.col(f_.name)
+            if z is not None:
+                col = F.coalesce(col, F.lit(z).cast(f_.dataType))
+            clean_cols.append(col.alias(f_.name))
+        clean = records.select(
+            *clean_cols,
+            F.col(_CORRUPT).isNotNull().alias("_is_corrupt"),
+            F.col("_file"),
+        )
+
+        if self.config.accumulator_workers:
+            clean = clean.repartition(self.config.accumulator_workers)
+
+        if agg_exprs is None:
+            agg_exprs = {
+                f_.name + "_sum": F.sum(f_.name)
+                for f_ in schema.fields
+                if isinstance(f_.dataType, T.NumericType)
+            }
+
+        aggs = [c.alias(n) for n, c in agg_exprs.items()] + [
+            F.count(F.lit(1)).alias("_n_files"),
+            F.sum(F.when(F.col("_is_corrupt"), 1).otherwise(0)).alias("_n_corrupt"),
+            F.min(F.when(F.col("_is_corrupt"), F.col("_file"))).alias("_err_file"),
+        ]
+        row = clean.agg(*aggs).collect()[0].asDict()
+
+        n_files = row.pop("_n_files") or 0
+        n_corrupt = row.pop("_n_corrupt") or 0
+        err_file = row.pop("_err_file")
+        error = f"corrupt record in {err_file}" if n_corrupt else None
+        # Zero-file tree => neutral-element result, like the reference's
+        # zero-initialized finalResult (crawler.go:231).
+        for k, v in list(row.items()):
+            if v is None:
+                row[k] = 0
+        return CrawlResult(value=row, n_files=n_files,
+                           n_corrupt=n_corrupt, error=error)

@@ -1,0 +1,152 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED (deterministic fakes / NotImplementedError), but everything
+Spark-side is real and tested: schemas, Arrow batch shape through
+mapInPandas, partition-preserving transforms, and the metadata model.
+A production deployment swaps `_decode_image_stub` for a real codec
+(PIL/ffmpeg) without touching the plan.
+
+Design for 100 TB of media:
+* payloads travel as `binary` columns read from parquet — never through
+  the driver, never stringified;
+* decode/feature kernels are `mapInPandas` (Arrow-batched, one Python
+  worker per core, batch size bounded by
+  spark.sql.execution.arrow.maxRecordsPerBatch);
+* metadata (width/height/codec/duration) is a struct column so filters
+  on it prune BEFORE any decode runs (e.g. drop tiny images by metadata
+  only — the binary column is never materialized for skipped rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("kind", T.StringType(), True),      # image|audio|video
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]), True),
+])
+
+FEATURE_DIM = 8
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table derived from documents.text bytes.
+
+    Stands in for `spark.read.parquet(media_path)`; payload = utf-8 text
+    bytes, metadata derived from doc stats.  Everything downstream treats
+    payload as opaque binary, exactly as real media would be.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            (F.col("n_chars") % 640 + 32).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 32).cast("int").alias("height"),
+            (F.col("n_chars") % 120 + 1).cast("int").alias("n_frames"),
+            F.lit("fake/v1").alias("codec"),
+        ).alias("meta"))
+
+
+def _decode_image_stub(payload: bytes) -> bytes:
+    """Replace with a real decoder in production.
+
+    Raising here is correct for kinds we cannot decode; the deterministic
+    fake below is used for the feature path so plumbing stays testable.
+    """
+    raise NotImplementedError("no image codec in this environment")
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic 8-dim feature from a stable digest of the payload."""
+    dig = hashlib.sha256(payload).digest()
+    return [int.from_bytes(dig[4 * i:4 * i + 4], "big") / 2**32
+            for i in range(FEATURE_DIM)]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """payload -> float feature vector via Arrow-batched mapInPandas."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ])
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": [m["kind"] for m in pdf["meta"]],
+                "features": [_fake_features(p) for p in pdf["payload"]],
+            })
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every: int = 10) -> DataFrame:
+    """Frame sampling: one row per sampled frame index, metadata-driven.
+
+    Pure plan-side (sequence + explode): the payload column is carried,
+    not copied per frame, until a real decoder materializes frames.
+    """
+    return df.select(
+        "media_id", "payload",
+        F.explode(F.sequence(
+            F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))).alias("frame_idx"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Metadata-pruned feature extraction over the synthetic media table.
+
+    The filter on meta.* happens before the Python kernel — check the
+    plan: the Filter sits below MapInPandas.
+    """
+    m = synth_media(spark, sf_dir).filter(F.col("meta.width") >= 100)
+    feats = extract_features(m)
+    return feats.select(
+        "media_id", "kind",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6)
+         .alias("feat_sum"))
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sample counts per media kind."""
+    m = synth_media(spark, sf_dir)
+    return (sample_frames(m, every=10)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_frames_sampled"),
+                 F.countDistinct("media_id").alias("n_media")))
+
+
+QUERIES = {
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frames,
+}
+
+ORACLE = {
+    # feature kernel is sha256-based — deterministic but not SQL; the
+    # frame-sample count IS SQL-expressible from documents:
+    "multimodal_frame_sample": """
+        SELECT SUM(CAST(FLOOR((n_chars % 120) / 10) + 1 AS BIGINT)) AS n_frames_sampled,
+               COUNT(DISTINCT doc_id) AS n_media
+        FROM documents
+    """,
+}

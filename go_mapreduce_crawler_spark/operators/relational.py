@@ -1,0 +1,700 @@
+"""Relational operator surface (SURVEY.md §2.2) over the TPC-H-ish tables.
+
+The reference implements none of these (it is a map-reduce kernel); this
+module supplies the full standard-category coverage the new engine adds:
+scans/projection/filter, every join type, grouped/distinct/rollup/cube
+aggregation, window functions, sorts/limits/top-k, set ops, scalar
+string/date/math/json functions, and gap-based sessionization.
+
+Every query is declarative DataFrame/SQL — Catalyst handles pushdown,
+pruning, join selection; AQE handles runtime sizing.  Scale notes per
+query are in docstrings.  Aggregates over money columns go through
+exact decimals (functions.exact) so results are partitioning- and
+engine-independent — required both for the DuckDB value-hash oracle and
+for reproducible answers on a 1000-executor cluster.
+
+Determinism rules used throughout:
+ * every LIMIT/top-k has a total-order tie-break key;
+ * window orderings use unique key suffixes;
+ * timestamps leave the engine as epoch micros (unix_micros/epoch_us)
+   or DATE, never raw timestamps (tz-attachment differs per engine);
+ * no transcendental float funcs (ln/exp) in oracle-checked outputs —
+   libm rounding differs across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec, money_sum, money_avg
+from ..sources.tables import load_table
+
+MONEY = "decimal(12,2)"   # prices, balances, quantities
+RATE = "decimal(4,2)"     # discount/tax in [0,1]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount) — exact decimal, scale 4."""
+    return dec("l_extendedprice", MONEY) * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+
+
+def _charge():
+    """disc_price * (1 + l_tax) — exact decimal, scale 6 (fits DECIMAL38
+    in both Spark and DuckDB: (12,2)x(5,2)->(18,4), x(5,2)->(24,6))."""
+    return _disc_price() * (F.lit(1).cast(RATE) + dec("l_tax", RATE))
+
+
+# ---------------------------------------------------------------- scans
+
+def q_scan_filter_project(spark, sf_dir):
+    """Projection + predicate, both pushed into the parquet scan.
+
+    Plan check (tests/test_plans.py): ReadSchema carries only 3 columns,
+    PushedFilters carries the shipdate/quantity predicates.  At 100 TB
+    this is the difference between scanning 3 columns of a date range and
+    scanning the world.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.filter((F.col("l_shipdate") >= "1998-01-01")
+                     & (F.col("l_shipdate") < "1998-02-01")
+                     & (F.col("l_quantity") < 5.0))
+             .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+# ----------------------------------------------------------- aggregates
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analogue: grouped partial+final aggregation.
+
+    The flagship grouped agg — Catalyst plans map-side partial
+    HashAggregate (the reference's per-worker Accumulate, pool.go:102-121)
+    then final after a 6-group shuffle (the Combine, crawler.go:75-91).
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (l.groupBy("l_returnflag", "l_linestatus")
+             .agg(money_sum("l_quantity", MONEY).alias("sum_qty"),
+                  money_sum("l_extendedprice", MONEY).alias("sum_base_price"),
+                  F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+                  F.sum(_charge()).cast("double").alias("sum_charge"),
+                  money_avg("l_quantity", MONEY).alias("avg_qty"),
+                  money_avg("l_extendedprice", MONEY).alias("avg_price"),
+                  (F.sum(dec("l_discount", RATE)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+                  F.count(F.lit(1)).alias("count_order")))
+
+
+def q6_revenue_change(spark, sf_dir):
+    """TPC-H Q6 analogue: selective filter -> single global aggregate.
+
+    The whole reference pipeline shape (global monoid fold) in one query;
+    scan-local partial sums, one row after shuffle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24.0))
+             .agg(F.sum(dec("l_extendedprice", MONEY) * dec("l_discount", RATE))
+                   .cast("double").alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+def q_agg_distinct(spark, sf_dir):
+    """Exact distinct aggregation (Expand + two-phase agg in the plan)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                  F.count(F.lit(1)).alias("n_orders"),
+                  money_sum("o_totalprice", MONEY).alias("sum_price")))
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP over region -> nation with broadcast dims.
+
+    nation/region are fixed-size (25/5 rows) at any SF — always broadcast;
+    no shuffle for the join even at 100 TB of customers.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (c.join(n, c.c_nationkey == n.n_nationkey)
+             .join(r, n.n_regionkey == r.r_regionkey)
+             .rollup("r_name", "n_name")
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  money_sum("c_acctbal", MONEY).alias("sum_acctbal")))
+
+
+def q_cube(spark, sf_dir):
+    """CUBE over returnflag x linestatus."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.cube("l_returnflag", "l_linestatus")
+             .agg(money_sum("l_quantity", MONEY).alias("sum_qty"),
+                  F.count(F.lit(1)).alias("n_rows")))
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via SQL (no DataFrame-API equivalent)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot linestatus into columns (oracle: conditional aggregation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    out = (l.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(money_sum("l_quantity", MONEY)))
+    return out.select(F.col("l_returnflag"),
+                      F.col("O").alias("qty_open"),
+                      F.col("F").alias("qty_filled"))
+
+
+# ---------------------------------------------------------------- joins
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analogue: 3-way join + grouped agg + deterministic top-10.
+
+    customer(filtered segment) joins orders joins lineitem — all three
+    shuffle on their keys; AQE converts the customer side to broadcast
+    when the filtered build side is small.  Top-k via exact-decimal
+    revenue with o_orderkey tie-break.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .groupBy("o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                      "o_orderpriority")
+             .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+             .limit(10))
+
+
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 analogue: 6-way star join, revenue per nation.
+
+    region/nation broadcast; customer⋈orders⋈lineitem⋈supplier shuffle on
+    keys; the c_nationkey = s_nationkey predicate is a join condition, not
+    a post-filter, so Catalyst applies it during the supplier join.
+    """
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (c.join(n, c.c_nationkey == n.n_nationkey)
+             .join(r, n.n_regionkey == r.r_regionkey)
+             .join(o, c.c_custkey == o.o_custkey)
+             .join(l, o.o_orderkey == l.l_orderkey)
+             .join(s, (l.l_suppkey == s.s_suppkey)
+                      & (c.c_nationkey == s.s_nationkey))
+             .groupBy("n_name")
+             .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+
+
+def q_join_left(spark, sf_dir):
+    """Left outer join: every customer with order stats, zero-filled.
+
+    Aggregate-then-join: orders pre-aggregated to one row per custkey
+    BEFORE the join — at scale this shrinks the probe side from |orders|
+    to |customers| and keeps the join 1:1.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                 .agg(F.count(F.lit(1)).alias("n_orders"),
+                      money_sum("o_totalprice", MONEY).alias("total_spent")))
+    return (c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+             .select("c_custkey", "c_name",
+                     F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                     F.coalesce("total_spent", F.lit(0.0)).alias("total_spent")))
+
+
+def q_join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): customers having a >490k order."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 490000.0)
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+             .select("c_custkey", "c_name", "c_nationkey"))
+
+
+def q_join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name", "c_acctbal"))
+
+
+def q_join_fullouter(spark, sf_dir):
+    """Full outer join of per-nation customer vs supplier account sums."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    ca = c.groupBy(F.col("c_nationkey").alias("nationkey")) \
+          .agg(money_sum("c_acctbal", MONEY).alias("cust_bal"))
+    sa = s.groupBy(F.col("s_nationkey").alias("nationkey")) \
+          .agg(money_sum("s_acctbal", MONEY).alias("supp_bal"))
+    return (ca.join(sa, "nationkey", "full_outer")
+              .select("nationkey",
+                      F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+                      F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal")))
+
+
+def q_join_range(spark, sf_dir):
+    """Non-equi (range) join: price-band classification of parts.
+
+    Bands are a tiny broadcast side, so the theta-join is a
+    BroadcastNestedLoopJoin — the only sane physical plan for non-equi
+    conditions; never shuffle-NLJ a big side at scale.
+    """
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0.0, 500.0, "budget"), (500.0, 1200.0, "mid"),
+         (1200.0, 1e9, "premium")],
+        "lo double, hi double, band string")
+    return (p.join(F.broadcast(bands),
+                   (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
+             .groupBy("band")
+             .agg(F.count(F.lit(1)).alias("n_parts"),
+                  money_sum("p_retailprice", MONEY).alias("sum_price")))
+
+
+# -------------------------------------------------------------- windows
+
+def q_window_topk(spark, sf_dir):
+    """Top-3 parts per brand by retail price (rank window + filter).
+
+    The canonical distributed top-k-per-group: one shuffle on the
+    partition key, no global sort.
+    """
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (p.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3)
+             .select("p_brand", "p_partkey", "p_retailprice", "rk"))
+
+
+def q_window_running(spark, sf_dir):
+    """Running sum + lag/lead over a unique ordering within each order."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        F.sum(dec("l_quantity", MONEY)).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow))
+         .cast("double").alias("running_qty"),
+        F.lag("l_linenumber", 1).over(w).alias("prev_line"),
+        F.lead("l_linenumber", 1).over(w).alias("next_line"),
+        F.count(F.lit(1)).over(W.partitionBy("l_orderkey")).alias("n_lines"))
+
+
+def q_window_rank_dense(spark, sf_dir):
+    """rank/dense_rank/ntile over suppliers by balance within nation."""
+    s = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select("s_nationkey", "s_suppkey",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"),
+                    F.ntile(4).over(w).alias("quartile"))
+
+
+# ------------------------------------------------------- sorts & limits
+
+def q_sort_limit(spark, sf_dir):
+    """Global top-20 by totalprice (TakeOrderedAndProject — no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+             .select("o_orderkey", "o_custkey", "o_totalprice")
+             .limit(20))
+
+
+# -------------------------------------------------------------- set ops
+
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over customer vs supplier nation keys."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    u = c.union(s).distinct().select("nationkey", F.lit("union").alias("op"))
+    i = c.intersect(s).select("nationkey", F.lit("intersect").alias("op"))
+    e = c.distinct().exceptAll(s.distinct()).select("nationkey", F.lit("except").alias("op"))
+    return u.union(i).union(e)
+
+
+# ----------------------------------------------------- scalar functions
+
+def q_scalar_string(spark, sf_dir):
+    """String functions: upper/substr/length/concat/replace/split/regexp."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"))
+
+
+def q_scalar_date(spark, sf_dir):
+    """Date/time functions grouped to year-month."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("yr"),
+                      F.month("o_orderdate").alias("mon"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+                  F.max(F.dayofmonth("o_orderdate")).alias("max_dom")))
+
+
+def q_scalar_math(spark, sf_dir):
+    """Math functions with engine-deterministic results (no libm)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.round(F.col("c_acctbal"), 0).alias("round_bal"),
+        F.floor("c_acctbal").cast("long").alias("floor_bal"),
+        F.ceil("c_acctbal").cast("long").alias("ceil_bal"),
+        F.sqrt(F.abs("c_acctbal")).alias("sqrt_bal"),
+        (F.col("c_custkey") % 7).alias("mod7"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("pos_bal"))
+
+
+def q_scalar_json(spark, sf_dir):
+    """JSON extraction from the events.props payload, grouped."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(k).alias("sum_k"),
+                  F.min(k).alias("min_k"),
+                  F.max(k).alias("max_k")))
+
+
+def q_collect_sorted(spark, sf_dir):
+    """Array aggregation: sorted distinct event types per user."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    return (e.groupBy("user_id")
+             .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
+                  F.count(F.lit(1)).alias("n_events")))
+
+
+# -------------------------------------------------------- sessionization
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — batch form.
+
+    lag + cumulative-sum-of-boundaries, the classic two-window formulation;
+    one shuffle on user_id covers both windows.  The streaming twin lives
+    in streaming/sessions.py (session_window / applyInPandasWithState).
+    """
+    e = _t(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_seq = W.partitionBy("user_id").orderBy(*order)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w_seq))
+    tagged = e.withColumn(
+        "new_sess",
+        F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0))
+    sess = tagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return (sess.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min(F.unix_micros("ts")).alias("start_us"),
+                     F.max(F.unix_micros("ts")).alias("end_us"),
+                     F.sum(dec("value", MONEY)).cast("double").alias("sum_value")))
+
+
+QUERIES = {
+    "scan_filter_project": q_scan_filter_project,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q6_revenue_change": q6_revenue_change,
+    "agg_distinct": q_agg_distinct,
+    "rollup_region_nation": q_rollup,
+    "cube_flag_status": q_cube,
+    "grouping_sets": q_grouping_sets,
+    "pivot_linestatus": q_pivot,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "join_left_outer": q_join_left,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_full_outer": q_join_fullouter,
+    "join_range_bands": q_join_range,
+    "window_topk_per_group": q_window_topk,
+    "window_running_sum": q_window_running,
+    "window_rank_dense_ntile": q_window_rank_dense,
+    "sort_limit_top20": q_sort_limit,
+    "set_ops": q_set_ops,
+    "scalar_string": q_scalar_string,
+    "scalar_date": q_scalar_date,
+    "scalar_math": q_scalar_math,
+    "scalar_json": q_scalar_json,
+    "collect_sorted_arrays": q_collect_sorted,
+    "sessionize_events": q_sessionize,
+}
+
+
+_DISC = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+_CHARGE = f"{_DISC} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+ORACLE = {
+    "scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-02-01'
+          AND l_quantity < 5.0
+    """,
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE AS sum_base_price,
+               SUM({_DISC})::DOUBLE AS sum_disc_price,
+               SUM({_CHARGE})::DOUBLE AS sum_charge,
+               SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE / COUNT(*) AS avg_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE / COUNT(*) AS avg_price,
+               SUM(CAST(l_discount AS DECIMAL(4,2)))::DOUBLE / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q6_revenue_change": """
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+    """,
+    "agg_distinct": """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2)))::DOUBLE AS sum_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "rollup_region_nation": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               SUM(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "cube_flag_status": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2)))::DOUBLE AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "pivot_linestatus": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(12,2)) END)::DOUBLE AS qty_open,
+               SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(12,2)) END)::DOUBLE AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q3_shipping_priority": f"""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               SUM({_DISC})::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier": f"""
+        SELECT n_name, SUM({_DISC})::DOUBLE AS revenue
+        FROM customer
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "join_left_outer": """
+        SELECT c_custkey, c_name,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(total_spent, 0.0) AS total_spent
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(12,2)))::DOUBLE AS total_spent
+            FROM orders GROUP BY o_custkey
+        ) ON c_custkey = o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_nationkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 490000.0)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_full_outer": """
+        SELECT COALESCE(ca.nationkey, sa.nationkey) AS nationkey,
+               COALESCE(cust_bal, 0.0) AS cust_bal,
+               COALESCE(supp_bal, 0.0) AS supp_bal
+        FROM (SELECT c_nationkey AS nationkey,
+                     SUM(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS cust_bal
+              FROM customer GROUP BY c_nationkey) ca
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey,
+                     SUM(CAST(s_acctbal AS DECIMAL(12,2)))::DOUBLE AS supp_bal
+              FROM supplier GROUP BY s_nationkey) sa
+        USING (nationkey)
+    """,
+    "join_range_bands": """
+        SELECT band, COUNT(*) AS n_parts,
+               SUM(CAST(p_retailprice AS DECIMAL(12,2)))::DOUBLE AS sum_price
+        FROM part
+        JOIN (VALUES (0.0, 500.0, 'budget'), (500.0, 1200.0, 'mid'),
+                     (1200.0, 1e9, 'premium')) bands(lo, hi, band)
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """,
+    "window_topk_per_group": """
+        SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rk
+            FROM part) WHERE rk <= 3
+    """,
+    "window_running_sum": """
+        SELECT l_orderkey, l_linenumber,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS UNBOUNDED PRECEDING)::DOUBLE AS running_qty,
+               LAG(l_linenumber, 1) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_line,
+               LEAD(l_linenumber, 1) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_line,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+        FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    "window_rank_dense_ntile": """
+        SELECT s_nationkey, s_suppkey,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    "sort_limit_top20": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "set_ops": """
+        SELECT nationkey, 'union' AS op FROM (
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            UNION SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'intersect' AS op FROM (
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'except' AS op FROM (
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    "scalar_string": r"""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LENGTH(p_name) AS name_len,
+               SUBSTRING(p_name, 1, 5) AS name_pre,
+               CONCAT_WS('|', p_brand, p_type) AS brand_type,
+               REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
+               STR_SPLIT(p_name, ' ')[1] AS first_word,
+               CAST(REGEXP_EXTRACT(p_brand, '#(\d+)', 1) AS INT) AS brand_num
+        FROM part WHERE p_partkey <= 500
+    """,
+    "scalar_date": """
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+               EXTRACT(MONTH FROM o_orderdate) AS mon,
+               COUNT(*) AS n_orders,
+               MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+               MAX(EXTRACT(DAY FROM o_orderdate)) AS max_dom
+        FROM orders GROUP BY 1, 2
+    """,
+    "scalar_math": """
+        SELECT c_custkey,
+               ABS(c_acctbal) AS abs_bal,
+               ROUND(c_acctbal, 0) AS round_bal,
+               CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+               CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+               SQRT(ABS(c_acctbal)) AS sqrt_bal,
+               c_custkey % 7 AS mod7,
+               GREATEST(c_acctbal, 0.0) AS pos_bal
+        FROM customer WHERE c_custkey <= 500
+    """,
+    "scalar_json": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "collect_sorted_arrays": """
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS types,
+               COUNT(*) AS n_events
+        FROM events WHERE user_id <= 50 GROUP BY user_id
+    """,
+    "sessionize_events": """
+        WITH seq AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                          > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM seq)
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               MIN(epoch_us(ts)) AS start_us,
+               MAX(epoch_us(ts)) AS end_us,
+               SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sum_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+}

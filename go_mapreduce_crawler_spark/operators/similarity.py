@@ -1,0 +1,128 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Two paths, per the north-star plan:
+
+* brute-force cosine top-k — exact baseline.  Query set x corpus join
+  with the query side broadcast (queries are few), cosine via JVM-side
+  sequential fold (functions.vectors), top-k with a rank window
+  partitioned by query.  Cost O(|Q| x |corpus|): fine for small |Q| even
+  on huge corpora since it is a single broadcast-join scan, but wrong for
+  all-pairs — that's what the LSH variant is for.
+
+* random-hyperplane LSH ANN — the scale path.  Sign-bit sketch against
+  H fixed hyperplanes (seeded, deterministic, broadcast as literals),
+  multi-probe over bands, cosine re-rank within buckets.  Shuffles only
+  (bucket, id) pairs; never quadratic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.vectors import cosine_sim, dot
+from ..sources.tables import load_table
+
+TOP_K = 10
+DIM = 64
+N_PLANES = 16
+LSH_BANDS_ANN = 4     # 4 bands x 4 bits
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries(e):
+    """Deterministic query subset: every 100th vector."""
+    return (e.filter(F.col("vec_id") % 100 == 0)
+             .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 neighbors for each query vector.
+
+    Deterministic: rank on (rounded score desc, vec_id) — the rounding is
+    part of the operator contract so results are reproducible across
+    engines and partitionings.
+    """
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(_queries(e))
+    scored = (q.join(e, F.col("vec_id") != F.col("q_id"))
+               .withColumn("cos", F.round(cosine_sim("q_vec", "embedding"), 6)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= TOP_K)
+                  .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos", "rk"))
+
+
+def _plane_lits():
+    """Fixed random hyperplanes (seed=7), embedded as literal arrays —
+    broadcast by value inside the plan, identical on every executor."""
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((N_PLANES, DIM))
+    return [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate top-10 via sign-bit LSH buckets + cosine re-rank.
+
+    Candidates = corpus vectors sharing >= 1 of 4 4-bit bands with the
+    query's sketch; re-rank candidates exactly.  Approximate (driver
+    records rows-only); recall vs q_knn_bruteforce is pinned by
+    tests/test_similarity.py.
+    """
+    e = _emb(spark, sf_dir)
+    planes = _plane_lits()
+    bits = F.array(*[
+        F.when(dot(F.col("embedding"), p) >= 0, 1).otherwise(0)
+        for p in planes])
+    r = N_PLANES // LSH_BANDS_ANN
+    band_cols = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("", *[
+                     F.element_at(F.col("bits"), b * r + j + 1).cast("string")
+                     for j in range(r)]).alias("sig"))
+        for b in range(LSH_BANDS_ANN)])
+    sk = e.withColumn("bits", bits).select(
+        "vec_id", "embedding", F.explode(band_cols).alias("bb"))
+    qs = (sk.join(F.broadcast(_queries(_emb(spark, sf_dir))
+                              .select("q_id").withColumnRenamed("q_id", "qid_")),
+                  F.col("vec_id") == F.col("qid_"))
+            .select(F.col("vec_id").alias("q_id"), F.col("bb").alias("q_bb")))
+    q_full = F.broadcast(_queries(e))
+    cand = (sk.join(F.broadcast(qs), (F.col("bb") == F.col("q_bb"))
+                    & (F.col("vec_id") != F.col("q_id")))
+              .select("q_id", "vec_id", "embedding").distinct())
+    scored = (cand.join(q_full, "q_id")
+                  .withColumn("cos", F.round(cosine_sim("q_vec", "embedding"), 6)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= TOP_K)
+                  .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos", "rk"))
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Norm/moment stats per label — sanity surface for the vector ops."""
+    e = _emb(spark, sf_dir)
+    sq = F.aggregate(F.col("embedding"), F.lit(0.0),
+                     lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return (e.select("label", F.round(sq, 6).alias("sq_norm"))
+             .groupBy("label")
+             .agg(F.count(F.lit(1)).alias("n_vecs"),
+                  F.round(F.min("sq_norm"), 6).alias("min_sq_norm"),
+                  F.round(F.max("sq_norm"), 6).alias("max_sq_norm")))
+
+
+QUERIES = {
+    "knn_bruteforce_cosine": q_knn_bruteforce,
+    "ann_lsh_cosine": q_ann_lsh,
+    "embedding_norms": q_embedding_norms,
+}
+
+# Oracles for vector math require bit-identical float folds in DuckDB;
+# verified empirically by tests/test_similarity.py before being promoted.
+# knn oracle uses explicit ordered-fold list comprehension (see test).
+ORACLE = {}

@@ -1,0 +1,187 @@
+"""Text-analysis operators over ``documents`` — LLM-pipeline extensions.
+
+All hot paths are JVM built-ins (split/regexp/array functions) — no
+Python UDFs, so these run at whole-stage-codegen speed and scale linearly
+with document count (narrow transformations, zero shuffles except the
+final stats aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Tiny deterministic stopword inventories for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "no", "por", "para"],
+}
+
+# A BPE-ish tokenizer regex: words, numbers, or single non-space symbols.
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_stats(spark, sf_dir):
+    """Per-document token/char statistics + whitespace token count."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        F.size(words).alias("n_tokens_ws"),
+        F.size(F.array_distinct(words)).alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias("n_tokens_re"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality score: stopword ratio, uniqueness, mean word length.
+
+    The classic cheap-filter stack for pretraining corpora; every term is
+    an integer ratio -> one double division, engine-deterministic,
+    rounded to 6 dp.
+    """
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    uniq = F.size(F.array_distinct(words))
+    sw = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    mean_wlen = (F.length("text") - (n - 1)) / n     # chars minus spaces
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(uniq / n, 6).alias("uniq_ratio"),
+        sw.alias("n_stopword_types"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        (n.between(20, 500) & (uniq / n > 0.2)).alias("passes_quality"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    """Stopword-hit language ID with deterministic tie-break (en>de>fr>es).
+
+    The heuristic from the survey plan: score = |distinct words ∩
+    language stopword set|; argmax with fixed preference order.
+    """
+    d = _docs(spark, sf_dir)
+    words = F.array_distinct(F.split(F.col("text"), " "))
+    hits = {
+        lang: F.size(F.array_intersect(
+            words, F.array(*[F.lit(w) for w in sws])))
+        for lang, sws in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = (F.when(hits["en"] == best, "en")
+             .when(hits["de"] == best, "de")
+             .when(hits["fr"] == best, "fr")
+             .otherwise("es"))
+    out = d.select("doc_id", "lang",
+                   *[h.alias(f"hits_{lg}") for lg, h in hits.items()],
+                   F.when(best == 0, "unknown").otherwise(pred).alias("pred_lang"))
+    return out
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
+        F.substring(F.md5(F.encode(norm, "UTF-8")), 1, 4).alias("fp_bucket"))
+
+
+def q_text_ngram_freq(spark, sf_dir):
+    """Corpus-level bigram frequency (explode -> count), top by count.
+
+    The shuffle key is the bigram itself; at 100 TB this is the word-count
+    shape — map-side partial counts absorb the heavy hitters.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    bigrams = F.when(F.size(w) >= 2, F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )).otherwise(F.array())
+    return (d.select(F.explode(bigrams).alias("bigram"))
+             .groupBy("bigram")
+             .agg(F.count(F.lit(1)).alias("freq"))
+             .filter(F.col("freq") >= 10))
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "text_bigram_freq": q_text_ngram_freq,
+}
+
+_SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
+_HITS = {k: f"len(list_intersect(list_distinct(string_split(text, ' ')), {v}))"
+         for k, v in _SW.items()}
+_BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
+
+ORACLE = {
+    "text_stats": r"""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_computed,
+               len(string_split(text, ' ')) AS n_tokens_ws,
+               len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                   AS n_tokens_re
+        FROM documents
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               ROUND(len(list_distinct(string_split(text, ' ')))
+                     / len(string_split(text, ' ')), 6) AS uniq_ratio,
+               {_HITS['en']} AS n_stopword_types,
+               ROUND((LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                     / len(string_split(text, ' ')), 6) AS mean_word_len,
+               (len(string_split(text, ' ')) BETWEEN 20 AND 500
+                AND len(list_distinct(string_split(text, ' ')))
+                    / len(string_split(text, ' ')) > 0.2) AS passes_quality
+        FROM documents
+    """,
+    "text_langid": f"""
+        SELECT doc_id, lang,
+               {_HITS['en']} AS hits_en,
+               {_HITS['de']} AS hits_de,
+               {_HITS['fr']} AS hits_fr,
+               {_HITS['es']} AS hits_es,
+               CASE WHEN {_BEST} = 0 THEN 'unknown'
+                    WHEN {_HITS['en']} = {_BEST} THEN 'en'
+                    WHEN {_HITS['de']} = {_BEST} THEN 'de'
+                    WHEN {_HITS['fr']} = {_BEST} THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM documents
+    """,
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+               substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 4)
+                   AS fp_bucket
+        FROM documents
+    """,
+    "text_bigram_freq": """
+        WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        bg AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+            FROM w WHERE len(ws) >= 2)
+        SELECT bigram, COUNT(*) AS freq FROM bg
+        GROUP BY bigram HAVING COUNT(*) >= 10
+    """,
+}

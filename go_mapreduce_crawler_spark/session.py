@@ -1,0 +1,39 @@
+"""SparkSession factory.
+
+Local test/bench sessions run on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+with shuffle parallelism matched to core count — on a real cluster the same
+code runs unchanged; only master/parallelism confs differ.  AQE is enabled
+so runtime statistics re-plan joins (broadcast conversion, skew splitting,
+partition coalescing) — at 100 TB that is the difference between a plan
+that was sized for the estimate and one sized for the data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "go-mapreduce-crawler-spark",
+              cpus: int | str | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,164 @@
+"""Crawler/Pool parity tests — the reference's own test strategy
+(SURVEY.md §5) translated: golden tree sum=300 (app.go:54), D×F grid
+sum=D*F (crawler_test.go:64-107), error-injection matrix
+(crawler_test.go:395-455), BFS listing, standalone Transform/Accumulate
+(pool_test.go), zero-file tree -> neutral element."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_mapreduce_crawler_spark.crawler import Crawler, CrawlConfig
+from go_mapreduce_crawler_spark.pool import Pool
+from go_mapreduce_crawler_spark.sources.crawl import list_files_bfs, list_files
+
+SCHEMA = T.StructType([T.StructField("data", T.LongType())])
+
+
+def _write(path: str, obj) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        if isinstance(obj, str):
+            f.write(obj)
+        else:
+            json.dump(obj, f)
+
+
+@pytest.fixture()
+def golden_tree(tmp_path):
+    """The committed golden layout: tests/{1,2/inner,3/inner1/inner2}."""
+    root = str(tmp_path / "golden")
+    _write(f"{root}/1/1.json", {"data": 100})
+    _write(f"{root}/2/inner/2.json", {"data": 100})
+    _write(f"{root}/3/inner1/inner2/3.json", {"data": 100})
+    return root
+
+
+@pytest.fixture()
+def grid_tree(tmp_path):
+    root = str(tmp_path / "grid")
+    for d in range(10):
+        for f_ in range(10):
+            _write(f"{root}/dir{d}/f{f_}.json", {"data": 1})
+    return root
+
+
+def test_golden_sum_300(spark, golden_tree):
+    res = Crawler(spark).collect(golden_tree, SCHEMA)
+    assert res.value == {"data_sum": 300}
+    assert res.n_files == 3
+    assert res.error is None
+
+
+def test_grid_sum(spark, grid_tree):
+    res = Crawler(spark).collect(grid_tree, SCHEMA)
+    assert res.value == {"data_sum": 100}
+    assert res.n_files == 100
+
+
+def test_custom_agg(spark, grid_tree):
+    res = Crawler(spark).collect(
+        grid_tree, SCHEMA,
+        {"n": F.count(F.lit(1)), "mx": F.max("data")})
+    assert res.value == {"n": 100, "mx": 1}
+
+
+def test_corrupt_file_contributes_neutral_element(spark, golden_tree):
+    """crawler.go:173-199: bad record -> zero value, pipeline continues,
+    error is reported alongside the (partial) result."""
+    _write(f"{golden_tree}/bad/bad.json", "{not valid json!!")
+    res = Crawler(spark).collect(golden_tree, SCHEMA)
+    assert res.value == {"data_sum": 300}
+    assert res.n_files == 4
+    assert res.n_corrupt == 1
+    assert res.error is not None and "bad.json" in res.error
+
+
+def test_missing_field_is_zero(spark, tmp_path):
+    """encoding/json semantics: missing field -> zero value."""
+    root = str(tmp_path / "m")
+    _write(f"{root}/a.json", {"data": 5})
+    _write(f"{root}/b.json", {"other": 7})
+    res = Crawler(spark).collect(root, SCHEMA)
+    assert res.value == {"data_sum": 5}
+    assert res.n_files == 2
+    # a value-less (but valid) record is not an error in the reference
+    assert res.n_corrupt == 0
+
+
+def test_empty_tree_neutral_result(spark, tmp_path):
+    """Zero files -> zero-value result (crawler.go:231 zero-init)."""
+    root = str(tmp_path / "empty")
+    os.makedirs(f"{root}/a/b")
+    res = Crawler(spark).collect(root, SCHEMA)
+    assert res.value == {"data_sum": 0}
+    assert res.n_files == 0
+
+
+def test_accumulator_workers_config(spark, grid_tree):
+    res = Crawler(spark, CrawlConfig(accumulator_workers=4)).collect(
+        grid_tree, SCHEMA)
+    assert res.value == {"data_sum": 100}
+
+
+def test_list_files_bfs(spark, golden_tree):
+    files = list_files_bfs(spark, golden_tree, workers=4)
+    assert len(files) == 3
+    assert all(f.endswith(".json") for f in files)
+
+
+def test_list_files_spark_native(spark, golden_tree):
+    df = list_files(spark, golden_tree, glob="*.json")
+    assert df.count() == 3
+
+
+def test_pool_list_bfs_levels(spark):
+    """pool_test.go:93-115: 1 root + children expansion."""
+    def searcher(x):
+        return [x * 10 + i for i in range(1, 3)] if x < 100 else []
+    pool = Pool(spark)
+    out = pool.list(1, searcher, workers=4)
+    assert 1 in out and 12 in out and 121 in out
+    assert len(out) == 1 + 2 + 4  # levels: 1 | 11,12 | 111,112,121,122
+
+
+def test_pool_transform_columns(spark):
+    """pool_test.go:300-315: transform increments each element."""
+    pool = Pool(spark)
+    df = spark.range(10).toDF("x")
+    out = pool.transform(df, [ (F.col("x") + 1).alias("y") ])
+    assert sorted(r.y for r in out.collect()) == list(range(1, 11))
+
+
+def test_pool_transform_pandas(spark):
+    pool = Pool(spark)
+    df = spark.range(10).toDF("x")
+    out = pool.transform(df, lambda pdf: pdf.assign(y=pdf.x + 1), schema="x long, y long")
+    assert sorted(r.y for r in out.collect()) == list(range(1, 11))
+
+
+def test_pool_accumulate_sum(spark):
+    """pool_test.go:206-226: sum preserved across partials."""
+    pool = Pool(spark)
+    df = spark.range(1, 11).toDF("x")
+    row = pool.accumulate(df, F.sum("x").alias("s")).collect()[0]
+    assert row.s == 55
+
+
+def test_pool_partials_at_most_one_per_partition(spark):
+    """pool_test.go:55-73 collectRestricted: <= W partials for W workers."""
+    pool = Pool(spark)
+    df = spark.range(1, 101).toDF("x").repartition(5)
+    partials = pool.partials(
+        df, {"s": 0},
+        lambda acc, pdf: {"s": acc["s"] + int(pdf.x.sum())},
+        schema="s long")
+    rows = partials.collect()
+    assert len(rows) <= 5
+    assert sum(r.s for r in rows) == 5050
