@@ -8,10 +8,10 @@ for __spark_entry__.py.
 
 from __future__ import annotations
 
-from . import relational, dedup, similarity, text, multimodal
+from . import relational, dedup, similarity, text, multimodal, asof
 
 
-_MODULES = (relational, dedup, similarity, text, multimodal)
+_MODULES = (relational, dedup, similarity, text, multimodal, asof)
 
 
 def all_queries():

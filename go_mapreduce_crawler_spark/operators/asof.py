@@ -1,0 +1,102 @@
+"""As-of join — point-in-time join Spark lacks as a builtin, composed
+from existing DataFrame ops (the preferred custom-operator strategy:
+composition first, Pandas UDF only if semantics demand it).
+
+Semantics: for each left row, attach the single most recent right row
+with the same key and right.ts <= left.ts (backward as-of, inclusive).
+
+Implementation (scalable, one shuffle):
+  union the two sides tagged -> window `last(right_payload, ignorenulls)`
+  over (partition by key, order by ts with right-sorts-before-left on
+  ties, then unique id) -> keep left rows.  Equivalent to sort-merge
+  as-of; cost is one shuffle+sort of |L|+|R| — no range cross-product,
+  no per-key materialization, so it survives 100 TB event streams.
+  Skewed keys are AQE's problem (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              payload_cols: list[str]) -> DataFrame:
+    """Backward as-of join; returns left columns + asof_<payload> cols.
+
+    Both inputs need a unique id column `event_id`-like ordering
+    tie-break inside equal timestamps; here ordering is
+    (ts, right-before-left, payload id) which is total given unique ids.
+    """
+    lt = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        "*")
+    rt = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols])
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (W.partitionBy("_k")
+          .orderBy("_ts", "_side",
+                   F.coalesce(*[F.col(f"_p_{payload_cols[0]}")], F.lit(0)))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = unioned.select(
+        "*",
+        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in payload_cols])
+    return (filled.filter(F.col("_side") == 1)
+                  .drop("_k", "_ts", "_side",
+                        *[f"_p_{c}" for c in payload_cols]))
+
+
+def q_asof_purchase_view(spark, sf_dir):
+    """For each purchase event: the most recent prior-or-same view event
+    by the same user, with the gap in microseconds."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", "ts",
+                     F.col("event_id").alias("view_event_id"),
+                     F.unix_micros("ts").alias("view_ts_us"))
+    joined = asof_join(purchases, views, key="user_id",
+                       left_ts="ts", right_ts="ts",
+                       payload_cols=["view_event_id", "view_ts_us"])
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("asof_view_event_id").alias("view_id"),
+        (F.unix_micros("ts") - F.col("asof_view_ts_us")).alias("gap_us"))
+
+
+QUERIES = {"asof_purchase_view": q_asof_purchase_view}
+
+ORACLE = {
+    "asof_purchase_view": """
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+                   CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_ts
+            FROM events WHERE event_type IN ('view', 'purchase')),
+        filled AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAST_VALUE(v_id IGNORE NULLS) OVER w AS view_id,
+                   LAST_VALUE(v_ts IGNORE NULLS) OVER w AS view_ts_us
+            FROM tagged
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts,
+                                  CASE WHEN event_type = 'view' THEN 0 ELSE 1 END,
+                                  COALESCE(v_id, 0)
+                         ROWS UNBOUNDED PRECEDING))
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(ts) AS purchase_ts_us,
+               view_id,
+               epoch_us(ts) - view_ts_us AS gap_us
+        FROM filled WHERE event_type = 'purchase'
+    """,
+}

@@ -113,13 +113,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     (k=32 via xxhash64(shingle, seed)) -> 8 bands of 4 -> candidates =
     docs sharing any band bucket -> verify true Jaccard >= 0.5 on the
     shingle sets.  Output ⊆ exact shingle-Jaccard pairs, recall governed
-    by (b, r).  At scale the band join shuffles (band_idx, band_hash)
-    pairs only — signature bytes, not documents.
+    by (b, r).
+
+    Scale shape: the signature is computed ROW-LOCALLY
+    (array_min over transform of the shingle array — no explode, no
+    shuffle, whole-stage codegen), so the only shuffles are the band
+    bucket join on (band, bucket) — signature bytes, not documents —
+    and the candidate-verify join on doc_id.
     """
     sh = _shingles(spark, sf_dir).cache()
-    tok = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    sig = tok.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
+    sig = sh.select("doc_id", *[
+        F.array_min(F.transform(
+            F.col("shingles"),
+            lambda s, seed=seed: F.xxhash64(s, F.lit(seed))))
+         .alias(f"h{seed}")
         for seed in range(MINHASH_K)])
     r = MINHASH_K // LSH_BANDS
     bands = sig.select(
@@ -185,18 +192,23 @@ def q_dedup_simhash(spark, sf_dir):
             .select("doc_a", "doc_b", "hamming"))
 
 
+COSINE_DUP_T = 0.4    # the synthetic embeddings top out at cos ~0.51
+
+
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cosine >= 0.95), brute self-join.
+    """Embedding-cosine near-dup pairs (cosine >= 0.4), brute self-join.
 
     Exact ground truth at test SF; the LSH-bucketed scale path is
-    similarity.q_ann_lsh.  Score rounded to 6 dp.
+    similarity.q_ann_lsh.  Score rounded to 6 dp.  Spark's sequential
+    array fold is bit-identical to DuckDB's list_reduce (verified over
+    all 124,750 sf0.01 pairs), so this carries a full value oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
              .withColumn("cos", F.round(cosine_sim("va", "vb"), 6))
-             .filter(F.col("cos") >= 0.95)
+             .filter(F.col("cos") >= COSINE_DUP_T)
              .select("id_a", "id_b", "cos"))
 
 
@@ -238,6 +250,20 @@ ORACLE = {
     # dedup_minhash_lsh, dedup_simhash: xxhash64-based — not reproducible
     # in DuckDB; driver records rows-only checks.  Their correctness is
     # pinned by tests/test_dedup.py against the exact-Jaccard ground truth.
-    # dedup_embedding_cosine: oracle added if DuckDB float fold matches
-    # bit-exact (tests verify); see similarity.py for the probe.
+    "dedup_embedding_cosine": """
+        WITH scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(
+                     list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                                 (acc, x) -> acc + x)
+                     / (sqrt(list_reduce(list_transform(a.embedding,
+                              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                              (acc, x) -> acc + x))
+                        * sqrt(list_reduce(list_transform(b.embedding,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                                (acc, x) -> acc + x))), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4
+    """,
 }

@@ -393,6 +393,56 @@ def q_collect_sorted(spark, sf_dir):
                   F.count(F.lit(1)).alias("n_events")))
 
 
+# ----------------------------------------------------------- statistics
+
+def q_stats_moments(spark, sf_dir):
+    """Mean / sample-variance / stddev / correlation from EXACT decimal
+    power sums (Σx, Σx², Σxy are order-independent decimals; the float
+    math happens once, on scalars, at the end — deterministic on any
+    cluster size, unlike naive float sum-of-squares).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    q = dec("l_quantity", MONEY)
+    p = dec("l_extendedprice", MONEY)
+    g = (l.groupBy("l_returnflag")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(q).alias("sx"), F.sum(q * q).alias("sx2"),
+               F.sum(p).alias("sy"), F.sum(p * p).alias("sy2"),
+               F.sum(q * p).alias("sxy")))
+    nd = F.col("n").cast("double")
+    sxd, sx2d = F.col("sx").cast("double"), F.col("sx2").cast("double")
+    syd, sy2d = F.col("sy").cast("double"), F.col("sy2").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    var_x = (nd * sx2d - sxd * sxd) / (nd * (nd - F.lit(1.0)))
+    var_y = (nd * sy2d - syd * syd) / (nd * (nd - F.lit(1.0)))
+    corr = ((nd * sxyd - sxd * syd)
+            / (F.sqrt(nd * sx2d - sxd * sxd) * F.sqrt(nd * sy2d - syd * syd)))
+    return g.select(
+        "l_returnflag", "n",
+        F.round(sxd / nd, 6).alias("mean_qty"),
+        F.round(var_x, 6).alias("var_qty"),
+        F.round(F.sqrt(var_x), 6).alias("std_qty"),
+        F.round(syd / nd, 6).alias("mean_price"),
+        F.round(var_y, 6).alias("var_price"),
+        F.round(corr, 6).alias("corr_qty_price"))
+
+
+def q_median_per_group(spark, sf_dir):
+    """Exact lower-median per group via rank — the deterministic,
+    engine-portable percentile (no interpolation-rule ambiguity)."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber")
+    ranked = l.select(
+        "l_returnflag", "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"))
+    return (ranked.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+                  .select("l_returnflag",
+                          F.col("l_quantity").alias("median_qty"),
+                          "n"))
+
+
 # -------------------------------------------------------- sessionization
 
 def q_sessionize(spark, sf_dir):
@@ -446,6 +496,8 @@ QUERIES = {
     "scalar_json": q_scalar_json,
     "collect_sorted_arrays": q_collect_sorted,
     "sessionize_events": q_sessionize,
+    "stats_moments_exact": q_stats_moments,
+    "median_per_group": q_median_per_group,
 }
 
 
@@ -676,6 +728,42 @@ ORACLE = {
                list_sort(list(DISTINCT event_type)) AS types,
                COUNT(*) AS n_events
         FROM events WHERE user_id <= 50 GROUP BY user_id
+    """,
+    "stats_moments_exact": """
+        WITH g AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sx,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sx2,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE AS sy,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE AS sy2,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE AS sxy
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               ROUND(sx / n::DOUBLE, 6) AS mean_qty,
+               ROUND((n::DOUBLE * sx2 - sx * sx)
+                     / (n::DOUBLE * (n::DOUBLE - 1.0)), 6) AS var_qty,
+               ROUND(SQRT((n::DOUBLE * sx2 - sx * sx)
+                     / (n::DOUBLE * (n::DOUBLE - 1.0))), 6) AS std_qty,
+               ROUND(sy / n::DOUBLE, 6) AS mean_price,
+               ROUND((n::DOUBLE * sy2 - sy * sy)
+                     / (n::DOUBLE * (n::DOUBLE - 1.0)), 6) AS var_price,
+               ROUND((n::DOUBLE * sxy - sx * sy)
+                     / (SQRT(n::DOUBLE * sx2 - sx * sx)
+                        * SQRT(n::DOUBLE * sy2 - sy * sy)), 6) AS corr_qty_price
+        FROM g
+    """,
+    "median_per_group": """
+        WITH ranked AS (
+            SELECT l_returnflag, l_quantity,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem)
+        SELECT l_returnflag, l_quantity AS median_qty, n
+        FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
     """,
     "sessionize_events": """
         WITH seq AS (

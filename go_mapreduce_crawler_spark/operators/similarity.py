@@ -28,7 +28,12 @@ from ..sources.tables import load_table
 TOP_K = 10
 DIM = 64
 N_PLANES = 16
-LSH_BANDS_ANN = 4     # 4 bands x 4 bits
+# 8 bands x 2 bits: band-collision prob for a cos~0.3 neighbor is
+# ~(1-acos(0.3)/pi)^2 ~ 0.36 per band -> >=1-of-8 ~ 0.97 recall.  This
+# corpus's true neighbors sit at cos 0.2-0.5, so short bands are the
+# right operating point; higher-similarity corpora widen r to cut
+# candidate volume.
+LSH_BANDS_ANN = 8
 
 
 def _emb(spark, sf_dir):
@@ -122,7 +127,39 @@ QUERIES = {
     "embedding_norms": q_embedding_norms,
 }
 
-# Oracles for vector math require bit-identical float folds in DuckDB;
-# verified empirically by tests/test_similarity.py before being promoted.
-# knn oracle uses explicit ordered-fold list comprehension (see test).
-ORACLE = {}
+# Spark's sequential array fold (F.aggregate starting at 0.0) and
+# DuckDB's list_reduce (starting at the first element) produce
+# bit-identical doubles — IEEE 0.0+x == x — verified over every sf0.01
+# pair.  So the exact vector queries carry full value oracles; only the
+# approximate ANN stays rows-only.
+_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)")
+_SQN = ("list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), "
+        "(acc, x) -> acc + x)")
+_COS = (_DOT + " / (sqrt(" + _SQN.replace("{a}", "{a}") + ") * sqrt("
+        + _SQN.replace("{a}", "{b}") + "))")
+
+ORACLE = {
+    "knn_bruteforce_cosine": f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                   FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q_id, e.vec_id AS neighbor_id,
+                   ROUND({_COS.format(a='q_vec', b='e.embedding')}, 6) AS cos
+            FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, neighbor_id) AS rk
+            FROM scored)
+        SELECT q_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 10
+    """,
+    "embedding_norms": f"""
+        WITH n AS (SELECT label, ROUND({_SQN.format(a='embedding')}, 6) AS sq_norm
+                   FROM embeddings)
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(MIN(sq_norm), 6) AS min_sq_norm,
+               ROUND(MAX(sq_norm), 6) AS max_sq_norm
+        FROM n GROUP BY label
+    """,
+}

@@ -38,6 +38,13 @@ def read_schema(df: DataFrame) -> str:
                      if "ReadSchema" in l)
 
 
+def n_shuffle_exchanges(df: DataFrame) -> int:
+    """Count shuffle Exchange nodes (excludes BroadcastExchange); uses the
+    numbered detail section so each node counts once."""
+    import re
+    return len(re.findall(r"\(\d+\) Exchange\b", physical_plan(df)))
+
+
 def has_python_udf(df: DataFrame) -> bool:
     """True if any row-at-a-time Python eval appears (the slow path)."""
     plan = physical_plan(df)

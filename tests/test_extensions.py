@@ -1,0 +1,107 @@
+"""Quality pins for the approximate / non-SQL operators: the rows-only
+queries are held to ground truth computed by their exact counterparts."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from go_mapreduce_crawler_spark.operators import dedup, similarity, multimodal
+from go_mapreduce_crawler_spark.sources import sinks
+from go_mapreduce_crawler_spark.sources.tables import load_table
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark, sf_medium):
+    """LSH candidates are verified with true Jaccard, so precision is 1.0
+    by construction; recall vs the exhaustive shingle-Jaccard pairs must
+    clear 0.9 at tau=0.5 with (b=8, r=4)."""
+    got = _pairs(dedup.q_dedup_minhash_lsh(spark, sf_medium))
+    sh = dedup._shingles(spark, sf_medium)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    truth = _pairs(
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+         .withColumn("j", inter / (F.size("sa") + F.size("sb") - inter))
+         .filter(F.col("j") >= dedup.JACCARD_T))
+    assert got <= truth or not truth, "LSH must not invent pairs"
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.9, f"recall {recall} over {len(truth)} pairs"
+
+
+def test_simhash_pairs_are_near_duplicates(spark, sf_medium):
+    """Every Hamming<=3 simhash pair must share most of its vocabulary
+    (sanity: simhash approximates token-set similarity)."""
+    pairs = dedup.q_dedup_simhash(spark, sf_medium)
+    docs = load_table(spark, sf_medium, "documents")
+    w = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
+    a = w.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    joined = (pairs.join(a, "doc_a").join(b, "doc_b")
+              .withColumn("j", F.size(F.array_intersect("wa", "wb"))
+                          / F.size(F.array_union("wa", "wb"))))
+    rows = joined.collect()
+    assert all(r.j >= 0.5 for r in rows), \
+        [(r.doc_a, r.doc_b, r.j) for r in rows if r.j < 0.5]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_medium):
+    """ANN top-10 must recover >= 60% of the exact top-10 per query
+    (16 hyperplanes / 4 bands on 64-dim data)."""
+    exact = similarity.q_knn_bruteforce(spark, sf_medium).collect()
+    approx = similarity.q_ann_lsh(spark, sf_medium).collect()
+    from collections import defaultdict
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.q_id].add(r.neighbor_id)
+    for r in approx:
+        ap[r.q_id].add(r.neighbor_id)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_multimodal_feature_shape(spark, sf_medium):
+    m = multimodal.synth_media(spark, sf_medium)
+    assert [f.name for f in m.schema.fields] == ["media_id", "payload", "meta"]
+    feats = multimodal.extract_features(m)
+    rows = feats.take(5)
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.features)
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_stub(b"xx")
+
+
+def test_multimodal_frame_sampling_counts(spark, sf_medium):
+    m = multimodal.synth_media(spark, sf_medium)
+    out = multimodal.sample_frames(m, every=10)
+    one = out.filter(F.col("media_id") == 0).collect()
+    n_frames = m.filter(F.col("media_id") == 0).select("meta.n_frames").collect()[0][0]
+    assert len(one) == (n_frames - 1) // 10 + 1
+
+
+def test_sinks_roundtrip(spark, sf_small, tmp_path):
+    df = load_table(spark, sf_small, "orders")
+    p = str(tmp_path / "orders_out")
+    sinks.write_parquet(df, p, partition_by=["o_orderpriority"], n_files=4)
+    back = spark.read.parquet(p)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    import os
+    assert any(d.startswith("o_orderpriority=") for d in os.listdir(p))
+
+
+def test_sinks_csv_json(spark, sf_small, tmp_path):
+    df = load_table(spark, sf_small, "region")
+    sinks.write_csv(df, str(tmp_path / "r_csv"))
+    sinks.write_json(df, str(tmp_path / "r_json"))
+    assert spark.read.option("header", "true").csv(str(tmp_path / "r_csv")).count() == 5
+    assert spark.read.json(str(tmp_path / "r_json")).count() == 5
