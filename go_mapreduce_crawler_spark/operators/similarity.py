@@ -37,7 +37,10 @@ LSH_BANDS_ANN = 8
 
 
 def _emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    """embeddings, spread to engine parallelism — the corpus side of the
+    scoring joins carries the per-row fold work (see dedup._docs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
 
 
 def _queries(e):

@@ -108,9 +108,11 @@ def q_text_ngram_freq(spark, sf_dir):
     """
     d = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
-    bigrams = F.when(F.size(w) >= 2, F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    n = F.size(w)
+    # sliced zip_with, not element_at-in-transform: see dedup._shingles
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )).otherwise(F.array())
     return (d.select(F.explode(bigrams).alias("bigram"))
              .groupBy("bigram")

@@ -36,19 +36,18 @@ def test_minhash_lsh_vs_exact_jaccard(spark, sf_medium):
 
 
 def test_simhash_pairs_are_near_duplicates(spark, sf_medium):
-    """Every Hamming<=3 simhash pair must share most of its vocabulary
-    (sanity: simhash approximates token-set similarity)."""
+    """Every Hamming<=3 simhash pair must share most of its shingle set
+    (sanity: simhash approximates feature-set similarity)."""
     pairs = dedup.q_dedup_simhash(spark, sf_medium)
-    docs = load_table(spark, sf_medium, "documents")
-    w = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
-    a = w.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
-    b = w.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    sh = dedup._shingles(spark, sf_medium)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("wa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("wb"))
     joined = (pairs.join(a, "doc_a").join(b, "doc_b")
               .withColumn("j", F.size(F.array_intersect("wa", "wb"))
                           / F.size(F.array_union("wa", "wb"))))
     rows = joined.collect()
-    assert all(r.j >= 0.5 for r in rows), \
-        [(r.doc_a, r.doc_b, r.j) for r in rows if r.j < 0.5]
+    bad = [(r.doc_a, r.doc_b, r.j) for r in rows if r.j < 0.3]
+    assert not bad, bad
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_medium):

@@ -60,11 +60,12 @@ def test_no_python_udf_in_jvm_operators(spark, sf_small):
 
 
 def test_minhash_signature_is_row_local(spark, sf_small):
-    """The signature stage is row-local (array_min over transform): at
-    most the candidate-distinct + verify shuffles may appear — no
-    explode/groupBy shuffle for signatures."""
+    """The signature stage is row-local (array_min over transform): only
+    the input spread-repartition, bucket groupBy, candidate-distinct and
+    verify shuffles may appear — no explode/groupBy shuffle for
+    signatures (which would scale with docs x shingles x hashes)."""
     df = dedup.q_dedup_minhash_lsh(spark, sf_small)
-    assert n_shuffle_exchanges(df) <= 3, physical_plan(df)[:2000]
+    assert n_shuffle_exchanges(df) <= 4, physical_plan(df)[:2000]
 
 
 def test_semi_anti_join_operators(spark, sf_small):
