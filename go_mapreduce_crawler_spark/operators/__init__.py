@@ -8,10 +8,12 @@ for __spark_entry__.py.
 
 from __future__ import annotations
 
-from . import relational, dedup, similarity, text, multimodal, asof
+from . import (asof, dedup, multimodal, relational, scale, similarity,
+               temporal, text)
 
 
-_MODULES = (relational, dedup, similarity, text, multimodal, asof)
+_MODULES = (relational, dedup, similarity, text, multimodal, asof,
+            temporal, scale)
 
 
 def all_queries():

@@ -385,6 +385,29 @@ def q_scalar_json(spark, sf_dir):
                   F.max(k).alias("max_k")))
 
 
+def q_scalar_map(spark, sf_dir):
+    """MapType surface: per-user event-type histogram as a map column.
+
+    Built with map_from_entries over a sorted entry array (entry order is
+    deterministic), consumed with map_keys/map_values/element_at.  The
+    map itself never leaves the engine — output columns are arrays and
+    scalars, which hash portably in the oracle compare.
+    """
+    e = _t(spark, sf_dir, "events")
+    per = (e.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    m = (per.groupBy("user_id")
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "cnt"))))
+                .alias("hist")))
+    return m.select(
+        "user_id",
+        F.map_keys("hist").alias("types"),
+        F.map_values("hist").alias("counts"),
+        F.coalesce(F.element_at("hist", F.lit("click")), F.lit(0)).alias("n_click"),
+        F.size("hist").alias("n_types"))
+
+
 def q_collect_sorted(spark, sf_dir):
     """Array aggregation: sorted distinct event types per user."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
@@ -495,6 +518,7 @@ QUERIES = {
     "scalar_math": q_scalar_math,
     "scalar_json": q_scalar_json,
     "collect_sorted_arrays": q_collect_sorted,
+    "scalar_map_histogram": q_scalar_map,
     "sessionize_events": q_sessionize,
     "stats_moments_exact": q_stats_moments,
     "median_per_group": q_median_per_group,
@@ -728,6 +752,22 @@ ORACLE = {
                list_sort(list(DISTINCT event_type)) AS types,
                COUNT(*) AS n_events
         FROM events WHERE user_id <= 50 GROUP BY user_id
+    """,
+    "scalar_map_histogram": """
+        WITH per AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type),
+        agg AS (
+            SELECT user_id,
+                   list_sort(list({'event_type': event_type, 'cnt': cnt})) AS l,
+                   MAX(CASE WHEN event_type = 'click' THEN cnt END) AS click_cnt
+            FROM per GROUP BY user_id)
+        SELECT user_id,
+               list_transform(l, x -> x.event_type) AS types,
+               list_transform(l, x -> x.cnt) AS counts,
+               COALESCE(click_cnt, 0) AS n_click,
+               len(l) AS n_types
+        FROM agg
     """,
     "stats_moments_exact": """
         WITH g AS (

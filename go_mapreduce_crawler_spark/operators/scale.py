@@ -1,0 +1,119 @@
+"""Skew- and cardinality-at-scale operators.
+
+These queries exist to pin the engine's 100 TB mitigation patterns as
+tested, oracle-checked code rather than advice in a docstring:
+
+* **salted join** — when one join key carries a disproportionate share
+  of rows (a celebrity user, a null-ish default key), the shuffle
+  partition holding it straggles.  Salting splits each hot key into S
+  sub-keys: the big side gets a deterministic salt in [0, S), the small
+  side is replicated S times, and the join key becomes (key, salt).
+  Results are identical to the plain join (the oracle proves it); the
+  hot partition shrinks by S.  AQE's skew-join handles moderate skew
+  automatically — explicit salting is for the pathological tail.
+
+* **two-phase salted aggregation** — a global/low-cardinality groupBy
+  key concentrates the final agg on few reducers.  Phase 1 aggregates
+  (key, salt); phase 2 merges the S partials per key.  This is the
+  manual form of the partial/final split Catalyst already applies to
+  algebraic aggregates; it matters for non-algebraic payloads
+  (collect_list, exact distinct structures) where map-side combine
+  can't help.  count_distinct here: phase 1 dedups (key, salt-of-value)
+  locally, phase 2 counts — the classic distinct-at-scale rewrite.
+
+* **approximate distinct** — HyperLogLog++ sketches replace exact
+  distinct when a few % error buys back a full shuffle of the distinct
+  values.  No SQL oracle (sketch estimates are engine-specific);
+  tests/test_extensions.py pins the error envelope against the exact
+  count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..sources.tables import load_table
+
+MONEY = "decimal(12,2)"
+SALT = 16
+
+
+def q_join_salted(spark, sf_dir):
+    """events ⋈ customer with a salted key — skew-proof equi-join.
+
+    Big side: salt = xxhash64(event_id) mod S (deterministic, uniform).
+    Small side: replicated S times via explode of a literal range — the
+    replication happens on the (broadcast-size) dim, never the fact
+    table.  Join on (key, salt) then aggregate; output equals the
+    unsalted join, which is exactly what the oracle checks.
+    """
+    e = (load_table(spark, sf_dir, "events")
+         .withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT))))
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_mktsegment")
+         .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))))
+    return (e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users"),
+                  F.sum(dec("value", MONEY)).cast("double").alias("sum_value")))
+
+
+def q_agg_salted_twophase(spark, sf_dir):
+    """Two-phase distinct count + sum over a 5-value hot key.
+
+    Phase 1 groups on (event_type, salt-of-user): each of the S·5 cells
+    dedups its own users and partial-sums value.  Phase 2 merges S
+    partials per type.  n_users stays exact because the salt is a
+    function of the distinct-counted column, so equal users never land
+    in different cells of one key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p1 = (e.withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(SALT)))
+           .groupBy("event_type", "salt")
+           .agg(F.countDistinct("user_id").alias("pu"),
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(dec("value", MONEY)).alias("pv")))
+    return (p1.groupBy("event_type")
+              .agg(F.sum("pu").alias("n_users"),
+                   F.sum("pn").alias("n_events"),
+                   F.sum("pv").cast("double").alias("sum_value")))
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ approx distinct users/orders per event type (rows-only check;
+    error envelope pinned in tests against the exact counts)."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+                  F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+                  F.count(F.lit(1)).alias("n_rows")))
+
+
+QUERIES = {
+    "join_salted_skew": q_join_salted,
+    "agg_salted_twophase": q_agg_salted_twophase,
+    "approx_distinct_hll": q_approx_distinct,
+}
+
+ORACLE = {
+    # Both salted queries must equal their UNSALTED formulations — the
+    # oracle is the plain query, proving salting is a pure physical
+    # rewrite.
+    "join_salted_skew": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "agg_salted_twophase": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sum_value
+        FROM events GROUP BY event_type
+    """,
+}

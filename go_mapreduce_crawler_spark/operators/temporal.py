@@ -1,0 +1,113 @@
+"""Temporal window operators over ``events`` — batch forms.
+
+The reference has no time semantics at all (SURVEY.md §2.2 streaming
+row); these queries supply the standard event-time surface a pipeline
+engine needs: tumbling and sliding windows (the batch twins of the
+Structured Streaming queries in streaming/) and a RANGE-frame moving
+aggregate.
+
+Scale notes: tumbling/sliding aggregation shuffles once on
+(window, key) with map-side partial aggregation absorbing the fan-in —
+the word-count shape.  The sliding form multiplies input by
+window/slide (here 2x) *before* the partial agg, which is the standard
+cost model; for large ratios prefer tumbling sub-windows + rollup.
+RANGE frames shuffle once on the partition key like any window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..sources.tables import load_table
+
+MONEY = "decimal(12,2)"
+
+
+def q_window_tumbling(spark, sf_dir):
+    """1-hour tumbling windows: event counts + exact value sums per type.
+
+    ``F.window`` aligns bucket boundaries to the epoch, as does DuckDB's
+    ``time_bucket`` for sub-day intervals — the oracle matches exactly.
+    Window bounds leave the engine as epoch micros (determinism rules,
+    relational.py module docstring).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(dec("value", MONEY)).cast("double").alias("sum_value"))
+             .select(F.unix_micros("w.start").alias("window_start_us"),
+                     "event_type", "n_events", "sum_value"))
+
+
+def q_window_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users"),
+                  F.sum(dec("value", MONEY)).cast("double").alias("sum_value"))
+             .select(F.unix_micros("w.start").alias("window_start_us"),
+                     "n_events", "n_users", "sum_value"))
+
+
+def q_window_range_frame(spark, sf_dir):
+    """Trailing-30-day moving spend per customer: a RANGE frame.
+
+    RANGE (value-based) frames differ from ROWS frames on ties — all
+    orders on the same day enter every peer row's frame, which makes the
+    result deterministic without a unique tie-break.  Ordering key is an
+    integer day (RANGE frames need numeric order in both engines).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    od = o.withColumn("day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+    wr = (W.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0))
+    return od.select(
+        "o_orderkey", "o_custkey", "day",
+        F.sum(dec("o_totalprice", MONEY)).over(wr).cast("double").alias("spend_30d"),
+        F.count(F.lit(1)).over(wr).alias("n_orders_30d"))
+
+
+QUERIES = {
+    "window_tumbling_events": q_window_tumbling,
+    "window_sliding_events": q_window_sliding,
+    "window_range_frame_30d": q_window_range_frame,
+}
+
+ORACLE = {
+    "window_tumbling_events": """
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "window_sliding_events": """
+        WITH exploded AS (
+            SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                             - INTERVAL '30 minutes']) AS wstart,
+                   user_id, value
+            FROM events)
+        SELECT epoch_us(wstart) AS window_start_us,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sum_value
+        FROM exploded GROUP BY 1
+    """,
+    "window_range_frame_30d": """
+        WITH od AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+            FROM orders)
+        SELECT o_orderkey, o_custkey, day,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY day
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)::DOUBLE AS spend_30d,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY day
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
+        FROM od
+    """,
+}

@@ -7,7 +7,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from go_mapreduce_crawler_spark.operators import dedup, similarity, multimodal
+from go_mapreduce_crawler_spark.operators import dedup, scale, similarity, multimodal
 from go_mapreduce_crawler_spark.sources import sinks
 from go_mapreduce_crawler_spark.sources.tables import load_table
 
@@ -85,6 +85,21 @@ def test_multimodal_frame_sampling_counts(spark, sf_medium):
     one = out.filter(F.col("media_id") == 0).collect()
     n_frames = m.filter(F.col("media_id") == 0).select("meta.n_frames").collect()[0][0]
     assert len(one) == (n_frames - 1) // 10 + 1
+
+
+def test_approx_distinct_error_envelope(spark, sf_medium):
+    """HLL++ at rsd=0.01 must land within 5% of the exact distinct counts
+    (the rows-only query's accuracy contract)."""
+    approx = {r.event_type: r for r in scale.q_approx_distinct(spark, sf_medium).collect()}
+    exact = {r.event_type: r for r in
+             (load_table(spark, sf_medium, "events")
+              .groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("u"),
+                   F.countDistinct("event_id").alias("e")).collect())}
+    assert set(approx) == set(exact)
+    for t, ex in exact.items():
+        assert abs(approx[t].approx_users - ex.u) <= max(1, 0.05 * ex.u)
+        assert abs(approx[t].approx_events - ex.e) <= max(1, 0.05 * ex.e)
 
 
 def test_sinks_roundtrip(spark, sf_small, tmp_path):
