@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_sim
+from ..functions.vectors import dot, l2_norm
 from ..sources.tables import load_table
 
 MINHASH_K = 32        # minhash signature length
@@ -244,11 +244,17 @@ def q_dedup_embedding(spark, sf_dir):
     array fold is bit-identical to DuckDB's list_reduce (verified over
     all 124,750 sf0.01 pairs), so this carries a full value oracle.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("nrm", l2_norm("embedding")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    # Norms folded once per row, not per pair (see similarity.q_knn_-
+    # bruteforce): each of the n^2/2 pairs costs one fold, bit-identical
+    # to cosine_sim's operation order.
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", F.round(cosine_sim("va", "vb"), 6))
+             .withColumn("cos", F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
              .filter(F.col("cos") >= COSINE_DUP_T)
              .select("id_a", "id_b", "cos"))
 
