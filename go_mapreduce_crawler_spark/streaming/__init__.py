@@ -1,3 +1,5 @@
 from .sessions import stream_sessionize, stream_windowed_counts
+from .stateful import stream_dedup, stream_running_totals, stream_to_parquet
 
-__all__ = ["stream_sessionize", "stream_windowed_counts"]
+__all__ = ["stream_sessionize", "stream_windowed_counts",
+           "stream_dedup", "stream_running_totals", "stream_to_parquet"]

@@ -1,0 +1,77 @@
+"""Custom stateful streaming operators (applyInPandasWithState) and
+stream sinks.
+
+``stream_running_totals`` is the engine's template for operators whose
+state is NOT expressible as a built-in windowed aggregate: per-key state
+lives in the state store (RocksDB/HDFS-backed on a cluster), arrives as
+Arrow batches, and survives across micro-batches — the Structured
+Streaming analogue of the reference's per-worker private accumulator
+(reference internal/workerpool/pool.go:72), except keyed, fault-tolerant
+and unbounded.
+
+``stream_dedup`` is watermarked exactly-once-per-key delivery —
+streaming's version of dedup.q_dedup_exact: state holds one entry per
+key seen inside the watermark horizon, so memory is bounded by key
+arrival rate x watermark, not stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_running_totals(events: DataFrame) -> DataFrame:
+    """Running per-user event count + value sum across ALL micro-batches.
+
+    Update-mode output: one row per user per batch carrying the running
+    totals (the latest row per user is the current state).  The fold is
+    the monoid contract again — state (n, s) is the accumulator, Arrow
+    batches are folded in, and the updated accumulator is both stored
+    and emitted.
+    """
+
+    def upd(key: Tuple[Any, ...],
+            pdfs: Iterable[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_events": [n],
+                            "sum_value": [s]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                upd,
+                outputStructType="user_id long, n_events long, sum_value double",
+                stateStructType="n long, s double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_dedup(events: DataFrame, key: str = "event_id",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming dedup: first arrival per key wins; state for
+    keys older than the watermark is evicted automatically."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key])
+
+
+def stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
+                      available_now: bool = True):
+    """Append-mode parquet sink with checkpointing (exactly-once file
+    output); availableNow drains the current source then stops — the
+    batch-backfill trigger."""
+    w = (df.writeStream.format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from go_mapreduce_crawler_spark.operators import relational, dedup, text
 from go_mapreduce_crawler_spark.plans import (
     has_broadcast_join, has_partial_and_final_agg, has_python_udf,
@@ -71,3 +73,32 @@ def test_minhash_signature_is_row_local(spark, sf_small):
 def test_semi_anti_join_operators(spark, sf_small):
     assert "LeftSemi" in physical_plan(relational.q_join_semi(spark, sf_small))
     assert "LeftAnti" in physical_plan(relational.q_join_anti(spark, sf_small))
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_small, tmp_path_factory):
+    """Tables bucketed on the join key sort-merge-join with ZERO
+    exchanges — the co-located-join contract write_bucketed promises.
+    At 100 TB this converts every fact-fact join on the bucket key from
+    a full shuffle into a local merge."""
+    from go_mapreduce_crawler_spark.sources import sinks
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sinks.write_bucketed(
+            load_table(spark, sf_small, "orders"), "b_orders", "o_orderkey", 8)
+        sinks.write_bucketed(
+            load_table(spark, sf_small, "lineitem"), "b_lineitem", "l_orderkey", 8)
+        joined = (spark.table("b_orders")
+                  .join(spark.table("b_lineitem"),
+                        F.col("o_orderkey") == F.col("l_orderkey"))
+                  .groupBy("o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert n_shuffle_exchanges(joined) <= 1, plan  # only the final agg shuffles
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 from go_mapreduce_crawler_spark.sources.tables import load_table
 from go_mapreduce_crawler_spark.streaming import (
-    stream_sessionize, stream_windowed_counts)
+    stream_dedup, stream_running_totals, stream_sessionize,
+    stream_to_parquet, stream_windowed_counts)
 
 
 @pytest.fixture(scope="module")
@@ -61,6 +62,62 @@ def test_sessionize_stream_matches_batch_session_window(spark, event_stream_dir)
          for r in expected.collect()}
     assert g == e
     assert sum(g.values()) == batch_events.count()
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, event_stream_dir):
+    """applyInPandasWithState: state must survive micro-batch boundaries —
+    maxFilesPerTrigger=1 forces 4 batches; the max running count per user
+    must equal the batch groupBy count."""
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream
+                     .schema(batch_events.schema)
+                     .option("maxFilesPerTrigger", "1")
+                     .parquet(event_stream_dir))
+    out = stream_running_totals(stream_events)
+    q = (out.writeStream.format("memory").queryName("running_totals")
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT user_id, MAX(n_events) AS n "
+                     "FROM running_totals GROUP BY user_id"))
+    g = {r.user_id: r.n for r in got.collect()}
+    e = {r.user_id: r["count"] for r in
+         batch_events.groupBy("user_id").count().collect()}
+    assert g == e
+    # more than one update row per user proves multi-batch state carry
+    n_updates = spark.sql("SELECT COUNT(*) c FROM running_totals").collect()[0].c
+    assert n_updates > len(e)
+
+
+def test_stream_dedup_first_arrival_wins(spark, event_stream_dir, tmp_path):
+    """Watermarked dropDuplicates over a key column with injected dups."""
+    batch_events = spark.read.parquet(event_stream_dir)
+    dup_dir = str(tmp_path / "dup_events")
+    batch_events.union(batch_events.limit(200)).repartition(4) \
+        .write.mode("overwrite").parquet(dup_dir)
+    dups = spark.read.parquet(dup_dir)
+    stream_events = spark.readStream.schema(dups.schema).parquet(dup_dir)
+    got = _run_stream_append(spark, stream_dedup(stream_events), "deduped")
+    assert got.count() == dups.select("event_id").distinct().count()
+
+
+def test_stream_parquet_sink_roundtrip(spark, event_stream_dir, tmp_path):
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream
+                     .schema(batch_events.schema).parquet(event_stream_dir))
+    q = stream_to_parquet(stream_events.filter(F.col("event_type") == "click"),
+                          str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == batch_events.filter(F.col("event_type") == "click").count()
+
+
+def _run_stream_append(spark, df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def test_session_window_agrees_with_batch_lag_formulation(spark):
