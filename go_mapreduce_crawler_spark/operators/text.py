@@ -100,6 +100,41 @@ def q_text_fingerprint(spark, sf_dir):
         F.substring(F.md5(F.encode(norm, "UTF-8")), 1, 4).alias("fp_bucket"))
 
 
+WINNOW_K = 8   # char k-gram length
+WINNOW_W = 4   # winnowing window (guarantee: any match >= K+W-1 chars shares a fingerprint)
+
+
+def q_text_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+
+    Per doc, row-locally: normalize whitespace/case -> char 8-gram hashes
+    -> min hash of every 4-window -> distinct mins are the fingerprint
+    set.  The hash basis is the first 16 hex chars of md5 (string order),
+    chosen over xxhash64 so the oracle can reproduce it — the algorithm
+    is hash-agnostic.  Zero shuffles: fingerprinting is a projection;
+    only the (absent here) pair-matching phase would shuffle, keyed by
+    fingerprint like minhash LSH bucket keys.
+    """
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    nd = d.select("doc_id", norm.alias("norm"))
+    n = F.length("norm")
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (WINNOW_K - 1), F.lit(1))),
+        lambda i: F.substring(
+            F.md5(F.encode(F.col("norm").substr(i, F.lit(WINNOW_K)), "UTF-8")),
+            1, 16))
+    withg = nd.select("doc_id", hs.alias("hs"))
+    fps = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice("hs", j, WINNOW_W))))
+    return (withg.select("doc_id", F.size("hs").alias("n_grams"), fps.alias("fps"))
+                 .select("doc_id", "n_grams",
+                         F.size("fps").alias("n_fps"),
+                         F.array_min("fps").alias("min_fp"),
+                         F.array_max("fps").alias("max_fp")))
+
+
 def q_text_ngram_freq(spark, sf_dir):
     """Corpus-level bigram frequency (explode -> count), top by count.
 
@@ -125,6 +160,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow_fingerprints": q_text_winnow,
     "text_bigram_freq": q_text_ngram_freq,
 }
 
@@ -175,6 +211,23 @@ ORACLE = {
                substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 4)
                    AS fp_bucket
         FROM documents
+    """,
+    "text_winnow_fingerprints": r"""
+        WITH d AS (SELECT doc_id,
+                          regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+                   FROM documents),
+        g AS (SELECT doc_id,
+                list_transform(generate_series(1, greatest(length(norm) - 8 + 1, 1)),
+                    i -> substr(md5(substr(norm, i, 8)), 1, 16)) AS hs
+              FROM d),
+        w AS (SELECT doc_id, len(hs) AS n_grams,
+                list_distinct(list_transform(
+                    generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+                    j -> list_min(hs[j : j + 3]))) AS fps
+              FROM g)
+        SELECT doc_id, n_grams, len(fps) AS n_fps,
+               list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        FROM w
     """,
     "text_bigram_freq": """
         WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

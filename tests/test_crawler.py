@@ -151,6 +151,28 @@ def test_pool_accumulate_sum(spark):
     assert row.s == 55
 
 
+def test_cancellation_job_group(spark):
+    """Cancellation parity (crawler_test.go:24-58: mid-walk timeout
+    surfaces as the context error): a canceled job group interrupts the
+    running action, which raises; the session stays usable after."""
+    import time
+    from py4j.protocol import Py4JJavaError
+
+    from go_mapreduce_crawler_spark.cancel import cancel_after, job_group
+
+    slow = (spark.range(0, 1 << 36, 1, 8)
+            .selectExpr("avg(xxhash64(id)) s"))  # minutes of work if not canceled
+    t0 = time.monotonic()
+    with pytest.raises(Py4JJavaError) as err, \
+            job_group(spark, "cancel-test") as gid:
+        cancel_after(spark, gid, 2.0)
+        slow.collect()
+    assert "cancel" in str(err.value).lower()
+    assert time.monotonic() - t0 < 60
+    # clean drain: the session still runs jobs afterwards
+    assert spark.range(10).count() == 10
+
+
 def test_pool_partials_at_most_one_per_partition(spark):
     """pool_test.go:55-73 collectRestricted: <= W partials for W workers."""
     pool = Pool(spark)

@@ -87,6 +87,21 @@ def test_multimodal_frame_sampling_counts(spark, sf_medium):
     assert len(one) == (n_frames - 1) // 10 + 1
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_medium):
+    """IVF with 4-of-16 probe cells must recover >= 50% of the exact
+    top-10 per query on average."""
+    exact = similarity.q_knn_bruteforce(spark, sf_medium).collect()
+    approx = similarity.q_ann_ivf(spark, sf_medium).collect()
+    from collections import defaultdict
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.q_id].add(r.neighbor_id)
+    for r in approx:
+        ap[r.q_id].add(r.neighbor_id)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_approx_distinct_error_envelope(spark, sf_medium):
     """HLL++ at rsd=0.01 must land within 5% of the exact distinct counts
     (the rows-only query's accuracy contract)."""
