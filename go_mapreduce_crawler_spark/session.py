@@ -17,12 +17,22 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "go-mapreduce-crawler-spark",
               cpus: int | str | None = None,
+              shuffle_partitions: int | str | None = None,
               extra_conf: dict | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Reducer count tracks DATA volume, not core count: map-side
+    # parallelism comes from input splits (and explicit spread
+    # repartitions), while post-shuffle partitions should hold
+    # ~64-128 MB each.  At bench SF that is single-digit partitions —
+    # 32 reducers on kB-sized shuffles is pure task-scheduling overhead
+    # (measured 3.5s of a 5s query).  On a real cluster, size it to
+    # data/128MB and let AQE coalesce the long tail.
+    shuffle_partitions = (shuffle_partitions
+                          or os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
