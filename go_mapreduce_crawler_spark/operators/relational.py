@@ -273,6 +273,79 @@ def q_join_range(spark, sf_dir):
                   money_sum("p_retailprice", MONEY).alias("sum_price")))
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 analogue: correlated EXISTS subquery -> left-semi join.
+
+    Catalyst rewrites the EXISTS into a LeftSemi with the correlated
+    predicate as the join condition — the decorrelation path; written in
+    SQL to exercise it end-to-end (predicate adapted to this fixture's
+    columns: an order counts if any line is discounted > 5%).
+    """
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+    """)
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 analogue: outer-join order counts -> count histogram.
+
+    Two aggregations with different keys (custkey, then count value) —
+    the second input is |customers| rows, the histogram fits anywhere.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 analogue: correlated scalar subquery (per-part average).
+
+    avg-per-part is aggregate-then-join (never a correlated rescan):
+    one pass computes the per-key threshold, a self-join applies it.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    thresholds = (l.groupBy(F.col("l_partkey").alias("t_partkey"))
+                   .agg((F.lit(0.5) * F.sum(dec("l_quantity", MONEY)).cast("double")
+                         / F.count(F.lit(1))).alias("half_avg_qty")))
+    return (l.join(thresholds, l.l_partkey == thresholds.t_partkey)
+             .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+             .agg((F.sum(dec("l_extendedprice", MONEY)).cast("double") / F.lit(7.0))
+                  .alias("avg_yearly"),
+                  F.count(F.lit(1)).alias("n_small")))
+
+
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 analogue: IN (grouped HAVING subquery) -> semi join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (l.groupBy("l_orderkey")
+            .agg(F.sum(dec("l_quantity", MONEY)).alias("sum_qty"))
+            .filter(F.col("sum_qty") > 150)
+            .select("l_orderkey"))
+    return (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(l, o.o_orderkey == l.l_orderkey)
+             .groupBy("c_name", "c_custkey", "o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                      "o_totalprice")
+             .agg(money_sum("l_quantity", MONEY).alias("total_qty"))
+             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+             .limit(100))
+
+
 # -------------------------------------------------------------- windows
 
 def q_window_topk(spark, sf_dir):
@@ -502,7 +575,11 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "pivot_linestatus": q_pivot,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customer": q18_large_volume_customer,
     "join_left_outer": q_join_left,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -609,6 +686,50 @@ ORACLE = {
         GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "q17_small_quantity_revenue": """
+        WITH t AS (
+            SELECT l_partkey AS t_partkey,
+                   0.5 * SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE
+                       / COUNT(*) AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey)
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE / 7.0
+                   AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem JOIN t ON l_partkey = t_partkey
+        WHERE l_quantity < half_avg_qty
+    """,
+    "q18_large_volume_customer": """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+               SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS total_qty
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        GROUP BY c_name, c_custkey, o_orderkey,
+                 strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
     """,
     "q5_local_supplier": f"""
         SELECT n_name, SUM({_DISC})::DOUBLE AS revenue
