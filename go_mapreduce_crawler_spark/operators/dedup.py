@@ -259,8 +259,33 @@ def q_dedup_embedding(spark, sf_dir):
              .select("id_a", "id_b", "cos"))
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The composed LLM-corpus cleaning pipeline: exact dedup (keep min
+    doc_id per text) -> quality gate (20..500 words, uniqueness > 0.2)
+    -> language gate (stopword-identifiable).  One scan, two shuffles
+    (dedup groupBy + survivor semi-join); the quality/language gates are
+    row-local projections fused into the scan.  This is the production
+    composition the individual dedup/text operators exist for.
+    """
+    from .text import STOPWORDS
+    d = _docs(spark, sf_dir)
+    survivors = (d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+                  .select("doc_id"))
+    kept = d.join(survivors, "doc_id", "left_semi")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    uniq = F.size(F.array_distinct(words))
+    any_stop = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws]))) > 0
+    return (kept.filter(n.between(20, 500) & (uniq / n > 0.2) & any_stop)
+                .select("doc_id", "lang", n.alias("n_words"),
+                        F.round(uniq / n, 6).alias("uniq_ratio")))
+
+
 QUERIES = {
     "dedup_exact_groups": q_dedup_exact,
+    "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -268,7 +293,29 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding,
 }
 
+_ALL_STOP = ("['the','a','of','and','to','in','is','it','that','for',"
+             "'der','die','das','und','ist','nicht','ein','zu','mit','auf',"
+             "'le','la','les','et','est','un','une','pas','pour','dans',"
+             "'el','los','las','es','una','no','por','para']")
+
 ORACLE = {
+    "corpus_clean_pipeline": f"""
+        WITH survivors AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        kept AS (
+            SELECT d.* FROM documents d
+            WHERE d.doc_id IN (SELECT doc_id FROM survivors))
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_words,
+               ROUND(len(list_distinct(string_split(text, ' ')))
+                     / len(string_split(text, ' ')), 6) AS uniq_ratio
+        FROM kept
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 500
+          AND len(list_distinct(string_split(text, ' ')))
+              / len(string_split(text, ' ')) > 0.2
+          AND len(list_intersect(list_distinct(string_split(text, ' ')),
+                                 {_ALL_STOP})) > 0
+    """,
     "dedup_exact_groups": """
         SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
                MIN(doc_id) AS keep_doc_id
