@@ -34,6 +34,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue_change",
+    "q18_large_volume_customer",
     "agg_distinct",
     "window_topk_per_group",
     "window_range_frame_30d",
@@ -45,7 +46,9 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "corpus_clean_pipeline",
     "knn_bruteforce_cosine",
+    "knn_pandas_vectorized",
     "ann_lsh_cosine",
     "text_quality",
     "text_winnow_fingerprints",
