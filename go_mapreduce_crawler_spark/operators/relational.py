@@ -327,21 +327,29 @@ def q17_small_quantity_revenue(spark, sf_dir):
 
 
 def q18_large_volume_customer(spark, sf_dir):
-    """TPC-H Q18 analogue: IN (grouped HAVING subquery) -> semi join."""
+    """TPC-H Q18 analogue: IN (grouped HAVING subquery).
+
+    Written as aggregate-once-join-the-aggregate: the textbook form
+    semi-joins orders against the HAVING subquery and then re-joins +
+    re-aggregates raw lineitem — scanning and shuffling the fact table
+    twice for a sum the subquery already computed.  Since the final
+    group keys are unique per order, total_qty IS the subquery's sum:
+    one lineitem scan, one aggregation, then joins against the (small)
+    qualifying set.  Same rows as the textbook form — the oracle runs
+    the textbook SQL.
+    """
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     big = (l.groupBy("l_orderkey")
             .agg(F.sum(dec("l_quantity", MONEY)).alias("sum_qty"))
             .filter(F.col("sum_qty") > 150)
-            .select("l_orderkey"))
-    return (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+            .select("l_orderkey", F.col("sum_qty").cast("double").alias("total_qty")))
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
              .join(c, o.o_custkey == c.c_custkey)
-             .join(l, o.o_orderkey == l.l_orderkey)
-             .groupBy("c_name", "c_custkey", "o_orderkey",
-                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-                      "o_totalprice")
-             .agg(money_sum("l_quantity", MONEY).alias("total_qty"))
+             .select("c_name", "c_custkey", "o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                     "o_totalprice", "total_qty")
              .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
              .limit(100))
 
