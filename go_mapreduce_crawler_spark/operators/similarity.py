@@ -74,12 +74,18 @@ def q_knn_bruteforce(spark, sf_dir):
                   .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos", "rk"))
 
 
-def _plane_lits():
-    """Fixed random hyperplanes (seed=7), embedded as literal arrays —
-    broadcast by value inside the plan, identical on every executor."""
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((N_PLANES, DIM))
-    return [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+def _dot_sql(vec_col: str, values) -> str:
+    """Literal-vector dot product as ONE SQL string.
+
+    Building the same expression from Python Column objects costs a py4j
+    round-trip per literal — 48 planes x 64 dims was 4-6s of driver-side
+    plan CONSTRUCTION per q_ann_lsh call (vs 1.6s of execution).  A
+    generated SQL string is one parse on the JVM.  repr() round-trips
+    float64 exactly, so the plan is identical.
+    """
+    arr = "array(" + ",".join(repr(float(x)) + "D" for x in values) + ")"
+    return (f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -90,38 +96,50 @@ def q_ann_lsh(spark, sf_dir):
     records rows-only); recall vs q_knn_bruteforce is pinned by
     tests/test_extensions.py.
     """
-    e = _emb(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
-    planes = _plane_lits()
+    # One materialization: e feeds the sketch path, the query broadcast,
+    # and the candidate join-back — uncached, each is its own job
+    # re-running the scan + spread shuffle + norm folds (measured ~1.5s
+    # of pure re-execution overhead at sf0.1).
+    e = _emb(spark, sf_dir).withColumn("nrm", l2_norm("embedding")).cache()
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((N_PLANES, DIM))
     r = N_PLANES // LSH_BANDS_ANN
 
     def bit(j):
-        return (F.when(dot(F.col("embedding"), planes[j]) >= 0, F.lit("1"))
-                 .otherwise(F.lit("0")))
+        return (f"IF({_dot_sql('embedding', planes[j])} >= 0D, '1', '0')")
 
     # Each plane's dot fold appears EXACTLY once: the sig is assembled
     # per band directly from the fold expressions.  (An intermediate
     # `bits` array column gets inlined once per band reference when the
     # optimizer collapses the projections — 12x recomputation of all 48
-    # folds per row, measured 2x on the whole query.)
-    band_cols = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("", *[bit(b * r + j) for j in range(r)]).alias("sig"))
-        for b in range(LSH_BANDS_ANN)])
-    # Sketches carry ONLY (vec_id, band) — ids shuffle and dedup, the
-    # 64-float vectors are joined back once per surviving candidate.
-    # Running distinct over rows that still carry the embedding array
-    # hashes/compares 256 bytes per row for no benefit (measured 2x on
-    # the whole query).
+    # folds per row, measured 2x on the whole query.)  The (band, sig)
+    # pair is folded into one long via xxhash64 so the bucket join keys
+    # on a long instead of a struct.  The whole sketch is ONE generated
+    # SQL expression — see _dot_sql for why.
+    band_cols = F.expr("array(" + ",".join(
+        f"xxhash64({b}, concat_ws('', "
+        + ",".join(bit(b * r + j) for j in range(r)) + "))"
+        for b in range(LSH_BANDS_ANN)) + ")")
+    # Sketches carry ONLY (vec_id, bucket) — candidate (query, corpus)
+    # pairs are generated array-locally after ONE groupBy(bucket)
+    # shuffle, exactly like dedup._bucket_pairs: queries are corpus
+    # members, so a bucket's pairs are its query ids x its member ids.
+    # No broadcast sub-jobs, no join; the 64-float vectors are joined
+    # back once per surviving candidate.
     sk = e.select("vec_id", F.explode(band_cols).alias("bb"))
-    qs = (sk.filter(F.col("vec_id") % 100 == 0)
-            .select(F.col("vec_id").alias("q_id"), F.col("bb").alias("q_bb")))
     q_full = F.broadcast(
         e.filter(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
                  F.col("nrm").alias("q_nrm")))
-    cand_ids = (sk.join(F.broadcast(qs), (F.col("bb") == F.col("q_bb"))
-                        & (F.col("vec_id") != F.col("q_id")))
-                  .select("q_id", "vec_id").distinct())
+    cand_ids = (sk.groupBy("bb")
+                  .agg(F.collect_set(F.when(F.col("vec_id") % 100 == 0,
+                                            F.col("vec_id"))).alias("qids"),
+                       F.collect_set("vec_id").alias("ids"))
+                  .filter(F.size("qids") > 0)
+                  .select(F.explode("qids").alias("q_id"), "ids")
+                  .select("q_id", F.explode("ids").alias("vec_id"))
+                  .filter(F.col("vec_id") != F.col("q_id"))
+                  .distinct())
     # Norms folded once per row (see q_knn_bruteforce) — the re-rank
     # costs one dot fold per candidate.
     scored = (cand_ids.join(e.select("vec_id", "embedding", "nrm"), "vec_id")
@@ -163,20 +181,16 @@ def q_ann_ivf(spark, sf_dir):
     cents = [[float(x) for x in r.embedding] for r in cent_rows]
     cnorms = [sum(x * x for x in c) ** 0.5 for c in cents]
 
-    def cell_scores(col):
-        """array<struct<cos,cell>> of centroid affinities, row-local."""
-        return F.array(*[
-            F.struct(
-                (dot(col, F.array(*[F.lit(x) for x in c])) / F.lit(nc)).alias("cos"),
-                F.lit(i).alias("cell"))
-            for i, (c, nc) in enumerate(zip(cents, cnorms))])
-
+    # One generated SQL string (see _dot_sql): array<struct<cos,cell>>
+    # of centroid affinities, row-local.
+    cell_scores = "array(" + ",".join(
+        f"struct({_dot_sql('embedding', c)} / {repr(nc)}D AS cos, {i} AS cell)"
+        for i, (c, nc) in enumerate(zip(cents, cnorms))) + ")"
     assigned = e.withColumn(
-        "cell", F.array_max(cell_scores(F.col("embedding"))).getField("cell"))
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(cell_scores(F.col("embedding")))),
-                1, IVF_PROBES),
-        lambda s: s.getField("cell"))
+        "cell", F.array_max(F.expr(cell_scores)).getField("cell"))
+    probes = F.expr(
+        f"transform(slice(reverse(array_sort({cell_scores})), 1, {IVF_PROBES}),"
+        " s -> s.cell)")
     q = (e.filter(F.col("vec_id") % 100 == 0)
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_vec"),
