@@ -154,20 +154,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     and the candidate-verify join on doc_id.
     """
     sh = _shingles(spark, sf_dir).cache()
-    sig = sh.select("doc_id", *[
-        F.array_min(F.transform(
-            F.col("shingles"),
-            lambda s, seed=seed: F.xxhash64(s, F.lit(seed))))
-         .alias(f"h{seed}")
+    # Signature + bands as generated SQL (one parse), not Column algebra
+    # (a py4j round-trip per node — 0.8s of driver-side construction for
+    # the 32 transform/fold trees; see similarity._dot_sql).
+    sig = sh.selectExpr("doc_id", *[
+        f"array_min(transform(shingles, s -> xxhash64(s, {seed}))) AS h{seed}"
         for seed in range(MINHASH_K)])
     r = MINHASH_K // LSH_BANDS
-    bands = sig.select(
+    bands = sig.selectExpr(
         "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
-                      .alias("bucket"))
-            for b in range(LSH_BANDS)])).alias("bb"))
+        "explode(array(" + ",".join(
+            f"struct({b} AS band, xxhash64("
+            + ",".join(f"h{b * r + j}" for j in range(r)) + ") AS bucket)"
+            for b in range(LSH_BANDS)) + ")) AS bb")
     # Bucket-group instead of self-join: signatures are computed ONCE,
     # one shuffle groups (band, bucket) -> sorted doc list, pairs are
     # generated array-locally.  A pathological hot bucket (thousands of
