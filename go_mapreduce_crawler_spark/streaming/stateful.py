@@ -22,6 +22,7 @@ from typing import Any, Iterable, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -61,6 +62,40 @@ def stream_dedup(events: DataFrame, key: str = "event_id",
     """Watermarked streaming dedup: first arrival per key wins; state for
     keys older than the watermark is evicted automatically."""
     return events.withWatermark("ts", watermark).dropDuplicates([key])
+
+
+def stream_stream_purchase_view_join(events: DataFrame,
+                                     window: str = "1 hour",
+                                     watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to view events
+    by the same user within the preceding `window`.
+
+    Both sides carry watermarks and the join condition bounds the event-
+    time range, so the state store can evict rows older than
+    watermark + window — the condition that keeps a stream-stream join
+    runnable forever.  The batch twin is operators.asof (as-of = the
+    1-row variant of this interval join).
+    """
+    views = (events.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    return (purchases.join(
+                views,
+                (F.col("p_user") == F.col("v_user"))
+                & (F.col("v_ts") <= F.col("p_ts"))
+                & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}")),
+                "inner")
+            .select("purchase_id", "view_id",
+                    F.col("p_user").alias("user_id"),
+                    F.unix_micros("p_ts").alias("purchase_ts_us"),
+                    F.unix_micros("v_ts").alias("view_ts_us")))
 
 
 def stream_to_parquet(df: DataFrame, path: str, checkpoint: str,

@@ -75,6 +75,29 @@ def test_semi_anti_join_operators(spark, sf_small):
     assert "LeftAnti" in physical_plan(relational.q_join_anti(spark, sf_small))
 
 
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_small, tmp_path_factory):
+    """Hive-style partitionBy + a filter on the partition column must
+    prune at the FILE level (PartitionFilters in the scan, PartitionCount
+    1 of 5) — at 100 TB this is reading one directory instead of all."""
+    from go_mapreduce_crawler_spark.sources import sinks
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    p = str(tmp_path_factory.mktemp("part") / "orders_by_priority")
+    sinks.write_parquet(load_table(spark, sf_small, "orders"), p,
+                        partition_by=["o_orderpriority"], n_files=4)
+    df = (spark.read.parquet(p)
+          .filter(F.col("o_orderpriority") == "1-URGENT")
+          .select("o_orderkey"))
+    plan = physical_plan(df)
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan, plan
+    assert df.count() > 0
+    # the scan touches only the matching partition directory
+    import re
+    m = re.search(r"PartitionCount: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) == 1, plan
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_small, tmp_path_factory):
     """Tables bucketed on the join key sort-merge-join with ZERO
     exchanges — the co-located-join contract write_bucketed promises.

@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from go_mapreduce_crawler_spark.sources.tables import load_table
 from go_mapreduce_crawler_spark.streaming import (
     stream_dedup, stream_running_totals, stream_sessionize,
-    stream_to_parquet, stream_windowed_counts)
+    stream_stream_purchase_view_join, stream_to_parquet,
+    stream_windowed_counts)
 
 
 @pytest.fixture(scope="module")
@@ -118,6 +119,30 @@ def _run_stream_append(spark, df, name):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_stream_join_matches_batch(spark, event_stream_dir):
+    """Stream-stream interval join (purchase x prior views within 1h)
+    must produce exactly the batch join's pairs."""
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream
+                     .schema(batch_events.schema).parquet(event_stream_dir))
+    got = _run_stream_append(
+        spark, stream_stream_purchase_view_join(stream_events), "ssj")
+
+    v = batch_events.filter(F.col("event_type") == "view") \
+        .select(F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"))
+    p = batch_events.filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+    expected = (p.join(v, (F.col("p_user") == F.col("v_user"))
+                       & (F.col("v_ts") <= F.col("p_ts"))
+                       & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")))
+                .select("purchase_id", "view_id"))
+    g = {(r.purchase_id, r.view_id) for r in got.collect()}
+    e = {(r.purchase_id, r.view_id) for r in expected.collect()}
+    assert g == e and len(g) > 0
 
 
 def test_session_window_agrees_with_batch_lag_formulation(spark):
