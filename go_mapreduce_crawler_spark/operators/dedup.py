@@ -258,6 +258,55 @@ def q_dedup_embedding(spark, sf_dir):
              .select("id_a", "id_b", "cos"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters: connected components of the Jaccard>=0.5 pair
+    graph via min-label propagation to a fixpoint.
+
+    The step after pair generation in a real dedup pipeline — pairs say
+    "a~b", clusters say "keep one of {a,b,c,...}".  Each iteration is
+    one join + one aggregation (labels' partitioning on node is reused);
+    the loop runs until no label changes (a driver-side count per
+    iteration — a scalar action, not a collect).  Near-dup components
+    are near-cliques, so the fixpoint lands in 2-4 iterations; at
+    100 TB-scale graph diameters, switch to the large-star/small-star
+    algorithm (Kiveris et al., SoCC'14) — same per-iteration shape.
+
+    Output: (cluster_id = min doc_id of the component, n_members),
+    duplicate-free clusters only (size >= 2).  Oracle: recursive-CTE
+    transitive closure + min label in DuckDB.
+    """
+    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                      F.col("doc_a").alias("doc_b")))
+             .distinct().cache())
+    # localCheckpoint (not cache) per iteration: caching truncates
+    # COMPUTATION but the logical plan still grows linearly, and
+    # re-analysis of the accumulated lineage dominated the loop
+    # (35s -> 4s at sf0.001).  Checkpointing restarts the plan from the
+    # materialized partitions every round.
+    labels = (edges.select(F.col("doc_a").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")).localCheckpoint())
+    # Convergence check: sum(lbl) strictly decreases every iteration
+    # that changes any label (labels only move down), so one scalar
+    # aggregate per iteration detects the fixpoint — no join-and-count.
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(20):
+        nbr_min = (edges.join(labels, edges.doc_b == labels.node)
+                   .groupBy(F.col("doc_a").alias("node"))
+                   .agg(F.min("lbl").alias("nbr_lbl")))
+        labels = (labels.join(nbr_min, "node", "left")
+                  .select("node", F.least(
+                      "lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (labels.groupBy(F.col("lbl").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") >= 2))
+
+
 def q_corpus_clean(spark, sf_dir):
     """The composed LLM-corpus cleaning pipeline: exact dedup (keep min
     doc_id per text) -> quality gate (20..500 words, uniqueness > 0.2)
@@ -287,6 +336,7 @@ QUERIES = {
     "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding,
@@ -339,6 +389,34 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.5
+    """,
+    "dedup_components": """
+        WITH RECURSIVE
+        words AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM words a JOIN words b
+              ON a.word = b.word AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        jp AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.5),
+        edges AS (SELECT doc_a, doc_b FROM jp
+                  UNION SELECT doc_b, doc_a FROM jp),
+        nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.doc_a, r.lbl FROM edges e JOIN reach r ON r.node = e.doc_b),
+        minlbl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT cluster_id, COUNT(*) AS n_members
+        FROM minlbl GROUP BY cluster_id HAVING COUNT(*) >= 2
     """,
     # dedup_minhash_lsh, dedup_simhash: xxhash64-based — not reproducible
     # in DuckDB; driver records rows-only checks.  Their correctness is
