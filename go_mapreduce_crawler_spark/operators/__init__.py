@@ -8,12 +8,12 @@ for __spark_entry__.py.
 
 from __future__ import annotations
 
-from . import (asof, dedup, multimodal, relational, scale, similarity,
-               temporal, text)
+from . import (asof, dedup, multimodal, relational, sampling, scale,
+               similarity, temporal, text)
 
 
 _MODULES = (relational, dedup, similarity, text, multimodal, asof,
-            temporal, scale)
+            temporal, scale, sampling)
 
 
 def all_queries():

@@ -1,0 +1,120 @@
+"""Deterministic sampling operators over ``documents`` — LLM-pipeline
+extensions (SURVEY.md §2.3: corpus preparation beyond the reference's
+surface; reference has no sampling of any kind — verified in SURVEY §2.2).
+
+Every operator here is **hash-deterministic**, never ``rand()``: the
+split/sample decision for a row is a pure function of its key, so it is
+
+* reproducible across runs, engines, and partitionings (the property a
+  100 TB training-data pipeline actually needs — re-running the split
+  after adding one shard must not reshuffle every document's fate);
+* embarrassingly parallel — a narrow projection + filter, ZERO shuffles
+  (contrast ``df.randomSplit``, which is seed-stable only for a fixed
+  partitioning);
+* oracle-checkable bit-for-bit (DuckDB computes the same md5).
+
+The hash basis is the first 2 hex chars of ``md5(key)`` compared as
+strings ('00'..'ff' = 256 uniform buckets) — portable between Spark and
+DuckDB without bigint/hex conversion games.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _bucket(col):
+    """First 2 hex chars of md5(col as string): 256 uniform buckets."""
+    return F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 2)
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test split by hashed doc_id.
+
+    test = bucket < '0d' (13/256 ~ 5.1%), val = next 13 buckets, train =
+    the rest.  At 100 TB this is the only split that survives: a pure
+    per-row projection (no shuffle, no global sort, no seed-partitioning
+    coupling), and document membership is stable when the corpus grows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    return d.select(
+        "doc_id", "lang", "source",
+        F.when(b < "0d", "test").when(b < "1a", "val")
+         .otherwise("train").alias("split"))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Stratified downsample: per-language keep-fraction via hash bucket.
+
+    The corpus-rebalancing step (upweight low-resource languages by
+    downsampling the head): en keeps 64/256 = 25%, de/fr/es keep 50%,
+    everything else 75%.  Same zero-shuffle narrow-filter shape as the
+    split — Spark's ``sampleBy`` does this with rand(); the hash variant
+    is reproducible under repartitioning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    thr = (F.when(F.col("lang") == "en", "40")
+            .when(F.col("lang").isin("de", "fr", "es"), "80")
+            .otherwise("c0"))
+    return d.filter(b < thr).select("doc_id", "lang", "source")
+
+
+def q_sample_cap_per_source(spark, sf_dir):
+    """Cap documents per source at 10, keeping a deterministic hash-random
+    subset: row_number over (source, hash(doc_id)) <= 10.
+
+    The per-domain cap from web-corpus curation (no single crawl domain
+    may dominate training).  One shuffle keyed by ``source``; the hash
+    order makes the kept subset unbiased yet reproducible.  At 100 TB a
+    hot domain's partition is bounded by per-key top-k pushdown: since
+    only 10 survive per key, a map-side partial top-10 per partition
+    (groupBy + min_by-style) before the shuffle caps the shuffle volume
+    at 10 x partitions x domains; the window form here is the clear
+    statement of the semantics and AQE handles moderate skew.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (d.select("doc_id", "source",
+                     F.row_number().over(w).alias("rk"))
+             .filter(F.col("rk") <= 10))
+
+
+QUERIES = {
+    "sample_split_deterministic": q_sample_split,
+    "sample_stratified_by_lang": q_sample_stratified,
+    "sample_cap_per_source": q_sample_cap_per_source,
+}
+
+_B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+ORACLE = {
+    "sample_split_deterministic": f"""
+        SELECT doc_id, lang, source,
+               CASE WHEN {_B} < '0d' THEN 'test'
+                    WHEN {_B} < '1a' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+    "sample_stratified_by_lang": f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {_B} < CASE WHEN lang = 'en' THEN '40'
+                          WHEN lang IN ('de', 'fr', 'es') THEN '80'
+                          ELSE 'c0' END
+    """,
+    "sample_cap_per_source": """
+        SELECT doc_id, source, rk FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+        WHERE rk <= 10
+    """,
+}

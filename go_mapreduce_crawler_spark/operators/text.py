@@ -8,6 +8,7 @@ final stats aggregations).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -155,6 +156,56 @@ def q_text_ngram_freq(spark, sf_dir):
              .filter(F.col("freq") >= 10))
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (tf * ln((N+1)/(df+1))).
+
+    The classic keyword-extraction / relevance-weighting pass: explode
+    words -> per-(doc, word) tf -> per-word df -> score -> window top-3.
+    Two shuffles (word-count and doc-partitioned top-k); the corpus size
+    N is an aggregated scalar broadcast-joined in (a broadcast of ONE
+    row — never a driver collect).  Heavy-hitter words (stopwords) skew
+    the df aggregation's key distribution, but partial aggregation
+    absorbs them map-side; the per-doc window partitions on doc_id,
+    which is uniform by construction.  Ties broken by (score desc, word
+    asc) for a total order, so the oracle matches exactly.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df, "word").crossJoin(F.broadcast(n))
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "word", "tf", "df", "tfidf", "rk"))
+
+
+def q_text_inverted_index(spark, sf_dir):
+    """Inverted index: word -> sorted posting list of doc_ids (df >= 2).
+
+    The retrieval-side core of a dedup/search stack.  One shuffle keyed
+    by word; ``collect_set`` + ``sort_array`` makes the posting list
+    deterministic regardless of task arrival order.  At 100 TB the
+    posting list for a head word is the classic reducer-OOM: real
+    systems shard hot words by (word, doc_id range) — same salting
+    shape as scale.q_agg_salted — and delta-encode the sorted ids;
+    df-band filtering (drop stopword-frequency words) bounds state
+    before the heavy groupBy when the downstream consumer allows it.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.explode(
+        F.array_distinct(F.split("text", " "))).alias("word"))
+    return (words.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sort_array(F.collect_set("doc_id")).alias("postings"))
+            .filter(F.col("df") >= 2))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -162,6 +213,8 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_winnow_fingerprints": q_text_winnow,
     "text_bigram_freq": q_text_ngram_freq,
+    "text_tfidf_top_terms": q_text_tfidf,
+    "text_inverted_index": q_text_inverted_index,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -228,6 +281,34 @@ ORACLE = {
         SELECT doc_id, n_grams, len(fps) AS n_fps,
                list_min(fps) AS min_fp, list_max(fps) AS max_fp
         FROM w
+    """,
+    "text_tfidf_top_terms": """
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf
+               FROM words GROUP BY doc_id, word),
+        df AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+               FROM words GROUP BY word),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.word, tf.tf, df.df, n.n_docs,
+                   ROUND(tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN df USING (word) CROSS JOIN n)
+        SELECT doc_id, word, tf, df, tfidf, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rk
+            FROM scored)
+        WHERE rk <= 3
+    """,
+    "text_inverted_index": """
+        WITH words AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        SELECT word, COUNT(*) AS df,
+               list_sort(list(doc_id)) AS postings
+        FROM words GROUP BY word
+        HAVING COUNT(*) >= 2
     """,
     "text_bigram_freq": """
         WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -125,3 +125,24 @@ def test_bucketed_join_skips_shuffle(spark, sf_small, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_deterministic_sampling_is_shuffle_free(spark, sf_small):
+    """Hash-deterministic split/stratify are narrow projections+filters:
+    zero exchanges (the property that makes them viable at 100 TB,
+    unlike randomSplit/sampleBy whose reproducibility couples to the
+    partitioning)."""
+    from go_mapreduce_crawler_spark.operators import sampling
+    for fn in (sampling.q_sample_split, sampling.q_sample_stratified):
+        df = fn(spark, sf_small)
+        assert n_shuffle_exchanges(df) == 0, physical_plan(df)[:2000]
+        assert not has_python_udf(df)
+
+
+def test_tfidf_scalar_count_is_broadcast(spark, sf_small):
+    """The corpus-size scalar joins in via broadcast, not a driver
+    collect, and the whole query stays JVM-side."""
+    from go_mapreduce_crawler_spark.operators import text as t
+    df = t.q_text_tfidf(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert not has_python_udf(df)
