@@ -206,6 +206,151 @@ def q5_local_supplier(spark, sf_dir):
              .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 analogue: bilateral trade volume between two nations by
+    ship year.
+
+    supplier⋈nation and customer⋈nation are broadcast (25-row dim at any
+    SF); the nation-pair disjunction then prunes BEFORE the big
+    lineitem⋈orders shuffle — at 100 TB the fact-fact join only sees the
+    two nations' rows, not the world.
+    """
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("c_nk"),
+                             F.col("n_name").alias("cust_nation")))
+    s = _t(spark, sf_dir, "supplier").join(n1, F.col("s_nationkey") == F.col("s_nk"))
+    c = _t(spark, sf_dir, "customer").join(n2, F.col("c_nationkey") == F.col("c_nk"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    o = _t(spark, sf_dir, "orders")
+    return (l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(c, F.col("o_custkey") == F.col("c_custkey"))
+             .filter(pair)
+             .groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+             .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 analogue: top-20 customers by returned-item revenue.
+
+    One quarter of orders joins its 'R' lineitems, aggregates per
+    customer, THEN joins the 25-row nation broadcast — aggregate first so
+    the dim join touches |customers|, not |lineitems|.  Deterministic
+    top-20 via (revenue desc, c_custkey) total order; the plan collapses
+    to TakeOrderedAndProject (no global sort at scale).
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_cust = (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("o_custkey")
+                 .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+    return (per_cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "revenue",
+                    dec("c_acctbal", MONEY).cast("double").alias("c_acctbal"),
+                    "n_name")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+def q12_ship_delay_priority(spark, sf_dir):
+    """TPC-H Q12 analogue (schema has no shipmode/commitdate): order
+    priority mix by ship-delay bucket.
+
+    CASE-conditional aggregation — both counters come out of ONE pass
+    over the join (no union of two filtered scans).  The delay bucket is
+    a pure projection; the only shuffles are the orderkey join and the
+    3-group final agg.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (F.when(delay <= 30, "fast")
+               .when(delay <= 90, "normal").otherwise("slow"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy(bucket.alias("delay_bucket"))
+             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                  F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 analogue: promo revenue share for one ship month.
+
+    part is the build side of a broadcast-eligible join (20k rows at
+    sf0.1; at 100 TB part grows with SF so AQE decides broadcast vs
+    shuffle — the query text doesn't change).  Ratio of two exact-decimal
+    sums, one double division at the end.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01"))
+    p = _t(spark, sf_dir, "part")
+    promo = F.col("p_type") == "PROMO"
+    return (l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+             .agg(F.round(
+                      F.lit(100.0)
+                      * F.sum(F.when(promo, _disc_price())
+                               .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                      / F.sum(_disc_price()).cast("double"), 6)
+                   .alias("promo_pct"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 analogue: OR-of-ANDs predicate across both join sides.
+
+    The classic disjunctive-pushdown test: Catalyst factors the common
+    l_quantity/p_size bounds out of the disjunction and pushes them into
+    both parquet scans (CNF conversion), so each side prunes before the
+    join even though no single disjunct is side-local.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    d1 = ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 15))
+          & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+    d2 = ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 25))
+          & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+    d3 = ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 35))
+          & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    return (j.filter(d1 | d2 | d3)
+             .agg(F.sum(_disc_price()).cast("double").alias("revenue"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 analogue (no phone column): rich-but-idle customers per
+    market segment — acctbal above the positive-balance average, no
+    orders since 1999.
+
+    The scalar average is a 1-row broadcast (never a driver collect);
+    NOT EXISTS is a left-anti join against the date-filtered orders —
+    the filter shrinks the anti build side before the shuffle.
+    """
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+                .agg((F.sum(dec("c_acctbal", MONEY)).cast("double")
+                      / F.count(F.lit(1))).alias("avg_bal")))
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    return (c.crossJoin(F.broadcast(avg_bal))
+             .filter(dec("c_acctbal", MONEY).cast("double") > F.col("avg_bal"))
+             .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_custs"),
+                  money_sum("c_acctbal", MONEY).alias("total_bal")))
+
+
 def q_join_left(spark, sf_dir):
     """Left outer join: every customer with order stats, zero-filled.
 
@@ -585,6 +730,12 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q12_ship_delay_priority": q12_ship_delay_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_idle_customers": q22_idle_customers,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customer": q18_large_volume_customer,
@@ -694,6 +845,85 @@ ORACLE = {
         GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
+    """,
+    "q7_nation_volume": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               SUM({_DISC})::DOUBLE AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, revenue,
+               CAST(c_acctbal AS DECIMAL(12,2))::DOUBLE AS c_acctbal, n_name
+        FROM (
+            SELECT o_custkey, SUM({_DISC})::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY o_custkey)
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q12_ship_delay_priority": """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                    WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+                    ELSE 'slow' END AS delay_bucket,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "q14_promo_revenue": f"""
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC}
+                                      ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                     / SUM({_DISC})::DOUBLE, 6) AS promo_pct,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+    "q19_disjunctive_predicates": f"""
+        SELECT SUM({_DISC})::DOUBLE AS revenue, COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    "q22_idle_customers": """
+        WITH avg_bal AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_mktsegment, COUNT(*) AS n_custs,
+               SUM(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS total_bal
+        FROM customer CROSS JOIN avg_bal
+        WHERE CAST(c_acctbal AS DECIMAL(12,2))::DOUBLE > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_mktsegment
     """,
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
