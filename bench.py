@@ -34,7 +34,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue_change",
+    "q10_returned_items",
+    "q12_ship_delay_priority",
     "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
     "agg_distinct",
     "window_topk_per_group",
     "window_range_frame_30d",
@@ -52,6 +55,8 @@ HEADLINE = [
     "ann_lsh_cosine",
     "text_quality",
     "text_winnow_fingerprints",
+    "text_tfidf_top_terms",
+    "sample_cap_per_source",
 ]
 
 N_CRAWL_FILES = 2000

@@ -91,10 +91,38 @@ def q_approx_distinct(spark, sf_dir):
                   F.count(F.lit(1)).alias("n_rows")))
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """Greenwald-Khanna approximate quantiles (percentile_approx) of event
+    value per event type, with exact min/max guards.
+
+    The scale story mirrors HLL: an exact quantile needs a full sort (or
+    at least a shuffle of every value); the GK sketch is a bounded-size
+    mergeable summary, so partial+final aggregation applies and the
+    shuffle carries sketches, not values.  accuracy=10000 bounds rank
+    error at n/10000.  Rows-only check (sketch estimates are
+    engine-specific); tests pin the rank-error envelope against exact
+    percentile_cont.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.percentile_approx("value", [0.25, 0.5, 0.75, 0.99], 10000)
+                   .alias("q_approx"),
+                  F.min("value").alias("v_min"),
+                  F.max("value").alias("v_max"),
+                  F.count(F.lit(1)).alias("n_rows"))
+             .select("event_type",
+                     F.col("q_approx")[0].alias("p25"),
+                     F.col("q_approx")[1].alias("p50"),
+                     F.col("q_approx")[2].alias("p75"),
+                     F.col("q_approx")[3].alias("p99"),
+                     "v_min", "v_max", "n_rows"))
+
+
 QUERIES = {
     "join_salted_skew": q_join_salted,
     "agg_salted_twophase": q_agg_salted_twophase,
     "approx_distinct_hll": q_approx_distinct,
+    "approx_quantiles_gk": q_approx_quantiles,
 }
 
 ORACLE = {

@@ -151,3 +151,49 @@ def test_sinks_csv_json(spark, sf_small, tmp_path):
     sinks.write_json(df, str(tmp_path / "r_json"))
     assert spark.read.option("header", "true").csv(str(tmp_path / "r_csv")).count() == 5
     assert spark.read.json(str(tmp_path / "r_json")).count() == 5
+
+
+def test_approx_quantiles_rank_envelope(spark, sf_medium):
+    """GK quantiles at accuracy=10000: each estimate's true rank must be
+    within 1% of the target rank (much looser than the sketch bound, but
+    engine-independent)."""
+    approx = {r.event_type: r for r in
+              scale.q_approx_quantiles(spark, sf_medium).collect()}
+    vals = (load_table(spark, sf_medium, "events")
+            .select("event_type", "value").toPandas())
+    for t, row in approx.items():
+        g = sorted(vals[vals.event_type == t].value)
+        n = len(g)
+        assert row.n_rows == n
+        assert row.v_min == g[0] and row.v_max == g[-1]
+        import bisect
+        for p, est in [(0.25, row.p25), (0.5, row.p50),
+                       (0.75, row.p75), (0.99, row.p99)]:
+            lo = bisect.bisect_left(g, est)
+            hi = bisect.bisect_right(g, est)
+            target = p * n
+            assert lo - 0.01 * n <= target <= hi + 0.01 * n, (t, p, est)
+
+
+def test_deterministic_split_is_partitioning_invariant(spark, sf_small):
+    """Each document's fold must equal the md5-bucket rule recomputed
+    independently in Python — the assignment is a pure function of
+    doc_id, not of partitioning/seed/engine (the reproducibility
+    contract randomSplit does NOT give).  Fold sizes must track the
+    13/13/230 bucket design within binomial noise."""
+    import hashlib
+    from go_mapreduce_crawler_spark.operators import sampling
+    base = {r.doc_id: r.split
+            for r in sampling.q_sample_split(spark, sf_small).collect()}
+
+    def expected(doc_id: int) -> str:
+        b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "test" if b < "0d" else ("val" if b < "1a" else "train")
+
+    assert base == {d: expected(d) for d in base}
+    n = len(base)
+    from collections import Counter
+    c = Counter(base.values())
+    assert abs(c["test"] - 13 / 256 * n) <= 4 * (n * 13 / 256) ** 0.5 + 1
+    assert abs(c["val"] - 13 / 256 * n) <= 4 * (n * 13 / 256) ** 0.5 + 1
+    assert c["train"] == n - c["test"] - c["val"]
