@@ -89,6 +89,12 @@ def main() -> None:
         warm_dir = sf_dir
     for name in names:
         queries[name](spark, warm_dir).count()
+        # Query functions may cache() self-joined intermediates; dropping
+        # them between queries stops cached partitions from one query
+        # stealing executor memory from the next (observed: 1.1s ->
+        # 4.9s on dedup_simhash late in the run with 28 queries' caches
+        # accumulated).
+        spark.catalog.clearCache()
 
     # Best-of-2: single-shot timings on a shared machine carry +-2s of
     # scheduler/GC noise per query, which would swamp round-over-round
@@ -100,6 +106,7 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     # Reference-workload crawl: recursive listing + JSON decode + fold.
