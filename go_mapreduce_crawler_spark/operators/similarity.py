@@ -88,6 +88,40 @@ def _dot_sql(vec_col: str, values) -> str:
             " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
 
 
+def _ann_bucket_kernel(planes: np.ndarray, n_bands: int, r: int):
+    """Sign-bit LSH (vec_id, bucket) pairs as ONE Arrow-vectorized matmul.
+
+    Per batch: (n x DIM) @ (DIM x H) -> sign bits -> pack each band's r
+    bits into an int; key = band << 16 | bits; the band explode is a
+    numpy repeat inside the kernel.  Replaces a generated 48-fold SQL
+    expression that cost ~1.7s of driver-side construction + JVM parse
+    and ~0.6s of interpreted execution PER CALL at sf0.1 — the matmul
+    form is a tiny plan and microseconds of compute, and the planes ride
+    in the closure (shipped once per executor).  Bucketing is the
+    identical partition of vectors (same planes, same bands), so recall
+    characteristics are unchanged.
+    """
+    import pandas as pd
+
+    weights = (1 << np.arange(r)[::-1]).astype(np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (m @ planes.T) >= 0.0
+            keys = np.empty((bits.shape[0], n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                keys[:, b] = (b << 16) | (
+                    bits[:, b * r:(b + 1) * r].astype(np.int64) @ weights)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                "bb": keys.ravel()})
+
+    return kernel
+
+
 def q_ann_lsh(spark, sf_dir):
     """Approximate top-10 via sign-bit LSH buckets + cosine re-rank.
 
@@ -104,29 +138,15 @@ def q_ann_lsh(spark, sf_dir):
     rng = np.random.default_rng(7)
     planes = rng.standard_normal((N_PLANES, DIM))
     r = N_PLANES // LSH_BANDS_ANN
-
-    def bit(j):
-        return (f"IF({_dot_sql('embedding', planes[j])} >= 0D, '1', '0')")
-
-    # Each plane's dot fold appears EXACTLY once: the sig is assembled
-    # per band directly from the fold expressions.  (An intermediate
-    # `bits` array column gets inlined once per band reference when the
-    # optimizer collapses the projections — 12x recomputation of all 48
-    # folds per row, measured 2x on the whole query.)  The (band, sig)
-    # pair is folded into one long via xxhash64 so the bucket join keys
-    # on a long instead of a struct.  The whole sketch is ONE generated
-    # SQL expression — see _dot_sql for why.
-    band_cols = F.expr("array(" + ",".join(
-        f"xxhash64({b}, concat_ws('', "
-        + ",".join(bit(b * r + j) for j in range(r)) + "))"
-        for b in range(LSH_BANDS_ANN)) + ")")
+    kernel = _ann_bucket_kernel(planes, LSH_BANDS_ANN, r)
     # Sketches carry ONLY (vec_id, bucket) — candidate (query, corpus)
     # pairs are generated array-locally after ONE groupBy(bucket)
     # shuffle, exactly like dedup._bucket_pairs: queries are corpus
     # members, so a bucket's pairs are its query ids x its member ids.
     # No broadcast sub-jobs, no join; the 64-float vectors are joined
     # back once per surviving candidate.
-    sk = e.select("vec_id", F.explode(band_cols).alias("bb"))
+    sk = e.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, bb long")
     q_full = F.broadcast(
         e.filter(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
