@@ -171,9 +171,12 @@ def q_text_tfidf(spark, sf_dir):
     """
     d = _docs(spark, sf_dir)
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("word").agg(
-        F.count_distinct("doc_id").alias("df"))
+    # tf is already distinct on (doc_id, word), so df is a plain count
+    # over it — no COUNT(DISTINCT) Expand shuffle, no second explode of
+    # the corpus.  Cached because both the df branch and the final join
+    # consume it (bounded: one row per (doc, distinct word)).
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).cache()
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (tf.join(df, "word").crossJoin(F.broadcast(n))
               .withColumn("tfidf", F.round(
