@@ -559,6 +559,43 @@ def q_window_rank_dense(spark, sf_dir):
                     F.ntile(4).over(w).alias("quartile"))
 
 
+def q_window_percentiles(spark, sf_dir):
+    """percent_rank / cume_dist over customers by balance within segment.
+
+    Unique ordering (acctbal, custkey) makes both analytic values a pure
+    function of the data.  Same single-shuffle shape as any partitioned
+    window.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        dec("c_acctbal", MONEY), F.col("c_custkey"))
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+def q_unpivot_balances(spark, sf_dir):
+    """UNPIVOT (melt): per-nation customer/supplier balance sums from two
+    wide columns to (nationkey, side, bal) long form.
+
+    The inverse of pivot_linestatus — Spark's ``unpivot`` is an Expand
+    (one output row per value column), a narrow op: zero extra shuffles
+    beyond the two input aggregations.
+    """
+    ca = (_t(spark, sf_dir, "customer")
+          .groupBy(F.col("c_nationkey").alias("nationkey"))
+          .agg(money_sum("c_acctbal", MONEY).alias("cust_bal")))
+    sa = (_t(spark, sf_dir, "supplier")
+          .groupBy(F.col("s_nationkey").alias("nationkey"))
+          .agg(money_sum("s_acctbal", MONEY).alias("supp_bal")))
+    wide = (ca.join(sa, "nationkey", "full_outer")
+            .select("nationkey",
+                    F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+                    F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal")))
+    return wide.unpivot("nationkey", ["cust_bal", "supp_bal"], "side", "bal")
+
+
 # ------------------------------------------------------- sorts & limits
 
 def q_sort_limit(spark, sf_dir):
@@ -769,6 +806,8 @@ QUERIES = {
     "window_topk_per_group": q_window_topk,
     "window_running_sum": q_window_running,
     "window_rank_dense_ntile": q_window_rank_dense,
+    "window_percent_cume": q_window_percentiles,
+    "unpivot_balances": q_unpivot_balances,
     "sort_limit_top20": q_sort_limit,
     "set_ops": q_set_ops,
     "scalar_string": q_scalar_string,
@@ -1082,6 +1121,31 @@ ORACLE = {
                NTILE(4) OVER w AS quartile
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    "window_percent_cume": """
+        SELECT c_mktsegment, c_custkey,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WHERE c_custkey <= 1000
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey)
+    """,
+    "unpivot_balances": """
+        WITH ca AS (SELECT c_nationkey AS nationkey,
+                           SUM(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS cust_bal
+                    FROM customer GROUP BY 1),
+        sa AS (SELECT s_nationkey AS nationkey,
+                      SUM(CAST(s_acctbal AS DECIMAL(12,2)))::DOUBLE AS supp_bal
+               FROM supplier GROUP BY 1),
+        wide AS (
+            SELECT COALESCE(ca.nationkey, sa.nationkey) AS nationkey,
+                   COALESCE(cust_bal, 0.0) AS cust_bal,
+                   COALESCE(supp_bal, 0.0) AS supp_bal
+            FROM ca FULL OUTER JOIN sa USING (nationkey))
+        SELECT nationkey, 'cust_bal' AS side, cust_bal AS bal FROM wide
+        UNION ALL
+        SELECT nationkey, 'supp_bal' AS side, supp_bal AS bal FROM wide
     """,
     "sort_limit_top20": """
         SELECT o_orderkey, o_custkey, o_totalprice

@@ -110,3 +110,23 @@ def stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_enrich_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with a (slowly-changing)
+    dimension row by user_id.
+
+    The static side is re-planned per micro-batch (so dimension updates
+    between batches are picked up) and broadcast when small — no state
+    store at all, unlike stream-stream joins.  The canonical shape for
+    "attach account metadata to a clickstream" at any scale: the stream
+    side never shuffles, the dim side broadcasts once per batch.
+    """
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    d = F.broadcast(dim.select(F.col("c_custkey").alias("user_id"),
+                               "c_mktsegment", "c_nationkey"))
+    return (events.join(d, "user_id", "left")
+            .select("event_id", "user_id", "event_type",
+                    F.unix_micros("ts").alias("ts_us"),
+                    "c_mktsegment", "c_nationkey"))

