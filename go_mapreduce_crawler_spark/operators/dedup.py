@@ -157,8 +157,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # Signature + bands as generated SQL (one parse), not Column algebra
     # (a py4j round-trip per node — 0.8s of driver-side construction for
     # the 32 transform/fold trees; see similarity._dot_sql).
-    sig = sh.selectExpr("doc_id", *[
-        f"array_min(transform(shingles, s -> xxhash64(s, {seed}))) AS h{seed}"
+    #
+    # Each shingle STRING is hashed exactly once (xxhash64); the k=32
+    # minhash family then rehashes that 8-byte value with murmur3
+    # (hash(h, seed)) — integer work instead of 32 string traversals
+    # per shingle.  The cache() is a required optimizer barrier: without
+    # it Catalyst collapses the projections and inlines the xxhash64
+    # transform into all 32 min-folds, recomputing the string hashing
+    # 32x (the similarity.py `bits` lesson).
+    hs = sh.selectExpr(
+        "doc_id", "transform(shingles, s -> xxhash64(s)) AS hs").cache()
+    sig = hs.selectExpr("doc_id", *[
+        f"array_min(transform(hs, h -> hash(h, {seed}))) AS h{seed}"
         for seed in range(MINHASH_K)])
     r = MINHASH_K // LSH_BANDS
     bands = sig.selectExpr(
