@@ -113,6 +113,40 @@ def sample_frames(df: DataFrame, every: int = 10) -> DataFrame:
             F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))).alias("frame_idx"))
 
 
+RESIZE_MAX_BYTES = 4096
+
+
+def resize_media(df: DataFrame, max_bytes: int = RESIZE_MAX_BYTES) -> DataFrame:
+    """Binary -> binary transform with metadata rewrite (the resize /
+    transcode shape).
+
+    The stub kernel truncates payloads to ``max_bytes`` (a real deploy
+    swaps in PIL/ffmpeg without touching the plan); meta is rewritten to
+    the post-transform dimensions IN THE SAME kernel so metadata never
+    desynchronizes from the payload.  Arrow-batched mapInPandas, narrow
+    (zero shuffles): at 100 TB this runs as a pure map over the scan,
+    one Python worker per core, and the output parquet is written
+    directly from the executors.
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType, True),
+    ])
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [p[:max_bytes] for p in pdf["payload"]]
+            meta = [{**m, "codec": "fake/resized"} for m in pdf["meta"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": resized,
+                "meta": meta,
+            })
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Metadata-pruned feature extraction over the synthetic media table.
 
@@ -136,9 +170,24 @@ def q_multimodal_frames(spark, sf_dir):
                  F.countDistinct("media_id").alias("n_media")))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize-stub pipeline: per media kind, row count and total payload
+    bytes after truncating resize.  The byte accounting is SQL-derivable
+    from documents (payload = utf-8 text bytes), so this mapInPandas
+    binary kernel carries a full value oracle."""
+    m = synth_media(spark, sf_dir)
+    r = resize_media(m, RESIZE_MAX_BYTES)
+    return (r.select(F.col("meta.kind").alias("kind"),
+                     F.octet_length("payload").alias("nb"))
+             .groupBy("kind")
+             .agg(F.count(F.lit(1)).alias("n_media"),
+                  F.sum("nb").alias("total_bytes")))
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLE = {
@@ -148,5 +197,13 @@ ORACLE = {
         SELECT SUM(CAST(FLOOR((n_chars % 120) / 10) + 1 AS BIGINT)) AS n_frames_sampled,
                COUNT(DISTINCT doc_id) AS n_media
         FROM documents
+    """,
+    "multimodal_resize": """
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               COUNT(*) AS n_media,
+               SUM(LEAST(octet_length(encode(text)), 4096)) AS total_bytes
+        FROM documents GROUP BY 1
     """,
 }

@@ -146,3 +146,14 @@ def test_tfidf_scalar_count_is_broadcast(spark, sf_small):
     df = t.q_text_tfidf(spark, sf_small)
     assert has_broadcast_join(df)
     assert not has_python_udf(df)
+
+
+def test_multimodal_metadata_filter_runs_before_python_kernel(spark, sf_small):
+    """The meta.width filter must sit BELOW MapInPandas (metadata pruning
+    decides which payloads ever reach the Python decode kernel)."""
+    from go_mapreduce_crawler_spark.operators import multimodal
+    plan = physical_plan(multimodal.q_multimodal_features(spark, sf_small))
+    assert "MapInPandas" in plan and "Filter" in plan
+    # physical plans print top-down: the kernel above the filter means
+    # the filter executes first
+    assert plan.index("MapInPandas") < plan.index("Filter"), plan[:1500]
