@@ -286,6 +286,11 @@ def q_dedup_components(spark, sf_dir):
     transitive closure + min label in DuckDB.
     """
     pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs)
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair set."""
     edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
                                       F.col("doc_a").alias("doc_b")))
              .distinct().cache())
@@ -315,6 +320,22 @@ def q_dedup_components(spark, sf_dir):
     return (labels.groupBy(F.col("lbl").alias("cluster_id"))
             .agg(F.count(F.lit(1)).alias("n_members"))
             .filter(F.col("n_members") >= 2))
+
+
+def q_dedup_components_lsh(spark, sf_dir):
+    """The 100 TB clustering path: min-label components over the
+    MinHash-LSH verified pair set instead of the exact-Jaccard pair set.
+
+    Pair generation is the LSH pipeline's near-linear cost (vs the exact
+    inverted-index self-join, which is quadratic in colliding docs —
+    53s vs ~3s at sf0.1).  Because the LSH pipeline VERIFIES candidates
+    with true Jaccard, its pairs are a subset of the exact pairs, so
+    every cluster here is a sub-cluster of an exact component —
+    tests/test_extensions.py pins that refinement invariant.  Approximate
+    (hash-kernel pair source): driver records the rows-only check.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs)
 
 
 def q_dedup_fuzzy_lev(spark, sf_dir):
@@ -375,6 +396,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_fuzzy_levenshtein": q_dedup_fuzzy_lev,
     "dedup_components": q_dedup_components,
+    "dedup_components_lsh": q_dedup_components_lsh,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding,

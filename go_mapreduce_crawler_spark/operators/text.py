@@ -209,6 +209,32 @@ def q_text_inverted_index(spark, sf_dir):
             .filter(F.col("df") >= 2))
 
 
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_LONGNUM = r"\b[0-9]{6,}\b"
+
+
+def q_text_scrub(spark, sf_dir):
+    """PII scrubbing pass: mask email-shaped and long-digit-run spans,
+    report per-document redaction counts.
+
+    The standard pre-training scrub: two regexp passes, pure projection
+    (zero shuffles, whole-stage codegen), linear in corpus bytes — the
+    shape that matters at 100 TB since every byte flows through exactly
+    once.  Counts are computed on the ORIGINAL text so the query also
+    serves as a redaction audit.
+    """
+    d = _docs(spark, sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+        PII_LONGNUM, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_LONGNUM), 0)).alias("n_longnums"),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_digest"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -218,6 +244,7 @@ QUERIES = {
     "text_bigram_freq": q_text_ngram_freq,
     "text_tfidf_top_terms": q_text_tfidf,
     "text_inverted_index": q_text_inverted_index,
+    "text_scrub_pii": q_text_scrub,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -284,6 +311,23 @@ ORACLE = {
         SELECT doc_id, n_grams, len(fps) AS n_fps,
                list_min(fps) AS min_fp, list_max(fps) AS max_fp
         FROM w
+    """,
+    "text_scrub_pii": r"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\b[0-9]{6,}\b', '<NUM>', 'g') AS scrubbed
+            FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text, '\b[0-9]{6,}\b')) AS n_longnums,
+               LENGTH(scrubbed) AS n_chars_scrubbed,
+               md5(scrubbed) AS scrubbed_digest
+        FROM s
     """,
     "text_tfidf_top_terms": """
         WITH words AS (

@@ -197,3 +197,57 @@ def test_deterministic_split_is_partitioning_invariant(spark, sf_small):
     assert abs(c["test"] - 13 / 256 * n) <= 4 * (n * 13 / 256) ** 0.5 + 1
     assert abs(c["val"] - 13 / 256 * n) <= 4 * (n * 13 / 256) ** 0.5 + 1
     assert c["train"] == n - c["test"] - c["val"]
+
+
+def test_lsh_components_refine_exact_components(spark, sf_medium):
+    """LSH pairs are verified with true Jaccard, so they are a subset of
+    the exact pair set; therefore every LSH cluster must sit entirely
+    inside one exact cluster (membership refinement), and cluster ids
+    (min member) must be consistent where clusters coincide."""
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        q_dedup_jaccard_pairs, q_dedup_minhash_lsh, _min_label_components)
+
+    exact_pairs = q_dedup_jaccard_pairs(spark, sf_medium).select("doc_a", "doc_b")
+    lsh_pairs = q_dedup_minhash_lsh(spark, sf_medium).select("doc_a", "doc_b")
+    ep = {(r.doc_a, r.doc_b) for r in exact_pairs.collect()}
+    lp = {(r.doc_a, r.doc_b) for r in lsh_pairs.collect()}
+    assert lp <= ep and len(lp) > 0
+
+    def memberships(pairs_df):
+        # recompute components driver-side from the engine's labels:
+        # node -> cluster via union-find over the pair set
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return parent, find, union
+
+    # engine clusters for LSH pairs
+    eng = _min_label_components(lsh_pairs).collect()
+    # ground truth via union-find on the same pairs
+    parent, find, union = memberships(lsh_pairs)
+    for a, b in lp:
+        union(a, b)
+    from collections import Counter
+    sizes = Counter(find(x) for x in parent)
+    truth = {(cid, n) for cid, n in sizes.items() if n >= 2}
+    assert {(r.cluster_id, r.n_members) for r in eng} == truth
+
+    # refinement: each LSH cluster's members all share one exact cluster
+    parent_e, find_e, union_e = memberships(exact_pairs)
+    for a, b in ep:
+        union_e(a, b)
+    # group LSH nodes by their LSH root, check single exact root each
+    by_root = {}
+    for x in list(parent):
+        by_root.setdefault(find(x), set()).add(x)
+    for root, members in by_root.items():
+        exact_roots = {find_e(m) for m in members}
+        assert len(exact_roots) == 1, (root, members, exact_roots)

@@ -157,3 +157,14 @@ def test_multimodal_metadata_filter_runs_before_python_kernel(spark, sf_small):
     # physical plans print top-down: the kernel above the filter means
     # the filter executes first
     assert plan.index("MapInPandas") < plan.index("Filter"), plan[:1500]
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_small):
+    """The skew playbook includes forcing a shuffled hash join when the
+    build side fits per-partition but not broadcast — verify the hint
+    reaches the physical plan."""
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer").hint("shuffle_hash")
+    plan = physical_plan(o.join(c, o.o_custkey == c.c_custkey))
+    assert "ShuffledHashJoin" in plan, plan[:1500]
