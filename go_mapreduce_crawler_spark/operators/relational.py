@@ -559,6 +559,37 @@ def q_window_rank_dense(spark, sf_dir):
                     F.ntile(4).over(w).alias("quartile"))
 
 
+def q_null_semantics(spark, sf_dir):
+    """Three-valued logic surface: per customer, 1997-H1 vs 1997-H2 order
+    counts (null when absent via outer joins), compared with both plain
+    `=` (null-propagating) and null-safe `<=>` equality.
+
+    Pins the engine's null semantics as data: eq3 is 'null' whenever
+    either side is NULL (three-valued `=` rendered as a string so the
+    nullable-boolean doesn't fall into engine-specific None/NaN
+    normalization), eq_ns is always a real boolean.  Aggregate-then-join
+    keeps both sides at |customers| cardinality.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    o = _t(spark, sf_dir, "orders")
+
+    def half(lo, hi, alias):
+        return (o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+                 .groupBy(F.col("o_custkey").alias(f"k_{alias}"))
+                 .agg(F.count(F.lit(1)).alias(alias)))
+
+    h1 = half("1997-01-01", "1997-07-01", "cnt_h1")
+    h2 = half("1997-07-01", "1998-01-01", "cnt_h2")
+    return (c.join(h1, c.c_custkey == h1.k_cnt_h1, "left")
+             .join(h2, c.c_custkey == h2.k_cnt_h2, "left")
+             .select("c_custkey", "cnt_h1", "cnt_h2",
+                     F.when((F.col("cnt_h1") == F.col("cnt_h2")).isNull(), "null")
+                      .when(F.col("cnt_h1") == F.col("cnt_h2"), "true")
+                      .otherwise("false").alias("eq3"),
+                     F.col("cnt_h1").eqNullSafe(F.col("cnt_h2")).alias("eq_ns"),
+                     F.coalesce("cnt_h1", F.lit(0)).alias("cnt_h1_zf")))
+
+
 def q_window_percentiles(spark, sf_dir):
     """percent_rank / cume_dist over customers by balance within segment.
 
@@ -807,6 +838,7 @@ QUERIES = {
     "window_running_sum": q_window_running,
     "window_rank_dense_ntile": q_window_rank_dense,
     "window_percent_cume": q_window_percentiles,
+    "null_semantics": q_null_semantics,
     "unpivot_balances": q_unpivot_balances,
     "sort_limit_top20": q_sort_limit,
     "set_ops": q_set_ops,
@@ -1121,6 +1153,24 @@ ORACLE = {
                NTILE(4) OVER w AS quartile
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    "null_semantics": """
+        WITH h1 AS (SELECT o_custkey AS k1, COUNT(*) AS cnt_h1 FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                      AND o_orderdate <  TIMESTAMP '1997-07-01' GROUP BY 1),
+        h2 AS (SELECT o_custkey AS k2, COUNT(*) AS cnt_h2 FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+                 AND o_orderdate <  TIMESTAMP '1998-01-01' GROUP BY 1)
+        SELECT c_custkey, cnt_h1, cnt_h2,
+               CASE WHEN (cnt_h1 = cnt_h2) IS NULL THEN 'null'
+                    WHEN cnt_h1 = cnt_h2 THEN 'true'
+                    ELSE 'false' END AS eq3,
+               cnt_h1 IS NOT DISTINCT FROM cnt_h2 AS eq_ns,
+               COALESCE(cnt_h1, 0) AS cnt_h1_zf
+        FROM customer
+        LEFT JOIN h1 ON c_custkey = k1
+        LEFT JOIN h2 ON c_custkey = k2
+        WHERE c_custkey <= 500
     """,
     "window_percent_cume": """
         SELECT c_mktsegment, c_custkey,
