@@ -246,23 +246,59 @@ COSINE_DUP_T = 0.4    # the synthetic embeddings top out at cos ~0.51
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cosine >= 0.4), brute self-join.
+    """Embedding-cosine near-dup pairs (cosine >= 0.4), exact.
 
-    Exact ground truth at test SF; the LSH-bucketed scale path is
-    similarity.q_ann_lsh.  Score rounded to 6 dp.  Spark's sequential
-    array fold is bit-identical to DuckDB's list_reduce (verified over
-    all 124,750 sf0.01 pairs), so this carries a full value oracle.
+    Two phases so the n^2 work runs vectorized but the OUTPUT stays
+    bit-identical to the DuckDB oracle:
+
+    1. *Candidate discovery*: each Arrow batch multiplies its block of
+       normalized vectors against the full corpus matrix (numpy matmul)
+       and emits pairs with cosine >= T - 1e-6 — a superset of the true
+       pair set (float64 matmul error for 64-dim dots is ~1e-15, six
+       orders inside the margin).  This replaced the pure-JVM
+       interpreted fold over all n^2/2 pairs: 20.3s -> ~1s at sf0.1.
+    2. *Exact re-score*: survivors join their vectors back and compute
+       the cosine with the SAME sequential JVM fold as before — Spark's
+       fold is bit-identical to DuckDB's list_reduce (verified over all
+       124,750 sf0.01 pairs), so the value oracle still holds exactly.
+
+    The corpus matrix rides in the kernel closure — bounded at test SF
+    (512 KB at sf0.1).  This exact all-pairs form is inherently
+    quadratic; at 100 TB use the LSH-bucketed path
+    (similarity.q_ann_lsh / dedup_components_lsh) where candidates come
+    from one bucket shuffle instead of a closure matrix.
     """
+    import numpy as np
+    import pandas as pd
+
     e = (load_table(spark, sf_dir, "embeddings")
          .withColumn("nrm", l2_norm("embedding")))
+    corpus = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in corpus], dtype=np.int64)
+    m = np.array([r.embedding for r in corpus], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bids = pdf["vec_id"].to_numpy()
+            bm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bmn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            s = bmn @ mn.T
+            keep = (s >= COSINE_DUP_T - 1e-6) & (bids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": bids[ai], "id_b": ids[bj]})
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="id_a long, id_b long")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
                  F.col("nrm").alias("na"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
                  F.col("nrm").alias("nb"))
-    # Norms folded once per row, not per pair (see similarity.q_knn_-
-    # bruteforce): each of the n^2/2 pairs costs one fold, bit-identical
-    # to cosine_sim's operation order.
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    # Norms folded once per row; each surviving pair costs one fold,
+    # bit-identical to cosine_sim's operation order.
+    return (cand.join(a, "id_a").join(b, "id_b")
              .withColumn("cos", F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
              .filter(F.col("cos") >= COSINE_DUP_T)
              .select("id_a", "id_b", "cos"))
