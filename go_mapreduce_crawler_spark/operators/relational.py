@@ -244,8 +244,8 @@ def q7_nation_volume(spark, sf_dir):
                              F.col("n_name").alias("cust_nation")))
     s = _t(spark, sf_dir, "supplier").join(n1, F.col("s_nationkey") == F.col("s_nk"))
     c = _t(spark, sf_dir, "customer").join(n2, F.col("c_nationkey") == F.col("c_nk"))
-    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
-           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")) | \
+           ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
     o = _t(spark, sf_dir, "orders")
@@ -370,6 +370,249 @@ def q22_idle_customers(spark, sf_dir):
              .groupBy("c_mktsegment")
              .agg(F.count(F.lit(1)).alias("n_custs"),
                   money_sum("c_acctbal", MONEY).alias("total_bal")))
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 analogue (no partsupp table): cheapest EUROPE supplier
+    per STANDARD part, offers derived from lineitem min-price.
+
+    The correlated MIN subquery becomes aggregate-then-join: one
+    groupBy(partkey) over the region-filtered offers, joined back on
+    (partkey, price == best).  The price comparison stays in DECIMAL so
+    the equality is exact on any engine/partitioning.  nation⋈region and
+    part are broadcast dims; the only shuffle is the offers groupBy.
+    """
+    eu = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    offers = (_t(spark, sf_dir, "lineitem")
+              .groupBy(F.col("l_partkey").alias("partkey"),
+                       F.col("l_suppkey").alias("suppkey"))
+              .agg(F.min(dec("l_extendedprice", MONEY)).alias("price")))
+    eu_offers = offers.join(eu, F.col("suppkey") == F.col("s_suppkey"))
+    best = (eu_offers.groupBy("partkey").agg(F.min("price").alias("best")))
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")))
+    return (eu_offers.join(best, ["partkey"])
+            .filter(F.col("price") == F.col("best"))
+            .join(p, F.col("partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    F.col("price").cast("double").alias("best_price"))
+            .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"), F.col("s_name"))
+            .limit(20))
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 analogue: NATION_3's share of AMERICA's ECONOMY-part
+    import volume per order year — ratio of conditional sum to sum.
+
+    Both sums accumulate in exact DECIMAL; the single double division
+    happens once per year row (IEEE division is engine-identical).
+    part, supplier⋈nation, customer-side nation⋈region are all broadcast;
+    the plan's only shuffles are lineitem⋈orders and the 3-row final agg.
+    """
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"))
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cam = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "nation").withColumnRenamed("n_name", "cust_nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    l = _t(spark, sf_dir, "lineitem")
+    vol = l.join(p, F.col("l_partkey") == F.col("p_partkey")) \
+           .join(sn, F.col("l_suppkey") == F.col("s_suppkey")) \
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey")) \
+           .join(cam, F.col("o_custkey") == F.col("c_custkey")) \
+           .select(F.year("o_orderdate").alias("o_year"),
+                   _disc_price().alias("volume"), "supp_nation")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (vol.groupBy("o_year")
+               .agg(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                 F.col("volume")).otherwise(zero)).alias("nat"),
+                    F.sum("volume").alias("tot"))
+               .select("o_year",
+                       F.round(F.col("nat").cast("double")
+                               / F.col("tot").cast("double"), 6).alias("mkt_share")))
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 analogue: per supplier-nation, per year, profit on
+    widget parts — no ps_supplycost exists, so cost is proxied as
+    half the part's retail price per unit.
+
+    amount = disc_price − 0.5·p_retailprice·l_quantity, all DECIMAL, so
+    the grouped sum is exact and order-independent.  part (filtered to
+    '%widget%') and supplier⋈nation broadcast; lineitem aggregates after
+    one shuffle on (nation, year).
+    """
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .filter(F.col("p_name").like("%widget%"))
+                    .select("p_partkey", "p_retailprice"))
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation")))
+    l = _t(spark, sf_dir, "lineitem")
+    half = F.lit("0.5").cast("decimal(2,1)")
+    amount = _disc_price() - half * dec("p_retailprice", MONEY) * dec("l_quantity", MONEY)
+    return (l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+             .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+             .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+             .agg(F.sum(amount).cast("double").alias("sum_profit")))
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 analogue: parts whose NATION_1 flow value exceeds 2× the
+    mean part value — HAVING against a scalar aggregate subquery.
+
+    The real Q11 hard-codes a fraction that must shrink with SF; using
+    2×mean keeps the predicate scale-invariant.  The comparison is
+    cross-multiplied (value·cnt > 2·total) so it stays in exact integer/
+    DECIMAL arithmetic — no division, no float threshold.  The scalar
+    (total, cnt) row is a broadcast crossJoin, never a driver collect.
+    """
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey"))
+    v = (_t(spark, sf_dir, "lineitem")
+         .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+         .groupBy("l_partkey")
+         .agg(F.sum(dec("l_extendedprice", MONEY) * dec("l_quantity", MONEY))
+               .alias("val")))
+    t = v.agg(F.sum("val").alias("total"), F.count(F.lit(1)).alias("cnt"))
+    return (v.crossJoin(F.broadcast(t))
+             .filter(F.col("val") * F.col("cnt") > F.lit(2) * F.col("total"))
+             .select("l_partkey", F.col("val").cast("double").alias("value")))
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 analogue: supplier(s) with maximum Q1-1997 revenue —
+    the view + scalar MAX subquery pattern.
+
+    Revenue accumulates in DECIMAL so the rev == max(rev) equality is
+    exact (a double-sum tie here could differ per partitioning and drop
+    the winner).  The 1-row max is a broadcast crossJoin against the
+    per-supplier aggregate, and supplier is a broadcast dim.
+    """
+    rev = (_t(spark, sf_dir, "lineitem")
+           .filter((F.col("l_shipdate") >= "1997-01-01")
+                   & (F.col("l_shipdate") < "1997-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_disc_price()).alias("rev")))
+    mx = rev.agg(F.max("rev").alias("max_rev"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (rev.crossJoin(F.broadcast(mx))
+               .filter(F.col("rev") == F.col("max_rev"))
+               .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name",
+                       F.col("rev").cast("double").alias("total_revenue"))
+               .orderBy("s_suppkey"))
+
+
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 analogue: distinct supplier count per (brand, type,
+    size), excluding low-balance suppliers — NOT IN as anti-join.
+
+    The distinct (partkey, suppkey) dedup happens BEFORE the part join
+    and the count-distinct, shrinking lineitem to the pair universe
+    first.  The NOT IN list (s_acctbal < 1000) is non-null-key, so
+    left_anti is semantics-identical; part is broadcast.
+    """
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000.0) \
+                                       .select("s_suppkey")
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .filter((F.col("p_brand") != "Brand#1")
+                            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)))
+    return (pairs.join(F.broadcast(bad),
+                       F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+                 .join(p, F.col("l_partkey") == F.col("p_partkey"))
+                 .groupBy("p_brand", "p_type", "p_size")
+                 .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 analogue: NATION_2 suppliers who shipped >1/4 of some
+    cold part's 1997 flow — the nested IN-subquery chain as semi-joins.
+
+    Both aggregates come from ONE scan-filter of lineitem (per-pair and
+    per-part rollups); the dominance test sq·4 > tq is cross-multiplied
+    DECIMAL, no division.  The qualifying-supplier set then semi-joins
+    supplier — Catalyst keeps it a broadcast semi at any SF since the
+    set is bounded by |supplier|.
+    """
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .filter(F.col("p_name").like("cold%"))
+                    .select("p_partkey"))
+    flow = (_t(spark, sf_dir, "lineitem")
+            .filter((F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01"))
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(dec("l_quantity", MONEY)).alias("sq")))
+    ptot = flow.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    qual = (flow.join(ptot, ["l_partkey"])
+                .filter(F.col("sq") * F.lit(4) > F.col("tq"))
+                .select("l_suppkey"))
+    sn = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(_t(spark, sf_dir, "nation")
+                            .filter(F.col("n_name") == "NATION_8")),
+                F.col("s_nationkey") == F.col("n_nationkey")))
+    return (sn.join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+              .select("s_name", "s_acctbal")
+              .orderBy("s_name"))
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 analogue (no receipt/commit dates): NATION_0 suppliers
+    who were the sole returner on a multi-supplier failed order —
+    correlated EXISTS + NOT EXISTS as semi/anti joins with inequality
+    residuals.
+
+    Both the EXISTS (another supplier on the order) and NOT EXISTS (no
+    OTHER supplier returned) hash-join on l_orderkey with the suppkey
+    inequality as a residual predicate — the idiomatic Spark shape for
+    correlated existence tests; no row explosion, no driver loop.
+    """
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    fo = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+                                    .select("o_orderkey")
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name"))
+    base = (l.filter(F.col("l_returnflag") == "R")
+             .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(sn, F.col("l_suppkey") == F.col("s_suppkey")))
+    others = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    other_returns = (l.filter(F.col("l_returnflag") == "R")
+                      .select(F.col("l_orderkey").alias("o3"),
+                              F.col("l_suppkey").alias("s3")))
+    return (base
+            .join(others, (F.col("o2") == F.col("l_orderkey"))
+                  & (F.col("s2") != F.col("l_suppkey")), "semi")
+            .join(other_returns, (F.col("o3") == F.col("l_orderkey"))
+                  & (F.col("s3") != F.col("l_suppkey")), "anti")
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name"))
+            .limit(100))
 
 
 def q_join_left(spark, sf_dir):
@@ -826,6 +1069,14 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q22_idle_customers": q22_idle_customers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_count": q16_supplier_part_count,
+    "q20_part_promotion": q20_part_promotion,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customer": q18_large_volume_customer,
@@ -964,8 +1215,8 @@ ORACLE = {
             JOIN nation n2 ON c_nationkey = n2.n_nationkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1998-01-01'
-              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')))
         GROUP BY supp_nation, cust_nation, l_year
     """,
     "q10_returned_items": f"""
@@ -983,6 +1234,143 @@ ORACLE = {
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """,
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+            SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                   MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS price
+            FROM lineitem GROUP BY 1, 2
+        ), eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               price::DOUBLE AS best_price
+        FROM offers o
+        JOIN eu ON o.suppkey = eu.s_suppkey
+        JOIN part ON p_partkey = o.partkey
+        WHERE p_size <= 10 AND p_type = 'STANDARD'
+          AND price = (SELECT MIN(o2.price) FROM offers o2
+                       JOIN eu e2 ON o2.suppkey = e2.s_suppkey
+                       WHERE o2.partkey = o.partkey)
+        ORDER BY s_acctbal DESC, p_partkey, s_name
+        LIMIT 20
+    """,
+    "q8_market_share": f"""
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                     / SUM(volume)::DOUBLE, 6) AS mkt_share
+        FROM (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   {_DISC} AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ) GROUP BY o_year
+    """,
+    "q9_product_profit": f"""
+        SELECT nation, o_year, SUM(amount)::DOUBLE AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   EXTRACT(YEAR FROM l_shipdate) AS o_year,
+                   {_DISC} - CAST(0.5 AS DECIMAL(2,1))
+                             * CAST(p_retailprice AS DECIMAL(12,2))
+                             * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+        ) GROUP BY nation, o_year
+    """,
+    "q11_important_parts": """
+        WITH v AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))) AS val
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        ), t AS (SELECT SUM(val) AS total, COUNT(*) AS cnt FROM v)
+        SELECT l_partkey, val::DOUBLE AS value
+        FROM v, t WHERE val * cnt > 2 * total
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey, SUM({_DISC}) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, rev::DOUBLE AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev = (SELECT MAX(rev) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q16_supplier_part_count": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 1000)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q20_part_promotion": """
+        WITH flow AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'cold%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        ), ptot AS (SELECT l_partkey, SUM(sq) AS tq FROM flow GROUP BY 1)
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_8'
+          AND s_suppkey IN (SELECT f.l_suppkey
+                            FROM flow f JOIN ptot p ON f.l_partkey = p.l_partkey
+                            WHERE f.sq * 4 > p.tq)
+        ORDER BY s_name
+    """,
+    "q21_waiting_suppliers": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n_name = 'NATION_12'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
     """,
     "q12_ship_delay_priority": """
         SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
