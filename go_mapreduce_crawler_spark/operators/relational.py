@@ -974,6 +974,65 @@ def q_collect_sorted(spark, sf_dir):
                   F.count(F.lit(1)).alias("n_events")))
 
 
+def q_scalar_array_hof(spark, sf_dir):
+    """Higher-order array functions: filter / aggregate (fold) /
+    zip_with / transform over the embedding vectors.
+
+    Spark's sequential fold starting at 0.0 is bit-identical to
+    DuckDB's list_reduce seeded by list_prepend(0.0, ...) — IEEE
+    0.0+x == x — so every output carries a full value oracle.  These
+    HOFs are interpreted (not codegen'd); for hot-path vector math use
+    the numpy kernels in similarity.py — this query is the
+    correctness surface for the HOF API itself.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    pos = F.filter(arr, lambda x: x > 0)
+    return e.select(
+        "vec_id",
+        F.size(pos).alias("n_pos"),
+        F.round(F.aggregate(pos, F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double")), 6)
+         .alias("sum_pos"),
+        F.round(F.aggregate(
+            F.zip_with(arr, F.reverse(arr),
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x), 6)
+         .alias("dot_rev"),
+        F.transform(F.slice(arr, 1, 3),
+                    lambda x: F.round(x.cast("double") * 2, 6))
+         .alias("first3_x2"))
+
+
+def q_scd2_upsert(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) merge: apply a change set to a
+    dimension snapshot, emitting versioned rows with a current flag.
+
+    The MERGE pattern without a table format: changes pre-aggregate to
+    one row per key, then ONE left join against the dimension and a
+    union of (expired v1 | unchanged-current v1 | new-current v2) —
+    never a per-row driver loop.  At scale the join broadcasts when the
+    change set is small (the common case for dimension maintenance) and
+    the output partitions by is_current so readers prune history.
+    Balances stay in exact DECIMAL through the add.
+    """
+    c = _t(spark, sf_dir, "customer")
+    delta = (_t(spark, sf_dir, "orders")
+             .filter(F.col("o_orderdate") >= "2000-01-01")
+             .groupBy("o_custkey")
+             .agg(F.sum(dec("o_totalprice", MONEY)).alias("delta")))
+    j = c.join(delta, c.c_custkey == delta.o_custkey, "left")
+    v1 = j.select("c_custkey", F.lit(1).alias("version"),
+                  dec("c_acctbal", MONEY).cast("double").alias("acctbal"),
+                  F.col("delta").isNull().alias("is_current"))
+    v2 = (j.filter(F.col("delta").isNotNull())
+           .select("c_custkey", F.lit(2).alias("version"),
+                   (dec("c_acctbal", MONEY) + F.col("delta"))
+                   .cast("double").alias("acctbal"),
+                   F.lit(True).alias("is_current")))
+    return v1.unionByName(v2)
+
+
 # ----------------------------------------------------------- statistics
 
 def q_stats_moments(spark, sf_dir):
@@ -1098,6 +1157,8 @@ QUERIES = {
     "scalar_math": q_scalar_math,
     "scalar_json": q_scalar_json,
     "collect_sorted_arrays": q_collect_sorted,
+    "scalar_array_hof": q_scalar_array_hof,
+    "scd2_upsert": q_scd2_upsert,
     "scalar_map_histogram": q_scalar_map,
     "sessionize_events": q_sessionize,
     "stats_moments_exact": q_stats_moments,
@@ -1697,6 +1758,38 @@ ORACLE = {
             FROM lineitem)
         SELECT l_returnflag, l_quantity AS median_qty, n
         FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+    """,
+    "scalar_array_hof": """
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list_filter(embedding, x -> x > 0),
+                                      x -> CAST(x AS DOUBLE))),
+                   (acc, x) -> acc + x), 6) AS sum_pos,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list_zip(embedding, list_reverse(embedding)),
+                                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+                   (acc, x) -> acc + x), 6) AS dot_rev,
+               list_transform(embedding[1:3],
+                              x -> ROUND(CAST(x AS DOUBLE) * 2, 6)) AS first3_x2
+        FROM embeddings
+    """,
+    "scd2_upsert": """
+        WITH delta AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS delta
+            FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            GROUP BY o_custkey)
+        SELECT c_custkey, 1 AS version,
+               CAST(c_acctbal AS DECIMAL(12,2))::DOUBLE AS acctbal,
+               (delta IS NULL) AS is_current
+        FROM customer LEFT JOIN delta ON c_custkey = o_custkey
+        UNION ALL
+        SELECT c_custkey, 2 AS version,
+               (CAST(c_acctbal AS DECIMAL(12,2)) + delta)::DOUBLE AS acctbal,
+               TRUE AS is_current
+        FROM customer JOIN delta ON c_custkey = o_custkey
     """,
     "sessionize_events": """
         WITH seq AS (

@@ -69,10 +69,44 @@ def q_window_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(wr).alias("n_orders_30d"))
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap self-join: pairs of users whose daily activity
+    spans [min ts, max ts] intersect, with the overlap length.
+
+    The classic interval join Spark lacks as a builtin, composed as
+    equi-join on a coarse bucket (the day — exact here since intervals
+    are built per day and cannot cross it) + the range residual
+    sa<=eb AND sb<=ea.  Without the bucket key this is a cartesian
+    BroadcastNestedLoopJoin; with it, a plain shuffled hash join whose
+    per-key fan-out is bounded by users-per-day.  At 100 TB: bucket by
+    hour and dedupe pairs, same shape.  Day and overlap stay in integer
+    epoch arithmetic — no timezone, no floats.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    iv = (e.groupBy("user_id",
+                    (F.unix_micros("ts") - (F.unix_micros("ts") % day_us))
+                    .alias("day_us"))
+           .agg(F.min(F.unix_micros("ts")).alias("s"),
+                F.max(F.unix_micros("ts")).alias("e")))
+    a = iv.select("day_us", F.col("user_id").alias("user_a"),
+                  F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = iv.select("day_us", F.col("user_id").alias("user_b"),
+                  F.col("s").alias("sb"), F.col("e").alias("eb"))
+    return (a.join(b, ["day_us"])
+             .filter((F.col("user_a") < F.col("user_b"))
+                     & (F.col("sa") <= F.col("eb"))
+                     & (F.col("sb") <= F.col("ea")))
+             .select("day_us", "user_a", "user_b",
+                     (F.least("ea", "eb") - F.greatest("sa", "sb"))
+                     .alias("overlap_us")))
+
+
 QUERIES = {
     "window_tumbling_events": q_window_tumbling,
     "window_sliding_events": q_window_sliding,
     "window_range_frame_30d": q_window_range_frame,
+    "join_interval_overlap": q_interval_overlap,
 }
 
 ORACLE = {
@@ -95,6 +129,18 @@ ORACLE = {
                COUNT(DISTINCT user_id) AS n_users,
                SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sum_value
         FROM exploded GROUP BY 1
+    """,
+    "join_interval_overlap": """
+        WITH iv AS (
+            SELECT user_id,
+                   epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
+                   MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+            FROM events GROUP BY 1, 2)
+        SELECT a.day_us AS day_us, a.user_id AS user_a, b.user_id AS user_b,
+               LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.day_us = b.day_us AND a.user_id < b.user_id
+        WHERE a.s <= b.e AND b.s <= a.e
     """,
     "window_range_frame_30d": """
         WITH od AS (
