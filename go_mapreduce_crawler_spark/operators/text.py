@@ -235,6 +235,27 @@ def q_text_scrub(spark, sf_dir):
         F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_digest"))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters: words above 0.1% relative frequency.
+
+    The frequent-items pass every curation pipeline runs (stopword
+    discovery, boilerplate detection): one word-count shuffle whose
+    skewed keys — the heavy hitters themselves — are absorbed map-side
+    by partial aggregation, plus a 1-row total broadcast.  The
+    threshold is cross-multiplied (cnt·1000 > total) so selection stays
+    in exact integer arithmetic at any scale; only the reported
+    rel_freq divides.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = words.agg(F.count(F.lit(1)).alias("total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * 1000 > F.col("total"))
+            .select("word", "cnt",
+                    F.round(F.col("cnt") / F.col("total"), 6).alias("rel_freq")))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -245,6 +266,7 @@ QUERIES = {
     "text_tfidf_top_terms": q_text_tfidf,
     "text_inverted_index": q_text_inverted_index,
     "text_scrub_pii": q_text_scrub,
+    "text_heavy_hitters": q_heavy_hitters,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -253,6 +275,14 @@ _HITS = {k: f"len(list_intersect(list_distinct(string_split(text, ' ')), {v}))"
 _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 
 ORACLE = {
+    "text_heavy_hitters": """
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+        t AS (SELECT COUNT(*) AS total FROM w)
+        SELECT word, cnt, ROUND(cnt / total, 6) AS rel_freq
+        FROM c, t WHERE cnt * 1000 > total
+    """,
     "text_stats": r"""
         SELECT doc_id,
                LENGTH(text) AS n_chars_computed,

@@ -168,3 +168,38 @@ def test_shuffle_hash_hint_is_honored(spark, sf_small):
     c = load_table(spark, sf_small, "customer").hint("shuffle_hash")
     plan = physical_plan(o.join(c, o.o_custkey == c.c_custkey))
     assert "ShuffledHashJoin" in plan, plan[:1500]
+
+
+def test_q21_exists_compiles_to_semi_and_anti(spark, sf_small):
+    """Correlated EXISTS / NOT EXISTS must become hash semi/anti joins
+    with the suppkey inequality as residual — never a per-row subquery
+    or nested loop."""
+    plan = physical_plan(relational.q21_waiting_suppliers(spark, sf_small))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_q8_six_way_join_broadcasts_all_dims(spark, sf_small):
+    """The 6-way Q8 join keeps every dimension broadcast: the only
+    shuffle-worthy join partner is the fact-fact lineitem⋈orders."""
+    df = relational.q8_market_share(spark, sf_small)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert not has_python_udf(df)
+
+
+def test_interval_overlap_is_bucketed_hash_join_not_cartesian(spark, sf_small):
+    """The interval self-join must hash-join on the day bucket with the
+    range condition as residual — a cartesian/nested-loop here would be
+    O(n^2) at scale."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    plan = physical_plan(temporal.q_interval_overlap(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_heavy_hitters_total_is_broadcast_scalar(spark, sf_small):
+    from go_mapreduce_crawler_spark.operators import text as t
+    df = t.q_heavy_hitters(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert not has_python_udf(df)
