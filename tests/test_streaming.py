@@ -175,3 +175,44 @@ def test_stream_static_enrich_matches_batch(spark, event_stream_dir, sf_small):
     assert g == e and len(g) > 0
     # left-join semantics: unmatched events survive with null segment
     assert any(r[4] is None for r in g) or all(r[4] is not None for r in g)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics pinned: a row older than the watermark at the
+    time its micro-batch runs must NOT enter its (already finalized)
+    window.  Two availableNow runs over one checkpoint = two
+    micro-batches; the watermark persists in the checkpoint between
+    them."""
+    import datetime as dt
+    src, ckpt, out = (str(tmp_path / "src"), str(tmp_path / "ckpt"),
+                      str(tmp_path / "out"))
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src)
+
+    def run():
+        events = spark.readStream.schema(schema).parquet(src)
+        q = (stream_windowed_counts(events, window="5 minutes",
+                                    watermark="10 minutes")
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    write_batch([(t(10, 0), 1, "view", 1.0), (t(10, 2), 2, "view", 1.0),
+                 (t(12, 0), 3, "view", 1.0)])
+    run()
+    # second batch: one row 2h older than the checkpointed watermark
+    # (11:50) plus one fresh row to advance it further
+    write_batch([(t(10, 1), 4, "view", 1.0), (t(12, 30), 5, "view", 1.0)])
+    run()
+
+    emitted = spark.read.parquet(out).collect()
+    win_10 = [r for r in emitted
+              if r.win_start_us == int(t(10, 0).timestamp() * 1_000_000)]
+    assert len(win_10) == 1, win_10
+    # 2 on-time rows counted; the late 10:01 row was dropped (3 = leak)
+    assert win_10[0].n_events == 2, win_10
