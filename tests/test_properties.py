@@ -51,3 +51,91 @@ def test_asof_join_matches_reference(spark, left, right):
                     payload_cols=["rid"])
     got_map = {r.lid: r.asof_rid for r in got.collect()}
     assert got_map == _reference_asof(left, right)
+
+
+# ---------------------------------------------------------------------
+# Gap-based sessionization vs a pure-Python reference: random users,
+# out-of-order timestamps, ties — the definition the batch AND streaming
+# forms both claim to implement.
+
+SESS_ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),      # user
+              st.integers(min_value=0, max_value=120)),   # minute
+    min_size=1, max_size=12)
+
+GAP_MIN = 30
+
+
+def _reference_sessions(rows):
+    """Sessions = maximal runs where consecutive (sorted) events per user
+    are <= GAP apart; returns {user: sorted list of (n_events, start,
+    end)}."""
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for u, m in rows:
+        per_user[u].append(m)
+    out = {}
+    for u, ms in per_user.items():
+        ms.sort()
+        sessions, cur = [], [ms[0]]
+        for m in ms[1:]:
+            if m - cur[-1] > GAP_MIN:
+                sessions.append(cur)
+                cur = [m]
+            else:
+                cur.append(m)
+        sessions.append(cur)
+        out[u] = sorted((len(s), s[0], s[-1]) for s in sessions)
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=SESS_ROWS)
+def test_sessionize_matches_reference(spark, rows):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=m), u, "e", 1.0)
+         for i, (u, m) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+    # q_sessionize reads via the module-level load_table in relational
+    from go_mapreduce_crawler_spark.operators.relational import q_sessionize
+    import go_mapreduce_crawler_spark.operators.relational as rel
+    rel_orig = rel.load_table
+    try:
+        rel.load_table = lambda spark, sf_dir, name: df
+        got = q_sessionize(spark, "ignored").collect()
+    finally:
+        rel.load_table = rel_orig
+    per_user = {}
+    for r in got:
+        mins = lambda us: int((us / 1_000_000 - base.timestamp()) // 60)
+        per_user.setdefault(r.user_id, []).append(
+            (r.n_events, mins(r.start_us), mins(r.end_us)))
+    got_map = {u: sorted(v) for u, v in per_user.items()}
+    assert got_map == _reference_sessions(rows)
+
+
+def test_exact_aggregation_is_partitioning_invariant(spark):
+    """The DECIMAL-routed aggregates must return bit-identical results
+    at any partition count — the engine's core reproducibility claim
+    (SURVEY.md §1.1 monoid contract) and what makes results stable
+    between local[32] and a 1000-executor cluster."""
+    from go_mapreduce_crawler_spark.operators.relational import q1_pricing_summary
+    import go_mapreduce_crawler_spark.operators.relational as rel
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    results = []
+    orig = rel.load_table
+    try:
+        for n in (1, 7, 32):
+            rel.load_table = (lambda nn: (lambda s, d, t: base.repartition(nn)))(n)
+            rows = sorted(map(tuple, q1_pricing_summary(spark, "x").collect()))
+            results.append(rows)
+    finally:
+        rel.load_table = orig
+    assert results[0] == results[1] == results[2]
