@@ -38,6 +38,9 @@ HEADLINE = [
     "q12_ship_delay_priority",
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q21_waiting_suppliers",
     "agg_distinct",
     "window_topk_per_group",
     "window_range_frame_30d",
@@ -46,9 +49,12 @@ HEADLINE = [
     "sessionize_events",
     "asof_purchase_view",
     "join_salted_skew",
+    "join_interval_overlap",
+    "scd2_upsert",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "corpus_clean_pipeline",
     "knn_bruteforce_cosine",
     "knn_pandas_vectorized",
@@ -56,6 +62,7 @@ HEADLINE = [
     "text_quality",
     "text_winnow_fingerprints",
     "text_tfidf_top_terms",
+    "text_heavy_hitters",
     "sample_cap_per_source",
 ]
 
