@@ -9,11 +9,11 @@ for __spark_entry__.py.
 from __future__ import annotations
 
 from . import (asof, dedup, multimodal, relational, sampling, scale,
-               similarity, temporal, text)
+               similarity, temporal, text, udx)
 
 
 _MODULES = (relational, dedup, similarity, text, multimodal, asof,
-            temporal, scale, sampling)
+            temporal, scale, sampling, udx)
 
 
 def all_queries():
