@@ -47,6 +47,7 @@ HEADLINE = [
     "window_tumbling_events",
     "sort_limit_top20",
     "sessionize_events",
+    "ts_resample_ffill",
     "asof_purchase_view",
     "join_salted_skew",
     "join_interval_overlap",

@@ -102,11 +102,60 @@ def q_interval_overlap(spark, sf_dir):
                      .alias("overlap_us")))
 
 
+def q_ts_resample_ffill(spark, sf_dir):
+    """Hourly resample per user with forward-fill (last observation
+    carried forward) — the standard gap-fill a feature/training pipeline
+    runs before windowed statistics.
+
+    Join-free single-shuffle design: instead of the textbook
+    grid-LEFT-JOIN-observations + last(ignorenulls) window (which plans
+    as TWO passes over events because the grid and the join probe both
+    derive from the observation subplan), each observation looks at the
+    NEXT observed bucket (``lead``) and emits itself plus its gap-fill
+    copies directly via ``explode(sequence(bucket, next-1h, 1h))``.
+    One scan, one repartition on ``user_id`` (both windows and the
+    explode are satisfied by that partitioning — asserted in
+    tests/test_plans.py), no join.  At 100 TB the explode fan-out is
+    bounded by the observed time span per user and stays
+    pipeline-local.  The oracle deliberately uses the OTHER formulation
+    (grid + left join + last_value IGNORE NULLS) so two independent
+    constructions must agree.
+
+    Last observation per bucket is picked by ROW_NUMBER over the total
+    order (ts DESC, event_id DESC) — deterministic under ts ties and
+    expressible identically in DuckDB (arg_max cannot take a composite
+    key there).  The filled value is an exact copy of an input double
+    (no arithmetic), so the oracle hash matches bit-for-bit.
+    """
+    hour_us = 3_600_000_000
+    e = load_table(spark, sf_dir, "events").repartition("user_id")
+    us = F.unix_micros("ts")
+    obs = (e.select("user_id", "event_id", us.alias("us"),
+                    (us - us % hour_us).alias("obs_us"), "value")
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("user_id", "obs_us")
+                 .orderBy(F.desc("us"), F.desc("event_id"))))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "obs_us", F.col("value").alias("obs_value")))
+    nxt = F.lead("obs_us", 1).over(W.partitionBy("user_id").orderBy("obs_us"))
+    return (obs.withColumn("nxt", nxt)
+               .select("user_id", "obs_us", "obs_value",
+                       F.explode(F.sequence(
+                           "obs_us",
+                           F.coalesce(F.col("nxt") - hour_us, F.col("obs_us")),
+                           F.lit(hour_us))).alias("bucket_us"))
+               .select("user_id", "bucket_us",
+                       F.col("obs_value").alias("value_ffill"),
+                       (F.col("bucket_us") != F.col("obs_us")).cast("int")
+                       .alias("is_gap")))
+
+
 QUERIES = {
     "window_tumbling_events": q_window_tumbling,
     "window_sliding_events": q_window_sliding,
     "window_range_frame_30d": q_window_range_frame,
     "join_interval_overlap": q_interval_overlap,
+    "ts_resample_ffill": q_ts_resample_ffill,
 }
 
 ORACLE = {
@@ -141,6 +190,32 @@ ORACLE = {
         FROM iv a JOIN iv b
           ON a.day_us = b.day_us AND a.user_id < b.user_id
         WHERE a.s <= b.e AND b.s <= a.e
+    """,
+    "ts_resample_ffill": """
+        WITH obs AS (
+            SELECT user_id, bucket_us, value AS obs_value
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+                       value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id,
+                                        epoch_us(ts) - (epoch_us(ts) % 3600000000)
+                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+            FROM (SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi
+                  FROM obs GROUP BY 1))
+        SELECT g.user_id, g.bucket_us,
+               last_value(o.obs_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_ffill,
+               CASE WHEN o.obs_value IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM grid g LEFT JOIN obs o USING (user_id, bucket_us)
     """,
     "window_range_frame_30d": """
         WITH od AS (

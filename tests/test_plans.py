@@ -203,3 +203,15 @@ def test_heavy_hitters_total_is_broadcast_scalar(spark, sf_small):
     df = t.q_heavy_hitters(spark, sf_small)
     assert has_broadcast_join(df)
     assert not has_python_udf(df)
+
+
+def test_resample_ffill_is_join_free_single_shuffle(spark, sf_small):
+    """The lead+explode gap-fill must stay one scan / one shuffle — the
+    grid-join formulation doubles the events scan and shuffle (and its
+    join side would be too big to broadcast at 100 TB)."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    df = temporal.q_ts_resample_ffill(spark, sf_small)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan[:1500]
+    assert n_shuffle_exchanges(df) == 1, plan[:1500]
+    assert plan.count("+- Scan parquet") == 1, plan[:1500]
