@@ -8,12 +8,12 @@ for __spark_entry__.py.
 
 from __future__ import annotations
 
-from . import (asof, dedup, multimodal, relational, sampling, scale,
-               similarity, temporal, text, udx)
+from . import (asof, dedup, features, multimodal, relational, sampling,
+               scale, similarity, temporal, text, udx)
 
 
 _MODULES = (relational, dedup, similarity, text, multimodal, asof,
-            temporal, scale, sampling, udx)
+            temporal, scale, sampling, udx, features)
 
 
 def all_queries():

@@ -85,10 +85,40 @@ def q_sample_cap_per_source(spark, sf_dir):
              .filter(F.col("rk") <= 10))
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement, k=5 per language, weight =
+    document length — Efraimidis-Spirakis A-Res with a HASH-derived
+    uniform instead of rand(), so the sample is reproducible across
+    runs, engines, and partitionings like every sampler in this module.
+
+    key_i = u_i^(1/w_i) with u_i = (md5_24bit(doc_id)+0.5)/2^24; the
+    top-k keys per stratum are an exact weighted sample (Efraimidis &
+    Spirakis 2006, Inf. Proc. Letters).  The key stays internal (pow
+    is libm-dependent at the last ulp, so it is not hash-comparable);
+    the SELECTED ROWS and their ranks are, because distinct u values
+    separate keys by far more than one ulp.  One shuffle on lang;
+    rank<=k lets Spark push a per-partition partial top-k below the
+    shuffle (WindowGroupLimit), so shuffle volume is k x partitions x
+    strata — the 100 TB path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = ((F.conv(F.substring(
+            F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")),
+            1, 6), 16, 10).cast("bigint").cast("double") + 0.5)
+         / 16777216.0)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    w = Window.partitionBy("lang").orderBy(F.desc("ares_key"), "doc_id")
+    return (d.select("doc_id", "lang", "n_chars", key.alias("ares_key"))
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 5)
+             .select("doc_id", "lang", "n_chars", "rk"))
+
+
 QUERIES = {
     "sample_split_deterministic": q_sample_split,
     "sample_stratified_by_lang": q_sample_stratified,
     "sample_cap_per_source": q_sample_cap_per_source,
+    "sample_weighted_reservoir": q_sample_weighted,
 }
 
 _B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
@@ -107,6 +137,20 @@ ORACLE = {
         WHERE {_B} < CASE WHEN lang = 'en' THEN '40'
                           WHEN lang IN ('de', 'fr', 'es') THEN '80'
                           ELSE 'c0' END
+    """,
+    "sample_weighted_reservoir": """
+        SELECT doc_id, lang, n_chars, rk FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY POWER(
+                           (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 6))::BIGINT::DOUBLE + 0.5)
+                               / 16777216.0,
+                           1.0 / n_chars::DOUBLE) DESC,
+                           doc_id) AS rk
+            FROM documents)
+        WHERE rk <= 5
     """,
     "sample_cap_per_source": """
         SELECT doc_id, source, rk FROM (

@@ -150,12 +150,60 @@ def q_ts_resample_ffill(spark, sf_dir):
                        .alias("is_gap")))
 
 
+def q_ts_resample_interp(spark, sf_dir):
+    """Hourly resample per user with LINEAR INTERPOLATION across gaps —
+    the companion to q_ts_resample_ffill for continuous signals.
+
+    Same join-free shape: lead() fetches the next observation's bucket
+    AND value, explode(sequence) emits the gap grid, and the filled
+    value is obs + (next - obs) * i/n computed identically in both
+    engines.  IEEE +,-,*,/ in the same order give bit-identical
+    doubles, but ROUND half-way ties do NOT agree across engines
+    (65.4046875 rounded ...88 by Spark HALF_UP, ...87 by DuckDB), so
+    the value leaves as fixed-point floor(x * 1e6) micros — floor of
+    identical bits is identical.  One scan, one shuffle on user_id,
+    no join — holds at any scale.
+    """
+    hour_us = 3_600_000_000
+    e = load_table(spark, sf_dir, "events").repartition("user_id")
+    us = F.unix_micros("ts")
+    obs = (e.select("user_id", "event_id", us.alias("us"),
+                    (us - us % hour_us).alias("obs_us"), "value")
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("user_id", "obs_us")
+                 .orderBy(F.desc("us"), F.desc("event_id"))))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "obs_us", F.col("value").alias("obs_value")))
+    w = W.partitionBy("user_id").orderBy("obs_us")
+    o2 = obs.select(
+        "user_id", "obs_us", "obs_value",
+        F.lead("obs_us", 1).over(w).alias("nxt_us"),
+        F.lead("obs_value", 1).over(w).alias("nxt_value"))
+    filled = (o2.select(
+        "user_id", "obs_us", "obs_value", "nxt_us", "nxt_value",
+        F.explode(F.sequence(
+            "obs_us",
+            F.coalesce(F.col("nxt_us") - hour_us, F.col("obs_us")),
+            F.lit(hour_us))).alias("bucket_us"))
+        .withColumn("i", F.expr(f"(bucket_us - obs_us) DIV {hour_us}"))
+        .withColumn("nsteps", F.expr(f"(nxt_us - obs_us) DIV {hour_us}")))
+    interp = (F.col("obs_value")
+              + (F.col("nxt_value") - F.col("obs_value"))
+              * (F.col("i").cast("double") / F.col("nsteps").cast("double")))
+    val = F.when(F.col("i") == 0, F.col("obs_value")).otherwise(interp)
+    return filled.select(
+        "user_id", "bucket_us",
+        F.floor(val * 1000000.0).alias("value_interp_e6"),
+        (F.col("i") > 0).cast("int").alias("is_gap"))
+
+
 QUERIES = {
     "window_tumbling_events": q_window_tumbling,
     "window_sliding_events": q_window_sliding,
     "window_range_frame_30d": q_window_range_frame,
     "join_interval_overlap": q_interval_overlap,
     "ts_resample_ffill": q_ts_resample_ffill,
+    "ts_resample_interp": q_ts_resample_interp,
 }
 
 ORACLE = {
@@ -216,6 +264,43 @@ ORACLE = {
                    AS value_ffill,
                CASE WHEN o.obs_value IS NULL THEN 1 ELSE 0 END AS is_gap
         FROM grid g LEFT JOIN obs o USING (user_id, bucket_us)
+    """,
+    "ts_resample_interp": """
+        WITH obs AS (
+            SELECT user_id, obs_us, value AS obs_value
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - (epoch_us(ts) % 3600000000) AS obs_us,
+                       value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id,
+                                        epoch_us(ts) - (epoch_us(ts) % 3600000000)
+                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1),
+        o2 AS (
+            SELECT user_id, obs_us, obs_value,
+                   LEAD(obs_us) OVER (PARTITION BY user_id ORDER BY obs_us)
+                       AS nxt_us,
+                   LEAD(obs_value) OVER (PARTITION BY user_id ORDER BY obs_us)
+                       AS nxt_value
+            FROM obs),
+        filled AS (
+            SELECT user_id, obs_us, obs_value, nxt_us, nxt_value,
+                   unnest(generate_series(
+                       obs_us, COALESCE(nxt_us - 3600000000, obs_us),
+                       3600000000)) AS bucket_us
+            FROM o2)
+        SELECT user_id, bucket_us,
+               CAST(FLOOR((CASE WHEN (bucket_us - obs_us) // 3600000000 = 0
+                    THEN obs_value
+                    ELSE obs_value + (nxt_value - obs_value)
+                         * (((bucket_us - obs_us) // 3600000000)::DOUBLE
+                            / ((nxt_us - obs_us) // 3600000000)::DOUBLE)
+               END) * 1000000.0) AS BIGINT) AS value_interp_e6,
+               CASE WHEN (bucket_us - obs_us) // 3600000000 > 0
+                    THEN 1 ELSE 0 END AS is_gap
+        FROM filled
     """,
     "window_range_frame_30d": """
         WITH od AS (

@@ -215,3 +215,21 @@ def test_resample_ffill_is_join_free_single_shuffle(spark, sf_small):
     assert "Join" not in plan, plan[:1500]
     assert n_shuffle_exchanges(df) == 1, plan[:1500]
     assert plan.count("+- Scan parquet") == 1, plan[:1500]
+
+
+def test_zscore_broadcasts_stats_fact_never_shuffles(spark, sf_small):
+    """Group stats must reach the fact table as a broadcast hash join;
+    the only exchange is the tiny stats aggregate — a window
+    formulation would shuffle the full events table."""
+    from go_mapreduce_crawler_spark.operators import features
+    df = features.q_feat_zscore(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert n_shuffle_exchanges(df) == 1, physical_plan(df)[:1500]
+
+
+def test_weighted_reservoir_pushes_partial_topk(spark, sf_small):
+    """rank<=k must compile to WindowGroupLimit so each partition keeps
+    only k candidates before the stratum shuffle."""
+    from go_mapreduce_crawler_spark.operators import sampling
+    df = sampling.q_sample_weighted(spark, sf_small)
+    assert "WindowGroupLimit" in physical_plan(df)
