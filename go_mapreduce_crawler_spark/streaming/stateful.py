@@ -57,6 +57,68 @@ def stream_running_totals(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_gap_fill(events: DataFrame) -> DataFrame:
+    """Streaming hourly LOCF gap-fill — the stateful-streaming twin of
+    temporal.q_ts_resample_ffill.
+
+    Per-user state = (last observed hour bucket, its value, emit seq).
+    Each micro-batch emits, per observed bucket in event-time order:
+    filled copies for every skipped hour since the previous observation
+    (is_gap=1), then the observation itself (is_gap=0).  A bucket that
+    straddles micro-batches is RE-EMITTED with the later observation
+    (update-mode semantics: the highest-seq row per (user, bucket) is
+    current, which is what the parity test folds on).  Buckets older
+    than the state's frontier are late data and dropped — the
+    watermark-style contract; LOCF cannot retract already-emitted fills.
+
+    State is O(1) per user (three scalars) regardless of stream length —
+    the property that keeps this runnable forever, unlike any
+    formulation that buffers events.
+    """
+    hour_us = 3_600_000_000
+
+    def upd(key: Tuple[Any, ...],
+            pdfs: Iterable[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        last_us, last_val, seq = state.get if state.exists else (-1, 0.0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            state.update((int(last_us), float(last_val), int(seq)))
+            return
+        us = pdf["ts"].astype("int64") // 1000
+        pdf = (pdf.assign(us=us, bucket=us - us % hour_us)
+                  .sort_values(["us", "event_id"]))
+        out = []
+        for bucket, grp in pdf.groupby("bucket", sort=True):
+            val = float(grp["value"].iloc[-1])
+            if last_us >= 0 and bucket < last_us:
+                continue
+            if last_us >= 0:
+                fill = last_us + hour_us
+                while fill < bucket:
+                    seq += 1
+                    out.append((fill, last_val, 1, seq))
+                    fill += hour_us
+            seq += 1
+            out.append((int(bucket), val, 0, seq))
+            last_us, last_val = int(bucket), val
+        state.update((int(last_us), float(last_val), int(seq)))
+        if out:
+            b, v, g, s = zip(*out)
+            yield pd.DataFrame({"user_id": [key[0]] * len(out),
+                                "bucket_us": list(b), "value_ffill": list(v),
+                                "is_gap": list(g), "seq": list(s)})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                upd,
+                outputStructType=("user_id long, bucket_us long, "
+                                  "value_ffill double, is_gap int, seq long"),
+                stateStructType="last_us long, last_val double, seq long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stream_dedup(events: DataFrame, key: str = "event_id",
                  watermark: str = "2 hours") -> DataFrame:
     """Watermarked streaming dedup: first arrival per key wins; state for

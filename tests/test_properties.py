@@ -139,3 +139,28 @@ def test_exact_aggregation_is_partitioning_invariant(spark):
     finally:
         rel.load_table = orig
     assert results[0] == results[1] == results[2]
+
+
+def test_gap_fill_and_weighted_sample_partitioning_invariant(spark):
+    """The new resample/sample operators claim hash-determinism: results
+    must be identical (not just statistically alike) at any input
+    partitioning — rand()-based formulations of either would fail this."""
+    import go_mapreduce_crawler_spark.operators.temporal as tmp
+    import go_mapreduce_crawler_spark.operators.sampling as smp
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cases = ((tmp, tmp.q_ts_resample_ffill, ev),
+             (tmp, tmp.q_ts_resample_interp, ev),
+             (smp, smp.q_sample_weighted, docs))
+    for mod, q, base in cases:
+        orig = mod.load_table
+        results = []
+        try:
+            for n in (1, 5, 32):
+                mod.load_table = (lambda nn: (lambda s, d, t: base.repartition(nn)))(n)
+                results.append(sorted(map(tuple, q(spark, "x").collect())))
+        finally:
+            mod.load_table = orig
+        assert results[0] == results[1] == results[2], q.__name__

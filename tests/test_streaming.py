@@ -216,3 +216,51 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert len(win_10) == 1, win_10
     # 2 on-time rows counted; the late 10:01 row was dropped (3 = leak)
     assert win_10[0].n_events == 2, win_10
+
+
+def test_stream_gap_fill_matches_batch_locf(spark, tmp_path):
+    """Feed events as 4 time-ordered micro-batches; the last emission per
+    (user, bucket) must equal the batch LOCF resample on the same data —
+    including fills that span micro-batch boundaries (state carry)."""
+    import time
+
+    from pyspark.sql import Window
+    from go_mapreduce_crawler_spark.operators.temporal import q_ts_resample_ffill
+    from go_mapreduce_crawler_spark.streaming import stream_gap_fill
+
+    base = load_table(spark, "/root/testdata/sf0.001", "events")
+    quart = base.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    src = tmp_path / "gapfill_src"
+    src.mkdir()
+    # one file per time-quartile, written sequentially so the file
+    # source's mod-time ordering replays them in event-time order
+    for i in range(1, 5):
+        part = quart.filter(F.col("q") == i).drop("q").coalesce(1)
+        part.write.mode("overwrite").parquet(str(tmp_path / f"stage{i}"))
+        pq = next((tmp_path / f"stage{i}").glob("*.parquet"))
+        (src / f"{i:02d}.parquet").write_bytes(pq.read_bytes())
+        time.sleep(0.1)
+
+    stream_events = (spark.readStream.schema(base.schema)
+                     .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = stream_gap_fill(stream_events)
+    q = (out.writeStream.format("memory").queryName("gap_fill")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("""
+        SELECT user_id, bucket_us, value_ffill, is_gap FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                                         ORDER BY seq DESC) rn
+            FROM gap_fill) WHERE rn = 1""")
+    got_rows = sorted(map(tuple, got.collect()))
+
+    import go_mapreduce_crawler_spark.operators.temporal as tmp_mod
+    orig = tmp_mod.load_table
+    try:
+        tmp_mod.load_table = lambda s, d, t: base
+        exp_rows = sorted(map(tuple, q_ts_resample_ffill(spark, "x").collect()))
+    finally:
+        tmp_mod.load_table = orig
+    assert got_rows == exp_rows
