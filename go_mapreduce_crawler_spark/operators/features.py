@@ -1,4 +1,4 @@
-"""Feature-normalization operators — LLM-pipeline extensions
+"""Feature-engineering and data-quality operators — LLM-pipeline extensions
 (SURVEY.md §2.3; the reference has no statistics surface at all, its
 only aggregate is the user-supplied monoid fold, pool.go:8-12).
 
@@ -17,6 +17,7 @@ round(6) on the way out.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import dec
@@ -45,8 +46,89 @@ def q_feat_zscore(spark, sf_dir):
              .select("event_id", "event_type", F.round(z, 6).alias("zscore")))
 
 
+def q_skyline_pareto(spark, sf_dir):
+    """Per-brand 2-D Pareto frontier of parts: minimize retail price,
+    maximize size (the best price-for-size offers).
+
+    The naive definition is a quadratic self-join ("no other part is at
+    most as expensive AND at least as large, differing somewhere") —
+    that IS the oracle.  The engine instead sorts each brand by
+    (price ASC, size DESC) and keeps a point iff its size strictly
+    exceeds the running max size of all earlier points: an O(n log n)
+    single-window formulation over deduplicated (brand, price, size)
+    points, one shuffle on brand.  Equality cases: an equal-price
+    larger-size point and an equal-size cheaper point both set the
+    running max, correctly excluding the dominated point; duplicates
+    are collapsed first so neither twin eliminates the other.
+    """
+    p = load_table(spark, sf_dir, "part")
+    pts = (p.select("p_brand", dec("p_retailprice", MONEY).alias("price"),
+                    "p_size")
+            .distinct())
+    w = (W.partitionBy("p_brand")
+          .orderBy(F.asc("price"), F.desc("p_size"))
+          .rowsBetween(W.unboundedPreceding, -1))
+    return (pts.withColumn("prev_max", F.max("p_size").over(w))
+               .filter(F.col("prev_max").isNull()
+                       | (F.col("p_size") > F.col("prev_max")))
+               .select("p_brand", F.col("price").cast("double").alias("price"),
+                       "p_size"))
+
+
+def q_profile_table(spark, sf_dir):
+    """Column-profile of documents: row count, per-column null and
+    distinct counts, n_chars min/max — the Deequ/profiling primitive a
+    curation pipeline runs before training.  One pass, one reduce to a
+    single row, unpivoted to (metric, value) rows.
+
+    At 100 TB the exact COUNT(DISTINCT) expansions become the
+    bottleneck (one Expand row per column per input row); swap in
+    approx_count_distinct/HLL there — the exact form is the oracle
+    anchor at test scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("bigint")).alias("null_text"),
+        F.sum(F.col("lang").isNull().cast("bigint")).alias("null_lang"),
+        F.sum(F.col("source").isNull().cast("bigint")).alias("null_source"),
+        F.countDistinct("lang").alias("distinct_lang"),
+        F.countDistinct("source").alias("distinct_source"),
+        F.min("n_chars").alias("min_n_chars"),
+        F.max("n_chars").alias("max_n_chars"))
+    cols = ["n_rows", "null_text", "null_lang", "null_source",
+            "distinct_lang", "distinct_source", "min_n_chars", "max_n_chars"]
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (metric, value)")
+
+
+def q_validate_events(spark, sf_dir):
+    """Constraint validation: emit each event that violates any declared
+    expectation, with the comma-joined names of the failed checks —
+    the expectations/data-contract primitive.
+
+    A pure narrow projection+filter (zero shuffles, trivially parallel);
+    the JSON probe uses get_json_object, which prunes to the one key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    checks = [
+        ("value_range", (F.col("value") >= 0) & (F.col("value") <= 450)),
+        ("type_allowed", F.col("event_type")
+            .isin("click", "signup", "view", "purchase")),
+        ("props_k_bound", k.isNotNull() & (k < 95)),
+    ]
+    viol = F.concat_ws(",", *[F.when(~ok, name) for name, ok in checks])
+    return (e.select("event_id", viol.alias("violations"))
+             .filter(F.col("violations") != ""))
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
+    "skyline_pareto_2d": q_skyline_pareto,
+    "profile_documents": q_profile_table,
+    "validate_events": q_validate_events,
 }
 
 ORACLE = {
@@ -63,5 +145,58 @@ ORACLE = {
                      / SQRT((n::DOUBLE * sx2 - sx * sx)
                             / (n::DOUBLE * n::DOUBLE)), 6) AS zscore
         FROM events e JOIN s USING (event_type)
+    """,
+    "skyline_pareto_2d": """
+        WITH pts AS (
+            SELECT DISTINCT p_brand,
+                   CAST(p_retailprice AS DECIMAL(12,2)) AS price, p_size
+            FROM part)
+        SELECT p_brand, price::DOUBLE AS price, p_size
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.p_brand = p.p_brand
+              AND q.price <= p.price AND q.p_size >= p.p_size
+              AND (q.price < p.price OR q.p_size > p.p_size))
+    """,
+    "profile_documents": """
+        WITH a AS (
+            SELECT COUNT(*) AS n_rows,
+                   SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+                   SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+                   SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                       AS null_source,
+                   COUNT(DISTINCT lang) AS distinct_lang,
+                   COUNT(DISTINCT source) AS distinct_source,
+                   MIN(n_chars) AS min_n_chars,
+                   MAX(n_chars) AS max_n_chars
+            FROM documents)
+        SELECT metric, CAST(value AS BIGINT) AS value FROM (
+            SELECT 'n_rows' AS metric, n_rows AS value FROM a
+            UNION ALL SELECT 'null_text', null_text FROM a
+            UNION ALL SELECT 'null_lang', null_lang FROM a
+            UNION ALL SELECT 'null_source', null_source FROM a
+            UNION ALL SELECT 'distinct_lang', distinct_lang FROM a
+            UNION ALL SELECT 'distinct_source', distinct_source FROM a
+            UNION ALL SELECT 'min_n_chars', min_n_chars FROM a
+            UNION ALL SELECT 'max_n_chars', max_n_chars FROM a)
+    """,
+    "validate_events": """
+        SELECT event_id, violations FROM (
+            SELECT event_id,
+                   concat_ws(',',
+                       CASE WHEN NOT (value >= 0 AND value <= 450)
+                            THEN 'value_range' END,
+                       CASE WHEN NOT (event_type IN
+                                ('click', 'signup', 'view', 'purchase'))
+                            THEN 'type_allowed' END,
+                       CASE WHEN NOT (
+                                CAST(json_extract_string(props, '$.k') AS INT)
+                                    IS NOT NULL
+                                AND CAST(json_extract_string(props, '$.k')
+                                         AS INT) < 95)
+                            THEN 'props_k_bound' END) AS violations
+            FROM events)
+        WHERE violations <> ''
     """,
 }

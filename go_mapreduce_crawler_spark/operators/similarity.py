@@ -288,12 +288,42 @@ def q_embedding_norms(spark, sf_dir):
                   F.round(F.max("sq_norm"), 6).alias("max_sq_norm")))
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Exact per-label centroid of the embedding vectors, one row per
+    (label, dimension) — the class-prototype computation under IVF
+    coarse quantizers and dataset-cartography analyses.
+
+    Float sums are NOT order-independent, so a naive array-sum would be
+    partitioning-dependent (and oracle-unmatchable); each float32
+    component casts float->DOUBLE->DECIMAL(20,7) — exact, commutative,
+    and identical in DuckDB.  The double hop is load-bearing: DuckDB's
+    direct FLOAT->DECIMAL scales in float32 precision (0.19657294 ->
+    0.1965730), Spark's in double; routing both through DOUBLE makes
+    the casts agree, and a double's binary fraction essentially never
+    sits on a 1e-7 half-way tie.
+    posexplode x 64 dims before a (label, dim) partial+final aggregate:
+    the map-side combine absorbs the 64x row fan-out, shuffling only
+    |labels| x 64 partial rows per task — the word-count shape again.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    g = (ex.groupBy("label", "dim")
+           .agg(F.sum(F.col("x").cast("double").cast("decimal(20,7)")).alias("sx"),
+                F.count(F.lit(1)).alias("n")))
+    return g.select(
+        "label", "dim",
+        F.round(F.col("sx").cast("double") / F.col("n").cast("double"), 6)
+         .alias("centroid"),
+        "n")
+
+
 QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce,
     "ann_lsh_cosine": q_ann_lsh,
     "ann_ivf_cosine": q_ann_ivf,
     "knn_pandas_vectorized": q_knn_pandas,
     "embedding_norms": q_embedding_norms,
+    "embedding_centroids_exact": q_embedding_centroids,
 }
 
 # Spark's sequential array fold (F.aggregate starting at 0.0) and
@@ -309,6 +339,16 @@ _COS = (_DOT + " / (sqrt(" + _SQN.replace("{a}", "{a}") + ") * sqrt("
         + _SQN.replace("{a}", "{b}") + "))")
 
 ORACLE = {
+    "embedding_centroids_exact": """
+        WITH ex AS (
+            SELECT label, i AS dim, embedding[i + 1] AS x
+            FROM embeddings, unnest(range(len(embedding))) AS t(i))
+        SELECT label, dim,
+               ROUND((SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,7))))::DOUBLE
+                     / COUNT(*)::DOUBLE, 6) AS centroid,
+               COUNT(*) AS n
+        FROM ex GROUP BY label, dim
+    """,
     "knn_bruteforce_cosine": f"""
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                    FROM embeddings WHERE vec_id % 100 = 0),
