@@ -24,12 +24,22 @@ from ..sources.tables import load_table
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
-              payload_cols: list[str]) -> DataFrame:
-    """Backward as-of join; returns left columns + asof_<payload> cols.
+              payload_cols: list[str],
+              direction: str = "backward") -> DataFrame:
+    """As-of join; returns left columns + asof_<payload> cols.
+
+    direction="backward" (default): most recent right row with
+    right.ts <= left.ts; ties on right.ts take the LARGEST payload id.
+    direction="forward": first right row with right.ts >= left.ts;
+    ties take the SMALLEST payload id.  Both are the same one-shuffle
+    union+window plan, mirrored: on equal ts the right side sorts
+    toward the frame (before left for backward, after left for
+    forward) so the boundary is inclusive, and the fill is
+    last(ignorenulls) over the trailing frame vs first(ignorenulls)
+    over the leading frame.
 
     Both inputs need a unique id column `event_id`-like ordering
-    tie-break inside equal timestamps; here ordering is
-    (ts, right-before-left, payload id) which is total given unique ids.
+    tie-break inside equal timestamps.
     """
     lt = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
@@ -40,14 +50,20 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols])
     unioned = lt.unionByName(rt, allowMissingColumns=True)
-    w = (W.partitionBy("_k")
-          .orderBy("_ts", "_side",
-                   F.coalesce(*[F.col(f"_p_{payload_cols[0]}")], F.lit(0)))
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    filled = unioned.select(
-        "*",
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-          for c in payload_cols])
+    pid = F.coalesce(F.col(f"_p_{payload_cols[0]}"), F.lit(0))
+    if direction == "backward":
+        w = (W.partitionBy("_k").orderBy("_ts", "_side", pid)
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        fill = [F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+                for c in payload_cols]
+    elif direction == "forward":
+        w = (W.partitionBy("_k").orderBy(F.asc("_ts"), F.desc("_side"), pid)
+              .rowsBetween(W.currentRow, W.unboundedFollowing))
+        fill = [F.first(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+                for c in payload_cols]
+    else:
+        raise ValueError(f"unknown direction: {direction!r}")
+    filled = unioned.select("*", *fill)
     return (filled.filter(F.col("_side") == 1)
                   .drop("_k", "_ts", "_side",
                         *[f"_p_{c}" for c in payload_cols]))
@@ -74,7 +90,34 @@ def q_asof_purchase_view(spark, sf_dir):
         (F.unix_micros("ts") - F.col("asof_view_ts_us")).alias("gap_us"))
 
 
-QUERIES = {"asof_purchase_view": q_asof_purchase_view}
+def q_asof_next_error(spark, sf_dir):
+    """Forward as-of: for each purchase, the FIRST error event at or
+    after it by the same user (time-to-failure analysis).  Purchases
+    with no later error keep null error columns.  The oracle uses the
+    independent join+ROW_NUMBER formulation, so the union-window
+    construction is cross-checked against a different algorithm.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error") \
+              .select("user_id", "ts",
+                      F.col("event_id").alias("error_event_id"),
+                      F.unix_micros("ts").alias("error_ts_us"))
+    joined = asof_join(purchases, errors, key="user_id",
+                       left_ts="ts", right_ts="ts",
+                       payload_cols=["error_event_id", "error_ts_us"],
+                       direction="forward")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("asof_error_event_id").alias("error_id"),
+        (F.col("asof_error_ts_us") - F.unix_micros("ts")).alias("ttf_us"))
+
+
+QUERIES = {"asof_purchase_view": q_asof_purchase_view,
+           "asof_next_error": q_asof_next_error}
 
 ORACLE = {
     "asof_purchase_view": """
@@ -98,5 +141,19 @@ ORACLE = {
                view_id,
                epoch_us(ts) - view_ts_us AS gap_us
         FROM filled WHERE event_type = 'purchase'
+    """,
+    "asof_next_error": """
+        SELECT purchase_id, user_id, purchase_ts_us, error_id, ttf_us
+        FROM (
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   e.event_id AS error_id,
+                   epoch_us(e.ts) - epoch_us(p.ts) AS ttf_us,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY e.ts, e.event_id) AS rn
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON e.user_id = p.user_id AND e.ts >= p.ts)
+        WHERE rn = 1
     """,
 }

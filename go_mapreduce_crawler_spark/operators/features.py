@@ -124,11 +124,29 @@ def q_validate_events(spark, sf_dir):
              .filter(F.col("violations") != ""))
 
 
+def q_histogram_equiwidth(spark, sf_dir):
+    """Equi-width histogram of event value per event type: 20 bins of
+    width 25 over [0, 500), with exact decimal mass per bin.
+
+    Binning is integer floor arithmetic (engine-portable, no
+    width_bucket dependency); the aggregate is the standard
+    partial+final shape, shuffling only |types| x 20 partial rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(dec("value", MONEY) / 25).cast("int")
+    return (e.groupBy("event_type", bin_.alias("bin"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(dec("value", MONEY)).cast("double").alias("mass"))
+             .select("event_type", "bin",
+                     (F.col("bin") * 25.0).alias("bin_lo"), "n", "mass"))
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
     "skyline_pareto_2d": q_skyline_pareto,
     "profile_documents": q_profile_table,
     "validate_events": q_validate_events,
+    "histogram_equiwidth": q_histogram_equiwidth,
 }
 
 ORACLE = {
@@ -180,6 +198,16 @@ ORACLE = {
             UNION ALL SELECT 'distinct_source', distinct_source FROM a
             UNION ALL SELECT 'min_n_chars', min_n_chars FROM a
             UNION ALL SELECT 'max_n_chars', max_n_chars FROM a)
+    """,
+    "histogram_equiwidth": """
+        SELECT event_type,
+               CAST(FLOOR(CAST(value AS DECIMAL(12,2)) / 25) AS INT) AS bin,
+               CAST(FLOOR(CAST(value AS DECIMAL(12,2)) / 25) AS INT) * 25.0
+                   AS bin_lo,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS mass
+        FROM events
+        GROUP BY 1, 2
     """,
     "validate_events": """
         SELECT event_id, violations FROM (

@@ -47,3 +47,10 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
        .sortBy(bucket_col)
        .format("parquet")
        .saveAsTable(table))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — same columnar/pushdown properties as parquet via
+    Spark's native vectorized ORC reader/writer; provided for
+    Hive-ecosystem interchange."""
+    df.write.mode(mode).orc(path)

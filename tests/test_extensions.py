@@ -153,6 +153,23 @@ def test_sinks_csv_json(spark, sf_small, tmp_path):
     assert spark.read.json(str(tmp_path / "r_json")).count() == 5
 
 
+def test_sinks_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
+    """ORC must roundtrip values AND serve predicate pushdown on re-read
+    (the property that makes it a first-class interchange format)."""
+    df = load_table(spark, sf_small, "orders")
+    p = str(tmp_path / "orders_orc")
+    sinks.write_orc(df, p)
+    back = spark.read.orc(p)
+    assert back.count() == df.count()
+    got = sorted(map(tuple, back.filter("o_orderpriority = '1-URGENT'")
+                     .select("o_orderkey").collect()))
+    exp = sorted(map(tuple, df.filter("o_orderpriority = '1-URGENT'")
+                     .select("o_orderkey").collect()))
+    assert got == exp and len(got) > 0
+    plan = back.filter("o_orderpriority = '1-URGENT'")         ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderpriority" in plan
+
+
 def test_approx_quantiles_rank_envelope(spark, sf_medium):
     """GK quantiles at accuracy=10000: each estimate's true rank must be
     within 1% of the target rank (much looser than the sketch bound, but

@@ -164,3 +164,35 @@ def test_gap_fill_and_weighted_sample_partitioning_invariant(spark):
         finally:
             mod.load_table = orig
         assert results[0] == results[1] == results[2], q.__name__
+
+
+def _reference_asof_forward(left, right):
+    """Pure-Python forward as-of: first right row with same key,
+    right.ts >= left.ts; ties on right.ts take the SMALLEST payload id."""
+    out = {}
+    for li, (k, lts) in enumerate(left):
+        best = None
+        for ri, (rk, rts) in enumerate(right):
+            if rk == k and rts >= lts:
+                cand = (rts, ri + 1000)
+                if best is None or cand < best:
+                    best = cand
+        out[li] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(left=left_rows, right=right_rows)
+def test_asof_join_forward_matches_reference(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+        "lid int, k int, ts int").filter(F.col("lid").isNotNull())
+    rdf = spark.createDataFrame(
+        [(i + 1000, k, t) for i, (k, t) in enumerate(right)] or [(None, None, None)],
+        "rid int, k int, ts int").filter(F.col("rid").isNotNull())
+    got = asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+                    payload_cols=["rid"], direction="forward")
+    got_map = {r.lid: r.asof_rid for r in got.collect()}
+    assert got_map == _reference_asof_forward(left, right)
