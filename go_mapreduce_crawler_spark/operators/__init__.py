@@ -8,12 +8,12 @@ for __spark_entry__.py.
 
 from __future__ import annotations
 
-from . import (asof, dedup, features, multimodal, relational, sampling,
-               scale, similarity, temporal, text, udx)
+from . import (asof, behavior, dedup, features, multimodal, relational,
+               sampling, scale, similarity, temporal, text, udx)
 
 
 _MODULES = (relational, dedup, similarity, text, multimodal, asof,
-            temporal, scale, sampling, udx, features)
+            temporal, scale, sampling, udx, features, behavior)
 
 
 def all_queries():

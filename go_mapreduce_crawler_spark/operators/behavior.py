@@ -1,0 +1,202 @@
+"""User-behavior analytics over ``events`` — funnel, cohort retention,
+transition matrix, event-mix entropy.
+
+The reference engine has no multi-event sequencing surface at all (its
+only aggregate is the user-supplied monoid fold, pool.go:8-12,
+crawler.go:32); these are the standard product-analytics operators a
+pipeline engine is expected to provide over an event log.
+
+Scale notes (100 TB event log):
+- Everything here shuffles on ``user_id`` exactly once (funnel /
+  retention / entropy) or once for the window + once for a tiny
+  re-agg (transitions).  Per-user state is bounded by that user's
+  event count, never by the table.
+- The funnel is a sorted-array monoid fold per user, NOT an N-way
+  self-join: one shuffle of (user_id, ts, type) versus four join
+  shuffles in the naive formulation.  The DuckDB oracle deliberately
+  uses the chained min-join algorithm, so the two independent
+  constructions cross-check each other.
+- Retention re-uses the user_id partitioning for the first-seen join
+  (AQE plans it shuffle-free on the agg side), then re-aggregates to
+  |cohorts| x |weeks| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel signup -> view -> click -> purchase.
+
+    Semantics: stage k is reached at the earliest event of its type
+    STRICTLY after the stage k-1 timestamp (first stage: earliest
+    signup).  Computed as one fold over each user's time-sorted events
+    — strict ``>`` makes the fold independent of tie order inside equal
+    timestamps, so it matches the oracle's chained-min-join definition
+    exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = (e.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+                 .groupBy("user_id")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("ts", "event_id", "event_type"))).alias("evs")))
+    init = F.struct(*[F.lit(None).cast("timestamp").alias(f"t{i}")
+                      for i in range(1, 5)])
+
+    def step(acc, x):
+        ts, typ = x["ts"], x["event_type"]
+        t1 = F.coalesce(acc["t1"], F.when(typ == FUNNEL_STAGES[0], ts))
+        nxt = [t1]
+        for i, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+            prev = acc[f"t{i - 1}"]
+            nxt.append(F.coalesce(
+                acc[f"t{i}"],
+                F.when(prev.isNotNull() & (typ == stage) & (ts > prev), ts)))
+        return F.struct(*[c.alias(f"t{i}") for i, c in enumerate(nxt, 1)])
+
+    reached = per_user.select(F.aggregate("evs", init, step).alias("s"))
+    counts = reached.agg(*[F.count(f"s.t{i}").alias(stage)
+                           for i, stage in enumerate(FUNNEL_STAGES, 1)])
+    return (counts.select(F.explode(F.array(*[
+                F.struct(F.lit(i).alias("stage_ord"),
+                         F.lit(stage).alias("stage"),
+                         F.col(stage).alias("users"))
+                for i, stage in enumerate(FUNNEL_STAGES, 1)])).alias("r"))
+             .select("r.*"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by the Monday week of
+    their first event; distinct active users per (cohort, week offset).
+
+    first-seen is a per-user min (partial+final agg); the join back is
+    on the same key so the big side needs no extra exchange; the final
+    agg is |cohorts| x |offsets| rows.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.date_trunc("week", "first_ts")
+    return (e.join(firsts, "user_id")
+             .groupBy(cohort.alias("cohort_week"),
+                      (F.datediff(F.date_trunc("week", "ts"), cohort) / 7)
+                      .cast("int").alias("week_offset"))
+             .agg(F.countDistinct("user_id").alias("users")))
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user:
+    count and conditional probability of each (prev -> next) pair,
+    ordered by (ts, event_id) within user.
+
+    One window shuffle on user_id does the sequencing; the transition
+    counts are a partial+final agg down to |types|^2 rows, and the
+    row-probability normalization is a window over that tiny result.
+    Probability is emitted as floor(p * 1e6) fixed-point — portable
+    across engines' round() tie rules.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (e.select("user_id", "ts", "event_id", "event_type")
+          .withColumn("prev_type", F.lag("event_type").over(w))
+          .filter(F.col("prev_type").isNotNull())
+          .groupBy("prev_type", F.col("event_type").alias("next_type"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    total = F.sum("n").over(W.partitionBy("prev_type"))
+    return t.select("prev_type", "next_type", "n",
+                    F.floor(F.col("n") / total * 1e6)
+                     .cast("long").alias("p_ppm"))
+
+
+def q_entropy_event_mix(spark, sf_dir):
+    """Shannon entropy (bits) of each user's event-type mix — a
+    behavioral-diversity score.  Two cascading partial+final aggs:
+    (user, type) counts, then the entropy fold per user.
+
+    log2 of small rationals is bit-identical across engines for the
+    SAME expression shape (IEEE divide + libm log2 on identical
+    doubles); emitted as floor(H * 1e6) fixed-point so the hash
+    compare never hits a rounding tie.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = (e.groupBy("user_id", "event_type")
+          .agg(F.count(F.lit(1)).alias("c")))
+    tot = c.groupBy("user_id").agg(F.sum("c").alias("n_total"))
+    p = F.col("c") / F.col("n_total")
+    return (c.join(tot, "user_id")
+             .groupBy("user_id", "n_total")
+             .agg(F.floor(-F.sum(p * F.log2(p)) * 1e6)
+                   .cast("long").alias("h_ppm"))
+             .select("user_id",
+                     F.col("n_total").alias("n_events"), "h_ppm"))
+
+
+QUERIES = {
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "markov_transitions": q_markov_transitions,
+    "entropy_event_mix": q_entropy_event_mix,
+}
+
+ORACLE = {
+    # Deliberately the chained min-join algorithm (not a fold): an
+    # independent construction of the same strict-ordering semantics.
+    "funnel_conversion": """
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                    WHERE e.event_type = 'view' GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                    WHERE e.event_type = 'click' GROUP BY 1),
+             s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                    JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+                    WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT 1 AS stage_ord, 'signup' AS stage, count(*) AS users FROM s1
+        UNION ALL SELECT 2, 'view', count(*) FROM s2
+        UNION ALL SELECT 3, 'click', count(*) FROM s3
+        UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    """,
+    "cohort_retention": """
+        WITH f AS (SELECT user_id, min(ts) AS first_ts
+                   FROM events GROUP BY 1)
+        SELECT date_trunc('week', f.first_ts) AS cohort_week,
+               CAST(date_diff('day', date_trunc('week', f.first_ts),
+                              date_trunc('week', e.ts)) // 7 AS INT)
+                   AS week_offset,
+               count(DISTINCT e.user_id) AS users
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    "markov_transitions": """
+        WITH seq AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events),
+        t AS (SELECT prev_type, next_type, count(*) AS n FROM seq
+              WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               CAST(FLOOR(n / sum(n) OVER (PARTITION BY prev_type) * 1e6)
+                    AS BIGINT) AS p_ppm
+        FROM t
+    """,
+    "entropy_event_mix": """
+        WITH c AS (SELECT user_id, event_type, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+             tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_total
+                     FROM c GROUP BY 1)
+        SELECT c.user_id, tot.n_total AS n_events,
+               CAST(FLOOR(-sum((c / tot.n_total)
+                               * log2(c / tot.n_total)) * 1e6)
+                    AS BIGINT) AS h_ppm
+        FROM c JOIN tot ON c.user_id = tot.user_id
+        GROUP BY 1, 2
+    """,
+}

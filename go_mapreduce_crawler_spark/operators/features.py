@@ -141,8 +141,44 @@ def q_histogram_equiwidth(spark, sf_dir):
                      (F.col("bin") * 25.0).alias("bin_lo"), "n", "mass"))
 
 
+def q_regr_value_time(spark, sf_dir):
+    """Per-type least-squares fit of event value against time (drift
+    detection): slope per day, intercept, and r².
+
+    Same exact-moments recipe as q_feat_zscore, extended to the cross
+    moment: all five power sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+    in DECIMAL/BIGINT — exact, so order/partitioning-independent — and
+    the closed-form fit runs once per group on scalars, in the same
+    IEEE expression shape as the oracle (bit-identical doubles, no
+    rounding needed).  One partial+final aggregate; x is seconds
+    relative to the corpus epoch so Σx² stays far below DECIMAL(38)
+    at any SF.
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)
+    xd = x.cast("decimal(18,0)")
+    v = dec("value", MONEY)
+    s = (e.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("double").alias("n"),
+               F.sum(xd).cast("double").alias("sx"),
+               F.sum(v).cast("double").alias("sy"),
+               F.sum(xd * v).cast("double").alias("sxy"),
+               F.sum(xd * xd).cast("double").alias("sxx"),
+               F.sum(v * v).cast("double").alias("syy")))
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_n
+    return s.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        (slope * 86400).alias("slope_per_day"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        (cov_n * cov_n / (var_n * vary_n)).alias("r2"))
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
+    "regr_value_time": q_regr_value_time,
     "skyline_pareto_2d": q_skyline_pareto,
     "profile_documents": q_profile_table,
     "validate_events": q_validate_events,
@@ -150,6 +186,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "regr_value_time": """
+        WITH s AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(epoch_us(ts) // 1000000 - 1704067200
+                                 AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(epoch_us(ts) // 1000000 - 1704067200
+                                 AS DECIMAL(18,0))
+                            * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sxy,
+                   CAST(sum(CAST(epoch_us(ts) // 1000000 - 1704067200
+                                 AS DECIMAL(18,0))
+                            * CAST(epoch_us(ts) // 1000000 - 1704067200
+                                   AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))
+                            * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS syy
+            FROM events GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400
+                   AS slope_per_day,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept,
+               (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        FROM s
+    """,
     "feat_zscore_per_type": """
         WITH s AS (
             SELECT event_type, COUNT(*) AS n,

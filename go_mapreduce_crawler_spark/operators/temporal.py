@@ -197,8 +197,30 @@ def q_ts_resample_interp(spark, sf_dir):
         (F.col("i") > 0).cast("int").alias("is_gap"))
 
 
+def q_ohlc_hourly(spark, sf_dir):
+    """Hourly OHLC (open/high/low/close) candles of event value per
+    event type — the hypertable-rollup shape for market/telemetry data.
+
+    ONE partial+final hash aggregate: open/close are min_by/max_by with
+    a (ts, event_id) struct ordering key (total order — event_id breaks
+    ts ties), so no window pass and no second shuffle.  The oracle uses
+    the independent ROW_NUMBER-window construction, cross-checking the
+    arg-min/max algorithm against a different plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = dec("value", MONEY)
+    key = F.struct("ts", "event_id")
+    return (e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+             .agg(F.min_by(v, key).cast("double").alias("open"),
+                  F.max(v).cast("double").alias("high"),
+                  F.min(v).cast("double").alias("low"),
+                  F.max_by(v, key).cast("double").alias("close"),
+                  F.count(F.lit(1)).alias("n")))
+
+
 QUERIES = {
     "window_tumbling_events": q_window_tumbling,
+    "ohlc_hourly": q_ohlc_hourly,
     "window_sliding_events": q_window_sliding,
     "window_range_frame_30d": q_window_range_frame,
     "join_interval_overlap": q_interval_overlap,
@@ -207,6 +229,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ohlc_hourly": """
+        WITH x AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(value AS DECIMAL(12,2)) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type,
+                                                   date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS ra,
+                   ROW_NUMBER() OVER (PARTITION BY event_type,
+                                                   date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rz
+            FROM events)
+        SELECT event_type, hr,
+               CAST(max(CASE WHEN ra = 1 THEN v END) AS DOUBLE) AS "open",
+               CAST(max(v) AS DOUBLE) AS high,
+               CAST(min(v) AS DOUBLE) AS low,
+               CAST(max(CASE WHEN rz = 1 THEN v END) AS DOUBLE) AS "close",
+               count(*) AS n
+        FROM x GROUP BY 1, 2
+    """,
     "window_tumbling_events": """
         SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
                event_type,

@@ -233,3 +233,37 @@ def test_weighted_reservoir_pushes_partial_topk(spark, sf_small):
     from go_mapreduce_crawler_spark.operators import sampling
     df = sampling.q_sample_weighted(spark, sf_small)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_funnel_is_fold_not_selfjoin(spark, sf_small):
+    """The funnel must be the one-shuffle sorted-fold plan: no join
+    operator anywhere (the naive formulation is 4 self-joins), no
+    Python, and the stage filter pushed into the scan."""
+    from go_mapreduce_crawler_spark.operators import behavior
+    df = behavior.q_funnel_conversion(spark, sf_small)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert not has_python_udf(df)
+    assert "event_type" in pushed_filters(df)
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_small):
+    """OHLC candles must compile to ONE partial+final aggregate
+    (min_by/max_by — SortAggregate, since struct ordering keys aren't
+    hash-aggregable), not the two-pass window formulation the oracle
+    uses — exactly one shuffle, no Window operator."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    df = temporal.q_ohlc_hourly(spark, sf_small)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan
+    assert n_shuffle_exchanges(df) == 1, plan
+
+
+def test_regr_is_single_aggregate(spark, sf_small):
+    """The regression fit is one partial+final agg over exact moments —
+    one shuffle of |types| rows, scalar math after."""
+    from go_mapreduce_crawler_spark.operators import features
+    df = features.q_regr_value_time(spark, sf_small)
+    assert has_partial_and_final_agg(df)
+    assert n_shuffle_exchanges(df) == 1
