@@ -45,7 +45,10 @@ HEADLINE = [
     "window_topk_per_group",
     "window_range_frame_30d",
     "window_tumbling_events",
+    "ohlc_hourly",
     "sort_limit_top20",
+    "funnel_conversion",
+    "basket_rules",
     "sessionize_events",
     "ts_resample_ffill",
     "asof_purchase_view",

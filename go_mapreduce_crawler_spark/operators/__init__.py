@@ -8,12 +8,12 @@ for __spark_entry__.py.
 
 from __future__ import annotations
 
-from . import (asof, behavior, dedup, features, multimodal, relational,
-               sampling, scale, similarity, temporal, text, udx)
+from . import (asof, behavior, dedup, features, graph, multimodal,
+               relational, sampling, scale, similarity, temporal, text, udx)
 
 
 _MODULES = (relational, dedup, similarity, text, multimodal, asof,
-            temporal, scale, sampling, udx, features, behavior)
+            temporal, scale, sampling, udx, features, behavior, graph)
 
 
 def all_queries():

@@ -267,3 +267,12 @@ def test_regr_is_single_aggregate(spark, sf_small):
     df = features.q_regr_value_time(spark, sf_small)
     assert has_partial_and_final_agg(df)
     assert n_shuffle_exchanges(df) == 1
+
+
+def test_basket_rules_supports_broadcast(spark, sf_small):
+    """Item supports and the basket total must not reshuffle the pair
+    counts: both support joins broadcast, and no Python appears."""
+    from go_mapreduce_crawler_spark.operators import graph
+    df = graph.q_basket_rules(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert not has_python_udf(df)
