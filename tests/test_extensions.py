@@ -268,3 +268,17 @@ def test_lsh_components_refine_exact_components(spark, sf_medium):
     for root, members in by_root.items():
         exact_roots = {find_e(m) for m in members}
         assert len(exact_roots) == 1, (root, members, exact_roots)
+
+
+def test_pagerank_is_a_probability_distribution(spark, sf_small):
+    """PageRank on the undirected strong co-purchase graph (no dangling
+    nodes by construction) conserves total mass: ranks are positive and
+    sum to 1 within fp tolerance, over exactly the strong-graph nodes."""
+    from go_mapreduce_crawler_spark.operators import graph
+    pr = graph.q_pagerank_copurchase(spark, sf_small)
+    rows = pr.collect()
+    n_nodes = graph.q_triangle_count(spark, sf_small).collect()[0]["n_nodes"]
+    assert len(rows) == n_nodes
+    total = sum(r["rank_e9"] for r in rows) / 1e9
+    assert abs(total - 1.0) < 1e-6
+    assert all(r["rank_e9"] > 0 for r in rows)
