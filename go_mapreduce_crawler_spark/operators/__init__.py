@@ -8,12 +8,14 @@ for __spark_entry__.py.
 
 from __future__ import annotations
 
-from . import (asof, behavior, dedup, features, graph, multimodal,
-               relational, sampling, scale, similarity, temporal, text, udx)
+from . import (asof, behavior, dedup, features, graph, maintenance, ml,
+               multimodal, relational, sampling, scale, similarity,
+               temporal, text, udx)
 
 
 _MODULES = (relational, dedup, similarity, text, multimodal, asof,
-            temporal, scale, sampling, udx, features, behavior, graph)
+            temporal, scale, sampling, udx, features, behavior, graph,
+            maintenance, ml)
 
 
 def all_queries():

@@ -138,10 +138,39 @@ def q_pagerank_copurchase(spark, sf_dir, n_iter: int = 5, d: float = 0.85):
                      .cast("long").alias("rank_e9"))
 
 
+def q_bfs_hops(spark, sf_dir, n_iter: int = 4):
+    """Bounded-depth single-source BFS: exact hop distance (<= 4) from
+    the smallest node of the strong co-purchase graph, via iterative
+    relax-and-min (Bellman-Ford on unit weights).  Integer-only
+    arithmetic, so unlike PageRank there is NO fp-ordering concern and
+    the recursive-CTE oracle matches exactly.
+
+    Scale: each iteration is one join keyed on the frontier + one
+    min-agg — the Pregel message pattern again.  The dist relation only
+    ever holds reached nodes, so early levels are tiny; at web scale
+    you'd keep dist partitioned by node id so the per-level join is
+    co-located (no repartition between iterations)."""
+    edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb")
+    adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+           .union(edges.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst")))
+           .cache())
+    src_node = adj.agg(F.min("src")).collect()[0][0]
+    dist = spark.createDataFrame([(src_node, 0)], "node bigint, hops int")
+    for _ in range(n_iter):
+        nxt = (adj.join(dist, adj.src == dist.node)
+               .select(F.col("dst").alias("node"),
+                       (F.col("hops") + F.lit(1)).alias("hops")))
+        dist = (dist.union(nxt)
+                .groupBy("node").agg(F.min("hops").alias("hops")))
+    return dist
+
+
 QUERIES = {
     "basket_rules": q_basket_rules,
     "triangle_count": q_triangle_count,
     "pagerank_copurchase": q_pagerank_copurchase,
+    "bfs_hops": q_bfs_hops,
 }
 
 def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
@@ -227,4 +256,23 @@ ORACLE = {
                     AS n_triangles
     """,
     "pagerank_copurchase": _pagerank_oracle(),
+    "bfs_hops": """
+        WITH RECURSIVE
+        items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+        adj AS (SELECT pa AS src, pb AS dst FROM edges
+                UNION ALL SELECT pb, pa FROM edges),
+        walk(node, hops) AS (
+            SELECT (SELECT min(src) FROM adj), 0
+            UNION
+            SELECT a.dst, w.hops + 1
+            FROM walk w JOIN adj a ON a.src = w.node
+            WHERE w.hops < 4)
+        SELECT node, min(hops) AS hops FROM walk GROUP BY 1
+    """,
 }

@@ -1,0 +1,169 @@
+"""Dataset-maintenance operators: snapshot reconciliation (table diff)
+and incremental materialized-view refresh.
+
+The reference engine recomputes its single global aggregate from scratch
+per run (crawler.go:204-255 — the only entry point re-walks the tree);
+a 100 TB corpus can't afford that, so the production pattern is (a) diff
+the new snapshot against the old to find what changed, (b) fold only the
+delta into the maintained aggregate state.  Both are pure DataFrame
+plans here:
+
+- table_diff is ONE full-outer join on the key with null-safe column
+  compares — at scale both sides are bucketed/partitioned by the key so
+  the join is co-located; the changed-row output is tiny relative to
+  the inputs, and nothing is collected to the driver.
+- mv_incremental_refresh is the reference's Accumulate/Combine monoid
+  contract (pool.go:102-121, crawler.go:75-91) applied to GROUPED
+  state: per-group (count, exact-decimal sum, max) partials merge with
+  a full-outer join + coalesce — associative and commutative, so base
+  state can be days old and deltas fold in any order.  Decimal sums
+  make merge order irrelevant bit-for-bit (functions/exact.py).
+
+The "new snapshot" for the diff is derived deterministically from
+``orders`` inside the query (drop keys % 97, reprice keys % 101, add
+keys % 103 re-keyed past the id space) so the operator needs no extra
+fixture and the oracle can rebuild the identical snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+_DROP, _REPRICE, _ADD = 97, 101, 103
+_REKEY = 10_000_000_000
+_SPLIT = "1997-01-01"
+
+
+def _snapshots(spark, sf_dir):
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    kept = (old.filter(F.col("o_orderkey") % _DROP != 0)
+            .withColumn(
+                "o_totalprice",
+                F.when(F.col("o_orderkey") % _REPRICE == 0,
+                       F.col("o_totalprice") + F.lit(1.0))
+                .otherwise(F.col("o_totalprice"))))
+    added = (old.filter(F.col("o_orderkey") % _ADD == 0)
+             .select((F.col("o_orderkey") + F.lit(_REKEY)).alias("o_orderkey"),
+                     "o_totalprice", F.lit("A").alias("o_orderstatus")))
+    return old, kept.unionAll(added)
+
+
+def q_table_diff(spark, sf_dir):
+    """Row-level snapshot reconciliation: classify every key as added /
+    removed / changed between two order snapshots (unchanged rows are
+    filtered out — the whole point is that the diff is small).  The
+    +1.0 reprice is exact IEEE double addition, so old/new prices carry
+    full value parity with the oracle."""
+    old, new = _snapshots(spark, sf_dir)
+    o = old.select(F.col("o_orderkey").alias("k"),
+                   F.col("o_totalprice").alias("old_price"),
+                   F.col("o_orderstatus").alias("old_status"))
+    n = new.select(F.col("o_orderkey").alias("k"),
+                   F.col("o_totalprice").alias("new_price"),
+                   F.col("o_orderstatus").alias("new_status"))
+    j = o.join(n, "k", "full_outer")
+    change = (F.when(F.col("old_price").isNull(), F.lit("added"))
+              .when(F.col("new_price").isNull(), F.lit("removed"))
+              .when(F.col("old_price").eqNullSafe(F.col("new_price"))
+                    & F.col("old_status").eqNullSafe(F.col("new_status")),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (j.select(F.col("k").alias("o_orderkey"),
+                     change.alias("change_type"),
+                     "old_price", "new_price", "old_status", "new_status")
+            .filter(F.col("change_type") != "unchanged"))
+
+
+def q_mv_incremental_refresh(spark, sf_dir):
+    """Merge a maintained per-customer aggregate (orders before
+    1997-01-01) with the delta (orders on/after): count, exact-decimal
+    revenue sum, and latest order day ('yyyy-MM-dd' string — max is
+    lexicographic == chronological) per customer.
+    The merged state is bit-identical to a from-scratch aggregate —
+    pinned by a test — because every component is a commutative monoid.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_SPLIT).cast("timestamp")
+
+    def state(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("m"))
+
+    base = state(orders.filter(F.col("o_orderdate") < split))
+    delta = state(orders.filter(F.col("o_orderdate") >= split))
+    b = base.select(F.col("o_custkey").alias("k"),
+                    F.col("n").alias("n1"), F.col("s").alias("s1"),
+                    F.col("m").alias("m1"))
+    d = delta.select(F.col("o_custkey").alias("k"),
+                     F.col("n").alias("n2"), F.col("s").alias("s2"),
+                     F.col("m").alias("m2"))
+    z = F.lit(0).cast("decimal(18,2)")
+    return (b.join(d, "k", "full_outer")
+            .select(F.col("k").alias("o_custkey"),
+                    (F.coalesce("n1", F.lit(0))
+                     + F.coalesce("n2", F.lit(0))).alias("n_orders"),
+                    (F.coalesce("s1", z) + F.coalesce("s2", z))
+                    .cast("double").alias("sum_total"),
+                    F.greatest(F.coalesce("m1", "m2"),
+                               F.coalesce("m2", "m1")).alias("last_day")))
+
+
+QUERIES = {
+    "table_diff": q_table_diff,
+    "mv_incremental_refresh": q_mv_incremental_refresh,
+}
+
+ORACLE = {
+    "table_diff": f"""
+        WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                     FROM orders),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {_REPRICE} = 0
+                        THEN o_totalprice + CAST(1.0 AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM old WHERE o_orderkey % {_DROP} <> 0
+            UNION ALL
+            SELECT o_orderkey + {_REKEY}, o_totalprice, 'A'
+            FROM old WHERE o_orderkey % {_ADD} = 0),
+        j AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+                   o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+        SELECT o_orderkey,
+               CASE WHEN old_price IS NULL THEN 'added'
+                    WHEN new_price IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               old_price, new_price, old_status, new_status
+        FROM j
+        WHERE NOT (old_price IS NOT DISTINCT FROM new_price
+                   AND old_status IS NOT DISTINCT FROM new_status)
+    """,
+    "mv_incremental_refresh": f"""
+        WITH base AS (
+            SELECT o_custkey, count(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                   MAX(strftime(o_orderdate, '%Y-%m-%d')) AS m
+            FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT}'
+            GROUP BY 1),
+        delta AS (
+            SELECT o_custkey, count(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                   MAX(strftime(o_orderdate, '%Y-%m-%d')) AS m
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{_SPLIT}'
+            GROUP BY 1)
+        SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+               COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n_orders,
+               CAST(COALESCE(b.s, 0) + COALESCE(d.s, 0) AS DOUBLE)
+                   AS sum_total,
+               GREATEST(COALESCE(b.m, d.m), COALESCE(d.m, b.m)) AS last_day
+        FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+    """,
+}

@@ -282,3 +282,37 @@ def test_pagerank_is_a_probability_distribution(spark, sf_small):
     total = sum(r["rank_e9"] for r in rows) / 1e9
     assert abs(total - 1.0) < 1e-6
     assert all(r["rank_e9"] > 0 for r in rows)
+
+
+def test_mv_refresh_equals_from_scratch(spark, sf_small):
+    """The merged (base + delta) grouped state must be bit-identical to
+    a from-scratch aggregate over the full table — the monoid contract
+    the reference requires of Accumulator/Combiner (crawler.go:31)."""
+    from go_mapreduce_crawler_spark.operators import maintenance
+    merged = {r["o_custkey"]: (r["n_orders"], r["sum_total"], r["last_day"])
+              for r in maintenance.q_mv_incremental_refresh(
+                  spark, sf_small).collect()}
+    o = load_table(spark, sf_small, "orders")
+    scratch = {r["o_custkey"]: (r["n"], r["s"], r["m"]) for r in
+               o.groupBy("o_custkey").agg(
+                   F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double").alias("s"),
+                   F.max(F.date_format("o_orderdate", "yyyy-MM-dd"))
+                    .alias("m")).collect()}
+    assert merged == scratch
+
+
+def test_kmeans_assignment_is_total_and_improves(spark, sf_small):
+    """Every vector gets exactly one cluster; the final-assignment
+    objective is no worse than the seed-assignment objective (Lloyd
+    iterations never increase the k-means cost)."""
+    from go_mapreduce_crawler_spark.operators import ml
+    final = ml.q_kmeans_embeddings(spark, sf_small).collect()
+    n_vecs = load_table(spark, sf_small, "embeddings").count()
+    assert len(final) == n_vecs
+    assert len({r["vec_id"] for r in final}) == n_vecs
+    assert len({r["cid"] for r in final}) <= 4
+    seed = ml.q_kmeans_embeddings(spark, sf_small, n_iter=0).collect()
+    assert (sum(r["d2_e6"] for r in final)
+            <= sum(r["d2_e6"] for r in seed))
