@@ -23,14 +23,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos and truncate to micros —
-        # exactly what DuckDB's reader does, so both engines see identical
-        # values.  Integer DIV, never `/`: 1.7e18 nanos overflows double
-        # mantissa precision.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts must come out as session-TZ TIMESTAMP regardless of how
+        # the parquet writer encoded it.  Branch on the loaded dtype:
+        #   * timestamp[us]/[ms] → Spark loads TIMESTAMP_NTZ; cast to
+        #     TIMESTAMP (session TZ is UTC in this engine, so values are
+        #     unchanged and match DuckDB's reading of the same file).
+        #   * timestamp[ns] → Spark's vectorized reader rejects NANOS unless
+        #     nanosAsLong is set; read raw nanos and truncate to micros with
+        #     integer DIV (never `/`: 1.7e18 nanos overflows double mantissa).
+        # Downstream operators (unix_micros in temporal.py) require TIMESTAMP,
+        # so a plain passthrough of TIMESTAMP_NTZ is not enough.
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
