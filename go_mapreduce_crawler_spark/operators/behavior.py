@@ -82,8 +82,12 @@ def q_cohort_retention(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
     firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     cohort = F.date_trunc("week", "first_ts")
+    # The cohort bucket leaves the engine as an ISO date STRING: pandas
+    # materializes Spark timestamps as ns, DuckDB's as us, and Spark
+    # dates as object — a temporal column hash-mismatches on dtype
+    # alone, while yyyy-MM-dd renders identically in both engines.
     return (e.join(firsts, "user_id")
-             .groupBy(cohort.alias("cohort_week"),
+             .groupBy(F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
                       (F.datediff(F.date_trunc("week", "ts"), cohort) / 7)
                       .cast("int").alias("week_offset"))
              .agg(F.countDistinct("user_id").alias("users")))
@@ -166,7 +170,7 @@ ORACLE = {
     "cohort_retention": """
         WITH f AS (SELECT user_id, min(ts) AS first_ts
                    FROM events GROUP BY 1)
-        SELECT date_trunc('week', f.first_ts) AS cohort_week,
+        SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
                CAST(date_diff('day', date_trunc('week', f.first_ts),
                               date_trunc('week', e.ts)) // 7 AS INT)
                    AS week_offset,

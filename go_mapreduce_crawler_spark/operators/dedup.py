@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 MINHASH_K = 32        # minhash signature length
 LSH_BANDS = 8         # bands of r = K/BANDS rows each
@@ -41,18 +41,14 @@ JACCARD_T = 0.5       # near-dup threshold
 
 
 def _docs(spark, sf_dir):
-    """documents, spread to engine parallelism.
+    """documents, spread to engine parallelism (gated — see tables.spread).
 
-    The test files are a single parquet split, so without an explicit
-    repartition every row-local fingerprint/shingle computation runs in
-    ONE task — the expression work here is CPU-bound (interpreted
-    higher-order functions), so spreading a few MB of text across cores
-    is a pure win.  On a real 100 TB corpus the scan itself yields
-    thousands of splits and this repartition collapses to a no-op-sized
-    shuffle; it exists to make small inputs saturate the machine too.
+    The row-local fingerprint/shingle work here is CPU-bound
+    (interpreted higher-order functions), so a single-split test file
+    must be spread across cores; on a 100 TB corpus the scan already
+    yields thousands of splits and spread() is a no-op — no shuffle.
     """
-    n = load_table(spark, sf_dir, "documents")
-    return n.repartition(n.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    return spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
 def _words(spark, sf_dir) -> DataFrame:
@@ -244,6 +240,12 @@ def q_dedup_simhash(spark, sf_dir):
 
 COSINE_DUP_T = 0.4    # the synthetic embeddings top out at cos ~0.51
 
+# q_dedup_embedding ships the whole corpus in the kernel closure — exact
+# all-pairs is only sane for corpora that fit an executor comfortably.
+# 1M rows x 64 dims x 8 bytes = 512 MB of closure: refuse well before
+# that instead of OOMing executors at 100x scale.
+EMBED_DEDUP_MAX_ROWS = 250_000
+
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine >= 0.4), exact.
@@ -263,16 +265,23 @@ def q_dedup_embedding(spark, sf_dir):
        124,750 sf0.01 pairs), so the value oracle still holds exactly.
 
     The corpus matrix rides in the kernel closure — bounded at test SF
-    (512 KB at sf0.1).  This exact all-pairs form is inherently
-    quadratic; at 100 TB use the LSH-bucketed path
-    (similarity.q_ann_lsh / dedup_components_lsh) where candidates come
-    from one bucket shuffle instead of a closure matrix.
+    (512 KB at sf0.1) and GATED at EMBED_DEDUP_MAX_ROWS: above that the
+    closure would OOM executors, so the operator refuses and points at
+    the LSH-bucketed path (similarity.q_ann_lsh / dedup_components_lsh)
+    where candidates come from one bucket shuffle instead of a closure
+    matrix.  This exact all-pairs form is inherently quadratic.
     """
     import numpy as np
     import pandas as pd
 
     e = (load_table(spark, sf_dir, "embeddings")
          .withColumn("nrm", l2_norm("embedding")))
+    n_rows = e.count()   # scalar action, not a collect
+    if n_rows > EMBED_DEDUP_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is exact all-pairs with the corpus in "
+            f"the kernel closure; {n_rows} rows > {EMBED_DEDUP_MAX_ROWS} "
+            f"bound. Use dedup_components_lsh / ann_lsh_cosine at scale.")
     corpus = e.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in corpus], dtype=np.int64)
     m = np.array([r.embedding for r in corpus], dtype=np.float64)

@@ -194,7 +194,7 @@ ORACLE = {
     # feature kernel is sha256-based — deterministic but not SQL; the
     # frame-sample count IS SQL-expressible from documents:
     "multimodal_frame_sample": """
-        SELECT SUM(CAST(FLOOR((n_chars % 120) / 10) + 1 AS BIGINT)) AS n_frames_sampled,
+        SELECT SUM(CAST(FLOOR((n_chars % 120) / 10) + 1 AS BIGINT))::BIGINT AS n_frames_sampled,
                COUNT(DISTINCT doc_id) AS n_media
         FROM documents
     """,
@@ -203,7 +203,7 @@ ORACLE = {
                                WHEN 1 THEN 'audio'
                                ELSE 'video' END AS kind,
                COUNT(*) AS n_media,
-               SUM(LEAST(octet_length(encode(text)), 4096)) AS total_bytes
+               SUM(LEAST(octet_length(encode(text)), 4096))::BIGINT AS total_bytes
         FROM documents GROUP BY 1
     """,
 }

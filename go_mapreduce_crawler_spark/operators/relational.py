@@ -963,10 +963,14 @@ def q_scalar_map(spark, sf_dir):
             .agg(F.map_from_entries(
                 F.array_sort(F.collect_list(F.struct("event_type", "cnt"))))
                 .alias("hist")))
+    # Array outputs ride as comma-joined strings: the driver's oracle
+    # canonicalizer can't hash list cells, and int→string is the one
+    # rendering both engines agree on bit-for-bit.
     return m.select(
         "user_id",
-        F.map_keys("hist").alias("types"),
-        F.map_values("hist").alias("counts"),
+        F.concat_ws(",", F.map_keys("hist")).alias("types"),
+        F.concat_ws(",", F.transform(F.map_values("hist"),
+                                     lambda c: c.cast("string"))).alias("counts"),
         F.coalesce(F.element_at("hist", F.lit("click")), F.lit(0)).alias("n_click"),
         F.size("hist").alias("n_types"))
 
@@ -975,7 +979,8 @@ def q_collect_sorted(spark, sf_dir):
     """Array aggregation: sorted distinct event types per user."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
     return (e.groupBy("user_id")
-             .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
+             .agg(F.concat_ws(",", F.array_sort(F.collect_set("event_type")))
+                   .alias("types"),
                   F.count(F.lit(1)).alias("n_events")))
 
 
@@ -1004,8 +1009,13 @@ def q_scalar_array_hof(spark, sf_dir):
                        lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x), 6)
          .alias("dot_rev"),
-        F.transform(F.slice(arr, 1, 3),
-                    lambda x: F.round(x.cast("double") * 2, 6))
+        # decimal(18,6)→string renders identically in Spark and DuckDB
+        # (fixed scale, no sci-notation, -0.0 normalized), so the array
+        # hashes portably as one comma-joined string.
+        F.concat_ws(",", F.transform(
+            F.slice(arr, 1, 3),
+            lambda x: F.round(x.cast("double") * 2, 6)
+                       .cast("decimal(18,6)").cast("string")))
          .alias("first3_x2"))
 
 
@@ -1443,9 +1453,9 @@ ORACLE = {
                     WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
                     ELSE 'slow' END AS delay_bucket,
                SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count,
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count,
                COUNT(*) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
@@ -1701,14 +1711,14 @@ ORACLE = {
     "scalar_json": """
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               SUM(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
     """,
     "collect_sorted_arrays": """
         SELECT user_id,
-               list_sort(list(DISTINCT event_type)) AS types,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
                COUNT(*) AS n_events
         FROM events WHERE user_id <= 50 GROUP BY user_id
     """,
@@ -1722,8 +1732,8 @@ ORACLE = {
                    MAX(CASE WHEN event_type = 'click' THEN cnt END) AS click_cnt
             FROM per GROUP BY user_id)
         SELECT user_id,
-               list_transform(l, x -> x.event_type) AS types,
-               list_transform(l, x -> x.cnt) AS counts,
+               array_to_string(list_transform(l, x -> x.event_type), ',') AS types,
+               array_to_string(list_transform(l, x -> CAST(x.cnt AS VARCHAR)), ',') AS counts,
                COALESCE(click_cnt, 0) AS n_click,
                len(l) AS n_types
         FROM agg
@@ -1777,8 +1787,9 @@ ORACLE = {
                        list_transform(list_zip(embedding, list_reverse(embedding)),
                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
                    (acc, x) -> acc + x), 6) AS dot_rev,
-               list_transform(embedding[1:3],
-                              x -> ROUND(CAST(x AS DOUBLE) * 2, 6)) AS first3_x2
+               array_to_string(list_transform(embedding[1:3],
+                   x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 2, 6)
+                             AS DECIMAL(18,6)) AS VARCHAR)), ',') AS first3_x2
         FROM embeddings
     """,
     "scd2_upsert": """
@@ -1807,7 +1818,7 @@ ORACLE = {
         sess AS (
             SELECT user_id, ts, value,
                    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
             FROM seq)
         SELECT user_id, session_id,
                COUNT(*) AS n_events,

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.vectors import dot, l2_norm
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 TOP_K = 10
 DIM = 64
@@ -41,9 +41,9 @@ LSH_BANDS_ANN = 12
 
 def _emb(spark, sf_dir):
     """embeddings, spread to engine parallelism — the corpus side of the
-    scoring joins carries the per-row fold work (see dedup._docs)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    scoring joins carries the per-row fold work (see dedup._docs).
+    Gated: no shuffle when the scan already yields enough splits."""
+    return spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
 
 def q_knn_bruteforce(spark, sf_dir):

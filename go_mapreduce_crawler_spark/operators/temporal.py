@@ -210,7 +210,11 @@ def q_ohlc_hourly(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     v = dec("value", MONEY)
     key = F.struct("ts", "event_id")
-    return (e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+    # Bucket leaves the engine as epoch micros (house determinism rule:
+    # pandas materializes Spark timestamps as ns and DuckDB's as us, so
+    # a raw timestamp column hash-mismatches on dtype alone).
+    return (e.groupBy("event_type",
+                      F.unix_micros(F.date_trunc("hour", "ts")).alias("hr_us"))
              .agg(F.min_by(v, key).cast("double").alias("open"),
                   F.max(v).cast("double").alias("high"),
                   F.min(v).cast("double").alias("low"),
@@ -231,7 +235,7 @@ QUERIES = {
 ORACLE = {
     "ohlc_hourly": """
         WITH x AS (
-            SELECT event_type, date_trunc('hour', ts) AS hr,
+            SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
                    CAST(value AS DECIMAL(12,2)) AS v,
                    ROW_NUMBER() OVER (PARTITION BY event_type,
                                                    date_trunc('hour', ts)
@@ -240,7 +244,7 @@ ORACLE = {
                                                    date_trunc('hour', ts)
                                       ORDER BY ts DESC, event_id DESC) AS rz
             FROM events)
-        SELECT event_type, hr,
+        SELECT event_type, hr_us,
                CAST(max(CASE WHEN ra = 1 THEN v END) AS DOUBLE) AS "open",
                CAST(max(v) AS DOUBLE) AS high,
                CAST(min(v) AS DOUBLE) AS low,

@@ -203,9 +203,14 @@ def q_text_inverted_index(spark, sf_dir):
     d = _docs(spark, sf_dir)
     words = d.select("doc_id", F.explode(
         F.array_distinct(F.split("text", " "))).alias("word"))
+    # Posting list rides as a comma-joined string — the driver's oracle
+    # canonicalizer can't hash list cells, and int→string renders
+    # identically in both engines.
     return (words.groupBy("word")
             .agg(F.count(F.lit(1)).alias("df"),
-                 F.sort_array(F.collect_set("doc_id")).alias("postings"))
+                 F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_set("doc_id")),
+                     lambda x: x.cast("string"))).alias("postings"))
             .filter(F.col("df") >= 2))
 
 
@@ -383,7 +388,7 @@ ORACLE = {
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
             FROM documents)
         SELECT word, COUNT(*) AS df,
-               list_sort(list(doc_id)) AS postings
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM words GROUP BY word
         HAVING COUNT(*) >= 2
     """,

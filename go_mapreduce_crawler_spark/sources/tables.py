@@ -44,6 +44,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a narrow scan up to engine parallelism — gated.
+
+    The test fixtures are single-split parquet files, so row-local CPU
+    work (shingling, vector folds) would otherwise run in ONE task; the
+    repartition spreads a few MB across all cores.  On a real corpus the
+    scan already yields thousands of splits, and an unconditional
+    repartition would be a gratuitous full shuffle of the table — so
+    this is a no-op whenever the scan's split count already reaches the
+    engine's parallelism (checked from the plan, no job is launched).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for name in TABLES:

@@ -316,3 +316,14 @@ def test_kmeans_assignment_is_total_and_improves(spark, sf_small):
     seed = ml.q_kmeans_embeddings(spark, sf_small, n_iter=0).collect()
     assert (sum(r["d2_e6"] for r in final)
             <= sum(r["d2_e6"] for r in seed))
+
+
+def test_dedup_embedding_refuses_oversized_corpus(spark, sf_small, monkeypatch):
+    """The exact all-pairs dedup ships the corpus in the kernel closure;
+    above EMBED_DEDUP_MAX_ROWS it must refuse (pointing at the LSH path)
+    instead of OOMing executors at scale."""
+    from go_mapreduce_crawler_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "EMBED_DEDUP_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="lsh"):
+        dd.q_dedup_embedding(spark, sf_small)

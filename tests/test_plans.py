@@ -276,3 +276,24 @@ def test_basket_rules_supports_broadcast(spark, sf_small):
     df = graph.q_basket_rules(spark, sf_small)
     assert has_broadcast_join(df)
     assert not has_python_udf(df)
+
+
+def test_spread_is_gated_on_scan_splits(spark, sf_small, tmp_path):
+    """spread() must be a NO-OP when the scan already yields >= cores
+    splits — the unconditional form was a gratuitous full shuffle of the
+    corpus at 100 TB (scans there arrive in thousands of splits)."""
+    from go_mapreduce_crawler_spark.sources.tables import load_table, spread
+
+    par = spark.sparkContext.defaultParallelism
+    # single-split test file -> must spread up to parallelism
+    docs = load_table(spark, sf_small, "documents")
+    assert docs.rdd.getNumPartitions() < par
+    assert spread(docs, "doc_id").rdd.getNumPartitions() == par
+
+    # pre-split input (>= cores splits) -> identical plan, no Exchange
+    p = str(tmp_path / "presplit")
+    docs.repartition(par * 2).write.parquet(p)
+    wide = spark.read.parquet(p)
+    assert wide.rdd.getNumPartitions() >= par
+    out = spread(wide, "doc_id")
+    assert "Exchange" not in physical_plan(out), physical_plan(out)[:1000]
