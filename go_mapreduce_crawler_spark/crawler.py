@@ -8,7 +8,14 @@ Semantics reproduced (SURVEY.md §2.1 op 6, §2.2 error-handling row):
   (Transform; crawler.go:158-201).  Unknown fields dropped, missing
   fields -> zero values — matched via PERMISSIVE parse + coalesce.
 * A malformed / unreadable file contributes the **neutral element** (Go
-  zero value) and the pipeline continues (crawler.go:173-199).
+  zero value) and the pipeline continues (crawler.go:173-199).  The
+  reference's error matrix (crawler_test.go:395-455) distinguishes five
+  failure kinds — open-panic, open-error, read-error, readdir-panic,
+  readdir-error — all with the same contract: neutral element + recorded
+  error + pipeline continues.  Spark-side mapping: decode failures ride
+  the PERMISSIVE ``_corrupt_record`` channel; I/O-unreadable files are
+  skipped by the scan (``ignoreCorruptFiles``) and restored as neutral
+  elements by anti-joining the listing (see ``collect``).
 * Fold records into partial aggregates, combine partials into one final
   result (Accumulate + Combine; monoid contract crawler.go:31, 41-43) —
   Spark's partial+final HashAggregate implements exactly this contract.
@@ -33,7 +40,18 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .sources.crawl import list_files
+
 _CORRUPT = "_corrupt_record"
+
+
+def _norm_path(col: Column) -> Column:
+    """Canonical local form of a file URI.
+
+    ``binaryFile`` listing yields ``file:/p``, ``input_file_name()``
+    yields ``file:///p`` — normalize both so the unreadable-file
+    anti-join keys match."""
+    return F.regexp_replace(col, "^file:/+", "/")
 
 
 @dataclass
@@ -79,7 +97,8 @@ class Crawler:
         self.spark = spark
         self.config = config or CrawlConfig()
 
-    def read_records(self, root: str, schema: T.StructType) -> DataFrame:
+    def read_records(self, root: str, schema: T.StructType,
+                     skip_unreadable: bool = False) -> DataFrame:
         """Transform stage: every file under root -> one record row.
 
         PERMISSIVE mode + ``_corrupt_record`` reproduces "bad record keeps
@@ -87,17 +106,25 @@ class Crawler:
         zero values so they contribute the neutral element.
         ``wholetext=true`` matches the reference's one-JSON-object-per-file
         model (crawler.go:189-199).
+
+        ``skip_unreadable`` maps the reference's open-error / read-error
+        kinds (crawler.go:173-199): I/O failures mid-scan (truncated
+        gzip, permission denial, file vanished after listing) drop the
+        file from THIS frame instead of failing the job; ``collect``
+        restores each as a neutral element by diffing the listing.
         """
         read_schema = T.StructType(
             list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
         )
+        flag = "true" if skip_unreadable else "false"
         return (
             self.spark.read.schema(read_schema)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", _CORRUPT)
             .option("wholetext", "true")
             .option("recursiveFileLookup", "true")
-            .option("ignoreCorruptFiles", "false")
+            .option("ignoreCorruptFiles", flag)
+            .option("ignoreMissingFiles", flag)
             .json(root)
             .withColumn("_file", F.input_file_name())
         )
@@ -112,11 +139,19 @@ class Crawler:
 
         ``agg_exprs``: result-field -> aggregate Column over the record
         fields (defaults to sum of every numeric field — the app.go:54
-        golden).  Everything runs in one job: scan+decode+partial-agg per
-        task, single final-agg after the shuffle, plus corrupt-file
-        accounting folded into the same pass (no second scan).
+        golden).  The record scan runs as one job: scan+decode+partial-agg
+        per task, single final-agg after the shuffle, plus corrupt-file
+        accounting folded into the same pass.
+
+        Unreadable files (reference open-error/read-error kinds): the
+        scan skips them (``ignoreCorruptFiles``), and a metadata-only
+        listing anti-joined against the scanned ``_file`` set restores
+        each as a neutral-element row with a recorded error — the
+        reference contract for all five failure kinds
+        (crawler_test.go:395-455).  The diff join shuffles only file
+        PATHS (never payloads), so at a million files it moves megabytes.
         """
-        records = self.read_records(root, schema)
+        records = self.read_records(root, schema, skip_unreadable=True)
 
         # Neutral-element semantics: null (corrupt or missing) -> zero value.
         clean_cols = []
@@ -129,8 +164,21 @@ class Crawler:
         clean = records.select(
             *clean_cols,
             F.col(_CORRUPT).isNotNull().alias("_is_corrupt"),
+            _norm_path(F.col("_file")).alias("_file"),
+        )
+
+        # Files the scan could not read at all (vs decode failures, which
+        # arrive as _corrupt_record rows): listed minus scanned.
+        listed = list_files(self.spark, root).select(
+            _norm_path(F.col("path")).alias("_file"))
+        unreadable = listed.join(clean.select("_file"), "_file", "left_anti")
+        neutral = unreadable.select(
+            *[F.lit(zero_value(f_.dataType)).cast(f_.dataType).alias(f_.name)
+              for f_ in schema.fields],
+            F.lit(True).alias("_is_corrupt"),
             F.col("_file"),
         )
+        clean = clean.unionByName(neutral)
 
         if self.config.accumulator_workers:
             clean = clean.repartition(self.config.accumulator_workers)
@@ -152,7 +200,7 @@ class Crawler:
         n_files = row.pop("_n_files") or 0
         n_corrupt = row.pop("_n_corrupt") or 0
         err_file = row.pop("_err_file")
-        error = f"corrupt record in {err_file}" if n_corrupt else None
+        error = f"corrupt or unreadable file: {err_file}" if n_corrupt else None
         # Zero-file tree => neutral-element result, like the reference's
         # zero-initialized finalResult (crawler.go:231).
         for k, v in list(row.items()):

@@ -505,9 +505,12 @@ ORACLE = {
         FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
         WHERE levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) <= 10
     """,
+    # MATERIALIZED: DuckDB inlines single-reference CTEs, so without it
+    # the words self-join re-evaluates inside every recursive-CTE
+    # iteration (measured 12.3s -> 3.9s at sf0.01).
     "dedup_components": """
         WITH RECURSIVE
-        words AS (
+        words AS MATERIALIZED (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
             FROM documents),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
@@ -516,13 +519,13 @@ ORACLE = {
             FROM words a JOIN words b
               ON a.word = b.word AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
-        jp AS (
+        jp AS MATERIALIZED (
             SELECT doc_a, doc_b
             FROM common
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.5),
-        edges AS (SELECT doc_a, doc_b FROM jp
+        edges AS MATERIALIZED (SELECT doc_a, doc_b FROM jp
                   UNION SELECT doc_b, doc_a FROM jp),
         nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
         reach(node, lbl) AS (

@@ -71,6 +71,7 @@ class Pool:
         df: DataFrame,
         transformer: Sequence[Column] | Callable[[pd.DataFrame], pd.DataFrame],
         schema: str | None = None,
+        default: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Parallel map over rows.
 
@@ -79,6 +80,15 @@ class Pool:
         * Python callable (pandas batch -> pandas batch) -> ``mapInPandas``
           with Arrow transfer; requires ``schema``.
         Output order is not defined, matching the reference.
+
+        ``default``: per-record panic recovery (reference
+        crawler.go:164-171 wraps the transformer in ``recover()`` — a
+        panicking record yields the zero value and the pipeline
+        continues).  When set, a raising batch is retried row-by-row so
+        healthy rows survive, and each failing row contributes one
+        ``default`` row instead of failing the task.  Left None, a raise
+        propagates as a task failure (fail-fast — the right default for
+        production ETL).
         """
         if callable(transformer) and not isinstance(transformer, Column):
             if schema is None:
@@ -86,7 +96,23 @@ class Pool:
 
             def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
-                    yield transformer(pdf)
+                    if default is None:
+                        yield transformer(pdf)
+                        continue
+                    try:
+                        yield transformer(pdf)
+                    except Exception:
+                        # Batch poisoned: isolate the bad rows so the
+                        # rest still transform (recover-per-record).
+                        out = []
+                        for i in range(len(pdf)):
+                            row = pdf.iloc[i:i + 1]
+                            try:
+                                out.append(transformer(row))
+                            except Exception:
+                                out.append(pd.DataFrame([default]))
+                        if out:
+                            yield pd.concat(out, ignore_index=True)
 
             return df.mapInPandas(run, schema=schema)
         return df.select(*transformer)

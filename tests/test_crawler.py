@@ -184,3 +184,69 @@ def test_pool_partials_at_most_one_per_partition(spark):
     rows = partials.collect()
     assert len(rows) <= 5
     assert sum(r.s for r in rows) == 5050
+
+
+def test_unreadable_file_contributes_neutral_element(spark, golden_tree):
+    """Reference error matrix (crawler_test.go:395-455) open-error /
+    read-error kinds: a file the scan cannot READ at all (here: a
+    truncated gzip the codec chokes on mid-stream, vs a decode failure
+    the PERMISSIVE parser catches) must still contribute the neutral
+    element and a recorded error while the pipeline continues — not fail
+    the job."""
+    os.makedirs(f"{golden_tree}/io", exist_ok=True)
+    with open(f"{golden_tree}/io/broken.json.gz", "wb") as f:
+        f.write(b"\x1f\x8b\x08 this is not a valid gzip stream")
+    res = Crawler(spark).collect(golden_tree, SCHEMA)
+    assert res.value == {"data_sum": 300}
+    assert res.n_files == 4
+    assert res.n_corrupt == 1
+    assert res.error is not None and "broken.json.gz" in res.error
+
+
+def test_unreadable_and_corrupt_files_both_counted(spark, golden_tree):
+    """Both failure channels at once — decode failure (PERMISSIVE
+    _corrupt_record) and read failure (scan skip + listing diff) — each
+    contributes the neutral element; the recorded error is the
+    deterministic lexicographic first."""
+    _write(f"{golden_tree}/bad/bad.json", "{not valid json!!")
+    os.makedirs(f"{golden_tree}/io", exist_ok=True)
+    with open(f"{golden_tree}/io/broken.json.gz", "wb") as f:
+        f.write(b"\x1f\x8b\x08 this is not a valid gzip stream")
+    res = Crawler(spark).collect(golden_tree, SCHEMA)
+    assert res.value == {"data_sum": 300}
+    assert res.n_files == 5
+    assert res.n_corrupt == 2
+    assert res.error is not None
+
+
+def test_transform_recovers_per_record(spark):
+    """pool.go:225-243 + crawler.go:164-171: a transformer that panics on
+    one record must yield the default (zero value) for THAT record only —
+    every healthy record still transforms, the task does not fail."""
+    import pandas as pd
+
+    df = spark.range(0, 8, 1, 2).toDF("x")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["x"] == 5).any():
+            raise RuntimeError("poison record")
+        return pd.DataFrame({"y": pdf["x"] * 10})
+
+    out = Pool(spark).transform(df, kernel, schema="y long",
+                                default={"y": -1})
+    got = sorted(r.y for r in out.collect())
+    assert got == [-1, 0, 10, 20, 30, 40, 60, 70]
+
+
+def test_transform_without_default_fails_fast(spark):
+    """Left default=None, a raising kernel is a task failure (fail-fast),
+    not silent data loss."""
+    import pandas as pd
+
+    df = spark.range(0, 4).toDF("x")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        raise RuntimeError("boom")
+
+    with pytest.raises(Exception):
+        Pool(spark).transform(df, kernel, schema="y long").collect()
