@@ -40,7 +40,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .sources.crawl import list_files
+from .sources.crawl import list_files, list_files_bfs
+from .sources.pyfs import FileSystem
 
 _CORRUPT = "_corrupt_record"
 
@@ -75,6 +76,7 @@ class CrawlResult:
     value: dict[str, Any]
     n_files: int = 0
     n_corrupt: int = 0
+    n_dir_errors: int = 0
     error: str | None = None
 
 
@@ -129,11 +131,91 @@ class Crawler:
             .withColumn("_file", F.input_file_name())
         )
 
+    def read_records_fs(
+        self, root: str, schema: T.StructType, filesystem: FileSystem,
+    ) -> tuple[DataFrame, list[tuple[str, str]]]:
+        """Transform stage over a PLUGGABLE FileSystem (the reference's
+        fs.FileSystem seam, internal/fs/filesystem.go:19-41 — the hook
+        its whole error-injection matrix runs through).
+
+        Listing runs the level-synchronous BFS with the seam's
+        ``read_dir`` (readdir failures recorded, subtree skipped, crawl
+        continues); reads+decodes run in Arrow-batched tasks with the
+        filesystem object shipped in the closure — one task per
+        ``file_workers`` slice, the Spark analogue of the reference
+        handing the FileSystem to each worker goroutine.  A file whose
+        ``open`` raises or whose JSON doesn't decode to the declared
+        field types yields a ``_is_corrupt`` row (Go json.Decode fails
+        the whole file -> zero value, crawler.go:189-199).
+
+        Use the Spark-native ``read_records`` for any storage Spark has a
+        connector for — this seam is for custom/virtual filesystems and
+        fault injection.
+        """
+        files, dir_errors = list_files_bfs(
+            self.spark, root, workers=self.config.search_workers,
+            searcher=filesystem.read_dir, on_error="record")
+
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_is_corrupt", T.BooleanType(), False),
+               T.StructField("_file", T.StringType(), False)])
+        if not files:
+            return self.spark.createDataFrame([], out_schema), dir_errors
+
+        _OK_TYPES = {
+            T.LongType(): int, T.IntegerType(): int, T.ShortType(): int,
+            T.ByteType(): int, T.DoubleType(): (int, float),
+            T.FloatType(): (int, float), T.StringType(): str,
+            T.BooleanType(): bool,
+        }
+        fields = [(f_.name, _OK_TYPES.get(f_.dataType)) for f_ in schema.fields]
+
+        def kernel(batches):
+            import json as _json
+
+            import pandas as _pd
+
+            for pdf in batches:
+                rows = []
+                for p in pdf["_file"]:
+                    row: dict[str, Any] = {name: None for name, _ in fields}
+                    corrupt = False
+                    try:
+                        obj = _json.loads(filesystem.open(p))
+                        if not isinstance(obj, dict):
+                            raise ValueError("not a JSON object")
+                        for name, ok in fields:
+                            v = obj.get(name)
+                            if v is None:
+                                continue  # missing field -> zero, not error
+                            if ok is not None and (not isinstance(v, ok)
+                                                   or isinstance(v, bool)
+                                                   and ok is not bool):
+                                raise ValueError(f"field {name}: bad type")
+                            row[name] = v
+                    except Exception:
+                        corrupt = True
+                        row = {name: None for name, _ in fields}
+                    row["_is_corrupt"] = corrupt
+                    row["_file"] = p
+                    rows.append(row)
+                yield _pd.DataFrame(
+                    rows, columns=[n for n, _ in fields] + ["_is_corrupt", "_file"])
+
+        paths = self.spark.createDataFrame(
+            [(p,) for p in files], T.StructType(
+                [T.StructField("_file", T.StringType(), False)]))
+        n_parts = max(1, min(self.config.file_workers, len(files)))
+        return (paths.repartition(n_parts).mapInPandas(kernel, out_schema),
+                dir_errors)
+
     def collect(
         self,
         root: str,
         schema: T.StructType,
         agg_exprs: dict[str, Column] | None = None,
+        filesystem: FileSystem | None = None,
     ) -> CrawlResult:
         """The flagship pipeline (reference crawler.go:204-255).
 
@@ -150,9 +232,12 @@ class Crawler:
         reference contract for all five failure kinds
         (crawler_test.go:395-455).  The diff join shuffles only file
         PATHS (never payloads), so at a million files it moves megabytes.
-        """
-        records = self.read_records(root, schema, skip_unreadable=True)
 
+        ``filesystem``: route listing + reading through a pluggable
+        FileSystem (``read_records_fs``) instead of Spark's connectors —
+        the reference's fs.FileSystem seam.  readdir failures are
+        recorded and the crawl continues.
+        """
         # Neutral-element semantics: null (corrupt or missing) -> zero value.
         clean_cols = []
         for f_ in schema.fields:
@@ -161,24 +246,30 @@ class Crawler:
             if z is not None:
                 col = F.coalesce(col, F.lit(z).cast(f_.dataType))
             clean_cols.append(col.alias(f_.name))
-        clean = records.select(
-            *clean_cols,
-            F.col(_CORRUPT).isNotNull().alias("_is_corrupt"),
-            _norm_path(F.col("_file")).alias("_file"),
-        )
 
-        # Files the scan could not read at all (vs decode failures, which
-        # arrive as _corrupt_record rows): listed minus scanned.
-        listed = list_files(self.spark, root).select(
-            _norm_path(F.col("path")).alias("_file"))
-        unreadable = listed.join(clean.select("_file"), "_file", "left_anti")
-        neutral = unreadable.select(
-            *[F.lit(zero_value(f_.dataType)).cast(f_.dataType).alias(f_.name)
-              for f_ in schema.fields],
-            F.lit(True).alias("_is_corrupt"),
-            F.col("_file"),
-        )
-        clean = clean.unionByName(neutral)
+        dir_errors: list[tuple[str, str]] = []
+        if filesystem is not None:
+            records, dir_errors = self.read_records_fs(root, schema, filesystem)
+            clean = records.select(*clean_cols, "_is_corrupt", "_file")
+        else:
+            records = self.read_records(root, schema, skip_unreadable=True)
+            clean = records.select(
+                *clean_cols,
+                F.col(_CORRUPT).isNotNull().alias("_is_corrupt"),
+                _norm_path(F.col("_file")).alias("_file"),
+            )
+            # Files the scan could not read at all (vs decode failures,
+            # which arrive as _corrupt_record rows): listed minus scanned.
+            listed = list_files(self.spark, root).select(
+                _norm_path(F.col("path")).alias("_file"))
+            unreadable = listed.join(clean.select("_file"), "_file", "left_anti")
+            neutral = unreadable.select(
+                *[F.lit(zero_value(f_.dataType)).cast(f_.dataType).alias(f_.name)
+                  for f_ in schema.fields],
+                F.lit(True).alias("_is_corrupt"),
+                F.col("_file"),
+            )
+            clean = clean.unionByName(neutral)
 
         if self.config.accumulator_workers:
             clean = clean.repartition(self.config.accumulator_workers)
@@ -200,11 +291,17 @@ class Crawler:
         n_files = row.pop("_n_files") or 0
         n_corrupt = row.pop("_n_corrupt") or 0
         err_file = row.pop("_err_file")
+        # The reference records "any one" error (its first-error is a
+        # sync.Once race, crawler.go:131); ours is the deterministic
+        # lexicographic first across file and readdir failures.
         error = f"corrupt or unreadable file: {err_file}" if n_corrupt else None
+        if dir_errors and (err_file is None or dir_errors[0][0] < err_file):
+            error = f"readdir error: {dir_errors[0][1]}"
         # Zero-file tree => neutral-element result, like the reference's
         # zero-initialized finalResult (crawler.go:231).
         for k, v in list(row.items()):
             if v is None:
                 row[k] = 0
         return CrawlResult(value=row, n_files=n_files,
-                           n_corrupt=n_corrupt, error=error)
+                           n_corrupt=n_corrupt,
+                           n_dir_errors=len(dir_errors), error=error)

@@ -64,28 +64,51 @@ def list_files_bfs(
     root: str,
     workers: int = 32,
     searcher: Callable[[str], tuple[list[str], list[str]]] | None = None,
-) -> list[str]:
+    on_error: str = "raise",
+) -> list[str] | tuple[list[str], list[tuple[str, str]]]:
     """Level-synchronous BFS listing (reference pool.go:168-196 semantics).
 
     Returns the full list of file paths.  Only directory paths (the
     frontier) transit the driver between levels; file paths are collected
     at the end — callers that need true no-driver-materialization use
     ``list_files`` instead.
+
+    ``on_error="record"``: a raising searcher (the reference's
+    readdir-error / readdir-panic kinds, crawler_test.go:417-427) records
+    ``(dir_path, message)`` instead of failing the job — that directory's
+    subtree is unreachable, everything else continues — and the return
+    becomes ``(files, errors)``.
     """
     searcher = searcher or _default_searcher
     sc = spark.sparkContext
     frontier = [root]
     all_files: list[str] = []
+    errors: list[tuple[str, str]] = []
+    record = on_error == "record"
 
-    def search_partition(paths: Iterable[str]) -> Iterator[tuple[list[str], list[str]]]:
+    def search_partition(
+        paths: Iterable[str],
+    ) -> Iterator[tuple[list[str], list[str], tuple[str, str] | None]]:
         for p in paths:
-            yield searcher(p)
+            if record:
+                try:
+                    dirs, files = searcher(p)
+                except Exception as ex:  # readdir-error/panic -> recorded
+                    yield [], [], (p, f"{p}: {ex}")
+                    continue
+                yield dirs, files, None
+            else:
+                dirs, files = searcher(p)
+                yield dirs, files, None
 
     while frontier:
         n_parts = max(1, min(workers, len(frontier)))
         level = (sc.parallelize(frontier, n_parts)
                  .mapPartitions(search_partition)
                  .collect())
-        frontier = [d for dirs, _ in level for d in dirs]
-        all_files.extend(f for _, files in level for f in files)
+        frontier = [d for dirs, _, _ in level for d in dirs]
+        all_files.extend(f for _, files, _ in level for f in files)
+        errors.extend(pair for _, _, pair in level if pair)
+    if record:
+        return sorted(all_files), sorted(errors)
     return sorted(all_files)

@@ -250,3 +250,88 @@ def test_transform_without_default_fails_fast(spark):
 
     with pytest.raises(Exception):
         Pool(spark).transform(df, kernel, schema="y long").collect()
+
+
+# ---- Pluggable FileSystem seam (reference internal/fs/filesystem.go) ----
+
+def _faulty_fs(open_fail=(), open_panic=(), dir_fail=(), dir_panic=()):
+    """Fault-injecting FileSystem — the Spark analogue of the reference's
+    gomock FileSystem (crawler_test.go:395-455 runWithErrors).  The class
+    is defined in function scope so cloudpickle serializes it BY VALUE
+    (a module-level test class pickles by reference to the test module,
+    which executor workers cannot import)."""
+    from go_mapreduce_crawler_spark.sources.pyfs import LocalFileSystem
+
+    class FaultyFS:
+        def __init__(self):
+            self._fs = LocalFileSystem()
+
+        def read_dir(self, path):
+            if any(path.endswith(p) for p in dir_fail):
+                raise OSError(f"injected ReadDir error: {path}")
+            if any(path.endswith(p) for p in dir_panic):
+                raise RuntimeError(f"injected ReadDir panic: {path}")
+            return self._fs.read_dir(path)
+
+        def open(self, path):
+            if any(path.endswith(p) for p in open_fail):
+                raise OSError(f"injected Open error: {path}")
+            if any(path.endswith(p) for p in open_panic):
+                raise RuntimeError(f"injected Open panic: {path}")
+            return self._fs.open(path)
+
+        def join(self, *parts):
+            return self._fs.join(*parts)
+
+    return FaultyFS()
+
+
+def test_fs_seam_golden_sum(spark, golden_tree):
+    """The pluggable-FS path computes the same golden result as the
+    Spark-native path (fs.FileSystem parity, filesystem.go:19-41)."""
+    from go_mapreduce_crawler_spark.sources.pyfs import LocalFileSystem
+
+    res = Crawler(spark).collect(golden_tree, SCHEMA,
+                                 filesystem=LocalFileSystem())
+    assert res.value == {"data_sum": 300}
+    assert res.n_files == 3
+    assert res.error is None
+
+
+def test_fs_seam_error_matrix(spark, golden_tree):
+    """The reference's five error kinds (crawler_test.go:395-455), each
+    injected through the FileSystem seam: open-error, open-panic,
+    read-error -> that FILE contributes the zero value; readdir-error,
+    readdir-panic -> that SUBTREE is skipped with a recorded error.  In
+    every case the pipeline continues and returns (result, error)."""
+    # file-level faults: 1/1.json fails, other two files still sum
+    for kind in ("open_fail", "open_panic"):
+        fs = _faulty_fs(**{kind: ("1/1.json",)})
+        res = Crawler(spark).collect(golden_tree, SCHEMA, filesystem=fs)
+        assert res.value == {"data_sum": 200}, kind
+        assert res.n_files == 3 and res.n_corrupt == 1, kind
+        assert res.error is not None and "1.json" in res.error, kind
+
+    # dir-level faults: subtree under 3/ unreachable, crawl continues
+    for kind in ("dir_fail", "dir_panic"):
+        fs = _faulty_fs(**{kind: ("/3",)})
+        res = Crawler(spark).collect(golden_tree, SCHEMA, filesystem=fs)
+        assert res.value == {"data_sum": 200}, kind
+        assert res.n_files == 2 and res.n_dir_errors == 1, kind
+        assert res.error is not None and "readdir" in res.error.lower(), kind
+
+
+def test_fs_seam_corrupt_json_still_neutral(spark, golden_tree):
+    """Decode failure through the seam (json.Decode error kind,
+    crawler.go:189-199): zero value + recorded error, like the native
+    path."""
+    from go_mapreduce_crawler_spark.sources.pyfs import LocalFileSystem
+
+    _write(f"{golden_tree}/bad/bad.json", "{not valid json!!")
+    _write(f"{golden_tree}/bad/wrongtype.json", {"data": "a string"})
+    res = Crawler(spark).collect(golden_tree, SCHEMA,
+                                 filesystem=LocalFileSystem())
+    assert res.value == {"data_sum": 300}
+    assert res.n_files == 5
+    assert res.n_corrupt == 2
+    assert res.error is not None
