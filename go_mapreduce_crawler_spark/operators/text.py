@@ -261,6 +261,102 @@ def q_heavy_hitters(spark, sf_dir):
                     F.round(F.col("cnt") / F.col("total"), 6).alias("rel_freq")))
 
 
+def _token_ngrams(w, n: int):
+    """Array of space-joined token n-grams from a token array — sliced
+    zip_with chain (no explode, no per-element re-split; the dedup
+    _shingles lesson).  Empty array when the doc has < n tokens."""
+    ln = F.size(w) - F.lit(n - 1)
+    g = F.slice(w, 1, F.greatest(ln, F.lit(0)))
+    for i in range(1, n):
+        g = F.zip_with(g, F.slice(w, i + 1, F.greatest(ln, F.lit(0))),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(w) >= n, g).otherwise(F.array().cast("array<string>"))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling
+    Language Models", Table A1): per document, the fraction of tokens
+    covered by the most frequent 2-gram and by duplicated 5-grams —
+    the standard cheap signals for loop/boilerplate text in pretraining
+    corpora.  keep = top2_frac <= 0.20 AND dup5_frac <= 0.15 (the
+    published thresholds).
+
+    One explode feeds BOTH gram sizes (grams ride tagged '2:'/'5:'), so
+    the whole operator is two shuffles — (doc, gram) count then per-doc
+    agg — and one broadcast-free join back to token counts.  Fractions
+    are integer-ratio -> one double division, rounded 6 dp.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    base = d.select("doc_id", F.size(w).alias("n_tokens"),
+                    F.concat(
+                        F.transform(_token_ngrams(w, 2),
+                                    lambda g: F.concat(F.lit("2:"), g)),
+                        F.transform(_token_ngrams(w, 5),
+                                    lambda g: F.concat(F.lit("5:"), g)),
+                    ).alias("grams"))
+    counts = (base.select("doc_id", F.explode("grams").alias("g"))
+              .groupBy("doc_id", "g")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    per_doc = (counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("g").startswith("2:"), F.col("cnt"))
+               .otherwise(0)).alias("top2_cnt"),
+        F.sum(F.when(F.col("g").startswith("5:") & (F.col("cnt") >= 2),
+                     F.col("cnt")).otherwise(0)).alias("dup5_inst")))
+    return (base.select("doc_id", "n_tokens").join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.round(F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2
+                        / F.col("n_tokens"), 6).alias("top2_frac"),
+                F.round(F.coalesce(F.col("dup5_inst"), F.lit(0)) * 5
+                        / F.col("n_tokens"), 6).alias("dup5_frac"))
+            .withColumn("keep", (F.col("top2_frac") <= 0.20)
+                        & (F.col("dup5_frac") <= 0.15)))
+
+
+# Eval membership + contamination n-gram order: the public-standard shape
+# is GPT-3's 13-gram rule; this synthetic word-soup corpus has zero exact
+# 13- (or even 8-) gram collisions at test SF, so 3-grams keep the
+# operator's join path non-trivially exercised (171 contaminated docs at
+# sf0.01).  The order is a constant — scale it with real corpora.
+CONTAM_N = 3
+EVAL_MOD = 97
+
+
+def q_text_contamination(spark, sf_dir):
+    """Train/eval contamination check: for every train document, the
+    fraction of its n-gram shingles that appear in ANY eval-set document
+    (eval = doc_id % 97 == 0, a deterministic ~1% holdout).  The
+    benchmark-decontamination pass every serious pretraining pipeline
+    runs (n-gram overlap a la GPT-3's 13-gram rule, order scaled down
+    for the synthetic corpus — see CONTAM_N).
+
+    Scale shape: eval-side distinct grams BROADCAST to the train-side
+    explode (eval sets are tiny vs the corpus; at 100 TB swap the
+    broadcast for a bloom filter built over the same gram set — same
+    join key, probabilistic membership).  Output: contaminated docs only
+    (shared > 0) — the action list, not the full corpus.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = d.select("doc_id", F.explode(_token_ngrams(w, CONTAM_N)).alias("g"))
+    eval_grams = (grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+                  .select("g").distinct())
+    train = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_grams"),
+                  F.size(F.collect_set("g")).alias("n_distinct")))
+    hits = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+            .select("doc_id", "g").distinct()
+            .join(F.broadcast(eval_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (train.join(hits, "doc_id")
+            .select("doc_id", "n_grams", "n_shared",
+                    F.round(F.col("n_shared") / F.col("n_distinct"), 6)
+                     .alias("contamination")))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -272,6 +368,8 @@ QUERIES = {
     "text_inverted_index": q_text_inverted_index,
     "text_scrub_pii": q_text_scrub,
     "text_heavy_hitters": q_heavy_hitters,
+    "text_repetition_gopher": q_text_repetition,
+    "text_contamination_3gram": q_text_contamination,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -280,6 +378,54 @@ _HITS = {k: f"len(list_intersect(list_distinct(string_split(text, ' ')), {v}))"
 _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 
 ORACLE = {
+    "text_repetition_gopher": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        base AS (
+            SELECT doc_id, len(w) AS n_tokens,
+                   list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                  i -> w[i] || ' ' || w[i+1]) AS g2,
+                   list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2],
+                                                 w[i+3], w[i+4])) AS g5
+            FROM d),
+        c2 AS (
+            SELECT doc_id, g, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(g2) AS g FROM base) GROUP BY 1, 2),
+        c5 AS (
+            SELECT doc_id, g, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(g5) AS g FROM base) GROUP BY 1, 2),
+        m AS (SELECT doc_id, MAX(cnt) AS top2_cnt FROM c2 GROUP BY 1),
+        s AS (SELECT doc_id, SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)
+                     AS dup5_inst FROM c5 GROUP BY 1)
+        SELECT b.doc_id, b.n_tokens,
+               ROUND(COALESCE(m.top2_cnt, 0) * 2.0 / b.n_tokens, 6) AS top2_frac,
+               ROUND(COALESCE(s.dup5_inst, 0) * 5.0 / b.n_tokens, 6) AS dup5_frac,
+               (ROUND(COALESCE(m.top2_cnt, 0) * 2.0 / b.n_tokens, 6) <= 0.20
+                AND ROUND(COALESCE(s.dup5_inst, 0) * 5.0 / b.n_tokens, 6) <= 0.15)
+                   AS keep
+        FROM base b LEFT JOIN m ON b.doc_id = m.doc_id
+                    LEFT JOIN s ON b.doc_id = s.doc_id
+    """,
+    "text_contamination_3gram": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+            FROM d),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        train AS (
+            SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+            FROM grams WHERE doc_id % 97 <> 0 GROUP BY 1),
+        hits AS (
+            SELECT t.doc_id, COUNT(*) AS n_shared
+            FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0) t
+            JOIN ev ON t.g = ev.g
+            GROUP BY 1)
+        SELECT train.doc_id, n_grams, n_shared,
+               ROUND(n_shared * 1.0 / n_distinct, 6) AS contamination
+        FROM train JOIN hits ON train.doc_id = hits.doc_id
+    """,
     "text_heavy_hitters": """
         WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                    FROM documents),
