@@ -357,6 +357,39 @@ def q_text_contamination(spark, sf_dir):
                      .alias("contamination")))
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Unigram-LM document quality score (the CCNet-style perplexity
+    filter, self-trained): per document, the mean log-probability of its
+    tokens under the corpus unigram distribution — low scorers are
+    gibberish/rare-token soup, high scorers are boilerplate.
+
+    Determinism across engines: summing raw double log-probs is
+    float-addition-order-dependent, so each DISTINCT word's logp is
+    quantized ONCE to integer micro-nats (round(ln(p)*1e6) -> BIGINT)
+    and per-document totals are integer sums — associative, every
+    engine agrees bit-for-bit; only the final mean divides.
+
+    Scale shape: vocab counts are one word-count shuffle; the model
+    joins back by word — broadcast here (bounded vocab), a plain
+    shuffle join when the vocabulary outgrows broadcast.  Doc totals
+    partition on doc_id (uniform).
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    total = words.agg(F.count(F.lit(1)).alias("total"))
+    model = (words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+             .crossJoin(F.broadcast(total))
+             .select("word", F.round(F.log(F.col("cnt") / F.col("total")) * 1e6, 0)
+                     .cast("long").alias("logp_u")))
+    return (words.join(F.broadcast(model), "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("logp_u").alias("sum_logp_u"))
+            .select("doc_id", "n_tokens", "sum_logp_u",
+                    F.round(F.col("sum_logp_u") / F.col("n_tokens") / 1e6, 6)
+                     .alias("mean_logp")))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -370,6 +403,7 @@ QUERIES = {
     "text_heavy_hitters": q_heavy_hitters,
     "text_repetition_gopher": q_text_repetition,
     "text_contamination_3gram": q_text_contamination,
+    "text_unigram_lm_score": q_text_lm_score,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -425,6 +459,21 @@ ORACLE = {
         SELECT train.doc_id, n_grams, n_shared,
                ROUND(n_shared * 1.0 / n_distinct, 6) AS contamination
         FROM train JOIN hits ON train.doc_id = hits.doc_id
+    """,
+    "text_unigram_lm_score": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        t AS (SELECT COUNT(*) AS total FROM w),
+        model AS (
+            SELECT word,
+                   CAST(ROUND(ln(COUNT(*) * 1.0 / (SELECT total FROM t)) * 1e6, 0)
+                        AS BIGINT) AS logp_u
+            FROM w GROUP BY word)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(logp_u)::BIGINT AS sum_logp_u,
+               ROUND(SUM(logp_u) / COUNT(*) / 1e6, 6) AS mean_logp
+        FROM w JOIN model USING (word)
+        GROUP BY doc_id
     """,
     "text_heavy_hitters": """
         WITH w AS (SELECT unnest(string_split(text, ' ')) AS word

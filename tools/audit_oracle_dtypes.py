@@ -9,7 +9,7 @@ the raw pandas frames the driver sees:
     DuckDB .df()  (classic cause: DuckDB SUM(int) -> HUGEINT -> float64)
   * object columns containing list/ndarray cells (unhashable)
 
-Run:  python tools/audit_oracle_dtypes.py [sf_dir]
+Run:  python tools/audit_oracle_dtypes.py [sf_dir] [name_filter]
 """
 
 from __future__ import annotations
@@ -18,6 +18,7 @@ import sys
 import traceback
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
 
 from pyspark.sql import SparkSession  # noqa: E402
 
@@ -41,6 +42,8 @@ errored: list[str] = []
 ok = 0
 
 for name, fn in queries.items():
+    if name_filter and name_filter not in name:
+        continue
     sql = oracles.get(name)
     if sql is None:
         continue
