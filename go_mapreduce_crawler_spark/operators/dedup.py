@@ -367,6 +367,88 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             .filter(F.col("n_members") >= 2))
 
 
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (small, large) order, distinct."""
+    return (e.select(F.least("a", "b").alias("a"),
+                     F.greatest("a", "b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _star_components(pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the high-diameter-safe algorithm.
+
+    Min-label propagation (``_min_label_components``) needs O(diameter)
+    rounds: fine for near-clique dedup components, ruinous for chain-
+    shaped graphs at 100 TB.  Star contraction converges in O(log^2 n)
+    rounds on ANY topology; each round is two groupBy-min + join passes
+    over the edge set, which also SHRINKS monotonically toward the final
+    star graphs (min-label keeps all |V| label rows live every round).
+
+    large-star: every node u links its LARGER neighbors to
+    m = min(N(u) ∪ {u}); small-star: u links its smaller-or-equal
+    neighborhood (and itself) to its minimum.  Fixpoint = disjoint
+    stars centered at component minima, so the final edge set IS the
+    (member -> cluster_id) mapping.  Convergence detected by an
+    order-free edge-set checksum (count + sum of pair hashes) — two
+    scalar aggregates per round, no driver collect.
+
+    Output schema and values are identical to ``q_dedup_components``
+    (cluster_id = component min doc_id, members >= 2) — same full
+    DuckDB oracle, plus a pinned-equality test.
+    """
+    edges = _canonical(pairs.select(F.col("doc_a").alias("a"),
+                                    F.col("doc_b").alias("b"))).localCheckpoint()
+
+    def checksum(e: DataFrame):
+        # hash sum in decimal(38,0): a long sum of 64-bit hashes
+        # overflows (ANSI mode raises)
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
+                     .alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    prev = checksum(edges)
+    for _ in range(20):
+        nbrs = edges.union(edges.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+        # large-star: (v, min(N(u) ∪ {u})) for v in N(u), v > u
+        mins = (nbrs.groupBy("a")
+                .agg(F.min("b").alias("mn"))
+                .select("a", F.least("mn", "a").alias("m")))
+        large = (nbrs.filter(F.col("b") > F.col("a"))
+                 .join(mins, "a")
+                 .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        edges = _canonical(large).localCheckpoint()
+        # small-star: (v, min(N⁻(u) ∪ {u})) for v in N⁻(u) ∪ {u}
+        nbrs = edges.union(edges.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+        down = nbrs.filter(F.col("b") < F.col("a"))
+        mins = down.groupBy("a").agg(F.min("b").alias("m"))
+        small = (down.join(mins, "a")
+                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                 .union(mins.select(F.col("a"), F.col("m").alias("b"))))
+        edges = _canonical(small).localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint stars: (member, cluster_id=component min) per non-root node.
+    return (edges.groupBy(F.col("a").alias("cluster_id"))
+            .agg((F.count(F.lit(1)) + 1).alias("n_members"))
+            .filter(F.col("n_members") >= 2))
+
+
+def q_dedup_components_bigstar(spark, sf_dir):
+    """q_dedup_components' output via the star-contraction algorithm —
+    the topology-robust 100 TB path, oracle-checked to the same values
+    as the min-label formulation."""
+    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _star_components(pairs)
+
+
 def q_dedup_components_lsh(spark, sf_dir):
     """The 100 TB clustering path: min-label components over the
     MinHash-LSH verified pair set instead of the exact-Jaccard pair set.
@@ -441,6 +523,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_fuzzy_levenshtein": q_dedup_fuzzy_lev,
     "dedup_components": q_dedup_components,
+    "dedup_components_bigstar": q_dedup_components_bigstar,
     "dedup_components_lsh": q_dedup_components_lsh,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -556,3 +639,7 @@ ORACLE = {
         SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4
     """,
 }
+
+# Star-contraction computes the identical (cluster_id, n_members) relation
+# by a different algorithm — same ground truth, same oracle.
+ORACLE["dedup_components_bigstar"] = ORACLE["dedup_components"]

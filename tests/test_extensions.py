@@ -327,3 +327,13 @@ def test_dedup_embedding_refuses_oversized_corpus(spark, sf_small, monkeypatch):
     monkeypatch.setattr(dd, "EMBED_DEDUP_MAX_ROWS", 1)
     with pytest.raises(ValueError, match="lsh"):
         dd.q_dedup_embedding(spark, sf_small)
+
+
+def test_bigstar_equals_minlabel_components(spark, sf_medium):
+    """Star contraction (Kiveris et al. SoCC'14) must produce exactly the
+    min-label components — same cluster ids, same sizes — on the 92k-pair
+    sf0.01 graph."""
+    a = sorted(map(tuple, dedup.q_dedup_components(spark, sf_medium).collect()))
+    b = sorted(map(tuple,
+                   dedup.q_dedup_components_bigstar(spark, sf_medium).collect()))
+    assert a == b
