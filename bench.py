@@ -67,6 +67,8 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "text_tfidf_top_terms",
     "text_heavy_hitters",
+    "text_repetition_gopher",
+    "text_unigram_lm_score",
     "sample_cap_per_source",
 ]
 

@@ -297,3 +297,32 @@ def test_spread_is_gated_on_scan_splits(spark, sf_small, tmp_path):
     assert wide.rdd.getNumPartitions() >= par
     out = spread(wide, "doc_id")
     assert "Exchange" not in physical_plan(out), physical_plan(out)[:1000]
+
+
+def test_repetition_is_two_shuffles_no_python(spark, sf_small):
+    """One tagged explode feeds both gram sizes: (doc, gram) count +
+    per-doc agg = two shuffles (the join back to token counts reuses the
+    doc_id partitioning), all JVM."""
+    from go_mapreduce_crawler_spark.operators import text as t
+    df = t.q_text_repetition(spark, sf_small)
+    assert not has_python_udf(df)
+    assert n_shuffle_exchanges(df) <= 3, physical_plan(df)[:1500]
+
+
+def test_contamination_eval_grams_broadcast(spark, sf_small):
+    """The eval-side gram set must reach the train explode as a
+    broadcast — never a shuffle of the full train gram stream against
+    the tiny holdout."""
+    from go_mapreduce_crawler_spark.operators import text as t
+    df = t.q_text_contamination(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert not has_python_udf(df)
+
+
+def test_lm_score_model_broadcast(spark, sf_small):
+    """The unigram model joins back to the token stream as a broadcast
+    (bounded vocab); corpus total is a 1-row broadcast scalar."""
+    from go_mapreduce_crawler_spark.operators import text as t
+    df = t.q_text_lm_score(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert not has_python_udf(df)
