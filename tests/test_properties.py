@@ -196,3 +196,56 @@ def test_asof_join_forward_matches_reference(spark, left, right):
                     payload_cols=["rid"], direction="forward")
     got_map = {r.lid: r.asof_rid for r in got.collect()}
     assert got_map == _reference_asof_forward(left, right)
+
+
+def test_events_loader_handles_nanos_as_long(spark, tmp_path):
+    """load_table's LongType branch: a parquet writer that stores event
+    time as raw int64 nanoseconds (TIMESTAMP(NANOS) read without
+    timestamp rebasing) must come out as the same session-TZ TIMESTAMP
+    the timestamp[us] encoding produces — the loader contract is
+    encoding-independent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([m * 1000 for m in micros], pa.int64()),  # nanos
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["a", "b"], pa.string()),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    })
+    d = tmp_path / "nanos"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    df = load_table(spark, str(d), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+    assert got == micros
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=23),
+              st.integers(min_value=0, max_value=23)),
+    min_size=0, max_size=40))
+def test_star_components_equal_minlabel_on_random_graphs(spark, edges):
+    """Property: large-star/small-star contraction and min-label
+    propagation compute the SAME components on arbitrary random graphs —
+    including chains, cliques, self-loop-free multigraphs, and empty
+    inputs (star contraction's correctness must not depend on the
+    near-clique shape of real dedup graphs)."""
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        _min_label_components, _star_components)
+
+    pairs = (spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        "doc_a long, doc_b long")
+        .filter(F.col("doc_a") != F.col("doc_b")))
+    a = sorted(map(tuple, _min_label_components(pairs).collect()))
+    b = sorted(map(tuple, _star_components(pairs).collect()))
+    assert a == b
