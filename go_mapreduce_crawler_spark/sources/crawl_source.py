@@ -1,0 +1,123 @@
+"""``spark.read.format("crawl")`` — the crawl pipeline as a Spark 4
+Python Data Source.
+
+The reference exposes its crawl as a library call; Spark's idiomatic
+face for a custom ingest path is a registerable data source, so the same
+List -> Open semantics (reference internal/filecrawler/crawler.go:94-155,
+fs seam internal/fs/filesystem.go:19-41) also exist declaratively:
+
+    spark.dataSource.register(CrawlDataSource)
+    df = (spark.read.format("crawl")
+          .option("path", root)
+          .option("files_per_task", "64")
+          .load())
+    # -> path string, content binary, error string
+
+Rows carry the reference's error contract: an unreadable file still
+yields its row (content null, ``error`` set) and the scan continues —
+the five-kind matrix's open-error/open-panic kinds at the source level.
+
+Options (all strings, per the DataSource API):
+
+* ``path``            — root directory (required).
+* ``fs``              — ``module:Class`` import path of a
+                        :class:`~..sources.pyfs.FileSystem`; default the
+                        local filesystem.  Resolved on BOTH driver
+                        (listing) and executors (reads), so the class
+                        must be importable there — the string-typed
+                        analogue of handing the reference a FileSystem.
+* ``files_per_task``  — listing chunk per input partition (default 64).
+
+Scale notes: listing runs once on the driver through the seam (same
+frontier the reference's List holds); file contents never touch the
+driver — each executor task opens only its own chunk.  For Spark-
+connector-backed storage prefer the native readers (pushdown, vectorized
+decode); this source is the pluggable-FS path.
+"""
+
+from __future__ import annotations
+
+from importlib import import_module
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+DEFAULT_FS = "go_mapreduce_crawler_spark.sources.pyfs:LocalFileSystem"
+SCHEMA = "path string, content binary, error string"
+
+
+def _load_fs(spec: str):
+    mod, _, cls = spec.partition(":")
+    return getattr(import_module(mod), cls)()
+
+
+class CrawlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "crawl"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def make_fs(self):
+        """Subclass hook: return a FileSystem INSTANCE to use instead of
+        the ``fs`` option (rides to executors inside the pickled reader —
+        the way tests inject fault-injecting filesystems, mirroring the
+        reference's gomock FileSystem harness)."""
+        return None
+
+    def reader(self, schema) -> "CrawlReader":
+        return CrawlReader(self.options, fs=self.make_fs())
+
+
+class CrawlReader(DataSourceReader):
+    def __init__(self, options, fs=None):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("crawl source requires .option('path', root)")
+        self.fs_obj = fs
+        self.fs_spec = options.get("fs", DEFAULT_FS)
+        self.chunk = int(options.get("files_per_task", "64"))
+
+    def _fs(self):
+        return self.fs_obj if self.fs_obj is not None else _load_fs(self.fs_spec)
+
+    def partitions(self):
+        """Driver-side listing through the FS seam (BFS; only the dir
+        frontier is held, like the reference's List).  Files are chunked
+        into input partitions; readdir errors become one-row error
+        partitions so the error contract covers the listing too."""
+        fs = self._fs()
+        files: list[str] = []
+        errors: list[tuple[str, str]] = []
+        frontier = [self.root]
+        while frontier:
+            nxt: list[str] = []
+            for d in frontier:
+                try:
+                    dirs, fls = fs.read_dir(d)
+                except Exception as ex:
+                    errors.append((d, f"{d}: {ex}"))
+                    continue
+                nxt.extend(dirs)
+                files.extend(fls)
+            frontier = nxt
+        files.sort()
+        parts = [InputPartition(("files", files[i:i + self.chunk]))
+                 for i in range(0, len(files), self.chunk)]
+        if errors:
+            parts.append(InputPartition(("errors", sorted(errors))))
+        return parts or [InputPartition(("files", []))]
+
+    def read(self, partition) -> Iterator[tuple]:
+        kind, payload = partition.value
+        if kind == "errors":
+            for path, msg in payload:
+                yield (path, None, f"readdir error: {msg}")
+            return
+        fs = self._fs()
+        for path in payload:
+            try:
+                yield (path, fs.open(path), None)
+            except Exception as ex:  # open-error/open-panic -> row + error
+                yield (path, None, f"open error: {path}: {ex}")

@@ -335,3 +335,55 @@ def test_fs_seam_corrupt_json_still_neutral(spark, golden_tree):
     assert res.n_files == 5
     assert res.n_corrupt == 2
     assert res.error is not None
+
+
+# ---- Python Data Source: spark.read.format("crawl") ----
+
+def test_crawl_datasource_reads_tree(spark, golden_tree):
+    """The declarative face of the crawl (Spark 4 Python Data Source):
+    format("crawl") lists through the FS seam and yields one row per
+    file; from_json/get_json_object on top reproduces the golden sum —
+    the whole reference pipeline as a declarative plan."""
+    from go_mapreduce_crawler_spark.sources.crawl_source import CrawlDataSource
+
+    spark.dataSource.register(CrawlDataSource)
+    df = (spark.read.format("crawl")
+          .option("path", golden_tree)
+          .option("files_per_task", "2")
+          .load())
+    assert df.columns == ["path", "content", "error"]
+    rows = df.collect()
+    assert len(rows) == 3 and all(r.error is None for r in rows)
+    total = (df.select(F.get_json_object(F.col("content").cast("string"),
+                                         "$.data").cast("long").alias("v"))
+             .agg(F.sum("v")).collect()[0][0])
+    assert total == 300
+
+
+def test_crawl_datasource_error_rows(spark, golden_tree):
+    """Fault injection through the make_fs subclass hook (the reference's
+    mock-FS harness shape): open failures yield (path, null content,
+    error) ROWS — the scan completes, errors are data."""
+    from go_mapreduce_crawler_spark.sources.crawl_source import CrawlDataSource
+
+    fs = _faulty_fs(open_fail=("1/1.json",), dir_fail=("/3",))
+
+    class ChaosCrawlSource(CrawlDataSource):
+        @classmethod
+        def name(cls):
+            return "crawl_chaos"
+
+        def make_fs(self):
+            return fs
+
+    spark.dataSource.register(ChaosCrawlSource)
+    df = spark.read.format("crawl_chaos").option("path", golden_tree).load()
+    rows = {r.path: r for r in df.collect()}
+    errs = [r for r in rows.values() if r.error is not None]
+    # 1/1.json -> open-error row; dir 3 -> readdir-error row (its
+    # subtree is unreachable, so 3.json yields no row); 2.json reads fine
+    assert len(rows) == 3 and len(errs) == 2
+    assert any("open error" in r.error for r in errs)
+    assert any("readdir error" in r.error for r in errs)
+    good = [r for r in rows.values() if r.error is None]
+    assert all(r.content is not None for r in good) and len(good) == 1
