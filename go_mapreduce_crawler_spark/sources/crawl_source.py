@@ -40,7 +40,9 @@ from __future__ import annotations
 from importlib import import_module
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition, StringEndsWith,
+                                    StringStartsWith)
 
 DEFAULT_FS = "go_mapreduce_crawler_spark.sources.pyfs:LocalFileSystem"
 SCHEMA = "path string, content binary, error string"
@@ -67,7 +69,15 @@ class CrawlDataSource(DataSource):
         return None
 
     def reader(self, schema) -> "CrawlReader":
-        return CrawlReader(self.options, fs=self.make_fs())
+        # Pushdown is OPT-IN (.option("pushdown", "true")): Spark refuses
+        # to use a reader that merely DEFINES pushFilters() unless
+        # spark.sql.python.filterPushdown.enabled is set, and that conf
+        # cannot be read from inside the data source worker — so the
+        # plain reader stays usable on any vanilla session.
+        cls = (PushdownCrawlReader
+               if self.options.get("pushdown", "false").lower() == "true"
+               else CrawlReader)
+        return cls(self.options, fs=self.make_fs())
 
 
 class CrawlReader(DataSourceReader):
@@ -78,9 +88,20 @@ class CrawlReader(DataSourceReader):
         self.fs_obj = fs
         self.fs_spec = options.get("fs", DEFAULT_FS)
         self.chunk = int(options.get("files_per_task", "64"))
+        self.prefixes: list[str] = []
+        self.suffixes: list[str] = []
 
     def _fs(self):
         return self.fs_obj if self.fs_obj is not None else _load_fs(self.fs_spec)
+
+    def _match(self, path: str) -> bool:
+        return (all(path.startswith(p) for p in self.prefixes)
+                and all(path.endswith(s) for s in self.suffixes))
+
+    def _could_contain(self, d: str) -> bool:
+        """May files under dir ``d`` satisfy every prefix filter?"""
+        dd = d.rstrip("/") + "/"
+        return all(p.startswith(dd) or dd.startswith(p) for p in self.prefixes)
 
     def partitions(self):
         """Driver-side listing through the FS seam (BFS; only the dir
@@ -90,17 +111,18 @@ class CrawlReader(DataSourceReader):
         fs = self._fs()
         files: list[str] = []
         errors: list[tuple[str, str]] = []
-        frontier = [self.root]
+        frontier = [self.root] if self._could_contain(self.root) else []
         while frontier:
             nxt: list[str] = []
             for d in frontier:
                 try:
                     dirs, fls = fs.read_dir(d)
                 except Exception as ex:
-                    errors.append((d, f"{d}: {ex}"))
+                    if self._match(d):   # consumed filters bind error rows too
+                        errors.append((d, f"{d}: {ex}"))
                     continue
-                nxt.extend(dirs)
-                files.extend(fls)
+                nxt.extend(s for s in dirs if self._could_contain(s))
+                files.extend(f for f in fls if self._match(f))
             frontier = nxt
         files.sort()
         parts = [InputPartition(("files", files[i:i + self.chunk]))
@@ -121,3 +143,23 @@ class CrawlReader(DataSourceReader):
                 yield (path, fs.open(path), None)
             except Exception as ex:  # open-error/open-panic -> row + error
                 yield (path, None, f"open error: {path}: {ex}")
+
+
+class PushdownCrawlReader(CrawlReader):
+    """CrawlReader + path-filter pushdown (requires
+    ``spark.sql.python.filterPushdown.enabled=true``, which
+    ``session.get_spark`` sets)."""
+
+    def pushFilters(self, filters):
+        """Path-filter pushdown into the LISTING — the custom-source
+        analogue of partition pruning: ``col("path").startswith(p)``
+        prunes whole directory subtrees before a single readdir, and
+        ``endswith`` (extension filters) drops files at the listing.
+        Both are consumed exactly, so Spark plans no residual Filter."""
+        for f in filters:
+            if isinstance(f, StringStartsWith) and f.attribute == ("path",):
+                self.prefixes.append(f.value)
+            elif isinstance(f, StringEndsWith) and f.attribute == ("path",):
+                self.suffixes.append(f.value)
+            else:
+                yield f

@@ -387,3 +387,48 @@ def test_crawl_datasource_error_rows(spark, golden_tree):
     assert any("readdir error" in r.error for r in errs)
     good = [r for r in rows.values() if r.error is None]
     assert all(r.content is not None for r in good) and len(good) == 1
+
+
+def test_crawl_datasource_pushes_path_filters_into_listing(spark, golden_tree, tmp_path):
+    """col('path').startswith(...) must prune whole directory subtrees
+    BEFORE any readdir (the custom-source analogue of partition
+    pruning), and endswith must drop files at the listing.  Observed via
+    a filesystem that logs every read_dir to a file (the listing runs in
+    the driver-side data source worker, which shares the local disk)."""
+    from go_mapreduce_crawler_spark.sources.crawl_source import CrawlDataSource
+    from go_mapreduce_crawler_spark.sources.pyfs import LocalFileSystem
+
+    log = str(tmp_path / "readdir.log")
+
+    class LoggingFS(LocalFileSystem):
+        def read_dir(self, path):
+            with open(log, "a") as fh:
+                fh.write(path + "\n")
+            return super().read_dir(path)
+
+    fs = LoggingFS()
+
+    class LoggingCrawlSource(CrawlDataSource):
+        @classmethod
+        def name(cls):
+            return "crawl_logged"
+
+        def make_fs(self):
+            return fs
+
+    spark.dataSource.register(LoggingCrawlSource)
+    df = (spark.read.format("crawl_logged").option("path", golden_tree)
+          .option("pushdown", "true").load()
+          .filter(F.col("path").startswith(f"{golden_tree}/1"))
+          .filter(F.col("path").endswith(".json")))
+    rows = df.collect()
+    assert [r.path for r in rows] == [f"{golden_tree}/1/1.json"]
+    visited = set(open(log).read().split())
+    assert f"{golden_tree}/1" in visited
+    # subtrees 2/ and 3/ pruned before a single readdir
+    assert f"{golden_tree}/2" not in visited
+    assert f"{golden_tree}/3" not in visited
+    # and the pushed filters leave no residual StartsWith/EndsWith in the
+    # plan (only the implied isnotnull survives, which we don't consume)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" not in plan and "EndsWith" not in plan, plan[:800]
