@@ -41,8 +41,9 @@ from importlib import import_module
 from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition, StringEndsWith,
-                                    StringStartsWith)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader,
+                                    StringEndsWith, StringStartsWith)
 
 DEFAULT_FS = "go_mapreduce_crawler_spark.sources.pyfs:LocalFileSystem"
 SCHEMA = "path string, content binary, error string"
@@ -78,6 +79,9 @@ class CrawlDataSource(DataSource):
                if self.options.get("pushdown", "false").lower() == "true"
                else CrawlReader)
         return cls(self.options, fs=self.make_fs())
+
+    def simpleStreamReader(self, schema) -> "CrawlStreamReader":
+        return CrawlStreamReader(self.options, fs=self.make_fs())
 
 
 class CrawlReader(DataSourceReader):
@@ -163,3 +167,81 @@ class PushdownCrawlReader(CrawlReader):
                 self.suffixes.append(f.value)
             else:
                 yield f
+
+
+class CrawlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the crawl: tail a directory tree for NEW files
+    through the FS seam (``spark.readStream.format("crawl")``).
+
+    Offset model: the sorted set of already-emitted file paths rides in
+    the checkpointed offset dict.  That is exact for ANY file naming (no
+    missed or duplicated files, exactly-once with the checkpoint) at the
+    cost of offset size O(files seen) — right for bounded drop-zones,
+    the workload this source targets; a cursor on monotonic (mtime,
+    path) is the unbounded-scale variant.  Reads run driver-side (the
+    SimpleDataSourceStreamReader contract — Spark prefetches and ships
+    batches), so per-microbatch volume should stay modest; the batch
+    source above is the bulk path.
+
+    Error contract matches the batch reader: unreadable files and failed
+    directories yield (path, null, error) rows, the stream continues.
+    """
+
+    def __init__(self, options, fs=None):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("crawl stream requires .option('path', root)")
+        self.fs_obj = fs
+        self.fs_spec = options.get("fs", DEFAULT_FS)
+
+    def _fs(self):
+        return self.fs_obj if self.fs_obj is not None else _load_fs(self.fs_spec)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _list(self):
+        fs = self._fs()
+        files: list[str] = []
+        dir_errors: list[str] = []
+        frontier = [self.root]
+        while frontier:
+            nxt: list[str] = []
+            for d in frontier:
+                try:
+                    dirs, fls = fs.read_dir(d)
+                except Exception as ex:
+                    dir_errors.append(f"{d}: {ex}")
+                    continue
+                nxt.extend(dirs)
+                files.extend(fls)
+            frontier = nxt
+        return sorted(files), sorted(dir_errors)
+
+    def _rows(self, paths):
+        fs = self._fs()
+        for path in paths:
+            try:
+                yield (path, fs.open(path), None)
+            except Exception as ex:
+                yield (path, None, f"open error: {path}: {ex}")
+
+    def read(self, start: dict):
+        # iter(list), not a generator: Spark's prefetch cache both
+        # next()s and copy.copy()s the returned iterator — a generator
+        # isn't copyable and a bare list isn't an iterator
+        seen = set(start.get("seen", []))
+        files, _ = self._list()
+        new = [p for p in files if p not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return iter(list(self._rows(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Replay after failure: exactly the files that entered between
+        the two committed offsets."""
+        seen = set(start.get("seen", []))
+        new = [p for p in end.get("seen", []) if p not in seen]
+        return iter(list(self._rows(new)))
+
+    def commit(self, end: dict) -> None:
+        pass

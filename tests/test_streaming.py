@@ -264,3 +264,49 @@ def test_stream_gap_fill_matches_batch_locf(spark, tmp_path):
     finally:
         tmp_mod.load_table = orig
     assert got_rows == exp_rows
+
+
+def test_crawl_stream_source_tails_new_files(spark, tmp_path):
+    """The crawl data source's streaming face: readStream.format("crawl")
+    emits each file exactly once as it appears in the tree (offset = the
+    checkpointed seen-set), across micro-batches."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_crawler_spark.sources.crawl_source import CrawlDataSource
+
+    spark.dataSource.register(CrawlDataSource)
+    root = str(tmp_path / "drop")
+    os.makedirs(f"{root}/a", exist_ok=True)
+    for i in range(3):
+        _json.dump({"data": i}, open(f"{root}/a/w1_{i}.json", "w"))
+
+    df = spark.readStream.format("crawl").option("path", root).load()
+    q = (df.writeStream.format("memory").queryName("crawl_tail")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        deadline = time.monotonic() + 90
+        while (spark.table("crawl_tail").count() < 3
+               and time.monotonic() < deadline):
+            time.sleep(0.5)
+        assert spark.table("crawl_tail").count() == 3
+        # second wave, nested deeper — only the NEW files arrive
+        os.makedirs(f"{root}/a/b", exist_ok=True)
+        for i in range(2):
+            _json.dump({"data": 10 + i}, open(f"{root}/a/b/w2_{i}.json", "w"))
+        while (spark.table("crawl_tail").count() < 5
+               and time.monotonic() < deadline):
+            time.sleep(0.5)
+        got = spark.table("crawl_tail")
+        assert got.count() == 5          # exactly once, no re-emits
+        total = (got.select(F.get_json_object(F.col("content").cast("string"),
+                                              "$.data").cast("long").alias("v"))
+                 .agg(F.sum("v")).collect()[0][0])
+        assert total == 0 + 1 + 2 + 10 + 11
+        assert got.filter(F.col("error").isNotNull()).count() == 0
+    finally:
+        q.stop()
