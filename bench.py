@@ -97,11 +97,19 @@ def main() -> None:
     # costs measured at 1.5-4s per query, independent of data size.  One
     # tiny-SF pass compiles everything so the timed pass measures
     # steady-state data work, which is what scales to 100 TB.
+    # One broken query must never zero the whole bench (round-1 lesson:
+    # a single loader bug in warm-up DNF'd every timing).  Failures are
+    # recorded per-query in "errors" and the run continues.
+    errors: dict[str, str] = {}
+
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in names:
-        queries[name](spark, warm_dir).count()
+        try:
+            queries[name](spark, warm_dir).count()
+        except Exception as ex:
+            errors[name] = f"warmup: {type(ex).__name__}: {ex}"[:300]
         # Query functions may cache() self-joined intermediates; dropping
         # them between queries stops cached partitions from one query
         # stealing executor memory from the next (observed: 1.1s ->
@@ -114,15 +122,22 @@ def main() -> None:
     # comparisons; the min of two runs is the steady-state number.
     timings: dict[str, float] = {}
     for name in names:
+        if name in errors:
+            continue
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        # Clear between QUERIES, not between the two timed runs: a
-        # query's own cache() reuse is part of its steady state, but its
-        # leftovers must not steal memory from the next query.
-        spark.catalog.clearCache()
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as ex:
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+            continue
+        finally:
+            # Clear between QUERIES, not between the two timed runs: a
+            # query's own cache() reuse is part of its steady state, but
+            # its leftovers must not steal memory from the next query.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     # Reference-workload crawl: recursive listing + JSON decode + fold.
@@ -138,6 +153,8 @@ def main() -> None:
         expect = N_CRAWL_FILES * (N_CRAWL_FILES - 1) // 2
         assert res.value == {"data_sum": expect}, res
         assert res.n_files == N_CRAWL_FILES, res
+    except Exception as ex:
+        errors["crawl_json_sum"] = f"{type(ex).__name__}: {ex}"[:300]
     finally:
         shutil.rmtree(crawl_root, ignore_errors=True)
 
@@ -146,13 +163,16 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1098,6 +1098,26 @@ def q_median_per_group(spark, sf_dir):
                           "n"))
 
 
+def q_percentile_cont(spark, sf_dir):
+    """Exact linearly-interpolated percentiles (the SQL PERCENTILE_CONT
+    semantics) per group — Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the interpolation rule, so the values carry a
+    full oracle (rounded 6 dp to absorb float division order).
+
+    Scale: exact interpolated percentiles need the group's sorted values
+    (Spark buffers per group in the SortAggregate) — right for bounded
+    group cardinality x bounded group size; the sketch-based
+    approx_quantiles_gk is the unbounded-scale twin (mergeable partials,
+    rank error <= n/10000).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+             .agg(*[F.round(F.expr(f"percentile(l_quantity, {q})"), 6)
+                     .alias(f"p{int(q * 100)}")
+                    for q in (0.25, 0.5, 0.75, 0.9, 0.99)],
+                  F.count(F.lit(1)).alias("n")))
+
+
 # -------------------------------------------------------- sessionization
 
 def q_sessionize(spark, sf_dir):
@@ -1178,6 +1198,7 @@ QUERIES = {
     "sessionize_events": q_sessionize,
     "stats_moments_exact": q_stats_moments,
     "median_per_group": q_median_per_group,
+    "percentile_cont_exact": q_percentile_cont,
 }
 
 
@@ -1773,6 +1794,16 @@ ORACLE = {
             FROM lineitem)
         SELECT l_returnflag, l_quantity AS median_qty, n
         FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+    """,
+    "percentile_cont_exact": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+               ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+               ROUND(quantile_cont(l_quantity, 0.90), 6) AS p90,
+               ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
     "scalar_array_hof": """
         SELECT vec_id,

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-close validation: everything the driver will grade, in one command.
+#   bash tools/round_check.sh
+# Exits non-zero on the first failure.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 full pytest suite =="
+python -m pytest tests/ -q
+
+echo "== 2/4 oracle mirror at sf0.01 (the driver's correctness gate) =="
+SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py -q
+
+echo "== 3/4 driver-hash dtype audit =="
+python tools/audit_oracle_dtypes.py /root/testdata/sf0.001 2>/dev/null | tail -3
+
+echo "== 4/4 bench (sf0.1, one JSON line) =="
+timeout 900 python3 bench.py 2>/dev/null | tail -1
