@@ -114,8 +114,57 @@ def q_sample_weighted(spark, sf_dir):
              .select("doc_id", "lang", "n_chars", "rk"))
 
 
+MIX_TAU = 0.5     # temperature: weight_lang ∝ n_lang^tau
+
+
+def q_sample_temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing (the multilingual-LM mixing
+    rule, weight_s ∝ n_s^0.5 — upsample small sources, downsample big
+    ones, corpus size preserved in expectation), with DETERMINISTIC
+    replication: n_copies(doc) = floor(f_s) + [hash_bucket(doc) <
+    frac(f_s)·256], so the mixed corpus is reproducible across runs,
+    engines, and partitionings like every sampler in this module
+    (granularity 1/256 per source).
+
+    Determinism of f_s across engines: sqrt(n) is IEEE-correctly-rounded,
+    quantized to DECIMAL(28,6) before the (exact, decimal) denominator
+    sum — float addition order never enters; the remaining double ops
+    replicate the oracle's operation order exactly.
+
+    Scale shape: per-source counts are one tiny agg broadcast back to the
+    corpus scan; replication is a row-local sequence explode — no extra
+    shuffle anywhere.  Output: one row per COPY.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = d.agg(F.count(F.lit(1)).alias("total"))
+    sq = F.round(F.sqrt(F.col("n")), 6).cast("decimal(28,6)")
+    stats = (counts.select("lang", "n", sq.alias("sq"))
+             .crossJoin(F.broadcast(
+                 counts.select(sq.alias("s2"))
+                       .agg(F.sum("s2").alias("den"))))
+             .crossJoin(F.broadcast(total))
+             .select("lang", F.round(
+                 F.col("total").cast("double") * F.col("sq").cast("double")
+                 / F.col("den").cast("double") / F.col("n"), 6)
+                 .alias("factor")))
+    b = _bucket(F.col("doc_id"))
+    thr = F.least(F.round((F.col("factor") - F.floor(F.col("factor"))) * 256, 0)
+                  .cast("int"), F.lit(255))
+    thr_hex = F.lpad(F.lower(F.hex(thr)), 2, "0")
+    rep = (d.join(F.broadcast(stats), "lang")
+           .select("doc_id", "lang", "factor",
+                   (F.floor("factor")
+                    + F.when(b < thr_hex, 1).otherwise(0)).alias("n_copies")))
+    return (rep.filter(F.col("n_copies") > 0)
+            .select("doc_id", "lang", "factor",
+                    F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+                     .alias("copy")))
+
+
 QUERIES = {
     "sample_split_deterministic": q_sample_split,
+    "sample_temperature_mix": q_sample_temperature_mix,
     "sample_stratified_by_lang": q_sample_stratified,
     "sample_cap_per_source": q_sample_cap_per_source,
     "sample_weighted_reservoir": q_sample_weighted,
@@ -124,6 +173,31 @@ QUERIES = {
 _B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE = {
+    "sample_temperature_mix": f"""
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        t AS (SELECT COUNT(*) AS total FROM documents),
+        s AS (SELECT lang, n,
+                     CAST(ROUND(sqrt(n), 6) AS DECIMAL(28,6)) AS sq
+              FROM c),
+        den AS (SELECT SUM(sq) AS den FROM s),
+        f AS (SELECT lang,
+                     ROUND(CAST((SELECT total FROM t) AS DOUBLE)
+                           * CAST(sq AS DOUBLE)
+                           / CAST((SELECT den FROM den) AS DOUBLE)
+                           / n, 6) AS factor
+              FROM s),
+        rep AS (
+            SELECT d.doc_id, d.lang, f.factor,
+                   CAST(FLOOR(f.factor) AS BIGINT)
+                   + CASE WHEN {_B} < printf('%02x',
+                              LEAST(CAST(ROUND((f.factor - FLOOR(f.factor))
+                                               * 256, 0) AS INT), 255))
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN f USING (lang))
+        SELECT doc_id, lang, factor,
+               unnest(generate_series(1, n_copies)) AS copy
+        FROM rep WHERE n_copies > 0
+    """,
     "sample_split_deterministic": f"""
         SELECT doc_id, lang, source,
                CASE WHEN {_B} < '0d' THEN 'test'
