@@ -42,6 +42,13 @@ def get_spark(app_name: str = "go-mapreduce-crawler-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter semi-join reduction: a selective build side
+        # injects a bloom filter into the probe-side scan of shuffle
+        # joins.  The default size thresholds (10 MB creation / 10 GB
+        # application) keep it a no-op at test SF and let it fire on real
+        # fact-fact joins at cluster scale; capability pinned by a plan
+        # test with explicit thresholds.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python data source filter pushdown (crawl_source.PushdownCrawlReader)

@@ -326,3 +326,36 @@ def test_lm_score_model_broadcast(spark, sf_small):
     df = t.q_text_lm_score(spark, sf_small)
     assert has_broadcast_join(df)
     assert not has_python_udf(df)
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_small):
+    """Scale capability pin: with a selective dimension side and a
+    non-broadcast join, Spark must inject a runtime bloom filter into
+    the fact-side scan (semi-join reduction — at 100 TB this drops
+    non-matching fact rows before the shuffle).  Thresholds lowered
+    explicitly because test-SF tables are far below the production
+    defaults the session keeps."""
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, sf_small, "lineitem")
+        o = (load_table(spark, sf_small, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (l.join(o, l.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
+        assert "bloom_filter_agg" in physical_plan(j), physical_plan(j)[:1200]
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
