@@ -39,7 +39,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         if ts_type == "timestamp_ntz":
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # TZ-independent: the NTZ wall time IS UTC by contract.  A
+            # plain cast interprets it in the SESSION TZ (epoch shifts by
+            # the offset on any non-UTC session — verified: -9h under
+            # Asia/Tokyo vs the DuckDB oracle); from_utc_timestamp adds
+            # the same offset back, so epoch == wall-as-UTC under every
+            # session TZ.  No-op arithmetic on UTC sessions.
+            return df.withColumn(
+                "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"),
+                                           F.current_timezone()))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
