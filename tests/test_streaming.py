@@ -310,3 +310,47 @@ def test_crawl_stream_source_tails_new_files(spark, tmp_path):
         assert got.filter(F.col("error").isNotNull()).count() == 0
     finally:
         q.stop()
+
+
+def test_crawl_stream_sink_writes_sealed_batches(spark, tmp_path):
+    """writeStream.format("crawl"): each micro-batch lands as a JSON-file-
+    per-row tree (the reference's data model) sealed by a _SUCCESS
+    manifest, via the writable FS seam — and the batch crawler reads the
+    result back to the same sum."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_crawler_spark.sources.crawl_source import CrawlDataSource
+
+    spark.dataSource.register(CrawlDataSource)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(5):
+        _json.dump({"data": i}, open(f"{src}/{i}.json", "w"))
+    out = str(tmp_path / "out")
+
+    df = (spark.readStream.format("crawl").option("path", src).load()
+          .select(F.get_json_object(F.col("content").cast("string"), "$.data")
+                   .cast("long").alias("data")))
+    q = (df.writeStream.format("crawl").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batches = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert batches, os.listdir(out)
+    sealed = [d for d in batches
+              if os.path.exists(f"{out}/{d}/_SUCCESS")]
+    assert sealed == batches
+    # crawl the sink output back: sum must round-trip
+    from pyspark.sql import types as T
+    from go_mapreduce_crawler_spark.crawler import Crawler
+    res = Crawler(spark).collect(
+        out, T.StructType([T.StructField("data", T.LongType())]))
+    # _SUCCESS manifests are corrupt records for the JSON reader; data
+    # files must round-trip the sum exactly
+    assert res.value == {"data_sum": 10}
+    assert res.n_files - res.n_corrupt == 5
