@@ -222,7 +222,53 @@ def q_ohlc_hourly(spark, sf_dir):
                   F.count(F.lit(1)).alias("n")))
 
 
+SUBSEQ_M = 8      # query subsequence length
+SUBSEQ_K = 10     # top-k windows returned
+
+
+def q_ts_subsequence_search(spark, sf_dir):
+    """Time-series subsequence similarity search: the SUBSEQ_K sliding
+    windows (length 8, any user) closest in squared Euclidean distance
+    to a fixed query subsequence (user 1's first window) — the
+    whole-matching kernel of distributed data-series search engines
+    (UCR-suite / MASS / Odyssey-style systems reduce to exactly this
+    scan shape).
+
+    Exactness: values quantize to DECIMAL(12,2) and every
+    difference/square/sum stays in decimal — the distance is an exact
+    rational, converted to double ONCE at output, so the DuckDB oracle
+    matches bit-for-bit and no float-sum ordering enters.
+
+    Scale shape: the window columns are lead() over one per-user sort
+    shuffle (row-local after); scoring is a projection against the
+    8-value broadcast query (collected driver-side — bounded like the
+    IVF centroids); the global top-k compiles to
+    TakeOrderedAndProject (per-partition partial top-k, never a full
+    sort).  Total order (dist, user_id, start_us) makes the result set
+    unique.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = dec("value", MONEY)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id", F.unix_micros("ts").alias("start_us"), "event_id",
+        *[F.lead(v, i).over(w).alias(f"v{i}") for i in range(SUBSEQ_M)])
+    full = base.filter(F.col(f"v{SUBSEQ_M - 1}").isNotNull())
+    qrow = (full.filter(F.col("user_id") == 1)
+            .orderBy("start_us", "event_id").limit(1).collect()[0])
+    dist = None
+    for i in range(SUBSEQ_M):
+        d = F.col(f"v{i}") - F.lit(qrow[f"v{i}"])
+        term = d * d
+        dist = term if dist is None else dist + term
+    return (full.select("user_id", "start_us",
+                        dist.cast("double").alias("dist"))
+            .orderBy("dist", "user_id", "start_us")
+            .limit(SUBSEQ_K))
+
+
 QUERIES = {
+    "ts_subsequence_search": q_ts_subsequence_search,
     "window_tumbling_events": q_window_tumbling,
     "ohlc_hourly": q_ohlc_hourly,
     "window_sliding_events": q_window_sliding,
@@ -232,7 +278,29 @@ QUERIES = {
     "ts_resample_interp": q_ts_resample_interp,
 }
 
+_SUBSEQ_COLS = ",\n                   ".join(
+    f"lead(CAST(value AS DECIMAL(12,2)), {i}) OVER "
+    f"(PARTITION BY user_id ORDER BY ts, event_id) AS v{i}"
+    for i in range(SUBSEQ_M))
+_SUBSEQ_DIST = " + ".join(f"(w.v{i} - q.v{i}) * (w.v{i} - q.v{i})"
+                          for i in range(SUBSEQ_M))
+
 ORACLE = {
+    "ts_subsequence_search": f"""
+        WITH win AS (
+            SELECT user_id, epoch_us(ts) AS start_us, event_id,
+                   {_SUBSEQ_COLS}
+            FROM events),
+        full_win AS (SELECT * FROM win WHERE v{SUBSEQ_M - 1} IS NOT NULL),
+        q AS (
+            SELECT * FROM full_win WHERE user_id = 1
+            ORDER BY start_us, event_id LIMIT 1)
+        SELECT w.user_id, w.start_us,
+               CAST({_SUBSEQ_DIST} AS DOUBLE) AS dist
+        FROM full_win w, q
+        ORDER BY dist, w.user_id, w.start_us
+        LIMIT {SUBSEQ_K}
+    """,
     "ohlc_hourly": """
         WITH x AS (
             SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,

@@ -359,3 +359,13 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_subsequence_search_topk_is_partial(spark, sf_small):
+    """The global top-k must compile to TakeOrderedAndProject (per-
+    partition partial top-k) — a full sort of all sliding windows would
+    be the scale-killer in a data-series search scan."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    df = temporal.q_ts_subsequence_search(spark, sf_small)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    assert not has_python_udf(df)
