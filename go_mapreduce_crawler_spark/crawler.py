@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .sources.crawl import list_files, list_files_bfs
+from .sources.crawl import list_files_bfs
 from .sources.pyfs import FileSystem
 
 _CORRUPT = "_corrupt_record"
@@ -260,8 +260,13 @@ class Crawler:
             )
             # Files the scan could not read at all (vs decode failures,
             # which arrive as _corrupt_record rows): listed minus scanned.
-            listed = list_files(self.spark, root).select(
-                _norm_path(F.col("path")).alias("_file"))
+            # BOTH join sides use input_file_name() so the keys carry the
+            # same URI encoding (binaryFile's `path` column does NOT
+            # percent-encode, input_file_name does — a file with a space
+            # would otherwise be counted scanned AND unreadable).
+            listed = (self.spark.read.format("binaryFile")
+                      .option("recursiveFileLookup", "true").load(root)
+                      .select(_norm_path(F.input_file_name()).alias("_file")))
             unreadable = listed.join(clean.select("_file"), "_file", "left_anti")
             neutral = unreadable.select(
                 *[F.lit(zero_value(f_.dataType)).cast(f_.dataType).alias(f_.name)

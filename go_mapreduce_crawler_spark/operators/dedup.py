@@ -276,12 +276,13 @@ def q_dedup_embedding(spark, sf_dir):
 
     e = (load_table(spark, sf_dir, "embeddings")
          .withColumn("nrm", l2_norm("embedding")))
-    n_rows = e.count()   # scalar action, not a collect
-    if n_rows > EMBED_DEDUP_MAX_ROWS:
+    # Bounded probe: limit(N+1).count() answers over/under without the
+    # full-table count job the plain count() would run per invocation.
+    if e.limit(EMBED_DEDUP_MAX_ROWS + 1).count() > EMBED_DEDUP_MAX_ROWS:
         raise ValueError(
             f"dedup_embedding_cosine is exact all-pairs with the corpus in "
-            f"the kernel closure; {n_rows} rows > {EMBED_DEDUP_MAX_ROWS} "
-            f"bound. Use dedup_components_lsh / ann_lsh_cosine at scale.")
+            f"the kernel closure; corpus exceeds the {EMBED_DEDUP_MAX_ROWS}-"
+            f"row bound. Use dedup_components_lsh / ann_lsh_cosine at scale.")
     corpus = e.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in corpus], dtype=np.int64)
     m = np.array([r.embedding for r in corpus], dtype=np.float64)
@@ -411,6 +412,7 @@ def _star_components(pairs: DataFrame) -> DataFrame:
         return row["n"], row["h"]
 
     prev = checksum(edges)
+    converged = False
     for _ in range(20):
         nbrs = edges.union(edges.select(F.col("b").alias("a"),
                                         F.col("a").alias("b")))
@@ -433,8 +435,14 @@ def _star_components(pairs: DataFrame) -> DataFrame:
         edges = _canonical(small).localCheckpoint()
         cur = checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # O(log^2 n) convergence makes 20 rounds astronomically generous;
+        # a silent non-fixpoint would emit WRONG clusters, so refuse.
+        raise RuntimeError(
+            "star contraction did not reach a fixpoint in 20 rounds")
     # Fixpoint stars: (member, cluster_id=component min) per non-root node.
     return (edges.groupBy(F.col("a").alias("cluster_id"))
             .agg((F.count(F.lit(1)) + 1).alias("n_members"))

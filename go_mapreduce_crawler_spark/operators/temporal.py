@@ -254,17 +254,26 @@ def q_ts_subsequence_search(spark, sf_dir):
         "user_id", F.unix_micros("ts").alias("start_us"), "event_id",
         *[F.lead(v, i).over(w).alias(f"v{i}") for i in range(SUBSEQ_M)])
     full = base.filter(F.col(f"v{SUBSEQ_M - 1}").isNotNull())
-    qrow = (full.filter(F.col("user_id") == 1)
-            .orderBy("start_us", "event_id").limit(1).collect()[0])
+    qrows = (full.filter(F.col("user_id") == 1)
+             .orderBy("start_us", "event_id").limit(1).collect())
+    if not qrows:
+        # query user has < M events at this SF: empty result, same schema
+        return full.select("user_id", "start_us",
+                           F.lit(0.0).alias("dist")).limit(0)
+    qrow = qrows[0]
     dist = None
     for i in range(SUBSEQ_M):
         d = F.col(f"v{i}") - F.lit(qrow[f"v{i}"])
         term = d * d
         dist = term if dist is None else dist + term
-    return (full.select("user_id", "start_us",
+    # event_id joins the sort as the final tie-break (two windows can
+    # share (user, start_us) when events carry duplicate timestamps);
+    # it is dropped from the output, so the oracle's column set matches.
+    return (full.select("user_id", "start_us", "event_id",
                         dist.cast("double").alias("dist"))
-            .orderBy("dist", "user_id", "start_us")
-            .limit(SUBSEQ_K))
+            .orderBy("dist", "user_id", "start_us", "event_id")
+            .limit(SUBSEQ_K)
+            .select("user_id", "start_us", "dist"))
 
 
 QUERIES = {
@@ -295,11 +304,12 @@ ORACLE = {
         q AS (
             SELECT * FROM full_win WHERE user_id = 1
             ORDER BY start_us, event_id LIMIT 1)
-        SELECT w.user_id, w.start_us,
-               CAST({_SUBSEQ_DIST} AS DOUBLE) AS dist
-        FROM full_win w, q
-        ORDER BY dist, w.user_id, w.start_us
-        LIMIT {SUBSEQ_K}
+        SELECT user_id, start_us, dist FROM (
+            SELECT w.user_id, w.start_us, w.event_id,
+                   CAST({_SUBSEQ_DIST} AS DOUBLE) AS dist
+            FROM full_win w, q
+            ORDER BY dist, w.user_id, w.start_us, w.event_id
+            LIMIT {SUBSEQ_K})
     """,
     "ohlc_hourly": """
         WITH x AS (

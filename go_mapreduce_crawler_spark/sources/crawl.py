@@ -29,7 +29,6 @@ Spark-first realization:
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,16 +46,12 @@ def list_files(spark: SparkSession, root: str, glob: str | None = None) -> DataF
 def _default_searcher(path: str) -> tuple[list[str], list[str]]:
     """Searcher: list one directory -> (subdirs, files).
 
-    Parity with reference crawler.go:120-154 (dir/file split at 138-152).
+    Parity with reference crawler.go:120-154 (dir/file split at 138-152);
+    delegates to the canonical LocalFileSystem so the dir/file split has
+    exactly one implementation.
     """
-    dirs: list[str] = []
-    files: list[str] = []
-    for entry in os.scandir(path):
-        if entry.is_dir(follow_symlinks=False):
-            dirs.append(entry.path)
-        else:
-            files.append(entry.path)
-    return dirs, files
+    from .pyfs import LocalFileSystem
+    return LocalFileSystem().read_dir(path)
 
 
 def list_files_bfs(

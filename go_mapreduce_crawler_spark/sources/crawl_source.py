@@ -55,6 +55,30 @@ def _load_fs(spec: str):
     return getattr(import_module(mod), cls)()
 
 
+def _local_bfs(fs, root, descend=None):
+    """Driver-side BFS through the FS seam — the ONE listing loop both
+    the batch reader and the stream reader use.  Returns ``(files,
+    errors)`` with errors as ``(dir_path, message)`` pairs (readdir
+    failures skip the subtree, the walk continues — the reference's
+    readdir-error contract).  ``descend(dir) -> bool`` prunes subtrees
+    (filter pushdown)."""
+    files: list[str] = []
+    errors: list[tuple[str, str]] = []
+    frontier = [root] if descend is None or descend(root) else []
+    while frontier:
+        nxt: list[str] = []
+        for d in frontier:
+            try:
+                dirs, fls = fs.read_dir(d)
+            except Exception as ex:
+                errors.append((d, f"{d}: {ex}"))
+                continue
+            nxt.extend(s for s in dirs if descend is None or descend(s))
+            files.extend(fls)
+        frontier = nxt
+    return sorted(files), sorted(errors)
+
+
 class CrawlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -115,28 +139,18 @@ class CrawlReader(DataSourceReader):
         """Driver-side listing through the FS seam (BFS; only the dir
         frontier is held, like the reference's List).  Files are chunked
         into input partitions; readdir errors become one-row error
-        partitions so the error contract covers the listing too."""
-        fs = self._fs()
-        files: list[str] = []
-        errors: list[tuple[str, str]] = []
-        frontier = [self.root] if self._could_contain(self.root) else []
-        while frontier:
-            nxt: list[str] = []
-            for d in frontier:
-                try:
-                    dirs, fls = fs.read_dir(d)
-                except Exception as ex:
-                    if self._match(d):   # consumed filters bind error rows too
-                        errors.append((d, f"{d}: {ex}"))
-                    continue
-                nxt.extend(s for s in dirs if self._could_contain(s))
-                files.extend(f for f in fls if self._match(f))
-            frontier = nxt
-        files.sort()
+        partitions so the error contract covers the listing too.  NOTE:
+        consumed path filters bind error rows as well (SQL semantics —
+        a readdir-error row whose dir path fails the filter is dropped);
+        query without path filters for full error visibility."""
+        files, errors = _local_bfs(self._fs(), self.root,
+                                   descend=self._could_contain)
+        files = [f for f in files if self._match(f)]
+        errors = [e for e in errors if self._match(e[0])]
         parts = [InputPartition(("files", files[i:i + self.chunk]))
                  for i in range(0, len(files), self.chunk)]
         if errors:
-            parts.append(InputPartition(("errors", sorted(errors))))
+            parts.append(InputPartition(("errors", errors)))
         return parts or [InputPartition(("files", []))]
 
     def read(self, partition) -> Iterator[tuple]:
@@ -205,22 +219,7 @@ class CrawlStreamReader(SimpleDataSourceStreamReader):
         return {"seen": []}
 
     def _list(self):
-        fs = self._fs()
-        files: list[str] = []
-        dir_errors: list[str] = []
-        frontier = [self.root]
-        while frontier:
-            nxt: list[str] = []
-            for d in frontier:
-                try:
-                    dirs, fls = fs.read_dir(d)
-                except Exception as ex:
-                    dir_errors.append(f"{d}: {ex}")
-                    continue
-                nxt.extend(dirs)
-                files.extend(fls)
-            frontier = nxt
-        return sorted(files), sorted(dir_errors)
+        return _local_bfs(self._fs(), self.root)
 
     def _rows(self, paths):
         fs = self._fs()
@@ -268,6 +267,14 @@ class CrawlStreamWriter(DataSourceStreamWriter):
     Readers treat unsealed batch dirs as in-flight, so a retried batch
     overwrites its own files and re-seals — no duplicates surface.
     ``abort`` leaves the unsealed dir for the retry to overwrite.
+
+    The filesystem must be SHARED between driver and executors
+    (``write`` runs in tasks, ``commit`` on the driver — true of any
+    file sink's commit protocol): LocalFileSystem satisfies that in
+    local mode and on shared mounts; on a multi-node cluster supply an
+    object-store/NFS-backed implementation.  Staging is namespaced per
+    writer instance (``inflight-<token>``), so concurrent queries
+    writing to one root never collide.
     """
 
     def __init__(self, options, schema):
@@ -276,6 +283,9 @@ class CrawlStreamWriter(DataSourceStreamWriter):
             raise ValueError("crawl sink requires .option('path', root)")
         self.fs_spec = options.get("fs", DEFAULT_FS)
         self.names = schema.fieldNames()
+        # driver-generated once, pickled to every task of this query
+        import uuid
+        self.token = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json as _json
@@ -286,9 +296,9 @@ class CrawlStreamWriter(DataSourceStreamWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
         # batch id only arrives at commit(); stage files under the task's
-        # partition prefix inside a per-attempt area the commit renames
-        # logically via the manifest (paths recorded in the message).
-        out_dir = f"{self.root}/inflight"
+        # partition prefix inside this WRITER's staging area (the commit
+        # publishes them into batch=<id>/ via the recorded paths).
+        out_dir = f"{self.root}/inflight-{self.token}"
         fs.mkdirs(out_dir)
         paths = []
         for i, row in enumerate(iterator):

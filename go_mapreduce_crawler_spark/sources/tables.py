@@ -39,15 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         if ts_type == "timestamp_ntz":
-            # TZ-independent: the NTZ wall time IS UTC by contract.  A
-            # plain cast interprets it in the SESSION TZ (epoch shifts by
-            # the offset on any non-UTC session — verified: -9h under
-            # Asia/Tokyo vs the DuckDB oracle); from_utc_timestamp adds
-            # the same offset back, so epoch == wall-as-UTC under every
-            # session TZ.  No-op arithmetic on UTC sessions.
-            return df.withColumn(
-                "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"),
-                                           F.current_timezone()))
+            # TZ-independent: the NTZ wall time IS UTC by contract, so
+            # compute epoch micros from the wall-clock FIELDS directly —
+            # date/hour/minute/extract(second) on NTZ never consult a
+            # zone.  (A plain cast interprets the wall in the SESSION TZ:
+            # -9h under Asia/Tokyo; the from_utc_timestamp round-trip
+            # fixes the offset but still shifts inside a DST gap/overlap
+            # of the session zone.  Field arithmetic has neither problem.)
+            micros = (
+                F.unix_date(F.col("ts").cast("date"))
+                .cast("long") * F.lit(86_400_000_000)
+                + F.hour("ts").cast("long") * F.lit(3_600_000_000)
+                + F.minute("ts").cast("long") * F.lit(60_000_000)
+                + (F.expr("extract(SECOND FROM ts)") * 1_000_000)
+                  .cast("long"))
+            return df.withColumn("ts", F.timestamp_micros(micros))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

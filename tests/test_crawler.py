@@ -432,3 +432,18 @@ def test_crawl_datasource_pushes_path_filters_into_listing(spark, golden_tree, t
     # plan (only the implied isnotnull survives, which we don't consume)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith" not in plan and "EndsWith" not in plan, plan[:800]
+
+
+def test_special_char_filenames_not_miscounted(spark, tmp_path):
+    """A readable file whose name needs URI encoding (space) must count
+    once, clean — input_file_name() percent-encodes while binaryFile's
+    path column does not, and a key mismatch in the unreadable-file
+    anti-join would double-count it as scanned AND unreadable."""
+    root = str(tmp_path / "enc")
+    _write(f"{root}/a b.json", {"data": 5})
+    _write(f"{root}/plain.json", {"data": 7})
+    res = Crawler(spark).collect(root, SCHEMA)
+    assert res.value == {"data_sum": 12}
+    assert res.n_files == 2
+    assert res.n_corrupt == 0
+    assert res.error is None
