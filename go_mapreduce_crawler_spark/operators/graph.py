@@ -90,6 +90,25 @@ def q_triangle_count(spark, sf_dir):
         "n_nodes bigint, n_edges bigint, n_triangles bigint")
 
 
+def _pr_step(adj_deg, pr, n_nodes: int, d: float):
+    """One synchronous PageRank step: quantize each contribution
+    rank/deg to a fixed-point long, exact order-independent F.sum,
+    dequantize once.  Kept as a named helper so the plan suite can
+    assert the aggregation is a partial+final hash agg of longs with no
+    collect_list (no per-node neighborhood buffer)."""
+    contribs = (adj_deg.join(pr, adj_deg.src == pr.node)
+                .select("dst",
+                        F.floor((F.col("rank") / F.col("deg"))
+                                * F.lit(1e15)).alias("c_fp"))
+                .groupBy("dst")
+                .agg(F.sum("c_fp").alias("inflow_fp")))
+    return contribs.select(
+        F.col("dst").alias("node"),
+        (F.lit(1.0 - d) / F.lit(n_nodes)
+         + F.lit(d) * (F.col("inflow_fp").cast("double")
+                       / F.lit(1e15))).alias("rank"))
+
+
 def q_pagerank_copurchase(spark, sf_dir, n_iter: int = 5, d: float = 0.85):
     """PageRank (5 synchronous iterations, damping 0.85) over the
     undirected strong co-purchase graph — the canonical iterative
@@ -97,19 +116,26 @@ def q_pagerank_copurchase(spark, sf_dir, n_iter: int = 5, d: float = 0.85):
     join+aggregate steps (each iteration is one distributed job stage;
     only the LOOP CONTROL is on the driver, never the data).
 
-    Ranks are emitted as floor(rank * 1e9) fixed-point.  The
-    neighbor inflow is a SORTED sequential fold (collect neighbor
-    contributions, sort by source id, F.aggregate from 0.0) — the
-    repo's verified bit-identical twin of DuckDB's list_reduce over
-    list(... ORDER BY src) — so after 5 iterations the doubles still
-    agree bit-for-bit with the unrolled-CTE oracle.  A plain F.sum
-    would be partition-order-dependent; at production scale swap the
-    fold for F.sum (the fp difference is ~ulps) and drop the sort.
+    Ranks are emitted as floor(rank * 1e9) fixed-point.  The neighbor
+    inflow stays bit-identical to the oracle WITHOUT materializing any
+    neighborhood: each contribution rank/deg is quantized to a
+    fixed-point long, floor(c * 1e15), and the longs are F.sum-med —
+    integer addition is order-independent, so the partial+final
+    HashAggregate gives the same result on any partitioning.  The sum
+    converts back to double once per iteration (exact: per-node inflow
+    < 1e15 < 2^53, and 1e15 is an exact double), and DuckDB's oracle
+    applies the identical quantize-sum-dequantize, so after 5
+    iterations the doubles still agree bit-for-bit.  The earlier
+    sorted-fold formulation (collect_list + array_sort + F.aggregate)
+    buffered a node's ENTIRE neighborhood in one aggregation row — a
+    celebrity-node OOM at scale; this one never does.
 
     Scale: the degree-annotated adjacency list is cached once; each
-    iteration shuffles only (node, contribution) pairs — the standard
-    Pregel data movement.  Convergence-by-delta would add one tiny agg
-    per iteration; fixed iterations keep the oracle expressible.
+    iteration shuffles only (node, contribution-long) pairs — the
+    standard Pregel data movement — and localCheckpoint truncates the
+    plan lineage so iteration N does not replan iterations 1..N-1.
+    Convergence-by-delta would add one tiny agg per iteration; fixed
+    iterations keep the oracle expressible.
     """
     edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb")
     adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
@@ -117,23 +143,12 @@ def q_pagerank_copurchase(spark, sf_dir, n_iter: int = 5, d: float = 0.85):
                                F.col("pa").alias("dst")))
            .cache())
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    adj_deg = adj.join(deg, "src").cache()
+    adj_deg = adj.join(deg, "src").localCheckpoint()
     n_nodes = deg.count()
     pr = deg.select(F.col("src").alias("node"),
                     (F.lit(1.0) / F.lit(n_nodes)).alias("rank"))
     for _ in range(n_iter):
-        contribs = (adj_deg.join(pr, adj_deg.src == pr.node)
-                    .select("dst", "src",
-                            (F.col("rank") / F.col("deg")).alias("c"))
-                    .groupBy("dst")
-                    .agg(F.aggregate(
-                        F.array_sort(F.collect_list(F.struct("src", "c"))),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["c"]).alias("inflow")))
-        pr = contribs.select(
-            F.col("dst").alias("node"),
-            (F.lit(1.0 - d) / F.lit(n_nodes)
-             + F.lit(d) * F.col("inflow")).alias("rank"))
+        pr = _pr_step(adj_deg, pr, n_nodes, d).localCheckpoint()
     return pr.select("node", F.floor(F.col("rank") * 1e9)
                      .cast("long").alias("rank_e9"))
 
@@ -149,7 +164,8 @@ def q_bfs_hops(spark, sf_dir, n_iter: int = 4):
     min-agg — the Pregel message pattern again.  The dist relation only
     ever holds reached nodes, so early levels are tiny; at web scale
     you'd keep dist partitioned by node id so the per-level join is
-    co-located (no repartition between iterations)."""
+    co-located (no repartition between iterations).  localCheckpoint
+    per level truncates lineage so level N does not replan 1..N-1."""
     edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb")
     adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
            .union(edges.select(F.col("pb").alias("src"),
@@ -162,7 +178,8 @@ def q_bfs_hops(spark, sf_dir, n_iter: int = 4):
                .select(F.col("dst").alias("node"),
                        (F.col("hops") + F.lit(1)).alias("hops")))
         dist = (dist.union(nxt)
-                .groupBy("node").agg(F.min("hops").alias("hops")))
+                .groupBy("node").agg(F.min("hops").alias("hops"))
+                .localCheckpoint())
     return dist
 
 
@@ -178,7 +195,10 @@ def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
     literals go through CAST('…' AS DOUBLE) (string parse is
     correctly rounded; a bare decimal literal would take DuckDB's
     DECIMAL path), and the damping constants are the repr of the SAME
-    Python doubles Spark embeds via F.lit."""
+    Python doubles Spark embeds via F.lit.  The inflow applies the same
+    quantize-sum-dequantize as the Spark side: floor(c*1e15) longs,
+    exact integer SUM, one cast back to double — order-independent in
+    both engines, so no ORDER BY fold is needed."""
     dd, omd = repr(float(d)), repr(1.0 - d)
     ctes = ["""
         items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -202,10 +222,9 @@ def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
         pr{i} AS (
             SELECT a.dst AS node,
                    CAST('{omd}' AS DOUBLE) / (SELECT n FROM nn)
-                   + CAST('{dd}' AS DOUBLE) * list_reduce(
-                       list_prepend(CAST(0.0 AS DOUBLE),
-                                    list(p.rank / a.deg ORDER BY a.src)),
-                       (acc, x) -> acc + x) AS rank
+                   + CAST('{dd}' AS DOUBLE)
+                     * (CAST(SUM(CAST(floor(p.rank / a.deg * 1e15)
+                                      AS BIGINT)) AS DOUBLE) / 1e15) AS rank
             FROM adjdeg a JOIN pr{i - 1} p ON p.node = a.src
             GROUP BY a.dst)""")
     return ("WITH" + ",".join(ctes)

@@ -369,3 +369,26 @@ def test_subsequence_search_topk_is_partial(spark, sf_small):
     df = temporal.q_ts_subsequence_search(spark, sf_small)
     assert "TakeOrderedAndProject" in physical_plan(df)
     assert not has_python_udf(df)
+
+
+def test_pagerank_inflow_is_hash_sum_not_collect_list(spark, sf_small):
+    """The per-node inflow must be an order-independent partial+final
+    sum of fixed-point longs — a collect_list/sorted-fold formulation
+    buffers a celebrity node's entire neighborhood in one aggregation
+    row, the OOM at 100x scale (VERDICT r02 weak #2)."""
+    from go_mapreduce_crawler_spark.operators import graph
+    items = graph._items(spark, sf_small)
+    edges = graph._pair_counts(items).select("pa", "pb")
+    adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+           .union(edges.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst"))))
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj_deg = adj.join(deg, "src")
+    pr0 = deg.select(F.col("src").alias("node"),
+                     (F.lit(1.0) / F.lit(100)).alias("rank"))
+    step = graph._pr_step(adj_deg, pr0, 100, 0.85)
+    plan = physical_plan(step)
+    assert "collect_list" not in plan, plan[:1500]
+    assert "ObjectHashAggregate" not in plan, plan[:1500]
+    assert has_partial_and_final_agg(step)
+    assert not has_python_udf(step)
