@@ -38,6 +38,27 @@ N_PLANES = 48
 # same b/r a 50-100x cut instead.
 LSH_BANDS_ANN = 12
 
+# Every similarity search ships its query set whole — broadcast
+# (bruteforce, IVF), kernel closure (pandas), or bucket-local id sets
+# (LSH).  That is the "queries are few" contract; this bound ENFORCES
+# it: 100k queries x 64 dims x 8 B is ~50 MB per executor, the sane
+# ceiling.  The vec_id % 100 selection grows with the corpus, so at
+# 100x scale the gate refuses instead of silently shipping a
+# corpus-sized "query set" everywhere.  Beyond the bound, batch the
+# queries or flip the plan to a shuffle join on ids.
+KNN_MAX_QUERIES = 100_000
+
+
+def _gate_query_set(qdf, op_name: str):
+    """Refuse oversized query sets (limit-probe, not a full count —
+    same pattern as dedup.EMBED_DEDUP_MAX_ROWS)."""
+    if qdf.limit(KNN_MAX_QUERIES + 1).count() > KNN_MAX_QUERIES:
+        raise ValueError(
+            f"{op_name}: query set exceeds the {KNN_MAX_QUERIES}-row "
+            f"broadcast/closure bound; batch the query set or use a "
+            f"shuffle join on query ids at this scale.")
+    return qdf
+
 
 def _emb(spark, sf_dir):
     """embeddings, spread to engine parallelism — the corpus side of the
@@ -61,10 +82,11 @@ def q_knn_bruteforce(spark, sf_dir):
     engines and partitionings.
     """
     e = _emb(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
-    q = F.broadcast(e.filter(F.col("vec_id") % 100 == 0)
-                     .select(F.col("vec_id").alias("q_id"),
-                             F.col("embedding").alias("q_vec"),
-                             F.col("nrm").alias("q_nrm")))
+    q = F.broadcast(_gate_query_set(
+        e.filter(F.col("vec_id") % 100 == 0), "knn_bruteforce_cosine")
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+                F.col("nrm").alias("q_nrm")))
     scored = (q.join(e, F.col("vec_id") != F.col("q_id"))
                .withColumn("cos", F.round(
                    dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)))
@@ -147,10 +169,10 @@ def q_ann_lsh(spark, sf_dir):
     # back once per surviving candidate.
     sk = e.select("vec_id", "embedding").mapInPandas(
         kernel, schema="vec_id long, bb long")
-    q_full = F.broadcast(
-        e.filter(F.col("vec_id") % 100 == 0)
-         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
-                 F.col("nrm").alias("q_nrm")))
+    q_full = F.broadcast(_gate_query_set(
+        e.filter(F.col("vec_id") % 100 == 0), "ann_lsh_cosine")
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+                F.col("nrm").alias("q_nrm")))
     cand_ids = (sk.groupBy("bb")
                   .agg(F.collect_set(F.when(F.col("vec_id") % 100 == 0,
                                             F.col("vec_id"))).alias("qids"),
@@ -211,7 +233,7 @@ def q_ann_ivf(spark, sf_dir):
     probes = F.expr(
         f"transform(slice(reverse(array_sort({cell_scores})), 1, {IVF_PROBES}),"
         " s -> s.cell)")
-    q = (e.filter(F.col("vec_id") % 100 == 0)
+    q = (_gate_query_set(e.filter(F.col("vec_id") % 100 == 0), "ann_ivf_cosine")
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_vec"),
                   F.col("nrm").alias("q_nrm"),
@@ -246,8 +268,9 @@ def q_knn_pandas(spark, sf_dir):
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    q_rows = (e.filter(F.col("vec_id") % 100 == 0)
-               .select("vec_id", "embedding").collect())   # bounded query set
+    q_rows = (_gate_query_set(e.filter(F.col("vec_id") % 100 == 0),
+                              "knn_pandas_vectorized")
+              .select("vec_id", "embedding").collect())   # gated query set
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

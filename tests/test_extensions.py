@@ -337,3 +337,16 @@ def test_bigstar_equals_minlabel_components(spark, sf_medium):
     b = sorted(map(tuple,
                    dedup.q_dedup_components_bigstar(spark, sf_medium).collect()))
     assert a == b
+
+
+def test_similarity_gates_oversized_query_set(spark, sf_small, monkeypatch):
+    """Every similarity entry point ships its query set whole (broadcast
+    or kernel closure); above KNN_MAX_QUERIES each must refuse instead of
+    silently broadcasting a corpus-sized query set at scale."""
+    from go_mapreduce_crawler_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "KNN_MAX_QUERIES", 1)
+    for fn in (sim.q_knn_bruteforce, sim.q_ann_lsh, sim.q_ann_ivf,
+               sim.q_knn_pandas):
+        with pytest.raises(ValueError, match="query set exceeds"):
+            fn(spark, sf_small)
