@@ -351,6 +351,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     # that changes any label (labels only move down), so one scalar
     # aggregate per iteration detects the fixpoint — no join-and-count.
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(20):
         nbr_min = (edges.join(labels, edges.doc_b == labels.node)
                    .groupBy(F.col("doc_a").alias("node"))
@@ -361,8 +362,18 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                   .localCheckpoint())
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Mirror _star_components: an unreached fixpoint means the
+        # labels are WRONG (mid-propagation), never return them.
+        # O(diameter) rounds ran out -> this graph needs the
+        # O(log^2 n) star-contraction path.
+        raise RuntimeError(
+            "min-label propagation did not reach its fixpoint in 20 "
+            "rounds (graph diameter > 20); use _star_components "
+            "(dedup_components_bigstar) for high-diameter graphs.")
     return (labels.groupBy(F.col("lbl").alias("cluster_id"))
             .agg(F.count(F.lit(1)).alias("n_members"))
             .filter(F.col("n_members") >= 2))
@@ -629,7 +640,7 @@ ORACLE = {
     """,
     # dedup_minhash_lsh, dedup_simhash: xxhash64-based — not reproducible
     # in DuckDB; driver records rows-only checks.  Their correctness is
-    # pinned by tests/test_dedup.py against the exact-Jaccard ground truth.
+    # pinned by tests/test_extensions.py against the exact-Jaccard ground truth.
     "dedup_embedding_cosine": """
         WITH scored AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -350,3 +350,19 @@ def test_similarity_gates_oversized_query_set(spark, sf_small, monkeypatch):
                sim.q_knn_pandas):
         with pytest.raises(ValueError, match="query set exceeds"):
             fn(spark, sf_small)
+
+
+def test_min_label_raises_on_high_diameter_instead_of_silent_wrong(spark):
+    """A chain longer than the 20-round cap cannot reach the min-label
+    fixpoint; returning the mid-propagation labels would be silently
+    wrong clusters, so the operator must raise and point at the
+    star-contraction path — which must solve the same graph."""
+    from go_mapreduce_crawler_spark.operators import dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="star"):
+        dd._min_label_components(chain).collect()
+    stars = {(r.cluster_id, r.n_members)
+             for r in dd._star_components(chain).collect()}
+    assert stars == {(0, 26)}
