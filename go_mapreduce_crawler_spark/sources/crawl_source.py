@@ -203,6 +203,16 @@ class CrawlStreamReader(SimpleDataSourceStreamReader):
 
     Error contract matches the batch reader: unreadable files and failed
     directories yield (path, null, error) rows, the stream continues.
+
+    PRODUCER CONTRACT — atomic drop: a file is emitted the FIRST time it
+    is listed and its path is then permanently in the seen-set, so a
+    file caught mid-write would surface once with partial content and
+    the finished version would never re-emit.  Producers must therefore
+    write-then-rename into the watched tree (rename is atomic on
+    POSIX/HDFS; on object stores, upload completion is the atomic
+    publish) — the same convention every file-watching source assumes,
+    and exactly what CrawlStreamWriter's staging-dir + rename commit
+    does.  Writing in place into the watched tree is not supported.
     """
 
     def __init__(self, options, fs=None):
@@ -309,18 +319,27 @@ class CrawlStreamWriter(DataSourceStreamWriter):
         return CrawlCommitMessage(paths)
 
     def commit(self, messages, batchId):
+        # Publish by RENAME: one metadata call per staged file, so the
+        # batch payload never streams byte-for-byte through the driver
+        # (rename is metadata-only on POSIX/HDFS; object stores do a
+        # server-side copy).  Copy+delete remains only as a fallback for
+        # minimal FS implementations that predate the rename() method.
         import json as _json
 
         fs = _load_fs(self.fs_spec)
         batch_dir = f"{self.root}/batch={batchId}"
         fs.mkdirs(batch_dir)
+        move = getattr(fs, "rename", None)
         moved = []
         for m in messages:
             for p in (m.paths if m else []):
                 name = p.rsplit("/", 1)[1]
                 dst = f"{batch_dir}/{name}"
-                fs.write(dst, fs.open(p))
-                fs.delete(p)
+                if move is not None:
+                    move(p, dst)
+                else:
+                    fs.write(dst, fs.open(p))
+                    fs.delete(p)
                 moved.append(dst)
         fs.write(f"{batch_dir}/_SUCCESS",
                  _json.dumps(sorted(moved)).encode())

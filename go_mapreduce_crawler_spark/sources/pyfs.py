@@ -50,6 +50,15 @@ class WritableFileSystem(FileSystem, Protocol):
 
     def delete(self, path: str) -> None: ...
 
+    def rename(self, src: str, dst: str) -> None:
+        """Move a file without rewriting its bytes.  The sink's commit
+        publishes staged task files with this — metadata-only on
+        POSIX/HDFS, so the batch payload never funnels through the
+        driver.  Object stores without native rename may implement it
+        as server-side copy + delete; it still runs one call per FILE,
+        not one byte-stream per file through the committer."""
+        ...
+
 
 class LocalFileSystem:
     """The default implementation (reference internal/fs/os.go)."""
@@ -83,3 +92,6 @@ class LocalFileSystem:
             os.remove(path)
         except FileNotFoundError:
             pass
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
