@@ -259,22 +259,30 @@ class Crawler:
                 _norm_path(F.col("_file")).alias("_file"),
             )
             # Files the scan could not read at all (vs decode failures,
-            # which arrive as _corrupt_record rows): listed minus scanned.
-            # BOTH join sides use input_file_name() so the keys carry the
-            # same URI encoding (binaryFile's `path` column does NOT
-            # percent-encode, input_file_name does — a file with a space
-            # would otherwise be counted scanned AND unreadable).
+            # which arrive as _corrupt_record rows): one LEFT join from
+            # the metadata-only listing onto the scanned rows, so the
+            # JSON corpus is planned exactly once (an anti-join + union
+            # referenced `clean` twice, re-running the scan+decode in
+            # the same job).  Unmatched listed files coalesce to the
+            # neutral element with _is_corrupt=true — identical rows to
+            # the old union, same multiplicity for matched files.  The
+            # join shuffles paths and already-aggregatable scalar fields,
+            # never payloads.  BOTH join sides use input_file_name() so
+            # the keys carry the same URI encoding (binaryFile's `path`
+            # column does NOT percent-encode, input_file_name does — a
+            # file with a space would otherwise be counted scanned AND
+            # unreadable).
             listed = (self.spark.read.format("binaryFile")
                       .option("recursiveFileLookup", "true").load(root)
                       .select(_norm_path(F.input_file_name()).alias("_file")))
-            unreadable = listed.join(clean.select("_file"), "_file", "left_anti")
-            neutral = unreadable.select(
-                *[F.lit(zero_value(f_.dataType)).cast(f_.dataType).alias(f_.name)
-                  for f_ in schema.fields],
-                F.lit(True).alias("_is_corrupt"),
+            clean = listed.join(clean, "_file", "left").select(
+                *[F.coalesce(F.col(f_.name),
+                             F.lit(zero_value(f_.dataType)).cast(f_.dataType))
+                  .alias(f_.name) for f_ in schema.fields],
+                F.coalesce(F.col("_is_corrupt"), F.lit(True))
+                 .alias("_is_corrupt"),
                 F.col("_file"),
             )
-            clean = clean.unionByName(neutral)
 
         if self.config.accumulator_workers:
             clean = clean.repartition(self.config.accumulator_workers)
