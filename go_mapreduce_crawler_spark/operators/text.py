@@ -8,10 +8,55 @@ final stats aggregations).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+
+_LN2 = math.log(2)
+
+
+def _ln_det(n: str, lit) -> str:
+    """Engine-deterministic ln of a positive integer expression.
+
+    libm ln is NOT a cross-engine contract: Spark's Math.log and
+    DuckDB's std::log may differ in the last ulp, and one flipped ulp
+    near a round(x*1e6) boundary would shift a quantized value by 1 —
+    breaking the value hash for every row containing it.  This builds
+    ln from operations both engines compute IDENTICALLY:
+
+      e  = length(bin(n)) - 1        -- exact integer exponent
+      m  = n / 2^e  in [1, 2)        -- exact (power-of-two division)
+      t  = (m-1)/(m+1), |t| <= 1/3   -- one IEEE divide each
+      ln m = 2t * (1 + t^2/3 + t^4/5 + ... + t^14/15)   -- atanh series,
+             fixed-order Horner, only IEEE +,*,/ (each correctly
+             rounded by the standard, so bit-identical everywhere)
+      ln n = ln m + e * ln2          -- ln2 as a shared parsed literal
+
+    Truncation error <= (1/3)^17/17 ~ 8e-10 — three orders inside the
+    0.5e-6 quantization slack and, more importantly, the SAME on every
+    engine.  ``lit`` formats a double literal for the target dialect
+    (repr round-trips, so both parse the identical double).
+    """
+    e = f"(length(bin({n})) - 1)"
+    m = f"(CAST({n} AS DOUBLE) / power({lit(2.0)}, {e}))"
+    t = f"(({m} - {lit(1.0)}) / ({m} + {lit(1.0)}))"
+    t2 = f"({t} * {t})"
+    poly = lit(1.0 / 15.0)
+    for k in (13, 11, 9, 7, 5, 3):
+        poly = f"({lit(1.0 / k)} + {t2} * {poly})"
+    lnm = f"({lit(2.0)} * {t} * ({lit(1.0)} + {t2} * {poly}))"
+    return f"({lnm} + CAST({e} AS DOUBLE) * {lit(_LN2)})"
+
+
+def _lit_spark(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _lit_duck(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
 
 # Tiny deterministic stopword inventories for the language-ID heuristic.
 STOPWORDS = {
@@ -365,9 +410,13 @@ def q_text_lm_score(spark, sf_dir):
 
     Determinism across engines: summing raw double log-probs is
     float-addition-order-dependent, so each DISTINCT word's logp is
-    quantized ONCE to integer micro-nats (round(ln(p)*1e6) -> BIGINT)
-    and per-document totals are integer sums — associative, every
-    engine agrees bit-for-bit; only the final mean divides.
+    quantized ONCE to integer micro-nats (round((ln cnt - ln total)
+    * 1e6) -> BIGINT) and per-document totals are integer sums —
+    associative, every engine agrees bit-for-bit; only the final mean
+    divides.  The ln itself is ``_ln_det`` (exponent/mantissa split +
+    fixed-order polynomial), not libm — so the quantized values are
+    bit-identical across engines BY CONSTRUCTION, not by hoping two
+    libms round the last ulp the same way near a *1e6 boundary.
 
     Scale shape: vocab counts are one word-count shuffle; the model
     joins back by word — broadcast here (bounded vocab), a plain
@@ -377,10 +426,11 @@ def q_text_lm_score(spark, sf_dir):
     d = _docs(spark, sf_dir)
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     total = words.agg(F.count(F.lit(1)).alias("total"))
+    logp = (f"CAST(round(({_ln_det('cnt', _lit_spark)}"
+            f" - {_ln_det('total', _lit_spark)}) * 1e6, 0) AS BIGINT)")
     model = (words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
              .crossJoin(F.broadcast(total))
-             .select("word", F.round(F.log(F.col("cnt") / F.col("total")) * 1e6, 0)
-                     .cast("long").alias("logp_u")))
+             .selectExpr("word", f"{logp} AS logp_u"))
     return (words.join(F.broadcast(model), "word")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
@@ -460,15 +510,17 @@ ORACLE = {
                ROUND(n_shared * 1.0 / n_distinct, 6) AS contamination
         FROM train JOIN hits ON train.doc_id = hits.doc_id
     """,
-    "text_unigram_lm_score": """
+    "text_unigram_lm_score": f"""
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                    FROM documents),
         t AS (SELECT COUNT(*) AS total FROM w),
+        counts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
         model AS (
             SELECT word,
-                   CAST(ROUND(ln(COUNT(*) * 1.0 / (SELECT total FROM t)) * 1e6, 0)
+                   CAST(ROUND(({_ln_det('cnt', _lit_duck)}
+                               - {_ln_det('total', _lit_duck)}) * 1e6, 0)
                         AS BIGINT) AS logp_u
-            FROM w GROUP BY word)
+            FROM counts CROSS JOIN t)
         SELECT doc_id, COUNT(*) AS n_tokens,
                SUM(logp_u)::BIGINT AS sum_logp_u,
                ROUND(SUM(logp_u) / COUNT(*) / 1e6, 6) AS mean_logp
