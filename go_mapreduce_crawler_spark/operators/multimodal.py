@@ -1,11 +1,12 @@
 """Multimodal column plumbing — binary payloads with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fakes / NotImplementedError), but everything
-Spark-side is real and tested: schemas, Arrow batch shape through
-mapInPandas, partition-preserving transforms, and the metadata model.
-A production deployment swaps `_decode_image_stub` for a real codec
-(PIL/ffmpeg) without touching the plan.
+Image decode is REAL when Pillow is importable (`_try_decode_image`),
+and falls back to deterministic digest fakes when no codec is present
+(this container has none) or a payload is not a decodable image — so
+everything Spark-side is always real and tested: schemas, Arrow batch
+shape through mapInPandas, partition-preserving transforms, and the
+metadata model.  Audio/video decode remains a stub seam (ffmpeg-shaped
+deployments swap the kernel without touching the plan).
 
 Design for 100 TB of media:
 * payloads travel as `binary` columns read from parquet — never through
@@ -66,13 +67,61 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"))
 
 
-def _decode_image_stub(payload: bytes) -> bytes:
-    """Replace with a real decoder in production.
+def _try_decode_image(payload: bytes):
+    """Real image decode when a codec is available.
 
-    Raising here is correct for kinds we cannot decode; the deterministic
-    fake below is used for the feature path so plumbing stays testable.
+    Returns ``(rgb_bytes, width, height)`` for a decodable image, or
+    ``None`` when Pillow is not installed OR the payload is not a
+    decodable image — the caller falls back to the deterministic digest
+    fake either way, so plumbing behaves identically in codec-less
+    environments (this container has none) and for non-image payloads.
+    Runs executor-side inside the Arrow kernels; the import is retried
+    per call site but cached by Python's module cache.
     """
-    raise NotImplementedError("no image codec in this environment")
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            rgb = im.convert("RGB")
+            return rgb.tobytes(), rgb.width, rgb.height
+    except Exception:
+        return None
+
+
+def _decode_image_stub(payload: bytes) -> bytes:
+    """Codec-less decode seam kept for callers that REQUIRE real pixels.
+
+    `_try_decode_image` is the graceful path; raising here is correct
+    for pipelines where a non-decodable image is an error rather than a
+    fall-back-to-digest case.
+    """
+    decoded = _try_decode_image(payload)
+    if decoded is None:
+        raise NotImplementedError(
+            "no image codec available (install Pillow) or payload is not "
+            "a decodable image")
+    return decoded[0]
+
+
+def _pixel_features(rgb: bytes, width: int, height: int) -> list[float]:
+    """Deterministic 8-dim feature from REAL decoded pixels: dimensions,
+    per-channel means, and global min/max/spread — integer-derived
+    ratios, so engine- and platform-stable."""
+    n = max(len(rgb) // 3, 1)
+    chans = [rgb[c::3] for c in range(3)]
+    return [
+        min(width / 4096.0, 1.0),
+        min(height / 4096.0, 1.0),
+        sum(chans[0]) / n / 255.0,
+        sum(chans[1]) / n / 255.0,
+        sum(chans[2]) / n / 255.0,
+        min(rgb) / 255.0 if rgb else 0.0,
+        max(rgb) / 255.0 if rgb else 0.0,
+        ((max(rgb) - min(rgb)) / 255.0) if rgb else 0.0,
+    ]
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -80,6 +129,15 @@ def _fake_features(payload: bytes) -> list[float]:
     dig = hashlib.sha256(payload).digest()
     return [int.from_bytes(dig[4 * i:4 * i + 4], "big") / 2**32
             for i in range(FEATURE_DIM)]
+
+
+def _features(payload: bytes) -> list[float]:
+    """Real pixel features when the payload decodes, digest fake when it
+    doesn't (or no codec) — same dimension, same determinism either way."""
+    decoded = _try_decode_image(payload)
+    if decoded is not None:
+        return _pixel_features(*decoded)
+    return _fake_features(payload)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -95,7 +153,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": [m["kind"] for m in pdf["meta"]],
-                "features": [_fake_features(p) for p in pdf["payload"]],
+                "features": [_features(p) for p in pdf["payload"]],
             })
 
     return df.mapInPandas(kernel, schema=out_schema)
@@ -114,19 +172,42 @@ def sample_frames(df: DataFrame, every: int = 10) -> DataFrame:
 
 
 RESIZE_MAX_BYTES = 4096
+RESIZE_MAX_SIDE = 64
+
+
+def _try_resize_image(payload: bytes, max_side: int = RESIZE_MAX_SIDE):
+    """Real thumbnail when a codec is available: returns ``(png_bytes,
+    width, height)`` or ``None`` (no Pillow / not a decodable image),
+    mirroring `_try_decode_image`'s fallback contract."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            rgb = im.convert("RGB")
+            rgb.thumbnail((max_side, max_side))
+            buf = io.BytesIO()
+            rgb.save(buf, format="PNG")
+            return buf.getvalue(), rgb.width, rgb.height
+    except Exception:
+        return None
 
 
 def resize_media(df: DataFrame, max_bytes: int = RESIZE_MAX_BYTES) -> DataFrame:
     """Binary -> binary transform with metadata rewrite (the resize /
     transcode shape).
 
-    The stub kernel truncates payloads to ``max_bytes`` (a real deploy
-    swaps in PIL/ffmpeg without touching the plan); meta is rewritten to
-    the post-transform dimensions IN THE SAME kernel so metadata never
-    desynchronizes from the payload.  Arrow-batched mapInPandas, narrow
-    (zero shuffles): at 100 TB this runs as a pure map over the scan,
-    one Python worker per core, and the output parquet is written
-    directly from the executors.
+    Decodable images resize for REAL when Pillow is present
+    (`_try_resize_image`: thumbnail to 64px, re-encoded PNG, meta
+    rewritten to the true post-resize dimensions); everything else —
+    codec-less environments like this container, or non-image payloads
+    — truncates to ``max_bytes``.  Meta is rewritten IN THE SAME kernel
+    so metadata never desynchronizes from the payload.  Arrow-batched
+    mapInPandas, narrow (zero shuffles): at 100 TB this runs as a pure
+    map over the scan, one Python worker per core, and the output
+    parquet is written directly from the executors.
     """
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
@@ -136,12 +217,21 @@ def resize_media(df: DataFrame, max_bytes: int = RESIZE_MAX_BYTES) -> DataFrame:
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [p[:max_bytes] for p in pdf["payload"]]
-            meta = [{**m, "codec": "fake/resized"} for m in pdf["meta"]]
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                real = _try_resize_image(p)
+                if real is not None:
+                    png, w, h = real
+                    payloads.append(png)
+                    metas.append({**m, "width": w, "height": h,
+                                  "codec": "png/thumbnail"})
+                else:
+                    payloads.append(p[:max_bytes])
+                    metas.append({**m, "codec": "fake/resized"})
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "payload": resized,
-                "meta": meta,
+                "payload": payloads,
+                "meta": metas,
             })
 
     return df.mapInPandas(kernel, schema=out_schema)

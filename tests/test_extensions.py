@@ -366,3 +366,48 @@ def test_min_label_raises_on_high_diameter_instead_of_silent_wrong(spark):
     stars = {(r.cluster_id, r.n_members)
              for r in dd._star_components(chain).collect()}
     assert stars == {(0, 26)}
+
+
+def test_multimodal_decode_fallback_and_pixel_features():
+    """Without a codec (this container) or for non-decodable payloads,
+    decode returns None and features route to the digest fake; the
+    pixel-feature function itself is pinned so the real path is covered
+    even where Pillow is absent."""
+    import importlib.util
+
+    from go_mapreduce_crawler_spark.operators import multimodal as mm
+
+    p = b"not an image"
+    assert mm._try_decode_image(p) is None or importlib.util.find_spec("PIL")
+    assert mm._features(p) == mm._fake_features(p)
+    assert mm._try_resize_image(p) is None
+    with pytest.raises(NotImplementedError):
+        mm._decode_image_stub(p)
+    rgb = bytes([10, 20, 30, 40, 50, 60])          # two RGB pixels
+    assert mm._pixel_features(rgb, 2, 1) == [
+        2 / 4096, 1 / 4096, 25 / 255, 35 / 255, 45 / 255,
+        10 / 255, 60 / 255, 50 / 255]
+
+
+def test_multimodal_real_decode_when_pillow_present():
+    """The real codec path: round-trip a tiny PNG. Skipped where Pillow
+    is not installed; with it, decode/resize/features all take the
+    pixel path."""
+    import importlib.util
+
+    if not importlib.util.find_spec("PIL"):
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    from go_mapreduce_crawler_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2), (7, 8, 9)).save(buf, format="PNG")
+    png = buf.getvalue()
+    rgb, w, h = mm._try_decode_image(png)
+    assert (w, h) == (3, 2) and rgb == bytes([7, 8, 9]) * 6
+    assert mm._features(png) == mm._pixel_features(rgb, 3, 2)
+    small, rw, rh = mm._try_resize_image(png)
+    assert (rw, rh) == (3, 2) and small[:8] == b"\x89PNG\r\n\x1a\n"
