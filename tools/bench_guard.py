@@ -1,0 +1,87 @@
+"""Per-query bench regression guard.
+
+Compares a fresh bench.py JSON line against the most recent recorded
+BENCH_r*.json and exits non-zero if any query regressed more than 2x
+its baseline (plus a small absolute slack so scheduler jitter on
+sub-0.5s queries cannot trip the gate).  BENCH_r02 is the first round
+that produced numbers, so from round 3 on the 2x bar has a concrete
+per-query value — this is that bar, enforced before round close.
+
+Run:  python tools/bench_guard.py NEW_JSON_FILE [BASELINE_FILE]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+FACTOR = 2.0
+SLACK_SEC = 0.3
+
+
+def _unwrap(data: dict) -> dict:
+    """Driver-recorded BENCH_r*.json nests bench.py's line under
+    'parsed'; a raw bench.py line is already flat."""
+    if not isinstance(data, dict):
+        return {}
+    inner = data.get("parsed", data)
+    return inner if isinstance(inner, dict) else {}
+
+
+def latest_baseline(repo_root: str) -> str | None:
+    cands = glob.glob(os.path.join(repo_root, "BENCH_r*.json"))
+    best, best_n = None, -1
+    for p in cands:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            data = _unwrap(json.load(open(p)))
+        except (OSError, ValueError):
+            continue
+        if not data.get("queries"):      # DNF rounds carry no timings
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best, best_n = p, n
+    return best
+
+
+def main() -> int:
+    new_path = sys.argv[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_path = sys.argv[2] if len(sys.argv) > 2 else latest_baseline(repo_root)
+    if base_path is None:
+        print("bench_guard: no baseline BENCH_r*.json with timings; skipping")
+        return 0
+    new = _unwrap(json.load(open(new_path)))
+    base = _unwrap(json.load(open(base_path)))
+    nq, bq = new.get("queries", {}), base.get("queries", {})
+    if new.get("errors"):
+        print(f"bench_guard: FAIL — bench reported errors: "
+              f"{sorted(new['errors'])}")
+        return 1
+    bad = []
+    for name, old_t in sorted(bq.items()):
+        t = nq.get(name)
+        if t is None:
+            bad.append(f"{name}: missing from new bench (baseline {old_t}s)")
+        elif t > FACTOR * old_t + SLACK_SEC:
+            bad.append(f"{name}: {t}s vs baseline {old_t}s "
+                       f"(> {FACTOR}x + {SLACK_SEC}s)")
+    if bad:
+        print(f"bench_guard: FAIL vs {os.path.basename(base_path)}:")
+        for b in bad:
+            print("  " + b)
+        return 1
+    print(f"bench_guard: OK — {len(bq)} queries within {FACTOR}x of "
+          f"{os.path.basename(base_path)} (total {new.get('value')}s vs "
+          f"{base.get('value')}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

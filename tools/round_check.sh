@@ -14,5 +14,8 @@ SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py 
 echo "== 3/4 driver-hash dtype audit =="
 python tools/audit_oracle_dtypes.py /root/testdata/sf0.001 2>/dev/null | tail -3
 
-echo "== 4/4 bench (sf0.1, one JSON line) =="
-timeout 900 python3 bench.py 2>/dev/null | tail -1
+echo "== 4/4 bench (sf0.1, one JSON line) + 2x-per-query regression guard =="
+BENCH_OUT=$(mktemp)
+timeout 900 python3 bench.py 2>/dev/null | tail -1 | tee "$BENCH_OUT"
+python tools/bench_guard.py "$BENCH_OUT"
+rm -f "$BENCH_OUT"
