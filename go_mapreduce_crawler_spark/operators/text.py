@@ -440,6 +440,48 @@ def q_text_lm_score(spark, sf_dir):
                      .alias("mean_logp")))
 
 
+SEQ_LEN = 2048        # training sequence length in whitespace tokens
+PACK_BUCKET = 1024    # docs per prefix-sum offset bucket
+
+
+def q_seq_packing(spark, sf_dir):
+    """GPT-style sequence packing: conceptually concatenate every
+    document's tokens in doc_id order and cut the stream every SEQ_LEN
+    tokens; per document, report the first/last training sequence it
+    lands in and how many it spans — the shard-boundary accounting a
+    pretraining data pipeline runs before writing packed examples.
+
+    Scale: the naive global running sum is a single-partition window
+    over the whole corpus — the classic prefix-sum scale-killer.  This
+    is the two-level distributed form: an intra-bucket cumulative sum
+    partitioned by bucket (doc_id grouped 1024-per-bucket) plus
+    per-bucket exclusive offsets computed by a window over the BUCKET
+    SUMMARY — one row per 1024 documents, thousands of rows even at
+    100 TB, broadcast back to the fact side.  All integer arithmetic,
+    so the result is engine-exact and partitioning-independent.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % PACK_BUCKET).alias("bkt"))
+    bsum = toks.groupBy("bkt").agg(F.sum("n_tokens").alias("s"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bsum.select(
+        "bkt", F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"))
+    w_in = Window.partitionBy("bkt").orderBy("doc_id")
+    return (toks.join(F.broadcast(offs), "bkt")
+            .withColumn("cum_end", F.col("off") + F.sum("n_tokens").over(w_in))
+            .selectExpr(
+                "doc_id", "n_tokens",
+                f"(cum_end - n_tokens) DIV {SEQ_LEN} AS first_seq",
+                f"(cum_end - 1) DIV {SEQ_LEN} AS last_seq",
+                f"CAST((cum_end - 1) DIV {SEQ_LEN}"
+                f" - (cum_end - n_tokens) DIV {SEQ_LEN} + 1 AS INT)"
+                " AS n_seqs"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -454,6 +496,7 @@ QUERIES = {
     "text_repetition_gopher": q_text_repetition,
     "text_contamination_3gram": q_text_contamination,
     "text_unigram_lm_score": q_text_lm_score,
+    "seq_packing_gpt": q_seq_packing,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -462,6 +505,20 @@ _HITS = {k: f"len(list_intersect(list_distinct(string_split(text, ' ')), {v}))"
 _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 
 ORACLE = {
+    "seq_packing_gpt": f"""
+        WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+              FROM t)
+        SELECT doc_id, n_tokens,
+               (cum_end - n_tokens) // {SEQ_LEN} AS first_seq,
+               (cum_end - 1) // {SEQ_LEN} AS last_seq,
+               CAST((cum_end - 1) // {SEQ_LEN}
+                    - (cum_end - n_tokens) // {SEQ_LEN} + 1 AS INT) AS n_seqs
+        FROM c
+    """,
     "text_repetition_gopher": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         base AS (

@@ -46,3 +46,20 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_queries_order_frontloads_weakest_driver_signal():
+    """The driver budget caps at ~50 queries/run; the dict order must
+    put the queries with no (or stale-failing) recorded driver signal
+    first so CORRECTNESS_r03 converts them to green rows."""
+    names = list(QUERIES)
+    r01, r02 = set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02)
+    stale = set(entrymod._STALE_R01_FAILS)
+    never = [n for n in names if n not in r01 and n not in r02]
+    n_front = len(never) + len(stale)
+    front = set(names[:n_front])
+    assert set(never) <= front, set(never) - front
+    assert stale <= front, stale - front
+    # freshest signal runs last
+    assert set(names[-len(r02):]) == r02
+    assert len(names) == len(set(names))
