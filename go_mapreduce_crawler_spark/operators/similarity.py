@@ -299,6 +299,49 @@ def q_knn_pandas(spark, sf_dir):
                    .select("q_id", "neighbor_id", "cos", "rk"))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-dimension int8 scalar quantization of the embedding
+    column — the compression step in front of large-scale ANN (4× smaller
+    vectors, int8 SIMD dot products at serve time).  Emits the quantized
+    vector (comma-joined, the driver-hash rule for list cells) and the
+    per-row reconstruction error in integer nano-units.
+
+    Deterministic across engines end to end: the per-dim scale is
+    127/max|x| (max is exact and order-free; one IEEE divide), q =
+    round(x·scale) on identical doubles with both engines'
+    away-from-zero tie rule, and the error total quantizes each |q/scale
+    − x| to integer nanos BEFORE summing — associative, so no float
+    accumulation order anywhere.
+
+    Scale shape: the only aggregation is the 64-row per-dim max (one
+    posexplode + partial+final agg), whose result folds into a single
+    scales ARRAY broadcast to the corpus scan; quantization itself is
+    row-local zip_with — NO regroup shuffle of the corpus, unlike the
+    naive explode→quantize→collect_list formulation.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "xf")) \
+          .select("dim", F.abs(F.col("xf").cast("double")).alias("ax"))
+    sc_arr = (ex.groupBy("dim").agg(F.max("ax").alias("mx"))
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                  lambda s: F.when(s["mx"] > 0, F.lit(127.0) / s["mx"])
+                             .otherwise(F.lit(0.0))).alias("scales")))
+    q_item = lambda xf, s: F.round(xf.cast("double") * s, 0).cast("int")
+    err_item = lambda xf, s: F.round(F.abs(
+        F.when(s > 0, q_item(xf, s).cast("double") / s).otherwise(F.lit(0.0))
+        - xf.cast("double")) * 1e9, 0).cast("long")
+    return (e.crossJoin(F.broadcast(sc_arr))
+            .select(
+                "vec_id",
+                F.array_join(F.transform(
+                    F.zip_with("embedding", "scales", q_item),
+                    lambda q: q.cast("string")), ",").alias("q_vec"),
+                F.aggregate(F.zip_with("embedding", "scales", err_item),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x).alias("err_e9")))
+
+
 def q_embedding_norms(spark, sf_dir):
     """Norm/moment stats per label — sanity surface for the vector ops."""
     e = _emb(spark, sf_dir)
@@ -347,6 +390,7 @@ QUERIES = {
     "knn_pandas_vectorized": q_knn_pandas,
     "embedding_norms": q_embedding_norms,
     "embedding_centroids_exact": q_embedding_centroids,
+    "embedding_quantize_int8": q_embedding_quantize,
 }
 
 # Spark's sequential array fold (F.aggregate starting at 0.0) and
@@ -362,6 +406,31 @@ _COS = (_DOT + " / (sqrt(" + _SQN.replace("{a}", "{a}") + ") * sqrt("
         + _SQN.replace("{a}", "{b}") + "))")
 
 ORACLE = {
+    "embedding_quantize_int8": """
+        WITH sc AS (
+            SELECT list(CASE WHEN mx > 0
+                             THEN CAST('127.0' AS DOUBLE) / mx
+                             ELSE CAST('0.0' AS DOUBLE) END
+                        ORDER BY dim) AS scales
+            FROM (SELECT i AS dim,
+                         MAX(ABS(CAST(embedding[i + 1] AS DOUBLE))) AS mx
+                  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+                  GROUP BY i))
+        SELECT vec_id,
+               array_to_string(list_transform(list_zip(embedding, scales),
+                   p -> CAST(ROUND(CAST(p[1] AS DOUBLE) * p[2], 0) AS INT)),
+                   ',') AS q_vec,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_zip(embedding, scales),
+                       p -> CAST(ROUND(ABS(
+                           CASE WHEN p[2] > 0
+                                THEN CAST(ROUND(CAST(p[1] AS DOUBLE) * p[2], 0)
+                                          AS INT) / p[2]
+                                ELSE CAST('0.0' AS DOUBLE) END
+                           - CAST(p[1] AS DOUBLE)) * 1e9, 0) AS BIGINT))),
+                   (acc, x) -> acc + x) AS BIGINT) AS err_e9
+        FROM embeddings CROSS JOIN sc
+    """,
     "embedding_centroids_exact": """
         WITH ex AS (
             SELECT label, i AS dim, embedding[i + 1] AS x
