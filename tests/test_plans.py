@@ -392,3 +392,16 @@ def test_pagerank_inflow_is_hash_sum_not_collect_list(spark, sf_small):
     assert "ObjectHashAggregate" not in plan, plan[:1500]
     assert has_partial_and_final_agg(step)
     assert not has_python_udf(step)
+
+
+def test_seq_packing_prefix_sum_is_two_level(spark, sf_small):
+    """The corpus-wide running token total must be the bucketed two-level
+    prefix sum: at most ONE single-partition exchange (the tiny bucket
+    summary), the fact-side window partitioned by bucket, offsets joined
+    back by broadcast — never a global-order window over the corpus."""
+    from go_mapreduce_crawler_spark.operators import text as t
+    df = t.q_seq_packing(spark, sf_small)
+    plan = physical_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+    assert has_broadcast_join(df)
+    assert not has_python_udf(df)
