@@ -281,8 +281,31 @@ QUERIES = {
 }
 
 ORACLE = {
-    # feature kernel is sha256-based — deterministic but not SQL; the
-    # frame-sample count IS SQL-expressible from documents:
+    # The digest-fake feature path IS SQL-expressible: DuckDB's
+    # sha256(VARCHAR) hashes the same utf-8 bytes the synth payload
+    # carries, hex substrings parse as '0x…' integer casts, and the
+    # 8-term fold runs in the same index order as F.aggregate — so the
+    # feature sum carries a full value oracle (valid for the synthetic
+    # table, whose payloads are never decodable images; a real image
+    # corpus takes the pixel path and has no SQL twin).
+    "multimodal_features": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   sha256(text) AS hx
+            FROM documents
+            WHERE n_chars % 640 + 32 >= 100)
+        SELECT media_id, kind,
+               ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(8), i ->
+                       CAST(CAST('0x' || substr(hx, CAST(i * 8 + 1 AS INT), 8)
+                                 AS UBIGINT) AS DOUBLE) / 4294967296.0)),
+                   (a, x) -> a + x), 6) AS feat_sum
+        FROM m
+    """,
+    # the frame-sample count is SQL-expressible from documents:
     "multimodal_frame_sample": """
         SELECT SUM(CAST(FLOOR((n_chars % 120) / 10) + 1 AS BIGINT))::BIGINT AS n_frames_sampled,
                COUNT(DISTINCT doc_id) AS n_media
