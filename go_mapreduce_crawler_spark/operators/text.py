@@ -482,6 +482,37 @@ def q_seq_packing(spark, sf_dir):
                 " AS n_seqs"))
 
 
+CHUNK_LEN = 500      # characters per chunk
+CHUNK_STRIDE = 400   # 100-char overlap between neighbors
+
+
+def q_doc_chunking(spark, sf_dir):
+    """RAG-style overlapping character chunking: each document splits
+    into CHUNK_LEN-char windows every CHUNK_STRIDE chars (100-char
+    overlap so retrieval never loses a boundary sentence), emitting per
+    chunk its index, offset, length, and content digest — the step in
+    front of every embed-and-index pipeline.
+
+    Scale: pure row-local sequence+posexplode+substring — ZERO shuffles;
+    at 100 TB this is a narrow map over the scan and the chunk table
+    writes straight out of the executors.  Digests (md5, lowercase hex
+    in both engines) stand in for chunk text so the result stays
+    hash-comparable without shipping the corpus twice.
+    """
+    d = _docs(spark, sf_dir)
+    n = F.length("text")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(CHUNK_STRIDE))
+    return (d.select("doc_id", "text",
+                     F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+            .select("doc_id", "chunk_idx", "chunk_start",
+                    F.expr(f"substr(text, chunk_start + 1, {CHUNK_LEN})")
+                     .alias("sub"))
+            .select("doc_id", "chunk_idx", "chunk_start",
+                    F.length("sub").alias("chunk_len"),
+                    F.md5(F.encode("sub", "UTF-8")).alias("chunk_md5")))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -497,6 +528,7 @@ QUERIES = {
     "text_contamination_3gram": q_text_contamination,
     "text_unigram_lm_score": q_text_lm_score,
     "seq_packing_gpt": q_seq_packing,
+    "doc_chunking_rag": q_doc_chunking,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -505,6 +537,19 @@ _HITS = {k: f"len(list_intersect(list_distinct(string_split(text, ' ')), {v}))"
 _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 
 ORACLE = {
+    "doc_chunking_rag": f"""
+        SELECT doc_id,
+               CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               CAST(s AS INT) AS chunk_start,
+               length(sub) AS chunk_len,
+               md5(sub) AS chunk_md5
+        FROM (SELECT doc_id, s,
+                     substr(text, CAST(s + 1 AS INT), {CHUNK_LEN}) AS sub
+              FROM documents,
+                   unnest(generate_series(0,
+                       greatest(length(text) - 1, 0),
+                       {CHUNK_STRIDE})) AS t(s))
+    """,
     "seq_packing_gpt": f"""
         WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                    FROM documents),

@@ -249,3 +249,34 @@ def test_star_components_equal_minlabel_on_random_graphs(spark, edges):
     a = sorted(map(tuple, _min_label_components(pairs).collect()))
     b = sorted(map(tuple, _star_components(pairs).collect()))
     assert a == b
+
+
+def test_ln_det_is_bit_identical_across_engines(spark):
+    """The deterministic-ln contract under the unigram-LM score: Spark
+    and DuckDB must produce BIT-identical doubles for _ln_det over a
+    spread of counts (that is the whole point — libm ln carries no such
+    guarantee), and the truncated series must stay within 2e-9 of true
+    ln (three orders inside the 0.5e-6 quantization slack)."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+
+    from go_mapreduce_crawler_spark.operators.text import (
+        _ln_det, _lit_duck, _lit_spark)
+
+    rng = random.Random(17)
+    ns = sorted({rng.randrange(1, 10**14) for _ in range(200)}
+                | {1, 2, 3, 2**52 - 1, 10**14})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nn(n BIGINT)")
+    con.executemany("INSERT INTO nn VALUES (?)", [(n,) for n in ns])
+    duck = dict(con.sql(f"SELECT n, {_ln_det('n', _lit_duck)} FROM nn")
+                .fetchall())
+    sdf = spark.createDataFrame([(n,) for n in ns], "n long")
+    sp = {r[0]: r[1] for r in
+          sdf.selectExpr("n", f"{_ln_det('n', _lit_spark)} AS v").collect()}
+    for n in ns:
+        assert struct.pack("<d", duck[n]) == struct.pack("<d", sp[n]), n
+        assert abs(duck[n] - math.log(n)) < 2e-9, n
