@@ -405,3 +405,14 @@ def test_seq_packing_prefix_sum_is_two_level(spark, sf_small):
     assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
     assert has_broadcast_join(df)
     assert not has_python_udf(df)
+
+
+def test_embedding_quantize_is_rowlocal_after_tiny_agg(spark, sf_small):
+    """Quantization must be row-local zip_with against the broadcast
+    64-dim scale array: one aggregation (the per-dim max), no regroup
+    shuffle of the corpus, no Python."""
+    from go_mapreduce_crawler_spark.operators import similarity as s
+    df = s.q_embedding_quantize(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert not has_python_udf(df)
+    assert n_shuffle_exchanges(df) <= 2, physical_plan(df)[:2000]
