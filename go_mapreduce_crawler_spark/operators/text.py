@@ -513,6 +513,22 @@ def q_doc_chunking(spark, sf_dir):
                     F.md5(F.encode("sub", "UTF-8")).alias("chunk_md5")))
 
 
+def q_chunk_boilerplate(spark, sf_dir):
+    """Boilerplate detection at chunk granularity: chunks whose content
+    digest recurs across >= 2 DISTINCT documents (headers, footers,
+    license blocks, nav text) — the removal list a curation pipeline
+    anti-joins against before training.  Composes q_doc_chunking: one
+    digest-keyed aggregation, shuffling 16-byte digests (the exact-dedup
+    scale rule — never chunk text).
+    """
+    ch = q_doc_chunking(spark, sf_dir)
+    return (ch.groupBy("chunk_md5")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("doc_id").alias("first_doc_id"))
+            .filter(F.col("n_docs") >= 2))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -529,6 +545,7 @@ QUERIES = {
     "text_unigram_lm_score": q_text_lm_score,
     "seq_packing_gpt": q_seq_packing,
     "doc_chunking_rag": q_doc_chunking,
+    "chunk_boilerplate": q_chunk_boilerplate,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -537,6 +554,21 @@ _HITS = {k: f"len(list_intersect(list_distinct(string_split(text, ' ')), {v}))"
 _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 
 ORACLE = {
+    "chunk_boilerplate": f"""
+        WITH ch AS (
+            SELECT doc_id, md5(substr(text, CAST(s + 1 AS INT),
+                                      {CHUNK_LEN})) AS chunk_md5
+            FROM documents,
+                 unnest(generate_series(0,
+                     greatest(length(text) - 1, 0),
+                     {CHUNK_STRIDE})) AS t(s))
+        SELECT chunk_md5,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               MIN(doc_id) AS first_doc_id
+        FROM ch GROUP BY chunk_md5
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
     "doc_chunking_rag": f"""
         SELECT doc_id,
                CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
