@@ -76,6 +76,28 @@ def q_dedup_exact_keep(spark, sf_dir):
              .select("doc_id"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Exact-dup survivorship by QUALITY policy: per duplicate group keep
+    the longest copy (ties -> lowest doc_id) — the curation rule when
+    near-identical crawls differ by truncation and you want the fullest
+    text, not an arbitrary id.
+
+    Scale shape: ONE partial+final aggregate on the text digest — the
+    survivor rides in a min(struct(-n_chars, doc_id)) cell, so no window
+    over the corpus and no second pass (the ROW_NUMBER formulation the
+    oracle uses shuffles whole rows and sorts per group; the aggregate
+    form shuffles 16-byte digests + one tiny struct).
+    """
+    d = _docs(spark, sf_dir)
+    best = F.min(F.struct((-F.col("n_chars")).alias("negn"),
+                          F.col("doc_id").alias("did")))
+    return (d.groupBy(F.md5(F.encode("text", "UTF-8")).alias("text_hash"))
+            .agg(F.count(F.lit(1)).alias("n_copies"), best.alias("b"))
+            .select("text_hash", "n_copies",
+                    F.col("b.did").alias("keep_doc_id"),
+                    (-F.col("b.negn")).alias("keep_n_chars")))
+
+
 def q_dedup_jaccard_pairs(spark, sf_dir):
     """Exact word-set Jaccard >= 0.5 pairs via inverted-index self-join.
 
@@ -539,6 +561,7 @@ QUERIES = {
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_fuzzy_levenshtein": q_dedup_fuzzy_lev,
     "dedup_components": q_dedup_components,
@@ -579,6 +602,20 @@ ORACLE = {
     """,
     "dedup_exact_keep_min": """
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    # Independent window formulation (ROW_NUMBER survivor) checks the
+    # aggregate min(struct) form above.
+    "dedup_keep_best": """
+        WITH r AS (
+            SELECT md5(text) AS text_hash, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY n_chars DESC, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+            FROM documents)
+        SELECT text_hash, n_copies,
+               doc_id AS keep_doc_id,
+               n_chars AS keep_n_chars
+        FROM r WHERE rk = 1
     """,
     "dedup_jaccard_pairs": """
         WITH words AS (
