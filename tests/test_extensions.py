@@ -346,6 +346,8 @@ def test_similarity_gates_oversized_query_set(spark, sf_small, monkeypatch):
     from go_mapreduce_crawler_spark.operators import similarity as sim
 
     monkeypatch.setattr(sim, "KNN_MAX_QUERIES", 1)
+    # a previously-probed corpus path must not bypass the (tightened) gate
+    monkeypatch.setattr(sim, "_GATE_PROBED", set())
     for fn in (sim.q_knn_bruteforce, sim.q_ann_lsh, sim.q_ann_ivf,
                sim.q_knn_pandas):
         with pytest.raises(ValueError, match="query set exceeds"):
