@@ -84,13 +84,25 @@ _STALE_R01_FAILS = (
     "collect_sorted_arrays", "scalar_array_hof", "scalar_map_histogram",
 )
 
+# Operators added in round 3 — never-checked too, but the 25 + 6 above
+# carry two rounds of verification debt and run FIRST; these follow.
+# multimodal_features is here although r02-checked: that row was
+# rows-only, and round 3 gave it a full sha256 value oracle — front it
+# once so a hash-checked row lands.
+_NEW_R03 = (
+    "seq_packing_gpt", "doc_chunking_rag", "chunk_boilerplate",
+    "embedding_quantize_int8", "dedup_keep_best", "multimodal_features",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
     r01, r02 = set(_CHECKED_R01), set(_CHECKED_R02)
-    stale = set(_STALE_R01_FAILS)
-    ordered = {k: q[k] for k in q if k not in r01 and k not in r02}
+    stale, new3 = set(_STALE_R01_FAILS), set(_NEW_R03)
+    ordered = {k: q[k] for k in q
+               if k not in r01 and k not in r02 and k not in new3}
     ordered.update({k: q[k] for k in _STALE_R01_FAILS if k in q})
+    ordered.update({k: q[k] for k in _NEW_R03 if k in q})
     ordered.update(
         {k: q[k] for k in _CHECKED_R01 if k in q and k not in stale and k not in r02}
     )

@@ -55,11 +55,18 @@ def test_queries_order_frontloads_weakest_driver_signal():
     names = list(QUERIES)
     r01, r02 = set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02)
     stale = set(entrymod._STALE_R01_FAILS)
+    new3 = set(entrymod._NEW_R03)
     never = [n for n in names if n not in r01 and n not in r02]
-    n_front = len(never) + len(stale)
+    n_front = len(set(never) | stale | new3)
     front = set(names[:n_front])
     assert set(never) <= front, set(never) - front
     assert stale <= front, stale - front
-    # freshest signal runs last
-    assert set(names[-len(r02):]) == r02
+    assert new3 <= front, new3 - front
+    # two-round debt strictly precedes round-3 additions
+    assert max(names.index(n) for n in never if n not in new3) \
+        < min(names.index(n) for n in new3)
+    # freshest signal runs last (minus any r02 row re-fronted for a new
+    # oracle)
+    tail = r02 - new3
+    assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))
