@@ -280,3 +280,68 @@ def test_ln_det_is_bit_identical_across_engines(spark):
     for n in ns:
         assert struct.pack("<d", duck[n]) == struct.pack("<d", sp[n]), n
         assert abs(duck[n] - math.log(n)) < 2e-9, n
+
+
+def _rand_docs_dirs(spark, tmp_path, seed=23, n_docs=80):
+    """The same random documents table written under two different
+    partitionings — the input pair for partitioning-invariance checks."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        text = " ".join(f"w{rng.randrange(40)}"
+                        for _ in range(rng.randrange(1, 900)))
+        rows.append((i * 7, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    d1, d7 = str(tmp_path / "p1"), str(tmp_path / "p7")
+    df.coalesce(1).write.parquet(f"{d1}/documents.parquet")
+    df.repartition(7).write.parquet(f"{d7}/documents.parquet")
+    return d1, d7, rows
+
+
+def test_seq_packing_is_partitioning_invariant_and_exact(spark, tmp_path):
+    """The two-level prefix sum must give the SAME answer on a 1-split
+    and a 7-split layout of the same random corpus, and both must equal
+    a straight Python running-total model — the property that makes the
+    operator safe to re-partition at 100 TB."""
+    from go_mapreduce_crawler_spark.operators import text as t
+
+    d1, d7, rows = _rand_docs_dirs(spark, tmp_path)
+    a = {r["doc_id"]: (r["first_seq"], r["last_seq"], r["n_seqs"])
+         for r in t.q_seq_packing(spark, d1).collect()}
+    b = {r["doc_id"]: (r["first_seq"], r["last_seq"], r["n_seqs"])
+         for r in t.q_seq_packing(spark, d7).collect()}
+    assert a == b
+    cum = 0
+    for doc_id, text, *_ in sorted(rows):
+        n = len(text.split(" "))
+        first, last = cum // t.SEQ_LEN, (cum + n - 1) // t.SEQ_LEN
+        assert a[doc_id] == (first, last, last - first + 1), doc_id
+        cum += n
+
+
+def test_embedding_quantize_is_partitioning_invariant(spark, tmp_path):
+    """int8 quantization must not depend on the corpus partitioning:
+    per-dim max is order-free, everything after is row-local."""
+    import random
+
+    from go_mapreduce_crawler_spark.operators import similarity as sim
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(8)], i % 3)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    d1, d5 = str(tmp_path / "q1"), str(tmp_path / "q5")
+    df.coalesce(1).write.parquet(f"{d1}/embeddings.parquet")
+    df.repartition(5).write.parquet(f"{d5}/embeddings.parquet")
+    a = {r["vec_id"]: (r["q_vec"], r["err_e9"])
+         for r in sim.q_embedding_quantize(spark, d1).collect()}
+    b = {r["vec_id"]: (r["q_vec"], r["err_e9"])
+         for r in sim.q_embedding_quantize(spark, d5).collect()}
+    assert a == b
+    qs = {int(v) for vec, _ in a.values() for v in vec.split(",")}
+    assert qs and all(-127 <= v <= 127 for v in qs)
