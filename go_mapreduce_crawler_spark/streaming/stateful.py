@@ -192,3 +192,73 @@ def stream_enrich_static(events: DataFrame, dim: DataFrame) -> DataFrame:
             .select("event_id", "user_id", "event_type",
                     F.unix_micros("ts").alias("ts_us"),
                     "c_mktsegment", "c_nationkey"))
+
+
+def stream_mv_refresh(events: DataFrame, state_dir: str, checkpoint: str):
+    """Continuously-maintained materialized view via ``foreachBatch``
+    MERGE — the streaming face of maintenance.q_mv_incremental_refresh
+    and the third state pattern next to applyInPandasWithState (store
+    keyed state) and windowed aggregates (store windows): here the STATE
+    IS A TABLE, merged monoid-style once per micro-batch.
+
+    Per batch: partial-aggregate the batch (count + exact DECIMAL sum
+    per event_type — map-side combine applies within the batch), read
+    the previous snapshot, full-outer monoid merge, and write snapshot
+    ``state_v<batchId>``.  Versioned snapshots make retries IDEMPOTENT
+    (a replayed batch overwrites its own version and merges from the
+    same predecessor), which is exactly-once for the view without any
+    sink transaction support.  Old versions are pruned after commit.
+
+    Scale: the per-batch work shuffles |keys-in-batch| partial rows;
+    the merge join is |view| x |batch-keys| keyed by the view key —
+    both bounded by key cardinality, never by stream length.
+    """
+    spark = events.sparkSession
+
+    def _versions(fs_dir: str) -> list[int]:
+        import glob as _glob
+        out = []
+        for p in _glob.glob(f"{fs_dir}/state_v*"):
+            try:
+                out.append(int(p.rsplit("state_v", 1)[1]))
+            except ValueError:
+                pass
+        return sorted(out)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+            p = prev.select(F.col("event_type").alias("k"),
+                            F.col("n").alias("n1"), F.col("s").alias("s1"))
+            d = partial.select(F.col("event_type").alias("k"),
+                               F.col("n").alias("n2"), F.col("s").alias("s2"))
+            z = F.lit(0).cast("decimal(18,2)")
+            merged = (p.join(d, "k", "full_outer")
+                      .select(F.col("k").alias("event_type"),
+                              (F.coalesce("n1", F.lit(0))
+                               + F.coalesce("n2", F.lit(0))).alias("n"),
+                              (F.coalesce("s1", z) + F.coalesce("s2", z))
+                              .cast("decimal(18,2)").alias("s")))
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}", ignore_errors=True)
+
+    return (events.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def read_mv_state(spark, state_dir: str) -> DataFrame:
+    """Latest snapshot of the foreachBatch-maintained view."""
+    import glob as _glob
+    versions = sorted(int(p.rsplit("state_v", 1)[1])
+                      for p in _glob.glob(f"{state_dir}/state_v*"))
+    return spark.read.parquet(f"{state_dir}/state_v{versions[-1]}")

@@ -354,3 +354,35 @@ def test_crawl_stream_sink_writes_sealed_batches(spark, tmp_path):
     # files must round-trip the sum exactly
     assert res.value == {"data_sum": 10}
     assert res.n_files - res.n_corrupt == 5
+
+
+def test_foreachbatch_mv_refresh_equals_from_scratch(spark, event_stream_dir,
+                                                     tmp_path):
+    """The foreachBatch-maintained view after 4 micro-batches must equal
+    the from-scratch batch aggregate bit-for-bit (count + exact DECIMAL
+    sum are commutative monoids), and only the latest + predecessor
+    snapshots may remain on disk."""
+    import glob
+
+    from go_mapreduce_crawler_spark.streaming import (read_mv_state,
+                                                      stream_mv_refresh)
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream
+                     .schema(batch_events.schema)
+                     .option("maxFilesPerTrigger", "1")
+                     .parquet(event_stream_dir))
+    state_dir = str(tmp_path / "mv_state")
+    q = stream_mv_refresh(stream_events, state_dir,
+                          str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {(r.event_type): (r.n, float(r.s))
+           for r in read_mv_state(spark, state_dir).collect()}
+    exp = {r.event_type: (r.n, float(r.s)) for r in
+           batch_events.groupBy("event_type").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+           .collect()}
+    assert got == exp
+    assert len(glob.glob(f"{state_dir}/state_v*")) <= 2
