@@ -386,3 +386,48 @@ def test_foreachbatch_mv_refresh_equals_from_scratch(spark, event_stream_dir,
            .collect()}
     assert got == exp
     assert len(glob.glob(f"{state_dir}/state_v*")) <= 2
+
+
+def test_crawl_stream_restart_resumes_exactly_once(spark, tmp_path):
+    """Kill-and-restart resilience: a crawl-source stream stopped after
+    draining its first wave must resume from the CHECKPOINTED seen-set —
+    pre-stop files never re-emit, files dropped while the stream was
+    down arrive exactly once after restart."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_crawler_spark.sources.crawl_source import CrawlDataSource
+
+    spark.dataSource.register(CrawlDataSource)
+    root = str(tmp_path / "drop")
+    os.makedirs(root, exist_ok=True)
+    for i in range(3):
+        _json.dump({"data": i}, open(f"{root}/f{i}.json", "w"))
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        df = spark.readStream.format("crawl").option("path", root).load()
+        q = (df.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ck)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    assert run_once().count() == 3
+
+    # stream is DOWN; two more files land
+    for i in (10, 11):
+        _json.dump({"data": i}, open(f"{root}/g{i}.json", "w"))
+
+    second = run_once()
+    vals = sorted(r[0] for r in second.select(
+        F.get_json_object(F.col("content").cast("string"), "$.data")
+         .cast("long")).collect())
+    # all five exactly once: pre-stop files never re-emitted, files
+    # dropped while down arrived on restart
+    assert vals == [0, 1, 2, 10, 11], vals
