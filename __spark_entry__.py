@@ -3,9 +3,10 @@
 entry(spark)  — flagship query smoke check on sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + north-star
                 extensions), (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only for
-                ops whose kernels are not SQL-expressible (xxhash64-based
-                LSH/SimHash, sha256 feature kernel, approximate ANN) —
+oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only
+                for the 8 ops whose kernels are not SQL-expressible
+                (xxhash64-based LSH/SimHash/components_lsh, approximate
+                ANN x2, numpy-ordered knn_pandas, HLL, GK sketches) —
                 those get the driver's rows-only check and are pinned
                 against ground truth in tests/.
 """
