@@ -92,7 +92,8 @@ _STALE_R01_FAILS = (
 # once so a hash-checked row lands.
 _NEW_R03 = (
     "seq_packing_gpt", "doc_chunking_rag", "chunk_boilerplate",
-    "embedding_quantize_int8", "dedup_keep_best", "multimodal_features",
+    "embedding_quantize_int8", "dedup_keep_best", "dedup_incremental",
+    "multimodal_features",
 )
 
 

@@ -98,6 +98,27 @@ def q_dedup_keep_best(spark, sf_dir):
                     (-F.col("b.negn")).alias("keep_n_chars")))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: an incoming batch (doc_id % 10 == 0
+    stands in for "today's crawl") keeps only documents whose content
+    digest appears NEITHER in the existing corpus NOR earlier in the
+    batch itself — the per-ingest step of a continuously-growing corpus,
+    where re-deduplicating 100 TB from scratch per day is not an option.
+
+    Scale shape: one digest anti-join + one digest groupBy — 16-byte
+    keys only, never text.  At full scale the base digest set lives as
+    a bucketed table (or bloom filter for a first pass) so the anti-join
+    is co-located; the plan shape is unchanged.
+    """
+    d = _docs(spark, sf_dir)
+    dig = F.md5(F.encode(F.col("text"), "UTF-8"))
+    base = d.filter(F.col("doc_id") % 10 != 0).select(dig.alias("h"))
+    inc = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", dig.alias("h"))
+    return (inc.join(base, "h", "left_anti")
+            .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", F.col("h").alias("text_hash")))
+
+
 def q_dedup_jaccard_pairs(spark, sf_dir):
     """Exact word-set Jaccard >= 0.5 pairs via inverted-index self-join.
 
@@ -562,6 +583,7 @@ QUERIES = {
     "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_fuzzy_levenshtein": q_dedup_fuzzy_lev,
     "dedup_components": q_dedup_components,
@@ -602,6 +624,16 @@ ORACLE = {
     """,
     "dedup_exact_keep_min": """
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "dedup_incremental": """
+        WITH inc AS (SELECT doc_id, md5(text) AS h FROM documents
+                     WHERE doc_id % 10 = 0),
+             base AS (SELECT DISTINCT md5(text) AS h FROM documents
+                      WHERE doc_id % 10 <> 0)
+        SELECT MIN(doc_id) AS doc_id, h AS text_hash
+        FROM inc
+        WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.h = inc.h)
+        GROUP BY h
     """,
     # Independent window formulation (ROW_NUMBER survivor) checks the
     # aggregate min(struct) form above.

@@ -14,6 +14,9 @@ SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py 
 echo "== 3/4 driver-hash dtype audit =="
 python tools/audit_oracle_dtypes.py /root/testdata/sf0.001 2>/dev/null | tail -3
 
+echo "== 3.5/4 physical-plan anti-pattern sweep =="
+timeout 600 python tools/plan_audit.py 2>/dev/null | head -5
+
 echo "== 4/4 bench (sf0.1, one JSON line) + 2x-per-query regression guard =="
 BENCH_OUT=$(mktemp)
 timeout 900 python3 bench.py 2>/dev/null | tail -1 | tee "$BENCH_OUT"
