@@ -93,7 +93,7 @@ _STALE_R01_FAILS = (
 _NEW_R03 = (
     "seq_packing_gpt", "doc_chunking_rag", "chunk_boilerplate",
     "embedding_quantize_int8", "dedup_keep_best", "dedup_incremental",
-    "multimodal_features",
+    "multimodal_features", "dedup_semantic_clusters",
 )
 
 

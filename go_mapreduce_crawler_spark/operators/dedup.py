@@ -578,6 +578,101 @@ def q_corpus_clean(spark, sf_dir):
                         F.round(uniq / n, 6).alias("uniq_ratio")))
 
 
+SEMANTIC_K = 8        # cluster count for the semantic-dedup partition
+
+
+def q_dedup_semantic(spark, sf_dir, k: int = SEMANTIC_K):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    partition the embedding space into k clusters, then search for
+    near-duplicates (cosine >= COSINE_DUP_T) ONLY within each cluster.
+
+    This is the third rung of the embedding-dedup ladder: exact all-pairs
+    (q_dedup_embedding, gated quadratic ground truth) -> LSH buckets
+    (similarity.q_ann_lsh, hash partition) -> SEMANTIC clusters (this op,
+    geometry partition).  The cluster bound is what removes the global
+    quadratic term: pair work is sum over clusters of |c|^2, and k is
+    chosen so |corpus|/k rows fit one executor's pair loop.  At 100 TB:
+    centroids come from q_kmeans_embeddings (the assignment join below is
+    byte-identical), clusters are quota-capped, and the within-cluster
+    pair scan runs bucket-locally after ONE shuffle on cid.
+
+    Here centroids are the k lowest vec_ids (kmeans_embeddings' seeding,
+    ml.py:53) so the whole operator stays deterministic and the oracle
+    stays non-iterative.  Distances/cosines use the repo's verified
+    bit-identical fold pairs (ml._d2 / functions.vectors.dot).
+
+    Output: one row per DROPPED vector — it has a same-cluster neighbor
+    with a lower vec_id and cosine >= threshold — with the strongest
+    similarity that condemned it.
+    """
+    from .ml import _d2
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding")
+         .withColumn("nrm", l2_norm("embedding")))
+    cent = (e.orderBy("vec_id").limit(k)
+            .select(F.col("vec_id").alias("cid"),
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("cvec")))
+    from pyspark.sql import Window as W
+    rk = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cid"))
+    assigned = (e.crossJoin(F.broadcast(cent))
+                .select("vec_id", "cid", "embedding", "nrm",
+                        _d2(F.col("embedding"), F.col("cvec")).alias("d2"))
+                .withColumn("rk", rk).filter(F.col("rk") == 1)
+                # cached: both sides of the within-cluster self-join read
+                # it; without the barrier the crossJoin+window runs twice
+                .select("vec_id", "cid", "embedding", "nrm").cache())
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(dot(F.col("a.embedding"), F.col("b.embedding"))
+                  / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("b.vec_id").alias("vec_id"),
+                    F.col("b.cid").alias("cid"), cos.alias("cos"))
+            .filter(F.col("cos") >= COSINE_DUP_T)
+            .groupBy("vec_id", "cid")
+            .agg(F.max("cos").alias("max_cos")))
+
+
+def _semantic_oracle(k: int = SEMANTIC_K) -> str:
+    # Same d2 fold as the kmeans oracle (ml.py:97), same cosine fold as
+    # the dedup_embedding_cosine oracle — both verified bit-identical to
+    # the Spark expressions they mirror.
+    d2 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(list_zip(e.embedding, c.cvec), "
+          "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
+          "(acc, x) -> acc + x)")
+    nrm = ("sqrt(list_reduce(list_transform({t}.embedding, "
+           "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x))")
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT {k}),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, c.cid) AS rk
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE rk = 1),
+        av AS (
+            SELECT a.vec_id, a.cid, e.embedding, {nrm.format(t='e')} AS nrm
+            FROM assign a JOIN embeddings e USING (vec_id)),
+        scored AS (
+            SELECT b.vec_id, b.cid,
+                   ROUND(list_reduce(list_transform(
+                             list_zip(a.embedding, b.embedding),
+                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                             (acc, x) -> acc + x)
+                         / (a.nrm * b.nrm), 6) AS cos
+            FROM av a JOIN av b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        SELECT vec_id, cid, MAX(cos) AS max_cos
+        FROM scored WHERE cos >= {COSINE_DUP_T}
+        GROUP BY vec_id, cid"""
+
+
 QUERIES = {
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
@@ -592,6 +687,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding,
+    "dedup_semantic_clusters": q_dedup_semantic,
 }
 
 _ALL_STOP = ("['the','a','of','and','to','in','is','it','that','for',"
@@ -731,3 +827,5 @@ ORACLE = {
 # Star-contraction computes the identical (cluster_id, n_members) relation
 # by a different algorithm — same ground truth, same oracle.
 ORACLE["dedup_components_bigstar"] = ORACLE["dedup_components"]
+
+ORACLE["dedup_semantic_clusters"] = _semantic_oracle()
