@@ -413,3 +413,23 @@ def test_multimodal_real_decode_when_pillow_present():
     assert mm._features(png) == mm._pixel_features(rgb, 3, 2)
     small, rw, rh = mm._try_resize_image(png)
     assert (rw, rh) == (3, 2) and small[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_semantic_dedup_refines_exact_cosine_dedup(spark, sf_small):
+    """Semantic dedup only searches WITHIN a cluster, so its dropped set
+    must be a subset of the exact all-pairs dropped set (vectors with a
+    lower-id cosine>=T neighbor anywhere), and each dropped vector's
+    max_cos can never exceed its exact global maximum — equality holds
+    exactly when the best neighbor shares the cluster."""
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        q_dedup_embedding, q_dedup_semantic)
+
+    exact = q_dedup_embedding(spark, sf_small).collect()
+    exact_best: dict[int, float] = {}
+    for r in exact:  # id_a < id_b: id_b is the droppable side
+        exact_best[r.id_b] = max(exact_best.get(r.id_b, -1.0), r.cos)
+    sem = q_dedup_semantic(spark, sf_small).collect()
+    assert sem, "threshold admits pairs at this SF; empty means a bug"
+    for r in sem:
+        assert r.vec_id in exact_best, r
+        assert r.max_cos <= exact_best[r.vec_id] + 1e-12, r
