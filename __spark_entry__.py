@@ -94,6 +94,7 @@ _NEW_R03 = (
     "seq_packing_gpt", "doc_chunking_rag", "chunk_boilerplate",
     "embedding_quantize_int8", "dedup_keep_best", "dedup_incremental",
     "multimodal_features", "dedup_semantic_clusters",
+    "sink_roundtrip_parquet",
 )
 
 

@@ -113,9 +113,44 @@ def q_mv_incremental_refresh(spark, sf_dir):
                                F.coalesce("m2", "m1")).alias("last_day")))
 
 
+def q_sink_roundtrip(spark, sf_dir):
+    """Sinks as a checked operator: aggregate orders per priority class,
+    write through the engine's partitioned parquet sink
+    (sources/sinks.py — hive-layout ``partition_by`` so later reads
+    prune from the path, bounded file count), read the directory back,
+    and return the re-read relation.  The oracle never sees the sink, so
+    a green row proves write->read is lossless for decimal sums, longs,
+    and the partition column's string round-trip (the reference returns
+    a scalar and has no sink at all, crawler.go:253).
+
+    Idempotent by construction: the target is a deterministic per-SF
+    temp dir and the write mode is overwrite, so driver re-runs land the
+    same bytes.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.sinks import write_parquet
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    agg = (load_table(spark, sf_dir, "orders")
+           .groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("s")))
+    write_parquet(agg, out, partition_by=["o_orderpriority"], n_files=4)
+    return (spark.read.parquet(out)
+            .select("o_orderpriority", "n_orders",
+                    F.col("s").cast("double").alias("sum_price")))
+
+
 QUERIES = {
     "table_diff": q_table_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
+    "sink_roundtrip_parquet": q_sink_roundtrip,
 }
 
 ORACLE = {
@@ -165,5 +200,13 @@ ORACLE = {
                    AS sum_total,
                GREATEST(COALESCE(b.m, d.m), COALESCE(d.m, b.m)) AS last_day
         FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+    """,
+    # The oracle computes the aggregate directly — matching it proves the
+    # parquet write->read round-trip changed nothing.
+    "sink_roundtrip_parquet": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders GROUP BY o_orderpriority
     """,
 }
