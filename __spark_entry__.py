@@ -4,11 +4,11 @@ entry(spark)  — flagship query smoke check on sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + north-star
                 extensions), (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only
-                for the 8 ops whose kernels are not SQL-expressible
+                for the 7 ops whose kernels are not SQL-expressible
                 (xxhash64-based LSH/SimHash/components_lsh, approximate
-                ANN x2, numpy-ordered knn_pandas, HLL, GK sketches) —
-                those get the driver's rows-only check and are pinned
-                against ground truth in tests/.
+                ANN x2, HLL, GK sketches) — those get the driver's
+                rows-only check and are pinned against ground truth in
+                tests/.
 """
 
 from __future__ import annotations
@@ -87,14 +87,15 @@ _STALE_R01_FAILS = (
 
 # Operators added in round 3 — never-checked too, but the 25 + 6 above
 # carry two rounds of verification debt and run FIRST; these follow.
-# multimodal_features is here although r02-checked: that row was
-# rows-only, and round 3 gave it a full sha256 value oracle — front it
-# once so a hash-checked row lands.
+# multimodal_features and knn_pandas_vectorized are here although
+# r02-checked: those rows were rows-only, and round 3 gave them full
+# value oracles (sha256 metadata resp. exact re-score) — front them
+# once so hash-checked rows land.
 _NEW_R03 = (
     "seq_packing_gpt", "doc_chunking_rag", "chunk_boilerplate",
     "embedding_quantize_int8", "dedup_keep_best", "dedup_incremental",
     "multimodal_features", "dedup_semantic_clusters",
-    "sink_roundtrip_parquet",
+    "sink_roundtrip_parquet", "knn_pandas_vectorized",
 )
 
 

@@ -262,19 +262,29 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_knn_pandas(spark, sf_dir):
-    """Brute-force kNN with a vectorized (Arrow + numpy) kernel.
+    """Brute-force kNN with a vectorized (Arrow + numpy) kernel and an
+    exact re-score — same output contract (and oracle) as
+    q_knn_bruteforce.
 
     The counterpart to q_knn_bruteforce's JVM fold: higher-order array
     expressions are interpreted (not codegen'd), so a numpy matrix
-    product over Arrow batches wins once the pair count is large —
-    0.56s vs 1.03s at sf0.1 (40k pairs), and the gap widens with
-    corpus size.  Shape: the (tiny, bounded) query
+    product over Arrow batches wins once the pair count is large, and
+    the gap widens with corpus size.  Shape: the (tiny, bounded) query
     matrix rides inside the kernel closure; each corpus batch computes
-    batch @ Q.T and emits only its per-batch top-k per query, so the
-    shuffle after the kernel carries k rows per (query, batch), not the
-    full score matrix — the partial-top-k pattern every distributed
-    brute-force ANN uses.  Rows-only check; equivalence to the exact
-    JVM path is pinned in tests.
+    batch @ Q.T and emits only candidates within 2e-6 of its per-batch
+    k-th score per query, so the shuffle after the kernel carries ~k
+    rows per (query, batch), not the full score matrix — the
+    partial-top-k pattern every distributed brute-force ANN uses.
+
+    The candidate margin is what buys back the full value oracle
+    (dedup_embedding_cosine's two-phase trick, dedup.py:293): BLAS
+    matmul doubles can differ from the sequential fold in the last few
+    ulps (~1e-13) and the output rounds to 6 dp (quantum 5e-7), so any
+    row that could make the true top-k by (rounded exact cos,
+    neighbor_id) sits within 2e-6 of the batch boundary and survives.
+    Survivors re-score with the SAME JVM fold as q_knn_bruteforce —
+    bit-identical to DuckDB's list_reduce — and the final window ranks
+    only exact values.
     """
     import numpy as np
     import pandas as pd
@@ -297,18 +307,27 @@ def q_knn_pandas(spark, sf_dir):
             S = Mn @ Qn.T                                   # (batch, |Q|)
             S[ids[:, None] == q_ids[None, :]] = -np.inf     # self-match
             k = min(TOP_K, len(pdf))
-            part = np.argpartition(-S, k - 1, axis=0)[:k]   # per-query top-k
-            out = {"q_id": np.repeat(q_ids, k),
-                   "neighbor_id": ids[part].T.ravel(),
-                   "cos": np.round(S[part, np.arange(S.shape[1])].T.ravel(), 6)}
-            yield pd.DataFrame(out)
+            kth = -np.partition(-S, k - 1, axis=0)[k - 1]   # per-query k-th
+            bi, qi = np.nonzero(S >= kth[None, :] - 2e-6)
+            yield pd.DataFrame({"q_id": q_ids[qi], "neighbor_id": ids[bi]})
 
-    partial = e.select("vec_id", "embedding").mapInPandas(
-        kernel, schema="q_id long, neighbor_id long, cos double")
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="q_id long, neighbor_id long")
+    en = e.withColumn("nrm", l2_norm("embedding"))
+    qb = F.broadcast(
+        en.filter(F.col("vec_id").isin([int(i) for i in q_ids]))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec"),
+                  F.col("nrm").alias("q_nrm")))
+    scored = (en.join(F.broadcast(cand), en.vec_id == cand.neighbor_id)
+                .join(qb, "q_id")
+                .withColumn("cos", F.round(
+                    dot("q_vec", "embedding")
+                    / (F.col("q_nrm") * F.col("nrm")), 6)))
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (partial.withColumn("rk", F.row_number().over(w))
-                   .filter(F.col("rk") <= TOP_K)
-                   .select("q_id", "neighbor_id", "cos", "rk"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= TOP_K)
+                  .select("q_id", "neighbor_id", "cos", "rk"))
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -476,3 +495,7 @@ ORACLE = {
         FROM n GROUP BY label
     """,
 }
+
+# The vectorized kernel is candidate discovery only; final ranks come
+# from the same exact fold as the JVM path, so both share one oracle.
+ORACLE["knn_pandas_vectorized"] = ORACLE["knn_bruteforce_cosine"]
