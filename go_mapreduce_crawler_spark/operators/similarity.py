@@ -17,6 +17,8 @@ Two paths, per the north-star plan:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import functions as F
@@ -224,7 +226,9 @@ def q_ann_ivf(spark, sf_dir):
     re-ranks only those candidates exactly, cutting scored pairs by
     ~C/P.  Centroids here are the C lowest vec_ids (deterministic
     "training"); production would k-means a sample — the plan shape is
-    identical.  The cell argmax ignores the row's own norm (a per-row
+    identical.  "Approximate" only relative to true kNN: the output
+    itself is deterministic and carries a full value oracle (recall vs
+    q_knn_bruteforce is pinned separately in tests).  The cell argmax ignores the row's own norm (a per-row
     positive scale doesn't change the argmax), so assignment costs C
     dot folds per row, once, at write time in a real pipeline.
     """
@@ -233,7 +237,12 @@ def q_ann_ivf(spark, sf_dir):
                  .orderBy("vec_id").limit(IVF_CELLS)
                  .select("embedding").collect())
     cents = [[float(x) for x in r.embedding] for r in cent_rows]
-    cnorms = [sum(x * x for x in c) ** 0.5 for c in cents]
+    # math.sqrt (correctly-rounded IEEE sqrt) over a left-to-right sum:
+    # bit-identical to DuckDB's sqrt(list_reduce(...)) — this is what
+    # lets the oracle recompute the centroid norms instead of receiving
+    # them as literals (`** 0.5` routes through pow, which carries no
+    # correct-rounding guarantee).
+    cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
 
     # One generated SQL string (see _dot_sql): array<struct<cos,cell>>
     # of centroid affinities, row-local.
@@ -499,3 +508,51 @@ ORACLE = {
 # The vectorized kernel is candidate discovery only; final ranks come
 # from the same exact fold as the JVM path, so both share one oracle.
 ORACLE["knn_pandas_vectorized"] = ORACLE["knn_bruteforce_cosine"]
+
+# IVF is approximate ONLY relative to true kNN — its own output is fully
+# deterministic (seeded centroids, fixed probe count, exact re-rank), so
+# it carries a full value oracle: the CTEs rebuild the same centroid
+# table, argmax cell assignment (ties -> larger cell, matching
+# array_max/reverse-array_sort struct order), 6-probe set, and exact
+# rounded re-rank.  The Spark side's centroid norms are Python
+# math.sqrt over a left-to-right sum — bit-identical to
+# sqrt(list_reduce(...)) here.
+ORACLE["ann_ivf_cosine"] = f"""
+    WITH cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec,
+               sqrt({_SQN.format(a='embedding')}) AS cnrm
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {IVF_CELLS})),
+    affin AS (
+        SELECT e.vec_id, c.cell,
+               {_DOT.format(a='e.embedding', b='c.cvec')} / c.cnrm AS a
+        FROM embeddings e CROSS JOIN cent c),
+    ranked_aff AS (
+        SELECT vec_id, cell, a,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY a DESC, cell DESC) AS rk
+        FROM affin),
+    assigned AS (SELECT vec_id, cell FROM ranked_aff WHERE rk = 1),
+    probes AS (
+        SELECT vec_id AS q_id, cell AS probe
+        FROM ranked_aff WHERE vec_id % 100 = 0 AND rk <= {IVF_PROBES}),
+    cand AS (
+        SELECT p.q_id, a.vec_id
+        FROM probes p JOIN assigned a ON a.cell = p.probe
+        WHERE a.vec_id <> p.q_id),
+    scored AS (
+        SELECT cd.q_id, cd.vec_id AS neighbor_id,
+               ROUND({_DOT.format(a='q.embedding', b='e.embedding')}
+                     / (sqrt({_SQN.format(a='q.embedding')})
+                        * sqrt({_SQN.format(a='e.embedding')})), 6) AS cos
+        FROM cand cd
+        JOIN embeddings e ON e.vec_id = cd.vec_id
+        JOIN embeddings q ON q.vec_id = cd.q_id),
+    final AS (
+        SELECT q_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored)
+    SELECT q_id, neighbor_id, cos, rk FROM final WHERE rk <= {TOP_K}
+"""
