@@ -63,6 +63,9 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "knn_pandas_vectorized",
     "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "dedup_semantic_clusters",
+    "seq_packing_gpt",
     "text_quality",
     "text_winnow_fingerprints",
     "text_tfidf_top_terms",
