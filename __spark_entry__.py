@@ -4,11 +4,11 @@ entry(spark)  — flagship query smoke check on sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + north-star
                 extensions), (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only
-                for the 6 ops whose kernels are not SQL-expressible
-                (xxhash64-based LSH/SimHash/components_lsh, random-plane
-                LSH-ANN, HLL, GK sketches) — those get the driver's
-                rows-only check and are pinned against ground truth in
-                tests/.
+                for the 7 ops whose kernels are not SQL-expressible
+                (xxhash64-based LSH/SimHash/components_lsh/bloom-
+                contamination, random-plane LSH-ANN, HLL, GK sketches) —
+                those get the driver's rows-only check and are pinned
+                against ground truth in tests/.
 """
 
 from __future__ import annotations
@@ -96,6 +96,7 @@ _NEW_R03 = (
     "embedding_quantize_int8", "dedup_keep_best", "dedup_incremental",
     "multimodal_features", "dedup_semantic_clusters",
     "sink_roundtrip_parquet", "knn_pandas_vectorized", "ann_ivf_cosine",
+    "text_contamination_bloom",
 )
 
 

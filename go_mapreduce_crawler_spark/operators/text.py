@@ -402,6 +402,72 @@ def q_text_contamination(spark, sf_dir):
                      .alias("contamination")))
 
 
+CONTAM_BLOOM_BITS = 1 << 20   # m: fixed bitmap budget (128 KB) at ANY eval size
+CONTAM_BLOOM_K = 4            # probes per gram
+
+
+def q_text_contamination_bloom(spark, sf_dir):
+    """q_text_contamination's 100 TB form: membership against a BLOOM
+    FILTER of the eval grams instead of the gram set itself.
+
+    The broadcast in the exact operator grows with the eval corpus; the
+    bloom relation here is capped at m/64 = 16,384 (slot, word) rows —
+    ~128 KB — no matter how many eval grams exist, which is the whole
+    point at scale.  Everything is JVM built-ins and the filter is built
+    distributively:
+
+    * build: eval grams -> k = 4 xxhash64(g, i) probe positions ->
+      (slot = pos >> 6, 1 << (pos & 63)) -> groupBy(slot).bit_or —
+      partial+final, no driver bitmap assembly;
+    * probe: train grams explode their k probes, broadcast-join the slot
+      table, and a gram counts as a hit only when ALL k probes find
+      their bit set.
+
+    One-sided error: n_shared_bloom >= the exact operator's n_shared
+    per document (false positives only; at m = 2^20, k = 4 and this
+    corpus's gram count the FP rate is ~1e-9).  xxhash64 kernel -> the
+    driver records the rows-only check; the superset invariant and the
+    FP envelope are pinned against the exact operator in tests.
+    """
+    m, k = CONTAM_BLOOM_BITS, CONTAM_BLOOM_K
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = d.select("doc_id", F.explode(_token_ngrams(w, CONTAM_N)).alias("g"))
+
+    def probe_positions(col):
+        return F.array(*[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+                         for i in range(k)])
+
+    slot = F.shiftright(F.col("pos"), 6)
+    # python-side shiftleft takes only literal counts; the SQL form shifts
+    # by a column
+    bit = F.expr("shiftleft(1L, cast(pos % 64 as int))")
+    bloom = (grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+             .select(F.explode(probe_positions(F.col("g"))).alias("pos"))
+             .select(slot.alias("slot"), bit.alias("b"))
+             .groupBy("slot").agg(F.bit_or("b").alias("word")))
+    probed = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+              .select("doc_id", "g").distinct()
+              .select("doc_id", "g",
+                      F.explode(probe_positions(F.col("g"))).alias("pos"))
+              .select("doc_id", "g", slot.alias("slot"), bit.alias("b")))
+    hits = (probed.join(F.broadcast(bloom), "slot")
+            .filter(F.col("b").bitwiseAND(F.col("word")) != 0)
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("k_hit"))
+            .filter(F.col("k_hit") == k)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bloom")))
+    train = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_grams"),
+                  F.size(F.collect_set("g")).alias("n_distinct")))
+    return (train.join(hits, "doc_id")
+            .select("doc_id", "n_grams", "n_shared_bloom",
+                    F.round(F.col("n_shared_bloom") / F.col("n_distinct"), 6)
+                     .alias("contamination_bloom")))
+
+
 def q_text_lm_score(spark, sf_dir):
     """Unigram-LM document quality score (the CCNet-style perplexity
     filter, self-trained): per document, the mean log-probability of its
@@ -542,6 +608,7 @@ QUERIES = {
     "text_heavy_hitters": q_heavy_hitters,
     "text_repetition_gopher": q_text_repetition,
     "text_contamination_3gram": q_text_contamination,
+    "text_contamination_bloom": q_text_contamination_bloom,
     "text_unigram_lm_score": q_text_lm_score,
     "seq_packing_gpt": q_seq_packing,
     "doc_chunking_rag": q_doc_chunking,

@@ -426,3 +426,22 @@ def test_semantic_dedup_refines_exact_cosine_dedup(spark, sf_small):
     for r in sem:
         assert r.vec_id in exact_best, r
         assert r.max_cos <= exact_best[r.vec_id] + 1e-12, r
+
+
+def test_contamination_bloom_is_superset_of_exact(spark, sf_small):
+    """The bloom path has one-sided error: every document must report at
+    least the exact operator's shared-gram count (no false negatives),
+    and at m=2^20/k=4 with this corpus's eval gram count the false-
+    positive budget is effectively zero — pin <= 1% inflation."""
+    from go_mapreduce_crawler_spark.operators.text import (
+        q_text_contamination, q_text_contamination_bloom)
+
+    exact = {r.doc_id: r.n_shared
+             for r in q_text_contamination(spark, sf_small).collect()}
+    bloom = {r.doc_id: r.n_shared_bloom
+             for r in q_text_contamination_bloom(spark, sf_small).collect()}
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n, (d, bloom[d], n)
+    inflation = sum(bloom.values()) - sum(exact.values())
+    assert inflation <= 0.01 * max(sum(exact.values()), 1), inflation
