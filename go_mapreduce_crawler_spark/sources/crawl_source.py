@@ -212,7 +212,16 @@ class CrawlStreamReader(SimpleDataSourceStreamReader):
     POSIX/HDFS; on object stores, upload completion is the atomic
     publish) — the same convention every file-watching source assumes,
     and exactly what CrawlStreamWriter's staging-dir + rename commit
-    does.  Writing in place into the watched tree is not supported.
+    does.  Writing in place into the watched tree is not supported —
+    UNLESS ``.option("settle", "true")``: then an unseen file is
+    admitted only once its (size, mtime) fingerprint is UNCHANGED
+    across two consecutive listings (the micro-batch trigger interval
+    is the settling window), so in-place writers surface complete
+    files one batch late instead of partial ones.  Fingerprints ride
+    in the checkpointed offset next to the seen-set — no wall-clock
+    dependence, and replay stays exact.  Requires the filesystem to
+    expose ``stat(path) -> (size, mtime_ns)`` (LocalFileSystem does);
+    without it, settle mode degrades to the rename contract.
     """
 
     def __init__(self, options, fs=None):
@@ -221,6 +230,7 @@ class CrawlStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("crawl stream requires .option('path', root)")
         self.fs_obj = fs
         self.fs_spec = options.get("fs", DEFAULT_FS)
+        self.settle = str(options.get("settle", "false")).lower() == "true"
 
     def _fs(self):
         return self.fs_obj if self.fs_obj is not None else _load_fs(self.fs_spec)
@@ -245,9 +255,33 @@ class CrawlStreamReader(SimpleDataSourceStreamReader):
         # isn't copyable and a bare list isn't an iterator
         seen = set(start.get("seen", []))
         files, _ = self._list()
-        new = [p for p in files if p not in seen]
-        end = {"seen": sorted(seen | set(new))}
+        unseen = [p for p in files if p not in seen]
+        if self.settle:
+            new, pending = self._settle(unseen, start.get("pending", {}))
+            end = {"seen": sorted(seen | set(new)), "pending": pending}
+        else:
+            new = unseen
+            end = {"seen": sorted(seen | set(new))}
         return iter(list(self._rows(new))), end
+
+    def _settle(self, unseen, pending):
+        """Admit only files whose (size, mtime_ns) fingerprint matches
+        the one recorded at the previous listing; everything else waits
+        in the offset's pending map with its fresh fingerprint."""
+        stat = getattr(self._fs(), "stat", None)
+        if stat is None:           # seam can't fingerprint -> rename contract
+            return unseen, {}
+        admit, fresh = [], {}
+        for p in unseen:
+            try:
+                fp = list(stat(p))
+            except Exception:      # vanished mid-listing: retry next batch
+                continue
+            if pending.get(p) == fp:
+                admit.append(p)
+            else:
+                fresh[p] = fp
+        return admit, fresh
 
     def readBetweenOffsets(self, start: dict, end: dict):
         """Replay after failure: exactly the files that entered between

@@ -80,6 +80,14 @@ class LocalFileSystem:
     def join(self, *parts: str) -> str:
         return os.path.join(*parts)
 
+    def stat(self, path: str) -> tuple[int, int]:
+        """(size_bytes, mtime_ns) — OPTIONAL protocol extension: the
+        crawl stream's settle mode fingerprints not-yet-admitted files
+        with it (crawl_source.CrawlStreamReader); filesystems without it
+        fall back to the atomic write-then-rename producer contract."""
+        st = os.stat(path)
+        return st.st_size, st.st_mtime_ns
+
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 

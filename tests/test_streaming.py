@@ -431,3 +431,42 @@ def test_crawl_stream_restart_resumes_exactly_once(spark, tmp_path):
     # all five exactly once: pre-stop files never re-emitted, files
     # dropped while down arrived on restart
     assert vals == [0, 1, 2, 10, 11], vals
+
+
+def test_crawl_stream_settle_mode_defers_unstable_files(tmp_path):
+    """With .option('settle', 'true') an unseen file is admitted only
+    after its (size, mtime) fingerprint repeats across two listings: a
+    file growing between micro-batches stays pending (no partial-content
+    emission); once stable for one interval it surfaces exactly once."""
+    import os
+
+    from go_mapreduce_crawler_spark.sources.crawl_source import (
+        CrawlStreamReader)
+
+    root = str(tmp_path)
+    reader = CrawlStreamReader({"path": root, "settle": "true"})
+
+    p = os.path.join(root, "grow.json")
+    with open(p, "w") as f:
+        f.write('{"data": 1')                     # mid-write: partial
+    rows, off1 = reader.read(reader.initialOffset())
+    assert list(rows) == []                       # fingerprinted, not emitted
+    assert p in off1["pending"]
+
+    os.utime(p, ns=(1, 1))                        # make mtime change visible
+    with open(p, "a") as f:
+        f.write("}")                              # write finishes
+    rows, off2 = reader.read(off1)
+    assert list(rows) == []                       # fingerprint moved: wait
+    assert off2["pending"][p] != off1["pending"][p]
+
+    rows, off3 = reader.read(off2)                # stable for one interval
+    assert [r[0] for r in rows] == [p]
+    assert p in off3["seen"] and not off3["pending"]
+
+    rows, off4 = reader.read(off3)                # never re-emitted
+    assert list(rows) == []
+
+    # replay between committed offsets sees exactly the admitted file
+    replay = list(reader.readBetweenOffsets(off2, off3))
+    assert [r[0] for r in replay] == [p]
