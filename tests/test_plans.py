@@ -416,3 +416,26 @@ def test_embedding_quantize_is_rowlocal_after_tiny_agg(spark, sf_small):
     assert has_broadcast_join(df)
     assert not has_python_udf(df)
     assert n_shuffle_exchanges(df) <= 2, physical_plan(df)[:2000]
+
+
+def test_semantic_dedup_broadcasts_centroids_and_pushes_argmin(spark, sf_small):
+    """dedup_semantic_clusters: the centroid table broadcasts (never a
+    shuffled join against the corpus), the per-vector argmin compiles to
+    a WindowGroupLimit (rank<=1 pushed below the exchange), and no
+    CartesianProduct appears — the cross with the k-row centroid side
+    must be a broadcast nested loop."""
+    df = dedup.q_dedup_semantic(spark, sf_small)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not has_python_udf(df)
+
+
+def test_contamination_bloom_relation_broadcasts(spark, sf_small):
+    """text_contamination_bloom: the (slot, word) bloom relation joins
+    the train probes by BROADCAST — the fixed-size filter ships to the
+    data, the gram explode never shuffles to it."""
+    df = text.q_text_contamination_bloom(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert not has_python_udf(df)
