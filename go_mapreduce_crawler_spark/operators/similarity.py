@@ -175,26 +175,30 @@ def q_ann_lsh(spark, sf_dir):
     planes = rng.standard_normal((N_PLANES, DIM))
     r = N_PLANES // LSH_BANDS_ANN
     kernel = _ann_bucket_kernel(planes, LSH_BANDS_ANN, r)
-    # Sketches carry ONLY (vec_id, bucket) — candidate (query, corpus)
-    # pairs are generated array-locally after ONE groupBy(bucket)
-    # shuffle, exactly like dedup._bucket_pairs: queries are corpus
-    # members, so a bucket's pairs are its query ids x its member ids.
-    # No broadcast sub-jobs, no join; the 64-float vectors are joined
-    # back once per surviving candidate.
+    # Sketches carry ONLY (vec_id, bucket).  Because the query set is
+    # bounded (the gate), its sketch is too (|Q| x bands rows of two
+    # longs) — so candidate generation is a map-side broadcast hash join
+    # of the corpus sketch stream against the query sketches: the corpus
+    # NEVER shuffles to find its candidates, and there is no per-bucket
+    # array (the earlier groupBy(bucket)+collect_set form materialized a
+    # hot bucket's whole membership in one aggregation buffer — the same
+    # celebrity-key hazard the pagerank fix removed).  Only the surviving
+    # (q_id, vec_id) pairs — two longs each — shuffle, for the dedup and
+    # the vector join-back.
     sk = e.select("vec_id", "embedding").mapInPandas(
         kernel, schema="vec_id long, bb long")
-    q_full = F.broadcast(_gate_query_set(
+    q_base = _gate_query_set(
         e.filter(F.col("vec_id") % 100 == 0), "ann_lsh_cosine", sf_dir)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
-                F.col("nrm").alias("q_nrm")))
-    cand_ids = (sk.groupBy("bb")
-                  .agg(F.collect_set(F.when(F.col("vec_id") % 100 == 0,
-                                            F.col("vec_id"))).alias("qids"),
-                       F.collect_set("vec_id").alias("ids"))
-                  .filter(F.size("qids") > 0)
-                  .select(F.explode("qids").alias("q_id"), "ids")
-                  .select("q_id", F.explode("ids").alias("vec_id"))
+    q_full = F.broadcast(
+        q_base.select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_vec"),
+                      F.col("nrm").alias("q_nrm")))
+    q_sk = (q_base.select("vec_id", "embedding")
+                  .mapInPandas(kernel, schema="vec_id long, bb long")
+                  .select(F.col("vec_id").alias("q_id"), "bb"))
+    cand_ids = (sk.join(F.broadcast(q_sk), "bb")
                   .filter(F.col("vec_id") != F.col("q_id"))
+                  .select("q_id", "vec_id")
                   .distinct())
     # Norms folded once per row (see q_knn_bruteforce) — the re-rank
     # costs one dot fold per candidate.

@@ -439,3 +439,16 @@ def test_contamination_bloom_relation_broadcasts(spark, sf_small):
     df = text.q_text_contamination_bloom(spark, sf_small)
     assert has_broadcast_join(df)
     assert not has_python_udf(df)
+
+
+def test_ann_lsh_candidates_join_mapside_no_bucket_arrays(spark, sf_small):
+    """ann_lsh_cosine: candidate discovery is a map-side broadcast join
+    of the corpus sketch stream against the (gated) query sketches — the
+    corpus must not shuffle to find candidates, and no collect_set per
+    bucket may appear (a hot bucket would materialize its membership in
+    one aggregation buffer, the celebrity-key hazard)."""
+    from go_mapreduce_crawler_spark.operators import similarity as s
+    df = s.q_ann_lsh(spark, sf_small)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "collect_set" not in plan, plan[:2000]
