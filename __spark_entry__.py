@@ -96,7 +96,7 @@ _NEW_R03 = (
     "embedding_quantize_int8", "dedup_keep_best", "dedup_incremental",
     "multimodal_features", "dedup_semantic_clusters",
     "sink_roundtrip_parquet", "knn_pandas_vectorized", "ann_ivf_cosine",
-    "text_contamination_bloom",
+    "text_contamination_bloom", "dedup_spans_ngram", "ann_int8_rerank",
 )
 
 

@@ -673,7 +673,70 @@ def _semantic_oracle(k: int = SEMANTIC_K) -> str:
         GROUP BY vec_id, cid"""
 
 
+SPAN_N = 10          # words per span gram
+SPAN_DUP_MAX = 0.2   # keep docs whose duplicated-span fraction is <= this
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Span-level exact dedup at word-10-gram granularity — the n-gram
+    approximation of suffix-array substring dedup (Lee et al., "Dedupli-
+    cating Training Data Makes Language Models Better", ACL'22).  Doc-
+    level dedup (exact/minhash above) misses the common web-corpus case
+    of long repeated passages inside otherwise-distinct pages; this
+    flags every 10-gram occurrence that is not the globally FIRST
+    occurrence of that 10-gram (first = lowest doc_id; all later docs,
+    and repeats inside the first doc, count as duplicated spans).
+
+    Plan shape (the 100 TB story): gram generation is row-local
+    (transform over a sequence, zero Python, zero shuffle); grams leave
+    the row as md5 digests, never text, so shuffle volume is ~32 B x
+    n_tokens independent of document size.  Then TWO partial-aggregated
+    shuffles — (gram, doc) counts, then per-gram min(doc) — and one
+    gram-keyed join back.  Hot grams (boilerplate that appears in
+    millions of docs) collapse map-side in both aggregations, so the
+    skew a popular passage creates is bounded by the partition count,
+    not its occurrence count.  At production scale swap md5 for
+    xxhash64 (8 B digests, same plan); md5 is used here because the
+    DuckDB oracle can reproduce it.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    # sequence(0, size-N) would DESCEND for short docs (size < N) —
+    # gate to an empty gram array instead.
+    grams = F.when(
+        F.size(w) >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SPAN_N),
+            lambda i: F.md5(F.encode(
+                F.array_join(F.slice(w, i + 1, SPAN_N), " "), "UTF-8"))),
+    ).otherwise(F.array().cast("array<string>"))
+    g1 = (d.select("doc_id", F.explode(grams).alias("gm"))
+            .groupBy("gm", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_in_doc")))
+    firsts = g1.groupBy("gm").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (g1.join(firsts, "gm")
+                 .groupBy("doc_id")
+                 .agg(F.sum("n_in_doc").alias("n_grams"),
+                      F.sum(F.col("n_in_doc")
+                            - F.when(F.col("doc_id") == F.col("first_doc"),
+                                     F.lit(1)).otherwise(F.lit(0)))
+                       .alias("n_dup_grams")))
+    ratio = F.round(
+        F.coalesce(F.col("n_dup_grams"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)), 6)
+    return (d.select("doc_id",
+                     F.size(F.split(F.col("text"), " "))
+                      .cast("long").alias("n_tokens"))
+             .join(per_doc, "doc_id", "left")
+             .select("doc_id", "n_tokens",
+                     F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                     F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+                     ratio.alias("dup_span_ratio"))
+             .withColumn("keep", F.col("dup_span_ratio") <= SPAN_DUP_MAX))
+
+
 QUERIES = {
+    "dedup_spans_ngram": q_dedup_spans,
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
@@ -696,6 +759,36 @@ _ALL_STOP = ("['the','a','of','and','to','in','is','it','that','for',"
              "'el','los','las','es','una','no','por','para']")
 
 ORACLE = {
+    "dedup_spans_ngram": f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     md5(array_to_string(w[i:i+{SPAN_N - 1}], ' ')) AS gm
+              FROM d, unnest(generate_series(1, len(w) - {SPAN_N - 1}))
+                       AS t(i)
+              WHERE len(w) >= {SPAN_N}),
+        gd AS (SELECT gm, doc_id, COUNT(*) AS n_in_doc
+               FROM g GROUP BY 1, 2),
+        f AS (SELECT gm, MIN(doc_id) AS first_doc FROM gd GROUP BY 1),
+        pd AS (SELECT gd.doc_id,
+                      CAST(SUM(n_in_doc) AS BIGINT) AS n_grams,
+                      CAST(SUM(n_in_doc
+                               - CASE WHEN gd.doc_id = f.first_doc
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_dup_grams
+               FROM gd JOIN f USING (gm) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               COALESCE(pd.n_grams, 0) AS n_grams,
+               COALESCE(pd.n_dup_grams, 0) AS n_dup_grams,
+               ROUND(COALESCE(pd.n_dup_grams, 0)
+                     / greatest(COALESCE(pd.n_grams, 0), 1), 6)
+                   AS dup_span_ratio,
+               ROUND(COALESCE(pd.n_dup_grams, 0)
+                     / greatest(COALESCE(pd.n_grams, 0), 1), 6)
+                   <= {SPAN_DUP_MAX} AS keep
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
     "corpus_clean_pipeline": f"""
         WITH survivors AS (
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),

@@ -386,6 +386,65 @@ def q_embedding_quantize(spark, sf_dir):
                             lambda acc, x: acc + x).alias("err_e9")))
 
 
+INT8_CAND = 40   # approximate candidates per query before exact re-rank
+
+
+def q_ann_int8(spark, sf_dir):
+    """Two-stage serving-scale ANN: int8-quantized approximate scoring,
+    exact cosine re-rank of the top INT8_CAND candidates per query.
+
+    The production pattern this encodes (FAISS's SQ8 flat index, run as
+    a dataflow): the first-stage scan reads 4x fewer bytes (int8 vs
+    float32) and scores with an integer dot product — SIMD-friendly and
+    overflow-free (64 dims x 127^2 << 2^63) — and only the INT8_CAND
+    survivors per query pay the exact float re-rank.  Unlike the LSH /
+    IVF paths, every stage is deterministic AND order-independent
+    (per-dim scales are exact 127/max|x|; round() ties follow both
+    engines' away-from-zero rule — the invariant q_embedding_quantize
+    already pins; integer sums commute), so this approximate index
+    carries a FULL value oracle.
+
+    Plan shape: one 64-row per-dim max aggregate folds into a scales
+    array broadcast to the corpus scan; quantization is row-local
+    zip_with; approximate scoring is the broadcast-query join; a
+    per-query top-C window cuts candidates 25x before the exact
+    re-rank.  At 100 TB the quantized corpus would be a materialized
+    column (write-once), making the first stage a pure int8 scan.
+    """
+    e = _emb(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
+    ex = e.select(F.posexplode("embedding").alias("dim", "xf")) \
+          .select("dim", F.abs(F.col("xf").cast("double")).alias("ax"))
+    sc_arr = (ex.groupBy("dim").agg(F.max("ax").alias("mx"))
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                  lambda s: F.when(s["mx"] > 0, F.lit(127.0) / s["mx"])
+                             .otherwise(F.lit(0.0))).alias("scales")))
+    qz = F.zip_with("embedding", "scales",
+                    lambda x, s: F.round(x.cast("double") * s, 0).cast("long"))
+    eq = (e.crossJoin(F.broadcast(sc_arr))
+           .select("vec_id", "embedding", "nrm", qz.alias("qv")))
+    q = F.broadcast(_gate_query_set(
+        eq.filter(F.col("vec_id") % 100 == 0), "ann_int8_rerank", sf_dir)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+                F.col("nrm").alias("q_nrm"),
+                F.col("qv").alias("q_qv")))
+    s_int = F.aggregate(F.zip_with("qv", "q_qv", lambda a, b: a * b),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    wc = W.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    cand = (q.join(eq, F.col("vec_id") != F.col("q_id"))
+             .withColumn("s", s_int)
+             .withColumn("crk", F.row_number().over(wc))
+             .filter(F.col("crk") <= INT8_CAND))
+    rer = cand.withColumn("cos", F.round(
+        dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (rer.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= TOP_K)
+               .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                       "cos", "rk"))
+
+
 def q_embedding_norms(spark, sf_dir):
     """Norm/moment stats per label — sanity surface for the vector ops."""
     e = _emb(spark, sf_dir)
@@ -431,6 +490,7 @@ QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce,
     "ann_lsh_cosine": q_ann_lsh,
     "ann_ivf_cosine": q_ann_ivf,
+    "ann_int8_rerank": q_ann_int8,
     "knn_pandas_vectorized": q_knn_pandas,
     "embedding_norms": q_embedding_norms,
     "embedding_centroids_exact": q_embedding_centroids,
@@ -512,6 +572,53 @@ ORACLE = {
 # The vectorized kernel is candidate discovery only; final ranks come
 # from the same exact fold as the JVM path, so both share one oracle.
 ORACLE["knn_pandas_vectorized"] = ORACLE["knn_bruteforce_cosine"]
+
+# int8 two-stage ANN: the scales CTE is the same (oracle-pinned)
+# expression as embedding_quantize_int8; the first-stage score is an
+# integer fold (order-free, exact), so candidate selection and the
+# exact re-rank are both reproducible bit-for-bit.
+ORACLE["ann_int8_rerank"] = f"""
+    WITH sc AS (
+        SELECT list(CASE WHEN mx > 0
+                         THEN CAST('127.0' AS DOUBLE) / mx
+                         ELSE CAST('0.0' AS DOUBLE) END
+                    ORDER BY dim) AS scales
+        FROM (SELECT i AS dim,
+                     MAX(ABS(CAST(embedding[i + 1] AS DOUBLE))) AS mx
+              FROM embeddings, unnest(range(len(embedding))) AS t(i)
+              GROUP BY i)),
+    eq AS (
+        SELECT vec_id, embedding,
+               list_transform(list_zip(embedding, scales),
+                   p -> CAST(ROUND(CAST(p[1] AS DOUBLE) * p[2], 0)
+                             AS BIGINT)) AS qv
+        FROM embeddings CROSS JOIN sc),
+    cand AS (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY s DESC, vec_id) AS crk
+        FROM (SELECT q.vec_id AS q_id, e.vec_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(list_zip(q.qv, e.qv),
+                                        p -> p[1] * p[2])),
+                         (acc, x) -> acc + x) AS s
+              FROM eq q JOIN eq e
+                ON q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)),
+    scored AS (
+        SELECT c.q_id, c.vec_id AS neighbor_id,
+               ROUND({_COS.format(a='q.embedding', b='e.embedding')}, 6)
+                   AS cos
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings q ON q.vec_id = c.q_id
+        WHERE c.crk <= {INT8_CAND}),
+    final AS (
+        SELECT q_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored)
+    SELECT q_id, neighbor_id, cos, rk FROM final WHERE rk <= {TOP_K}
+"""
 
 # IVF is approximate ONLY relative to true kNN — its own output is fully
 # deterministic (seeded centroids, fixed probe count, exact re-rank), so

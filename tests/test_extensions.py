@@ -102,6 +102,23 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_medium):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ann_int8_recall_vs_bruteforce(spark, sf_medium):
+    """int8 first-stage scoring with a 40-candidate cut must recover
+    >= 90% of the exact top-10 per query on average — scalar
+    quantization distorts scores far less than LSH/IVF bucketing, so
+    its bar is much higher."""
+    exact = similarity.q_knn_bruteforce(spark, sf_medium).collect()
+    approx = similarity.q_ann_int8(spark, sf_medium).collect()
+    from collections import defaultdict
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.q_id].add(r.neighbor_id)
+    for r in approx:
+        ap[r.q_id].add(r.neighbor_id)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_knn_pandas_matches_jvm_exactly(spark, sf_medium):
     """The vectorized path is candidate discovery only — survivors
     re-score with the same exact fold the JVM path uses — so the two
