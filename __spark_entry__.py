@@ -97,6 +97,10 @@ _NEW_R03 = (
     "multimodal_features", "dedup_semantic_clusters",
     "sink_roundtrip_parquet", "knn_pandas_vectorized", "ann_ivf_cosine",
     "text_contamination_bloom", "dedup_spans_ngram", "ann_int8_rerank",
+    # second round-3 session — full oracles, repo-tested, least debt:
+    "quality_classifier_hashed", "text_blocklist_filter",
+    "sample_token_budget", "shard_assignment", "stats_trimmed_mean",
+    "events_anomaly_mad",
 )
 
 

@@ -8,14 +8,14 @@ for __spark_entry__.py.
 
 from __future__ import annotations
 
-from . import (asof, behavior, dedup, features, graph, maintenance, ml,
-               multimodal, relational, sampling, scale, similarity,
-               temporal, text, udx)
+from . import (asof, behavior, curation, dedup, features, graph,
+               maintenance, ml, multimodal, relational, sampling, scale,
+               similarity, temporal, text, udx)
 
 
 _MODULES = (relational, dedup, similarity, text, multimodal, asof,
             temporal, scale, sampling, udx, features, behavior, graph,
-            maintenance, ml)
+            maintenance, ml, curation)
 
 
 def all_queries():

@@ -1,0 +1,235 @@
+"""Corpus-curation operators beyond the reference surface (SURVEY.md
+§2.3 north star): model-based quality scoring, policy filtering, budgeted
+selection, training-shard assignment, and robust event statistics.
+
+Like every extension module, each operator is hash-deterministic (no
+``rand()``), keeps the hot path in JVM built-ins, and carries a full
+DuckDB value oracle.  The reference (MartinezGitHub/go-mapreduce-crawler,
+crawler.go:204-255) has no curation surface of any kind — these are the
+operations a 100 TB training-data pipeline layers on top of its
+scan→map→fold kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+# ------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-style, deterministic)
+# ------------------------------------------------------------------
+#
+# A linear text classifier scores a document as the mean of per-token
+# weights looked up by hashing the token into a weight table (the
+# fastText / Vowpal-Wabbit hashing trick).  Here the weight table itself
+# is derived from the hash — w(t) = md5_32(t) % 2001 - 1000, an integer
+# in [-1000, 1000] ("milli-weights") — so both engines reproduce the
+# model bit-for-bit without shipping a weight file.  Swapping in real
+# trained weights = replacing this expression with a broadcast map
+# lookup; the plan shape (row-local array fold, ZERO shuffles) is
+# identical.
+
+def _tok_weight_spark(tok):
+    """Integer milli-weight of one token, identical in Spark and DuckDB."""
+    return (F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 8), 16, 10)
+             .cast("long") % 2001 - 1000)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-linear-model quality score per document.
+
+    score = Σ_tokens w(token) as an exact integer (order-independent —
+    safe under any partitioning), mean_w = round(score/n, 6) the only
+    float op.  Row-local `aggregate` over the token array: a pure
+    projection, no explode, no shuffle — the 100 TB plan is a single
+    scan at full codegen speed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    score = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, t: acc + _tok_weight_spark(t))
+    n = F.size(words)
+    return d.select(
+        "doc_id", "lang",
+        n.alias("n_tokens"),
+        score.alias("score_milli"),
+        F.round(score.cast("double") / n, 6).alias("mean_weight"),
+        (score > 0).alias("keep"))
+
+
+# ------------------------------------------------------------------
+# C4-style blocklist / policy filter with per-rule verdicts
+# ------------------------------------------------------------------
+
+BLOCKLIST = ("slow", "error", "drop")
+MIN_WORDS, MAX_WORDS, MAX_WORD_LEN = 10, 5000, 25
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Rule-based document policy filter (the C4 "bad words" + length
+    rules), emitting machine-readable rejection reasons.
+
+    Every rule is a row-local boolean over the token array; ``reasons``
+    concatenates the names of failed rules (concat_ws skips NULLs in
+    both engines).  Zero shuffles — the filter itself is the workload,
+    so at 100 TB this is one scan with all rules fused into codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    has_block = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in BLOCKLIST]))) > 0
+    too_long_word = F.array_max(F.transform(words, F.length)) > MAX_WORD_LEN
+    reasons = F.concat_ws(
+        ",",
+        F.when(has_block, "blocklist"),
+        F.when(n < MIN_WORDS, "too_short"),
+        F.when(n > MAX_WORDS, "too_long"),
+        F.when(too_long_word, "long_word"))
+    return d.select(
+        "doc_id", "source",
+        n.alias("n_words"),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"))
+
+
+# ------------------------------------------------------------------
+# Token-budget selection per source
+# ------------------------------------------------------------------
+
+TOKEN_BUDGET = 5000
+
+
+def q_sample_token_budget(spark, sf_dir):
+    """Greedy per-source selection up to a token budget: documents are
+    admitted in deterministic hash order while the budget is not yet
+    exhausted (a doc is kept iff the tokens admitted BEFORE it are under
+    budget — so the budget may be overshot by at most one document, the
+    standard greedy-fill contract).
+
+    This is the mixing step that turns "sample 10 docs per source" into
+    "sample 5,000 TOKENS per source" — what an LM data recipe actually
+    specifies.  One shuffle keyed on source; the running sum is a
+    per-source window (ORDER BY hash), same WindowGroupLimit-friendly
+    shape as sample_cap_per_source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    w = (W.partitionBy("source").orderBy("h", "doc_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = (d.select("doc_id", "source", n_tok.alias("n_tokens"), h.alias("h"))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w)))
+    return (out.filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
+               .select("doc_id", "source", "n_tokens", "cum_tokens"))
+
+
+# ------------------------------------------------------------------
+# Deterministic training-shard assignment
+# ------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def q_shard_assignment(spark, sf_dir):
+    """Assign every document to one of N_SHARDS training shards by hash,
+    with a deterministic position within the shard — the declarative
+    form of the final "global shuffle + write shards" step of a
+    training-data pipeline.
+
+    The physical realization at 100 TB is ``repartition(N, shard)`` +
+    ``sortWithinPartitions(hash)`` + one file per partition; this query
+    states the same assignment so it is oracle-checkable.  Hash-derived
+    shard + hash-derived order = a reproducible global shuffle
+    (re-running after appending documents never moves an existing doc
+    to a different shard, unlike orderBy(rand(seed))).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10)
+              .cast("long") % N_SHARDS).cast("int")
+    out = d.select("doc_id", shard.alias("shard"), h.alias("h"))
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (out.withColumn("pos", F.row_number().over(w))
+               .select("doc_id", "shard", "pos"))
+
+
+QUERIES = {
+    "quality_classifier_hashed": q_quality_classifier,
+    "text_blocklist_filter": q_blocklist_filter,
+    "sample_token_budget": q_sample_token_budget,
+    "shard_assignment": q_shard_assignment,
+}
+
+_W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
+
+ORACLE = {
+    "quality_classifier_hashed": f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ' '),
+                                          t -> {_W_DUCK})),
+                       (a, b) -> a + b) AS score_milli
+            FROM documents)
+        SELECT doc_id, lang, n_tokens, score_milli,
+               ROUND(score_milli::DOUBLE / n_tokens, 6) AS mean_weight,
+               score_milli > 0 AS keep
+        FROM s
+    """,
+    "text_blocklist_filter": f"""
+        WITH s AS (
+            SELECT doc_id, source,
+                   string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents),
+        r AS (
+            SELECT doc_id, source, n_words,
+                   concat_ws(',',
+                       CASE WHEN len(list_intersect(list_distinct(w),
+                                ['slow', 'error', 'drop'])) > 0
+                            THEN 'blocklist' END,
+                       CASE WHEN n_words < {MIN_WORDS} THEN 'too_short' END,
+                       CASE WHEN n_words > {MAX_WORDS} THEN 'too_long' END,
+                       CASE WHEN list_max(list_transform(w, x -> length(x)))
+                                 > {MAX_WORD_LEN} THEN 'long_word' END)
+                       AS reasons
+            FROM s)
+        SELECT doc_id, source, n_words, reasons, reasons = '' AS keep
+        FROM r
+    """,
+    "sample_token_budget": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM t)
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+    """,
+    "shard_assignment": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        ::BIGINT % {N_SHARDS} AS INT) AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM s
+    """,
+}

@@ -176,8 +176,86 @@ def q_regr_value_time(spark, sf_dir):
         (cov_n * cov_n / (var_n * vary_n)).alias("r2"))
 
 
+def q_stats_trimmed(spark, sf_dir):
+    """10% trimmed and winsorized mean of event value per type — the
+    robust-statistics pair (outlier-insensitive location estimates).
+
+    Trimming is RANK-based (drop k = floor(n/10) rows from each tail
+    under the total order (value, event_id)) rather than
+    percentile-threshold-based, so membership of every row is integer
+    arithmetic — engine-portable with no float-boundary flips.  All
+    sums in DECIMAL (order-independent), one float division per output
+    at the end.  Shape: one shuffle on event_type; the groupBy reuses
+    the window's exchange.  Unbounded group sizes at 100 TB move this
+    to the GK-sketch twin (approx_quantiles_gk) — rank-trimming needs
+    the per-group sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", dec("value", MONEY).alias("v"), "event_id")
+    w = W.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = base.select(
+        "event_type", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"))
+    k = F.floor(F.col("n") / 10)
+    kept = (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(kept, F.col("v"))).alias("s_kept"),
+        F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+        F.min(F.when(kept, F.col("v"))).alias("lo"),
+        F.max(F.when(kept, F.col("v"))).alias("hi"))
+    kk = ((F.col("n") - F.col("n_kept")) / 2).cast("long")
+    wins_sum = (F.col("s_kept") + kk * F.col("lo") + kk * F.col("hi"))
+    return agg.select(
+        "event_type", "n",
+        F.round(F.col("s_kept").cast("double") / F.col("n_kept"), 6)
+         .alias("trimmed_mean"),
+        F.round(wins_sum.cast("double") / F.col("n"), 6)
+         .alias("winsorized_mean"))
+
+
+def q_events_anomaly_mad(spark, sf_dir):
+    """Median-absolute-deviation outliers: events whose value deviates
+    from their type's median by more than 3x the MAD — the robust
+    anomaly detector (unlike z-scores, immune to the outliers it
+    hunts).
+
+    Lower medians by rank (the engine-portable percentile, as
+    median_per_group) for both center and spread; |v - med| and the
+    3*MAD comparison stay in DECIMAL, so the verdict is exact.  Shape:
+    two event_type-keyed rankings produce two tiny stats tables
+    (|types| rows) broadcast back onto the unshuffled fact scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type", dec("value", MONEY).alias("v"))
+    grp = W.partitionBy("event_type")
+    w1 = grp.orderBy("v", "event_id")
+    r1 = base.select("event_type", "v",
+                     F.row_number().over(w1).alias("rn"),
+                     F.count(F.lit(1)).over(grp).alias("n"))
+    med = (r1.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+             .select("event_type", F.col("v").alias("med")))
+    d1 = (base.join(F.broadcast(med), "event_type")
+              .withColumn("adiff", F.abs(F.col("v") - F.col("med"))))
+    w2 = grp.orderBy("adiff", "event_id")
+    r2 = d1.select("event_type", "adiff",
+                   F.row_number().over(w2).alias("rn"),
+                   F.count(F.lit(1)).over(grp).alias("n"))
+    mad = (r2.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+             .select("event_type", F.col("adiff").alias("mad")))
+    return (d1.join(F.broadcast(mad), "event_type")
+              .filter(F.col("adiff") > 3 * F.col("mad"))
+              .select("event_id", "event_type",
+                      F.col("v").cast("double").alias("value"),
+                      F.col("med").cast("double").alias("med"),
+                      F.col("mad").cast("double").alias("mad")))
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
+    "stats_trimmed_mean": q_stats_trimmed,
+    "events_anomaly_mad": q_events_anomaly_mad,
     "regr_value_time": q_regr_value_time,
     "skyline_pareto_2d": q_skyline_pareto,
     "profile_documents": q_profile_table,
@@ -186,6 +264,64 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stats_trimmed_mean": """
+        WITH ranked AS (
+            SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events),
+        agg AS (
+            SELECT event_type, MAX(n) AS n,
+                   SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                            THEN v END) AS s_kept,
+                   COUNT(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                              THEN 1 END) AS n_kept,
+                   MIN(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                            THEN v END) AS lo,
+                   MAX(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                            THEN v END) AS hi
+            FROM ranked GROUP BY event_type)
+        SELECT event_type, n,
+               ROUND(s_kept::DOUBLE / n_kept, 6) AS trimmed_mean,
+               ROUND((s_kept + (n - n_kept) // 2 * lo
+                             + (n - n_kept) // 2 * hi)::DOUBLE / n, 6)
+                   AS winsorized_mean
+        FROM agg
+    """,
+    "events_anomaly_mad": """
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CAST(value AS DECIMAL(12,2)) AS v
+            FROM events),
+        r1 AS (
+            SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY v, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM base),
+        med AS (
+            SELECT event_type, v AS med FROM r1
+            WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)),
+        d1 AS (
+            SELECT b.event_id, b.event_type, b.v, med.med,
+                   ABS(b.v - med.med) AS adiff
+            FROM base b JOIN med USING (event_type)),
+        r2 AS (
+            SELECT event_type, adiff,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY adiff, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM d1),
+        mad AS (
+            SELECT event_type, adiff AS mad FROM r2
+            WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT))
+        SELECT d1.event_id, d1.event_type,
+               d1.v::DOUBLE AS value, d1.med::DOUBLE AS med,
+               mad.mad::DOUBLE AS mad
+        FROM d1 JOIN mad USING (event_type)
+        WHERE d1.adiff > 3 * mad.mad
+    """,
     "regr_value_time": """
         WITH s AS (
             SELECT event_type,
