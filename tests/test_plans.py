@@ -452,3 +452,43 @@ def test_ann_lsh_candidates_join_mapside_no_bucket_arrays(spark, sf_small):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "collect_set" not in plan, plan[:2000]
+
+
+def test_quality_classifier_is_shuffle_free_scan(spark, sf_small):
+    """quality_classifier_hashed: the hashed-linear score is a row-local
+    array fold — the whole query must be one scan with ZERO shuffle
+    exchanges and no Python, or it would not be a single-pass filter at
+    100 TB."""
+    from go_mapreduce_crawler_spark.operators import curation
+    df = curation.q_quality_classifier(spark, sf_small)
+    assert n_shuffle_exchanges(df) == 0, physical_plan(df)[:2000]
+    assert not has_python_udf(df)
+
+
+def test_blocklist_filter_is_shuffle_free_scan(spark, sf_small):
+    """text_blocklist_filter: all policy rules fuse into the scan
+    projection — zero shuffles, no Python."""
+    from go_mapreduce_crawler_spark.operators import curation
+    df = curation.q_blocklist_filter(spark, sf_small)
+    assert n_shuffle_exchanges(df) == 0, physical_plan(df)[:2000]
+    assert not has_python_udf(df)
+
+
+def test_shard_assignment_single_shuffle(spark, sf_small):
+    """shard_assignment: exactly one exchange (hash by shard for the
+    in-shard ordering) — the declarative form of repartition +
+    sortWithinPartitions must not add a second shuffle."""
+    from go_mapreduce_crawler_spark.operators import curation
+    df = curation.q_shard_assignment(spark, sf_small)
+    assert n_shuffle_exchanges(df) == 1, physical_plan(df)[:2000]
+
+
+def test_anomaly_mad_broadcasts_stats_fact_never_shuffles(spark, sf_small):
+    """events_anomaly_mad: both stats tables (median, MAD) come back to
+    the fact scan as BROADCAST joins — the final filtered output must
+    not hash-shuffle the events stream a third time."""
+    from go_mapreduce_crawler_spark.operators import features as feat
+    df = feat.q_events_anomaly_mad(spark, sf_small)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert not has_python_udf(df)
