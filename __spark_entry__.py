@@ -100,7 +100,8 @@ _NEW_R03 = (
     # second round-3 session — full oracles, repo-tested, least debt:
     "quality_classifier_hashed", "text_blocklist_filter",
     "sample_token_budget", "shard_assignment", "stats_trimmed_mean",
-    "events_anomaly_mad",
+    "events_anomaly_mad", "text_heavy_hitters_cms", "bpe_train_merges",
+    "sink_compact_small_files",
 )
 
 

@@ -73,6 +73,9 @@ HEADLINE = [
     "text_repetition_gopher",
     "text_unigram_lm_score",
     "sample_cap_per_source",
+    "quality_classifier_hashed",
+    "shard_assignment",
+    "events_anomaly_mad",
 ]
 
 N_CRAWL_FILES = 2000

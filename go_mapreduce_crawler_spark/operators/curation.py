@@ -159,8 +159,100 @@ def q_shard_assignment(spark, sf_dir):
                .select("doc_id", "shard", "pos"))
 
 
+# ------------------------------------------------------------------
+# Distributed BPE merge training
+# ------------------------------------------------------------------
+
+BPE_STEPS = 8
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE-style merge training: learn the first 8 merges
+    over the corpus, treating words as initial symbols (the
+    subword-regular form starts from characters; the algorithm is
+    identical, and word-level merges keep the oracle's unrolled SQL
+    tractable).
+
+    Per step: (1) count adjacent symbol pairs corpus-wide — one explode
+    + one partial+final aggregation; (2) take the top pair with the
+    deterministic tie-break (count DESC, a, b) — a bounded 1-row
+    collect, the same driver-side scalar pattern as k-means centroids;
+    (3) rewrite every document row-locally (no shuffle).  The rewrite
+    exploits a double-space encoding (' a  b ' -> ' a_b '): with TWO
+    spaces between symbols and one at each boundary, a single
+    non-overlapping string replace IS the leftmost-priority BPE merge —
+    proven equivalent to the explicit fold by a 20k-case property test
+    (test_properties.py) — and keeps both engines on plain string
+    built-ins (DuckDB 1.0.0 segfaults on struct-accumulator
+    list_reduce at corpus size, so lambdas are avoided BY DESIGN).
+    localCheckpoint between steps caps plan depth exactly as
+    dedup_components does.  At 100 TB the pair counts are
+    word-bigram-shaped aggregations (map-side combine absorbs the head)
+    and the rewrite is a narrow projection — the corpus-parallel
+    Map-Reduce form of the Sennrich et al. trainer, one merge per
+    round.
+
+    Output: the learned merge table (step, a, b, merged, count) — 8
+    rows, fully deterministic, value-oracled by an unrolled DuckDB
+    pipeline that recomputes its own top pairs.
+    """
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.concat(F.lit(" "),
+                          F.regexp_replace("text", " ", "  "),
+                          F.lit(" ")).alias("s")))
+    rows = []
+    for step in range(BPE_STEPS):
+        toks = F.split(F.trim(F.col("s")), "  ")
+        n = F.size(toks)
+        pairs = d.select(F.explode(F.zip_with(
+            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")))).alias("p"))
+        top = (pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.desc("cnt"), "a", "b").limit(1).collect())[0]
+        rows.append((step, top.a, top.b, top.a + "_" + top.b, top.cnt))
+        d = d.select(
+            "doc_id",
+            F.replace(F.col("s"),
+                      F.lit(f" {top.a}  {top.b} "),
+                      F.lit(f" {top.a}_{top.b} ")).alias("s"))
+        d = d.localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        rows, "step int, a string, b string, merged string, cnt long")
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled 8-step DuckDB mirror: each step computes ITS OWN top
+    pair and rewrites the corpus with the same double-space replace."""
+    parts = ["WITH d0 AS (SELECT doc_id,"
+             " ' ' || replace(text, ' ', '  ') || ' ' AS s"
+             " FROM documents)"]
+    for i in range(BPE_STEPS):
+        parts.append(f"""
+        , t{i} AS (
+            SELECT a, b, cnt FROM (
+                SELECT seq[i] AS a, seq[i + 1] AS b, COUNT(*) AS cnt
+                FROM (SELECT string_split(trim(s, ' '), '  ') AS seq
+                      FROM d{i}),
+                     unnest(generate_series(1, greatest(len(seq) - 1, 0)))
+                         AS u(i)
+                GROUP BY 1, 2)
+            ORDER BY cnt DESC, a, b LIMIT 1)
+        , d{i + 1} AS (
+            SELECT doc_id,
+                   replace(s, ' ' || a || '  ' || b || ' ',
+                              ' ' || a || '_' || b || ' ') AS s
+            FROM d{i}, t{i})""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, a || '_' || b AS merged, cnt FROM t{i}"
+        for i in range(BPE_STEPS))
+    return "".join(parts) + " " + selects
+
+
 QUERIES = {
     "quality_classifier_hashed": q_quality_classifier,
+    "bpe_train_merges": q_bpe_train,
     "text_blocklist_filter": q_blocklist_filter,
     "sample_token_budget": q_sample_token_budget,
     "shard_assignment": q_shard_assignment,
@@ -169,6 +261,7 @@ QUERIES = {
 _W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
 
 ORACLE = {
+    "bpe_train_merges": _bpe_oracle_sql(),
     "quality_classifier_hashed": f"""
         WITH s AS (
             SELECT doc_id, lang,

@@ -147,10 +147,54 @@ def q_sink_roundtrip(spark, sf_dir):
                     F.col("s").cast("double").alias("sum_price")))
 
 
+COMPACT_SMALL_FILES = 64      # the pathological ingest state
+COMPACT_TARGET_FILES = 4      # bounded output file count
+
+
+def q_sink_compact(spark, sf_dir):
+    """Small-files compaction as a checked operator: land documents as
+    64 tiny parquet files (the state a micro-batching ingest leaves
+    behind — the #1 operational problem of long-running table sinks),
+    compact to a bounded file count, and return the per-source
+    aggregate computed from the COMPACTED directory.  The oracle
+    computes the same aggregate from the original table, so a green row
+    proves compaction is lossless; the file-count contract (64 -> 4) is
+    asserted in tests.
+
+    At 100 TB the target count comes from bytes/128 MB (AQE coalescing
+    or maxRecordsPerFile), not a constant — the repartition here stands
+    in for that sizing policy; the read->shuffle->write shape is the
+    real one (one wide stage, no driver materialization).  Idempotent:
+    deterministic per-SF temp dirs + overwrite mode.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    small = os.path.join(base, "small")
+    compacted = os.path.join(base, "compacted")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    d.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small)
+    (spark.read.parquet(small)
+          .repartition(COMPACT_TARGET_FILES)
+          .write.mode("overwrite").parquet(compacted))
+    return (spark.read.parquet(compacted)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
+
+
 QUERIES = {
     "table_diff": q_table_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
     "sink_roundtrip_parquet": q_sink_roundtrip,
+    "sink_compact_small_files": q_sink_compact,
 }
 
 ORACLE = {
@@ -203,6 +247,14 @@ ORACLE = {
     """,
     # The oracle computes the aggregate directly — matching it proves the
     # parquet write->read round-trip changed nothing.
+    "sink_compact_small_files": """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM documents GROUP BY source
+    """,
     "sink_roundtrip_parquet": """
         SELECT o_orderpriority, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -118,14 +118,84 @@ def q_approx_quantiles(spark, sf_dir):
                      "v_min", "v_max", "n_rows"))
 
 
+CMS_D, CMS_W = 4, 1024          # sketch depth (hash rows) x width (slots)
+
+
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters over document words — the
+    fixed-size-summary path for frequency estimation (Cormode &
+    Muthukrishnan, J. Algorithms 2005), mirroring
+    text_contamination_bloom's design: the sketch is AT MOST
+    D x W = 4,096 (row, slot) count cells REGARDLESS of corpus size,
+    built by one word-count-shaped aggregation, then broadcast to
+    estimate candidate frequencies map-side.
+
+    est(word) = min over rows of cell(row, slot(row, word)) — an upper
+    bound on the true count (one-sided error: collisions only inflate),
+    pinned against the exact counts in tests.  Slot hashing is md5-based
+    so the whole operator is deterministic and carries a FULL value
+    oracle, unlike the engine-specific HLL/GK sketches.  Emits words
+    whose estimate exceeds 0.1% of total tokens (the exact operator's
+    threshold: every true heavy hitter is guaranteed present).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    inst = d.select(F.explode(F.split("text", " ")).alias("word"))
+    rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+
+    def slot(word):
+        return (F.conv(F.substring(F.md5(F.encode(
+                    F.concat(F.lit("r"), F.col("row").cast("string"),
+                             F.lit(":"), word), "UTF-8")), 1, 8), 16, 10)
+                 .cast("long") % CMS_W)
+
+    keyed = (inst.withColumn("row", F.explode(rows))
+                 .withColumn("slot", slot(F.col("word"))))
+    sketch = keyed.groupBy("row", "slot").agg(F.count(F.lit(1)).alias("cnt"))
+    total = inst.agg(F.count(F.lit(1)).alias("total"))
+    cand = (inst.select("word").distinct()
+                .withColumn("row", F.explode(rows))
+                .withColumn("slot", slot(F.col("word"))))
+    est = (cand.join(F.broadcast(sketch), ["row", "slot"])
+               .groupBy("word").agg(F.min("cnt").alias("est_cnt")))
+    return (est.crossJoin(F.broadcast(total))
+               .filter(F.col("est_cnt") * 1000 > F.col("total"))
+               .select("word", "est_cnt"))
+
+
 QUERIES = {
     "join_salted_skew": q_join_salted,
     "agg_salted_twophase": q_agg_salted_twophase,
     "approx_distinct_hll": q_approx_distinct,
     "approx_quantiles_gk": q_approx_quantiles,
+    "text_heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
 ORACLE = {
+    "text_heavy_hitters_cms": f"""
+        WITH inst AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        keyed AS (
+            SELECT word, row,
+                   ('0x' || substr(md5('r' || row || ':' || word), 1, 8))
+                       ::BIGINT % {CMS_W} AS slot
+            FROM inst, unnest([0, 1, 2, 3]) AS t(row)),
+        sketch AS (
+            SELECT row, slot, COUNT(*) AS cnt
+            FROM keyed GROUP BY 1, 2),
+        total AS (SELECT COUNT(*) AS total FROM inst),
+        cand AS (
+            SELECT DISTINCT word, row,
+                   ('0x' || substr(md5('r' || row || ':' || word), 1, 8))
+                       ::BIGINT % {CMS_W} AS slot
+            FROM (SELECT DISTINCT word FROM inst),
+                 unnest([0, 1, 2, 3]) AS t(row)),
+        est AS (
+            SELECT word, MIN(cnt) AS est_cnt
+            FROM cand JOIN sketch USING (row, slot)
+            GROUP BY word)
+        SELECT word, est_cnt FROM est, total
+        WHERE est_cnt * 1000 > total
+    """,
     # Both salted queries must equal their UNSALTED formulations — the
     # oracle is the plain query, proving salting is a pure physical
     # rewrite.

@@ -462,3 +462,42 @@ def test_contamination_bloom_is_superset_of_exact(spark, sf_small):
         assert bloom[d] >= n, (d, bloom[d], n)
     inflation = sum(bloom.values()) - sum(exact.values())
     assert inflation <= 0.01 * max(sum(exact.values()), 1), inflation
+
+
+def test_cms_heavy_hitters_superset_and_one_sided(spark, sf_small):
+    """Count-Min estimates are upper bounds (collisions only inflate):
+    every word's estimate must be >= its exact count, and every exact
+    heavy hitter must appear in the CMS output (no false negatives at
+    the same threshold)."""
+    from go_mapreduce_crawler_spark.operators.scale import q_heavy_hitters_cms
+    from go_mapreduce_crawler_spark.operators.text import q_heavy_hitters
+
+    exact = {r.word: r.cnt for r in q_heavy_hitters(spark, sf_small).collect()}
+    cms = {r.word: r.est_cnt
+           for r in q_heavy_hitters_cms(spark, sf_small).collect()}
+    assert set(exact) <= set(cms), set(exact) - set(cms)
+    for w, n in exact.items():
+        assert cms[w] >= n, (w, cms[w], n)
+
+
+def test_compaction_reduces_file_count_losslessly(spark, sf_small):
+    """sink_compact_small_files: the compacted directory must hold
+    far fewer data files than the small-files stage while the oracle
+    (run by test_oracle) proves the rows survive bit-for-bit; here we
+    pin the operational contract — the file count actually shrinks."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from go_mapreduce_crawler_spark.operators.maintenance import (
+        COMPACT_TARGET_FILES, q_sink_compact)
+
+    q_sink_compact(spark, sf_small).count()
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_compact_"
+        + hashlib.md5(sf_small.encode()).hexdigest()[:10])
+    n_small = len(glob.glob(os.path.join(base, "small", "part-*")))
+    n_comp = len(glob.glob(os.path.join(base, "compacted", "part-*")))
+    assert n_comp <= COMPACT_TARGET_FILES < n_small, (n_small, n_comp)

@@ -345,3 +345,36 @@ def test_embedding_quantize_is_partitioning_invariant(spark, tmp_path):
     assert a == b
     qs = {int(v) for vec, _ in a.values() for v in vec.split(",")}
     assert qs and all(-127 <= v <= 127 for v in qs)
+
+
+def test_bpe_doublespace_replace_equals_explicit_fold():
+    """bpe_train_merges rewrites via a single non-overlapping string
+    replace over a double-space encoding; pin its equivalence to the
+    explicit leftmost-nonoverlapping merge fold on random token
+    sequences (the trick both engines rely on)."""
+    import random
+
+    def enc(toks):
+        return " " + "  ".join(toks) + " "
+
+    def dec(s):
+        return s.strip(" ").split("  ")
+
+    def ref(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + "_" + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c", "d", "a_b"]
+    for _ in range(5000):
+        toks = [rng.choice(alphabet) for _ in range(rng.randint(1, 10))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        got = dec(enc(toks).replace(f" {a}  {b} ", f" {a}_{b} "))
+        assert got == ref(toks, a, b), (toks, a, b, got)
