@@ -126,14 +126,16 @@ def main() -> None:
         # accumulated).
         spark.catalog.clearCache()
 
-    # Best-of-2: single-shot timings on a shared machine carry +-2s of
-    # scheduler/GC noise per query, which would swamp round-over-round
-    # comparisons; the min of two runs is the steady-state number.
+    # Best-of-3: single-shot timings on a shared machine carry +-2s of
+    # scheduler/GC noise per query (observed: the same query 0.6s and
+    # 2.1s in back-to-back solo runs), which would swamp round-over-
+    # round comparisons; the min of three runs is the steady-state
+    # number with a much tighter distribution than best-of-2.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)

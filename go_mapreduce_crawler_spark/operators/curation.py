@@ -69,16 +69,11 @@ BLOCKLIST = ("slow", "error", "drop")
 MIN_WORDS, MAX_WORDS, MAX_WORD_LEN = 10, 5000, 25
 
 
-def q_blocklist_filter(spark, sf_dir):
-    """Rule-based document policy filter (the C4 "bad words" + length
-    rules), emitting machine-readable rejection reasons.
-
-    Every rule is a row-local boolean over the token array; ``reasons``
-    concatenates the names of failed rules (concat_ws skips NULLs in
-    both engines).  Zero shuffles — the filter itself is the workload,
-    so at 100 TB this is one scan with all rules fused into codegen.
-    """
-    d = load_table(spark, sf_dir, "documents")
+def blocklist_verdict(d):
+    """The blocklist policy projection over any documents relation —
+    row-local, so it applies unchanged to a STREAMING DataFrame (the
+    streaming-ingest curation form; parity pinned in
+    tests/test_streaming.py)."""
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     has_block = F.size(F.array_intersect(
@@ -96,6 +91,20 @@ def q_blocklist_filter(spark, sf_dir):
         n.alias("n_words"),
         reasons.alias("reasons"),
         (reasons == "").alias("keep"))
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Rule-based document policy filter (the C4 "bad words" + length
+    rules), emitting machine-readable rejection reasons.
+
+    Every rule is a row-local boolean over the token array; ``reasons``
+    concatenates the names of failed rules (concat_ws skips NULLs in
+    both engines).  Zero shuffles — the filter itself is the workload,
+    so at 100 TB this is one scan with all rules fused into codegen;
+    the same projection applies unchanged to a streaming ingest
+    (blocklist_verdict is the relation-in/relation-out form).
+    """
+    return blocklist_verdict(load_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------------------------------

@@ -185,17 +185,22 @@ def q_ann_lsh(spark, sf_dir):
     # celebrity-key hazard the pagerank fix removed).  Only the surviving
     # (q_id, vec_id) pairs — two longs each — shuffle, for the dedup and
     # the vector join-back.
-    sk = e.select("vec_id", "embedding").mapInPandas(
-        kernel, schema="vec_id long, bb long")
+    # ONE sketch pass: the query set is a subset of the corpus, so its
+    # sketches are a filter over the corpus sketches — no second Python
+    # stage.  sk is (vec_id, bucket) longs, ~16 B/row x bands: caching
+    # it costs ~nothing and serves both the candidate stream and the
+    # query-sketch broadcast.
+    sk = (e.select("vec_id", "embedding")
+           .mapInPandas(kernel, schema="vec_id long, bb long")
+           .cache())
     q_base = _gate_query_set(
         e.filter(F.col("vec_id") % 100 == 0), "ann_lsh_cosine", sf_dir)
     q_full = F.broadcast(
         q_base.select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_vec"),
                       F.col("nrm").alias("q_nrm")))
-    q_sk = (q_base.select("vec_id", "embedding")
-                  .mapInPandas(kernel, schema="vec_id long, bb long")
-                  .select(F.col("vec_id").alias("q_id"), "bb"))
+    q_sk = (sk.filter(F.col("vec_id") % 100 == 0)
+              .select(F.col("vec_id").alias("q_id"), "bb"))
     cand_ids = (sk.join(F.broadcast(q_sk), "bb")
                   .filter(F.col("vec_id") != F.col("q_id"))
                   .select("q_id", "vec_id")

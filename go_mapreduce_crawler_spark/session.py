@@ -54,6 +54,14 @@ def get_spark(app_name: str = "go-mapreduce-crawler-spark",
         # Python data source filter pushdown (crawl_source.PushdownCrawlReader)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Whole-stage codegen emits one large generated class per stage;
+        # a full bench run compiles ~50 of them in one JVM.  The default
+        # 240 MB ReservedCodeCacheSize can fill mid-run, at which point
+        # the JIT stops compiling and codegen-heavy queries (the 32-fold
+        # minhash signature) silently run INTERPRETED — observed as a
+        # bimodal 1s-vs-4.6s bench mode.  512 MB keeps the JIT on.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

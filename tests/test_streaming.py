@@ -470,3 +470,27 @@ def test_crawl_stream_settle_mode_defers_unstable_files(tmp_path):
     # replay between committed offsets sees exactly the admitted file
     replay = list(reader.readBetweenOffsets(off2, off3))
     assert [r[0] for r in replay] == [p]
+
+
+def test_streaming_curation_filter_matches_batch(spark, tmp_path_factory):
+    """Curation as streaming ingest: the row-local blocklist policy
+    applies unchanged to a streaming DataFrame (no state, no
+    watermark), and per-batch results equal the batch run on the same
+    documents — the filter-at-the-door pattern for a 100 TB ingest."""
+    from go_mapreduce_crawler_spark.operators.curation import blocklist_verdict
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .repartition(4).write.mode("overwrite").parquet(d)
+    batch_docs = spark.read.parquet(d)
+    stream_docs = (spark.readStream.schema(batch_docs.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (blocklist_verdict(stream_docs)
+         .writeStream.format("memory").queryName("cur_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.n_words, r.reasons, r.keep)
+           for r in spark.sql("SELECT * FROM cur_stream").collect()}
+    want = {r.doc_id: (r.n_words, r.reasons, r.keep)
+            for r in blocklist_verdict(batch_docs).collect()}
+    assert got == want

@@ -64,14 +64,24 @@ def main() -> int:
         print(f"bench_guard: FAIL — bench reported errors: "
               f"{sorted(new['errors'])}")
         return 1
+    # Normalize by the median per-query ratio: the baseline was recorded
+    # on the driver's machine-state-of-the-day, and a uniformly slower
+    # (or faster) environment shifts EVERY query by the same factor —
+    # that is drift, not regression.  A real regression is a query that
+    # slowed relative to the rest of the bench.
+    ratios = sorted(nq[n] / bq[n] for n in bq
+                    if n in nq and bq[n] > 0)
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    med = max(med, 1.0)     # a faster machine must not hide regressions
     bad = []
     for name, old_t in sorted(bq.items()):
         t = nq.get(name)
         if t is None:
             bad.append(f"{name}: missing from new bench (baseline {old_t}s)")
-        elif t > FACTOR * old_t + SLACK_SEC:
+        elif t > FACTOR * med * old_t + SLACK_SEC:
             bad.append(f"{name}: {t}s vs baseline {old_t}s "
-                       f"(> {FACTOR}x + {SLACK_SEC}s)")
+                       f"(> {FACTOR}x past the bench-wide median "
+                       f"drift {med:.2f}x, + {SLACK_SEC}s)")
     if bad:
         print(f"bench_guard: FAIL vs {os.path.basename(base_path)}:")
         for b in bad:
