@@ -101,7 +101,9 @@ _NEW_R03 = (
     "quality_classifier_hashed", "text_blocklist_filter",
     "sample_token_budget", "shard_assignment", "stats_trimmed_mean",
     "events_anomaly_mad", "text_heavy_hitters_cms", "bpe_train_merges",
-    "sink_compact_small_files",
+    "sink_compact_small_files", "label_propagation",
+    "rollup_time_hierarchy", "histogram_equidepth",
+    "pipeline_pretraining_e2e",
 )
 
 

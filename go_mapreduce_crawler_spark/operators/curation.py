@@ -259,9 +259,59 @@ def _bpe_oracle_sql() -> str:
     return "".join(parts) + " " + selects
 
 
+# ------------------------------------------------------------------
+# End-to-end pretraining-corpus pipeline (capstone composition)
+# ------------------------------------------------------------------
+
+
+def q_pipeline_pretraining(spark, sf_dir):
+    """The whole curation flow as ONE declarative plan: policy filter ->
+    exact near-identity dedup (normalized-text fingerprint, keep-min) ->
+    model-based quality gate -> deterministic shard assignment ->
+    per-shard accounting.
+
+    This is the reference's scan->map->fold pipeline (crawler.go:
+    204-255) grown into a production pretraining recipe, and the reason
+    the operators compose: each stage is a relation-in/relation-out
+    projection or join, so Catalyst fuses the three row-local stages
+    into one scan pass; the only shuffles are the dedup group (digest
+    keys), the shard window, and the final per-shard aggregate.
+    Output: one row per shard with document and token accounting — the
+    corpus card a data recipe reports.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    has_block = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in BLOCKLIST]))) > 0
+    policy_ok = (~has_block) & (n >= MIN_WORDS) & (n <= MAX_WORDS)
+    score = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, t: acc + _tok_weight_spark(t))
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    stage1 = (d.filter(policy_ok)
+               .select("doc_id", n.alias("n_tokens"), score.alias("score"),
+                       F.md5(F.encode(norm, "UTF-8")).alias("fp")))
+    dedup_w = W.partitionBy("fp").orderBy("doc_id")
+    survivors = (stage1.withColumn("rk", F.row_number().over(dedup_w))
+                       .filter(F.col("rk") == 1)
+                       .filter(F.col("score") > 0))
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10)
+              .cast("long") % N_SHARDS).cast("int")
+    return (survivors.select("doc_id", "n_tokens", shard.alias("shard"))
+                     .groupBy("shard")
+                     .agg(F.count(F.lit(1)).alias("n_docs"),
+                          F.sum("n_tokens").alias("sum_tokens"),
+                          F.min("doc_id").alias("min_doc"),
+                          F.max("doc_id").alias("max_doc")))
+
+
 QUERIES = {
     "quality_classifier_hashed": q_quality_classifier,
     "bpe_train_merges": q_bpe_train,
+    "pipeline_pretraining_e2e": q_pipeline_pretraining,
     "text_blocklist_filter": q_blocklist_filter,
     "sample_token_budget": q_sample_token_budget,
     "shard_assignment": q_shard_assignment,
@@ -271,6 +321,35 @@ _W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
 
 ORACLE = {
     "bpe_train_merges": _bpe_oracle_sql(),
+    "pipeline_pretraining_e2e": f"""
+        WITH s1 AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ' '),
+                                          t -> {_W_DUCK})),
+                       (a, b) -> a + b) AS score,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+            WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['slow', 'error', 'drop'])) = 0
+              AND len(string_split(text, ' ')) BETWEEN {MIN_WORDS}
+                                                   AND {MAX_WORDS}),
+        surv AS (
+            SELECT doc_id, n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        ::BIGINT % {N_SHARDS} AS INT) AS shard
+            FROM (SELECT doc_id, n_tokens, score,
+                         ROW_NUMBER() OVER (PARTITION BY fp
+                                            ORDER BY doc_id) AS rk
+                  FROM s1)
+            WHERE rk = 1 AND score > 0)
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM surv GROUP BY shard
+    """,
     "quality_classifier_hashed": f"""
         WITH s AS (
             SELECT doc_id, lang,

@@ -141,6 +141,28 @@ def q_histogram_equiwidth(spark, sf_dir):
                      (F.col("bin") * 25.0).alias("bin_lo"), "n", "mass"))
 
 
+def q_histogram_equidepth(spark, sf_dir):
+    """Equi-DEPTH histogram (deciles) of event value per type: 10
+    buckets of equal row count, with exact per-bucket range and mass —
+    the optimizer-statistics twin of the equi-width histogram (and the
+    shape ANALYZE builds for selectivity estimation).
+
+    NTILE over the total order (value, event_id) is pure rank
+    arithmetic — identical in both engines; bounds and mass stay in
+    DECIMAL.  One shuffle on event_type, aggregation reuses the
+    window's exchange.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", dec("value", MONEY).alias("v"), "event_id")
+    w = W.partitionBy("event_type").orderBy("v", "event_id")
+    return (base.withColumn("bucket", F.ntile(10).over(w))
+                .groupBy("event_type", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("v").cast("double").alias("lo"),
+                     F.max("v").cast("double").alias("hi"),
+                     F.sum("v").cast("double").alias("mass")))
+
+
 def q_regr_value_time(spark, sf_dir):
     """Per-type least-squares fit of event value against time (drift
     detection): slope per day, intercept, and r².
@@ -261,9 +283,22 @@ QUERIES = {
     "profile_documents": q_profile_table,
     "validate_events": q_validate_events,
     "histogram_equiwidth": q_histogram_equiwidth,
+    "histogram_equidepth": q_histogram_equidepth,
 }
 
 ORACLE = {
+    "histogram_equidepth": """
+        WITH b AS (
+            SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+                   NTILE(10) OVER (PARTITION BY event_type
+                       ORDER BY CAST(value AS DECIMAL(12,2)), event_id)
+                       AS bucket
+            FROM events)
+        SELECT event_type, bucket, COUNT(*) AS n,
+               MIN(v)::DOUBLE AS lo, MAX(v)::DOUBLE AS hi,
+               SUM(v)::DOUBLE AS mass
+        FROM b GROUP BY 1, 2
+    """,
     "stats_trimmed_mean": """
         WITH ranked AS (
             SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,

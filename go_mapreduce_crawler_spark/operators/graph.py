@@ -26,6 +26,7 @@ Scale notes (100 TB of baskets):
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -183,11 +184,50 @@ def q_bfs_hops(spark, sf_dir, n_iter: int = 4):
     return dist
 
 
+LPA_ITERS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label propagation (3 iterations) over the undirected
+    strong co-purchase graph — the cheap community detector (Raghavan
+    et al. 2007), made fully deterministic: every node adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST label.
+
+    Each iteration is the Pregel message pattern: one join keyed on the
+    edge source + one (node, label) count + one per-node argmax via
+    row_number — all integer/rank arithmetic, so the unrolled-CTE
+    oracle matches exactly (no fp concerns, like bfs_hops).  Scale: the
+    adjacency is cached once; messages are (node, label) long pairs;
+    the argmax window pushes a per-partition partial top-1
+    (WindowGroupLimit) below the shuffle.  localCheckpoint per
+    iteration truncates lineage.
+    """
+    edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb")
+    adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+           .union(edges.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst")))
+           .cache())
+    lab = (adj.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    w = W.partitionBy("node").orderBy(F.desc("cnt"), "label")
+    for _ in range(LPA_ITERS):
+        msgs = (adj.join(lab, adj.src == lab.node)
+                   .select(F.col("dst").alias("node"), "label"))
+        counts = (msgs.groupBy("node", "label")
+                      .agg(F.count(F.lit(1)).alias("cnt")))
+        lab = (counts.withColumn("rk", F.row_number().over(w))
+                     .filter(F.col("rk") == 1)
+                     .select("node", "label")
+                     .localCheckpoint())
+    return lab
+
+
 QUERIES = {
     "basket_rules": q_basket_rules,
     "triangle_count": q_triangle_count,
     "pagerank_copurchase": q_pagerank_copurchase,
     "bfs_hops": q_bfs_hops,
+    "label_propagation": q_label_propagation,
 }
 
 def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
@@ -233,7 +273,31 @@ def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
         FROM pr{n_iter}""")
 
 
+def _lpa_oracle(n_iter: int = LPA_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of q_label_propagation — integer/rank
+    arithmetic only, so it matches the Spark side exactly."""
+    parts = ["""WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+    e AS (SELECT a.i AS pa, b.i AS pb
+          FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj)"""]
+    for i in range(n_iter):
+        parts.append(f"""
+    , l{i + 1} AS (SELECT node, label FROM (
+        SELECT m.node, m.label,
+               ROW_NUMBER() OVER (PARTITION BY m.node
+                   ORDER BY m.cnt DESC, m.label) AS rk
+        FROM (SELECT adj.dst AS node, l{i}.label, COUNT(*) AS cnt
+              FROM adj JOIN l{i} ON adj.src = l{i}.node
+              GROUP BY 1, 2) m) WHERE rk = 1)""")
+    return "".join(parts) + f" SELECT node, label FROM l{n_iter}"
+
+
 ORACLE = {
+    "label_propagation": _lpa_oracle(),
     "basket_rules": """
         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              supp AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY 1),

@@ -276,7 +276,34 @@ def q_ts_subsequence_search(spark, sf_dir):
             .select("user_id", "start_us", "dist"))
 
 
+def q_rollup_time_hierarchy(spark, sf_dir):
+    """Time-hierarchy ROLLUP over events: (day, hour) sub-totals, day
+    totals, and the grand total in one pass — the hypertable/OLAP
+    time rollup (continuous-aggregate shape).
+
+    One aggregation with Expand (each input row feeds its 3 grouping
+    sets); Catalyst still plans partial+final, so the shuffle carries
+    at most 3x the distinct (day, hour) cardinality — tiny at any SF.
+    At 100 TB the day-level rollup is what a materialized continuous
+    aggregate stores; stream_mv_refresh is the incremental twin.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # day/hr ride as STRINGS: a nullable int column round-trips
+    # through
+    # pandas as float64 (rollup-row NULL -> NaN) on the Spark side
+    # but stays None on DuckDB's, and DATE becomes midnight
+    # datetime64 via DuckDB's pandas path — strings are lossless and
+    # NULL-faithful in both engines.
+    return (e.select(F.to_date("ts").cast("string").alias("day"),
+                     F.hour("ts").cast("string").alias("hr"),
+                     dec("value", MONEY).alias("v"))
+             .rollup("day", "hr")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("v").cast("double").alias("sum_value")))
+
+
 QUERIES = {
+    "rollup_time_hierarchy": q_rollup_time_hierarchy,
     "ts_subsequence_search": q_ts_subsequence_search,
     "window_tumbling_events": q_window_tumbling,
     "ohlc_hourly": q_ohlc_hourly,
@@ -295,6 +322,12 @@ _SUBSEQ_DIST = " + ".join(f"(w.v{i} - q.v{i}) * (w.v{i} - q.v{i})"
                           for i in range(SUBSEQ_M))
 
 ORACLE = {
+    "rollup_time_hierarchy": """
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, EXTRACT(hour FROM ts)::VARCHAR AS hr,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sum_value
+        FROM events GROUP BY ROLLUP (day, hr)
+    """,
     "ts_subsequence_search": f"""
         WITH win AS (
             SELECT user_id, epoch_us(ts) AS start_us, event_id,
