@@ -4,9 +4,9 @@ entry(spark)  — flagship query smoke check on sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + north-star
                 extensions), (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only
-                for the 7 ops whose kernels are not SQL-expressible
+                for the 6 ops whose kernels are not SQL-expressible
                 (xxhash64-based LSH/SimHash/components_lsh/bloom-
-                contamination, random-plane LSH-ANN, HLL, GK sketches) —
+                contamination, HLL, GK sketches) —
                 those get the driver's rows-only check and are pinned
                 against ground truth in tests/.
 """
@@ -104,6 +104,9 @@ _NEW_R03 = (
     "sink_compact_small_files", "label_propagation",
     "rollup_time_hierarchy", "histogram_equidepth",
     "pipeline_pretraining_e2e",
+    # r02-checked rows-only, upgraded to a full value oracle this
+    # session (sequential-order sketch) — front once for a hashed row:
+    "ann_lsh_cosine",
 )
 
 

@@ -146,7 +146,18 @@ def _ann_bucket_kernel(planes: np.ndarray, n_bands: int, r: int):
             if not len(pdf):
                 continue
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (m @ planes.T) >= 0.0
+            # Sequential per-dimension accumulation, NOT matmul: BLAS
+            # uses pairwise/blocked summation whose last-ulp result is
+            # implementation-defined, and ONE flipped sign on a
+            # near-zero dot would change a bucket.  The explicit loop
+            # is the same left-to-right IEEE order as the oracle's
+            # list_reduce fold, making the sketch — and therefore the
+            # whole operator — value-oracle-able.  Cost: 64 vectorized
+            # (rows x planes) FMAs per batch, still microseconds/row.
+            acc = np.zeros((m.shape[0], planes.shape[0]))
+            for d_ in range(m.shape[1]):
+                acc += m[:, d_:d_ + 1] * planes[None, :, d_]
+            bits = acc >= 0.0
             keys = np.empty((bits.shape[0], n_bands), dtype=np.int64)
             for b in range(n_bands):
                 keys[:, b] = (b << 16) | (
@@ -577,6 +588,61 @@ ORACLE = {
 # The vectorized kernel is candidate discovery only; final ranks come
 # from the same exact fold as the JVM path, so both share one oracle.
 ORACLE["knn_pandas_vectorized"] = ORACLE["knn_bruteforce_cosine"]
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Full value oracle for q_ann_lsh: the hyperplanes are seeded
+    literals and the kernel's dot accumulation is left-to-right IEEE
+    order, so DuckDB can recompute the IDENTICAL sketch (sign bits ->
+    band buckets), candidate set, and exact re-rank.  Literal doubles
+    go through CAST('repr' AS DOUBLE) (string parse is correctly
+    rounded — the same doubles numpy holds in the kernel closure)."""
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((N_PLANES, DIM))
+    r = N_PLANES // LSH_BANDS_ANN
+    dots = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)"
+                             for x in p) + "]"
+        dots.append(
+            f"list_reduce(list_transform(list_zip(embedding, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(acc, x) -> acc + x) AS d{i}")
+    weights = [1 << (r - 1 - j) for j in range(r)]
+    buckets = []
+    for b in range(LSH_BANDS_ANN):
+        terms = " + ".join(
+            f"(CASE WHEN d{b * r + j} >= 0 THEN {weights[j]} ELSE 0 END)"
+            for j in range(r))
+        buckets.append(f"({b} * 65536 + {terms})")
+    cos = _COS.format(a="q.q_vec", b="e.embedding")
+    return f"""
+        WITH d AS (SELECT vec_id, embedding, {", ".join(dots)}
+                   FROM embeddings),
+        sk AS (SELECT vec_id, unnest([{", ".join(buckets)}]) AS bb
+               FROM d),
+        qk AS (SELECT vec_id AS q_id, bb FROM sk WHERE vec_id % 100 = 0),
+        cand AS (SELECT DISTINCT qk.q_id, sk.vec_id
+                 FROM sk JOIN qk USING (bb)
+                 WHERE sk.vec_id <> qk.q_id),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT c.q_id, e.vec_id AS neighbor_id,
+                   ROUND({cos}, 6) AS cos
+            FROM cand c
+            JOIN embeddings e ON c.vec_id = e.vec_id
+            JOIN q ON c.q_id = q.q_id),
+        ranked AS (
+            SELECT q_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, neighbor_id) AS rk
+            FROM scored)
+        SELECT q_id, neighbor_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+    """
+
+
+ORACLE["ann_lsh_cosine"] = _ann_lsh_oracle_sql()
 
 # int8 two-stage ANN: the scales CTE is the same (oracle-pinned)
 # expression as embedding_quantize_int8; the first-stage score is an

@@ -492,3 +492,26 @@ def test_anomaly_mad_broadcasts_stats_fact_never_shuffles(spark, sf_small):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert not has_python_udf(df)
+
+
+def test_label_propagation_no_neighborhood_arrays(spark, sf_small):
+    """label_propagation: the per-node argmax must be rank-based — no
+    collect_list/collect_set neighborhood buffers anywhere in the plan
+    (celebrity-node safety, like the pagerank inflow)."""
+    from go_mapreduce_crawler_spark.operators import graph
+    plan = physical_plan(graph.q_label_propagation(spark, sf_small))
+    assert "collect_list" not in plan and "collect_set" not in plan, plan[:2000]
+
+
+def test_pipeline_e2e_single_scan_three_shuffles(spark, sf_small):
+    """pipeline_pretraining_e2e: the three row-local stages (policy,
+    scoring, fingerprint) must fuse into ONE scan of documents, with
+    shuffles only for dedup-group, shard window, and the final agg."""
+    from go_mapreduce_crawler_spark.operators import curation
+    df = curation.q_pipeline_pretraining(spark, sf_small)
+    plan = physical_plan(df)
+    # one scan NODE (the formatted plan prints each node once in the
+    # tree and once in the detail section — count the detail anchor)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan[:2000]
+    assert n_shuffle_exchanges(df) <= 3, plan[:2000]
+    assert not has_python_udf(df)
