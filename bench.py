@@ -76,6 +76,8 @@ HEADLINE = [
     "quality_classifier_hashed",
     "shard_assignment",
     "events_anomaly_mad",
+    "pipeline_pretraining_e2e",
+    "text_heavy_hitters_cms",
 ]
 
 N_CRAWL_FILES = 2000

@@ -140,23 +140,23 @@ def q_heavy_hitters_cms(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     inst = d.select(F.explode(F.split("text", " ")).alias("word"))
+    # Pre-aggregate to word counts FIRST: the 4-row hash explode then
+    # runs over the VOCABULARY, not the token stream (a cell's count is
+    # the sum of its words' counts — identical values, so the oracle is
+    # unchanged).  At 100 TB this is the difference between exploding
+    # 4x the corpus and 4x the vocab.
+    wc = inst.groupBy("word").agg(F.count(F.lit(1)).alias("wcnt"))
     rows = F.array(*[F.lit(i) for i in range(CMS_D)])
-
-    def slot(word):
-        return (F.conv(F.substring(F.md5(F.encode(
-                    F.concat(F.lit("r"), F.col("row").cast("string"),
-                             F.lit(":"), word), "UTF-8")), 1, 8), 16, 10)
-                 .cast("long") % CMS_W)
-
-    keyed = (inst.withColumn("row", F.explode(rows))
-                 .withColumn("slot", slot(F.col("word"))))
-    sketch = keyed.groupBy("row", "slot").agg(F.count(F.lit(1)).alias("cnt"))
-    total = inst.agg(F.count(F.lit(1)).alias("total"))
-    cand = (inst.select("word").distinct()
-                .withColumn("row", F.explode(rows))
-                .withColumn("slot", slot(F.col("word"))))
-    est = (cand.join(F.broadcast(sketch), ["row", "slot"])
-               .groupBy("word").agg(F.min("cnt").alias("est_cnt")))
+    slot = (F.conv(F.substring(F.md5(F.encode(
+                F.concat(F.lit("r"), F.col("row").cast("string"),
+                         F.lit(":"), F.col("word")), "UTF-8")), 1, 8), 16, 10)
+             .cast("long") % CMS_W)
+    keyed = (wc.withColumn("row", F.explode(rows))
+               .withColumn("slot", slot))
+    sketch = keyed.groupBy("row", "slot").agg(F.sum("wcnt").alias("cnt"))
+    total = wc.agg(F.sum("wcnt").alias("total"))
+    est = (keyed.join(F.broadcast(sketch), ["row", "slot"])
+                .groupBy("word").agg(F.min("cnt").alias("est_cnt")))
     return (est.crossJoin(F.broadcast(total))
                .filter(F.col("est_cnt") * 1000 > F.col("total"))
                .select("word", "est_cnt"))
