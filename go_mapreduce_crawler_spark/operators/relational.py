@@ -948,6 +948,32 @@ def q_scalar_json(spark, sf_dir):
                   F.max(k).alias("max_k")))
 
 
+def q_scalar_variant(spark, sf_dir):
+    """Spark 4 VARIANT surface: parse the JSON payload into the native
+    semi-structured type once, then do typed path extraction on the
+    binary-encoded variant (`try_variant_get`) instead of re-parsing
+    strings per access — the modern replacement for chained
+    get_json_object calls (each of which re-parses the JSON text).
+
+    At 100 TB the win is columnar: variant shredding keeps one parsed
+    binary per row; N path extractions cost N binary probes, not N text
+    parses.  Missing paths are NULL (try_ semantics), shown by the
+    absent-path count.  Output is typed scalars only, so the oracle
+    (DuckDB's JSON extraction — same values, different engine route)
+    hashes identically.
+    """
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.absent", "int")
+    return (e.select("event_type", k.alias("k"), missing.alias("m"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("k").alias("sum_k"),
+                  F.sum((F.col("k") % 10).cast("long")).alias("sum_k_mod"),
+                  F.count("m").alias("n_absent_hits")))
+
+
 def q_scalar_map(spark, sf_dir):
     """MapType surface: per-user event-type histogram as a map column.
 
@@ -1191,6 +1217,7 @@ QUERIES = {
     "scalar_date": q_scalar_date,
     "scalar_math": q_scalar_math,
     "scalar_json": q_scalar_json,
+    "scalar_variant": q_scalar_variant,
     "collect_sorted_arrays": q_collect_sorted,
     "scalar_array_hof": q_scalar_array_hof,
     "scd2_upsert": q_scd2_upsert,
@@ -1728,6 +1755,15 @@ ORACLE = {
                c_custkey % 7 AS mod7,
                GREATEST(c_acctbal, 0.0) AS pos_bal
         FROM customer WHERE c_custkey <= 500
+    """,
+    "scalar_variant": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+               SUM((json_extract(props, '$.k')::INT % 10)::BIGINT)::BIGINT
+                   AS sum_k_mod,
+               COUNT(json_extract(props, '$.absent')) AS n_absent_hits
+        FROM events GROUP BY event_type
     """,
     "scalar_json": """
         SELECT event_type,
