@@ -378,3 +378,81 @@ def test_bpe_doublespace_replace_equals_explicit_fold():
         a, b = rng.choice(alphabet), rng.choice(alphabet)
         got = dec(enc(toks).replace(f" {a}  {b} ", f" {a}_{b} "))
         assert got == ref(toks, a, b), (toks, a, b, got)
+
+
+def test_bpe_trainer_matches_python_reference(spark, tmp_path):
+    """The full 8-step distributed BPE trainer must equal a pure-Python
+    sequential reference (pair counting with the same overlap
+    convention, top pair by (count desc, a, b), leftmost-nonoverlapping
+    merge) on a random corpus — pins the ALGORITHM end to end, not just
+    the single-merge rewrite trick."""
+    import random
+
+    from go_mapreduce_crawler_spark.operators import curation
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 20))))
+            for i in range(40)]
+
+    def ref_train(corpus, steps):
+        seqs = [t.split(" ") for _, t in corpus]
+        out = []
+        for step in range(steps):
+            counts = {}
+            for s in seqs:
+                for x, y in zip(s, s[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + 1
+            (a, b), cnt = min(counts.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, a, b, a + "_" + b, cnt))
+
+            def merge(s):
+                r, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        r.append(a + "_" + b)
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                return r
+
+            seqs = [merge(s) for s in seqs]
+        return out
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string") \
+         .write.parquet(d)
+
+    import go_mapreduce_crawler_spark.operators.curation as cur
+    orig = cur.load_table
+    try:
+        cur.load_table = lambda s, sd, t: s.read.parquet(d)
+        got = [(r.step, r.a, r.b, r.merged, r.cnt)
+               for r in cur.q_bpe_train(spark, "x").collect()]
+    finally:
+        cur.load_table = orig
+    assert sorted(got) == ref_train(docs, curation.BPE_STEPS)
+
+
+def test_shard_and_token_budget_partitioning_invariant(spark):
+    """shard_assignment and sample_token_budget are hash-deterministic:
+    results must be identical at any input partitioning (the property
+    that makes the training shuffle reproducible on a cluster)."""
+    import go_mapreduce_crawler_spark.operators.curation as cur
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for fn in (cur.q_shard_assignment, cur.q_sample_token_budget):
+        results = []
+        orig = cur.load_table
+        try:
+            for n in (1, 5, 17):
+                cur.load_table = (
+                    lambda nn: (lambda s, d, t: base.repartition(nn)))(n)
+                results.append(sorted(map(tuple, fn(spark, "x").collect())))
+        finally:
+            cur.load_table = orig
+        assert results[0] == results[1] == results[2], fn.__name__
