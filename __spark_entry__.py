@@ -106,7 +106,7 @@ _NEW_R03 = (
     "pipeline_pretraining_e2e",
     # r02-checked rows-only, upgraded to a full value oracle this
     # session (sequential-order sketch) — front once for a hashed row:
-    "ann_lsh_cosine", "scalar_variant",
+    "ann_lsh_cosine", "scalar_variant", "bpe_apply_compression",
 )
 
 

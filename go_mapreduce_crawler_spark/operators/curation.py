@@ -259,6 +259,64 @@ def _bpe_oracle_sql() -> str:
     return "".join(parts) + " " + selects
 
 
+def _bpe_apply_oracle_sql() -> str:
+    """Same unrolled pipeline as _bpe_oracle_sql, but the output is the
+    final corpus's per-document token accounting."""
+    body = _bpe_oracle_sql()
+    prefix = body[:body.rindex(" SELECT 0 AS step")]
+    return prefix + f"""
+        SELECT d0.doc_id,
+               len(string_split(trim(d0.s, ' '), '  ')) AS n_tokens_before,
+               len(string_split(trim(d{BPE_STEPS}.s, ' '), '  '))
+                   AS n_tokens_after,
+               ROUND(len(string_split(trim(d{BPE_STEPS}.s, ' '), '  '))::DOUBLE
+                     / len(string_split(trim(d0.s, ' '), '  ')), 6) AS ratio
+        FROM d0 JOIN d{BPE_STEPS} USING (doc_id)
+    """
+
+
+def q_bpe_apply(spark, sf_dir):
+    """Apply the 8 learned BPE merges back to the corpus and report
+    per-document token compression — the tokenize-with-trained-vocab
+    step that follows training (and the measurement a tokenizer recipe
+    reports: sequence-length reduction).
+
+    Training runs as in q_bpe_train (bounded 1-row collects); the
+    application is 8 chained literal replaces — a row-local projection,
+    zero shuffles, trivially streamable.  n_tokens arithmetic is
+    integer, so the oracle (the same unrolled pipeline's final corpus)
+    matches exactly.
+    """
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.concat(F.lit(" "),
+                          F.regexp_replace("text", " ", "  "),
+                          F.lit(" ")).alias("s")))
+    cur = d
+    for step in range(BPE_STEPS):
+        toks = F.split(F.trim(F.col("s")), "  ")
+        n = F.size(toks)
+        pairs = cur.select(F.explode(F.zip_with(
+            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")))).alias("p"))
+        top = (pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.desc("cnt"), "a", "b").limit(1).collect())[0]
+        cur = cur.select(
+            "doc_id",
+            F.replace(F.col("s"),
+                      F.lit(f" {top.a}  {top.b} "),
+                      F.lit(f" {top.a}_{top.b} ")).alias("s"))
+        cur = cur.localCheckpoint(eager=False)
+    n0 = F.size(F.split(F.trim(F.col("s0")), "  "))
+    n8 = F.size(F.split(F.trim(F.col("s")), "  "))
+    return (cur.join(d.select("doc_id", F.col("s").alias("s0")), "doc_id")
+               .select("doc_id",
+                       n0.alias("n_tokens_before"),
+                       n8.alias("n_tokens_after"),
+                       F.round(n8.cast("double") / n0, 6).alias("ratio")))
+
+
 # ------------------------------------------------------------------
 # End-to-end pretraining-corpus pipeline (capstone composition)
 # ------------------------------------------------------------------
@@ -311,6 +369,7 @@ def q_pipeline_pretraining(spark, sf_dir):
 QUERIES = {
     "quality_classifier_hashed": q_quality_classifier,
     "bpe_train_merges": q_bpe_train,
+    "bpe_apply_compression": q_bpe_apply,
     "pipeline_pretraining_e2e": q_pipeline_pretraining,
     "text_blocklist_filter": q_blocklist_filter,
     "sample_token_budget": q_sample_token_budget,
@@ -321,6 +380,7 @@ _W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
 
 ORACLE = {
     "bpe_train_merges": _bpe_oracle_sql(),
+    "bpe_apply_compression": _bpe_apply_oracle_sql(),
     "pipeline_pretraining_e2e": f"""
         WITH s1 AS (
             SELECT doc_id,
