@@ -107,6 +107,7 @@ _NEW_R03 = (
     # r02-checked rows-only, upgraded to a full value oracle this
     # session (sequential-order sketch) — front once for a hashed row:
     "ann_lsh_cosine", "scalar_variant", "bpe_apply_compression",
+    "asof_nearest_error",
 )
 
 

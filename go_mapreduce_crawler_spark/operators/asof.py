@@ -61,6 +61,18 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
               .rowsBetween(W.currentRow, W.unboundedFollowing))
         fill = [F.first(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
                 for c in payload_cols]
+    elif direction == "both":
+        # Nearest-neighbor support: BOTH directions from one union —
+        # same hash partitioning on _k, so the second window adds a
+        # sort, not a shuffle.  Caller picks per row by gap.
+        wb = (W.partitionBy("_k").orderBy("_ts", "_side", pid)
+               .rowsBetween(W.unboundedPreceding, W.currentRow))
+        wf = (W.partitionBy("_k").orderBy(F.asc("_ts"), F.desc("_side"), pid)
+               .rowsBetween(W.currentRow, W.unboundedFollowing))
+        fill = ([F.last(f"_p_{c}", ignorenulls=True).over(wb)
+                  .alias(f"asof_b_{c}") for c in payload_cols]
+                + [F.first(f"_p_{c}", ignorenulls=True).over(wf)
+                    .alias(f"asof_f_{c}") for c in payload_cols])
     else:
         raise ValueError(f"unknown direction: {direction!r}")
     filled = unioned.select("*", *fill)
@@ -116,10 +128,75 @@ def q_asof_next_error(spark, sf_dir):
         (F.col("asof_error_ts_us") - F.unix_micros("ts")).alias("ttf_us"))
 
 
+def q_asof_nearest_error(spark, sf_dir):
+    """NEAREST as-of: for each purchase, the closest error event by the
+    same user in EITHER time direction (the "what was going on around
+    this moment" join); ties on distance prefer the earlier (backward)
+    event.  Both directions come from ONE union + two window passes
+    over the same key partitioning — a single shuffle, not two as-of
+    joins glued by a third join.
+
+    The oracle is an independent correlated-subquery formulation
+    (nearest by abs gap with the same side/id tie-break), so the
+    union-window construction is cross-checked against a different
+    algorithm, like asof_next_error.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error") \
+              .select("user_id", "ts",
+                      F.col("event_id").alias("err_id"),
+                      F.unix_micros("ts").alias("err_ts_us"))
+    j = asof_join(purchases, errors, key="user_id",
+                  left_ts="ts", right_ts="ts",
+                  payload_cols=["err_id", "err_ts_us"],
+                  direction="both")
+    p_us = F.unix_micros("ts")
+    gap_b = p_us - F.col("asof_b_err_ts_us")
+    gap_f = F.col("asof_f_err_ts_us") - p_us
+    take_b = (F.col("asof_f_err_id").isNull()
+              | (F.col("asof_b_err_id").isNotNull() & (gap_b <= gap_f)))
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        p_us.alias("purchase_ts_us"),
+        F.when(take_b, F.col("asof_b_err_id"))
+         .otherwise(F.col("asof_f_err_id")).alias("nearest_error_id"),
+        F.when(take_b, gap_b).otherwise(gap_f).alias("abs_gap_us"),
+        F.when(take_b & F.col("asof_b_err_id").isNotNull(), F.lit("backward"))
+         .when(~take_b, F.lit("forward")).alias("side"))
+
+
 QUERIES = {"asof_purchase_view": q_asof_purchase_view,
-           "asof_next_error": q_asof_next_error}
+           "asof_next_error": q_asof_next_error,
+           "asof_nearest_error": q_asof_nearest_error}
 
 ORACLE = {
+    "asof_nearest_error": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        er AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+        pick AS (
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   (SELECT e2.event_id FROM er e2
+                    WHERE e2.user_id = p.user_id
+                    ORDER BY ABS(epoch_us(e2.ts) - epoch_us(p.ts)),
+                             CASE WHEN e2.ts <= p.ts THEN 0 ELSE 1 END,
+                             CASE WHEN e2.ts <= p.ts THEN -e2.event_id
+                                  ELSE e2.event_id END
+                    LIMIT 1) AS nearest_error_id
+            FROM p)
+        SELECT pick.purchase_id, pick.user_id, pick.purchase_ts_us,
+               pick.nearest_error_id,
+               ABS(epoch_us(er.ts) - pick.purchase_ts_us) AS abs_gap_us,
+               CASE WHEN er.event_id IS NULL THEN NULL
+                    WHEN epoch_us(er.ts) <= pick.purchase_ts_us
+                    THEN 'backward' ELSE 'forward' END AS side
+        FROM pick LEFT JOIN er ON er.event_id = pick.nearest_error_id
+    """,
     "asof_purchase_view": """
         WITH tagged AS (
             SELECT user_id, ts, event_id, event_type,
