@@ -4,9 +4,9 @@ entry(spark)  — flagship query smoke check on sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + north-star
                 extensions), (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only
-                for the 6 ops whose kernels are not SQL-expressible
-                (xxhash64-based LSH/SimHash/components_lsh/bloom-
-                contamination, HLL, GK sketches) —
+                for the 5 ops whose kernels are not SQL-expressible
+                (xxhash64-based LSH/SimHash/components_lsh, HLL, GK
+                sketches) —
                 those get the driver's rows-only check and are pinned
                 against ground truth in tests/.
 """
@@ -107,7 +107,7 @@ _NEW_R03 = (
     # r02-checked rows-only, upgraded to a full value oracle this
     # session (sequential-order sketch) — front once for a hashed row:
     "ann_lsh_cosine", "scalar_variant", "bpe_apply_compression",
-    "asof_nearest_error",
+    "asof_nearest_error", "text_contamination_bloom",
 )
 
 

@@ -416,8 +416,8 @@ def q_text_contamination_bloom(spark, sf_dir):
     point at scale.  Everything is JVM built-ins and the filter is built
     distributively:
 
-    * build: eval grams -> k = 4 xxhash64(g, i) probe positions ->
-      (slot = pos >> 6, 1 << (pos & 63)) -> groupBy(slot).bit_or —
+    * build: eval grams -> k = 4 md5-chunk probe positions ->
+      (slot = pos >> 5, 1 << (pos & 31)) -> groupBy(slot).bit_or —
       partial+final, no driver bitmap assembly;
     * probe: train grams explode their k probes, broadcast-join the slot
       table, and a gram counts as a hit only when ALL k probes find
@@ -425,9 +425,12 @@ def q_text_contamination_bloom(spark, sf_dir):
 
     One-sided error: n_shared_bloom >= the exact operator's n_shared
     per document (false positives only; at m = 2^20, k = 4 and this
-    corpus's gram count the FP rate is ~1e-9).  xxhash64 kernel -> the
-    driver records the rows-only check; the superset invariant and the
-    FP envelope are pinned against the exact operator in tests.
+    corpus's gram count the FP rate is ~1e-9).  The k probe positions
+    are the four 8-hex-char chunks of ONE md5 per gram (vs the earlier
+    4 seeded xxhash64 calls — one digest vs four hashes, a wash in
+    cost), which makes the whole filter engine-portable: the driver now
+    gets a FULL value oracle; the superset invariant and the FP
+    envelope stay pinned against the exact operator in tests.
     """
     m, k = CONTAM_BLOOM_BITS, CONTAM_BLOOM_K
     d = _docs(spark, sf_dir)
@@ -435,13 +438,19 @@ def q_text_contamination_bloom(spark, sf_dir):
     grams = d.select("doc_id", F.explode(_token_ngrams(w, CONTAM_N)).alias("g"))
 
     def probe_positions(col):
-        return F.array(*[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
-                         for i in range(k)])
+        h = F.md5(F.encode(col, "UTF-8"))
+        return F.array(*[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m
+            for i in range(k)])
 
-    slot = F.shiftright(F.col("pos"), 6)
+    # 32 bits per slot word (not 64): DuckDB raises on 1::BIGINT << 63
+    # (checked signed overflow), so the portable packing keeps the
+    # shift <= 31.  Bitmap budget is unchanged; the slot table is
+    # m/32 = 32,768 rows (~256 KB) — still fixed-size at any eval size.
+    slot = F.shiftright(F.col("pos"), 5)
     # python-side shiftleft takes only literal counts; the SQL form shifts
     # by a column
-    bit = F.expr("shiftleft(1L, cast(pos % 64 as int))")
+    bit = F.expr("shiftleft(1L, cast(pos % 32 as int))")
     bloom = (grams.filter(F.col("doc_id") % EVAL_MOD == 0)
              .select(F.explode(probe_positions(F.col("g"))).alias("pos"))
              .select(slot.alias("slot"), bit.alias("b"))
@@ -621,6 +630,46 @@ _HITS = {k: f"len(list_intersect(list_distinct(string_split(text, ' ')), {v}))"
 _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 
 ORACLE = {
+    "text_contamination_bloom": f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+            FROM d),
+        ev_pos AS (
+            SELECT ('0x' || substr(md5(g), 1 + 8 * i, 8))::BIGINT
+                       % {CONTAM_BLOOM_BITS} AS pos
+            FROM (SELECT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+                 unnest([0, 1, 2, 3]) AS t(i)),
+        bloom AS (
+            SELECT pos // 32 AS slot,
+                   bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+            FROM ev_pos GROUP BY 1),
+        tg AS (SELECT DISTINCT doc_id, g FROM grams
+               WHERE doc_id % {EVAL_MOD} <> 0),
+        probes AS (
+            SELECT doc_id, g,
+                   ('0x' || substr(md5(g), 1 + 8 * i, 8))::BIGINT
+                       % {CONTAM_BLOOM_BITS} AS pos
+            FROM tg, unnest([0, 1, 2, 3]) AS t(i)),
+        hits AS (
+            SELECT doc_id, g
+            FROM probes JOIN bloom ON probes.pos // 32 = bloom.slot
+            WHERE (1::BIGINT << CAST(probes.pos % 32 AS INT))
+                  & bloom.word <> 0
+            GROUP BY doc_id, g HAVING COUNT(*) = {CONTAM_BLOOM_K}),
+        hsum AS (SELECT doc_id, COUNT(*) AS n_shared_bloom
+                 FROM hits GROUP BY 1),
+        train AS (
+            SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+            FROM grams WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY 1)
+        SELECT train.doc_id, n_grams, n_shared_bloom,
+               ROUND(n_shared_bloom * 1.0 / n_distinct, 6)
+                   AS contamination_bloom
+        FROM train JOIN hsum USING (doc_id)
+    """,
     "chunk_boilerplate": f"""
         WITH ch AS (
             SELECT doc_id, md5(substr(text, CAST(s + 1 AS INT),
