@@ -4,8 +4,8 @@ entry(spark)  — flagship query smoke check on sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + north-star
                 extensions), (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only
-                for the 5 ops whose kernels are not SQL-expressible
-                (xxhash64-based LSH/SimHash/components_lsh, HLL, GK
+                for the 2 ops whose kernels are genuinely not
+                SQL-expressible (the engine-specific HLL and GK
                 sketches) —
                 those get the driver's rows-only check and are pinned
                 against ground truth in tests/.
@@ -108,6 +108,7 @@ _NEW_R03 = (
     # session (sequential-order sketch) — front once for a hashed row:
     "ann_lsh_cosine", "scalar_variant", "bpe_apply_compression",
     "asof_nearest_error", "text_contamination_bloom",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_components_lsh",
 )
 
 

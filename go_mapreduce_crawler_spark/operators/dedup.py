@@ -15,10 +15,11 @@ Five dedup families, each with the scale strategy stated:
 * minhash LSH      — shingle -> k minhashes -> band buckets -> bucket
                      join -> verify candidates with true Jaccard.  The
                      scale path: cost is O(docs x k) + bucket-local pairs,
-                     no quadratic blowup; all JVM built-ins (xxhash64,
+                     no quadratic blowup; all JVM built-ins (one md5 per
+                     shingle + Carter-Wegman integer rehashing,
                      aggregate), zero Python in the hot path.
-* simhash          — 64-bit fingerprint from token-hash bit votes;
-                     near-dup = Hamming distance <= 3 found via 4x16-bit
+* simhash          — 60-bit fingerprint from token-hash bit votes;
+                     near-dup = Hamming distance <= 3 found via 4x15-bit
                      band buckets (pigeonhole: any pair within distance 3
                      shares at least one of 4 bands exactly).
 * embedding cosine — near-dup = cosine >= threshold on the embeddings
@@ -38,6 +39,17 @@ MINHASH_K = 32        # minhash signature length
 LSH_BANDS = 8         # bands of r = K/BANDS rows each
 SHINGLE_N = 3         # words per shingle
 JACCARD_T = 0.5       # near-dup threshold
+
+# Carter-Wegman minhash family over the md5-derived 32-bit shingle hash:
+# h_k(x) = (a_k*x + b_k) mod (2^31 - 1).  Fixed seeded constants so both
+# engines (and every run) share the family; a_k < 2^31 keeps a*h < 2^63
+# (no BIGINT overflow anywhere).
+MH_P = 2_147_483_647
+import random as _random
+_mh_rng = _random.Random(11)
+MH_AB = tuple((_mh_rng.randrange(1, MH_P), _mh_rng.randrange(0, MH_P))
+              for _ in range(MINHASH_K))
+del _mh_rng
 
 
 def _docs(spark, sf_dir):
@@ -197,24 +209,31 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # (a py4j round-trip per node — 0.8s of driver-side construction for
     # the 32 transform/fold trees; see similarity._dot_sql).
     #
-    # Each shingle STRING is hashed exactly once (xxhash64); the k=32
-    # minhash family then rehashes that 8-byte value with murmur3
-    # (hash(h, seed)) — integer work instead of 32 string traversals
-    # per shingle.  The cache() is a required optimizer barrier: without
-    # it Catalyst collapses the projections and inlines the xxhash64
-    # transform into all 32 min-folds, recomputing the string hashing
-    # 32x (the similarity.py `bits` lesson).
+    # Each shingle STRING is hashed exactly once (md5, first 8 hex chars
+    # -> 32-bit int); the k=32 minhash family then rehashes that value
+    # with a Carter-Wegman universal hash, (a*h + b) mod (2^31 - 1) —
+    # integer work instead of 32 string traversals per shingle, with
+    # a*h < 2^63 so the arithmetic is overflow-free in BOTH engines.
+    # This basis (vs the earlier xxhash64 + murmur3) makes the whole
+    # operator engine-portable: the driver now value-hashes it against
+    # a full DuckDB oracle.  The cache() is a required optimizer
+    # barrier: without it Catalyst collapses the projections and
+    # inlines the md5 transform into all 32 min-folds, recomputing the
+    # string hashing 32x (the similarity.py `bits` lesson).
     hs = sh.selectExpr(
-        "doc_id", "transform(shingles, s -> xxhash64(s)) AS hs").cache()
+        "doc_id",
+        "transform(shingles, s ->"
+        " cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)) AS hs"
+    ).cache()
     sig = hs.selectExpr("doc_id", *[
-        f"array_min(transform(hs, h -> hash(h, {seed}))) AS h{seed}"
-        for seed in range(MINHASH_K)])
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MH_P}L)) AS h{k}"
+        for k, (a, b) in enumerate(MH_AB)])
     r = MINHASH_K // LSH_BANDS
     bands = sig.selectExpr(
         "doc_id",
         "explode(array(" + ",".join(
-            f"struct({b} AS band, xxhash64("
-            + ",".join(f"h{b * r + j}" for j in range(r)) + ") AS bucket)"
+            f"struct({b} AS band, md5(concat_ws(',',"
+            + ",".join(f"h{b * r + j}" for j in range(r)) + ")) AS bucket)"
             for b in range(LSH_BANDS)) + ")) AS bb")
     # Bucket-group instead of self-join: signatures are computed ONCE,
     # one shuffle groups (band, bucket) -> sorted doc list, pairs are
@@ -236,10 +255,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints + Hamming<=3 near-dup pairs via band buckets.
 
-    Fingerprint: per-feature 64-bit xxhash64; bit i of the fingerprint is
-    the sign of sum over features of (+1 if bit set else -1).  Pairs
-    within Hamming distance 3 must agree exactly on one of 4 16-bit
-    bands (pigeonhole).  Features are word 3-grams, not unigrams: this
+    Fingerprint: per-feature 60-bit hash (the first 15 hex chars of one
+    md5 — 60 rather than 64 bits so the oracle's 1<<i packing never
+    overflows DuckDB's checked BIGINT shift); bit i of the fingerprint
+    is the sign of sum over features of (+1 if bit set else -1).  Pairs
+    within Hamming distance 3 must agree exactly on one of 4 15-bit
+    bands (pigeonhole — holds for any equal 4-way split).  The md5
+    basis makes the operator engine-portable: the driver value-hashes
+    it against a full DuckDB oracle.  Features are word 3-grams, not unigrams: this
     corpus draws from a ~30-word vocabulary, and unigram token sets
     collide so heavily that fingerprints degenerate (measured 98k
     Hamming-0 pairs); shingles restore discriminative power — the same
@@ -254,12 +277,13 @@ def q_dedup_simhash(spark, sf_dir):
     # pair joins.
     fp_expr = """
         aggregate(
-            transform(shingles, s -> xxhash64(s)),
-            array_repeat(0L, 64),
-            (acc, h) -> zip_with(acc, sequence(0, 63),
+            transform(shingles,
+                      s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)),
+            array_repeat(0L, 60),
+            (acc, h) -> zip_with(acc, sequence(0, 59),
                                  (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)),
             sums -> aggregate(
-                zip_with(sums, sequence(0, 63),
+                zip_with(sums, sequence(0, 59),
                          (s, i) -> IF(s > 0L, shiftleft(1L, i), 0L)),
                 0L, (acc2, x) -> acc2 | x))
     """
@@ -270,7 +294,7 @@ def q_dedup_simhash(spark, sf_dir):
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("fp", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+                     F.shiftright("fp", b * 15).bitwiseAND(F.lit(0x7FFF)).alias("chunk"))
             for b in range(4)])).alias("bb"))
     fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
@@ -758,7 +782,71 @@ _ALL_STOP = ("['the','a','of','and','to','in','is','it','that','for',"
              "'le','la','les','et','est','un','une','pas','pour','dans',"
              "'el','los','las','es','una','no','por','para']")
 
+def _minhash_pair_ctes() -> str:
+    """Shared DuckDB CTE chain mirroring q_dedup_minhash_lsh: identical
+    md5-derived shingle hashes, the same Carter-Wegman signature family
+    (pure BIGINT arithmetic — overflow-free by construction), the same
+    (band, bucket) keys, and the same true-Jaccard verify.  Ends with
+    relation ``mh(doc_a, doc_b, jaccard)``."""
+    r = MINHASH_K // LSH_BANDS
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
+        f" AS h{k}"
+        for k, (a, b) in enumerate(MH_AB))
+    band_exprs = ", ".join(
+        f"'{b}:' || md5(concat_ws(',', "
+        + ", ".join(f"h{b * r + j}" for j in range(r)) + "))"
+        for b in range(LSH_BANDS))
+    return f"""
+        d AS (SELECT doc_id, string_split(text, ' ') AS w, text
+              FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= {SHINGLE_N}
+                           THEN list_distinct(list_transform(
+                               generate_series(1, len(w) - 2),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+                           ELSE [text] END AS shingles
+               FROM d),
+        hs AS (SELECT doc_id,
+                      list_transform(shingles,
+                          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+               FROM sh),
+        sig AS (SELECT doc_id, {sig_exprs} FROM hs),
+        bands AS (SELECT doc_id, unnest([{band_exprs}]) AS bb FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                 FROM bands a JOIN bands b2
+                   ON a.bb = b2.bb AND a.doc_id < b2.doc_id),
+        v AS (SELECT c.doc_a, c.doc_b,
+                     len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                     len(sa.shingles) AS na, len(sb.shingles) AS nb
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b),
+        mh AS (SELECT doc_a, doc_b,
+                      ROUND(inter / (na + nb - inter), 6) AS jaccard
+               FROM v
+               WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_T})"""
+
+
 ORACLE = {
+    "dedup_minhash_lsh":
+        "WITH " + _minhash_pair_ctes() + " SELECT * FROM mh",
+    "dedup_components_lsh": f"""
+        WITH RECURSIVE {_minhash_pair_ctes()},
+        edges AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM mh
+            UNION SELECT doc_b, doc_a FROM mh),
+        nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.doc_a, r.lbl FROM edges e JOIN reach r
+              ON r.node = e.doc_b),
+        minlbl AS (SELECT node, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY node)
+        SELECT cluster_id, COUNT(*) AS n_members
+        FROM minlbl GROUP BY cluster_id HAVING COUNT(*) >= 2
+    """,
     "dedup_spans_ngram": f"""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
                    FROM documents),
@@ -896,9 +984,53 @@ ORACLE = {
         SELECT cluster_id, COUNT(*) AS n_members
         FROM minlbl GROUP BY cluster_id HAVING COUNT(*) >= 2
     """,
-    # dedup_minhash_lsh, dedup_simhash: xxhash64-based — not reproducible
-    # in DuckDB; driver records rows-only checks.  Their correctness is
-    # pinned by tests/test_extensions.py against the exact-Jaccard ground truth.
+    # (minhash/simhash/components_lsh are md5-based since round 3 and
+    # carry full oracles; tests/test_extensions.py additionally pins
+    # their recall against the exact-Jaccard ground truth.)  The simhash
+    # oracle recomputes fingerprints through the EXPLODED (doc, bit,
+    # vote) formulation — a different algorithm than the engine's
+    # row-local fold, same values.
+    "dedup_simhash": f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, text
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= {SHINGLE_N}
+                           THEN list_distinct(list_transform(
+                               generate_series(1, len(w) - 2),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+                           ELSE [text] END AS shingles
+               FROM d),
+        hsx AS (SELECT doc_id,
+                       unnest(list_transform(shingles,
+                           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))
+                           AS h
+                FROM sh),
+        votes AS (
+            SELECT doc_id, i,
+                   SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1
+                            THEN 1 ELSE -1 END) AS v
+            FROM hsx, unnest(generate_series(0, 59)) AS t(i)
+            GROUP BY 1, 2),
+        fp AS (SELECT doc_id,
+                      SUM(CASE WHEN v > 0
+                               THEN 1::BIGINT << CAST(i AS INT)
+                               ELSE 0 END)::BIGINT AS fp
+               FROM votes GROUP BY 1),
+        bands AS (
+            SELECT doc_id, b,
+                   (fp >> CAST(b * 15 AS INT)) & 32767 AS chunk
+            FROM fp, unnest([0, 1, 2, 3]) AS t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                 FROM bands a JOIN bands b2
+                   ON a.b = b2.b AND a.chunk = b2.chunk
+                      AND a.doc_id < b2.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               bit_count(xor(fa.fp, fb.fp)) AS hamming
+        FROM cand c
+        JOIN fp fa ON fa.doc_id = c.doc_a
+        JOIN fp fb ON fb.doc_id = c.doc_b
+        WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+    """,
     "dedup_embedding_cosine": """
         WITH scored AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
