@@ -1,9 +1,11 @@
 from .sessions import stream_sessionize, stream_windowed_counts
 from .stateful import (read_mv_state, stream_dedup, stream_gap_fill,
                        stream_mv_refresh, stream_running_totals,
+                       stream_stream_left_outer_join,
                        stream_stream_purchase_view_join, stream_to_parquet)
 
 __all__ = ["stream_sessionize", "stream_windowed_counts",
            "stream_dedup", "stream_gap_fill", "stream_running_totals",
-           "stream_stream_purchase_view_join", "stream_to_parquet",
+           "stream_stream_purchase_view_join", "stream_stream_left_outer_join",
+           "stream_to_parquet",
            "stream_mv_refresh", "read_mv_state"]

@@ -160,6 +160,39 @@ def stream_stream_purchase_view_join(events: DataFrame,
                     F.unix_micros("v_ts").alias("view_ts_us")))
 
 
+def stream_stream_left_outer_join(events: DataFrame,
+                                  window: str = "1 hour",
+                                  watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits, with NULL
+    view columns when no view preceded it in the window — the outer
+    variant's extra semantics is that the null-padded row can only be
+    emitted when the WATERMARK proves no match can still arrive, so
+    unmatched rows surface with watermark latency (inner-join rows
+    emit immediately).  Same bounded-state condition as the inner form:
+    both sides watermarked + event-time-bounded join range.
+    """
+    views = (events.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    return (purchases.join(
+                views,
+                (F.col("p_user") == F.col("v_user"))
+                & (F.col("v_ts") <= F.col("p_ts"))
+                & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}")),
+                "left_outer")
+            .select("purchase_id", "view_id",
+                    F.col("p_user").alias("user_id"),
+                    F.unix_micros("p_ts").alias("purchase_ts_us"),
+                    F.unix_micros("v_ts").alias("view_ts_us")))
+
+
 def stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
                       available_now: bool = True):
     """Append-mode parquet sink with checkpointing (exactly-once file

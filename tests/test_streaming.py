@@ -494,3 +494,45 @@ def test_streaming_curation_filter_matches_batch(spark, tmp_path_factory):
     want = {r.doc_id: (r.n_words, r.reasons, r.keep)
             for r in blocklist_verdict(batch_docs).collect()}
     assert got == want
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, event_stream_dir):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    join, and purchases with no in-window view must surface as
+    null-padded rows once the watermark passes (availableNow drains the
+    source, so every unmatched purchase is final by end of stream)."""
+    from go_mapreduce_crawler_spark.streaming import (
+        stream_stream_left_outer_join)
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream
+                     .schema(batch_events.schema).parquet(event_stream_dir))
+    got = _run_stream_append(
+        spark, stream_stream_left_outer_join(stream_events), "ssloj")
+
+    v = batch_events.filter(F.col("event_type") == "view") \
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"))
+    p = batch_events.filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+    expected = (p.join(v, (F.col("p_user") == F.col("v_user"))
+                       & (F.col("v_ts") <= F.col("p_ts"))
+                       & (F.col("v_ts") >= F.col("p_ts")
+                          - F.expr("INTERVAL 1 hour")),
+                       "left_outer")
+                .select("purchase_id", "view_id", "p_ts"))
+    # Faithful semantics: a null-padded row needs the WATERMARK to prove
+    # no match can arrive; the final watermark stops at max_ts - 2h, so
+    # unmatched purchases inside that tail are (correctly) never
+    # emitted by the drained stream.
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    rows = expected.collect()
+    e = {(r.purchase_id, r.view_id) for r in rows
+         if r.view_id is not None
+         or (max_ts - r.p_ts).total_seconds() > 2 * 3600}
+    g = {(r.purchase_id, r.view_id) for r in got.collect()}
+    assert g == e
+    assert any(vid is None for _, vid in g), "no null-padded rows emitted"
