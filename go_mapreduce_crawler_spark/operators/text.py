@@ -515,6 +515,57 @@ def q_text_lm_score(spark, sf_dir):
                      .alias("mean_logp")))
 
 
+def q_text_bigram_lm_score(spark, sf_dir):
+    """Interpolated BIGRAM-LM quality score — the unigram filter's
+    stronger sibling: per document, the mean log-probability of each
+    token given its predecessor under p = ½·p_bigram + ½·p_unigram
+    (Jelinek-Mercer interpolation, λ = ½).
+
+    The whole probability is ONE integer rational:
+        p(b|a) = (c_ab·N + c_a·c_b) / (2·c_a·N)
+    so log p = _ln_det(numerator) - _ln_det(denominator) — engine-
+    deterministic by construction, quantized once per DISTINCT bigram
+    to integer micro-nats, summed associatively per document (the
+    unigram operator's determinism recipe, extended to a rational).
+    All counts are corpus-wide BIGINTs; products stay under 2^63 for
+    any corpus where N² < 9.2e18 (N < 3e9 tokens — beyond that, shift
+    to DECIMAL ratios).
+
+    Scale shape: bigram counts are one word-bigram-shaped shuffle; the
+    model (distinct bigrams) joins back by (prev, word) — broadcast at
+    test SF, a plain co-partitioned shuffle join at vocabulary scale.
+    Documents with a single token have no bigram and are excluded (the
+    oracle mirrors).
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n = F.size(w)
+    bg = d.select("doc_id", F.explode(F.zip_with(
+        F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("word")))).alias("p")) \
+          .select("doc_id", "p.prev", "p.word")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = words.agg(F.count(F.lit(1)).alias("N"))
+    bi = bg.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c_ab"))
+    num = "(c_ab * N + c_a * c_b)"
+    den = "(2 * c_a * N)"
+    logp = (f"CAST(round(({_ln_det(num, _lit_spark)}"
+            f" - {_ln_det(den, _lit_spark)}) * 1e6, 0) AS BIGINT)")
+    model = (bi.join(uni.select(F.col("word").alias("prev"),
+                                F.col("c").alias("c_a")), "prev")
+               .join(uni.select("word", F.col("c").alias("c_b")), "word")
+               .crossJoin(F.broadcast(total))
+               .selectExpr("prev", "word", f"{logp} AS logp_bi"))
+    return (bg.join(F.broadcast(model), ["prev", "word"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum("logp_bi").alias("sum_logp_bi"))
+              .select("doc_id", "n_bigrams", "sum_logp_bi",
+                      F.round(F.col("sum_logp_bi") / F.col("n_bigrams") / 1e6, 6)
+                       .alias("mean_logp")))
+
+
 SEQ_LEN = 2048        # training sequence length in whitespace tokens
 PACK_BUCKET = 1024    # docs per prefix-sum offset bucket
 
@@ -619,6 +670,7 @@ QUERIES = {
     "text_contamination_3gram": q_text_contamination,
     "text_contamination_bloom": q_text_contamination_bloom,
     "text_unigram_lm_score": q_text_lm_score,
+    "text_bigram_lm_score": q_text_bigram_lm_score,
     "seq_packing_gpt": q_seq_packing,
     "doc_chunking_rag": q_doc_chunking,
     "chunk_boilerplate": q_chunk_boilerplate,
@@ -759,6 +811,32 @@ ORACLE = {
         SELECT train.doc_id, n_grams, n_shared,
                ROUND(n_shared * 1.0 / n_distinct, 6) AS contamination
         FROM train JOIN hits ON train.doc_id = hits.doc_id
+    """,
+    "text_bigram_lm_score": f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS word
+               FROM d, unnest(generate_series(1, greatest(len(w) - 1, 0)))
+                       AS t(i)),
+        words AS (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+        uni AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+        tot AS (SELECT COUNT(*) AS N FROM words),
+        bi AS (SELECT prev, word, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+        model AS (
+            SELECT bi.prev, bi.word,
+                   CAST(ROUND(({_ln_det('(c_ab * N + c_a * c_b)', _lit_duck)}
+                               - {_ln_det('(2 * c_a * N)', _lit_duck)})
+                              * 1e6, 0) AS BIGINT) AS logp_bi
+            FROM bi
+            JOIN (SELECT word AS prev, c AS c_a FROM uni) ua USING (prev)
+            JOIN (SELECT word, c AS c_b FROM uni) ub USING (word)
+            CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               SUM(logp_bi)::BIGINT AS sum_logp_bi,
+               ROUND(SUM(logp_bi) / COUNT(*) / 1e6, 6) AS mean_logp
+        FROM bg JOIN model USING (prev, word)
+        GROUP BY doc_id
     """,
     "text_unigram_lm_score": f"""
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
