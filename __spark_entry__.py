@@ -109,7 +109,7 @@ _NEW_R03 = (
     "ann_lsh_cosine", "scalar_variant", "bpe_apply_compression",
     "asof_nearest_error", "text_contamination_bloom",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_components_lsh",
-    "text_bigram_lm_score",
+    "text_bigram_lm_score", "dedup_containment_pairs",
 )
 
 

@@ -155,6 +155,40 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
             .select("doc_a", "doc_b", "jaccard"))
 
 
+CONTAIN_T = 0.9       # containment threshold (|A∩B| / |A|)
+
+
+def q_dedup_containment(spark, sf_dir):
+    """ASYMMETRIC containment near-dup pairs: |A∩B| / |A| >= 0.9 — the
+    "document A is (almost) wholly inside document B" case that
+    symmetric Jaccard misses (a short quote inside a long page has high
+    containment but low Jaccard, so Jaccard-based dedup keeps both).
+
+    Emits (inner_doc, outer_doc, containment) with inner != outer; both
+    directions are checked (each side's own size is the denominator).
+    Same inverted-index shape as dedup_jaccard_pairs — the exact
+    quadratic ground truth at test SF; the scale path is the same
+    MinHash machinery with containment-calibrated thresholds (Broder's
+    containment sketches), documented not duplicated.
+    """
+    words = _words(spark, sf_dir)
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a = words.alias("a")
+    b = words.alias("b")
+    common = (a.join(b, (F.col("a.word") == F.col("b.word"))
+                      & (F.col("a.doc_id") != F.col("b.doc_id")))
+               .groupBy(F.col("a.doc_id").alias("inner_doc"),
+                        F.col("b.doc_id").alias("outer_doc"))
+               .agg(F.count(F.lit(1)).alias("common")))
+    si = sizes.select(F.col("doc_id").alias("inner_doc"),
+                      F.col("n_words").alias("n_inner"))
+    return (common.join(si, "inner_doc")
+            .withColumn("containment",
+                        F.round(F.col("common") / F.col("n_inner"), 6))
+            .filter(F.col("containment") >= CONTAIN_T)
+            .select("inner_doc", "outer_doc", "containment"))
+
+
 def _bucket_pairs(bands: DataFrame) -> DataFrame:
     """(doc_id, bb) -> distinct candidate pairs (doc_a < doc_b) per
     bucket, generated array-locally after one groupBy shuffle."""
@@ -767,6 +801,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_incremental": q_dedup_incremental,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_containment_pairs": q_dedup_containment,
     "dedup_fuzzy_levenshtein": q_dedup_fuzzy_lev,
     "dedup_components": q_dedup_components,
     "dedup_components_bigstar": q_dedup_components_bigstar,
@@ -925,6 +960,22 @@ ORACLE = {
                doc_id AS keep_doc_id,
                n_chars AS keep_n_chars
         FROM r WHERE rk = 1
+    """,
+    "dedup_containment_pairs": """
+        WITH words AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+                   COUNT(*) AS c
+            FROM words a JOIN words b
+              ON a.word = b.word AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+        SELECT inner_doc, outer_doc,
+               ROUND(c / si.n, 6) AS containment
+        FROM common JOIN sizes si ON si.doc_id = inner_doc
+        WHERE ROUND(c / si.n, 6) >= 0.9
     """,
     "dedup_jaccard_pairs": """
         WITH words AS (
