@@ -30,11 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass walks queries() in dict order and stops
 # after ~50 (budget).  Order the dict so queries with the weakest driver
-# signal run FIRST: never-checked, then the six whose only recorded
-# signal is a stale round-1 failure (fixed in round 2, judge-verified at
-# sf0.01, but never driver-rechecked), then round-1-green, then
-# round-2-green last.  The cumulative union across rounds then covers
-# everything even when the budget caps.
+# signal run FIRST.  After round 3 (CORRECTNESS_r03: 49 hash-green, 1
+# rows-only-by-design, 0 failures) the weakest signal is held by the 17
+# rows in _FRONT_R04: 13 never driver-checked at all plus the 4
+# LSH-family rows whose oracle was upgraded from rows-only to a full
+# value oracle after their last driver run (r02 recorded `no_oracle`).
+# All 17 were judge-re-verified MATCH at sf0.01 in the r03 verdict; the
+# driver row is the hard signal, so they run first.  Then anything new
+# this round, then r01-green (oldest signal), r02-green, r03-green last.
 _CHECKED_R01 = (
     "scan_filter_project", "q1_pricing_summary", "q6_revenue_change",
     "agg_distinct", "agg_argminmax", "rollup_region_nation",
@@ -77,54 +80,60 @@ _CHECKED_R02 = (
     "join_salted_skew", "agg_salted_twophase", "approx_distinct_hll",
 )
 
-# Round-1 rows whose recorded driver signal is a FAIL that round 2 fixed
-# (commit daa9428; judge re-verified all six MATCH at sf0.01).  Keep them
-# right behind the never-checked set until a CORRECTNESS file shows green.
-_STALE_R01_FAILS = (
+# Queries the round-3 driver checked (CORRECTNESS_r03.json keys): 49
+# hash-green + approx_quantiles_gk rows-only-by-design.  Freshest
+# signal — run last.
+_CHECKED_R03 = (
+    "approx_quantiles_gk", "sample_split_deterministic",
+    "sample_temperature_mix", "sample_stratified_by_lang",
+    "sample_cap_per_source", "sample_weighted_reservoir",
+    "udtf_sentences", "grouped_rank_pandas", "feat_zscore_per_type",
+    "regr_value_time", "skyline_pareto_2d", "profile_documents",
+    "validate_events", "histogram_equiwidth", "funnel_conversion",
+    "cohort_retention", "markov_transitions", "entropy_event_mix",
+    "basket_rules", "triangle_count", "pagerank_copurchase", "bfs_hops",
+    "table_diff", "mv_incremental_refresh", "kmeans_embeddings",
     "q4_order_priority", "q12_ship_delay_priority", "scalar_json",
     "collect_sorted_arrays", "scalar_array_hof", "scalar_map_histogram",
-)
-
-# Operators added in round 3 — never-checked too, but the 25 + 6 above
-# carry two rounds of verification debt and run FIRST; these follow.
-# multimodal_features and knn_pandas_vectorized are here although
-# r02-checked: those rows were rows-only, and round 3 gave them full
-# value oracles (sha256 metadata resp. exact re-score) — front them
-# once so hash-checked rows land.
-_NEW_R03 = (
     "seq_packing_gpt", "doc_chunking_rag", "chunk_boilerplate",
     "embedding_quantize_int8", "dedup_keep_best", "dedup_incremental",
     "multimodal_features", "dedup_semantic_clusters",
     "sink_roundtrip_parquet", "knn_pandas_vectorized", "ann_ivf_cosine",
     "text_contamination_bloom", "dedup_spans_ngram", "ann_int8_rerank",
-    # second round-3 session — full oracles, repo-tested, least debt:
     "quality_classifier_hashed", "text_blocklist_filter",
     "sample_token_budget", "shard_assignment", "stats_trimmed_mean",
-    "events_anomaly_mad", "text_heavy_hitters_cms", "bpe_train_merges",
-    "sink_compact_small_files", "label_propagation",
-    "rollup_time_hierarchy", "histogram_equidepth",
-    "pipeline_pretraining_e2e",
-    # r02-checked rows-only, upgraded to a full value oracle this
-    # session (sequential-order sketch) — front once for a hashed row:
-    "ann_lsh_cosine", "scalar_variant", "bpe_apply_compression",
-    "asof_nearest_error", "text_contamination_bloom",
+)
+
+# The 17 weakest-signal rows after round 3 (VERDICT r03 §What's-missing
+# #1-2): 13 with no driver CORRECTNESS row in any round + the 4
+# LSH-family rows whose full value oracle postdates their last driver
+# check (r02 `no_oracle`).  All judge-verified MATCH at sf0.01.
+_FRONT_R04 = (
+    "asof_nearest_error", "bpe_train_merges", "bpe_apply_compression",
+    "dedup_containment_pairs", "events_anomaly_mad",
+    "histogram_equidepth", "label_propagation",
+    "pipeline_pretraining_e2e", "rollup_time_hierarchy",
+    "scalar_variant", "sink_compact_small_files", "text_bigram_lm_score",
+    "text_heavy_hitters_cms",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_components_lsh",
-    "text_bigram_lm_score", "dedup_containment_pairs",
+    "ann_lsh_cosine",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    r01, r02 = set(_CHECKED_R01), set(_CHECKED_R02)
-    stale, new3 = set(_STALE_R01_FAILS), set(_NEW_R03)
-    ordered = {k: q[k] for k in q
-               if k not in r01 and k not in r02 and k not in new3}
-    ordered.update({k: q[k] for k in _STALE_R01_FAILS if k in q})
-    ordered.update({k: q[k] for k in _NEW_R03 if k in q})
-    ordered.update(
-        {k: q[k] for k in _CHECKED_R01 if k in q and k not in stale and k not in r02}
-    )
-    ordered.update({k: q[k] for k in _CHECKED_R02 if k in q})
+    front = set(_FRONT_R04)
+    r01, r02, r03 = set(_CHECKED_R01), set(_CHECKED_R02), set(_CHECKED_R03)
+    checked = front | r01 | r02 | r03
+    ordered = {k: q[k] for k in _FRONT_R04 if k in q}
+    # Anything not in any list = added this round, never checked: next.
+    ordered.update({k: q[k] for k in q if k not in checked})
+    ordered.update({k: q[k] for k in _CHECKED_R01
+                    if k in q and k not in front and k not in r02 and k not in r03})
+    ordered.update({k: q[k] for k in _CHECKED_R02
+                    if k in q and k not in front and k not in r03})
+    ordered.update({k: q[k] for k in _CHECKED_R03
+                    if k in q and k not in front})
     return ordered
 
 
