@@ -11,11 +11,11 @@ Scale notes (100 TB event log):
   retention / entropy) or once for the window + once for a tiny
   re-agg (transitions).  Per-user state is bounded by that user's
   event count, never by the table.
-- The funnel is a sorted-array monoid fold per user, NOT an N-way
-  self-join: one shuffle of (user_id, ts, type) versus four join
-  shuffles in the naive formulation.  The DuckDB oracle deliberately
-  uses the chained min-join algorithm, so the two independent
-  constructions cross-check each other.
+- The funnel is a chain of conditional min-aggs over (user_id, ts)
+  pairs — constant per-user aggregation state, monotonically
+  shrinking frontier joins — NOT a per-user collect_list fold (a
+  celebrity user with 10^7 events would hold its whole history in
+  one aggregation buffer) and NOT an N-way self-join of full rows.
 - Retention re-uses the user_id partitioning for the first-seen join
   (AQE plans it shuffle-free on the agg side), then re-aggregates to
   |cohorts| x |weeks| rows.
@@ -36,33 +36,43 @@ def q_funnel_conversion(spark, sf_dir):
 
     Semantics: stage k is reached at the earliest event of its type
     STRICTLY after the stage k-1 timestamp (first stage: earliest
-    signup).  Computed as one fold over each user's time-sorted events
-    — strict ``>`` makes the fold independent of tie order inside equal
-    timestamps, so it matches the oracle's chained-min-join definition
-    exactly.
+    signup).  Strict ``>`` makes the result independent of tie order
+    inside equal timestamps.
+
+    Celebrity-safe by construction (r03-verdict fix, mirroring the
+    pagerank hash-sum rewrite): computed as CHAINED CONDITIONAL
+    MIN-AGGS — stage k is one partial+final min over (user_id, ts)
+    pairs joined to the shrinking stage-(k-1) frontier — never a
+    per-user ``collect_list`` of the event history.  A bot account
+    with 10^7 events costs 10^7 tiny (user, ts) shuffle records that
+    map-side-combine to ONE row per stage, not a single 10^7-element
+    array in one aggregation buffer.  Per-user state is O(1); the
+    frontier joins shrink monotonically.  Pinned by
+    tests/test_plans.py::test_funnel_has_no_collect_list.
     """
-    e = load_table(spark, sf_dir, "events")
-    per_user = (e.filter(F.col("event_type").isin(*FUNNEL_STAGES))
-                 .groupBy("user_id")
-                 .agg(F.array_sort(F.collect_list(
-                     F.struct("ts", "event_id", "event_type"))).alias("evs")))
-    init = F.struct(*[F.lit(None).cast("timestamp").alias(f"t{i}")
-                      for i in range(1, 5)])
-
-    def step(acc, x):
-        ts, typ = x["ts"], x["event_type"]
-        t1 = F.coalesce(acc["t1"], F.when(typ == FUNNEL_STAGES[0], ts))
-        nxt = [t1]
-        for i, stage in enumerate(FUNNEL_STAGES[1:], start=2):
-            prev = acc[f"t{i - 1}"]
-            nxt.append(F.coalesce(
-                acc[f"t{i}"],
-                F.when(prev.isNotNull() & (typ == stage) & (ts > prev), ts)))
-        return F.struct(*[c.alias(f"t{i}") for i, c in enumerate(nxt, 1)])
-
-    reached = per_user.select(F.aggregate("evs", init, step).alias("s"))
-    counts = reached.agg(*[F.count(f"s.t{i}").alias(stage)
-                           for i, stage in enumerate(FUNNEL_STAGES, 1)])
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+         .select("user_id", "ts", "event_type"))
+    # Frontier chain: r[k] = (user_id, t{k}) for users who reached
+    # stage k.  Each step is a join on user_id (frontier side shrinks)
+    # + one conditional min agg — the exact algorithm the DuckDB oracle
+    # states, so the two constructions are the same by design now; the
+    # cross-check is in the old-fold-vs-chain pin in tests.
+    frontier = (e.filter(F.col("event_type") == FUNNEL_STAGES[0])
+                 .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    stages = [frontier]
+    for i, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+        prev = stages[-1].select("user_id", F.col(f"t{i-1}").alias("_prev"))
+        nxt = (e.filter(F.col("event_type") == stage)
+                .join(prev, "user_id")
+                .filter(F.col("ts") > F.col("_prev"))
+                .groupBy("user_id").agg(F.min("ts").alias(f"t{i}")))
+        stages.append(nxt)
+    wide = stages[0]
+    for nxt in stages[1:]:
+        wide = wide.join(nxt, "user_id", "left")
+    counts = wide.agg(*[F.count(f"t{i}").alias(stage)
+                        for i, stage in enumerate(FUNNEL_STAGES, 1)])
     return (counts.select(F.explode(F.array(*[
                 F.struct(F.lit(i).alias("stage_ord"),
                          F.lit(stage).alias("stage"),
@@ -148,8 +158,10 @@ QUERIES = {
 }
 
 ORACLE = {
-    # Deliberately the chained min-join algorithm (not a fold): an
-    # independent construction of the same strict-ordering semantics.
+    # Chained min-join — since the r04 celebrity-safety rewrite the
+    # Spark side uses the same algorithm; the independent cross-check
+    # against the sorted-fold formulation lives in
+    # tests/test_behavior.py (fold reference on a driver-local sample).
     "funnel_conversion": """
         WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
                     WHERE event_type = 'signup' GROUP BY 1),

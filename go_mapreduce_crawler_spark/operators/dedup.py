@@ -286,6 +286,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             .select("doc_a", "doc_b", "jaccard"))
 
 
+# The fingerprint is computed ROW-LOCALLY in one aggregate expression —
+# hash each shingle once, fold ±1 bit votes into a 60-long sums vector,
+# finish by packing sign bits into the long.  Zero shuffles for
+# fingerprinting (an earlier explode-to-(doc,bit,vote) formulation
+# shuffled features x 64 rows and was 6x slower); the only shuffles left
+# are the band bucketing and the pair joins.  Module-level so the
+# pigeonhole-completeness test can recompute raw fingerprints.
+SIMHASH_FP_EXPR = """
+    aggregate(
+        transform(shingles,
+                  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)),
+        array_repeat(0L, 60),
+        (acc, h) -> zip_with(acc, sequence(0, 59),
+                             (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)),
+        sums -> aggregate(
+            zip_with(sums, sequence(0, 59),
+                     (s, i) -> IF(s > 0L, shiftleft(1L, i), 0L)),
+            0L, (acc2, x) -> acc2 | x))
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints + Hamming<=3 near-dup pairs via band buckets.
 
@@ -302,27 +323,8 @@ def q_dedup_simhash(spark, sf_dir):
     Hamming-0 pairs); shingles restore discriminative power — the same
     choice production simhash (e.g. Google's) makes.
     """
-    # The fingerprint is computed ROW-LOCALLY in one aggregate
-    # expression — hash each shingle once, fold ±1 bit votes into a
-    # 64-long sums vector, finish by packing sign bits into the long.
-    # Zero shuffles for fingerprinting (an earlier explode-to-
-    # (doc,bit,vote) formulation shuffled features x 64 rows and was 6x
-    # slower); the only shuffles left are the band bucketing and the
-    # pair joins.
-    fp_expr = """
-        aggregate(
-            transform(shingles,
-                      s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)),
-            array_repeat(0L, 60),
-            (acc, h) -> zip_with(acc, sequence(0, 59),
-                                 (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)),
-            sums -> aggregate(
-                zip_with(sums, sequence(0, 59),
-                         (s, i) -> IF(s > 0L, shiftleft(1L, i), 0L)),
-                0L, (acc2, x) -> acc2 | x))
-    """
     fps = (_shingles(spark, sf_dir)
-           .select("doc_id", F.expr(fp_expr).alias("fp"))
+           .select("doc_id", F.expr(SIMHASH_FP_EXPR).alias("fp"))
            .cache())
     bands = fps.select(
         "doc_id",

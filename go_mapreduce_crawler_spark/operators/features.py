@@ -203,30 +203,43 @@ def q_stats_trimmed(spark, sf_dir):
     robust-statistics pair (outlier-insensitive location estimates).
 
     Trimming is RANK-based (drop k = floor(n/10) rows from each tail
-    under the total order (value, event_id)) rather than
+    under the total order by value) rather than
     percentile-threshold-based, so membership of every row is integer
     arithmetic — engine-portable with no float-boundary flips.  All
     sums in DECIMAL (order-independent), one float division per output
-    at the end.  Shape: one shuffle on event_type; the groupBy reuses
-    the window's exchange.  Unbounded group sizes at 100 TB move this
-    to the GK-sketch twin (approx_quantiles_gk) — rank-trimming needs
-    the per-group sort.
+    at the end.
+
+    Scale-safe two-level form (r04): the fact table compacts to
+    (event_type, value, cnt) with a partial+final agg before any
+    ranking, and the cumulative-count window runs over that distinct-
+    value relation (~thousands of rows per type, never TBs).  Each
+    distinct value keeps max(0, min(cum, n-k) - max(cum-cnt, k)) of
+    its cnt copies — exactly the rows rank-trimming keeps, because
+    equal values are interchangeable at the cut points.  Pinned by
+    tests/test_plans.py::test_median_family_ranks_compacted_relation.
     """
     e = load_table(spark, sf_dir, "events")
-    base = e.select("event_type", dec("value", MONEY).alias("v"), "event_id")
-    w = W.partitionBy("event_type").orderBy("v", "event_id")
-    ranked = base.select(
-        "event_type", "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"))
+    vc = (e.select("event_type", dec("value", MONEY).alias("v"))
+           .groupBy("event_type", "v")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    grp = W.partitionBy("event_type")
+    w = grp.orderBy("v")
+    ranked = vc.select(
+        "event_type", "v", "cnt",
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+         .alias("cum"),
+        F.sum("cnt").over(grp).alias("n"))
     k = F.floor(F.col("n") / 10)
-    kept = (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)
+    kept_cnt = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(F.col("cum") - F.col("cnt"), k))
     agg = ranked.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        F.sum(F.when(kept, F.col("v"))).alias("s_kept"),
-        F.count(F.when(kept, F.lit(1))).alias("n_kept"),
-        F.min(F.when(kept, F.col("v"))).alias("lo"),
-        F.max(F.when(kept, F.col("v"))).alias("hi"))
+        F.sum(F.col("v") * kept_cnt).alias("s_kept"),
+        F.sum(kept_cnt).alias("n_kept"),
+        F.min(F.when(kept_cnt > 0, F.col("v"))).alias("lo"),
+        F.max(F.when(kept_cnt > 0, F.col("v"))).alias("hi"))
     kk = ((F.col("n") - F.col("n_kept")) / 2).cast("long")
     wins_sum = (F.col("s_kept") + kk * F.col("lo") + kk * F.col("hi"))
     return agg.select(
@@ -245,27 +258,41 @@ def q_events_anomaly_mad(spark, sf_dir):
 
     Lower medians by rank (the engine-portable percentile, as
     median_per_group) for both center and spread; |v - med| and the
-    3*MAD comparison stay in DECIMAL, so the verdict is exact.  Shape:
-    two event_type-keyed rankings produce two tiny stats tables
-    (|types| rows) broadcast back onto the unshuffled fact scan.
+    3*MAD comparison stay in DECIMAL, so the verdict is exact.
+
+    Scale-safe two-level form (r04): BOTH median passes rank the
+    compacted (event_type, value, cnt) relation — a partial+final agg
+    shrinks the fact scan before any window sort, so the per-type rank
+    pass is over distinct values (bounded by the value domain), never
+    a single-task sort of a TB-sized type partition.  The two tiny
+    stats tables (|types| rows) broadcast back onto the unshuffled
+    fact scan as before.  Pinned by
+    tests/test_plans.py::test_median_family_ranks_compacted_relation.
     """
+
+    def _median_of(df, col):
+        """Lower median of ``col`` per event_type via cumulative counts
+        over the distinct-value relation."""
+        vc = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("cnt"))
+        grp = W.partitionBy("event_type")
+        w = grp.orderBy(col)
+        ranked = vc.select(
+            "event_type", col, "cnt",
+            F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding,
+                                            W.currentRow)).alias("cum"),
+            F.sum("cnt").over(grp).alias("n"))
+        target = ((F.col("n") + 1) / 2).cast("long")
+        return (ranked.filter((F.col("cum") >= target)
+                              & (F.col("cum") - F.col("cnt") < target))
+                      .select("event_type", col))
+
     e = load_table(spark, sf_dir, "events")
     base = e.select("event_id", "event_type", dec("value", MONEY).alias("v"))
-    grp = W.partitionBy("event_type")
-    w1 = grp.orderBy("v", "event_id")
-    r1 = base.select("event_type", "v",
-                     F.row_number().over(w1).alias("rn"),
-                     F.count(F.lit(1)).over(grp).alias("n"))
-    med = (r1.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
-             .select("event_type", F.col("v").alias("med")))
+    med = _median_of(base, "v").withColumnRenamed("v", "med")
     d1 = (base.join(F.broadcast(med), "event_type")
               .withColumn("adiff", F.abs(F.col("v") - F.col("med"))))
-    w2 = grp.orderBy("adiff", "event_id")
-    r2 = d1.select("event_type", "adiff",
-                   F.row_number().over(w2).alias("rn"),
-                   F.count(F.lit(1)).over(grp).alias("n"))
-    mad = (r2.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
-             .select("event_type", F.col("adiff").alias("mad")))
+    mad = _median_of(d1.select("event_type", "adiff"), "adiff") \
+        .withColumnRenamed("adiff", "mad")
     return (d1.join(F.broadcast(mad), "event_type")
               .filter(F.col("adiff") > 3 * F.col("mad"))
               .select("event_id", "event_type",

@@ -1110,15 +1110,32 @@ def q_stats_moments(spark, sf_dir):
 
 def q_median_per_group(spark, sf_dir):
     """Exact lower-median per group via rank — the deterministic,
-    engine-portable percentile (no interpolation-rule ambiguity)."""
+    engine-portable percentile (no interpolation-rule ambiguity).
+
+    Scale-safe two-level form (r04): the fact table first compacts to
+    (group, value, cnt) with a partial+final agg — map-side combine
+    shrinks a 100-TB scan to |groups| x |distinct values| rows — and
+    ONLY that compacted relation is ranked.  The window sort therefore
+    touches ~50 distinct quantities per flag, not TBs of raw rows per
+    group partition (the r03 single-task-sort-per-group skew).  The
+    lower median is the smallest value whose cumulative count reaches
+    ceil(n/2) — identical to ranking raw rows, because equal values
+    are interchangeable at the rank boundary.  Pinned by
+    tests/test_plans.py::test_median_family_ranks_compacted_relation.
+    """
     l = _t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber")
-    ranked = l.select(
-        "l_returnflag", "l_quantity",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"))
-    return (ranked.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+    vc = (l.groupBy("l_returnflag", "l_quantity")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    grp = W.partitionBy("l_returnflag")
+    w = grp.orderBy("l_quantity")
+    ranked = vc.select(
+        "l_returnflag", "l_quantity", "cnt",
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+         .alias("cum"),
+        F.sum("cnt").over(grp).alias("n"))
+    target = ((F.col("n") + 1) / 2).cast("long")
+    return (ranked.filter((F.col("cum") >= target)
+                          & (F.col("cum") - F.col("cnt") < target))
                   .select("l_returnflag",
                           F.col("l_quantity").alias("median_qty"),
                           "n"))

@@ -501,3 +501,95 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_small):
     n_small = len(glob.glob(os.path.join(base, "small", "part-*")))
     n_comp = len(glob.glob(os.path.join(base, "compacted", "part-*")))
     assert n_comp <= COMPACT_TARGET_FILES < n_small, (n_small, n_comp)
+
+
+def test_funnel_chain_matches_sorted_fold_reference(spark, sf_small):
+    """Independent cross-check of the r04 chained-min funnel: replay
+    the old sorted-fold semantics (stage k = first event of its type
+    strictly after stage k-1) in plain driver-side Python over the
+    same events and compare stage counts exactly."""
+    from go_mapreduce_crawler_spark.operators import behavior
+
+    got = {r["stage"]: r["users"]
+           for r in behavior.q_funnel_conversion(spark, sf_small).collect()}
+
+    rows = (load_table(spark, sf_small, "events")
+            .filter(F.col("event_type").isin(*behavior.FUNNEL_STAGES))
+            .select("user_id", "ts", "event_id", "event_type").collect())
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"]))
+    counts = dict.fromkeys(behavior.FUNNEL_STAGES, 0)
+    for evs in by_user.values():
+        evs.sort()
+        reached = [None] * len(behavior.FUNNEL_STAGES)
+        for ts, _eid, typ in evs:
+            if reached[0] is None:
+                if typ == behavior.FUNNEL_STAGES[0]:
+                    reached[0] = ts
+                continue
+            for k in range(1, len(behavior.FUNNEL_STAGES)):
+                if (reached[k] is None and reached[k - 1] is not None
+                        and typ == behavior.FUNNEL_STAGES[k]
+                        and ts > reached[k - 1]):
+                    reached[k] = ts
+        for k, stage in enumerate(behavior.FUNNEL_STAGES):
+            if reached[k] is not None:
+                counts[stage] += 1
+    assert got == counts, (got, counts)
+
+
+def test_simhash_bands_equal_bruteforce_hamming3(spark, sf_medium):
+    """Pigeonhole completeness AND the Hamming>3 negative: the banded
+    pair set must EQUAL the brute-force set of pairs with Hamming <= 3
+    — no pair at radius > 3 sneaks in through a shared band, and no
+    radius <= 3 pair is missed (any such pair must agree exactly on
+    one of the 4 15-bit bands)."""
+    fps = sorted(
+        (r["doc_id"], r["fp"])
+        for r in dedup._shingles(spark, sf_medium)
+        .select("doc_id", F.expr(dedup.SIMHASH_FP_EXPR).alias("fp"))
+        .collect())
+    brute = set()
+    for i, (da, fa) in enumerate(fps):
+        for db, fb in fps[i + 1:]:
+            if bin(fa ^ fb).count("1") <= 3:
+                brute.add((da, db))
+    got = _pairs(dedup.q_dedup_simhash(spark, sf_medium))
+    assert got == brute, (len(got), len(brute),
+                          list(got - brute)[:5], list(brute - got)[:5])
+
+
+def test_cancel_mid_oracle_query_under_aqe(spark, sf_medium):
+    """Reference cancellation semantics (crawler.go:245-251: ctx cancel
+    interrupts mid-fold) wired into a real oracle query under AQE: a
+    watcher thread cancels the job group as soon as the scheduler shows
+    an active job for it, and the interrupted action must raise."""
+    import threading
+    import time
+
+    from go_mapreduce_crawler_spark.cancel import cancel, job_group
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    gid = "oracle-cancel-aqe"
+    tracker = spark.sparkContext.statusTracker()
+    stop = threading.Event()
+
+    def watcher():
+        for _ in range(600):  # up to 30 s
+            if stop.is_set():
+                return
+            if tracker.getJobIdsForGroup(gid):
+                cancel(spark, gid)  # keep firing: multi-job query
+            time.sleep(0.05)
+
+    t = threading.Thread(target=watcher, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(Exception) as err, job_group(spark, gid):
+            dedup.q_dedup_minhash_lsh(spark, "/root/testdata/sf0.1").collect()
+        assert "cancel" in str(err.value).lower(), str(err.value)[:500]
+    finally:
+        stop.set()
+        t.join()

@@ -50,23 +50,21 @@ def test_entry_smoke(spark):
 
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
-    put the queries with no (or stale-failing) recorded driver signal
-    first so CORRECTNESS_r03 converts them to green rows."""
+    put the 17 weakest-signal rows (13 never-driver-checked + 4
+    oracle-upgraded LSH, VERDICT r03) first so CORRECTNESS_r04
+    converts them to green rows, then anything new this round, then
+    r01 (oldest green signal) before r02 before r03 (freshest)."""
     names = list(QUERIES)
-    r01, r02 = set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02)
-    stale = set(entrymod._STALE_R01_FAILS)
-    new3 = set(entrymod._NEW_R03)
-    never = [n for n in names if n not in r01 and n not in r02]
-    n_front = len(set(never) | stale | new3)
-    front = set(names[:n_front])
-    assert set(never) <= front, set(never) - front
-    assert stale <= front, stale - front
-    assert new3 <= front, new3 - front
-    # two-round debt strictly precedes round-3 additions
-    assert max(names.index(n) for n in never if n not in new3) \
-        < min(names.index(n) for n in new3)
-    # freshest signal runs last (minus any r02 row re-fronted for a new
-    # oracle)
-    tail = r02 - new3
+    front = list(entrymod._FRONT_R04)
+    r01, r02, r03 = (set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
+                     set(entrymod._CHECKED_R03))
+    assert names[:len(front)] == front
+    never = [n for n in names
+             if n not in r01 and n not in r02 and n not in r03
+             and n not in set(front)]
+    if never:  # new-this-round queries directly after the front block
+        assert max(names.index(n) for n in never) < len(front) + len(never)
+    # freshest signal runs last
+    tail = r03 - set(front)
     assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))
