@@ -78,6 +78,10 @@ HEADLINE = [
     "events_anomaly_mad",
     "pipeline_pretraining_e2e",
     "text_heavy_hitters_cms",
+    "text_remove_boilerplate",
+    "dsir_importance_weights",
+    "hard_negative_mining",
+    "embedding_random_projection",
 ]
 
 N_CRAWL_FILES = 2000

@@ -366,8 +366,71 @@ def q_pipeline_pretraining(spark, sf_dir):
                           F.max("doc_id").alias("max_doc")))
 
 
+# ------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al., 2023 — Data Selection
+# via Importance Resampling)
+# ------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark, sf_dir):
+    """Per-document importance weight log(p_target/p_raw) under hashed
+    unigram bucket models — the DSIR recipe for selecting raw-corpus
+    documents that look like a target domain (here: the English slice
+    stands in for the target; swapping in an external target sample
+    changes one filter).
+
+    Each token hashes into one of 1024 buckets (md5_32 % B — the
+    portable recipe shared with quality_classifier_hashed); the raw and
+    target bucket distributions get add-one smoothing, and a bucket's
+    log ratio is ONE integer rational:
+
+        log w(b) = ln((c_t[b]+1) * (N_r+B)) - ln((c_r[b]+1) * (N_t+B))
+
+    computed with the engine-deterministic ``_ln_det`` and quantized
+    once per bucket to integer micro-nats, so per-document sums are
+    associative integer adds (the LM-score determinism recipe).
+
+    Scale: one token-bucket-count shuffle (1024 partials per task —
+    map-side combine absorbs the fan-in), the 1024-row model broadcast
+    back onto the unshuffled token stream, one doc_id agg.  Products
+    stay under 2^63 for any corpus with N_t * c_r < 9e18.
+    """
+    from .text import _ln_det, _lit_spark
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
+        F.explode(F.split("text", " ")).alias("word"))
+    wb = words.select(
+        "doc_id", "is_t",
+        (F.conv(F.substring(F.md5(F.encode("word", "UTF-8")), 1, 8), 16, 10)
+          .cast("long") % DSIR_BUCKETS).alias("b"))
+    bc = wb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(F.when(F.col("is_t"), 1)).alias("c_t"))
+    tot = bc.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    num = f"((c_t + 1) * (n_r + {DSIR_BUCKETS}))"
+    den = f"((c_r + 1) * (n_t + {DSIR_BUCKETS}))"
+    logw = (f"CAST(round(({_ln_det(num, _lit_spark)}"
+            f" - {_ln_det(den, _lit_spark)}) * 1e6, 0) AS BIGINT)")
+    model = (bc.crossJoin(F.broadcast(tot))
+               .selectExpr("b", f"{logw} AS logw_u"))
+    return (wb.join(F.broadcast(model), "b")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("logw_u").alias("sum_logw_u"))
+              .select("doc_id", "n_tokens", "sum_logw_u",
+                      F.round(F.col("sum_logw_u") / F.col("n_tokens") / 1e6, 6)
+                       .alias("mean_logw")))
+
+
 QUERIES = {
     "quality_classifier_hashed": q_quality_classifier,
+    "dsir_importance_weights": q_dsir_weights,
     "bpe_train_merges": q_bpe_train,
     "bpe_apply_compression": q_bpe_apply,
     "pipeline_pretraining_e2e": q_pipeline_pretraining,
@@ -474,3 +537,39 @@ ORACLE = {
         FROM s
     """,
 }
+
+
+def _dsir_oracle_sql() -> str:
+    from .text import _ln_det, _lit_duck
+
+    num = f"((c_t + 1) * (n_r + {DSIR_BUCKETS}))"
+    den = f"((c_r + 1) * (n_t + {DSIR_BUCKETS}))"
+    return f"""
+        WITH w AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_t,
+                          unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        wb AS (SELECT doc_id,
+                      ('0x' || substr(md5(word), 1, 8))::BIGINT
+                          % {DSIR_BUCKETS} AS b,
+                      is_t
+               FROM w),
+        bc AS (SELECT b, COUNT(*) AS c_r,
+                      COUNT(*) FILTER (WHERE is_t) AS c_t
+               FROM wb GROUP BY b),
+        tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+                       CAST(SUM(c_t) AS BIGINT) AS n_t FROM bc),
+        model AS (
+            SELECT b,
+                   CAST(ROUND(({_ln_det(num, _lit_duck)}
+                               - {_ln_det(den, _lit_duck)}) * 1e6, 0)
+                        AS BIGINT) AS logw_u
+            FROM bc CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(logw_u) AS BIGINT) AS sum_logw_u,
+               ROUND(SUM(logw_u) / COUNT(*) / 1e6, 6) AS mean_logw
+        FROM wb JOIN model USING (b)
+        GROUP BY doc_id
+    """
+
+
+ORACLE["dsir_importance_weights"] = _dsir_oracle_sql()

@@ -502,12 +502,82 @@ def q_embedding_centroids(spark, sf_dir):
         "n")
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the top-10 MOST similar vectors carrying a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; the hard ones sit
+    just across the decision boundary).
+
+    Same plan shape (and scale contract) as q_knn_bruteforce: the gated
+    query set broadcasts, the corpus never shuffles, each pair costs
+    one dot fold, and the label-mismatch predicate rides in the
+    broadcast-join condition so mismatching pairs are dropped before
+    any scoring work.  Per-query top-k via rank window over the scored
+    pairs, deterministic on (rounded cos desc, vec_id).
+    """
+    e = _emb(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
+    q = F.broadcast(_gate_query_set(
+        e.filter(F.col("vec_id") % 100 == 0), "hard_negative_mining", sf_dir)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("label").alias("q_label"),
+                F.col("embedding").alias("q_vec"),
+                F.col("nrm").alias("q_nrm")))
+    scored = (q.join(e, (F.col("vec_id") != F.col("q_id"))
+                     & (F.col("label") != F.col("q_label")))
+               .withColumn("cos", F.round(
+                   dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= TOP_K)
+                  .select("q_id", "q_label",
+                          F.col("vec_id").alias("neg_id"),
+                          F.col("label").alias("neg_label"), "cos", "rk"))
+
+
+RP_DIM = 16
+_RP_SEED = 11
+
+
+def _rp_planes() -> np.ndarray:
+    """Seeded Gaussian projection matrix (RP_DIM x DIM) — the
+    Johnson-Lindenstrauss random projection, shared verbatim (as
+    repr'd double literals) by the Spark plan and the DuckDB oracle."""
+    return np.random.default_rng(_RP_SEED).standard_normal((RP_DIM, DIM))
+
+
+def q_embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims: each
+    output coordinate is one dot product against a seeded Gaussian
+    hyperplane — the standard cheap dimensionality reduction in front
+    of clustering / dedup passes over embedding corpora (pairwise
+    distances preserved within (1 +/- eps) w.h.p.).
+
+    Scale: ZERO shuffles — a row-local projection (narrow map over the
+    scan; at 100 TB the projected table writes straight out of the
+    executors).  The planes are plan literals (16 x 64 doubles, one
+    generated SQL string — see _dot_sql on why not Column objects) and
+    every dot accumulates left-to-right IEEE, so the DuckDB oracle
+    recomputes bit-identical doubles; coordinates quantize once to
+    integer micro-units and leave as one comma-joined string.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    coords = ",".join(
+        f"CAST(ROUND({_dot_sql('embedding', p)} * 1e6, 0) AS BIGINT)"
+        for p in _rp_planes())
+    return e.selectExpr(
+        "vec_id", "label",
+        f"array_join(array({coords}), ',') AS proj_e6")
+
+
 QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce,
     "ann_lsh_cosine": q_ann_lsh,
     "ann_ivf_cosine": q_ann_ivf,
     "ann_int8_rerank": q_ann_int8,
     "knn_pandas_vectorized": q_knn_pandas,
+    "hard_negative_mining": q_hard_negatives,
+    "embedding_random_projection": q_embedding_random_projection,
     "embedding_norms": q_embedding_norms,
     "embedding_centroids_exact": q_embedding_centroids,
     "embedding_quantize_int8": q_embedding_quantize,
@@ -738,3 +808,44 @@ ORACLE["ann_ivf_cosine"] = f"""
         FROM scored)
     SELECT q_id, neighbor_id, cos, rk FROM final WHERE rk <= {TOP_K}
 """
+
+ORACLE["hard_negative_mining"] = f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      embedding AS q_vec
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q_id, q_label, e.vec_id AS neg_id, e.label AS neg_label,
+               ROUND({_COS.format(a='q_vec', b='e.embedding')}, 6) AS cos
+        FROM q JOIN embeddings e
+          ON e.vec_id <> q.q_id AND e.label <> q.q_label),
+    ranked AS (
+        SELECT q_id, q_label, neg_id, neg_label, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, neg_id) AS rk
+        FROM scored)
+    SELECT q_id, q_label, neg_id, neg_label, cos, rk
+    FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+def _rp_oracle_sql() -> str:
+    """Random-projection oracle: the same seeded planes as repr'd
+    literals, the same left-to-right list_reduce fold per coordinate,
+    the same micro-unit quantization."""
+    coords = []
+    for p in _rp_planes():
+        arr = "[" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)"
+                             for x in p) + "]"
+        coords.append(
+            "CAST(ROUND(list_reduce(list_transform("
+            f"list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            "(acc, x) -> acc + x) * 1e6, 0) AS BIGINT)")
+    return f"""
+        SELECT vec_id, label,
+               array_to_string([{", ".join(coords)}], ',') AS proj_e6
+        FROM embeddings
+    """
+
+
+ORACLE["embedding_random_projection"] = _rp_oracle_sql()

@@ -655,6 +655,49 @@ def q_chunk_boilerplate(spark, sf_dir):
             .filter(F.col("n_docs") >= 2))
 
 
+SEG_WORDS = 8      # non-overlapping word-segment width for line dedup
+
+
+def q_remove_boilerplate(spark, sf_dir):
+    """Frequent-segment removal — the RefinedWeb/CCNet "line dedup"
+    pass, applied: split every document into non-overlapping 8-word
+    segments (this corpus has no newlines; fixed word windows stand in
+    for lines), drop every segment whose digest recurs in >= 2 DISTINCT
+    documents (headers, footers, nav text, license blocks), and emit
+    the documents REASSEMBLED from their surviving segments in order.
+    Complements chunk_boilerplate (which only emits the removal list).
+
+    Scale: the recurrence count shuffles (digest, doc_id) pairs only —
+    never segment text (Catalyst prunes the seg column off that
+    branch); the removal is a broadcast-able LEFT ANTI join on digests;
+    reassembly groups a document's OWN segments — per-group state is
+    bounded by the document row itself (docs are row-sized by
+    construction), unlike the unbounded per-user history the funnel fix
+    removed.  Documents whose every segment is boilerplate drop out
+    (both engines construct identically).
+    """
+    d = _docs(spark, sf_dir)
+    segs = (d.select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) - 1) div {SEG_WORDS}),"
+                f" i -> array_join(slice(split(text, ' '), i * {SEG_WORDS} + 1,"
+                f" {SEG_WORDS}), ' '))")).alias("seg_idx", "seg"))
+             .withColumn("dg", F.md5(F.encode("seg", "UTF-8"))))
+    boiler = (segs.groupBy("dg")
+                  .agg(F.countDistinct("doc_id").alias("nd"))
+                  .filter(F.col("nd") >= 2)
+                  .select("dg"))
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    kept = segs.join(boiler, "dg", "left_anti")
+    return (kept.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.array_join(F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("seg_idx", "seg"))),
+                         lambda s: s["seg"]), " ").alias("clean_text"))
+                .join(totals, "doc_id")
+                .select("doc_id", "n_segs", "n_kept", "clean_text"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -674,6 +717,7 @@ QUERIES = {
     "seq_packing_gpt": q_seq_packing,
     "doc_chunking_rag": q_doc_chunking,
     "chunk_boilerplate": q_chunk_boilerplate,
+    "text_remove_boilerplate": q_remove_boilerplate,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -978,3 +1022,22 @@ ORACLE = {
         GROUP BY bigram HAVING COUNT(*) >= 10
     """,
 }
+
+ORACLE["text_remove_boilerplate"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(w[i * {SEG_WORDS} + 1 : (i + 1) * {SEG_WORDS}],
+                               ' ') AS seg
+        FROM d, unnest(generate_series(0, (len(w) - 1) // {SEG_WORDS}))
+                  AS t(i)),
+    sg AS (SELECT doc_id, seg_idx, seg, md5(seg) AS dg FROM segs),
+    boiler AS (SELECT dg FROM sg GROUP BY dg
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+    tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM sg GROUP BY doc_id),
+    kept AS (SELECT * FROM sg WHERE dg NOT IN (SELECT dg FROM boiler))
+    SELECT k.doc_id, tot.n_segs, COUNT(*) AS n_kept,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+    FROM kept k JOIN tot USING (doc_id)
+    GROUP BY k.doc_id, tot.n_segs
+"""

@@ -593,3 +593,76 @@ def test_cancel_mid_oracle_query_under_aqe(spark, sf_medium):
     finally:
         stop.set()
         t.join()
+
+
+def test_hard_negatives_labels_differ_and_ranks_contiguous(spark, sf_small):
+    from go_mapreduce_crawler_spark.operators import similarity
+    rows = similarity.q_hard_negatives(spark, sf_small).collect()
+    assert rows
+    assert all(r.neg_label != r.q_label for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), (q, rks)
+
+
+def test_dsir_weights_rank_target_language_higher(spark, sf_small):
+    """Direction sanity: under a target = the English slice, English
+    documents must average a higher importance weight than the rest
+    (that is the entire point of the estimator)."""
+    from go_mapreduce_crawler_spark.operators import curation
+    d = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    j = (curation.q_dsir_weights(spark, sf_small)
+         .join(d, "doc_id").collect())
+    en = [r.mean_logw for r in j if r.lang == "en"]
+    rest = [r.mean_logw for r in j if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_remove_boilerplate_matches_python_reference(spark, sf_small):
+    """Exact cross-check of segmentation, recurrence counting, removal
+    and in-order reassembly against a driver-local reference."""
+    from go_mapreduce_crawler_spark.operators import text as t
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, sf_small, "documents")
+            .select("doc_id", "text").collect()}
+    segs = {}          # doc_id -> [seg, ...]
+    seg_docs = {}      # seg -> set(doc_id)
+    for did, txt in docs.items():
+        w = txt.split(" ")
+        ss = [" ".join(w[i:i + t.SEG_WORDS])
+              for i in range(0, len(w), t.SEG_WORDS)]
+        segs[did] = ss
+        for s in ss:
+            seg_docs.setdefault(s, set()).add(did)
+    boiler = {s for s, ds in seg_docs.items() if len(ds) >= 2}
+    expect = {}
+    for did, ss in segs.items():
+        kept = [s for s in ss if s not in boiler]
+        if kept:
+            expect[did] = (len(ss), len(kept), " ".join(kept))
+    got = {r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+           for r in t.q_remove_boilerplate(spark, sf_small).collect()}
+    assert got == expect, (len(got), len(expect))
+
+
+def test_random_projection_matches_sequential_fold(spark, sf_small):
+    """Each projected coordinate equals a driver-local left-to-right
+    IEEE fold against the same seeded planes (+/- 1 micro-unit for the
+    round-half tie rule)."""
+    from go_mapreduce_crawler_spark.operators import similarity as s
+    planes = s._rp_planes()
+    rows = (s.q_embedding_random_projection(spark, sf_small)
+            .join(load_table(spark, sf_small, "embeddings")
+                  .select("vec_id", "embedding"), "vec_id")
+            .limit(50).collect())
+    assert rows
+    for r in rows:
+        got = [int(x) for x in r.proj_e6.split(",")]
+        for j, p in enumerate(planes):
+            acc = 0.0
+            for x, w in zip(r.embedding, p):
+                acc += float(x) * w
+            assert abs(got[j] - round(acc * 1e6)) <= 1, (r.vec_id, j)

@@ -535,3 +535,31 @@ def test_pipeline_e2e_single_scan_three_shuffles(spark, sf_small):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan[:2000]
     assert n_shuffle_exchanges(df) <= 3, plan[:2000]
     assert not has_python_udf(df)
+
+
+def test_new_r04_operators_plan_shapes(spark, sf_small):
+    """r04 additions hold the standing plan discipline:
+    - random projection is a pure narrow map (zero shuffles, no Python)
+    - hard-negative mining broadcasts the gated query set
+    - DSIR joins its 1024-row model back by broadcast over a
+      partial+final bucket count
+    - boilerplate removal aggregates partial+final and keeps Python out
+    """
+    from go_mapreduce_crawler_spark.operators import curation, similarity, text
+
+    rp = similarity.q_embedding_random_projection(spark, sf_small)
+    assert n_shuffle_exchanges(rp) == 0, physical_plan(rp)[:1200]
+    assert not has_python_udf(rp)
+
+    hn = similarity.q_hard_negatives(spark, sf_small)
+    assert has_broadcast_join(hn)
+    assert not has_python_udf(hn)
+
+    ds = curation.q_dsir_weights(spark, sf_small)
+    assert has_broadcast_join(ds)
+    assert has_partial_and_final_agg(ds)
+    assert not has_python_udf(ds)
+
+    rb = text.q_remove_boilerplate(spark, sf_small)
+    assert has_partial_and_final_agg(rb)
+    assert not has_python_udf(rb)
