@@ -123,17 +123,34 @@ def q_sample_token_budget(spark, sf_dir):
 
     This is the mixing step that turns "sample 10 docs per source" into
     "sample 5,000 TOKENS per source" — what an LM data recipe actually
-    specifies.  One shuffle keyed on source; the running sum is a
-    per-source window (ORDER BY hash), same WindowGroupLimit-friendly
-    shape as sample_cap_per_source.
+    specifies.
+
+    Scale (r04): the per-source running sum is the TWO-LEVEL
+    distributed prefix sum (seq_packing_gpt's recipe) — the hash
+    order key's leading 2 hex chars bucket each source into 256
+    contiguous rank ranges; intra-bucket cumulative sums partition on
+    (source, bucket) while bucket offsets come from a window over the
+    |sources| x 256-row bucket summary, broadcast back.  Bucket order
+    equals hash order by construction (a string sorts by its prefix
+    first), so cum_tokens is bit-identical to the single per-source
+    window — without any source's docs ever sorting in one task.
     """
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " "))
     h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
-    w = (W.partitionBy("source").orderBy("h", "doc_id")
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    out = (d.select("doc_id", "source", n_tok.alias("n_tokens"), h.alias("h"))
-            .withColumn("cum_tokens", F.sum("n_tokens").over(w)))
+    base = d.select("doc_id", "source", n_tok.alias("n_tokens"),
+                    h.alias("h"), F.substring(h, 1, 2).alias("bkt"))
+    bsum = base.groupBy("source", "bkt").agg(F.sum("n_tokens").alias("s"))
+    w_off = (W.partitionBy("source").orderBy("bkt")
+              .rowsBetween(W.unboundedPreceding, -1))
+    offs = bsum.select("source", "bkt",
+                       F.coalesce(F.sum("s").over(w_off), F.lit(0))
+                        .alias("off"))
+    w_in = (W.partitionBy("source", "bkt").orderBy("h", "doc_id")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = (base.join(F.broadcast(offs), ["source", "bkt"])
+               .withColumn("cum_tokens",
+                           F.col("off") + F.sum("n_tokens").over(w_in)))
     return (out.filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
                .select("doc_id", "source", "n_tokens", "cum_tokens"))
 
@@ -157,15 +174,30 @@ def q_shard_assignment(spark, sf_dir):
     shard + hash-derived order = a reproducible global shuffle
     (re-running after appending documents never moves an existing doc
     to a different shard, unlike orderBy(rand(seed))).
+
+    Scale (r04): the in-shard position uses the two-level prefix-count
+    (sample_token_budget's recipe) — hash-prefix buckets rank locally
+    on (shard, bucket); global positions add the broadcast per-bucket
+    offsets, bit-identical to one window per shard without a shard's
+    corpus ever ranking in one task.
     """
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
     shard = (F.conv(F.substring(h, 1, 4), 16, 10)
               .cast("long") % N_SHARDS).cast("int")
-    out = d.select("doc_id", shard.alias("shard"), h.alias("h"))
-    w = W.partitionBy("shard").orderBy("h", "doc_id")
-    return (out.withColumn("pos", F.row_number().over(w))
-               .select("doc_id", "shard", "pos"))
+    base = d.select("doc_id", shard.alias("shard"), h.alias("h"),
+                    F.substring(h, 1, 2).alias("bkt"))
+    bcnt = base.groupBy("shard", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    w_off = (W.partitionBy("shard").orderBy("bkt")
+              .rowsBetween(W.unboundedPreceding, -1))
+    offs = bcnt.select("shard", "bkt",
+                       F.coalesce(F.sum("c").over(w_off), F.lit(0))
+                        .alias("off"))
+    w_in = W.partitionBy("shard", "bkt").orderBy("h", "doc_id")
+    return (base.join(F.broadcast(offs), ["shard", "bkt"])
+                .withColumn("pos", (F.col("off")
+                                    + F.row_number().over(w_in)).cast("int"))
+                .select("doc_id", "shard", "pos"))
 
 
 # ------------------------------------------------------------------

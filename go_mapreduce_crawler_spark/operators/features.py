@@ -147,20 +147,48 @@ def q_histogram_equidepth(spark, sf_dir):
     the optimizer-statistics twin of the equi-width histogram (and the
     shape ANALYZE builds for selectivity estimation).
 
-    NTILE over the total order (value, event_id) is pure rank
-    arithmetic — identical in both engines; bounds and mass stay in
-    DECIMAL.  One shuffle on event_type, aggregation reuses the
-    window's exchange.
+    NTILE bucket membership is pure rank arithmetic — identical in
+    both engines; bounds and mass stay in DECIMAL.
+
+    Scale-safe two-level form (r04, same recipe as the median family):
+    the fact table compacts to (event_type, value, cnt) with a
+    partial+final agg, the cumulative-count window runs over DISTINCT
+    values, and each value distributes its cnt copies across the NTILE
+    rank ranges it overlaps (bucket k of n rows covers ranks
+    [(k-1)*q + min(k-1, r) + 1, k*q + min(k, r)], q = n div 10,
+    r = n mod 10 — NTILE's exact rule).  Equal values are
+    interchangeable within a rank range, so n/lo/hi/mass are identical
+    to ranking raw rows — while the per-type sort touches the value
+    domain, never a TB-sized type partition.  Pinned by
+    tests/test_plans.py::test_median_family_ranks_compacted_relation.
     """
     e = load_table(spark, sf_dir, "events")
-    base = e.select("event_type", dec("value", MONEY).alias("v"), "event_id")
-    w = W.partitionBy("event_type").orderBy("v", "event_id")
-    return (base.withColumn("bucket", F.ntile(10).over(w))
-                .groupBy("event_type", "bucket")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.min("v").cast("double").alias("lo"),
-                     F.max("v").cast("double").alias("hi"),
-                     F.sum("v").cast("double").alias("mass")))
+    vc = (e.select("event_type", dec("value", MONEY).alias("v"))
+           .groupBy("event_type", "v")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    grp = W.partitionBy("event_type")
+    w = grp.orderBy("v")
+    ranked = vc.select(
+        "event_type", "v", "cnt",
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+         .alias("cum"),
+        F.sum("cnt").over(grp).alias("n"))
+    q, r = F.col("n") / 10, F.col("n") % 10
+    b_lo = ((F.col("bucket") - 1) * F.floor(q)
+            + F.least(F.col("bucket") - 1, r) + 1)
+    b_hi = (F.col("bucket") * F.floor(q) + F.least(F.col("bucket"), r))
+    overlap = (F.least(F.col("cum"), b_hi)
+               - F.greatest(F.col("cum") - F.col("cnt") + 1, b_lo) + 1)
+    return (ranked.withColumn("bucket", F.explode(F.sequence(F.lit(1),
+                                                             F.lit(10))))
+                  .withColumn("k", overlap)
+                  .filter(F.col("k") > 0)
+                  .groupBy("event_type", "bucket")
+                  .agg(F.sum("k").alias("n"),
+                       F.min("v").cast("double").alias("lo"),
+                       F.max("v").cast("double").alias("hi"),
+                       F.sum(F.col("v") * F.col("k"))
+                        .cast("double").alias("mass")))
 
 
 def q_regr_value_time(spark, sf_dir):

@@ -244,10 +244,11 @@ def test_median_family_ranks_compacted_relation(spark, sf_small):
     map-side combine shrinks the shuffle."""
     from go_mapreduce_crawler_spark.operators import features, relational
     for fn in (relational.q_median_per_group, features.q_stats_trimmed,
-               features.q_events_anomaly_mad):
+               features.q_events_anomaly_mad, features.q_histogram_equidepth):
         df = fn(spark, sf_small)
         plan = physical_plan(df)
         assert "row_number" not in plan, (fn.__name__, plan[:1500])
+        assert "ntile" not in plan, (fn.__name__, plan[:1500])
         assert "Window" in plan, fn.__name__
         assert has_partial_and_final_agg(df), fn.__name__
 
@@ -494,13 +495,18 @@ def test_blocklist_filter_is_shuffle_free_scan(spark, sf_small):
     assert not has_python_udf(df)
 
 
-def test_shard_assignment_single_shuffle(spark, sf_small):
-    """shard_assignment: exactly one exchange (hash by shard for the
-    in-shard ordering) — the declarative form of repartition +
-    sortWithinPartitions must not add a second shuffle."""
+def test_shard_assignment_two_level_shuffles(spark, sf_small):
+    """shard_assignment (r04 two-level form): at most two exchanges —
+    the fact stream hashes once on (shard, bkt) for the local rank,
+    and the bucket-count summary (|shards| x 256 rows) pays two
+    summary-sized exchanges (partial+final agg, offset window) before
+    broadcasting back.  The FACT stream shuffles exactly once; no
+    bare-shard window (see
+    test_budget_and_shard_windows_are_bucket_partitioned)."""
     from go_mapreduce_crawler_spark.operators import curation
     df = curation.q_shard_assignment(spark, sf_small)
-    assert n_shuffle_exchanges(df) == 1, physical_plan(df)[:2000]
+    assert n_shuffle_exchanges(df) <= 3, physical_plan(df)[:2000]
+    assert has_broadcast_join(df)
 
 
 def test_anomaly_mad_broadcasts_stats_fact_never_shuffles(spark, sf_small):
@@ -563,3 +569,20 @@ def test_new_r04_operators_plan_shapes(spark, sf_small):
     rb = text.q_remove_boilerplate(spark, sf_small)
     assert has_partial_and_final_agg(rb)
     assert not has_python_udf(rb)
+
+
+def test_budget_and_shard_windows_are_bucket_partitioned(spark, sf_small):
+    """r04 two-level prefix pin: the running-sum/rank windows in
+    sample_token_budget and shard_assignment must partition on
+    (group, hash-prefix bucket) — never the bare group key, whose
+    partitions hold a TB-scale slice of the corpus at 100x.  The
+    marker: every Window partition spec in the plan includes bkt."""
+    import re
+    from go_mapreduce_crawler_spark.operators import curation
+    for fn in (curation.q_sample_token_budget, curation.q_shard_assignment):
+        plan = physical_plan(fn(spark, sf_small))
+        specs = re.findall(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]+), ([^,]+),", plan)
+        wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert wins, (fn.__name__, plan[:1200])
+        for w_line in wins:
+            assert "bkt" in w_line, (fn.__name__, w_line)
