@@ -82,6 +82,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "hard_negative_mining",
     "embedding_random_projection",
+    "events_ewma_smooth",
+    "text_tfidf_doc_pairs",
 ]
 
 N_CRAWL_FILES = 2000

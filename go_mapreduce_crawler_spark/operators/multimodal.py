@@ -274,10 +274,37 @@ def q_multimodal_resize(spark, sf_dir):
                   F.sum("nb").alias("total_bytes")))
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload dedup over the media table: group by
+    (sha256(payload), kind), keep the lowest media_id as survivor —
+    the first pass every multimodal corpus runs (identical bytes
+    re-crawled under different ids), ahead of any perceptual/near-dup
+    stage.  Like dedup_exact_groups, ALL digest groups are emitted
+    (this synthetic corpus happens to be duplicate-free; the contract
+    and the plan are what scale — n_copies carries the dup signal).
+
+    Scale contract (the exact-dedup rule, dedup.py): the binary
+    payloads NEVER shuffle — the digest projects row-locally and only
+    (digest, kind, media_id) rows reach the aggregation; ids are
+    re-aggregated into a sorted array that is bounded by the duplicate
+    group, not the corpus.
+    """
+    m = synth_media(spark, sf_dir)
+    return (m.select(F.sha2("payload", 256).alias("digest"),
+                     F.col("meta.kind").alias("kind"), "media_id")
+             .groupBy("digest", "kind")
+             .agg(F.count(F.lit(1)).alias("n_copies"),
+                  F.min("media_id").alias("keeper"),
+                  F.array_join(F.array_sort(F.collect_list(
+                      F.col("media_id").cast("string"))), ",").alias("ids"))
+             .filter(F.col("n_copies") >= 1))
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_dedup_exact": q_multimodal_dedup,
 }
 
 ORACLE = {
@@ -318,5 +345,18 @@ ORACLE = {
                COUNT(*) AS n_media,
                SUM(LEAST(octet_length(encode(text)), 4096))::BIGINT AS total_bytes
         FROM documents GROUP BY 1
+    """,
+    "multimodal_dedup_exact": """
+        SELECT sha256(text) AS digest,
+               CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keeper,
+               array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',')
+                   AS ids
+        FROM documents
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 1
     """,
 }

@@ -162,8 +162,31 @@ def q_sample_temperature_mix(spark, sf_dir):
                      .alias("copy")))
 
 
+def q_sample_split_group(spark, sf_dir):
+    """GROUP-holdout split: the split decision hashes the SOURCE, not
+    the document, so every document of a source lands in the same fold
+    — the leakage-safe split for near-duplicate-heavy corpora (random
+    doc-level splits put near-copies of one crawl/source on both sides
+    of the train/test fence, inflating eval; sklearn's
+    GroupShuffleSplit is the same contract).
+
+    Same scale properties as the doc-level split: a pure row-local
+    projection, zero shuffles, membership stable as the corpus grows
+    (a new source never moves an old one).  test/val get 64/256 buckets
+    each (sources are few here; wider bands keep all three folds
+    non-empty at every SF).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("source"))
+    return d.select(
+        "doc_id", "source",
+        F.when(b < "40", "test").when(b < "80", "val")
+         .otherwise("train").alias("split"))
+
+
 QUERIES = {
     "sample_split_deterministic": q_sample_split,
+    "sample_split_group_holdout": q_sample_split_group,
     "sample_temperature_mix": q_sample_temperature_mix,
     "sample_stratified_by_lang": q_sample_stratified,
     "sample_cap_per_source": q_sample_cap_per_source,
@@ -236,3 +259,13 @@ ORACLE = {
         WHERE rk <= 10
     """,
 }
+
+ORACLE["sample_split_group_holdout"] = """
+    SELECT doc_id, source,
+           CASE WHEN substring(md5(CAST(source AS VARCHAR)), 1, 2) < '40'
+                    THEN 'test'
+                WHEN substring(md5(CAST(source AS VARCHAR)), 1, 2) < '80'
+                    THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+"""

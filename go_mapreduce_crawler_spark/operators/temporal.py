@@ -302,7 +302,54 @@ def q_rollup_time_hierarchy(spark, sf_dir):
                   F.sum("v").cast("double").alias("sum_value")))
 
 
+EWMA_K = 8   # FIR taps; weights 0.5^j are exact binary fractions
+
+
+def _ewma_exprs() -> tuple[str, str]:
+    """Numerator/denominator of the truncated EWMA as ONE fixed-order
+    expression string, shared verbatim by Spark SQL and DuckDB (both
+    parse the same exact-binary weight literals and apply the same
+    correctly-rounded IEEE ops in the same association order)."""
+    num, den = "(v * 1.0)", "1.0"
+    for j in range(1, EWMA_K):
+        wj = repr(0.5 ** j)
+        num = f"({num} + coalesce(l{j} * {wj}, 0.0))"
+        den = (f"({den} + (CASE WHEN l{j} IS NOT NULL"
+               f" THEN {wj} ELSE 0.0 END))")
+    return num, den
+
+
+def q_events_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event value —
+    the standard smoothing/drift signal — in TRUNCATED (FIR) form:
+    ewma_t = sum_{j<8} 0.5^j v_{t-j} / sum_{j<8} 0.5^j over the taps
+    that exist (fewer near a user's start).
+
+    The truncation is what makes the operator both scale-safe and
+    engine-exact: the recursive IIR form is a sequential scan per user
+    (and accumulates float error in engine-specific order), while the
+    FIR form is 7 LAGs in ONE bounded window frame — one shuffle on
+    user_id, constant per-row state, and a fixed-order expression both
+    engines evaluate bit-identically (weights 0.5^j are exact binary
+    fractions).  Tail error of the truncation is 2^-8 of the weight
+    mass, folded into the renormalizing denominator.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("obs_us", "event_id")
+    base = e.select("user_id", "event_id",
+                    F.unix_micros("ts").alias("obs_us"),
+                    F.col("value").cast("double").alias("v"))
+    lagged = base.select(
+        "*", *[F.lag("v", j).over(w).alias(f"l{j}")
+               for j in range(1, EWMA_K)])
+    num, den = _ewma_exprs()
+    return lagged.selectExpr(
+        "user_id", "obs_us", "event_id", "v AS value",
+        f"round({num} / {den}, 6) AS ewma")
+
+
 QUERIES = {
+    "events_ewma_smooth": q_events_ewma,
     "rollup_time_hierarchy": q_rollup_time_hierarchy,
     "ts_subsequence_search": q_ts_subsequence_search,
     "window_tumbling_events": q_window_tumbling,
@@ -473,3 +520,17 @@ ORACLE = {
         FROM od
     """,
 }
+
+_EWMA_LAGS = ", ".join(
+    f"LAG(v, {j}) OVER (PARTITION BY user_id ORDER BY obs_us, event_id)"
+    f" AS l{j}" for j in range(1, EWMA_K))
+_EWMA_NUM, _EWMA_DEN = _ewma_exprs()
+ORACLE["events_ewma_smooth"] = f"""
+    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS obs_us,
+                      CAST(value AS DOUBLE) AS v
+               FROM events),
+    l AS (SELECT user_id, event_id, obs_us, v, {_EWMA_LAGS} FROM b)
+    SELECT user_id, obs_us, event_id, v AS value,
+           ROUND({_EWMA_NUM} / {_EWMA_DEN}, 6) AS ewma
+    FROM l
+"""

@@ -655,6 +655,69 @@ def q_chunk_boilerplate(spark, sf_dir):
             .filter(F.col("n_docs") >= 2))
 
 
+TFIDF_PAIR_DF_CAP = 20     # posting-list elision: drop head terms
+TFIDF_PAIR_MIN_SHARED = 2  # pairs must share >= 2 rare terms
+
+
+def q_tfidf_doc_pairs(spark, sf_dir):
+    """Sparse tf-idf document-pair similarity through the inverted
+    index — the lexical (IR-style) near-dup/similarity signal next to
+    the embedding-cosine one: pairs of documents sharing >= 2 rare
+    terms, scored by the tf-idf dot product and its cosine.
+
+    Terms are word 3-grams (this corpus's ~30-word vocabulary makes
+    unigrams degenerate — the simhash/shingle lesson) and terms with
+    df > 20 are elided BEFORE pair generation: candidate fan-out per
+    term is then <= df_cap^2, the posting-list-bounding trick every
+    production similarity join uses (PPJoin's prefix filter is the
+    sharper version; the cap is its blunt, fully-oracle-able form).
+
+    Determinism: idf quantizes once per term to integer MILLI-nats via
+    the engine-deterministic _ln_det (milli not micro: w = tf*idf stays
+    < 2^18, so summed squares of corpus-sized docs stay far inside
+    BIGINT in DuckDB's checked arithmetic); dot products and norms are
+    then exact integer sums, and only the final cosine divides (same
+    fixed IEEE expression both engines).
+
+    Scale: one (doc, term) count shuffle, one term-keyed model join
+    (broadcast-able while the rare-term vocabulary fits, a plain
+    co-partitioned join beyond), one pair shuffle of (doc_a, doc_b)
+    id pairs with integer weights — document text never reaches the
+    pair stage.
+    """
+    d = _docs(spark, sf_dir)
+    grams = d.select("doc_id",
+                     F.explode(_token_ngrams(F.split("text", " "), 3))
+                      .alias("t"))
+    tf = grams.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = (tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") <= TFIDF_PAIR_DF_CAP))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (f"CAST(round(({_ln_det('(n_docs + 1)', _lit_spark)}"
+           f" - {_ln_det('(df + 1)', _lit_spark)}) * 1e3, 0) AS BIGINT)")
+    model = dfc.crossJoin(F.broadcast(n)).selectExpr("t", f"{idf} AS idf_m")
+    wts = (tf.join(model, "t")
+             .select("doc_id", "t", (F.col("tf") * F.col("idf_m")).alias("w"))
+             .cache())
+    norms = wts.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("sq"))
+    a = wts.select(F.col("doc_id").alias("doc_a"), "t", F.col("w").alias("wa"))
+    b = wts.select(F.col("doc_id").alias("doc_b"), "t", F.col("w").alias("wb"))
+    pairs = (a.join(b, "t")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("n_shared"),
+                   F.sum(F.col("wa") * F.col("wb")).alias("s_ab"))
+              .filter(F.col("n_shared") >= TFIDF_PAIR_MIN_SHARED))
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("sq").alias("sq_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("sq").alias("sq_b"))
+    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+                 .selectExpr("doc_a", "doc_b", "n_shared", "s_ab",
+                             "CAST(floor(CAST(s_ab AS DOUBLE)"
+                             " / sqrt(CAST(sq_a AS DOUBLE)"
+                             " * CAST(sq_b AS DOUBLE)) * 1e6) AS BIGINT)"
+                             " AS cos_e6"))
+
+
 SEG_WORDS = 8      # non-overlapping word-segment width for line dedup
 
 
@@ -718,6 +781,7 @@ QUERIES = {
     "doc_chunking_rag": q_doc_chunking,
     "chunk_boilerplate": q_chunk_boilerplate,
     "text_remove_boilerplate": q_remove_boilerplate,
+    "text_tfidf_doc_pairs": q_tfidf_doc_pairs,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -1041,3 +1105,44 @@ ORACLE["text_remove_boilerplate"] = f"""
     FROM kept k JOIN tot USING (doc_id)
     GROUP BY k.doc_id, tot.n_segs
 """
+
+
+def _tfidf_pairs_oracle_sql() -> str:
+    idf = (f"CAST(ROUND(({_ln_det('(n_docs + 1)', _lit_duck)}"
+           f" - {_ln_det('(df + 1)', _lit_duck)}) * 1e3, 0) AS BIGINT)")
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS t
+            FROM d),
+        tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+        dfc AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+                HAVING COUNT(*) <= {TFIDF_PAIR_DF_CAP}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        model AS (SELECT t, {idf} AS idf_m FROM dfc CROSS JOIN n),
+        wts AS (SELECT doc_id, t, tf * idf_m AS w
+                FROM tf JOIN model USING (t)),
+        norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS sq
+                  FROM wts GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared,
+                   CAST(SUM(a.w * b.w) AS BIGINT) AS s_ab
+            FROM wts a JOIN wts b ON a.t = b.t AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {TFIDF_PAIR_MIN_SHARED})
+        SELECT p.doc_a, p.doc_b, p.n_shared, p.s_ab,
+               CAST(FLOOR(CAST(p.s_ab AS DOUBLE)
+                    / sqrt(CAST(na.sq AS DOUBLE)
+                           * CAST(nb.sq AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS cos_e6
+        FROM pairs p
+        JOIN norms na ON na.doc_id = p.doc_a
+        JOIN norms nb ON nb.doc_id = p.doc_b
+    """
+
+
+ORACLE["text_tfidf_doc_pairs"] = _tfidf_pairs_oracle_sql()

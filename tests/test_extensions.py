@@ -666,3 +666,83 @@ def test_random_projection_matches_sequential_fold(spark, sf_small):
             for x, w in zip(r.embedding, p):
                 acc += float(x) * w
             assert abs(got[j] - round(acc * 1e6)) <= 1, (r.vec_id, j)
+
+
+def test_ewma_constant_series_and_first_row_identity(spark, sf_small):
+    """EWMA invariants: the first observation of every user equals its
+    own value (no taps yet), and every smoothed value lies within the
+    running min/max of its 8-tap history."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    rows = temporal.q_events_ewma(spark, sf_small).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.obs_us, r.event_id))
+        assert abs(evs[0].ewma - round(evs[0].value, 6)) < 1e-9
+        for i, r in enumerate(evs):
+            window = [e.value for e in evs[max(0, i - 7):i + 1]]
+            assert min(window) - 1e-6 <= r.ewma <= max(window) + 1e-6
+
+
+def test_group_split_never_splits_a_source(spark, sf_small):
+    from go_mapreduce_crawler_spark.operators import sampling
+    df = sampling.q_sample_split_group(spark, sf_small)
+    per_src = (df.groupBy("source")
+                 .agg(F.countDistinct("split").alias("n")).collect())
+    assert per_src and all(r.n == 1 for r in per_src)
+    assert {r.split for r in df.select("split").distinct().collect()} \
+        == {"train", "val", "test"}
+
+
+def test_tfidf_pairs_rank_duplicate_docs_highest(spark, sf_small):
+    """Documents that are exact text duplicates must appear as pairs at
+    (or joint-)maximum cosine (1e6 fixed-point), and every cosine must
+    lie in [0, 1e6]."""
+    from go_mapreduce_crawler_spark.operators import text as t
+    pairs = {(r.doc_a, r.doc_b): r.cos_e6
+             for r in t.q_tfidf_doc_pairs(spark, sf_small).collect()}
+    assert pairs
+    assert all(0 <= c <= 1_000_000 for c in pairs.values())
+    docs = (load_table(spark, sf_small, "documents")
+            .select("doc_id", "text").collect())
+    by_text = {}
+    for r in docs:
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    dup_pairs = [(min(a, b), max(a, b))
+                 for ids in by_text.values() if len(ids) >= 2
+                 for a in ids for b in ids if a < b]
+    checked = 0
+    for p in dup_pairs:
+        if p in pairs:           # identical docs share all their terms
+            assert pairs[p] >= 999_999, (p, pairs[p])
+            checked += 1
+    assert checked > 0 or not dup_pairs
+
+
+def test_multimodal_dedup_groups_are_true_copies(spark, sf_small):
+    """Every digest group: n_copies == |ids|, keeper is the min id, all
+    ids carry identical payload bytes, and a synthetic duplicate pair
+    injected via union IS grouped (the corpus itself is dup-free)."""
+    from go_mapreduce_crawler_spark.operators import multimodal
+    groups = multimodal.q_multimodal_dedup(spark, sf_small).collect()
+    assert groups
+    texts = {r.doc_id: r.text
+             for r in load_table(spark, sf_small, "documents")
+             .select("doc_id", "text").collect()}
+    for g in groups:
+        ids = [int(x) for x in g.ids.split(",")]
+        assert len(ids) == g.n_copies >= 1
+        assert g.keeper == min(ids)
+        assert len({texts[i] for i in ids}) == 1
+    # positive control: duplicate payloads under different ids group.
+    m = multimodal.synth_media(spark, sf_small)
+    twin = m.limit(5).withColumn(
+        "media_id", F.col("media_id") + 10_000_000)
+    dup = (m.limit(5).union(twin)
+           .select(F.sha2("payload", 256).alias("dg"),
+                   F.col("meta.kind").alias("kind"), "media_id")
+           .groupBy("dg", "kind")
+           .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert dup and all(r.n == 2 for r in dup)

@@ -586,3 +586,26 @@ def test_budget_and_shard_windows_are_bucket_partitioned(spark, sf_small):
         assert wins, (fn.__name__, plan[:1200])
         for w_line in wins:
             assert "bkt" in w_line, (fn.__name__, w_line)
+
+
+def test_r04_batch2_plan_shapes(spark, sf_small):
+    """Second r04 batch: EWMA is one window shuffle with no Python;
+    group-holdout split is a zero-shuffle narrow projection; tf-idf
+    pair generation and multimodal dedup aggregate partial+final with
+    no Python stage."""
+    from go_mapreduce_crawler_spark.operators import (multimodal, sampling,
+                                                      temporal, text)
+    ew = temporal.q_events_ewma(spark, sf_small)
+    assert n_shuffle_exchanges(ew) == 1, physical_plan(ew)[:1200]
+    assert not has_python_udf(ew)
+
+    gs = sampling.q_sample_split_group(spark, sf_small)
+    assert n_shuffle_exchanges(gs) == 0, physical_plan(gs)[:1200]
+
+    tp = text.q_tfidf_doc_pairs(spark, sf_small)
+    assert has_partial_and_final_agg(tp)
+    assert not has_python_udf(tp)
+
+    md = multimodal.q_multimodal_dedup(spark, sf_small)
+    assert has_partial_and_final_agg(md)
+    assert not has_python_udf(md)
