@@ -425,9 +425,11 @@ def q_dsir_weights(spark, sf_dir):
     once per bucket to integer micro-nats, so per-document sums are
     associative integer adds (the LM-score determinism recipe).
 
-    Scale: one token-bucket-count shuffle (1024 partials per task —
-    map-side combine absorbs the fan-in), the 1024-row model broadcast
-    back onto the unshuffled token stream, one doc_id agg.  Products
+    Scale: the token stream compacts ONCE to (doc_id, bucket, cnt) —
+    at most 1024 rows per document, cached so the explode runs a
+    single time — and both the global bucket counts (a second, tiny
+    agg over the compacted relation) and the per-document scores
+    (broadcast model join + sum(cnt * logw)) derive from it.  Products
     stay under 2^63 for any corpus with N_t * c_r < 9e18.
     """
     from .text import _ln_det, _lit_spark
@@ -437,13 +439,16 @@ def q_dsir_weights(spark, sf_dir):
         "doc_id",
         (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
         F.explode(F.split("text", " ")).alias("word"))
-    wb = words.select(
-        "doc_id", "is_t",
-        (F.conv(F.substring(F.md5(F.encode("word", "UTF-8")), 1, 8), 16, 10)
-          .cast("long") % DSIR_BUCKETS).alias("b"))
-    bc = wb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_r"),
-        F.count(F.when(F.col("is_t"), 1)).alias("c_t"))
+    dbc = (words.select(
+               "doc_id", "is_t",
+               (F.conv(F.substring(F.md5(F.encode("word", "UTF-8")), 1, 8),
+                       16, 10).cast("long") % DSIR_BUCKETS).alias("b"))
+           .groupBy("doc_id", "is_t", "b")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .cache())
+    bc = dbc.groupBy("b").agg(
+        F.sum("cnt").alias("c_r"),
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0)).alias("c_t"))
     tot = bc.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
     num = f"((c_t + 1) * (n_r + {DSIR_BUCKETS}))"
     den = f"((c_r + 1) * (n_t + {DSIR_BUCKETS}))"
@@ -451,13 +456,13 @@ def q_dsir_weights(spark, sf_dir):
             f" - {_ln_det(den, _lit_spark)}) * 1e6, 0) AS BIGINT)")
     model = (bc.crossJoin(F.broadcast(tot))
                .selectExpr("b", f"{logw} AS logw_u"))
-    return (wb.join(F.broadcast(model), "b")
-              .groupBy("doc_id")
-              .agg(F.count(F.lit(1)).alias("n_tokens"),
-                   F.sum("logw_u").alias("sum_logw_u"))
-              .select("doc_id", "n_tokens", "sum_logw_u",
-                      F.round(F.col("sum_logw_u") / F.col("n_tokens") / 1e6, 6)
-                       .alias("mean_logw")))
+    return (dbc.join(F.broadcast(model), "b")
+               .groupBy("doc_id")
+               .agg(F.sum("cnt").alias("n_tokens"),
+                    F.sum(F.col("cnt") * F.col("logw_u")).alias("sum_logw_u"))
+               .select("doc_id", "n_tokens", "sum_logw_u",
+                       F.round(F.col("sum_logw_u") / F.col("n_tokens") / 1e6, 6)
+                        .alias("mean_logw")))
 
 
 QUERIES = {

@@ -124,6 +124,38 @@ def q_validate_events(spark, sf_dir):
              .filter(F.col("violations") != ""))
 
 
+def q_validate_embeddings(spark, sf_dir):
+    """Data-contract validation for the vector table — the embeddings
+    twin of validate_events, emitting a SUMMARY row per declared check
+    (n_checked, n_violations) rather than per-row verdicts: corrupt
+    vectors are rare enough at 100 TB that the violation list belongs
+    in a side output, but the contract scorecard must always be
+    non-empty and cheap.
+
+    One partial+final global aggregate of conditional counts (the
+    per-vector predicates are row-local folds — zero extra shuffles),
+    exploded to one row per check.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate("embedding", F.lit(0.0),
+                     lambda a, x: a + x.cast("double") * x.cast("double"))
+    checks = [
+        ("vec_not_null", F.col("embedding").isNotNull()),
+        ("dim_is_64", F.size("embedding") == 64),
+        ("norm_positive", sq > 0.0),
+        ("label_in_domain", F.col("label").between(0, 9)),
+    ]
+    agg = e.agg(F.count(F.lit(1)).alias("n_checked"),
+                *[F.count(F.when(~ok, 1)).alias(f"v_{name}")
+                  for name, ok in checks])
+    return (agg.select("n_checked", F.explode(F.array(*[
+                F.struct(F.lit(name).alias("check"),
+                         F.col(f"v_{name}").alias("n_violations"))
+                for name, _ in checks])).alias("r"))
+               .select(F.col("r.check").alias("check"), "n_checked",
+                       "r.n_violations"))
+
+
 def q_histogram_equiwidth(spark, sf_dir):
     """Equi-width histogram of event value per event type: 20 bins of
     width 25 over [0, 500), with exact decimal mass per bin.
@@ -337,6 +369,7 @@ QUERIES = {
     "skyline_pareto_2d": q_skyline_pareto,
     "profile_documents": q_profile_table,
     "validate_events": q_validate_events,
+    "validate_embeddings": q_validate_embeddings,
     "histogram_equiwidth": q_histogram_equiwidth,
     "histogram_equidepth": q_histogram_equidepth,
 }
@@ -517,3 +550,26 @@ ORACLE = {
         WHERE violations <> ''
     """,
 }
+
+
+ORACLE["validate_embeddings"] = """
+    WITH base AS (
+        SELECT embedding IS NOT NULL AS ok_null,
+               len(embedding) = 64 AS ok_dim,
+               list_reduce(list_transform(embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                   (a, x) -> a + x) > 0.0 AS ok_norm,
+               label BETWEEN 0 AND 9 AS ok_label
+        FROM embeddings),
+    agg AS (
+        SELECT COUNT(*) AS n_checked,
+               COUNT(*) FILTER (WHERE NOT ok_null) AS v_vec_not_null,
+               COUNT(*) FILTER (WHERE NOT ok_dim) AS v_dim_is_64,
+               COUNT(*) FILTER (WHERE NOT ok_norm) AS v_norm_positive,
+               COUNT(*) FILTER (WHERE NOT ok_label) AS v_label_in_domain
+        FROM base)
+    SELECT 'vec_not_null' AS check, n_checked, v_vec_not_null AS n_violations FROM agg
+    UNION ALL SELECT 'dim_is_64', n_checked, v_dim_is_64 FROM agg
+    UNION ALL SELECT 'norm_positive', n_checked, v_norm_positive FROM agg
+    UNION ALL SELECT 'label_in_domain', n_checked, v_label_in_domain FROM agg
+"""
