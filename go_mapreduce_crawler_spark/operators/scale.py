@@ -162,7 +162,55 @@ def q_heavy_hitters_cms(spark, sf_dir):
                .select("word", "est_cnt"))
 
 
+ZORDER_BITS = 16
+ZORDER_FILE_SHIFT = 24   # top 8 z-bits = the target "file" (2^8 clusters)
+
+
+def _zkey_sql(x: str, y: str) -> str:
+    """Bit-interleaved z-order key of two 16-bit dims as ONE SQL string
+    — bits are disjoint, so the interleave is a plain integer sum of
+    32 shifted bit extracts, identical syntax in Spark SQL and DuckDB
+    (& >> are both; Spark's shiftleft(1,k) is written as literal 2^k
+    so the string parses in both dialects)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) clustering key for the events table over
+    the two hot filter dims (user_id, value bucket) — the multi-dim
+    data-layout technique (Delta/Iceberg OPTIMIZE ZORDER BY) that makes
+    parquet min/max row-group pruning effective on BOTH dims at once,
+    where a single-dim sort prunes only its leading column.
+
+    Emits per event the two 16-bit dim encodings, the interleaved
+    z-key, and the target file id (top z-bits) the layout writer would
+    route the row to; the locality property that justifies the layout —
+    a box filter touches ~sqrt as many z-files as value-sorted files
+    touch for the off-sorted dim — is pinned in
+    tests/test_extensions.py::test_zorder_box_query_locality.
+
+    Scale: the key is a row-local integer projection (zero shuffles
+    here); the physical write is repartitionByRange(zkey) + sorted
+    parquet — same realization contract as shard_assignment.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.selectExpr(
+        "event_id",
+        "CAST(user_id % 65536 AS BIGINT) AS dx",
+        "CAST(CAST(FLOOR(value * 100) AS BIGINT) % 65536 AS BIGINT) AS dy")
+    return base.selectExpr(
+        "event_id", "dx", "dy",
+        f"{_zkey_sql('dx', 'dy')} AS zkey",
+        f"CAST({_zkey_sql('dx', 'dy')} >> {ZORDER_FILE_SHIFT} AS BIGINT)"
+        " AS file_id")
+
+
 QUERIES = {
+    "zorder_layout_key": q_zorder_layout,
     "join_salted_skew": q_join_salted,
     "agg_salted_twophase": q_agg_salted_twophase,
     "approx_distinct_hll": q_approx_distinct,
@@ -171,6 +219,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "zorder_layout_key": f"""
+        WITH b AS (
+            SELECT event_id,
+                   CAST(user_id % 65536 AS BIGINT) AS dx,
+                   CAST(CAST(FLOOR(value * 100) AS BIGINT) % 65536 AS BIGINT) AS dy
+            FROM events)
+        SELECT event_id, dx, dy,
+               {_zkey_sql('dx', 'dy')} AS zkey,
+               CAST({_zkey_sql('dx', 'dy')} >> {ZORDER_FILE_SHIFT} AS BIGINT)
+                   AS file_id
+        FROM b
+    """,
     "text_heavy_hitters_cms": f"""
         WITH inst AS (
             SELECT unnest(string_split(text, ' ')) AS word FROM documents),

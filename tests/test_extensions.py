@@ -746,3 +746,25 @@ def test_multimodal_dedup_groups_are_true_copies(spark, sf_small):
            .groupBy("dg", "kind")
            .agg(F.count(F.lit(1)).alias("n")).collect())
     assert dup and all(r.n == 2 for r in dup)
+
+
+def test_zorder_box_query_locality(spark, sf_medium):
+    """The property that justifies z-ordering: a BOX filter on both
+    dims touches far fewer z-ordered files than single-dim-sorted
+    files.  Box dx < 1024, dy < 16384 constrains every x file-bit and
+    the top two y file-bits of the interleaved key, so at most 4 of
+    the 256 z-files can contain matches — while a dy-sorted layout
+    (file = dy >> 8) spreads the same rows over ~64 value files."""
+    from go_mapreduce_crawler_spark.operators import scale as sc
+    rows = sc.q_zorder_layout(spark, sf_medium).collect()
+    box = [r for r in rows if r.dx < 1024 and r.dy < 16384]
+    assert len(box) > 50, len(box)
+    z_files = {r.file_id for r in box}
+    dy_files = {r.dy >> 8 for r in box}
+    assert len(z_files) <= 4, sorted(z_files)
+    assert len(z_files) < len(dy_files), (len(z_files), len(dy_files))
+    # interleave correctness: z-key reconstructs both dims exactly
+    for r in box[:100]:
+        dx = sum(((r.zkey >> (2 * i)) & 1) << i for i in range(16))
+        dy = sum(((r.zkey >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (dx, dy) == (r.dx, r.dy)
