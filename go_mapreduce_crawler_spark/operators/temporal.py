@@ -348,8 +348,44 @@ def q_events_ewma(spark, sf_dir):
         f"round({num} / {den}, 6) AS ewma")
 
 
+TREND_TOP = 5
+
+
+def q_trending(spark, sf_dir):
+    """Trending values: per hour, the top-5 ``props.k`` values by count
+    GROWTH versus the previous hour — the period-over-period "what's
+    rising" analytics shape (trending hashtags/queries/SKUs).
+
+    Built the scale-correct way around: the fact table first compacts
+    to (hour, k) counts with a partial+final agg, and every window
+    (the per-k lag, the per-hour rank) runs over that tiny aggregated
+    relation — |hours| x |k| rows — never over raw events.  First
+    appearance counts as growth from zero (coalesce), matching the
+    common product definition.  Rank ties break on (growth desc, k)
+    for a total order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    k = F.get_json_object("props", "$.k").cast("int")
+    c = (e.select((F.unix_micros("ts") - F.unix_micros("ts") % hour_us)
+                  .alias("hour_us"), k.alias("k"))
+          .filter(F.col("k").isNotNull())
+          .groupBy("hour_us", "k").agg(F.count(F.lit(1)).alias("n")))
+    w_lag = W.partitionBy("k").orderBy("hour_us")
+    g = (c.withColumn("prev_hour", F.lag("hour_us").over(w_lag))
+          .withColumn("prev_n", F.lag("n").over(w_lag))
+          .withColumn("growth", F.col("n") - F.coalesce(
+              F.when(F.col("prev_hour") == F.col("hour_us") - hour_us,
+                     F.col("prev_n")), F.lit(0))))
+    w_rk = W.partitionBy("hour_us").orderBy(F.desc("growth"), "k")
+    return (g.withColumn("rk", F.row_number().over(w_rk))
+             .filter(F.col("rk") <= TREND_TOP)
+             .select("hour_us", "k", "n", "growth", "rk"))
+
+
 QUERIES = {
     "events_ewma_smooth": q_events_ewma,
+    "events_trending_k": q_trending,
     "rollup_time_hierarchy": q_rollup_time_hierarchy,
     "ts_subsequence_search": q_ts_subsequence_search,
     "window_tumbling_events": q_window_tumbling,
@@ -533,4 +569,26 @@ ORACLE["events_ewma_smooth"] = f"""
     SELECT user_id, obs_us, event_id, v AS value,
            ROUND({_EWMA_NUM} / {_EWMA_DEN}, 6) AS ewma
     FROM l
+"""
+
+ORACLE["events_trending_k"] = f"""
+    WITH c AS (
+        SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               COUNT(*) AS n
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2),
+    g AS (
+        SELECT hour_us, k, n,
+               n - COALESCE(CASE WHEN LAG(hour_us) OVER w
+                                     = hour_us - 3600000000
+                                 THEN LAG(n) OVER w END, 0) AS growth
+        FROM c WINDOW w AS (PARTITION BY k ORDER BY hour_us)),
+    r AS (
+        SELECT hour_us, k, n, growth,
+               ROW_NUMBER() OVER (PARTITION BY hour_us
+                                  ORDER BY growth DESC, k) AS rk
+        FROM g)
+    SELECT hour_us, k, n, growth, rk FROM r WHERE rk <= {TREND_TOP}
 """
