@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import dec
 from ..sources.tables import load_table
 
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
@@ -150,7 +151,62 @@ def q_entropy_event_mix(spark, sf_dir):
                      F.col("n_total").alias("n_events"), "h_ppm"))
 
 
+RFM_B = 5   # quintiles
+
+
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation over
+    orders: per customer the three raw metrics plus their quintile
+    scores (1..5 by value; low recency-days = recently active = score
+    1) and the combined RFM code — the classic retention-marketing
+    segmentation.
+
+    Quintile boundaries use the integer rank rule b_k = min v with
+    5*cum >= k*n over the COMPACTED (value, cnt) relation (the
+    median-family recipe — no raw-row NTILE, no tie-break dependence:
+    equal values always share a score), collected into one 4-element
+    array row per metric and cross-joined back broadcast, so scoring
+    is a row-local array count.  Customer aggregation is one
+    partial+final agg; everything after runs on |customers| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    c = (o.crossJoin(F.broadcast(maxd))
+          .groupBy("o_custkey")
+          .agg(F.min(F.datediff("maxd", "o_orderdate")).alias("r_days"),
+               F.count(F.lit(1)).alias("f_orders"),
+               F.sum(dec("o_totalprice", "decimal(12,2)")).alias("m_total")))
+
+    def thresholds(col):
+        vc = c.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = vc.select(
+            "v", F.sum("cnt").over(W.orderBy("v").rowsBetween(
+                W.unboundedPreceding, W.currentRow)).alias("cum"),
+            F.sum("cnt").over(W.partitionBy()).alias("n"))
+        b = (cum.crossJoin(F.broadcast(
+                 spark.range(1, RFM_B).select(F.col("id").alias("k"))))
+                .filter(F.col("cum") * RFM_B >= F.col("k") * F.col("n"))
+                .groupBy("k").agg(F.min("v").alias("b")))
+        return b.agg(F.array_sort(F.collect_list("b")).alias(f"thr_{col}"))
+
+    scored = (c.crossJoin(F.broadcast(thresholds("r_days")))
+               .crossJoin(F.broadcast(thresholds("f_orders")))
+               .crossJoin(F.broadcast(thresholds("m_total"))))
+    def score(col):
+        return (F.lit(1) + F.size(F.filter(
+            F.col(f"thr_{col}"), lambda t: t < F.col(col)))).cast("int")
+    return scored.select(
+        "o_custkey", "r_days", "f_orders",
+        F.col("m_total").cast("double").alias("m_total"),
+        score("r_days").alias("r_score"),
+        score("f_orders").alias("f_score"),
+        score("m_total").alias("m_score"),
+        (score("r_days") * 100 + score("f_orders") * 10
+         + score("m_total")).alias("rfm"))
+
+
 QUERIES = {
+    "rfm_segmentation": q_rfm_segmentation,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "markov_transitions": q_markov_transitions,
@@ -216,3 +272,46 @@ ORACLE = {
         GROUP BY 1, 2
     """,
 }
+
+ORACLE["rfm_segmentation"] = """
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    c AS (SELECT o_custkey,
+                 MIN(date_diff('day', o_orderdate, maxd)) AS r_days,
+                 COUNT(*) AS f_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS m_total
+          FROM orders CROSS JOIN mx GROUP BY 1),
+    rt AS (
+        SELECT k, MIN(v) AS b FROM
+            (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                    SUM(cnt) OVER () AS n
+             FROM (SELECT r_days AS v, COUNT(*) AS cnt FROM c GROUP BY 1)),
+            unnest([1, 2, 3, 4]) AS t(k)
+        WHERE cum * 5 >= k * n GROUP BY k),
+    ft AS (
+        SELECT k, MIN(v) AS b FROM
+            (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                    SUM(cnt) OVER () AS n
+             FROM (SELECT f_orders AS v, COUNT(*) AS cnt FROM c GROUP BY 1)),
+            unnest([1, 2, 3, 4]) AS t(k)
+        WHERE cum * 5 >= k * n GROUP BY k),
+    mt AS (
+        SELECT k, MIN(v) AS b FROM
+            (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                    SUM(cnt) OVER () AS n
+             FROM (SELECT m_total AS v, COUNT(*) AS cnt FROM c GROUP BY 1)),
+            unnest([1, 2, 3, 4]) AS t(k)
+        WHERE cum * 5 >= k * n GROUP BY k),
+    s AS (
+        SELECT o_custkey, r_days, f_orders, m_total,
+               CAST(1 + (SELECT COUNT(*) FROM rt WHERE b < c.r_days) AS INT)
+                   AS r_score,
+               CAST(1 + (SELECT COUNT(*) FROM ft WHERE b < c.f_orders) AS INT)
+                   AS f_score,
+               CAST(1 + (SELECT COUNT(*) FROM mt WHERE b < c.m_total) AS INT)
+                   AS m_score
+        FROM c)
+    SELECT o_custkey, r_days, f_orders, CAST(m_total AS DOUBLE) AS m_total,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM s
+"""

@@ -103,6 +103,42 @@ def q_profile_table(spark, sf_dir):
         f"stack({len(cols)}, {stack}) AS (metric, value)")
 
 
+def q_feat_quantile_normalize(spark, sf_dir):
+    """Quantile (rank) normalization of event value within its type:
+    each event's value maps to its PERCENT_RANK in [0, 1] — the
+    outlier-immune normalization (vs z-scores) used for heavy-tailed
+    features before training.
+
+    Scale (the median-family recipe): percent ranks are computed on the
+    COMPACTED (type, value, cnt) relation — pct(v) = (cum - cnt) /
+    (n - 1), the min-rank form, so duplicates share one row — and the
+    tiny mapping table broadcasts back onto the UNSHUFFLED fact scan
+    (the zscore shape).  The fact table never shuffles; the per-type
+    sort is value-domain-bounded.  The oracle deliberately uses the
+    OTHER construction (a raw-row PERCENT_RANK window) so the two
+    independent formulations must agree; fixed-point floor(pct * 1e6)
+    leaves the engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type", dec("value", MONEY).alias("v"))
+    vc = base.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    grp = W.partitionBy("event_type")
+    w = grp.orderBy("v")
+    pct = (vc.select(
+               "event_type", "v",
+               F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding,
+                                               W.currentRow)).alias("cum"),
+               "cnt", F.sum("cnt").over(grp).alias("n"))
+             .select("event_type", "v",
+                     F.floor(F.when(F.col("n") > 1,
+                                    (F.col("cum") - F.col("cnt"))
+                                    / (F.col("n") - 1) * 1e6)
+                              .otherwise(0.0)).cast("long").alias("pct_e6")))
+    return (base.join(F.broadcast(pct), ["event_type", "v"])
+                .select("event_id", "event_type",
+                        F.col("v").cast("double").alias("value"), "pct_e6"))
+
+
 def q_validate_events(spark, sf_dir):
     """Constraint validation: emit each event that violates any declared
     expectation, with the comma-joined names of the failed checks —
@@ -369,6 +405,7 @@ QUERIES = {
     "skyline_pareto_2d": q_skyline_pareto,
     "profile_documents": q_profile_table,
     "validate_events": q_validate_events,
+    "feat_quantile_normalize": q_feat_quantile_normalize,
     "validate_embeddings": q_validate_embeddings,
     "histogram_equiwidth": q_histogram_equiwidth,
     "histogram_equidepth": q_histogram_equidepth,
@@ -572,4 +609,16 @@ ORACLE["validate_embeddings"] = """
     UNION ALL SELECT 'dim_is_64', n_checked, v_dim_is_64 FROM agg
     UNION ALL SELECT 'norm_positive', n_checked, v_norm_positive FROM agg
     UNION ALL SELECT 'label_in_domain', n_checked, v_label_in_domain FROM agg
+"""
+
+
+ORACLE["feat_quantile_normalize"] = """
+    WITH b AS (SELECT event_id, event_type,
+                      CAST(value AS DECIMAL(12,2)) AS v
+               FROM events)
+    SELECT event_id, event_type, CAST(v AS DOUBLE) AS value,
+           CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY event_type
+                                           ORDER BY v) * 1e6) AS BIGINT)
+               AS pct_e6
+    FROM b
 """

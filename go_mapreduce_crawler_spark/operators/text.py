@@ -718,6 +718,55 @@ def q_tfidf_doc_pairs(spark, sf_dir):
                              " AS cos_e6"))
 
 
+PMI_DF_MIN = 5     # vocabulary floor: words must appear in >= 5 docs
+PMI_MIN_COOC = 5   # emit pairs co-occurring in >= 5 docs
+
+
+def q_text_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information of word pairs over document
+    co-occurrence: PMI(a,b) = ln(N * c_ab / (c_a * c_b)) for words
+    co-occurring in >= 5 documents — the classic collocation /
+    association-mining statistic (phrase discovery, embedding
+    evaluation sets).
+
+    Determinism: the four log terms are each the engine-deterministic
+    ``_ln_det`` of a plain BIGINT count, combined in one fixed IEEE
+    expression (ln N + ln c_ab - ln c_a - ln c_b) and quantized ONCE
+    to integer micro-nats — the sum form keeps every _ln_det argument
+    a raw count, so nothing overflows at any corpus size (the rational
+    form N * c_ab would pass 2^63 around N ~ 10^10).
+
+    Scale: doc-distinct words are row-local; the vocabulary floor
+    (df >= 5 — production uses a top-K vocab) bounds the per-doc pair
+    fan-out to |V ∩ doc|^2; pair counts are one (word_a, word_b)
+    shuffle with map-side combine.  c_a/c_b ride the pair rows as
+    functional attributes — no second join against the vocabulary.
+    """
+    d = _docs(spark, sf_dir)
+    dw = d.select("doc_id", F.explode(
+        F.array_distinct(F.split("text", " "))).alias("word"))
+    dfc = (dw.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") >= PMI_DF_MIN))
+    dwf = dw.join(dfc, "word")
+    a = dwf.select("doc_id", F.col("word").alias("word_a"),
+                   F.col("c").alias("c_a"))
+    b = dwf.select("doc_id", F.col("word").alias("word_b"),
+                   F.col("c").alias("c_b"))
+    pairs = (a.join(b, "doc_id")
+              .filter(F.col("word_a") < F.col("word_b"))
+              .groupBy("word_a", "word_b", "c_a", "c_b")
+              .agg(F.count(F.lit(1)).alias("c_ab"))
+              .filter(F.col("c_ab") >= PMI_MIN_COOC))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    pmi = (f"CAST(round(({_ln_det('n_docs', _lit_spark)}"
+           f" + {_ln_det('c_ab', _lit_spark)}"
+           f" - {_ln_det('c_a', _lit_spark)}"
+           f" - {_ln_det('c_b', _lit_spark)}) * 1e6, 0) AS BIGINT)")
+    return (pairs.crossJoin(F.broadcast(n))
+                 .selectExpr("word_a", "word_b", "c_a", "c_b", "c_ab",
+                             f"{pmi} AS pmi_u"))
+
+
 SEG_WORDS = 8      # non-overlapping word-segment width for line dedup
 
 
@@ -782,6 +831,7 @@ QUERIES = {
     "chunk_boilerplate": q_chunk_boilerplate,
     "text_remove_boilerplate": q_remove_boilerplate,
     "text_tfidf_doc_pairs": q_tfidf_doc_pairs,
+    "text_pmi_cooccurrence": q_text_pmi_pairs,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -1146,3 +1196,32 @@ def _tfidf_pairs_oracle_sql() -> str:
 
 
 ORACLE["text_tfidf_doc_pairs"] = _tfidf_pairs_oracle_sql()
+
+
+def _pmi_oracle_sql() -> str:
+    pmi = (f"CAST(ROUND(({_ln_det('n_docs', _lit_duck)}"
+           f" + {_ln_det('c_ab', _lit_duck)}"
+           f" - {_ln_det('c_a', _lit_duck)}"
+           f" - {_ln_det('c_b', _lit_duck)}) * 1e6, 0) AS BIGINT)")
+    return f"""
+        WITH dw AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_distinct(string_split(text, ' '))) AS word
+            FROM documents),
+        dfc AS (SELECT word, COUNT(*) AS c FROM dw GROUP BY 1
+                HAVING COUNT(*) >= {PMI_DF_MIN}),
+        dwf AS (SELECT doc_id, word, c FROM dw JOIN dfc USING (word)),
+        pairs AS (
+            SELECT a.word AS word_a, b.word AS word_b,
+                   a.c AS c_a, b.c AS c_b, COUNT(*) AS c_ab
+            FROM dwf a JOIN dwf b
+              ON a.doc_id = b.doc_id AND a.word < b.word
+            GROUP BY 1, 2, 3, 4
+            HAVING COUNT(*) >= {PMI_MIN_COOC}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT word_a, word_b, c_a, c_b, c_ab, {pmi} AS pmi_u
+        FROM pairs CROSS JOIN n
+    """
+
+
+ORACLE["text_pmi_cooccurrence"] = _pmi_oracle_sql()

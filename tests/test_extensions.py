@@ -768,3 +768,40 @@ def test_zorder_box_query_locality(spark, sf_medium):
         dx = sum(((r.zkey >> (2 * i)) & 1) << i for i in range(16))
         dy = sum(((r.zkey >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (dx, dy) == (r.dx, r.dy)
+
+
+def test_quantile_normalize_is_monotone_and_bounded(spark, sf_small):
+    from go_mapreduce_crawler_spark.operators import features
+    rows = features.q_feat_quantile_normalize(spark, sf_small).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert 0 <= r.pct_e6 <= 1_000_000
+        by_type.setdefault(r.event_type, []).append((r.value, r.pct_e6))
+    for vs in by_type.values():
+        vs.sort()
+        for (v1, p1), (v2, p2) in zip(vs, vs[1:]):
+            assert p1 <= p2 or v1 == v2, (v1, p1, v2, p2)
+
+
+def test_pmi_counts_are_consistent(spark, sf_small):
+    from go_mapreduce_crawler_spark.operators import text as t
+    rows = t.q_text_pmi_pairs(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.word_a < r.word_b
+        assert r.c_ab <= min(r.c_a, r.c_b)
+        assert r.c_ab >= t.PMI_MIN_COOC
+
+
+def test_rfm_scores_bounded_and_monotone_in_monetary(spark, sf_small):
+    from go_mapreduce_crawler_spark.operators import behavior
+    rows = behavior.q_rfm_segmentation(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        for s in (r.r_score, r.f_score, r.m_score):
+            assert 1 <= s <= 5
+        assert r.rfm == r.r_score * 100 + r.f_score * 10 + r.m_score
+    by_m = sorted(rows, key=lambda r: r.m_total)
+    for a, b in zip(by_m, by_m[1:]):
+        assert a.m_score <= b.m_score or a.m_total == b.m_total

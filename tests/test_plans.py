@@ -609,3 +609,20 @@ def test_r04_batch2_plan_shapes(spark, sf_small):
     md = multimodal.q_multimodal_dedup(spark, sf_small)
     assert has_partial_and_final_agg(md)
     assert not has_python_udf(md)
+
+
+def test_r04_batch3_plan_shapes(spark, sf_small):
+    """Third r04 batch: quantile normalization broadcasts the compacted
+    pct table back onto the unshuffled fact scan (no raw-row rank
+    window); PMI and RFM aggregate partial+final with no Python."""
+    from go_mapreduce_crawler_spark.operators import behavior, features, text
+    qn = features.q_feat_quantile_normalize(spark, sf_small)
+    plan = physical_plan(qn)
+    assert "percent_rank" not in plan and "row_number" not in plan, plan[:1200]
+    assert has_broadcast_join(qn)
+    assert not has_python_udf(qn)
+
+    for fn in (text.q_text_pmi_pairs, behavior.q_rfm_segmentation):
+        df = fn(spark, sf_small)
+        assert has_partial_and_final_agg(df), fn.__name__
+        assert not has_python_udf(df), fn.__name__
