@@ -1108,6 +1108,57 @@ def q_stats_moments(spark, sf_dir):
         F.round(corr, 6).alias("corr_qty_price"))
 
 
+ABC_BUCKET = 10_000   # revenue-range bucket width for the two-level prefix
+
+
+def q_abc_analysis(spark, sf_dir):
+    """ABC (Pareto 80/15/5) classification of parts by revenue: rank
+    parts by lineitem revenue descending, accumulate the revenue
+    share, and classify A (first 80% of revenue), B (next 15%), C
+    (tail) — the inventory-analysis classic.
+
+    The global revenue-descending running sum is the classic
+    single-partition-window scale-killer; this is the two-level prefix
+    form KEYED BY THE ORDER COLUMN'S VALUE RANGE (unlike
+    seq_packing/token_budget, which bucket an existing key): bucket =
+    floor(revenue / 10k), contiguous in the sort order by
+    construction, so intra-bucket cumulative sums partition on the
+    bucket while the bucket summary (one row per occupied range)
+    carries the offsets back by broadcast.  All sums in DECIMAL; one
+    double division per row for the share.  The oracle deliberately
+    uses the single global-window construction, so the two independent
+    formulations must agree exactly.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (l.groupBy("l_partkey")
+            .agg(F.sum(dec("l_extendedprice", MONEY)
+                       * (1 - dec("l_discount", "decimal(12,2)")))
+                  .alias("revenue")))
+    b = rev.withColumn("bkt", F.floor(F.col("revenue") / ABC_BUCKET))
+    bsum = b.groupBy("bkt").agg(F.sum("revenue").alias("s"))
+    w_off = (W.orderBy(F.desc("bkt"))
+              .rowsBetween(W.unboundedPreceding, -1))
+    offs = bsum.select("bkt",
+                       F.coalesce(F.sum("s").over(w_off),
+                                  F.lit(0).cast("decimal(38,4)")).alias("off"))
+    total = rev.agg(F.sum("revenue").alias("total"))
+    w_in = (W.partitionBy("bkt")
+             .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (b.join(F.broadcast(offs), "bkt")
+            .withColumn("cum", F.col("off") + F.sum("revenue").over(w_in))
+            .crossJoin(F.broadcast(total)))
+    share = F.floor(F.col("cum").cast("double")
+                    / F.col("total").cast("double") * 1e6).cast("long")
+    return (cum.select("l_partkey",
+                       F.col("revenue").cast("double").alias("revenue"),
+                       share.alias("cum_share_ppm"))
+               .withColumn("abc_class",
+                           F.when(F.col("cum_share_ppm") <= 800_000, "A")
+                            .when(F.col("cum_share_ppm") <= 950_000, "B")
+                            .otherwise("C")))
+
+
 def q_median_per_group(spark, sf_dir):
     """Exact lower-median per group via rank — the deterministic,
     engine-portable percentile (no interpolation-rule ambiguity).
@@ -1242,6 +1293,7 @@ QUERIES = {
     "sessionize_events": q_sessionize,
     "stats_moments_exact": q_stats_moments,
     "median_per_group": q_median_per_group,
+    "abc_analysis_parts": q_abc_analysis,
     "percentile_cont_exact": q_percentile_cont,
 }
 
@@ -1912,3 +1964,27 @@ ORACLE = {
         FROM sess GROUP BY user_id, session_id
     """,
 }
+
+
+ORACLE["abc_analysis_parts"] = """
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+        FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(revenue) AS total FROM rev),
+    c AS (
+        SELECT l_partkey, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev)
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+           CAST(FLOOR(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) * 1e6)
+                AS BIGINT) AS cum_share_ppm,
+           CASE WHEN FLOOR(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) * 1e6)
+                     <= 800000 THEN 'A'
+                WHEN FLOOR(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) * 1e6)
+                     <= 950000 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN t
+"""

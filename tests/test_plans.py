@@ -626,3 +626,17 @@ def test_r04_batch3_plan_shapes(spark, sf_small):
         df = fn(spark, sf_small)
         assert has_partial_and_final_agg(df), fn.__name__
         assert not has_python_udf(df), fn.__name__
+
+
+def test_abc_analysis_windows_are_bucket_partitioned(spark, sf_small):
+    """The ABC running sum must use the two-level value-range-bucket
+    prefix (window partitioned on bkt + broadcast offsets) — never one
+    global revenue-ordered window over all parts."""
+    from go_mapreduce_crawler_spark.operators import relational
+    df = relational.q_abc_analysis(spark, sf_small)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    # every revenue-ordered window must carry the bucket partition key
+    for l in plan.splitlines():
+        if "windowspecdefinition" in l and "revenue" in l and "DESC" in l:
+            assert "bkt" in l, l
