@@ -461,8 +461,13 @@ def q_dsir_weights(spark, sf_dir):
                .agg(F.sum("cnt").alias("n_tokens"),
                     F.sum(F.col("cnt") * F.col("logw_u")).alias("sum_logw_u"))
                .select("doc_id", "n_tokens", "sum_logw_u",
-                       F.round(F.col("sum_logw_u") / F.col("n_tokens") / 1e6, 6)
-                        .alias("mean_logw")))
+                       # floor of micro-nats-per-token: ROUND(x, 6) hit a
+                       # genuine half-tie at sf0.1 (sum/n = -997.5) where
+                       # the engines' tie rules differ; floor has no ties
+                       # (the quotient can only be integer when the double
+                       # division is exact, far beyond 1 ulp otherwise).
+                       F.floor(F.col("sum_logw_u") / F.col("n_tokens"))
+                        .cast("long").alias("mean_logw_e6")))
 
 
 QUERIES = {
@@ -603,7 +608,8 @@ def _dsir_oracle_sql() -> str:
             FROM bc CROSS JOIN tot)
         SELECT doc_id, COUNT(*) AS n_tokens,
                CAST(SUM(logw_u) AS BIGINT) AS sum_logw_u,
-               ROUND(SUM(logw_u) / COUNT(*) / 1e6, 6) AS mean_logw
+               CAST(FLOOR(CAST(SUM(logw_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS mean_logw_e6
         FROM wb JOIN model USING (b)
         GROUP BY doc_id
     """

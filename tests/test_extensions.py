@@ -615,8 +615,8 @@ def test_dsir_weights_rank_target_language_higher(spark, sf_small):
     d = load_table(spark, sf_small, "documents").select("doc_id", "lang")
     j = (curation.q_dsir_weights(spark, sf_small)
          .join(d, "doc_id").collect())
-    en = [r.mean_logw for r in j if r.lang == "en"]
-    rest = [r.mean_logw for r in j if r.lang != "en"]
+    en = [r.mean_logw_e6 for r in j if r.lang == "en"]
+    rest = [r.mean_logw_e6 for r in j if r.lang != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
 
