@@ -168,9 +168,33 @@ def q_asof_nearest_error(spark, sf_dir):
          .when(~take_b, F.lit("forward")).alias("side"))
 
 
+ASOF_TOLERANCE_US = 3_600_000_000   # 1 hour
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """Backward as-of with a MAX-GAP TOLERANCE (pandas merge_asof's
+    ``tolerance=``): the most recent prior view within 1 hour of the
+    purchase, else NO match — the sensor-fusion/quote-staleness rule
+    (an old quote is worse than none).
+
+    Applying the tolerance POST-asof is semantically exact: the as-of
+    match is the most RECENT candidate, so if it is stale every other
+    candidate is staler — one row-local CASE after the same one-shuffle
+    union+window plan as q_asof_purchase_view, zero extra cost.
+    """
+    j = q_asof_purchase_view(spark, sf_dir)
+    ok = F.col("gap_us") <= ASOF_TOLERANCE_US
+    return j.select(
+        "purchase_id", "user_id", "purchase_ts_us",
+        F.when(ok, F.col("view_id")).alias("view_id"),
+        F.when(ok, F.col("gap_us")).alias("gap_us"),
+        F.coalesce(ok, F.lit(False)).alias("matched"))
+
+
 QUERIES = {"asof_purchase_view": q_asof_purchase_view,
            "asof_next_error": q_asof_next_error,
-           "asof_nearest_error": q_asof_nearest_error}
+           "asof_nearest_error": q_asof_nearest_error,
+           "asof_tolerance_1h": q_asof_tolerance}
 
 ORACLE = {
     "asof_nearest_error": """
@@ -234,3 +258,16 @@ ORACLE = {
         WHERE rn = 1
     """,
 }
+
+# Tolerance wraps the independent ROW_NUMBER construction of the base
+# as-of oracle — one CASE around the same cross-check.
+ORACLE["asof_tolerance_1h"] = f"""
+    WITH base AS ({ORACLE["asof_purchase_view"]})
+    SELECT purchase_id, user_id, purchase_ts_us,
+           CASE WHEN gap_us <= {ASOF_TOLERANCE_US} THEN view_id END
+               AS view_id,
+           CASE WHEN gap_us <= {ASOF_TOLERANCE_US} THEN gap_us END
+               AS gap_us,
+           COALESCE(gap_us <= {ASOF_TOLERANCE_US}, FALSE) AS matched
+    FROM base
+"""

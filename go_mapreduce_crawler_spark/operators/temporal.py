@@ -383,9 +383,47 @@ def q_trending(spark, sf_dir):
              .select("hour_us", "k", "n", "growth", "rk"))
 
 
+PEAK_MIN = 5   # a peak must have at least this many events
+
+
+def q_peak_detection(spark, sf_dir):
+    """Local-maximum peak detection over the hourly event-count series
+    per type: hours whose count strictly exceeds both neighbors (and a
+    noise floor) — the spike detector next to the MAD outlier test
+    (value-level) and EWMA (smoothing) in the anomaly toolkit.
+
+    Scale: the series is the COMPACTED (type, hour) count relation —
+    one partial+final agg off the fact scan; the neighbor lags are a
+    window over that tiny series (|types| x |hours| rows).  Missing
+    hours break the neighbor chain (lag is the previous OBSERVED hour)
+    — an absent neighbor counts as zero only when truly adjacent,
+    integer comparisons throughout.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    c = (e.groupBy("event_type",
+                   (F.unix_micros("ts") - F.unix_micros("ts") % hour_us)
+                   .alias("hour_us"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("event_type").orderBy("hour_us")
+    g = (c.withColumn("prev_h", F.lag("hour_us").over(w))
+          .withColumn("prev_n", F.lag("n").over(w))
+          .withColumn("next_h", F.lead("hour_us").over(w))
+          .withColumn("next_n", F.lead("n").over(w)))
+    prev_adj = F.when(F.col("prev_h") == F.col("hour_us") - hour_us,
+                      F.col("prev_n")).otherwise(0)
+    next_adj = F.when(F.col("next_h") == F.col("hour_us") + hour_us,
+                      F.col("next_n")).otherwise(0)
+    return (g.filter((F.col("n") > prev_adj) & (F.col("n") > next_adj)
+                     & (F.col("n") >= PEAK_MIN))
+             .select("event_type", "hour_us", "n",
+                     prev_adj.alias("prev_n"), next_adj.alias("next_n")))
+
+
 QUERIES = {
     "events_ewma_smooth": q_events_ewma,
     "events_trending_k": q_trending,
+    "events_peak_detection": q_peak_detection,
     "rollup_time_hierarchy": q_rollup_time_hierarchy,
     "ts_subsequence_search": q_ts_subsequence_search,
     "window_tumbling_events": q_window_tumbling,
@@ -591,4 +629,21 @@ ORACLE["events_trending_k"] = f"""
                                   ORDER BY growth DESC, k) AS rk
         FROM g)
     SELECT hour_us, k, n, growth, rk FROM r WHERE rk <= {TREND_TOP}
+"""
+
+ORACLE["events_peak_detection"] = f"""
+    WITH c AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    g AS (
+        SELECT event_type, hour_us, n,
+               CASE WHEN LAG(hour_us) OVER w = hour_us - 3600000000
+                    THEN LAG(n) OVER w ELSE 0 END AS prev_n,
+               CASE WHEN LEAD(hour_us) OVER w = hour_us + 3600000000
+                    THEN LEAD(n) OVER w ELSE 0 END AS next_n
+        FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_us))
+    SELECT event_type, hour_us, n, prev_n, next_n
+    FROM g WHERE n > prev_n AND n > next_n AND n >= {PEAK_MIN}
 """
