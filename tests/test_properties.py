@@ -456,3 +456,168 @@ def test_shard_and_token_budget_partitioning_invariant(spark):
         finally:
             cur.load_table = orig
         assert results[0] == results[1] == results[2], fn.__name__
+
+
+# ---------------------------------------------------------------------
+# r04 two-level / compacted-relation rewrites vs brute-force Python on
+# RANDOM inputs with adversarial ties (duplicate timestamps, heavy value
+# duplication, hash-prefix collisions) — distributions the fixed
+# fixtures cannot cover.
+
+def _rand_events_dir(spark, tmp_path, seed, n_users=6, n_events=120):
+    import random as rnd
+    r = rnd.Random(seed)
+    types = ["signup", "view", "click", "purchase", "error"]
+    rows = []
+    for i in range(n_events):
+        rows.append((i, r.randrange(0, 40),          # deliberate ts ties
+                     r.randrange(0, n_users),
+                     r.choice(types),
+                     r.randrange(0, 2000) / 100.0,   # 2-dp cents, heavy dups
+                     "{}"))
+    df = (spark.createDataFrame(
+              rows, "event_id long, sec long, user_id long, "
+                    "event_type string, value double, props string")
+          .select("event_id", F.timestamp_seconds("sec").alias("ts"),
+                  "user_id", "event_type", "value", "props"))
+    d = str(tmp_path / f"ev{seed}")
+    df.repartition(5).write.parquet(f"{d}/events.parquet")
+    return d, rows
+
+
+def test_funnel_matches_python_fold_on_random_tied_events(spark, tmp_path):
+    """Chained-min funnel vs the sorted-fold reference on random events
+    with many duplicate timestamps — the strict-> tie contract."""
+    from go_mapreduce_crawler_spark.operators import behavior
+
+    for seed in (1, 2, 3):
+        d, rows = _rand_events_dir(spark, tmp_path, seed)
+        got = {r["stage"]: r["users"]
+               for r in behavior.q_funnel_conversion(spark, d).collect()}
+        by_user = {}
+        for eid, sec, uid, typ, _v, _p in rows:
+            if typ in behavior.FUNNEL_STAGES:
+                by_user.setdefault(uid, []).append((sec, eid, typ))
+        counts = dict.fromkeys(behavior.FUNNEL_STAGES, 0)
+        for evs in by_user.values():
+            evs.sort()
+            reached = [None] * 4
+            for sec, _eid, typ in evs:
+                if reached[0] is None:
+                    if typ == behavior.FUNNEL_STAGES[0]:
+                        reached[0] = sec
+                    continue
+                for k in range(1, 4):
+                    if (reached[k] is None and reached[k - 1] is not None
+                            and typ == behavior.FUNNEL_STAGES[k]
+                            and sec > reached[k - 1]):
+                        reached[k] = sec
+            for k, st_ in enumerate(behavior.FUNNEL_STAGES):
+                counts[st_] += reached[k] is not None
+        assert got == counts, (seed, got, counts)
+
+
+def test_equidepth_matches_raw_ntile_on_random_duplicated_values(
+        spark, tmp_path):
+    """The compacted-relation NTILE distribution must equal raw-row
+    NTILE over (value, event_id) for every bucket stat, under heavy
+    value duplication."""
+    from decimal import Decimal
+
+    from go_mapreduce_crawler_spark.operators import features
+
+    for seed in (4, 5):
+        d, rows = _rand_events_dir(spark, tmp_path, seed)
+        got = {(r.event_type, r.bucket): (r.n, r.lo, r.hi, r.mass)
+               for r in features.q_histogram_equidepth(spark, d).collect()}
+        by_type = {}
+        for eid, _sec, _uid, typ, v, _p in rows:
+            by_type.setdefault(typ, []).append(
+                (Decimal(round(v * 100)) / 100, eid))
+        expect = {}
+        for typ, vs in by_type.items():
+            vs.sort()
+            n = len(vs)
+            q, rm = divmod(n, 10)
+            start = 0
+            for b in range(1, 11):
+                size = q + (1 if b <= rm else 0)
+                if size == 0:
+                    continue
+                chunk = vs[start:start + size]
+                start += size
+                expect[(typ, b)] = (
+                    size, float(chunk[0][0]), float(chunk[-1][0]),
+                    float(sum(c for c, _ in chunk)))
+        assert got == expect, (seed, set(got) ^ set(expect))
+
+
+def test_token_budget_two_level_equals_python_greedy(spark, tmp_path):
+    """Two-level prefix cum_tokens must equal the single-pass Python
+    greedy over (md5 hex, doc_id) order per source."""
+    import hashlib
+    import random as rnd
+
+    from go_mapreduce_crawler_spark.operators import curation as cur
+
+    for seed in (7, 8):
+        r = rnd.Random(seed)
+        rows = [(i, " ".join(["w"] * r.randrange(1, 60)),
+                 "xx", f"s{r.randrange(0, 3)}", 0)
+                for i in range(80)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        d = str(tmp_path / f"docs{seed}")
+        df.repartition(7).write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r.cum_tokens
+               for r in cur.q_sample_token_budget(spark, d).collect()}
+        by_src = {}
+        for doc_id, text, _l, src, _n in rows:
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            by_src.setdefault(src, []).append((h, doc_id, len(text.split())))
+        expect = {}
+        for docs in by_src.values():
+            docs.sort()
+            cum = 0
+            for _h, doc_id, n in docs:
+                if cum < cur.TOKEN_BUDGET:
+                    expect[doc_id] = cum + n
+                cum += n
+        assert got == expect, (seed, set(got) ^ set(expect))
+
+
+def test_abc_two_level_equals_python_global_cumsum(spark, tmp_path):
+    """The value-range-bucketed ABC prefix must equal a straight Python
+    revenue-descending running sum, classes included."""
+    import random as rnd
+    from decimal import Decimal
+
+    from go_mapreduce_crawler_spark.operators import relational as rel
+
+    for seed in (9, 10):
+        r = rnd.Random(seed)
+        rows = [(i % 30, Decimal(r.randrange(1, 10_000_000)) / 100,
+                 Decimal(r.randrange(0, 10)) / 100)
+                for i in range(150)]
+        df = spark.createDataFrame(
+            [(pk, float(p), float(dis)) for pk, p, dis in rows],
+            "l_partkey long, l_extendedprice double, l_discount double")
+        d = str(tmp_path / f"li{seed}")
+        df.repartition(6).write.parquet(f"{d}/lineitem.parquet")
+        got = {r.l_partkey: (r.revenue, r.cum_share_ppm, r.abc_class)
+               for r in rel.q_abc_analysis(spark, d).collect()}
+        rev = {}
+        for pk, p, dis in rows:
+            rev[pk] = rev.get(pk, Decimal(0)) + p * (1 - dis)
+        total = sum(rev.values())
+        cum = Decimal(0)
+        expect = {}
+        for pk in sorted(rev, key=lambda k: (-rev[k], k)):
+            cum += rev[pk]
+            ppm = int(float(cum) / float(total) * 1e6)  # floor
+            cls = "A" if ppm <= 800_000 else ("B" if ppm <= 950_000 else "C")
+            expect[pk] = (float(rev[pk]), ppm, cls)
+        assert got == expect, (seed,
+                               {k: (got[k], expect[k]) for k in got
+                                if got[k] != expect[k]})
