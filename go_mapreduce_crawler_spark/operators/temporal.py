@@ -420,8 +420,242 @@ def q_peak_detection(spark, sf_dir):
                      prev_adj.alias("prev_n"), next_adj.alias("next_n")))
 
 
+ACF_MAX_LAG = 3
+_HOUR_US = 3_600_000_000
+
+
+def _corr_e6_expr(m, sx, sy, sxx, syy, sxy) -> str:
+    """Pearson correlation from exact integer sufficient statistics as
+    ONE fixed-order expression string shared verbatim by Spark SQL and
+    DuckDB.  num/var terms stay in integer arithmetic (exact in both
+    engines at these magnitudes), each is cast to DOUBLE once, and the
+    single divide + sqrt are correctly-rounded IEEE ops — bit-identical
+    everywhere.  The value leaves as floor(corr * 1e6) (FLOOR before the
+    BIGINT cast: DuckDB's CAST(double AS BIGINT) rounds while Spark's
+    truncates), sidestepping round()'s half-tie divergence entirely.
+    Zero-variance groups yield NULL (den = 0)."""
+    num = f"CAST({m} * {sxy} - {sx} * {sy} AS DOUBLE)"
+    vx = f"CAST({m} * {sxx} - {sx} * {sx} AS DOUBLE)"
+    vy = f"CAST({m} * {syy} - {sy} * {sy} AS DOUBLE)"
+    return (f"CAST(FLOOR(CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+            f"{num} / sqrt({vx} * {vy}) * 1000000.0 END) AS BIGINT)")
+
+
+def _dense_hourly(spark, sf_dir):
+    """Gap-filled hourly event-count series per type: (event_type,
+    bucket_us, v) with v = 0 on hours inside the observed span that saw
+    no events.
+
+    Scale shape: the fact table compacts to (type, hour) counts with
+    one partial+final agg FIRST; the gap fill is the join-free
+    lead + explode(sequence) recipe of q_ts_resample_ffill over that
+    compacted relation, so every window/generator touches |types| x
+    |hours| rows — bounded by the time span, never by event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = (e.groupBy("event_type",
+                   (F.unix_micros("ts") - F.unix_micros("ts") % _HOUR_US)
+                   .alias("hour_us"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("event_type").orderBy("hour_us")
+    return (c.withColumn("nxt", F.lead("hour_us").over(w))
+             .select("event_type", "hour_us", "n",
+                     F.explode(F.sequence(
+                         "hour_us",
+                         F.coalesce(F.col("nxt") - _HOUR_US, F.col("hour_us")),
+                         F.lit(_HOUR_US))).alias("bucket_us"))
+             .select("event_type", "bucket_us",
+                     F.when(F.col("bucket_us") == F.col("hour_us"),
+                            F.col("n")).otherwise(F.lit(0)).alias("v")))
+
+
+# DuckDB twin of _dense_hourly, shared by the ACF and changepoint
+# oracles (same two CTEs, independent engine).
+_DENSE_HOURLY_SQL = """
+    c AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    dense AS (
+        SELECT event_type, bucket_us,
+               CASE WHEN bucket_us = hour_us THEN n ELSE 0 END AS v
+        FROM (
+            SELECT event_type, hour_us, n,
+                   unnest(generate_series(
+                       hour_us,
+                       COALESCE(LEAD(hour_us) OVER (
+                           PARTITION BY event_type ORDER BY hour_us)
+                           - 3600000000, hour_us),
+                       3600000000)) AS bucket_us
+            FROM c))
+"""
+
+
+def q_events_autocorrelation(spark, sf_dir):
+    """Autocorrelation function (lags 1..3) of the hourly event-count
+    series per type — the standard seasonality/burstiness diagnostic a
+    telemetry pipeline runs before picking window sizes or forecast
+    models.
+
+    Definition: Pearson correlation between the gap-filled series and
+    its lag-k shift, over the aligned pairs (missing hours count as 0,
+    so a sparse bursty type reads differently from a steady one).  The
+    dense series is the compacted relation of _dense_hourly; the k lags
+    are one bounded window over it, unpivoted to long form by stack();
+    the sufficient statistics (m, Σx, Σy, Σx², Σy², Σxy) accumulate as
+    exact BIGINTs in one partial+final agg, and the only float ops are
+    the final shared-expression divide + sqrt (_corr_e6_expr) — so the
+    result is bit-identical across engines and partitionings.
+    """
+    dense = _dense_hourly(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("bucket_us")
+    lagged = dense.select(
+        "event_type", "v",
+        *[F.lag("v", k).over(w).alias(f"l{k}")
+          for k in range(1, ACF_MAX_LAG + 1)])
+    stack_args = ", ".join(f"{k}, l{k}" for k in range(1, ACF_MAX_LAG + 1))
+    pairs = (lagged.selectExpr(
+                "event_type", "v",
+                f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, y)")
+             .filter(F.col("y").isNotNull()))
+    stats = (pairs.groupBy("event_type", "lag")
+             .agg(F.count(F.lit(1)).alias("m"),
+                  F.sum("v").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("v") * F.col("v")).alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).alias("syy"),
+                  F.sum(F.col("v") * F.col("y")).alias("sxy")))
+    return stats.selectExpr(
+        "event_type", "lag", "m",
+        _corr_e6_expr("m", "sx", "sy", "sxx", "syy", "sxy")
+        + " AS acf_e6")
+
+
+def q_events_concurrency(spark, sf_dir):
+    """Sweep-line concurrency: at every interval boundary, how many
+    user-sessions are open — the classic "concurrent connections /
+    active sessions over time" operator, done the scale-correct way.
+
+    Intervals are each user's daily activity span [min ts, max ts]
+    (q_interval_overlap's relation).  Each interval emits (+1 at s,
+    -1 at e+1); simultaneous boundaries collapse with a groupBy (so no
+    within-tie ordering exists to disagree on), and the running open
+    count is a TWO-LEVEL prefix sum — per-day partial sums inside a
+    window partitioned by the boundary's day, plus per-day offsets from
+    a window over the tiny |days| relation (shard_assignment's recipe;
+    ordering by (day, us) equals ordering by us since day = us div
+    86400s).  No global single-task window ever sees the boundary
+    stream; the oracle deliberately uses the opposite construction (one
+    flat running sum) so two independent prefix-sum plans must agree.
+    All integers, exact at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    us = F.unix_micros("ts")
+    iv = (e.groupBy("user_id", (us - us % day_us).alias("d"))
+           .agg(F.min(us).alias("s"), F.max(us).alias("e")))
+    bounds = (iv.select(F.col("s").alias("us"), F.lit(1).alias("delta"))
+                .union(iv.select((F.col("e") + 1).alias("us"),
+                                 F.lit(-1).alias("delta")))
+                .groupBy("us").agg(F.sum("delta").alias("delta"))
+                .withColumn("bucket", (F.col("us") - F.col("us") % day_us)))
+    btot = bounds.groupBy("bucket").agg(F.sum("delta").alias("bsum"))
+    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offs = btot.select("bucket",
+                       F.coalesce(F.sum("bsum").over(w_off), F.lit(0))
+                        .alias("off"))
+    w_in = (W.partitionBy("bucket").orderBy("us")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (bounds.join(F.broadcast(offs), "bucket")
+                  .select("us", "delta",
+                          (F.col("off") + F.sum("delta").over(w_in))
+                          .alias("n_open")))
+
+
+def q_events_changepoint(spark, sf_dir):
+    """Single change-point detection per event type: the split of the
+    hourly count series maximizing the standardized mean-shift
+    statistic |mean(left) - mean(right)| * sqrt(t*(T-t)/T) — the
+    CUSUM-family "where did the level change" diagnostic (binary
+    segmentation's scoring step), over the gap-filled series.
+
+    The recursive CUSUM clamp is deliberately avoided — this prefix-sum
+    formulation gives the same argmax split for a single level change
+    and is expressible as ONE bounded window pass: running sum + row
+    number over the compacted dense series (|hours| rows per type),
+    then a shared fixed-order IEEE expression on exact integers for the
+    score and a rank-1 pick with (score desc, t) total order.  Ties in
+    the double score break on t — and since both engines compute the
+    identical bits, the tie-break agrees.
+    """
+    dense = _dense_hourly(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("bucket_us")
+    grp = W.partitionBy("event_type")
+    ranked = dense.select(
+        "event_type", "bucket_us",
+        F.row_number().over(w).alias("t"),
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+         .alias("cum"),
+        F.count(F.lit(1)).over(grp).alias("n_hours"),
+        F.sum("v").over(grp).alias("s_total"))
+    d = ("(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)"
+         " - CAST(s_total - cum AS DOUBLE) / CAST(n_hours - t AS DOUBLE))")
+    score = (f"abs({d}) * sqrt(CAST(t AS DOUBLE)"
+             f" * CAST(n_hours - t AS DOUBLE) / CAST(n_hours AS DOUBLE))")
+    scored = (ranked.filter(F.col("t") < F.col("n_hours"))
+              .selectExpr("event_type", "bucket_us", "t", "n_hours",
+                          f"CAST(FLOOR({score} * 1000000.0) AS BIGINT)"
+                          " AS score_e6"))
+    w_rk = W.partitionBy("event_type").orderBy(F.desc("score_e6"), "t")
+    return (scored.withColumn("rk", F.row_number().over(w_rk))
+                  .filter(F.col("rk") == 1)
+                  .select("event_type", F.col("bucket_us").alias("split_us"),
+                          "t", "n_hours", "score_e6"))
+
+
+SLIDE_DAYS = 7
+
+
+def q_sliding_distinct_7d(spark, sf_dir):
+    """Trailing-7-day distinct active users (and event volume) per day —
+    the rolling-DAU/WAU shape.  COUNT(DISTINCT) over a sliding frame is
+    not a windowable aggregate in either engine, so the scale-correct
+    form is: compact to (user, day) presence rows first (one
+    partial+final agg), then each presence row covers days d..d+6 via
+    explode(sequence) — a fixed x7 fan-out of the COMPACTED relation,
+    not of raw events — and one final (day, user)-keyed dedup-count.
+    The oracle uses the opposite construction (day grid x presence
+    range join) so two independent window definitions must agree.
+    Output days are clipped to the observed [min, max] day span (the
+    trailing windows that extend past the last observed day are
+    phantom periods a dashboard would not render).
+    """
+    e = load_table(spark, sf_dir, "events")
+    pres = (e.groupBy("user_id",
+                      F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                       .alias("d"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    hi = pres.agg(F.max("d")).collect()[0][0]  # bounded: one scalar
+    if hi is None:
+        return pres.select(F.col("d").alias("day"),
+                           F.lit(0).cast("long").alias("n_users_7d"),
+                           F.lit(0).cast("long").alias("n_events_7d")).limit(0)
+    cover = (pres.select(
+                "user_id", "n_events",
+                F.explode(F.sequence(
+                    "d", F.least(F.col("d") + (SLIDE_DAYS - 1), F.lit(hi))))
+                 .alias("day")))
+    return (cover.groupBy("day")
+                 .agg(F.countDistinct("user_id").alias("n_users_7d"),
+                      F.sum("n_events").alias("n_events_7d")))
+
+
 QUERIES = {
     "events_ewma_smooth": q_events_ewma,
+    "events_autocorrelation": q_events_autocorrelation,
+    "events_concurrency_sweep": q_events_concurrency,
+    "events_changepoint_meanshift": q_events_changepoint,
+    "window_sliding_distinct_7d": q_sliding_distinct_7d,
     "events_trending_k": q_trending,
     "events_peak_detection": q_peak_detection,
     "rollup_time_hierarchy": q_rollup_time_hierarchy,
@@ -629,6 +863,93 @@ ORACLE["events_trending_k"] = f"""
                                   ORDER BY growth DESC, k) AS rk
         FROM g)
     SELECT hour_us, k, n, growth, rk FROM r WHERE rk <= {TREND_TOP}
+"""
+
+_ACF_LAGS = ", ".join(
+    f"LAG(v, {k}) OVER (PARTITION BY event_type ORDER BY bucket_us)"
+    f" AS l{k}" for k in range(1, ACF_MAX_LAG + 1))
+_ACF_PAIRS = "\n        UNION ALL ".join(
+    f'SELECT event_type, {k} AS "lag", v, l{k} AS y'
+    f" FROM lagged WHERE l{k} IS NOT NULL"
+    for k in range(1, ACF_MAX_LAG + 1))
+ORACLE["events_autocorrelation"] = f"""
+    WITH {_DENSE_HOURLY_SQL},
+    lagged AS (
+        SELECT event_type, bucket_us, v, {_ACF_LAGS} FROM dense),
+    pairs AS (
+        {_ACF_PAIRS}),
+    stats AS (
+        SELECT event_type, "lag", COUNT(*)::BIGINT AS m,
+               SUM(v)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               SUM(v * v)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy,
+               SUM(v * y)::BIGINT AS sxy
+        FROM pairs GROUP BY 1, 2)
+    SELECT event_type, "lag", m,
+           {_corr_e6_expr('m', 'sx', 'sy', 'sxx', 'syy', 'sxy')} AS acf_e6
+    FROM stats
+"""
+
+ORACLE["events_concurrency_sweep"] = """
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(ts) % 86400000000 AS d,
+               MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+        FROM events GROUP BY 1, 2),
+    b AS (
+        SELECT us, SUM(delta)::BIGINT AS delta FROM (
+            SELECT s AS us, 1 AS delta FROM iv
+            UNION ALL
+            SELECT e + 1 AS us, -1 AS delta FROM iv)
+        GROUP BY 1)
+    SELECT us, delta,
+           SUM(delta) OVER (ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS n_open
+    FROM b
+"""
+
+_CP_D = ("(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)"
+         " - CAST(s_total - cum AS DOUBLE) / CAST(n_hours - t AS DOUBLE))")
+_CP_SCORE = (f"abs({_CP_D}) * sqrt(CAST(t AS DOUBLE)"
+             f" * CAST(n_hours - t AS DOUBLE) / CAST(n_hours AS DOUBLE))")
+ORACLE["events_changepoint_meanshift"] = f"""
+    WITH {_DENSE_HOURLY_SQL},
+    ranked AS (
+        SELECT event_type, bucket_us,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY bucket_us) AS t,
+               SUM(v) OVER (PARTITION BY event_type ORDER BY bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_hours,
+               SUM(v) OVER (PARTITION BY event_type) AS s_total
+        FROM dense),
+    scored AS (
+        SELECT event_type, bucket_us, t, n_hours,
+               CAST(FLOOR({_CP_SCORE} * 1000000.0) AS BIGINT) AS score_e6
+        FROM ranked WHERE t < n_hours),
+    best AS (
+        SELECT event_type, bucket_us AS split_us, t, n_hours, score_e6,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY score_e6 DESC, t) AS rk
+        FROM scored)
+    SELECT event_type, split_us, t, n_hours, score_e6 FROM best WHERE rk = 1
+"""
+
+ORACLE["window_sliding_distinct_7d"] = f"""
+    WITH pres AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    grid AS (
+        SELECT unnest(generate_series(
+            (SELECT MIN(d) FROM pres), (SELECT MAX(d) FROM pres), 1))
+            AS day)
+    SELECT g.day AS day,
+           COUNT(DISTINCT p.user_id) AS n_users_7d,
+           SUM(p.n_events)::BIGINT AS n_events_7d
+    FROM grid g JOIN pres p ON p.d BETWEEN g.day - {SLIDE_DAYS - 1} AND g.day
+    GROUP BY 1
 """
 
 ORACLE["events_peak_detection"] = f"""

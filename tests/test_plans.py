@@ -640,3 +640,50 @@ def test_abc_analysis_windows_are_bucket_partitioned(spark, sf_small):
     for l in plan.splitlines():
         if "windowspecdefinition" in l and "revenue" in l and "DESC" in l:
             assert "bkt" in l, l
+
+
+def test_concurrency_sweep_is_two_level_prefix(spark, sf_small):
+    """The sweep-line open-interval count must be the two-level prefix
+    sum: the boundary-stream running sum partitioned by the day bucket,
+    day offsets broadcast back — never one global unpartitioned window
+    over every boundary (a single task holding the 100-TB boundary
+    stream).  The only unpartitioned window allowed is the one over the
+    tiny per-day totals relation (|days| rows)."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    df = temporal.q_events_concurrency(spark, sf_small)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    # the running sum over the boundary stream carries the bucket key
+    assert any("windowspecdefinition(bucket" in l
+               for l in plan.splitlines()), plan[:2000]
+    assert has_partial_and_final_agg(df)
+    assert not has_python_udf(df)
+
+
+def test_series_ops_window_compacted_hourly_relation(spark, sf_small):
+    """ACF / changepoint / trending run their windows over the
+    COMPACTED (type, hour) count relation — a partial+final agg must
+    shrink the fact scan before any window or generator touches it, so
+    window input is bounded by the time span, never by event volume."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    for fn in (temporal.q_events_autocorrelation,
+               temporal.q_events_changepoint):
+        df = fn(spark, sf_small)
+        assert has_partial_and_final_agg(df), fn.__name__
+        assert not has_python_udf(df), fn.__name__
+
+
+def test_sliding_distinct_explodes_compacted_presence(spark, sf_small):
+    """window_sliding_distinct_7d must fan out the compacted
+    (user, day) presence relation (x7 of a distinct-keyed agg), never
+    raw events (x7 of the fact table), and the final distinct count
+    must be partial+final."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    df = temporal.q_sliding_distinct_7d(spark, sf_small)
+    plan = physical_plan(df)
+    # Generate (explode) must consume the aggregated relation: the agg
+    # appears below the generator in the plan tree, so the plan string
+    # contains an aggregate for presence plus the final count-distinct.
+    assert "explode(sequence" in plan, plan[:2000]
+    assert has_partial_and_final_agg(df)
+    assert not has_python_udf(df)
