@@ -397,8 +397,136 @@ def q_events_anomaly_mad(spark, sf_dir):
                       F.col("mad").cast("double").alias("mad")))
 
 
+def _rank_cuts(base, targets: dict[str, object]):
+    """Per-type rank-quantile cut values over the COMPACTED
+    (event_type, v, cnt) relation: for each (name -> target-rank
+    expression) pair, the value holding that rank under the total order
+    by v.  min(v where cum >= target) — v ascends with cum, so the
+    minimal qualifying v IS the rank-target value.  Same two-level
+    recipe as the median family (window over distinct values, never raw
+    rows); rank targets are pure integer arithmetic, engine-portable.
+    """
+    vc = base.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    grp = W.partitionBy("event_type")
+    w = grp.orderBy("v")
+    ranked = vc.select(
+        "event_type", "v", "cnt",
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+         .alias("cum"),
+        F.sum("cnt").over(grp).alias("n"))
+    return ranked.groupBy("event_type").agg(
+        *[F.min(F.when(F.col("cum") >= t, F.col("v"))).alias(name)
+          for name, t in targets.items()])
+
+
+def q_feat_winsorize(spark, sf_dir):
+    """Winsorization: clamp each event value into its type's
+    [p05, p95] rank-quantile range — the standard outlier-taming
+    transform a feature pipeline applies before scaling.
+
+    Cut ranks are ceil(n/20) and ceil(19n/20) in INTEGER arithmetic
+    ((n+19) div 20 — no float percentile boundary to flip between
+    engines); cut values come from _rank_cuts' compacted two-level
+    rank, broadcast back onto the unshuffled fact scan exactly like
+    the MAD detector.  Clamp happens in DECIMAL — exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type", dec("value", MONEY).alias("v"))
+    cuts = _rank_cuts(base, {
+        "lo": ((F.col("n") + 19) / 20).cast("long"),
+        "hi": ((19 * F.col("n") + 19) / 20).cast("long")})
+    return (base.join(F.broadcast(cuts), "event_type")
+                .select("event_id", "event_type",
+                        F.col("v").cast("double").alias("value"),
+                        F.greatest(F.least(F.col("v"), F.col("hi")),
+                                   F.col("lo"))
+                         .cast("double").alias("value_wins")))
+
+
+def q_anomaly_iqr(spark, sf_dir):
+    """Tukey-fence outliers: events outside [Q1 - 1.5*IQR,
+    Q3 + 1.5*IQR] of their type — the boxplot companion to the MAD
+    detector (quartile-based instead of median-absolute).
+
+    Quartile ranks ceil(n/4), ceil(3n/4) are integer arithmetic; the
+    fence test multiplies through by 2 (2v < 2*Q1 - 3*IQR) so the 1.5
+    factor never forces a decimal DIVISION (whose result scale differs
+    between engines) — every comparison is exact decimal-times-integer.
+    Same compacted-rank + broadcast-back shape as winsorize/MAD.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type", dec("value", MONEY).alias("v"))
+    cuts = _rank_cuts(base, {
+        "q1": ((F.col("n") + 3) / 4).cast("long"),
+        "q3": ((3 * F.col("n") + 3) / 4).cast("long")})
+    iqr = F.col("q3") - F.col("q1")
+    is_out = ((2 * F.col("v") < 2 * F.col("q1") - 3 * iqr)
+              | (2 * F.col("v") > 2 * F.col("q3") + 3 * iqr))
+    return (base.join(F.broadcast(cuts), "event_type")
+                .filter(is_out)
+                .select("event_id", "event_type",
+                        F.col("v").cast("double").alias("value"),
+                        F.col("q1").cast("double").alias("q1"),
+                        F.col("q3").cast("double").alias("q3"),
+                        iqr.cast("double").alias("iqr")))
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pair_e6(m, sa, sb, saa, sbb, sab) -> str:
+    """Pearson correlation from double-cast exact-decimal moments, as
+    one fixed-order IEEE expression shared by both engines (the
+    regr_value_time recipe); leaves as floor(corr*1e6) — FLOOR before
+    the BIGINT cast, the portable rounding."""
+    num = f"({m} * {sab} - {sa} * {sb})"
+    vx = f"({m} * {saa} - {sa} * {sa})"
+    vy = f"({m} * {sbb} - {sb} * {sb})"
+    return (f"CAST(FLOOR(CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+            f"{num} / sqrt({vx} * {vy}) * 1000000.0 END) AS BIGINT)")
+
+
+def q_stats_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of lineitem's numeric
+    measures (quantity, price, discount, tax), long form — the
+    feature-selection / data-profiling staple.
+
+    ONE partial+final aggregation computes every first and second
+    moment in exact DECIMAL (order-independent; products of
+    DECIMAL(12,2) are exact DECIMAL(25,4)); each moment converts to
+    double once (correctly rounded from the same exact rational in
+    both engines — identical bits), and the 6 pair correlations are
+    fixed-order expressions over those scalars, unpivoted by stack().
+    No second pass, no window, no shuffle beyond the single agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {c: dec(c, MONEY) for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("m")]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(F.sum(cols[a]).cast("double").alias(f"s{i}"))
+        for j, b in enumerate(_CORR_COLS):
+            if i <= j:
+                aggs.append(F.sum(cols[a] * cols[b]).cast("double")
+                             .alias(f"p{i}{j}"))
+    mom = li.agg(*aggs)
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if i < j:
+                rows.append(
+                    f"'{a}', '{b}', "
+                    + _corr_pair_e6("m", f"s{i}", f"s{j}",
+                                    f"p{i}{i}", f"p{j}{j}", f"p{i}{j}"))
+    return mom.selectExpr(
+        f"stack({len(rows)}, {', '.join(rows)})"
+        " AS (col_a, col_b, corr_e6)")
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
+    "feat_winsorize": q_feat_winsorize,
+    "anomaly_iqr_fences": q_anomaly_iqr,
+    "stats_corr_matrix": q_stats_corr_matrix,
     "stats_trimmed_mean": q_stats_trimmed,
     "events_anomaly_mad": q_events_anomaly_mad,
     "regr_value_time": q_regr_value_time,
@@ -622,3 +750,66 @@ ORACLE["feat_quantile_normalize"] = """
                AS pct_e6
     FROM b
 """
+
+_RANKED_SQL = """
+    base AS (
+        SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v
+        FROM events),
+    vc AS (SELECT event_type, v, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+    ranked AS (
+        SELECT event_type, v, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM vc)
+"""
+
+ORACLE["feat_winsorize"] = f"""
+    WITH {_RANKED_SQL},
+    cuts AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= (n + 19) // 20 THEN v END) AS lo,
+               MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS hi
+        FROM ranked GROUP BY 1)
+    SELECT b.event_id, b.event_type, CAST(b.v AS DOUBLE) AS value,
+           CAST(GREATEST(LEAST(b.v, c.hi), c.lo) AS DOUBLE) AS value_wins
+    FROM base b JOIN cuts c USING (event_type)
+"""
+
+ORACLE["anomaly_iqr_fences"] = f"""
+    WITH {_RANKED_SQL},
+    cuts AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+               MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+        FROM ranked GROUP BY 1)
+    SELECT b.event_id, b.event_type, CAST(b.v AS DOUBLE) AS value,
+           CAST(c.q1 AS DOUBLE) AS q1, CAST(c.q3 AS DOUBLE) AS q3,
+           CAST(c.q3 - c.q1 AS DOUBLE) AS iqr
+    FROM base b JOIN cuts c USING (event_type)
+    WHERE 2 * b.v < 2 * c.q1 - 3 * (c.q3 - c.q1)
+       OR 2 * b.v > 2 * c.q3 + 3 * (c.q3 - c.q1)
+"""
+
+
+def _corr_matrix_oracle() -> str:
+    aggs = ["COUNT(*)::DOUBLE AS m"]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(f"SUM(CAST({a} AS DECIMAL(12,2)))::DOUBLE AS s{i}")
+        for j, b in enumerate(_CORR_COLS):
+            if i <= j:
+                aggs.append(
+                    f"SUM(CAST({a} AS DECIMAL(12,2))"
+                    f" * CAST({b} AS DECIMAL(12,2)))::DOUBLE AS p{i}{j}")
+    sels = []
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if i < j:
+                expr = _corr_pair_e6("m", f"s{i}", f"s{j}",
+                                     f"p{i}{i}", f"p{j}{j}", f"p{i}{j}")
+                sels.append(f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                            f" {expr} AS corr_e6 FROM mom")
+    return ("WITH mom AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n    "
+            + "\n    UNION ALL ".join(sels))
+
+
+ORACLE["stats_corr_matrix"] = _corr_matrix_oracle()
