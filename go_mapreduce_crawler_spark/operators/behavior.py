@@ -205,8 +205,50 @@ def q_rfm_segmentation(spark, sf_dir):
          + score("m_total")).alias("rfm"))
 
 
+ATTR_WINDOW_US = 7 * 86_400_000_000
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding view/click within 7 days — the standard marketing
+    attribution join.
+
+    ONE shuffle on user_id, O(1) window state: a running last-non-null
+    over the totally ordered (us, event_id) event stream carries the
+    latest touch's (us, id, type) forward; purchase rows read it and
+    the 7-day recency filter applies after.  No per-user buffering, no
+    self-join fan-out — the same constant-state shape as the funnel's
+    chained min-aggs.  Three parallel last(ignorenulls) columns share
+    one window frame (a struct-valued last would hit engine-specific
+    struct ordering; three scalars from the SAME conditional are
+    consistent by construction).  The oracle deliberately uses the
+    opposite construction — a purchase x touch join with a rank-1 pick
+    — so two independent formulations must agree.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "event_type",
+                    F.unix_micros("ts").alias("us"))
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (W.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    lastc = [F.last(F.when(is_touch, F.col(c)), ignorenulls=True)
+              .over(w).alias(f"touch_{a}")
+             for c, a in (("us", "us"), ("event_id", "id"),
+                          ("event_type", "type"))]
+    attr = (base.select("event_id", "user_id", "event_type", "us", *lastc)
+                .filter((F.col("event_type") == "purchase")
+                        & F.col("touch_us").isNotNull()
+                        & (F.col("touch_us") >= F.col("us") - ATTR_WINDOW_US)))
+    return attr.select(
+        "event_id", "user_id", F.col("us").alias("purchase_us"),
+        F.col("touch_id").alias("touch_event_id"),
+        F.col("touch_type").alias("touch_type"),
+        "touch_us", (F.col("us") - F.col("touch_us")).alias("lag_us"))
+
+
 QUERIES = {
     "rfm_segmentation": q_rfm_segmentation,
+    "attribution_last_touch": q_attribution_last_touch,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "markov_transitions": q_markov_transitions,
@@ -314,4 +356,22 @@ ORACLE["rfm_segmentation"] = """
            r_score, f_score, m_score,
            r_score * 100 + f_score * 10 + m_score AS rfm
     FROM s
+"""
+
+ORACLE["attribution_last_touch"] = f"""
+    WITH b AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+               FROM events),
+    p AS (SELECT * FROM b WHERE event_type = 'purchase'),
+    t AS (SELECT * FROM b WHERE event_type IN ('view', 'click')),
+    j AS (
+        SELECT p.event_id, p.user_id, p.us AS purchase_us,
+               t.event_id AS touch_event_id, t.event_type AS touch_type,
+               t.us AS touch_us,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY t.us DESC, t.event_id DESC) AS rk
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id)))
+    SELECT event_id, user_id, purchase_us, touch_event_id, touch_type,
+           touch_us, purchase_us - touch_us AS lag_us
+    FROM j WHERE rk = 1 AND touch_us >= purchase_us - {ATTR_WINDOW_US}
 """

@@ -222,12 +222,56 @@ def q_label_propagation(spark, sf_dir):
     return lab
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the strong co-purchase graph:
+    for every NON-adjacent part pair sharing >= 1 neighbor, the score
+    sum_z 1 / ln(deg(z)) over common neighbors z — the classic
+    "products frequently bought with the same things" recommender
+    signal.
+
+    Scale shape: candidate pairs are generated by the two-hop join
+    keyed on the shared neighbor z, so the fan-out is sum_z deg(z)^2 —
+    bounded by thresholded-graph degree, the same cost model as
+    triangle counting (at web scale, cap deg(z) first: high-degree
+    hubs contribute ~0 anyway since 1/ln(deg) vanishes).  Existing
+    edges leave via a LEFT ANTI join on the oriented pair; degrees
+    broadcast.  Each z's contribution floor(1e12 / ln deg) is an exact
+    long via the engine-portable _ln_det series (deg >= 2 so ln > 0),
+    summed with the pagerank quantize-sum recipe — order-independent,
+    bit-identical across engines and partitionings.
+    """
+    from .text import _ln_det, _lit_spark
+    edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb").cache()
+    adj = (edges.select(F.col("pa").alias("z"), F.col("pb").alias("x"))
+           .union(edges.select(F.col("pb").alias("z"),
+                               F.col("pa").alias("x"))))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    a = adj.select("z", F.col("x").alias("na"))
+    b = adj.select("z", F.col("x").alias("nb"))
+    cand = (a.join(b, "z")
+             .filter(F.col("na") < F.col("nb"))
+             .join(edges,
+                   (F.col("na") == F.col("pa")) & (F.col("nb") == F.col("pb")),
+                   "left_anti"))
+    contrib = (cand.join(F.broadcast(deg), "z")
+               .selectExpr("na", "nb",
+                           f"CAST(FLOOR(1000000000000.0 / "
+                           f"{_ln_det('deg', _lit_spark)}) AS BIGINT)"
+                           " AS c"))
+    return (contrib.groupBy("na", "nb")
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.sum("c").alias("aa_e12"))
+            .select(F.col("na").alias("part_a"), F.col("nb").alias("part_b"),
+                    "n_common", "aa_e12"))
+
+
 QUERIES = {
     "basket_rules": q_basket_rules,
     "triangle_count": q_triangle_count,
     "pagerank_copurchase": q_pagerank_copurchase,
     "bfs_hops": q_bfs_hops,
     "label_propagation": q_label_propagation,
+    "graph_adamic_adar": q_adamic_adar,
 }
 
 def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
@@ -359,3 +403,34 @@ ORACLE = {
         SELECT node, min(hops) AS hops FROM walk GROUP BY 1
     """,
 }
+
+
+def _adamic_adar_oracle() -> str:
+    from .text import _ln_det, _lit_duck
+    contrib = (f"CAST(FLOOR(CAST('1000000000000.0' AS DOUBLE) / "
+               f"{_ln_det('deg', _lit_duck)}) AS BIGINT)")
+    return f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+        adj AS (SELECT pa AS z, pb AS x FROM edges
+                UNION ALL SELECT pb, pa FROM edges),
+        deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+        cand AS (
+            SELECT a.z, a.x AS na, b.x AS nb
+            FROM adj a JOIN adj b ON a.z = b.z AND a.x < b.x
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.pa = a.x AND e.pb = b.x))
+        SELECT c.na AS part_a, c.nb AS part_b,
+               COUNT(*) AS n_common,
+               SUM({contrib})::BIGINT AS aa_e12
+        FROM cand c JOIN deg USING (z)
+        GROUP BY 1, 2
+    """
+
+
+ORACLE["graph_adamic_adar"] = _adamic_adar_oracle()
