@@ -570,8 +570,55 @@ def q_embedding_random_projection(spark, sf_dir):
         f"array_join(array({coords}), ',') AS proj_e6")
 
 
+def q_embedding_gram(spark, sf_dir):
+    """Gram matrix of the embedding corpus: G[i][j] = sum over vectors
+    of x_i * x_j, upper triangle in long form — the one-pass sufficient
+    statistic behind PCA / whitening / covariance of an embedding
+    column (eigendecompose the d x d result driver-side; d is tiny).
+
+    The 100 TB shape: per Arrow batch a vectorized int64 Q^T @ Q
+    accumulates a d x d partial (mapInPandas — one d(d+1)/2-row output
+    per PARTITION's worth of batches, not per vector), then ONE
+    partial+final agg sums partials; the shuffle carries
+    |partitions| x 2080 rows, never vectors.  Components quantize to
+    floor(x * 1e6 + 0.5) int64 first (float->double widening is exact;
+    floor of identical doubles is identical), so the matmul and the
+    cross-partition sum are exact integer arithmetic — independent of
+    batch boundaries, partition count, and engine.  Headroom: |x|<=1-ish
+    components give ~1e12 per product; int64 overflows only past ~9M
+    vectors per (i,j) cell — shard the sum by vec_id range (one extra
+    groupBy key) beyond that, same plan shape.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iu, ju = np.triu_indices(DIM)
+
+    def kernel(batches):
+        G = np.zeros((DIM, DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Q = np.floor(M * 1e6 + 0.5).astype(np.int64)
+            G += Q.T @ Q
+        if seen:
+            yield pd.DataFrame({"i": iu.astype(np.int32),
+                                "j": ju.astype(np.int32),
+                                "partial": G[iu, ju]})
+
+    parts = e.select("embedding").mapInPandas(
+        kernel, schema="i int, j int, partial long")
+    return (parts.groupBy("i", "j")
+                 .agg(F.sum("partial").alias("gram_e12"))
+                 .select("i", "j", "gram_e12"))
+
+
 QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce,
+    "embedding_gram_matrix": q_embedding_gram,
     "ann_lsh_cosine": q_ann_lsh,
     "ann_ivf_cosine": q_ann_ivf,
     "ann_int8_rerank": q_ann_int8,
@@ -849,3 +896,15 @@ def _rp_oracle_sql() -> str:
 
 
 ORACLE["embedding_random_projection"] = _rp_oracle_sql()
+
+ORACLE["embedding_gram_matrix"] = """
+    WITH comp AS (
+        SELECT vec_id,
+               unnest(generate_series(0, len(embedding) - 1)) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                          + 0.5) AS BIGINT) AS q
+        FROM embeddings)
+    SELECT a.i AS i, b.i AS j, SUM(a.q * b.q)::BIGINT AS gram_e12
+    FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+"""

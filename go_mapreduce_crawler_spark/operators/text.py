@@ -810,9 +810,63 @@ def q_remove_boilerplate(spark, sf_dir):
                 .select("doc_id", "n_segs", "n_kept", "clean_text"))
 
 
+BM25_TOP = 3
+
+
+def _bm25_e6_expr(lit) -> str:
+    """BM25 (k1=1.2, b=0.75) as one fixed-order expression over the
+    integer columns tf, df, dl and the one-row scalars n_docs /
+    total_words, shared by both dialects.  The idf ln((N-df+.5)/(df+.5))
+    is a DIFFERENCE of two _ln_det integer logs (multiply num/den by 2:
+    ln((2N-2df+1)/(2df+1)) = _ln_det(2N-2df+1) - _ln_det(2df+1)) — no
+    libm, engine-identical bits.  Constants ride as shared repr
+    literals; dl/avgdl becomes (dl * n_docs) / total_words, one integer
+    product and one IEEE divide."""
+    idf = (f"({_ln_det('(2 * n_docs - 2 * df + 1)', lit)}"
+           f" - {_ln_det('(2 * df + 1)', lit)})")
+    dl_norm = (f"({lit(0.25)} + {lit(0.75)}"
+               f" * (CAST(dl * n_docs AS DOUBLE)"
+               f" / CAST(total_words AS DOUBLE)))")
+    score = (f"({idf} * (CAST(tf AS DOUBLE) * {lit(2.2)})"
+             f" / (CAST(tf AS DOUBLE) + {lit(1.2)} * {dl_norm}))")
+    return f"CAST(FLOOR({score} * 1000000.0) AS BIGINT)"
+
+
+def q_text_bm25(spark, sf_dir):
+    """Top-3 BM25 terms per document — the retrieval-grade relevance
+    scorer next to q_text_tfidf (adds document-length normalization and
+    the saturating tf, the Okapi form search engines actually rank by).
+
+    Same two-shuffle shape as tfidf: (doc, word) tf counts (cached —
+    df, dl, and the final score all derive from it, so the corpus
+    explodes ONCE), word-keyed df agg, doc-keyed dl agg, and the two
+    corpus scalars broadcast as a one-row crossJoin (never a driver
+    collect).  Scoring is the shared fixed-order expression of
+    _bm25_e6_expr; ties break (score desc, word) for a total order.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = (words.groupBy("doc_id", "word")
+               .agg(F.count(F.lit(1)).alias("tf")).cache())
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scal = dl.agg(F.sum("dl").alias("total_words"),
+                  F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df, "word").join(dl, "doc_id")
+                .crossJoin(F.broadcast(scal))
+                .selectExpr("doc_id", "word", "tf", "df", "dl",
+                            _bm25_e6_expr(_lit_spark) + " AS bm25_e6"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25_e6"), F.asc("word"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= BM25_TOP)
+                  .select("doc_id", "word", "tf", "df", "dl",
+                          "bm25_e6", "rk"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
+    "text_bm25_top_terms": q_text_bm25,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow_fingerprints": q_text_winnow,
@@ -1225,3 +1279,26 @@ def _pmi_oracle_sql() -> str:
 
 
 ORACLE["text_pmi_cooccurrence"] = _pmi_oracle_sql()
+
+ORACLE["text_bm25_top_terms"] = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf
+           FROM words GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    scal AS (SELECT SUM(dl)::BIGINT AS total_words,
+                    COUNT(*)::BIGINT AS n_docs FROM dl),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, df.df, dl.dl,
+               {_bm25_e6_expr(_lit_duck)} AS bm25_e6
+        FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id,
+             scal),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY bm25_e6 DESC, word) AS rk
+        FROM scored)
+    SELECT doc_id, word, tf, df, dl, bm25_e6, rk
+    FROM ranked WHERE rk <= {BM25_TOP}
+"""

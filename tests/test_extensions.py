@@ -805,3 +805,54 @@ def test_rfm_scores_bounded_and_monotone_in_monetary(spark, sf_small):
     by_m = sorted(rows, key=lambda r: r.m_total)
     for a, b in zip(by_m, by_m[1:]):
         assert a.m_score <= b.m_score or a.m_total == b.m_total
+
+
+def test_gram_matrix_partitioning_invariant_and_matches_numpy(spark, sf_small):
+    """The partial-Gram mapInPandas aggregation must be exact integer
+    arithmetic: identical results under any partitioning, and equal to
+    a single-process numpy reference on the quantized matrix."""
+    import numpy as np
+    from go_mapreduce_crawler_spark.operators import similarity
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    base = {(r.i, r.j): r.gram_e12
+            for r in similarity.q_embedding_gram(spark, sf_small).collect()}
+    assert len(base) == similarity.DIM * (similarity.DIM + 1) // 2
+
+    # numpy reference on the whole corpus in one piece
+    pdf = load_table(spark, sf_small, "embeddings").toPandas()
+    M = np.array(list(pdf["embedding"]), dtype=np.float64)
+    Q = np.floor(M * 1e6 + 0.5).astype(np.int64)
+    G = Q.T @ Q
+    for (i, j), v in base.items():
+        assert v == G[i, j], (i, j)
+
+    # partitioning must not matter (exact integer partials): rebuild
+    # the same quantize -> partial -> sum pipeline over a skewed
+    # repartition and require identical cells
+    import pandas as pd
+    from pyspark.sql import functions as F
+    iu, ju = np.triu_indices(similarity.DIM)
+
+    def kernel(batches):
+        G = np.zeros((similarity.DIM, similarity.DIM), dtype=np.int64)
+        seen = False
+        for b in batches:
+            if not len(b):
+                continue
+            seen = True
+            M2 = np.array(list(b["embedding"]), dtype=np.float64)
+            Q2 = np.floor(M2 * 1e6 + 0.5).astype(np.int64)
+            G += Q2.T @ Q2
+        if seen:
+            yield pd.DataFrame({"i": iu.astype(np.int32),
+                                "j": ju.astype(np.int32),
+                                "partial": G[iu, ju]})
+
+    alt = {(r.i, r.j): r.gram_e12
+           for r in load_table(spark, sf_small, "embeddings")
+           .repartition(13).select("embedding")
+           .mapInPandas(kernel, schema="i int, j int, partial long")
+           .groupBy("i", "j").agg(F.sum("partial").alias("gram_e12"))
+           .collect()}
+    assert alt == base
