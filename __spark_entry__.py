@@ -4,9 +4,11 @@ entry(spark)  — flagship query smoke check on sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + north-star
                 extensions), (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only
-                for the 2 ops whose kernels are genuinely not
+                for the 3 ops whose kernels are genuinely not
                 SQL-expressible (the engine-specific HLL and GK
-                sketches) —
+                sketches, and the eigendecomposition inside
+                embedding_pca_project — whose distributed sufficient
+                statistic, embedding_gram_matrix, IS fully oracled) —
                 those get the driver's rows-only check and are pinned
                 against ground truth in tests/.
 """

@@ -269,3 +269,94 @@ ORACLE["sample_split_group_holdout"] = """
                 ELSE 'train' END AS split
     FROM documents
 """
+
+
+BOOT_B = 8          # bootstrap replicates
+_TWO52 = float(1 << 52)
+# Cumulative Poisson(1) CDF thresholds P(X <= k), k = 0..5; weight 6
+# beyond (P > 6 ~ 1e-4 truncated into the tail bucket).  Computed once
+# here and embedded as shared repr literals in both dialects.
+import math as _math
+
+_POIS_CDF = []
+_acc, _term = 0.0, _math.exp(-1.0)
+for _k in range(6):
+    _acc += _term
+    _POIS_CDF.append(_acc)
+    _term /= (_k + 1)
+
+
+def _boot_weight(hash_sql: str, lit) -> str:
+    """Poisson(1) bootstrap weight from a 52-bit portable hash: u =
+    h / 2^52 (exact power-of-two division of identical integers), then
+    the inverse-CDF CASE ladder over shared double literals — the
+    deterministic multiplier every engine computes identically."""
+    u = f"(CAST({hash_sql} AS DOUBLE) / {lit(_TWO52)})"
+    cases = " ".join(
+        f"WHEN {u} < {lit(t)} THEN {k}"
+        for k, t in enumerate(_POIS_CDF))
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+def q_stats_bootstrap(spark, sf_dir):
+    """Poisson bootstrap of total revenue: B=8 deterministic resampling
+    replicates of lineitem, each row drawn Poisson(1) times per
+    replicate via a hash-derived uniform — the standard way to put a
+    confidence interval on a 100 TB aggregate WITHOUT materializing
+    resamples.
+
+    All B replicates ride in ONE scan / ONE partial+final agg: per
+    replicate a conditional weight column (md5(key, r) -> 52-bit
+    uniform -> inverse-CDF ladder), then sum(w) and sum(w * price) —
+    exact decimal x integer, order-independent — unpivoted to
+    (replicate, n_sampled, sum_price) by stack().  No fan-out join, no
+    shuffle of fact rows, reproducible across runs/partitionings by
+    construction (hash-derived, no rand()).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def lit_spark(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    cols = []
+    for r in range(1, BOOT_B + 1):
+        h = (f"CAST(conv(substring(md5(concat_ws('-', "
+             f"CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING), "
+             f"'{r}')), 1, 13), 16, 10) AS BIGINT)")
+        w = _boot_weight(h, lit_spark)
+        cols.append(f"{w} AS w{r}")
+    base = li.selectExpr("l_extendedprice", *cols)
+    aggs = []
+    for r in range(1, BOOT_B + 1):
+        aggs += [F.sum(F.col(f"w{r}")).alias(f"n{r}"),
+                 F.sum(F.col(f"w{r}")
+                       * F.col("l_extendedprice").cast("decimal(12,2)"))
+                  .cast("double").alias(f"s{r}")]
+    one = base.agg(*aggs)
+    stacked = ", ".join(f"{r}, n{r}, s{r}" for r in range(1, BOOT_B + 1))
+    return one.selectExpr(
+        f"stack({BOOT_B}, {stacked}) AS (replicate, n_sampled, sum_price)")
+
+
+QUERIES["stats_bootstrap_poisson"] = q_stats_bootstrap
+
+
+def _boot_oracle() -> str:
+    def lit_duck(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    sels = []
+    for r in range(1, BOOT_B + 1):
+        h = (f"(('0x' || substr(md5(concat_ws('-', "
+             f"CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
+             f"'{r}')), 1, 13))::BIGINT)")
+        w = _boot_weight(h, lit_duck)
+        sels.append(
+            f"SELECT {r} AS replicate, SUM(w)::BIGINT AS n_sampled, "
+            f"SUM(w * p)::DOUBLE AS sum_price FROM "
+            f"(SELECT {w} AS w, CAST(l_extendedprice AS DECIMAL(12,2)) AS p"
+            f" FROM lineitem)")
+    return "\n    UNION ALL ".join(sels)
+
+
+ORACLE["stats_bootstrap_poisson"] = _boot_oracle()

@@ -616,9 +616,73 @@ def q_embedding_gram(spark, sf_dir):
                  .select("i", "j", "gram_e12"))
 
 
+PCA_K = 2
+
+
+def q_embedding_pca(spark, sf_dir):
+    """PCA projection of the embedding corpus onto its top-2 principal
+    components — the dimensionality-reduction / visualization step of
+    an embedding pipeline, built the distributed-sufficient-statistic
+    way.
+
+    The heavy pass is q_embedding_gram's exact integer Q'Q plus one
+    d-wide column-sum agg; the d x d covariance
+    C = E[xx'] - mu mu' assembles DRIVER-side from those (bounded: 64x64
+    — the IVF-centroid collect pattern), numpy.eigh runs on the driver
+    (O(d^3), microseconds), and the top-k eigenvectors broadcast back
+    as literal vectors into a JVM-side fold (the _dot_sql pattern) that
+    projects every embedding in one narrow pass.  No iteration touches
+    distributed data; vectors never shuffle.
+
+    Deterministic given the corpus: the Gram/sums are exact integers;
+    eigh on identical doubles is deterministic in-process; the sign of
+    each eigenvector is canonicalized (largest-|coefficient| entry
+    positive, lowest index on ties).  Eigendecomposition is not
+    SQL-expressible, so this is a rows-only driver check by design —
+    correctness is pinned in tests against a whole-corpus numpy PCA
+    (tests/test_extensions.py).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    gram = {(r.i, r.j): r.gram_e12
+            for r in q_embedding_gram(spark, sf_dir).collect()}
+    sums = e.select(*[
+        F.sum(F.floor(F.col("embedding")[i].cast("double") * 1e6 + 0.5)
+              .cast("long")).alias(f"s{i}")
+        for i in range(DIM)]).collect()[0]
+    n = e.count()
+    if n == 0:
+        return e.select("vec_id",
+                        *[F.lit(0).alias(f"pc{k+1}_e6")
+                          for k in range(PCA_K)]).limit(0)
+    G = np.zeros((DIM, DIM))
+    for (i, j), v in gram.items():
+        G[i, j] = G[j, i] = v
+    mu = np.array([sums[f"s{i}"] for i in range(DIM)], dtype=np.float64) / n
+    C = G / n - np.outer(mu, mu)          # e12-scaled covariance
+    evals, evecs = np.linalg.eigh(C)
+    comps = []
+    for k in range(1, PCA_K + 1):
+        v = evecs[:, -k]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v)
+    # project on the QUANTIZED components (same floor(x*1e6+0.5) ints
+    # the statistics used), so the projection is a deterministic fold
+    proj = [
+        F.floor(sum(
+            (F.floor(F.col("embedding")[i].cast("double") * 1e6 + 0.5)
+             - F.lit(float(mu[i])))
+            * F.lit(float(comps[k][i]))
+            for i in range(DIM))).cast("long").alias(f"pc{k+1}_e6")
+        for k in range(PCA_K)]
+    return e.select("vec_id", *proj)
+
+
 QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce,
     "embedding_gram_matrix": q_embedding_gram,
+    "embedding_pca_project": q_embedding_pca,
     "ann_lsh_cosine": q_ann_lsh,
     "ann_ivf_cosine": q_ann_ivf,
     "ann_int8_rerank": q_ann_int8,

@@ -856,3 +856,39 @@ def test_gram_matrix_partitioning_invariant_and_matches_numpy(spark, sf_small):
            .groupBy("i", "j").agg(F.sum("partial").alias("gram_e12"))
            .collect()}
     assert alt == base
+
+
+def test_pca_projection_matches_numpy_reference(spark, sf_small):
+    """Driver-assembled covariance + eigh + JVM-side projection must
+    equal a whole-corpus numpy PCA on the same quantized components:
+    identical covariance, orthonormal components, variance ordering,
+    and per-row projections within fold rounding (floor +/- 1)."""
+    import numpy as np
+    from go_mapreduce_crawler_spark.operators import similarity
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = {r.vec_id: (r.pc1_e6, r.pc2_e6)
+            for r in similarity.q_embedding_pca(spark, sf_small).collect()}
+    pdf = load_table(spark, sf_small, "embeddings").toPandas()
+    M = np.array(list(pdf["embedding"]), dtype=np.float64)
+    Q = np.floor(M * 1e6 + 0.5)
+    mu = Q.mean(axis=0)
+    C = (Q.T @ Q) / len(Q) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(C)
+    assert evals[-1] >= evals[-2] >= 0
+    ref = []
+    for k in (1, 2):
+        v = evecs[:, -k]
+        piv = int(np.argmax(np.abs(v)))
+        if v[piv] < 0:
+            v = -v
+        ref.append(v)
+    P = (Q - mu) @ np.stack(ref, axis=1)
+    for idx, vid in enumerate(pdf["vec_id"]):
+        got = rows[vid]
+        want = np.floor(P[idx])
+        for k in (0, 1):
+            assert abs(got[k] - want[k]) <= 1, (vid, got, want)
+    # empirical variance along pc1 >= pc2
+    p = np.array([rows[v] for v in pdf["vec_id"]], dtype=np.float64)
+    assert p[:, 0].var() >= p[:, 1].var()
