@@ -471,6 +471,170 @@ def q_anomaly_iqr(spark, sf_dir):
                         iqr.cast("double").alias("iqr")))
 
 
+def q_validate_referential(spark, sf_dir):
+    """Referential-integrity audit across the warehouse's foreign keys:
+    orphaned lineitems (no parent order), childless orders (no
+    lineitem), orders with unknown customers, customers with unknown
+    nations — one (check_name, n_violations) row each, the
+    cross-TABLE data contract next to the per-row validate_events /
+    validate_embeddings checks.
+
+    Each check is one LEFT ANTI join compiled to a shuffled/broadcast
+    hash join on the key alone (columns prune to the FK) + a count —
+    the exact shape FK validation keeps at 100 TB; the four tiny
+    one-row aggregates union at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    checks = [
+        ("lineitem_orphan_order",
+         li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")),
+        ("order_without_lineitem",
+         o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")),
+        ("order_orphan_customer",
+         o.join(c, o.o_custkey == c.c_custkey, "left_anti")),
+        ("customer_orphan_nation",
+         c.join(n, c.c_nationkey == n.n_nationkey, "left_anti")),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.agg(F.count(F.lit(1)).alias("n_violations")) \
+                .select(F.lit(name).alias("check_name"), "n_violations")
+        out = row if out is None else out.union(row)
+    return out
+
+
+def q_stats_chi_square(spark, sf_dir):
+    """Chi-square independence cells for event_type x day-of-week: the
+    contingency table with each cell's observed count, expected count,
+    and (o-e)^2/e contribution — the categorical-association profile a
+    data-quality sweep runs over every dimension pair.
+
+    One partial+final agg builds the cells; the two margins re-aggregate
+    the tiny cell relation (|types| x 7 rows) and broadcast back, so the
+    fact table is scanned once and shuffles only into the cell agg.
+    Per-cell math uses exact integer counts promoted through DECIMAL
+    products ((o*N - rt*ct) is exact), converts to double once, and
+    floors at 1e6 — no float is ever summed across cells, so the output
+    is order-independent; consumers sum contrib_e6 (exact BIGINT
+    addition) to get the statistic.  Day-of-week is an epoch-day mod 7
+    (engine-portable; no locale-dependent weekday function).
+    """
+    e = load_table(spark, sf_dir, "events")
+    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(7))
+    cells = (e.groupBy(F.col("event_type"), dow.alias("dow"))
+              .agg(F.count(F.lit(1)).alias("o")))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    j = (cells.join(F.broadcast(rt), "event_type")
+              .join(F.broadcast(ct), "dow")
+              .crossJoin(F.broadcast(tot)))
+    rtct = (d38("rt") * d38("ct")).cast("double")
+    nd = F.col("n").cast("double")
+    num = (d38("o") * d38("n") - d38("rt") * d38("ct")).cast("double")
+    exp_e6 = F.floor(rtct / nd * 1e6).cast("long")
+    contrib_e6 = F.floor(num * num / (rtct * nd) * 1e6).cast("long")
+    return j.select("event_type", "dow", F.col("o").alias("n_obs"),
+                    exp_e6.alias("exp_e6"), contrib_e6.alias("contrib_e6"))
+
+
+_KS_A, _KS_B = "purchase", "click"
+
+
+def q_stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between the value distributions
+    of '{a}' and '{b}' events — the drift detector a training pipeline
+    runs between data snapshots.
+
+    D = max over observed values of |F1(x) - F2(x)|.  The fact table
+    compacts to per-distinct-value counts for both samples (partial+
+    final agg); only that compacted relation is ranked, and its running
+    sums use the two-level value-range-bucketed prefix (abc_analysis's
+    recipe: bucket = floor(value), intra-bucket windows partition on
+    the bucket, |buckets|-row offsets broadcast back) — no global
+    single-partition sort at any scale.  The max is taken over the
+    EXACT integer cross products |r1*n2 - r2*n1| (DECIMAL), and the
+    single double division happens once on the winning scalar.
+    """.format(a=_KS_A, b=_KS_B)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B))
+    pts = (e.groupBy("value")
+            .agg(F.sum(F.when(F.col("event_type") == _KS_A, 1)
+                        .otherwise(0)).alias("c1"),
+                 F.sum(F.when(F.col("event_type") == _KS_B, 1)
+                        .otherwise(0)).alias("c2"))
+            .withColumn("bkt", F.floor("value")))
+    bsum = pts.groupBy("bkt").agg(F.sum("c1").alias("s1"),
+                                  F.sum("c2").alias("s2"))
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "bkt",
+        F.coalesce(F.sum("s1").over(w_off), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("s2").over(w_off), F.lit(0)).alias("off2"))
+    w_in = (W.partitionBy("bkt").orderBy("value")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = (pts.join(F.broadcast(offs), "bkt")
+              .withColumn("r1", F.col("off1") + F.sum("c1").over(w_in))
+              .withColumn("r2", F.col("off2") + F.sum("c2").over(w_in)))
+    tot = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dnum = F.abs(d38("r1") * d38("n2") - d38("r2") * d38("n1"))
+    best = (run.crossJoin(F.broadcast(tot))
+               .agg(F.max(dnum).alias("dmax"),
+                    F.first("n1").alias("n1"), F.first("n2").alias("n2")))
+    ks = (F.col("dmax").cast("double")
+          / (F.col("n1").cast("double") * F.col("n2").cast("double")))
+    return best.select(F.round(ks, 6).alias("ks_d"), "n1", "n2")
+
+
+_GINI_BUCKET = 1000
+
+
+def q_gini_revenue(spark, sf_dir):
+    """Gini coefficient of per-customer order revenue — the single
+    inequality number behind "how concentrated is our revenue?"
+    (and, in corpus terms, "how concentrated is our token supply
+    across sources?").
+
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending x.
+    The ascending rank comes from the two-level value-range-bucketed
+    prefix COUNT (bucket = floor(x/1000)): per-customer revenues are
+    already a compacted |customers|-row relation, intra-bucket
+    row_numbers partition on the bucket, bucket row-count offsets
+    broadcast back — the classic global-sort-window scale-killer never
+    appears.  sum(i*x_i) accumulates in exact DECIMAL (rank ties
+    permute equal x values only, so the sum is tie-invariant); ONE
+    double division produces the coefficient, rounded to 1e-6.  The
+    oracle uses the single global row_number window, so the two
+    constructions must agree exactly.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = (o.groupBy("o_custkey")
+            .agg(F.sum(dec("o_totalprice", MONEY)).alias("x"))
+            .withColumn("bkt", F.floor(F.col("x") / _GINI_BUCKET)))
+    bcnt = rev.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bcnt.select("bkt",
+                       F.coalesce(F.sum("c").over(w_off), F.lit(0))
+                        .alias("off"))
+    w_in = W.partitionBy("bkt").orderBy("x", "o_custkey")
+    ranked = (rev.join(F.broadcast(offs), "bkt")
+                 .withColumn("i", F.col("off") + F.row_number().over(w_in)))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("t"))
+    nd = F.col("n").cast("double")
+    sd, td = F.col("s").cast("double"), F.col("t").cast("double")
+    gini = (2.0 * td - (nd + 1.0) * sd) / (nd * sd)
+    return agg.select(F.round(gini, 6).alias("gini"),
+                      F.col("n").alias("n_customers"))
+
+
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -524,9 +688,13 @@ def q_stats_corr_matrix(spark, sf_dir):
 
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
+    "validate_referential_integrity": q_validate_referential,
     "feat_winsorize": q_feat_winsorize,
     "anomaly_iqr_fences": q_anomaly_iqr,
     "stats_corr_matrix": q_stats_corr_matrix,
+    "stats_chi_square_cells": q_stats_chi_square,
+    "stats_ks_two_sample": q_stats_ks_two_sample,
+    "gini_revenue_concentration": q_gini_revenue,
     "stats_trimmed_mean": q_stats_trimmed,
     "events_anomaly_mad": q_events_anomaly_mad,
     "regr_value_time": q_regr_value_time,
@@ -813,3 +981,85 @@ def _corr_matrix_oracle() -> str:
 
 
 ORACLE["stats_corr_matrix"] = _corr_matrix_oracle()
+
+ORACLE["validate_referential_integrity"] = """
+    SELECT 'lineitem_orphan_order' AS check_name, COUNT(*) AS n_violations
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'order_without_lineitem', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'order_orphan_customer', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_orphan_nation', COUNT(*)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+ORACLE["stats_chi_square_cells"] = """
+    WITH cells AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                   AS dow,
+               COUNT(*)::BIGINT AS o
+        FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, SUM(o)::BIGINT AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT dow, SUM(o)::BIGINT AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o)::BIGINT AS n FROM cells)
+    SELECT c.event_type, c.dow, c.o AS n_obs,
+           CAST(FLOOR(CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n AS DOUBLE)
+                      * 1e6) AS BIGINT) AS exp_e6,
+           CAST(FLOOR(CAST(c.o * n - rt.rt * ct.ct AS DOUBLE)
+                      * CAST(c.o * n - rt.rt * ct.ct AS DOUBLE)
+                      / (CAST(rt.rt * ct.ct AS DOUBLE) * CAST(n AS DOUBLE))
+                      * 1e6) AS BIGINT) AS contrib_e6
+    FROM cells c
+    JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+"""
+
+ORACLE["stats_ks_two_sample"] = f"""
+    WITH pts AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                   ::BIGINT AS c1,
+               SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                   ::BIGINT AS c2
+        FROM events
+        WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+        GROUP BY 1),
+    run AS (
+        SELECT SUM(c1) OVER (ORDER BY value) AS r1,
+               SUM(c2) OVER (ORDER BY value) AS r2
+        FROM pts),
+    tot AS (SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2 FROM pts)
+    SELECT round(CAST(MAX(ABS(r1 * n2 - r2 * n1)) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d,
+           n1, n2
+    FROM run CROSS JOIN tot
+    GROUP BY n1, n2
+"""
+
+ORACLE["gini_revenue_concentration"] = """
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+        FROM orders GROUP BY 1),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+        FROM rev),
+    agg AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(x) AS s, SUM(i * x) AS t
+        FROM ranked)
+    SELECT round((2.0 * CAST(t AS DOUBLE)
+                  - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini,
+           n AS n_customers
+    FROM agg
+"""

@@ -1238,8 +1238,59 @@ def q_sessionize(spark, sf_dir):
                      F.sum(dec("value", MONEY)).cast("double").alias("sum_value")))
 
 
+def q_division_priorities(spark, sf_dir):
+    """Relational division: customers who placed orders at EVERY order
+    priority — "bought from all categories" / "active in all periods",
+    the classic FORALL query SQL has no operator for (~half the
+    customers qualify at any SF, so the result is selective but never
+    vacuous).
+
+    Division-by-counting: distinct (custkey, priority) compacts the
+    fact table with a partial+final agg, then HAVING count = divisor
+    cardinality, where the divisor cardinality is itself a 1-row
+    aggregate broadcast into the filter — no double-NOT-EXISTS
+    correlated subquery (the textbook form — quadratic probe work), no
+    self-join: one shuffle on custkey.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pairs = o.select("o_custkey", "o_orderpriority").distinct()
+    divisor = (o.select("o_orderpriority").distinct()
+                .agg(F.count(F.lit(1)).alias("n_prio")))
+    return (pairs.groupBy("o_custkey")
+                 .agg(F.count(F.lit(1)).alias("n_priorities"))
+                 .join(F.broadcast(divisor),
+                       F.col("n_priorities") == F.col("n_prio"))
+                 .select("o_custkey", "n_priorities"))
+
+
+def q_mode_per_group(spark, sf_dir):
+    """Deterministic mode: each user's most frequent event type, ties
+    broken by the smaller type string — the categorical summary
+    statistic (MODE() itself is nondeterministic under ties in both
+    engines, so the tie-break is part of the contract).
+
+    Compact to (group, value, cnt) first — map-side combine does the
+    heavy lifting — then a row_number over the tiny compacted relation
+    picks the winner.  Same two-level shape as median_per_group: the
+    window ranks |groups| x |distinct types| rows, never the fact
+    table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cnt = (e.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (W.partitionBy("user_id")
+          .orderBy(F.desc("cnt"), F.asc("event_type")))
+    return (cnt.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("user_id",
+                       F.col("event_type").alias("mode_event_type"),
+                       F.col("cnt").alias("n_events")))
+
+
 QUERIES = {
     "scan_filter_project": q_scan_filter_project,
+    "division_all_priorities": q_division_priorities,
+    "agg_mode_per_group": q_mode_per_group,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_revenue_change": q6_revenue_change,
     "agg_distinct": q_agg_distinct,
@@ -1987,4 +2038,24 @@ ORACLE["abc_analysis_parts"] = """
                      <= 950000 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM c CROSS JOIN t
+"""
+
+ORACLE["division_all_priorities"] = """
+    SELECT o_custkey, COUNT(*)::BIGINT AS n_priorities
+    FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+    GROUP BY 1
+    HAVING COUNT(*) = (SELECT COUNT(DISTINCT o_orderpriority)
+                       FROM orders)
+"""
+
+ORACLE["agg_mode_per_group"] = """
+    WITH cnt AS (
+        SELECT user_id, event_type, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, event_type) AS rn
+        FROM cnt)
+    SELECT user_id, event_type AS mode_event_type, cnt AS n_events
+    FROM r WHERE rn = 1
 """

@@ -650,8 +650,61 @@ def q_sliding_distinct_7d(spark, sf_dir):
                       F.sum("n_events").alias("n_events_7d")))
 
 
+def q_cumulative_distinct_users(spark, sf_dir):
+    """Cumulative unique users per day (the "total registered users"
+    growth curve): distinct-so-far cannot window-aggregate, but it
+    EQUALS the running sum of first-appearance counts — so the plan is
+    min(day)-per-user (one partial+final agg), a |days|-row
+    new-user-count relation, and one running sum over the observed-day
+    grid.  The fact table shuffles once on user_id; every window
+    touches at most |days| rows.  The oracle uses the independent
+    range-join construction (count users with first day <= d) so two
+    formulations must agree.  Days with no new users still appear
+    (left join against the observed-day grid), carrying the running
+    total forward.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    firsts = (e.groupBy("user_id").agg(F.min(day).alias("fday")))
+    newc = firsts.groupBy(F.col("fday").alias("day")) \
+                 .agg(F.count(F.lit(1)).alias("n_new_users"))
+    grid = e.select(day.alias("day")).distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (grid.join(newc, "day", "left")
+                .select("day",
+                        F.coalesce("n_new_users", F.lit(0))
+                         .alias("n_new_users"))
+                .withColumn("cum_users", F.sum("n_new_users").over(w)))
+
+
+def q_streak_longest(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands window composition (engagement metric; also the
+    shape behind "N consecutive days above threshold" alerts).
+
+    Events first compact to distinct (user_id, day) — the partial+final
+    distinct shrinks the fact table to at most |users| x |days| rows
+    before any window — then day - row_number() within the user labels
+    each run of consecutive days with a constant island id, and two
+    small aggs produce the longest run.  One shuffle on user_id; every
+    window partition is bounded by one user's active-day count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    days = e.select("user_id", day.alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("isl", F.col("day") - F.row_number().over(w))
+    runs = (isl.groupBy("user_id", "isl")
+               .agg(F.count(F.lit(1)).alias("run_len")))
+    return (runs.groupBy("user_id")
+                .agg(F.max("run_len").alias("longest_streak"),
+                     F.sum("run_len").alias("n_active_days")))
+
+
 QUERIES = {
     "events_ewma_smooth": q_events_ewma,
+    "window_streak_longest": q_streak_longest,
+    "window_cumulative_distinct_users": q_cumulative_distinct_users,
     "events_autocorrelation": q_events_autocorrelation,
     "events_concurrency_sweep": q_events_concurrency,
     "events_changepoint_meanshift": q_events_changepoint,
@@ -967,4 +1020,41 @@ ORACLE["events_peak_detection"] = f"""
         FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_us))
     SELECT event_type, hour_us, n, prev_n, next_n
     FROM g WHERE n > prev_n AND n > next_n AND n >= {PEAK_MIN}
+"""
+
+ORACLE["window_cumulative_distinct_users"] = """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                   AS fday
+        FROM events GROUP BY 1),
+    grid AS (
+        SELECT DISTINCT datediff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS day
+        FROM events)
+    SELECT g.day AS day,
+           COUNT(CASE WHEN f.fday = g.day THEN 1 END)::BIGINT
+               AS n_new_users,
+           COUNT(CASE WHEN f.fday <= g.day THEN 1 END)::BIGINT
+               AS cum_users
+    FROM grid g CROSS JOIN firsts f
+    GROUP BY 1
+"""
+
+ORACLE["window_streak_longest"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events),
+    isl AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS isl
+        FROM days),
+    runs AS (
+        SELECT user_id, isl, COUNT(*)::BIGINT AS run_len
+        FROM isl GROUP BY 1, 2)
+    SELECT user_id, MAX(run_len) AS longest_streak,
+           SUM(run_len)::BIGINT AS n_active_days
+    FROM runs GROUP BY 1
 """

@@ -892,3 +892,88 @@ def test_pca_projection_matches_numpy_reference(spark, sf_small):
     # empirical variance along pc1 >= pc2
     p = np.array([rows[v] for v in pdf["vec_id"]], dtype=np.float64)
     assert p[:, 0].var() >= p[:, 1].var()
+
+
+def test_ks_and_gini_match_python_reference(spark, sf_small):
+    """The two-level-prefix KS and Gini must equal a direct numpy
+    computation from the raw parquet — a third construction independent
+    of both the Spark two-level form and the oracle's global window."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    ks = features.q_stats_ks_two_sample(spark, sf_small).collect()[0]
+    ev = load_table(spark, sf_small, "events").toPandas()
+    a = np.sort(ev.loc[ev.event_type == features._KS_A, "value"].values)
+    b = np.sort(ev.loc[ev.event_type == features._KS_B, "value"].values)
+    xs = np.unique(np.concatenate([a, b]))
+    d = np.abs(np.searchsorted(a, xs, side="right") / len(a)
+               - np.searchsorted(b, xs, side="right") / len(b)).max()
+    assert ks.n1 == len(a) and ks.n2 == len(b)
+    assert math.isclose(ks.ks_d, d, abs_tol=1e-6)
+
+    g = features.q_gini_revenue(spark, sf_small).collect()[0]
+    o = load_table(spark, sf_small, "orders").toPandas()
+    x = np.sort(o.groupby("o_custkey")["o_totalprice"]
+                 .sum().round(2).values)
+    n = len(x)
+    want = (2 * np.sum(np.arange(1, n + 1) * x) - (n + 1) * x.sum()) \
+        / (n * x.sum())
+    assert g.n_customers == n
+    assert math.isclose(g.gini, want, abs_tol=1e-5)
+    assert 0.0 <= g.gini < 1.0
+
+
+def test_chi_square_cells_match_pandas_crosstab(spark, sf_small):
+    """Chi-square cells vs a pandas crosstab + direct (o-e)^2/e."""
+    import numpy as np
+    import pandas as pd
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    got = {(r.event_type, r.dow): (r.n_obs, r.exp_e6, r.contrib_e6)
+           for r in features.q_stats_chi_square(spark, sf_small).collect()}
+    ev = load_table(spark, sf_small, "events").toPandas()
+    day = (ev["ts"].dt.tz_localize(None)
+           - pd.Timestamp("1970-01-01")).dt.days % 7
+    ct = pd.crosstab(ev["event_type"], day)
+    n = ct.values.sum()
+    for t in ct.index:
+        for d in ct.columns:
+            o = int(ct.loc[t, d])
+            if o == 0:
+                continue
+            e = ct.loc[t].sum() * ct[d].sum() / n
+            want_contrib = (o - e) ** 2 / e
+            go, ge, gc = got[(t, int(d))]
+            assert go == o
+            assert abs(ge / 1e6 - e) <= 2e-6 * max(e, 1)
+            assert abs(gc / 1e6 - want_contrib) <= 1e-4
+
+
+def test_streak_longest_matches_python_fold(spark, sf_small):
+    """Gaps-and-islands streak vs a direct python scan over sorted
+    distinct days per user."""
+    import pandas as pd
+
+    from go_mapreduce_crawler_spark.operators import temporal
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    got = {r.user_id: (r.longest_streak, r.n_active_days)
+           for r in temporal.q_streak_longest(spark, sf_small).collect()}
+    ev = load_table(spark, sf_small, "events").toPandas()
+    days = (ev["ts"].dt.tz_localize(None)
+            - pd.Timestamp("1970-01-01")).dt.days
+    for uid, grp in pd.DataFrame({"u": ev["user_id"], "d": days}) \
+            .groupby("u"):
+        ds = sorted(set(grp["d"]))
+        best = cur = 1
+        for prev, nxt in zip(ds, ds[1:]):
+            cur = cur + 1 if nxt == prev + 1 else 1
+            best = max(best, cur)
+        assert got[uid] == (best, len(ds)), uid
