@@ -246,8 +246,53 @@ def q_attribution_last_touch(spark, sf_dir):
         "touch_us", (F.col("us") - F.col("touch_us")).alias("lag_us"))
 
 
+def q_attribution_position(spark, sf_dir):
+    """Position-based (U-shaped 40/20/40) attribution: every touch in
+    the 7 days before a purchase gets credit — 40% to the first touch,
+    40% to the last, the middle 20% split evenly across the rest
+    (1 touch -> 100%, 2 touches -> 50/50) — last-touch's multi-credit
+    sibling, and deliberately the OPPOSITE construction (purchase x
+    touch join) so the two attribution operators cross-check the event
+    stream two ways.
+
+    The join is an equi-join on user_id with the time-range residual;
+    fan-out is bounded by touches-per-user-per-week.  Per-purchase
+    first/last/size come from one window over that bounded join result
+    (partitioned by purchase event, never by user history).  Credits
+    are exact integer ppm (floor division for the middle share), so
+    every row hashes identically across engines; a consumer summing
+    credit_ppm per purchase gets 1e6 minus only the floor remainder.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "event_type",
+                    F.unix_micros("ts").alias("us"))
+    p = (base.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("purchase_id"),
+                     F.col("us").alias("pus")))
+    t = (base.filter(F.col("event_type").isin("view", "click"))
+             .select("user_id", F.col("event_id").alias("touch_id"),
+                     F.col("event_type").alias("touch_type"),
+                     F.col("us").alias("tus")))
+    j = (p.join(t, "user_id")
+          .filter((F.col("tus") < F.col("pus"))
+                  & (F.col("tus") >= F.col("pus") - ATTR_WINDOW_US)))
+    w = W.partitionBy("purchase_id").orderBy("tus", "touch_id")
+    wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = (j.withColumn("pos", F.row_number().over(w))
+          .withColumn("n", F.count(F.lit(1)).over(wall)))
+    n = F.col("n")
+    credit = (F.when(n == 1, F.lit(1_000_000))
+               .when(n == 2, F.lit(500_000))
+               .when(F.col("pos") == 1, F.lit(400_000))
+               .when(F.col("pos") == n, F.lit(400_000))
+               .otherwise(F.floor(200_000 / (n - 2))))
+    return r.select("purchase_id", "user_id", "touch_id", "touch_type",
+                    "pos", "n", credit.cast("long").alias("credit_ppm"))
+
+
 QUERIES = {
     "rfm_segmentation": q_rfm_segmentation,
+    "attribution_position_based": q_attribution_position,
     "attribution_last_touch": q_attribution_last_touch,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -374,4 +419,34 @@ ORACLE["attribution_last_touch"] = f"""
     SELECT event_id, user_id, purchase_us, touch_event_id, touch_type,
            touch_us, purchase_us - touch_us AS lag_us
     FROM j WHERE rk = 1 AND touch_us >= purchase_us - {ATTR_WINDOW_US}
+"""
+
+ORACLE["attribution_position_based"] = f"""
+    WITH base AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events),
+    p AS (SELECT user_id, event_id AS purchase_id, us AS pus
+          FROM base WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+                 us AS tus
+          FROM base WHERE event_type IN ('view', 'click')),
+    j AS (
+        SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type, t.tus
+        FROM p JOIN t USING (user_id)
+        WHERE t.tus < p.pus AND t.tus >= p.pus - {ATTR_WINDOW_US}),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                  ORDER BY tus, touch_id) AS pos,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n
+        FROM j)
+    SELECT purchase_id, user_id, touch_id, touch_type,
+           pos, n,
+           CASE WHEN n = 1 THEN 1000000
+                WHEN n = 2 THEN 500000
+                WHEN pos = 1 THEN 400000
+                WHEN pos = n THEN 400000
+                ELSE CAST(FLOOR(200000 / (n - 2)) AS BIGINT)
+           END AS credit_ppm
+    FROM r
 """

@@ -795,7 +795,29 @@ def q_dedup_spans(spark, sf_dir):
              .withColumn("keep", F.col("dup_span_ratio") <= SPAN_DUP_MAX))
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram: how many exact-dup clusters
+    exist at each multiplicity — THE before/after health metric of a
+    dedup run (total rows = sum(size*n), survivors = sum(n), and a fat
+    tail here means a boilerplate page is flooding the corpus).
+
+    Two nested tiny aggregations over digests: text hashes to md5
+    row-locally, cluster sizes are one partial+final agg on the digest,
+    and the histogram re-aggregates the |clusters|-row relation.  No
+    text ever shuffles, output is |distinct sizes| rows.
+    """
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5(F.encode("text", "UTF-8")).alias("h"))
+             .agg(F.count(F.lit(1)).alias("cluster_size"))
+             .groupBy("cluster_size")
+             .agg(F.count(F.lit(1)).alias("n_clusters"))
+             .select("cluster_size", "n_clusters",
+                     (F.col("cluster_size") * F.col("n_clusters"))
+                     .alias("n_docs")))
+
+
 QUERIES = {
+    "dedup_cluster_size_histogram": q_dedup_cluster_sizes,
     "dedup_spans_ngram": q_dedup_spans,
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
@@ -1107,3 +1129,11 @@ ORACLE = {
 ORACLE["dedup_components_bigstar"] = ORACLE["dedup_components"]
 
 ORACLE["dedup_semantic_clusters"] = _semantic_oracle()
+
+ORACLE["dedup_cluster_size_histogram"] = """
+    WITH c AS (SELECT md5(text) AS h, COUNT(*)::BIGINT AS cluster_size
+               FROM documents GROUP BY 1)
+    SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
+           (cluster_size * COUNT(*))::BIGINT AS n_docs
+    FROM c GROUP BY 1
+"""

@@ -701,9 +701,36 @@ def q_streak_longest(spark, sf_dir):
                      F.sum("run_len").alias("n_active_days")))
 
 
+def q_events_seasonality(spark, sf_dir):
+    """Seasonal load profile: events per (type, day-of-week, hour) cell
+    with the cell's load relative to the type's flat-profile baseline
+    in exact ppm — the "when does traffic happen" heatmap, and the
+    denominator a capacity planner or anomaly detector normalizes by.
+
+    One partial+final agg to the 5x7x24 cell grid; the per-type totals
+    re-aggregate that tiny relation and broadcast back.  load_ppm =
+    floor(n*168e6 / total) uses the markov p_ppm fixed-point recipe
+    (168 = cells per type): both engines evaluate the same fixed-order
+    IEEE expression on exact integer inputs, so the floored value is
+    identical.  Day-of-week is the portable epoch-day mod 7.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(7))
+    cells = (e.groupBy("event_type", dow.alias("dow"),
+                       F.hour("ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    tot = cells.groupBy("event_type").agg(F.sum("n_events").alias("t"))
+    load = F.floor(F.col("n_events").cast("double") * 168_000_000.0
+                   / F.col("t").cast("double")).cast("long")
+    return (cells.join(F.broadcast(tot), "event_type")
+                 .select("event_type", "dow", "hour", "n_events",
+                         load.alias("load_ppm")))
+
+
 QUERIES = {
     "events_ewma_smooth": q_events_ewma,
     "window_streak_longest": q_streak_longest,
+    "events_seasonality_profile": q_events_seasonality,
     "window_cumulative_distinct_users": q_cumulative_distinct_users,
     "events_autocorrelation": q_events_autocorrelation,
     "events_concurrency_sweep": q_events_concurrency,
@@ -1057,4 +1084,20 @@ ORACLE["window_streak_longest"] = """
     SELECT user_id, MAX(run_len) AS longest_streak,
            SUM(run_len)::BIGINT AS n_active_days
     FROM runs GROUP BY 1
+"""
+
+ORACLE["events_seasonality_profile"] = """
+    WITH cells AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                   AS dow,
+               EXTRACT(hour FROM ts)::INT AS hour,
+               COUNT(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2, 3),
+    tot AS (SELECT event_type, SUM(n_events)::BIGINT AS t
+            FROM cells GROUP BY 1)
+    SELECT c.event_type, c.dow, c.hour, c.n_events,
+           CAST(FLOOR(CAST(c.n_events AS DOUBLE) * 168000000.0
+                      / CAST(t.t AS DOUBLE)) AS BIGINT) AS load_ppm
+    FROM cells c JOIN tot t USING (event_type)
 """

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Window
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -863,8 +864,90 @@ def q_text_bm25(spark, sf_dir):
                           "bm25_e6", "rk"))
 
 
+VOCAB_K = 1000
+
+
+def q_text_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build the corpus top-{k} token
+    vocabulary and report each document's out-of-vocabulary token rate
+    — the pre-tokenization health check (a high OOV corpus slice is
+    usually non-target-language or binary junk, and predicts token
+    inflation after BPE).
+
+    The vocabulary ranking is sort+limit over the COMPACTED word-count
+    relation — Spark compiles it to TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver — never a global sort), and
+    the (cnt DESC, word ASC) total order makes the boundary
+    deterministic under count ties.  The k-row vocabulary broadcasts
+    back onto the token stream; per-doc aggregation partitions on
+    doc_id.
+    """.format(k=VOCAB_K)
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+                  .orderBy(F.desc("cnt"), F.asc("word")).limit(VOCAB_K)
+                  .select("word", F.lit(1).alias("in_vocab")))
+    return (words.join(F.broadcast(vocab), "word", "left")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_tokens"),
+                      F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                             .otherwise(0)).alias("n_oov"))
+                 .select("doc_id", "n_tokens", "n_oov",
+                         F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                          .alias("oov_rate")))
+
+
+def q_quality_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: within each language, rank
+    documents by unigram-LM mean log-probability and split them into
+    head/middle/tail terciles (bucket 1 = most predictable = lowest
+    perplexity) — the curation step that keeps head+middle and drops
+    the tail.
+
+    Reuses q_text_lm_score's integer micro-nat totals (engine-
+    deterministic by _ln_det construction), so the rank key
+    sum_logp_u/n_tokens is one correctly-rounded double both engines
+    agree on bit-for-bit.  The per-language rank is the two-level
+    score-range-bucketed prefix COUNT (bucket = floor(score/1e5),
+    ordered DESC) — no language's documents ever sort in a single
+    task — and the tercile comes from NTILE's arithmetic definition
+    applied to that rank (first n%3 buckets take one extra row), which
+    the oracle cross-checks with a literal NTILE(3) window.
+    """
+    lm = q_text_lm_score(spark, sf_dir) \
+        .select("doc_id", "n_tokens", "sum_logp_u")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    scored = (lm.join(d, "doc_id")
+                .withColumn("score", F.col("sum_logp_u").cast("double")
+                            / F.col("n_tokens"))
+                .withColumn("bkt", F.floor(F.col("score") / 1e5)))
+    bcnt = scored.groupBy("lang", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    w_off = (W.partitionBy("lang").orderBy(F.desc("bkt"))
+              .rowsBetween(W.unboundedPreceding, -1))
+    offs = bcnt.select("lang", "bkt",
+                       F.coalesce(F.sum("c").over(w_off), F.lit(0))
+                        .alias("off"))
+    n_lang = bcnt.groupBy("lang").agg(F.sum("c").alias("n"))
+    w_in = (W.partitionBy("lang", "bkt")
+             .orderBy(F.desc("score"), F.asc("doc_id")))
+    r = (scored.join(F.broadcast(offs), ["lang", "bkt"])
+               .withColumn("rank", F.col("off") + F.row_number().over(w_in))
+               .join(F.broadcast(n_lang), "lang"))
+    q = F.floor(F.col("n") / 3)
+    m = F.col("n") % 3
+    head = m * (q + 1)
+    tile = (F.when(F.col("rank") <= head,
+                   F.floor((F.col("rank") - 1) / (q + 1)) + 1)
+             .otherwise(m + F.floor((F.col("rank") - head - 1)
+                                    / F.greatest(q, F.lit(1))) + 1))
+    return r.select("doc_id", "lang", "n_tokens", "sum_logp_u",
+                    tile.cast("long").alias("ppl_bucket"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "text_oov_rate": q_text_oov_rate,
+    "quality_perplexity_buckets": q_quality_ppl_buckets,
     "text_quality": q_text_quality,
     "text_bm25_top_terms": q_text_bm25,
     "text_langid": q_text_langid,
@@ -1301,4 +1384,31 @@ ORACLE["text_bm25_top_terms"] = f"""
         FROM scored)
     SELECT doc_id, word, tf, df, dl, bm25_e6, rk
     FROM ranked WHERE rk <= {BM25_TOP}
+"""
+
+ORACLE["text_oov_rate"] = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    vocab AS (
+        SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1)
+        ORDER BY cnt DESC, word LIMIT {VOCAB_K}),
+    tagged AS (
+        SELECT w.doc_id,
+               CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+        FROM w LEFT JOIN vocab v USING (word))
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+           SUM(oov)::BIGINT AS n_oov,
+           ROUND(SUM(oov) / COUNT(*), 6) AS oov_rate
+    FROM tagged GROUP BY 1
+"""
+
+ORACLE["quality_perplexity_buckets"] = f"""
+    WITH lm AS ({ORACLE["text_unigram_lm_score"]}),
+    j AS (SELECT lm.doc_id, d.lang, lm.n_tokens, lm.sum_logp_u,
+                 CAST(lm.sum_logp_u AS DOUBLE) / lm.n_tokens AS score
+          FROM lm JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, n_tokens, sum_logp_u,
+           NTILE(3) OVER (PARTITION BY lang
+                          ORDER BY score DESC, doc_id) AS ppl_bucket
+    FROM j
 """
