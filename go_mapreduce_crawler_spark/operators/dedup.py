@@ -223,37 +223,26 @@ def _shingles(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs, verified with true shingle Jaccard.
+def _minhash_bands(spark, sf_dir):
+    """Shared (shingles, band-bucket) pipeline for the minhash family.
 
-    Pipeline (all JVM expressions): shingle -> per-seed minhash signature
-    (k=32 via xxhash64(shingle, seed)) -> 8 bands of 4 -> candidates =
-    docs sharing any band bucket -> verify true Jaccard >= 0.5 on the
-    shingle sets.  Output ⊆ exact shingle-Jaccard pairs, recall governed
-    by (b, r).
+    Signature + bands as generated SQL (one parse), not Column algebra
+    (a py4j round-trip per node — 0.8s of driver-side construction for
+    the 32 transform/fold trees; see similarity._dot_sql).
 
-    Scale shape: the signature is computed ROW-LOCALLY
-    (array_min over transform of the shingle array — no explode, no
-    shuffle, whole-stage codegen), so the only shuffles are the band
-    bucket join on (band, bucket) — signature bytes, not documents —
-    and the candidate-verify join on doc_id.
+    Each shingle STRING is hashed exactly once (md5, first 8 hex chars
+    -> 32-bit int); the k=32 minhash family then rehashes that value
+    with a Carter-Wegman universal hash, (a*h + b) mod (2^31 - 1) —
+    integer work instead of 32 string traversals per shingle, with
+    a*h < 2^63 so the arithmetic is overflow-free in BOTH engines.
+    This basis (vs the earlier xxhash64 + murmur3) makes the whole
+    operator engine-portable: the driver value-hashes it against a
+    full DuckDB oracle.  The cache() is a required optimizer barrier:
+    without it Catalyst collapses the projections and inlines the md5
+    transform into all 32 min-folds, recomputing the string hashing
+    32x (the similarity.py `bits` lesson).
     """
     sh = _shingles(spark, sf_dir).cache()
-    # Signature + bands as generated SQL (one parse), not Column algebra
-    # (a py4j round-trip per node — 0.8s of driver-side construction for
-    # the 32 transform/fold trees; see similarity._dot_sql).
-    #
-    # Each shingle STRING is hashed exactly once (md5, first 8 hex chars
-    # -> 32-bit int); the k=32 minhash family then rehashes that value
-    # with a Carter-Wegman universal hash, (a*h + b) mod (2^31 - 1) —
-    # integer work instead of 32 string traversals per shingle, with
-    # a*h < 2^63 so the arithmetic is overflow-free in BOTH engines.
-    # This basis (vs the earlier xxhash64 + murmur3) makes the whole
-    # operator engine-portable: the driver now value-hashes it against
-    # a full DuckDB oracle.  The cache() is a required optimizer
-    # barrier: without it Catalyst collapses the projections and
-    # inlines the md5 transform into all 32 min-folds, recomputing the
-    # string hashing 32x (the similarity.py `bits` lesson).
     hs = sh.selectExpr(
         "doc_id",
         "transform(shingles, s ->"
@@ -269,6 +258,25 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             f"struct({b} AS band, md5(concat_ws(',',"
             + ",".join(f"h{b * r + j}" for j in range(r)) + ")) AS bucket)"
             for b in range(LSH_BANDS)) + ")) AS bb")
+    return sh, bands
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, verified with true shingle Jaccard.
+
+    Pipeline (all JVM expressions): shingle -> per-seed minhash signature
+    (k=32 via xxhash64(shingle, seed)) -> 8 bands of 4 -> candidates =
+    docs sharing any band bucket -> verify true Jaccard >= 0.5 on the
+    shingle sets.  Output ⊆ exact shingle-Jaccard pairs, recall governed
+    by (b, r).
+
+    Scale shape: the signature is computed ROW-LOCALLY
+    (array_min over transform of the shingle array — no explode, no
+    shuffle, whole-stage codegen), so the only shuffles are the band
+    bucket join on (band, bucket) — signature bytes, not documents —
+    and the candidate-verify join on doc_id.
+    """
+    sh, bands = _minhash_bands(spark, sf_dir)
     # Bucket-group instead of self-join: signatures are computed ONCE,
     # one shuffle groups (band, bucket) -> sorted doc list, pairs are
     # generated array-locally.  A pathological hot bucket (thousands of
@@ -795,6 +803,43 @@ def q_dedup_spans(spark, sf_dir):
              .withColumn("keep", F.col("dup_span_ratio") <= SPAN_DUP_MAX))
 
 
+DECON_EVAL_MOD = 10   # doc_id % 10 == 0 stands in for the eval set
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY train/eval decontamination (the GPT-3-style step the exact
+    3-gram and bloom decontaminators miss): flag training documents
+    whose minhash-LSH candidacy against ANY eval document verifies at
+    true shingle Jaccard >= 0.5 — paraphrased or lightly-edited leaks,
+    not just verbatim ones.  doc_id % 10 == 0 stands in for the eval
+    benchmark (the incremental-dedup split convention).
+
+    Reuses the dedup family's row-local Carter-Wegman signatures
+    (_minhash_bands); the only new shuffle is the CROSS-set band-bucket
+    join, whose probe side (eval bands) is tiny by construction — at
+    100 TB the eval set is a benchmark suite, so Spark broadcasts it
+    and the training corpus never shuffles at all for candidacy; the
+    verify join then touches only candidate docs' shingle sets.
+    """
+    sh, bands = _minhash_bands(spark, sf_dir)
+    trn = (bands.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+                .select(F.col("doc_id").alias("train_doc_id"), "bb"))
+    ev = (bands.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+               .select(F.col("doc_id").alias("eval_doc_id"), "bb"))
+    cand = (trn.join(F.broadcast(ev), "bb")
+               .select("train_doc_id", "eval_doc_id").distinct())
+    va = sh.select(F.col("doc_id").alias("train_doc_id"),
+                   F.col("shingles").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("eval_doc_id"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (cand.join(va, "train_doc_id").join(vb, "eval_doc_id")
+            .withColumn("jaccard", F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6))
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .select("train_doc_id", "eval_doc_id", "jaccard"))
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     """Duplicate-cluster size histogram: how many exact-dup clusters
     exist at each multiplicity — THE before/after health metric of a
@@ -818,6 +863,7 @@ def q_dedup_cluster_sizes(spark, sf_dir):
 
 QUERIES = {
     "dedup_cluster_size_histogram": q_dedup_cluster_sizes,
+    "decontaminate_fuzzy_minhash": q_decontaminate_fuzzy,
     "dedup_spans_ngram": q_dedup_spans,
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
@@ -1137,3 +1183,17 @@ ORACLE["dedup_cluster_size_histogram"] = """
            (cluster_size * COUNT(*))::BIGINT AS n_docs
     FROM c GROUP BY 1
 """
+
+ORACLE["decontaminate_fuzzy_minhash"] = "WITH " + _minhash_pair_ctes().replace(
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b\n"
+    "                 FROM bands a JOIN bands b2\n"
+    "                   ON a.bb = b2.bb AND a.doc_id < b2.doc_id),",
+    f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b\n"
+    f"                 FROM bands a JOIN bands b2\n"
+    f"                   ON a.bb = b2.bb AND a.doc_id % {DECON_EVAL_MOD} != 0"
+    f" AND b2.doc_id % {DECON_EVAL_MOD} = 0),",
+) + """
+    SELECT doc_a AS train_doc_id, doc_b AS eval_doc_id, jaccard FROM mh
+"""
+assert "% 10 != 0" in ORACLE["decontaminate_fuzzy_minhash"], \
+    "decon oracle CTE rewrite failed to apply"

@@ -265,7 +265,27 @@ def q_adamic_adar(spark, sf_dir):
                     "n_common", "aa_e12"))
 
 
+def q_degree_distribution(spark, sf_dir):
+    """Degree distribution of the thresholded co-purchase graph: how
+    many parts have each strong-edge degree — the skew profile that
+    decides whether the pair/triangle joins need degree-orientation or
+    salting (a heavy right tail here IS the scale warning).
+
+    Edges come from the family's shared thresholded pair builder; the
+    degree count re-aggregates the symmetrized edge list, and the
+    histogram re-aggregates the |parts|-row degree relation — each a
+    shrinking partial+final agg, no windows.
+    """
+    pairs = _pair_counts(_items(spark, sf_dir))
+    sym = (pairs.select(F.col("pa").alias("p"))
+                .union(pairs.select(F.col("pb").alias("p"))))
+    deg = sym.groupBy("p").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+               .agg(F.count(F.lit(1)).alias("n_parts")))
+
+
 QUERIES = {
+    "graph_degree_distribution": q_degree_distribution,
     "basket_rules": q_basket_rules,
     "triangle_count": q_triangle_count,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -434,3 +454,16 @@ def _adamic_adar_oracle() -> str:
 
 
 ORACLE["graph_adamic_adar"] = _adamic_adar_oracle()
+
+ORACLE["graph_degree_distribution"] = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sym AS (SELECT pa AS p FROM pairs UNION ALL SELECT pb FROM pairs),
+    deg AS (SELECT p, COUNT(*)::BIGINT AS degree FROM sym GROUP BY 1)
+    SELECT degree, COUNT(*)::BIGINT AS n_parts
+    FROM deg GROUP BY 1
+"""

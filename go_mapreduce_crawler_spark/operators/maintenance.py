@@ -190,7 +190,63 @@ def q_sink_compact(spark, sf_dir):
                  F.max("doc_id").alias("max_doc")))
 
 
+CDC_INS_OFFSET = 10_000_000
+
+
+def q_cdc_merge_apply(spark, sf_dir):
+    """MERGE INTO semantics: apply a CDC changelog (insert / update /
+    delete ops with a sequence number) to a base table, last-writer-
+    wins per key — the lakehouse upsert primitive behind SCD1 sinks
+    and Debezium-style ingestion.
+
+    The changelog is derived deterministically from orders (keys %7
+    delete, %5 update price+10 at seq 1, %15 update again at seq 2,
+    %11 insert under a shifted key) so both engines rebuild it
+    identically, and it deliberately contains multi-op keys and
+    same-seq conflicts.  The winner per key is ONE partial+final
+    max(struct(seq, op, ...)) aggregate — (seq, op) is a total order
+    within every key by construction, so no window sorts the changelog
+    and a hot key costs one aggregation cell.  The merge itself is a
+    single full-outer join on the key; at scale both sides bucket by
+    the key and the join is co-located.  The oracle uses the opposite
+    construction (ROW_NUMBER over seq DESC, op DESC) — two independent
+    formulations of last-writer-wins must agree.
+    """
+    o = (load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    k = F.col("o_orderkey")
+
+    def op(df, key, seq, opc, price, status):
+        return df.select(key.alias("k"), F.lit(seq).alias("seq"),
+                         F.lit(opc).alias("op"), price.alias("price"),
+                         status.alias("status"))
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    log = (op(o.filter(k % 7 == 0), k, 1, "D", null_d, null_s)
+           .union(op(o.filter(k % 5 == 0), k, 1, "U",
+                     F.col("o_totalprice") + 10.0, F.col("o_orderstatus")))
+           .union(op(o.filter(k % 15 == 0), k, 2, "U",
+                     F.col("o_totalprice") + 20.0, F.lit("X")))
+           .union(op(o.filter(k % 11 == 0), k + CDC_INS_OFFSET, 1, "I",
+                     F.col("o_totalprice"), F.lit("N"))))
+    win = (log.groupBy("k")
+              .agg(F.max(F.struct("seq", "op", "price", "status"))
+                    .alias("w"))
+              .select("k", "w.op", "w.price", "w.status"))
+    base = o.select(k.alias("k"), F.col("o_totalprice").alias("b_price"),
+                    F.col("o_orderstatus").alias("b_status"))
+    j = base.join(win, "k", "full_outer")
+    return (j.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+             .select(F.col("k").alias("o_orderkey"),
+                     F.coalesce("price", "b_price").alias("price"),
+                     F.coalesce("status", "b_status").alias("status"),
+                     F.when(F.col("op").isNull(), "base")
+                      .otherwise("cdc").alias("src")))
+
+
 QUERIES = {
+    "cdc_merge_apply": q_cdc_merge_apply,
     "table_diff": q_table_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
     "sink_roundtrip_parquet": q_sink_roundtrip,
@@ -262,3 +318,34 @@ ORACLE = {
         FROM orders GROUP BY o_orderpriority
     """,
 }
+
+ORACLE["cdc_merge_apply"] = f"""
+    WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    log AS (
+        SELECT o_orderkey AS k, 1 AS seq, 'D' AS op,
+               CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
+        FROM o WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 1, 'U', o_totalprice + 10.0, o_orderstatus
+        FROM o WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_totalprice + 20.0, 'X'
+        FROM o WHERE o_orderkey % 15 = 0
+        UNION ALL
+        SELECT o_orderkey + {CDC_INS_OFFSET}, 1, 'I', o_totalprice, 'N'
+        FROM o WHERE o_orderkey % 11 = 0),
+    win AS (
+        SELECT k, op, price, status
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                           ORDER BY seq DESC, op DESC) AS rn
+              FROM log)
+        WHERE rn = 1),
+    j AS (
+        SELECT COALESCE(b.o_orderkey, w.k) AS o_orderkey,
+               w.op, COALESCE(w.price, b.o_totalprice) AS price,
+               COALESCE(w.status, b.o_orderstatus) AS status
+        FROM o b FULL OUTER JOIN win w ON b.o_orderkey = w.k)
+    SELECT o_orderkey, price, status,
+           CASE WHEN op IS NULL THEN 'base' ELSE 'cdc' END AS src
+    FROM j WHERE op IS NULL OR op != 'D'
+"""

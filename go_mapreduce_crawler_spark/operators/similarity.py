@@ -679,8 +679,42 @@ def q_embedding_pca(spark, sf_dir):
     return e.select("vec_id", *proj)
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Centroid-distance outlier score per embedding: the squared
+    distance to the corpus mean, scaled by n^2 so the whole computation
+    stays EXACT integer arithmetic — dist2_scaled = sum_d (n*q_d -
+    S_d)^2 over the e6-quantized components (q = floor(x*1e6 + 0.5),
+    S = per-dimension sum).  Rank-equivalent to ||x - mu||^2; the top
+    of the list is the mislabeled/garbage-vector review queue.
+
+    Two scans, no window: the per-dimension sums are a posexplode +
+    partial+final agg to 64 rows (broadcast back), and the per-vector
+    fold re-aggregates posexplode output partition-locally (each
+    vec_id's 64 rows never cross partitions before the partial agg,
+    so the shuffle carries one row per vector).  All products in
+    DECIMAL(38,0) — exact for corpora to ~1e9 vectors — and the exact
+    integer converts to double ONCE at the end (correctly rounded from
+    the same integer in both engines).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.selectExpr(
+        "vec_id",
+        "transform(embedding, x ->"
+        " cast(floor(cast(x as double) * 1e6 + 0.5) as bigint)) AS qv")
+    qe = q.select("vec_id", F.posexplode("qv").alias("pos", "qd"))
+    s = qe.groupBy("pos").agg(F.sum("qd").alias("s"))
+    n = q.agg(F.count(F.lit(1)).alias("n"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dev = d38("n") * d38("qd") - d38("s")
+    return (qe.join(F.broadcast(s), "pos").crossJoin(F.broadcast(n))
+              .select("vec_id", (dev * dev).alias("t"))
+              .groupBy("vec_id")
+              .agg(F.sum("t").cast("double").alias("dist2_scaled")))
+
+
 QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce,
+    "embedding_outlier_scores": q_embedding_outliers,
     "embedding_gram_matrix": q_embedding_gram,
     "embedding_pca_project": q_embedding_pca,
     "ann_lsh_cosine": q_ann_lsh,
@@ -971,4 +1005,23 @@ ORACLE["embedding_gram_matrix"] = """
     SELECT a.i AS i, b.i AS j, SUM(a.q * b.q)::BIGINT AS gram_e12
     FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
+"""
+
+ORACLE["embedding_outlier_scores"] = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS HUGEINT))
+                   AS qv
+        FROM embeddings),
+    n AS (SELECT COUNT(*)::HUGEINT AS n FROM q),
+    comp AS (
+        SELECT vec_id, i, qv[i] AS qd
+        FROM q, generate_series(1, {DIM}) g(i)),
+    s AS (SELECT i, SUM(qd)::HUGEINT AS s FROM comp GROUP BY 1)
+    SELECT c.vec_id,
+           CAST(SUM((n.n * c.qd - s.s) * (n.n * c.qd - s.s)) AS DOUBLE)
+               AS dist2_scaled
+    FROM comp c JOIN s USING (i) CROSS JOIN n
+    GROUP BY 1
 """
