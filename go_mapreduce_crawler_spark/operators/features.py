@@ -635,6 +635,114 @@ def q_gini_revenue(spark, sf_dir):
                       F.col("n").alias("n_customers"))
 
 
+def _welch_exprs() -> tuple[str, str]:
+    """Welch t statistic and Welch-Satterthwaite df as fixed-order IEEE
+    expressions over the exact-decimal moments (n1,s1,q1,n2,s2,q2 cast
+    to double) — ONE formula string shared verbatim by both engines
+    (the _corr_pair_e6 recipe), floored at 1e6 / 1e3."""
+    v1 = "((n1 * q1 - s1 * s1) / (n1 * (n1 - 1)))"
+    v2 = "((n2 * q2 - s2 * s2) / (n2 * (n2 - 1)))"
+    se2 = f"({v1} / n1 + {v2} / n2)"
+    t = f"((s1 / n1 - s2 / n2) / sqrt{se2})"
+    df = (f"({se2} * {se2} / ({v1} / n1 * ({v1} / n1) / (n1 - 1)"
+          f" + {v2} / n2 * ({v2} / n2) / (n2 - 1)))")
+    return (f"CAST(FLOOR({t} * 1e6) AS BIGINT)",
+            f"CAST(FLOOR({df} * 1e3) AS BIGINT)")
+
+
+def q_stats_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test between '{a}' and
+    '{b}' event values — the KS test's parametric sibling (mean shift
+    vs whole-distribution shift, the A/B-testing pair).
+
+    ONE partial+final aggregate computes both groups' count / sum /
+    sum-of-squares in exact DECIMAL (conditional aggregation — the
+    fact table is scanned once, not once per group); each moment
+    converts to double once, and the t and Welch-Satterthwaite df are
+    the same fixed-order expression string in both engines, floored to
+    1e-6 / 1e-3.  No second pass, no window, no shuffle beyond the agg.
+    """.format(a=_KS_A, b=_KS_B)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B))
+    v = dec("value", MONEY)
+    is1 = F.col("event_type") == _KS_A
+    agg = e.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(is1, v)).cast("double").alias("s1"),
+        F.sum(F.when(is1, v * v)).cast("double").alias("q1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(~is1, v)).cast("double").alias("s2"),
+        F.sum(F.when(~is1, v * v)).cast("double").alias("q2"))
+    t, df = _welch_exprs()
+    return agg.selectExpr(f"{t} AS t_e6", f"{df} AS df_e3",
+                          "CAST(n1 AS BIGINT) AS n1",
+                          "CAST(n2 AS BIGINT) AS n2")
+
+
+def _det3(m) -> str:
+    """3x3 determinant as a fixed-order expression string; m is a list
+    of 9 scalar-column names in row-major order."""
+    a, b, c, d, e, f_, g, h, i = m
+    return (f"({a} * ({e} * {i} - {f_} * {h})"
+            f" - {b} * ({d} * {i} - {f_} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))")
+
+
+def _ols2_exprs() -> dict[str, str]:
+    """Two-feature OLS (y ~ 1 + x1 + x2) by Cramer's rule over the
+    normal equations — fixed-order expression strings over the moment
+    scalars (n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy), shared
+    verbatim by both engines, floored at 1e6."""
+    A = ["n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22"]
+    det = _det3(A)
+    cols = {}
+    rhs = ["sy", "s1y", "s2y"]
+    for k, name in enumerate(("b0", "b1", "b2")):
+        m = list(A)
+        for r in range(3):
+            m[r * 3 + k] = rhs[r]
+        cols[name] = f"({_det3(m)} / {det})"
+    sse = (f"(syy - ({cols['b0']} * sy + {cols['b1']} * s1y"
+           f" + {cols['b2']} * s2y))")
+    sst = "(syy - sy * sy / n)"
+    cols["r2"] = f"(1.0 - {sse} / {sst})"
+    return {k: f"CAST(FLOOR({v} * 1e6) AS BIGINT)" for k, v in cols.items()}
+
+
+def q_regr_multiple_ols(spark, sf_dir):
+    """Multiple linear regression l_extendedprice ~ 1 + l_quantity +
+    l_discount, solved in closed form (normal equations + Cramer's
+    rule) — the distributed-OLS pattern: the 100-TB scan reduces to a
+    10-scalar sufficient statistic in ONE exact-DECIMAL partial+final
+    aggregate, and the solve is driver-free scalar arithmetic on that
+    1-row relation.  Simple regression (regr_value_time) generalized
+    to k features; beyond k~100 you'd ship the Gram matrix long-form
+    (embedding_gram_matrix) and eigensolve driver-side instead.
+
+    Every moment is exact decimal -> double once; coefficients and R^2
+    are fixed-order expression strings shared with the oracle, floored
+    at 1e-6.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x1, x2 = (dec(c, MONEY) for c in
+                 ("l_extendedprice", "l_quantity", "l_discount"))
+    agg = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"))
+    exprs = _ols2_exprs()
+    return agg.selectExpr(
+        *[f"{v} AS {k}_e6" for k, v in exprs.items()],
+        "CAST(n AS BIGINT) AS n_rows")
+
+
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -695,6 +803,8 @@ QUERIES = {
     "stats_chi_square_cells": q_stats_chi_square,
     "stats_ks_two_sample": q_stats_ks_two_sample,
     "gini_revenue_concentration": q_gini_revenue,
+    "stats_ttest_welch": q_stats_ttest_welch,
+    "regr_multiple_ols": q_regr_multiple_ols,
     "stats_trimmed_mean": q_stats_trimmed,
     "events_anomaly_mad": q_events_anomaly_mad,
     "regr_value_time": q_regr_value_time,
@@ -1063,3 +1173,60 @@ ORACLE["gini_revenue_concentration"] = """
            n AS n_customers
     FROM agg
 """
+
+def _welch_oracle() -> str:
+    t, df = _welch_exprs()
+    return f"""
+    WITH m AS (
+        SELECT CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n1,
+               CAST(SUM(CASE WHEN event_type = '{_KS_A}'
+                        THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CASE WHEN event_type = '{_KS_A}'
+                        THEN CAST(value AS DECIMAL(12,2))
+                             * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS q1,
+               CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n2,
+               CAST(SUM(CASE WHEN event_type = '{_KS_B}'
+                        THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS s2,
+               CAST(SUM(CASE WHEN event_type = '{_KS_B}'
+                        THEN CAST(value AS DECIMAL(12,2))
+                             * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS q2
+        FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}'))
+    SELECT {t} AS t_e6, {df} AS df_e3,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM m
+"""
+
+
+ORACLE["stats_ttest_welch"] = _welch_oracle()
+
+
+def _ols_oracle() -> str:
+    exprs = _ols2_exprs()
+    sel = ", ".join(f"{v} AS {k}_e6" for k, v in exprs.items())
+    d = "CAST(%s AS DECIMAL(12,2))"
+    y, x1, x2 = (d % c for c in
+                 ("l_extendedprice", "l_quantity", "l_discount"))
+    return f"""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({x1}) AS DOUBLE) AS s1,
+               CAST(SUM({x2}) AS DOUBLE) AS s2,
+               CAST(SUM({y}) AS DOUBLE) AS sy,
+               CAST(SUM({x1} * {x1}) AS DOUBLE) AS s11,
+               CAST(SUM({x1} * {x2}) AS DOUBLE) AS s12,
+               CAST(SUM({x2} * {x2}) AS DOUBLE) AS s22,
+               CAST(SUM({x1} * {y}) AS DOUBLE) AS s1y,
+               CAST(SUM({x2} * {y}) AS DOUBLE) AS s2y,
+               CAST(SUM({y} * {y}) AS DOUBLE) AS syy
+        FROM lineitem)
+    SELECT {sel}, CAST(n AS BIGINT) AS n_rows FROM m
+"""
+
+
+ORACLE["regr_multiple_ols"] = _ols_oracle()

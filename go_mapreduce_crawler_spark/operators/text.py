@@ -944,10 +944,41 @@ def q_quality_ppl_buckets(spark, sf_dir):
                     tile.cast("long").alias("ppl_bucket"))
 
 
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the fraction of a document's
+    distinct word 3-grams it introduces to the corpus (min doc_id over
+    the gram owns it) — the redundancy-growth curve of an accreting
+    corpus (novelty collapsing toward 0 over ingest order means you're
+    re-crawling what you already have).
+
+    Grams leave the row as md5 DIGESTS (the dedup_spans rule — the
+    shuffle carries 16-byte keys, never gram strings); first-owner is
+    one partial+final min-agg on the digest, and the per-doc rate
+    re-aggregates on doc_id.  Two shuffles total, both on uniform
+    hashes.
+    """
+    d = _docs(spark, sf_dir)
+    grams = (d.select("doc_id",
+                      F.explode(F.array_distinct(
+                          _token_ngrams(F.split("text", " "), 3)))
+                       .alias("g"))
+              .select("doc_id", F.md5("g").alias("h")))
+    firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (grams.join(firsts, "h")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                             .otherwise(0)).alias("n_novel"))
+                 .select("doc_id", "n_grams", "n_novel",
+                         F.round(F.col("n_novel") / F.col("n_grams"), 6)
+                          .alias("novelty_rate")))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_oov_rate": q_text_oov_rate,
     "quality_perplexity_buckets": q_quality_ppl_buckets,
+    "text_ngram_novelty": q_text_ngram_novelty,
     "text_quality": q_text_quality,
     "text_bm25_top_terms": q_text_bm25,
     "text_langid": q_text_langid,
@@ -1411,4 +1442,22 @@ ORACLE["quality_perplexity_buckets"] = f"""
            NTILE(3) OVER (PARTITION BY lang
                           ORDER BY score DESC, doc_id) AS ppl_bucket
     FROM j
+"""
+
+ORACLE["text_ngram_novelty"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, md5(g) AS h
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 2),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+              FROM d WHERE len(w) >= 3)),
+    firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+           ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS novelty_rate
+    FROM grams JOIN firsts USING (h)
+    GROUP BY 1
 """

@@ -977,3 +977,43 @@ def test_streak_longest_matches_python_fold(spark, sf_small):
             cur = cur + 1 if nxt == prev + 1 else 1
             best = max(best, cur)
         assert got[uid] == (best, len(ds)), uid
+
+
+def test_welch_and_ols_match_numpy_reference(spark, sf_small):
+    """Welch t/df and the Cramer-rule OLS vs scipy-free numpy linalg —
+    independent of the formula strings both engines share."""
+    import math
+
+    import numpy as np
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").toPandas()
+    a = ev.loc[ev.event_type == features._KS_A, "value"].values.round(2)
+    b = ev.loc[ev.event_type == features._KS_B, "value"].values.round(2)
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / len(a) + v2 / len(b)
+    t_ref = (a.mean() - b.mean()) / math.sqrt(se2)
+    df_ref = se2 ** 2 / ((v1 / len(a)) ** 2 / (len(a) - 1)
+                         + (v2 / len(b)) ** 2 / (len(b) - 1))
+    got = features.q_stats_ttest_welch(spark, sf_small).collect()[0]
+    assert got.n1 == len(a) and got.n2 == len(b)
+    assert abs(got.t_e6 / 1e6 - t_ref) < 1e-4
+    assert abs(got.df_e3 / 1e3 - df_ref) < 1e-1
+
+    li = load_table(spark, sf_small, "lineitem").toPandas()
+    y = li["l_extendedprice"].values.round(2)
+    X = np.column_stack([np.ones(len(li)),
+                         li["l_quantity"].values.round(2),
+                         li["l_discount"].values.round(2)])
+    beta, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    r2_ref = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    g = features.q_regr_multiple_ols(spark, sf_small).collect()[0]
+    assert g.n_rows == len(li)
+    for got_e6, want in ((g.b0_e6, beta[0]), (g.b1_e6, beta[1]),
+                         (g.b2_e6, beta[2])):
+        assert abs(got_e6 / 1e6 - want) < max(1e-3, abs(want) * 1e-6), \
+            (got_e6, want)
+    assert abs(g.r2_e6 / 1e6 - r2_ref) < 1e-4
