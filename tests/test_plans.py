@@ -687,3 +687,52 @@ def test_sliding_distinct_explodes_compacted_presence(spark, sf_small):
     assert "explode(sequence" in plan, plan[:2000]
     assert has_partial_and_final_agg(df)
     assert not has_python_udf(df)
+
+
+def test_r04_batch4_plan_shapes(spark, sf_small):
+    """Plan pins for this session's operators: two-level prefix windows
+    carry their bucket partition key (KS, Gini, perplexity terciles),
+    stats ops broadcast their tiny aggregates onto the fact side, the
+    OOV vocabulary ranks via TakeOrderedAndProject (never a global
+    sort), and the closed-form stats are single-aggregate plans with
+    no window at all."""
+    from go_mapreduce_crawler_spark.operators import (
+        dedup, features, relational, temporal, text)
+
+    # two-level windows: any value-ordered windowspec must carry bkt
+    for fn, val in ((features.q_stats_ks_two_sample, "value"),
+                    (features.q_gini_revenue, "x")):
+        plan = physical_plan(fn(spark, sf_small))
+        assert has_broadcast_join(fn(spark, sf_small))
+        for l in plan.splitlines():
+            if "windowspecdefinition" in l and f"{val}#" in l \
+                    and "unboundedpreceding" in l.lower():
+                assert "bkt" in l, (fn.__name__, l)
+
+    ppl = text.q_quality_ppl_buckets(spark, sf_small)
+    for l in physical_plan(ppl).splitlines():
+        if "windowspecdefinition" in l and "score" in l:
+            assert "bkt" in l, l
+
+    # OOV vocab: top-k via TakeOrderedAndProject, not Sort+Limit-global
+    assert "TakeOrderedAndProject" in physical_plan(
+        text.q_text_oov_rate(spark, sf_small))
+
+    # broadcast stats joins; fact side never re-shuffles for the join
+    for fn in (features.q_stats_chi_square, temporal.q_events_seasonality):
+        assert has_broadcast_join(fn(spark, sf_small)), fn.__name__
+
+    # single-agg closed forms: no window operator anywhere
+    for fn in (features.q_stats_ttest_welch, features.q_regr_multiple_ols,
+               features.q_stats_corr_matrix):
+        assert "Window" not in physical_plan(fn(spark, sf_small)), fn.__name__
+
+    # referential audit: all four checks plan as broadcast anti-joins
+    plan = physical_plan(features.q_validate_referential(spark, sf_small))
+    assert plan.count("LeftAnti") >= 4, plan.count("LeftAnti")
+
+    # mode/division/streak/novelty: partial+final aggregation present
+    for fn in (relational.q_mode_per_group, relational.q_division_priorities,
+               temporal.q_streak_longest, text.q_text_ngram_novelty,
+               dedup.q_dedup_cluster_sizes):
+        assert has_partial_and_final_agg(fn(spark, sf_small)), fn.__name__
