@@ -290,9 +290,99 @@ def q_attribution_position(spark, sf_dir):
                     "pos", "n", credit.cast("long").alias("credit_ppm"))
 
 
+FUNNEL_WINDOW_US = 72 * 3_600_000_000   # windowFunnel horizon
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """Time-bounded conversion funnel (the ClickHouse ``windowFunnel``
+    semantic): stage k counts only if it happens strictly after stage
+    k-1 AND within 72 h of the user's FIRST signup — "did the user
+    convert promptly", not "ever".
+
+    Same celebrity-safe chained conditional min-agg construction as
+    funnel_conversion (O(1) per-user aggregation state, shrinking
+    frontier joins — never a collect_list of the history); the
+    deadline t1 + 72h rides along the frontier as a column, so the
+    added constraint costs zero extra shuffles.
+    """
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+         .select("user_id", F.unix_micros("ts").alias("us"), "event_type"))
+    s1 = (e.filter(F.col("event_type") == FUNNEL_STAGES[0])
+           .groupBy("user_id").agg(F.min("us").alias("t1")))
+    s1 = s1.withColumn("dl", F.col("t1") + FUNNEL_WINDOW_US)
+    stages = [s1]
+    for i, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+        prev = stages[-1].select("user_id", F.col(f"t{i-1}").alias("_prev"),
+                                 "dl")
+        nxt = (e.filter(F.col("event_type") == stage)
+                .join(prev, "user_id")
+                .filter((F.col("us") > F.col("_prev"))
+                        & (F.col("us") <= F.col("dl")))
+                .groupBy("user_id", "dl").agg(F.min("us").alias(f"t{i}")))
+        stages.append(nxt)
+    rows = None
+    for i, stage in enumerate(FUNNEL_STAGES, 1):
+        r = stages[i - 1].agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).alias("stage_ord"), F.lit(stage).alias("stage"),
+            "users")
+        rows = r if rows is None else rows.union(r)
+    return rows
+
+
+_FUNNEL_PCTS = (25, 50, 75, 90)
+
+
+def q_funnel_latency_quantiles(spark, sf_dir):
+    """Time-to-convert distribution: exact lower quantiles (p25/p50/
+    p75/p90) of signup->purchase latency across fully-converting users
+    — the "how fast do converters convert" companion to the stage
+    counts.
+
+    The latency relation is one row per converter (built by the same
+    chained min-agg funnel); quantiles use the compacted
+    (value, count) ranking of median_per_group — the window sorts
+    |distinct latencies| rows, never events — and each requested
+    percentile picks min(value | cum >= ceil(n*p/100)) with the rank
+    arithmetic in exact integers.
+    """
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+         .select("user_id", F.unix_micros("ts").alias("us"), "event_type"))
+    cur = (e.filter(F.col("event_type") == FUNNEL_STAGES[0])
+            .groupBy("user_id").agg(F.min("us").alias("t1")))
+    prev_col = "t1"
+    for i, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+        prev = cur.select("user_id", F.col(prev_col).alias("_prev"),
+                          F.col("t1").alias("t1_keep"))
+        cur = (e.filter(F.col("event_type") == stage)
+                .join(prev, "user_id")
+                .filter(F.col("us") > F.col("_prev"))
+                .groupBy("user_id", F.col("t1_keep").alias("t1"))
+                .agg(F.min("us").alias(f"t{i}")))
+        prev_col = f"t{i}"
+    lat = cur.select((F.col("t4") - F.col("t1")).alias("latency_us"))
+    cnts = lat.groupBy("latency_us").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("latency_us").rowsBetween(W.unboundedPreceding,
+                                            W.currentRow)
+    ranked = cnts.withColumn("cum", F.sum("c").over(w))
+    n = lat.agg(F.count(F.lit(1)).alias("n"))
+    rows = None
+    for p in _FUNNEL_PCTS:
+        tgt = F.expr(f"CAST(CEIL(n * {p} / 100.0) AS BIGINT)")
+        r = (ranked.crossJoin(F.broadcast(n))
+                   .filter(F.col("cum") >= tgt)
+                   .agg(F.min("latency_us").alias("latency_us"))
+                   .select(F.lit(p).alias("pct"), "latency_us"))
+        rows = r if rows is None else rows.union(r)
+    return rows
+
+
 QUERIES = {
     "rfm_segmentation": q_rfm_segmentation,
     "attribution_position_based": q_attribution_position,
+    "funnel_windowed_72h": q_funnel_windowed,
+    "funnel_latency_quantiles": q_funnel_latency_quantiles,
     "attribution_last_touch": q_attribution_last_touch,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -449,4 +539,54 @@ ORACLE["attribution_position_based"] = f"""
                 ELSE CAST(FLOOR(200000 / (n - 2)) AS BIGINT)
            END AS credit_ppm
     FROM r
+"""
+
+ORACLE["funnel_windowed_72h"] = f"""
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t,
+                       min(epoch_us(ts)) + {FUNNEL_WINDOW_US} AS dl
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t, s1.dl AS dl
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 AND epoch_us(e.ts) > s1.t AND epoch_us(e.ts) <= s1.dl
+                WHERE e.event_type = 'view' GROUP BY 1, 3),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t, s2.dl AS dl
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 AND epoch_us(e.ts) > s2.t AND epoch_us(e.ts) <= s2.dl
+                WHERE e.event_type = 'click' GROUP BY 1, 3),
+         s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                FROM events e JOIN s3 ON e.user_id = s3.user_id
+                 AND epoch_us(e.ts) > s3.t AND epoch_us(e.ts) <= s3.dl
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT 1 AS stage_ord, 'signup' AS stage, count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'view', count(*) FROM s2
+    UNION ALL SELECT 3, 'click', count(*) FROM s3
+    UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+"""
+
+ORACLE["funnel_latency_quantiles"] = """
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, s1.t AS t1, min(epoch_us(e.ts)) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 AND epoch_us(e.ts) > s1.t
+                WHERE e.event_type = 'view' GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, s2.t1, min(epoch_us(e.ts)) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 AND epoch_us(e.ts) > s2.t
+                WHERE e.event_type = 'click' GROUP BY 1, 2),
+         s4 AS (SELECT e.user_id, s3.t1, min(epoch_us(e.ts)) AS t
+                FROM events e JOIN s3 ON e.user_id = s3.user_id
+                 AND epoch_us(e.ts) > s3.t
+                WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+    lat AS (SELECT t - t1 AS latency_us FROM s4),
+    cnts AS (SELECT latency_us, COUNT(*)::BIGINT AS c FROM lat GROUP BY 1),
+    ranked AS (SELECT latency_us,
+                      SUM(c) OVER (ORDER BY latency_us) AS cum
+               FROM cnts),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM lat),
+    p(pct) AS (VALUES (25), (50), (75), (90))
+    SELECT p.pct AS pct, MIN(r.latency_us) AS latency_us
+    FROM p CROSS JOIN n JOIN ranked r
+      ON r.cum >= CAST(CEIL(n.n * p.pct / 100.0) AS BIGINT)
+    GROUP BY 1
 """

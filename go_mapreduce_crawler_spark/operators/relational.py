@@ -1287,10 +1287,41 @@ def q_mode_per_group(spark, sf_dir):
                        F.col("cnt").alias("n_events")))
 
 
+SNAPSHOT_AS_OF = "1996-06-30"
+
+
+def q_snapshot_latest_as_of(spark, sf_dir):
+    """Point-in-time reconstruction (time travel over a changelog):
+    treating each order as its customer's latest state change, rebuild
+    the per-customer state AS OF {d} — the latest order's key, date,
+    status, and price at that date.
+
+    ONE partial+final max(struct) aggregate after the date filter
+    prunes at the scan: the struct's (date, orderkey) prefix is a
+    total order per customer (orderkey is unique), so no window ranks
+    the changelog and a hot customer costs one aggregation cell.  The
+    oracle uses ROW_NUMBER over (date DESC, orderkey DESC) — the
+    opposite construction.
+    """.format(d=SNAPSHOT_AS_OF)
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_format("o_orderdate", "yyyy-MM-dd")
+    best = F.max(F.struct(
+        day.alias("d"), F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("pr")))
+    return (o.filter(F.col("o_orderdate") <= SNAPSHOT_AS_OF)
+             .groupBy("o_custkey").agg(best.alias("b"))
+             .select("o_custkey", F.col("b.k").alias("last_orderkey"),
+                     F.col("b.d").alias("last_order_date"),
+                     F.col("b.st").alias("last_status"),
+                     F.col("b.pr").alias("last_price")))
+
+
 QUERIES = {
     "scan_filter_project": q_scan_filter_project,
     "division_all_priorities": q_division_priorities,
     "agg_mode_per_group": q_mode_per_group,
+    "snapshot_latest_as_of": q_snapshot_latest_as_of,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_revenue_change": q6_revenue_change,
     "agg_distinct": q_agg_distinct,
@@ -2057,5 +2088,19 @@ ORACLE["agg_mode_per_group"] = """
                                      ORDER BY cnt DESC, event_type) AS rn
         FROM cnt)
     SELECT user_id, event_type AS mode_event_type, cnt AS n_events
+    FROM r WHERE rn = 1
+"""
+
+ORACLE["snapshot_latest_as_of"] = f"""
+    WITH r AS (
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS d,
+               o_orderstatus, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate <= DATE '{SNAPSHOT_AS_OF}')
+    SELECT o_custkey, o_orderkey AS last_orderkey, d AS last_order_date,
+           o_orderstatus AS last_status, o_totalprice AS last_price
     FROM r WHERE rn = 1
 """
