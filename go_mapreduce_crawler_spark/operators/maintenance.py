@@ -245,8 +245,45 @@ def q_cdc_merge_apply(spark, sf_dir):
                       .otherwise("cdc").alias("src")))
 
 
+def q_sink_roundtrip_jsonl(spark, sf_dir):
+    """JSONL round-trip as a checked operator: write documents through
+    the engine's JSON-lines sink (THE interchange format of LLM data
+    pipelines), read the directory back with an explicit schema, and
+    return per-source aggregates INCLUDING an md5-derived text
+    checksum — so a green row proves the escape/unescape cycle
+    (newlines, quotes, unicode) is byte-exact, not just that row
+    counts survive.  The oracle reads the ORIGINAL parquet, so any
+    corruption in the JSON cycle breaks the hash.
+
+    Idempotent (deterministic temp dir + overwrite); file count
+    bounded by the writer's repartition — the 100 TB JSONL sink is
+    shards of ~256 MB plus a manifest, same shape.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.sinks import write_json
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "text", "source", "n_chars"))
+    write_json(d.repartition(4), out)
+    back = spark.read.schema(
+        "doc_id long, text string, source string, n_chars long").json(out)
+    chk = "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"
+    return (back.selectExpr("source", "n_chars", f"{chk} AS chk")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"),
+                     F.sum("chk").alias("text_checksum")))
+
+
 QUERIES = {
     "cdc_merge_apply": q_cdc_merge_apply,
+    "sink_roundtrip_jsonl": q_sink_roundtrip_jsonl,
     "table_diff": q_table_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
     "sink_roundtrip_parquet": q_sink_roundtrip,
@@ -348,4 +385,12 @@ ORACLE["cdc_merge_apply"] = f"""
     SELECT o_orderkey, price, status,
            CASE WHEN op IS NULL THEN 'base' ELSE 'cdc' END AS src
     FROM j WHERE op IS NULL OR op != 'D'
+"""
+
+ORACLE["sink_roundtrip_jsonl"] = """
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars,
+           SUM(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
+               AS text_checksum
+    FROM documents GROUP BY 1
 """
