@@ -281,9 +281,39 @@ def q_sink_roundtrip_jsonl(spark, sf_dir):
                      F.sum("chk").alias("text_checksum")))
 
 
+def q_table_checksum(spark, sf_dir):
+    """Order-independent table fingerprint: per-row md5 over the
+    canonicalized row text, summed as exact integers — equal bytes <=>
+    equal checksum regardless of row order, partitioning, or engine.
+    The O(1)-output primitive behind replication checks and
+    table_diff's cheap pre-filter ("checksums equal -> skip the diff
+    join entirely").
+
+    One scan, one partial+final agg, no shuffle of anything wider than
+    the accumulator.  The row canon is pipe-joined column text with
+    prices fixed to 2 decimals (format_number-free: cast to
+    DECIMAL(12,2) then string, identical in both engines); two
+    independent 8-hex-digit lanes of the md5 are summed so a
+    collision would have to cancel in both lanes at once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"), F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"))
+    h = o.select(F.md5(F.encode(canon, "UTF-8")).alias("h"))
+    lane = lambda pos: F.conv(F.substring("h", pos, 8), 16, 10) \
+        .cast("long")  # noqa: E731
+    return h.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(lane(1)).alias("checksum_lane1"),
+                 F.sum(lane(9)).alias("checksum_lane2"))
+
+
 QUERIES = {
     "cdc_merge_apply": q_cdc_merge_apply,
     "sink_roundtrip_jsonl": q_sink_roundtrip_jsonl,
+    "table_checksum_orders": q_table_checksum,
     "table_diff": q_table_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
     "sink_roundtrip_parquet": q_sink_roundtrip,
@@ -393,4 +423,17 @@ ORACLE["sink_roundtrip_jsonl"] = """
            SUM(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
                AS text_checksum
     FROM documents GROUP BY 1
+"""
+
+ORACLE["table_checksum_orders"] = """
+    WITH h AS (
+        SELECT md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR), o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d'))) AS h
+        FROM orders)
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(('0x' || substr(h, 1, 8))::BIGINT)::BIGINT AS checksum_lane1,
+           SUM(('0x' || substr(h, 9, 8))::BIGINT)::BIGINT AS checksum_lane2
+    FROM h
 """

@@ -1287,6 +1287,34 @@ def q_mode_per_group(spark, sf_dir):
                        F.col("cnt").alias("n_events")))
 
 
+def q_weighted_median(spark, sf_dir):
+    """Weighted lower median of l_extendedprice per return flag, with
+    l_quantity as the weight — "the price at which half the UNITS (not
+    half the line items) sell below" — the weighted-quantile operator
+    plain median can't express.
+
+    Same compacted two-level discipline as median_per_group: the fact
+    table first collapses to (flag, price, total_weight) with a
+    partial+final agg, the running weight ranks ONLY that compacted
+    relation, and the answer is min(price | 2*cum_weight >= total) —
+    the comparison in exact DECIMAL, no division.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    cnts = (l.groupBy("l_returnflag",
+                      F.col("l_extendedprice").alias("price"))
+             .agg(F.sum(dec("l_quantity", MONEY)).alias("w")))
+    wnd = (W.partitionBy("l_returnflag").orderBy("price")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = W.partitionBy("l_returnflag")
+    ranked = (cnts.withColumn("cum", F.sum("w").over(wnd))
+                  .withColumn("tot", F.sum("w").over(tot)))
+    return (ranked.filter(F.col("cum") * 2 >= F.col("tot"))
+                  .groupBy("l_returnflag")
+                  .agg(F.min("price").alias("weighted_median_price"),
+                       F.first(F.col("tot").cast("double"))
+                        .alias("total_weight")))
+
+
 SNAPSHOT_AS_OF = "1996-06-30"
 
 
@@ -1322,6 +1350,7 @@ QUERIES = {
     "division_all_priorities": q_division_priorities,
     "agg_mode_per_group": q_mode_per_group,
     "snapshot_latest_as_of": q_snapshot_latest_as_of,
+    "weighted_median_price": q_weighted_median,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_revenue_change": q6_revenue_change,
     "agg_distinct": q_agg_distinct,
@@ -2103,4 +2132,21 @@ ORACLE["snapshot_latest_as_of"] = f"""
     SELECT o_custkey, o_orderkey AS last_orderkey, d AS last_order_date,
            o_orderstatus AS last_status, o_totalprice AS last_price
     FROM r WHERE rn = 1
+"""
+
+ORACLE["weighted_median_price"] = """
+    WITH cnts AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+        FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+        SELECT l_returnflag, price,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY price) AS cum,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM cnts)
+    SELECT l_returnflag, MIN(price) AS weighted_median_price,
+           CAST(MIN(tot) AS DOUBLE) AS total_weight
+    FROM ranked WHERE cum * 2 >= tot
+    GROUP BY 1
 """

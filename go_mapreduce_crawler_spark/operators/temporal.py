@@ -727,10 +727,47 @@ def q_events_seasonality(spark, sf_dir):
                          load.alias("load_ppm")))
 
 
+ACTIVE_WINDOW_US = 10 * 60 * 1_000_000
+
+
+def q_intervals_union(spark, sf_dir):
+    """Merged-interval active time per user: each event opens a 10-min
+    activity interval, overlapping intervals merge, and the user's
+    total active time is the union's length — the classic
+    merge-overlapping-intervals operator (billing minutes, machine
+    uptime, "time actually engaged" vs raw event counts).
+
+    Gaps-and-islands on the interval stream: a row starts a new island
+    iff its start exceeds the running max end of all earlier intervals
+    (one window, shuffled once on user_id); each island's union is
+    contiguous by construction, so its length is max(end) - min(start)
+    and two tiny aggs finish the job.  All arithmetic in integer epoch
+    micros.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", "event_id",
+                    F.unix_micros("ts").alias("s"),
+                    (F.unix_micros("ts") + ACTIVE_WINDOW_US).alias("en"))
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prevmax = F.max("en").over(w.rowsBetween(W.unboundedPreceding, -1))
+    tagged = base.withColumn(
+        "new_isl",
+        F.when(prevmax.isNull() | (F.col("s") > prevmax), 1).otherwise(0))
+    isl = tagged.withColumn(
+        "isl", F.sum("new_isl").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    spans = (isl.groupBy("user_id", "isl")
+                .agg(F.min("s").alias("lo"), F.max("en").alias("hi")))
+    return (spans.groupBy("user_id")
+                 .agg(F.sum(F.col("hi") - F.col("lo")).alias("active_us"),
+                      F.count(F.lit(1)).alias("n_intervals")))
+
+
 QUERIES = {
     "events_ewma_smooth": q_events_ewma,
     "window_streak_longest": q_streak_longest,
     "events_seasonality_profile": q_events_seasonality,
+    "intervals_union_active_time": q_intervals_union,
     "window_cumulative_distinct_users": q_cumulative_distinct_users,
     "events_autocorrelation": q_events_autocorrelation,
     "events_concurrency_sweep": q_events_concurrency,
@@ -1100,4 +1137,27 @@ ORACLE["events_seasonality_profile"] = """
            CAST(FLOOR(CAST(c.n_events AS DOUBLE) * 168000000.0
                       / CAST(t.t AS DOUBLE)) AS BIGINT) AS load_ppm
     FROM cells c JOIN tot t USING (event_type)
+"""
+
+ORACLE["intervals_union_active_time"] = """
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + 600000000 AS en
+        FROM events),
+    tagged AS (
+        SELECT *, CASE WHEN s > COALESCE(MAX(en) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS new_isl
+        FROM base),
+    isl AS (
+        SELECT *, SUM(new_isl) OVER (PARTITION BY user_id
+                                     ORDER BY s, event_id) AS isl
+        FROM tagged),
+    spans AS (SELECT user_id, isl, MIN(s) AS lo, MAX(en) AS hi
+              FROM isl GROUP BY 1, 2)
+    SELECT user_id, SUM(hi - lo)::BIGINT AS active_us,
+           COUNT(*)::BIGINT AS n_intervals
+    FROM spans GROUP BY 1
 """
