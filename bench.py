@@ -84,6 +84,14 @@ HEADLINE = [
     "embedding_random_projection",
     "events_ewma_smooth",
     "text_tfidf_doc_pairs",
+    "validate_referential_integrity",
+    "stats_ks_two_sample",
+    "quality_perplexity_buckets",
+    "text_ngram_novelty",
+    "decontaminate_fuzzy_minhash",
+    "attribution_position_based",
+    "cdc_merge_apply",
+    "intervals_union_active_time",
 ]
 
 N_CRAWL_FILES = 2000

@@ -59,9 +59,13 @@ def get_spark(app_name: str = "go-mapreduce-crawler-spark",
         # 240 MB ReservedCodeCacheSize can fill mid-run, at which point
         # the JIT stops compiling and codegen-heavy queries (the 32-fold
         # minhash signature) silently run INTERPRETED — observed as a
-        # bimodal 1s-vs-4.6s bench mode.  512 MB keeps the JIT on.
+        # bimodal 1s-vs-4.6s bench mode.  512 MB held ~55 headline
+        # queries; the 63-query headline refilled it (observed again as
+        # 3x modes on early-list TPC-H joins), so 1 GB — the cache is
+        # reserved virtual address space, not resident memory, so the
+        # only cost is headroom.
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=512m")
+                "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
