@@ -861,9 +861,40 @@ def q_dedup_cluster_sizes(spark, sf_dir):
                      .alias("n_docs")))
 
 
+def q_dedup_lsh_report(spark, sf_dir):
+    """LSH tuning report: candidate-pair volume vs true-Jaccard-verified
+    pairs and the resulting precision — the one-row summary that decides
+    whether (bands, rows) needs retuning before a 100 TB run (precision
+    collapsing means the bucket shuffle is doing quadratic work for
+    nothing; candidates exploding means a hot band).
+
+    Same band pipeline as dedup_minhash_lsh (shared _minhash_bands);
+    the report is two counts and one fixed-point division over the
+    candidate relation, so its cost is the candidacy shuffle alone.
+    """
+    sh, bands = _minhash_bands(spark, sf_dir)
+    cand = _bucket_pairs(bands).cache()
+    va = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
+    ver = (cand.join(va, "doc_a").join(vb, "doc_b")
+               .filter(jac >= JACCARD_T)
+               .agg(F.count(F.lit(1)).alias("n_verified")))
+    tot = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    prec = F.floor(F.col("n_verified").cast("double") * 1e6
+                   / F.col("n_candidates").cast("double")).cast("long")
+    return (tot.crossJoin(ver)
+               .select("n_candidates", "n_verified",
+                       prec.alias("precision_ppm")))
+
+
 QUERIES = {
     "dedup_cluster_size_histogram": q_dedup_cluster_sizes,
     "decontaminate_fuzzy_minhash": q_decontaminate_fuzzy,
+    "dedup_lsh_precision_report": q_dedup_lsh_report,
     "dedup_spans_ngram": q_dedup_spans,
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
@@ -1197,3 +1228,13 @@ ORACLE["decontaminate_fuzzy_minhash"] = "WITH " + _minhash_pair_ctes().replace(
 """
 assert "% 10 != 0" in ORACLE["decontaminate_fuzzy_minhash"], \
     "decon oracle CTE rewrite failed to apply"
+
+ORACLE["dedup_lsh_precision_report"] = "WITH " + _minhash_pair_ctes() + """
+    , tot AS (SELECT COUNT(*)::BIGINT AS n_candidates FROM cand),
+    ver AS (SELECT COUNT(*)::BIGINT AS n_verified FROM mh)
+    SELECT n_candidates, n_verified,
+           CAST(FLOOR(CAST(n_verified AS DOUBLE) * 1e6
+                      / CAST(n_candidates AS DOUBLE)) AS BIGINT)
+               AS precision_ppm
+    FROM tot CROSS JOIN ver
+"""

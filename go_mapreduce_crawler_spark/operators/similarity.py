@@ -712,8 +712,64 @@ def q_embedding_outliers(spark, sf_dir):
               .agg(F.sum("t").cast("double").alias("dist2_scaled")))
 
 
+def q_knn_label_vote(spark, sf_dir):
+    """kNN classification by majority vote: each query vector's top-10
+    cosine neighbors vote with their labels (ties -> smaller label),
+    and the row records whether the vote recovers the query's own
+    label — leave-one-out eval of embedding quality, the metric a
+    training pipeline tracks across embedding versions.
+
+    Pure composition: the neighbor lists come from q_knn_bruteforce
+    (same gating, same broadcast shape), labels join in by vec_id, and
+    the vote is one tiny agg + row_number over |queries| x |labels|
+    rows.  The oracle wraps the knn oracle's CTE verbatim, so any
+    divergence localizes to the vote step.
+    """
+    nn = q_knn_bruteforce(spark, sf_dir)
+    lbl = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (nn.join(lbl.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("label").alias("nl")), "neighbor_id")
+               .groupBy("q_id", "nl")
+               .agg(F.count(F.lit(1)).alias("votes")))
+    w = W.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("nl"))
+    pred = (votes.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") == 1)
+                 .select("q_id", F.col("nl").alias("pred_label"), "votes"))
+    truth = lbl.select(F.col("vec_id").alias("q_id"),
+                       F.col("label").alias("true_label"))
+    return (pred.join(truth, "q_id")
+                .withColumn("correct",
+                            (F.col("pred_label") == F.col("true_label"))
+                            .cast("int")))
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN quality report: per-query recall@10 of the LSH index against
+    the exact brute-force top-10 — the eval row an index rebuild gates
+    on (recall dropping under target means re-tune bands/planes, not
+    ship).
+
+    Pure composition of the two existing operators (same gates, same
+    broadcast shapes); the overlap is one |queries| x k semi-join-like
+    LEFT join + count, and recall leaves as exact fixed-point ppm.
+    """
+    brute = q_knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    ann = (q_ann_lsh(spark, sf_dir)
+           .select("q_id", "neighbor_id", F.lit(1).alias("hit")))
+    j = brute.join(ann, ["q_id", "neighbor_id"], "left")
+    return (j.groupBy("q_id")
+             .agg(F.count(F.lit(1)).alias("k"),
+                  F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+             .select("q_id", "k", "hits",
+                     F.floor(F.col("hits").cast("double") * 1e6
+                             / F.col("k").cast("double")).cast("long")
+                      .alias("recall_ppm")))
+
+
 QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce,
+    "knn_label_vote_accuracy": q_knn_label_vote,
+    "ann_recall_report": q_ann_recall,
     "embedding_outlier_scores": q_embedding_outliers,
     "embedding_gram_matrix": q_embedding_gram,
     "embedding_pca_project": q_embedding_pca,
@@ -1023,5 +1079,36 @@ ORACLE["embedding_outlier_scores"] = f"""
            CAST(SUM((n.n * c.qd - s.s) * (n.n * c.qd - s.s)) AS DOUBLE)
                AS dist2_scaled
     FROM comp c JOIN s USING (i) CROSS JOIN n
+    GROUP BY 1
+"""
+
+ORACLE["knn_label_vote_accuracy"] = f"""
+    WITH nn AS ({ORACLE["knn_bruteforce_cosine"]}),
+    votes AS (
+        SELECT nn.q_id, e.label AS nl, COUNT(*)::BIGINT AS votes
+        FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+        GROUP BY 1, 2),
+    pred AS (
+        SELECT q_id, nl AS pred_label, votes
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY votes DESC, nl) AS rk
+              FROM votes)
+        WHERE rk = 1)
+    SELECT p.q_id, p.pred_label, p.votes, e.label AS true_label,
+           CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.q_id
+"""
+
+ORACLE["ann_recall_report"] = f"""
+    WITH brute AS ({ORACLE["knn_bruteforce_cosine"]}),
+    ann AS ({ORACLE["ann_lsh_cosine"]})
+    SELECT b.q_id, COUNT(*)::BIGINT AS k,
+           SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               ::BIGINT AS hits,
+           CAST(FLOOR(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END)::DOUBLE * 1e6
+                      / COUNT(*)::DOUBLE) AS BIGINT) AS recall_ppm
+    FROM brute b LEFT JOIN ann a
+      ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
     GROUP BY 1
 """
