@@ -255,8 +255,13 @@ def q_attribution_position(spark, sf_dir):
     touch join) so the two attribution operators cross-check the event
     stream two ways.
 
-    The join is an equi-join on user_id with the time-range residual;
-    fan-out is bounded by touches-per-user-per-week.  Per-purchase
+    The join key is (user_id, 7-day time bucket) with the purchase
+    side exploding to its own and the preceding bucket — a 7-day
+    lookback spans at most two buckets, and each touch carries exactly
+    one bucket so no pair can match twice.  A ten-year bot history
+    therefore never materializes against a purchase: only the +-1
+    bucket neighborhood joins before the residual filter (the
+    interval-join recipe of q_interval_overlap).  Per-purchase
     first/last/size come from one window over that bounded join result
     (partitioned by purchase event, never by user history).  Credits
     are exact integer ppm (floor division for the middle share), so
@@ -268,12 +273,16 @@ def q_attribution_position(spark, sf_dir):
                     F.unix_micros("ts").alias("us"))
     p = (base.filter(F.col("event_type") == "purchase")
              .select("user_id", F.col("event_id").alias("purchase_id"),
-                     F.col("us").alias("pus")))
+                     F.col("us").alias("pus"))
+             .withColumn("wk", F.explode(F.array(
+                 F.floor(F.col("pus") / ATTR_WINDOW_US) - 1,
+                 F.floor(F.col("pus") / ATTR_WINDOW_US)))))
     t = (base.filter(F.col("event_type").isin("view", "click"))
              .select("user_id", F.col("event_id").alias("touch_id"),
                      F.col("event_type").alias("touch_type"),
-                     F.col("us").alias("tus")))
-    j = (p.join(t, "user_id")
+                     F.col("us").alias("tus"))
+             .withColumn("wk", F.floor(F.col("tus") / ATTR_WINDOW_US)))
+    j = (p.join(t, ["user_id", "wk"])
           .filter((F.col("tus") < F.col("pus"))
                   & (F.col("tus") >= F.col("pus") - ATTR_WINDOW_US)))
     w = W.partitionBy("purchase_id").orderBy("tus", "touch_id")
