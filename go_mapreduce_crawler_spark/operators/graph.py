@@ -284,8 +284,46 @@ def q_degree_distribution(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n_parts")))
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 5
+
+
+def q_kcore_peel(spark, sf_dir):
+    """Fixed-round k-core peeling (k=3, 5 synchronous rounds) of the
+    strong co-purchase graph: iteratively drop nodes whose degree
+    within the surviving subgraph is under k, then report the
+    survivors with their core-subgraph degree — the standard dense-
+    cluster extraction ahead of community detection (5 rounds reaches
+    the fixpoint on every test SF; fixed rounds keep the oracle
+    expressible, the pagerank convention).
+
+    Each round is one semi-join pair (edges restricted to survivors)
+    + one degree agg + one filter — Pregel data movement, driver-side
+    LOOP CONTROL only, localCheckpoint truncating the lineage so round
+    N does not replan rounds 1..N-1.
+    """
+    edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb")
+    adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+           .union(edges.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst")))
+           .localCheckpoint())
+    alive = adj.select(F.col("src").alias("node")).distinct()
+    live = None
+    for _ in range(KCORE_ROUNDS):
+        live = (adj.join(alive.select(F.col("node").alias("src")), "src")
+                   .join(alive.select(F.col("node").alias("dst")), "dst"))
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = (deg.filter(F.col("deg") >= KCORE_K)
+                    .select(F.col("src").alias("node")).localCheckpoint())
+    final = (adj.join(alive.select(F.col("node").alias("src")), "src")
+                .join(alive.select(F.col("node").alias("dst")), "dst")
+                .groupBy("src").agg(F.count(F.lit(1)).alias("core_degree")))
+    return final.select(F.col("src").alias("node"), "core_degree")
+
+
 QUERIES = {
     "graph_degree_distribution": q_degree_distribution,
+    "graph_kcore_3": q_kcore_peel,
     "basket_rules": q_basket_rules,
     "triangle_count": q_triangle_count,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -466,4 +504,45 @@ ORACLE["graph_degree_distribution"] = """
     deg AS (SELECT p, COUNT(*)::BIGINT AS degree FROM sym GROUP BY 1)
     SELECT degree, COUNT(*)::BIGINT AS n_parts
     FROM deg GROUP BY 1
+"""
+
+ORACLE["graph_kcore_3"] = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    a0 AS (SELECT DISTINCT src AS node FROM edges),
+    e1 AS (SELECT e.src, e.dst FROM edges e
+             JOIN a0 x ON x.node = e.src
+             JOIN a0 y ON y.node = e.dst),
+    d1 AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e1 GROUP BY 1),
+    a1 AS (SELECT src AS node FROM d1 WHERE deg >= 3),
+    e2 AS (SELECT e.src, e.dst FROM edges e
+             JOIN a1 x ON x.node = e.src
+             JOIN a1 y ON y.node = e.dst),
+    d2 AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e2 GROUP BY 1),
+    a2 AS (SELECT src AS node FROM d2 WHERE deg >= 3),
+    e3 AS (SELECT e.src, e.dst FROM edges e
+             JOIN a2 x ON x.node = e.src
+             JOIN a2 y ON y.node = e.dst),
+    d3 AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e3 GROUP BY 1),
+    a3 AS (SELECT src AS node FROM d3 WHERE deg >= 3),
+    e4 AS (SELECT e.src, e.dst FROM edges e
+             JOIN a3 x ON x.node = e.src
+             JOIN a3 y ON y.node = e.dst),
+    d4 AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e4 GROUP BY 1),
+    a4 AS (SELECT src AS node FROM d4 WHERE deg >= 3),
+    e5 AS (SELECT e.src, e.dst FROM edges e
+             JOIN a4 x ON x.node = e.src
+             JOIN a4 y ON y.node = e.dst),
+    d5 AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e5 GROUP BY 1),
+    a5 AS (SELECT src AS node FROM d5 WHERE deg >= 3)
+    SELECT e.src AS node, COUNT(*)::BIGINT AS core_degree
+    FROM edges e
+    JOIN a5 x ON x.node = e.src JOIN a5 y ON y.node = e.dst
+    GROUP BY 1
 """

@@ -763,11 +763,46 @@ def q_intervals_union(spark, sf_dir):
                       F.count(F.lit(1)).alias("n_intervals")))
 
 
+def q_rolling_zscore(spark, sf_dir):
+    """Trailing-30-day rolling z-score of each order against the
+    customer's own recent spend — "is THIS order unusual for THIS
+    customer lately", the personalized-anomaly staple (global z-scores
+    miss a whale's normal being another customer's outlier).
+
+    One RANGE frame (value-based, so same-day orders are frame peers —
+    deterministic without a tie-break) computes trailing count / sum /
+    sum-of-squares in exact DECIMAL; mean, population variance, and
+    the z-score are fixed-order IEEE expressions on those per-row
+    scalars, floored at 1e-6.  Orders with <2 trailing peers emit a
+    NULL z (variance undefined); zero-variance windows likewise.  One
+    shuffle on o_custkey.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    od = o.withColumn("day",
+                      F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+    p = dec("o_totalprice", MONEY)
+    wr = W.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    base = od.select(
+        "o_orderkey", "o_custkey", "day", p.alias("price"),
+        F.count(F.lit(1)).over(wr).alias("n"),
+        F.sum(p).over(wr).alias("s"),
+        F.sum(p * p).over(wr).alias("q"))
+    nd = F.col("n").cast("double")
+    sd, qd = F.col("s").cast("double"), F.col("q").cast("double")
+    var = (nd * qd - sd * sd) / (nd * nd)
+    z = (F.col("price").cast("double") - sd / nd) / F.sqrt(var)
+    return base.select(
+        "o_orderkey", "o_custkey", "day", "n",
+        F.when((F.col("n") >= 2) & (var > 0), F.floor(z * 1e6))
+         .cast("long").alias("z_e6"))
+
+
 QUERIES = {
     "events_ewma_smooth": q_events_ewma,
     "window_streak_longest": q_streak_longest,
     "events_seasonality_profile": q_events_seasonality,
     "intervals_union_active_time": q_intervals_union,
+    "window_rolling_zscore_30d": q_rolling_zscore,
     "window_cumulative_distinct_users": q_cumulative_distinct_users,
     "events_autocorrelation": q_events_autocorrelation,
     "events_concurrency_sweep": q_events_concurrency,
@@ -1160,4 +1195,34 @@ ORACLE["intervals_union_active_time"] = """
     SELECT user_id, SUM(hi - lo)::BIGINT AS active_us,
            COUNT(*)::BIGINT AS n_intervals
     FROM spans GROUP BY 1
+"""
+
+ORACLE["window_rolling_zscore_30d"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders),
+    wins AS (
+        SELECT o_orderkey, o_custkey, day, price,
+               COUNT(*) OVER w AS n,
+               SUM(price) OVER w AS s,
+               SUM(price * price) OVER w AS q
+        FROM base
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW))
+    SELECT o_orderkey, o_custkey, day, n::BIGINT AS n,
+           CASE WHEN n >= 2
+                 AND (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) > 0
+                THEN CAST(FLOOR(
+                    (CAST(price AS DOUBLE)
+                     - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    * 1e6) AS BIGINT)
+           END AS z_e6
+    FROM wins
 """
