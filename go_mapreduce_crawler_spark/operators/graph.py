@@ -271,12 +271,14 @@ def q_degree_distribution(spark, sf_dir):
     decides whether the pair/triangle joins need degree-orientation or
     salting (a heavy right tail here IS the scale warning).
 
-    Edges come from the family's shared thresholded pair builder; the
-    degree count re-aggregates the symmetrized edge list, and the
-    histogram re-aggregates the |parts|-row degree relation — each a
-    shrinking partial+final agg, no windows.
+    Edges come from the family's shared thresholded pair builder
+    (items cached — the pair self-join reads it twice; the
+    basket_rules idiom, measured 2x at sf0.1); the degree count
+    re-aggregates the symmetrized edge list, and the histogram
+    re-aggregates the |parts|-row degree relation — each a shrinking
+    partial+final agg, no windows.
     """
-    pairs = _pair_counts(_items(spark, sf_dir))
+    pairs = _pair_counts(_items(spark, sf_dir).cache())
     sym = (pairs.select(F.col("pa").alias("p"))
                 .union(pairs.select(F.col("pb").alias("p"))))
     deg = sym.groupBy("p").agg(F.count(F.lit(1)).alias("degree"))
