@@ -509,14 +509,16 @@ ORACLE["graph_degree_distribution"] = """
 """
 
 ORACLE["graph_kcore_3"] = """
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-    edges AS (SELECT pa AS src, pb AS dst FROM pairs
-              UNION ALL SELECT pb, pa FROM pairs),
+    edges AS MATERIALIZED (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs),
     a0 AS (SELECT DISTINCT src AS node FROM edges),
     e1 AS (SELECT e.src, e.dst FROM edges e
              JOIN a0 x ON x.node = e.src
