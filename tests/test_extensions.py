@@ -1017,3 +1017,83 @@ def test_welch_and_ols_match_numpy_reference(spark, sf_small):
         assert abs(got_e6 / 1e6 - want) < max(1e-3, abs(want) * 1e-6), \
             (got_e6, want)
     assert abs(g.r2_e6 / 1e6 - r2_ref) < 1e-4
+
+
+def test_intervals_union_matches_python_merge(spark, sf_small):
+    """Merged-interval active time vs a direct python sweep."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    got = {r.user_id: (r.active_us, r.n_intervals)
+           for r in temporal.q_intervals_union(spark, sf_small).collect()}
+    ev = load_table(spark, sf_small, "events").toPandas()
+    W_US = temporal.ACTIVE_WINDOW_US
+    us = (ev["ts"].dt.tz_localize(None)
+          - __import__("pandas").Timestamp("1970-01-01")) \
+        // __import__("pandas").Timedelta(microseconds=1)
+    for uid, grp in us.groupby(ev["user_id"]):
+        ivs = sorted((s, s + W_US) for s in grp)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want = (sum(e - s for s, e in merged), len(merged))
+        assert got[uid] == want, (uid, got[uid], want)
+
+
+def test_kcore_matches_python_peel(spark, sf_small):
+    """5-round k=3 peel vs a direct python implementation on the same
+    thresholded edge list."""
+    from collections import defaultdict
+
+    from go_mapreduce_crawler_spark.operators import graph
+
+    edges = {(r.pa, r.pb) for r in graph._pair_counts(
+        graph._items(spark, sf_small)).select("pa", "pb").collect()}
+    alive = {n for e in edges for n in e}
+    for _ in range(graph.KCORE_ROUNDS):
+        deg = defaultdict(int)
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        alive = {n for n in alive if deg[n] >= graph.KCORE_K}
+    deg = defaultdict(int)
+    for a, b in edges:
+        if a in alive and b in alive:
+            deg[a] += 1
+            deg[b] += 1
+    want = {n: d for n, d in deg.items() if n in alive}
+    got = {r.node: r.core_degree
+           for r in graph.q_kcore_peel(spark, sf_small).collect()}
+    assert got == want
+
+
+def test_weighted_median_matches_python(spark, sf_small):
+    """Weighted lower median vs a direct python cumulative scan."""
+    from decimal import Decimal
+
+    from go_mapreduce_crawler_spark.operators import relational
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem").toPandas()
+    got = {r.l_returnflag: r.weighted_median_price
+           for r in relational.q_weighted_median(spark, sf_small).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        rows = sorted(
+            (Decimal(str(round(p, 2))), Decimal(str(round(w, 2))))
+            for p, w in zip(grp["l_extendedprice"], grp["l_quantity"]))
+        # collapse equal prices
+        acc = {}
+        for p, w in rows:
+            acc[p] = acc.get(p, Decimal(0)) + w
+        tot = sum(acc.values())
+        cum = Decimal(0)
+        for p in sorted(acc):
+            cum += acc[p]
+            if cum * 2 >= tot:
+                want = p
+                break
+        assert Decimal(str(round(got[flag], 2))) == want, (flag, got[flag], want)
