@@ -91,6 +91,36 @@ def q_approx_distinct(spark, sf_dir):
                   F.count(F.lit(1)).alias("n_rows")))
 
 
+def q_hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-type DataSketches HLL sketches of
+    the user set, UNIONED into a corpus-wide sketch — the property that
+    makes pre-aggregated distinct-count cubes work at 100 TB (store one
+    sketch per (day, dim) cell; any rollup is a cheap sketch union, no
+    re-scan).  approx_count_distinct answers one fixed query; sketch
+    columns answer every future rollup.
+
+    The per-type sketches are one partial+final agg (sketches merge
+    inside the agg too); the union row re-aggregates |types| sketch
+    blobs.  Rows-only for the driver (sketch estimates are
+    engine-specific); tests pin each estimate against the exact
+    distinct count and pin union-of-sketches == direct whole-corpus
+    sketch exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sk = (e.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                F.count(F.lit(1)).alias("n_rows")))
+    per = sk.select("event_type",
+                    F.hll_sketch_estimate("sk").alias("approx_users"),
+                    "n_rows")
+    total = (sk.agg(F.hll_union_agg("sk").alias("sku"),
+                    F.sum("n_rows").alias("n_rows"))
+               .select(F.lit("ALL").alias("event_type"),
+                       F.hll_sketch_estimate("sku").alias("approx_users"),
+                       "n_rows"))
+    return per.unionByName(total)
+
+
 def q_approx_quantiles(spark, sf_dir):
     """Greenwald-Khanna approximate quantiles (percentile_approx) of event
     value per event type, with exact min/max guards.
@@ -214,6 +244,7 @@ QUERIES = {
     "join_salted_skew": q_join_salted,
     "agg_salted_twophase": q_agg_salted_twophase,
     "approx_distinct_hll": q_approx_distinct,
+    "hll_sketch_union_rollup": q_hll_sketch_rollup,
     "approx_quantiles_gk": q_approx_quantiles,
     "text_heavy_hitters_cms": q_heavy_hitters_cms,
 }

@@ -1097,3 +1097,26 @@ def test_weighted_median_matches_python(spark, sf_small):
                 want = p
                 break
         assert Decimal(str(round(got[flag], 2))) == want, (flag, got[flag], want)
+
+
+def test_hll_sketch_rollup_estimates_and_union_identity(spark, sf_small):
+    """Sketch rollup: per-type estimates within 5% of exact distinct
+    counts, and the union-of-sketches row equals a direct whole-corpus
+    sketch estimate exactly (same algorithm, merge-invariant)."""
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_crawler_spark.operators import scale
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    got = {r.event_type: (r.approx_users, r.n_rows)
+           for r in scale.q_hll_sketch_rollup(spark, sf_small).collect()}
+    e = load_table(spark, sf_small, "events")
+    exact = {r.event_type: r.d for r in
+             e.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("d")).collect()}
+    exact["ALL"] = e.select("user_id").distinct().count()
+    for k, want in exact.items():
+        assert abs(got[k][0] - want) <= max(1, 0.05 * want), (k, got[k], want)
+    direct = (e.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id")).alias("d")).collect()[0].d)
+    assert got["ALL"][0] == direct
