@@ -323,9 +323,42 @@ def q_kcore_peel(spark, sf_dir):
     return final.select(F.col("src").alias("node"), "core_degree")
 
 
+RCTE_MAX_HOPS = 3
+
+
+def q_recursive_reachability(spark, sf_dir):
+    """Declarative BFS via Spark 4's WITH RECURSIVE: hop distance from
+    the smallest part key to everything within 3 hops of it on the
+    strong co-purchase graph — q_bfs_hops' driver-loop twin expressed
+    as ONE recursive SQL query, the engine feature that turns
+    iterative graph/hierarchy traversals into optimizer-visible plans.
+
+    UNION ALL recursion enumerates paths, so the hop bound caps the
+    blowup (bounded-diameter contract, like the BFS loop's n_iter);
+    MIN(hops) collapses paths to distances.  DuckDB runs the textually
+    identical recursive CTE — full value oracle.
+    """
+    edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb")
+    sym = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+           .union(edges.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst"))))
+    sym.createOrReplaceTempView("rcte_edges")
+    return spark.sql(f"""
+        WITH RECURSIVE reach(node, hops) AS (
+            SELECT MIN(src), 0 FROM rcte_edges
+            UNION ALL
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN rcte_edges e ON e.src = r.node
+            WHERE r.hops < {RCTE_MAX_HOPS})
+        SELECT node, MIN(hops) AS dist, COUNT(*) AS n_paths
+        FROM reach GROUP BY node
+    """)
+
+
 QUERIES = {
     "graph_degree_distribution": q_degree_distribution,
     "graph_kcore_3": q_kcore_peel,
+    "graph_recursive_reachability": q_recursive_reachability,
     "basket_rules": q_basket_rules,
     "triangle_count": q_triangle_count,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -549,4 +582,25 @@ ORACLE["graph_kcore_3"] = """
     FROM edges e
     JOIN a5 x ON x.node = e.src JOIN a5 y ON y.node = e.dst
     GROUP BY 1
+"""
+
+ORACLE["graph_recursive_reachability"] = f"""
+    WITH RECURSIVE items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS MATERIALIZED (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs),
+    reach(node, hops) AS (
+        SELECT (SELECT MIN(src) FROM edges), 0
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < {RCTE_MAX_HOPS})
+    SELECT node, MIN(hops) AS dist, COUNT(*)::BIGINT AS n_paths
+    FROM reach GROUP BY node
 """
