@@ -19,6 +19,18 @@ from go_mapreduce_crawler_spark.plans import (
     n_shuffle_exchanges, physical_plan, pushed_filters, read_schema)
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan pins assert the UNCACHED plan shape.  CacheManager matches
+    by logical-plan equality, so any earlier test that executed a query
+    with an internal .cache() (the minhash family's candidate relation)
+    would otherwise splice an InMemoryRelation — with its own internal
+    exchanges — into a later query's plan and flake the exchange-count
+    pins depending on test order."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_scan_pushes_filters_and_prunes_columns(spark, sf_small):
     df = relational.q_scan_filter_project(spark, sf_small)
     pf = pushed_filters(df)
