@@ -387,11 +387,71 @@ def q_funnel_latency_quantiles(spark, sf_dir):
     return rows
 
 
+def q_survival_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve over the event log: per user,
+    "failure" is the first 'error' event and the clock starts at the
+    user's first event; users who never error are right-censored at
+    their last observed day.  Output: one row per distinct duration
+    with the risk-set size, failure count, and the cumulative KM
+    log-survival — the churn/reliability curve, a family (survival
+    analysis) none of the other statistics cover.
+
+    Everything reduces to the compacted |distinct durations| relation:
+    per-user (duration, event) is one agg, duration counts another,
+    and the risk set is total minus a prefix sum over that tiny
+    relation.  The product limit S(t) = prod(1 - d/n) leaves the
+    engine in LOG domain as integer micro-nats via _ln_det
+    (ln(n-d) - ln(n), quantized once per term, summed associatively —
+    the unigram-LM determinism recipe), so no cross-engine libm or
+    float-product-order hazard exists; consumers exp() it.  If a
+    duration exhausts the risk set (n == d), survival is exactly 0 and
+    the cumulative log is NULL from that point on (flagged, not
+    -inf).
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    per = (e.groupBy("user_id")
+            .agg(F.min(day).alias("t0"),
+                 F.min(F.when(F.col("event_type") == "error", day))
+                  .alias("errd"),
+                 F.max(day).alias("lastd")))
+    dur = (per.select(
+        F.coalesce(F.col("errd") - F.col("t0"),
+                   F.col("lastd") - F.col("t0")).alias("duration_day"),
+        F.col("errd").isNotNull().cast("int").alias("event")))
+    cnts = (dur.groupBy("duration_day")
+               .agg(F.count(F.lit(1)).alias("n_at"),
+                    F.sum("event").alias("d")))
+    total = cnts.agg(F.sum("n_at").alias("tot"))
+    w_prev = W.orderBy("duration_day").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("duration_day").rowsBetween(W.unboundedPreceding,
+                                                  W.currentRow)
+    from .text import _ln_det, _lit_spark
+    term = ("CASE WHEN d = 0 THEN 0"
+            " WHEN n_risk = d THEN NULL"
+            f" ELSE CAST(round(({_ln_det('(n_risk - d)', _lit_spark)}"
+            f" - {_ln_det('n_risk', _lit_spark)}) * 1e6, 0) AS BIGINT)"
+            " END")
+    base = (cnts.crossJoin(F.broadcast(total))
+                .withColumn("n_risk",
+                            F.col("tot") - F.coalesce(
+                                F.sum("n_at").over(w_prev), F.lit(0)))
+                .selectExpr("duration_day", "n_at", "d", "n_risk",
+                            f"{term} AS term_e6"))
+    died = F.max((F.col("term_e6").isNull()
+                  & (F.col("d") > 0)).cast("int")).over(w_cum)
+    cum = F.when(died == 1, F.lit(None))            .otherwise(F.sum("term_e6").over(w_cum))
+    return base.select("duration_day", "n_risk",
+                       F.col("d").alias("n_events"),
+                       cum.cast("long").alias("cum_log_s_e6"))
+
+
 QUERIES = {
     "rfm_segmentation": q_rfm_segmentation,
     "attribution_position_based": q_attribution_position,
     "funnel_windowed_72h": q_funnel_windowed,
     "funnel_latency_quantiles": q_funnel_latency_quantiles,
+    "survival_kaplan_meier": q_survival_kaplan_meier,
     "attribution_last_touch": q_attribution_last_touch,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -599,3 +659,52 @@ ORACLE["funnel_latency_quantiles"] = """
       ON r.cum >= CAST(CEIL(n.n * p.pct / 100.0) AS BIGINT)
     GROUP BY 1
 """
+
+def _km_oracle() -> str:
+    from .text import _ln_det, _lit_duck
+    term = ("CASE WHEN d = 0 THEN 0"
+            " WHEN n_risk = d THEN NULL"
+            f" ELSE CAST(round(({_ln_det('(n_risk - d)', _lit_duck)}"
+            f" - {_ln_det('n_risk', _lit_duck)}) * 1e6, 0) AS BIGINT)"
+            " END")
+    return f"""
+    WITH per AS (
+        SELECT user_id,
+               MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                   AS t0,
+               MIN(CASE WHEN event_type = 'error'
+                        THEN datediff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) END) AS errd,
+               MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                   AS lastd
+        FROM events GROUP BY 1),
+    dur AS (
+        SELECT COALESCE(errd - t0, lastd - t0) AS duration_day,
+               CASE WHEN errd IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM per),
+    cnts AS (
+        SELECT duration_day, COUNT(*)::BIGINT AS n_at,
+               SUM(event)::BIGINT AS d
+        FROM dur GROUP BY 1),
+    tot AS (SELECT SUM(n_at)::BIGINT AS tot FROM cnts),
+    base AS (
+        SELECT duration_day, n_at, d,
+               tot - COALESCE(SUM(n_at) OVER (
+                   ORDER BY duration_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM cnts CROSS JOIN tot),
+    terms AS (
+        SELECT duration_day, n_risk, d, {term} AS term_e6
+        FROM base)
+    SELECT duration_day, n_risk, d AS n_events,
+           CASE WHEN MAX(CASE WHEN term_e6 IS NULL AND d > 0
+                              THEN 1 ELSE 0 END)
+                     OVER (ORDER BY duration_day) = 1 THEN NULL
+                ELSE SUM(term_e6) OVER (ORDER BY duration_day)
+           END::BIGINT AS cum_log_s_e6
+    FROM terms
+"""
+
+
+ORACLE["survival_kaplan_meier"] = _km_oracle()

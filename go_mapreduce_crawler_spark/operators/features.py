@@ -699,6 +699,66 @@ def q_stats_ttest_welch(spark, sf_dir):
                           "CAST(n2 AS BIGINT) AS n2")
 
 
+CUPED_PRE_DAYS = 15
+
+
+def q_abtest_cuped(spark, sf_dir):
+    """A/B readout with CUPED variance reduction: users split into two
+    deterministic arms (user_id parity stands in for the assignment),
+    the post-period spend per user is adjusted by its pre-period
+    covariate (theta = cov(pre, post)/var(pre), pooled), and each
+    arm's raw and adjusted means are reported — the experimentation
+    primitive that cuts metric variance without touching the
+    randomization.
+
+    Shape: per-user (pre, post) sums are one partial+final decimal
+    agg; ALL remaining math reduces to a 1-row moment relation
+    (pooled n/sx/sy/sxx/sxy + per-arm n/sx/sy via conditional sums),
+    so theta and the adjusted means are fixed-order scalar
+    expressions shared verbatim with the oracle — no second pass over
+    users, no window.  The pre-period split (first {d} observed days)
+    derives from a broadcast 1-row min-day aggregate.
+    """.format(d=CUPED_PRE_DAYS)
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    v = dec("value", MONEY)
+    mind = e.agg(F.min(day).alias("d0"))
+    per = (e.crossJoin(F.broadcast(mind))
+            .groupBy("user_id")
+            .agg(F.sum(F.when(day < F.col("d0") + CUPED_PRE_DAYS, v)
+                        .otherwise(F.lit(0).cast(MONEY))).alias("x"),
+                 F.sum(F.when(day >= F.col("d0") + CUPED_PRE_DAYS, v)
+                        .otherwise(F.lit(0).cast(MONEY))).alias("y"))
+            .withColumn("arm", (F.col("user_id") % 2).cast("int")))
+    is_a = F.col("arm") == 0
+    m = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(is_a, F.col("x"))).cast("double").alias("sxa"),
+        F.sum(F.when(is_a, F.col("y"))).cast("double").alias("sya"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(~is_a, F.col("x"))).cast("double").alias("sxb"),
+        F.sum(F.when(~is_a, F.col("y"))).cast("double").alias("syb"))
+    theta = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    rows = []
+    for arm, ng, sxg, syg in (("'A'", "na", "sxa", "sya"),
+                              ("'B'", "nb", "sxb", "syb")):
+        raw = f"({syg} / {ng})"
+        adj = f"({raw} - {theta} * ({sxg} / {ng} - sx / n))"
+        rows.append(
+            f"{arm}, CAST({ng} AS BIGINT), "
+            f"CAST(FLOOR({raw} * 1e6) AS BIGINT), "
+            f"CAST(FLOOR({adj} * 1e6) AS BIGINT), "
+            f"CAST(FLOOR({theta} * 1e6) AS BIGINT)")
+    return m.selectExpr(
+        f"stack(2, {', '.join(rows)})"
+        " AS (arm, n_users, mean_post_e6, mean_cuped_e6, theta_e6)")
+
+
 def _det3(m) -> str:
     """3x3 determinant as a fixed-order expression string; m is a list
     of 9 scalar-column names in row-major order."""
@@ -825,6 +885,7 @@ QUERIES = {
     "gini_revenue_concentration": q_gini_revenue,
     "stats_ttest_welch": q_stats_ttest_welch,
     "regr_multiple_ols": q_regr_multiple_ols,
+    "abtest_cuped_readout": q_abtest_cuped,
     "stats_trimmed_mean": q_stats_trimmed,
     "events_anomaly_mad": q_events_anomaly_mad,
     "regr_value_time": q_regr_value_time,
@@ -1250,3 +1311,52 @@ def _ols_oracle() -> str:
 
 
 ORACLE["regr_multiple_ols"] = _ols_oracle()
+
+def _cuped_oracle() -> str:
+    theta = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    arms = []
+    for arm, ng, sxg, syg in (("'A'", "na", "sxa", "sya"),
+                              ("'B'", "nb", "sxb", "syb")):
+        raw = f"({syg} / {ng})"
+        adj = f"({raw} - {theta} * ({sxg} / {ng} - sx / n))"
+        arms.append(f"""
+    SELECT {arm} AS arm, CAST({ng} AS BIGINT) AS n_users,
+           CAST(FLOOR({raw} * 1e6) AS BIGINT) AS mean_post_e6,
+           CAST(FLOOR({adj} * 1e6) AS BIGINT) AS mean_cuped_e6,
+           CAST(FLOOR({theta} * 1e6) AS BIGINT) AS theta_e6
+    FROM m""")
+    return f"""
+    WITH d0 AS (
+        SELECT MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+            AS d0 FROM events),
+    per AS (
+        SELECT user_id,
+               SUM(CASE WHEN datediff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) < d0 + {CUPED_PRE_DAYS}
+                        THEN CAST(value AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS x,
+               SUM(CASE WHEN datediff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) >= d0 + {CUPED_PRE_DAYS}
+                        THEN CAST(value AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS y,
+               user_id % 2 AS arm
+        FROM events CROSS JOIN d0 GROUP BY user_id),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS na,
+               CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DOUBLE) AS sxa,
+               CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE) AS sya,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS nb,
+               CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DOUBLE) AS sxb,
+               CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE) AS syb
+        FROM per)
+    {" UNION ALL ".join(arms)}
+"""
+
+
+ORACLE["abtest_cuped_readout"] = _cuped_oracle()
