@@ -1120,3 +1120,49 @@ def test_hll_sketch_rollup_estimates_and_union_identity(spark, sf_small):
     direct = (e.agg(F.hll_sketch_estimate(
         F.hll_sketch_agg("user_id")).alias("d")).collect()[0].d)
     assert got["ALL"][0] == direct
+
+
+def test_kaplan_meier_matches_python_product_limit(spark, sf_small):
+    """KM log-survival vs a direct python product-limit computation
+    from raw per-user durations — independent of the shared _ln_det
+    formula string."""
+    import math
+
+    import pandas as pd
+
+    from go_mapreduce_crawler_spark.operators import behavior
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    got = {r.duration_day: (r.n_risk, r.n_events, r.cum_log_s_e6)
+           for r in behavior.q_survival_kaplan_meier(spark, sf_small)
+           .collect()}
+    ev = load_table(spark, sf_small, "events").toPandas()
+    days = (ev["ts"].dt.tz_localize(None)
+            - pd.Timestamp("1970-01-01")).dt.days
+    durs = []
+    for uid, grp in pd.DataFrame({"u": ev["user_id"], "d": days,
+                                  "t": ev["event_type"]}).groupby("u"):
+        t0 = grp["d"].min()
+        err = grp.loc[grp["t"] == "error", "d"]
+        if len(err):
+            durs.append((err.min() - t0, 1))
+        else:
+            durs.append((grp["d"].max() - t0, 0))
+    n_total = len(durs)
+    s = 1.0
+    alive = True
+    for t in sorted({d for d, _ in durs}):
+        n_risk = sum(1 for d, _ in durs if d >= t)
+        d_ev = sum(1 for d, e in durs if d == t and e == 1)
+        if alive and d_ev > 0:
+            if n_risk == d_ev:
+                alive = False
+            else:
+                s *= (n_risk - d_ev) / n_risk
+        gr, gd, gc = got[t]
+        assert gr == n_risk and gd == d_ev, (t, got[t], n_risk, d_ev)
+        if not alive:
+            assert gc is None, (t, gc)
+        else:
+            assert math.isclose(math.exp(gc / 1e6), s, rel_tol=1e-4), \
+                (t, gc, s)
