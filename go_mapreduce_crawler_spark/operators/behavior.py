@@ -446,12 +446,51 @@ def q_survival_kaplan_meier(spark, sf_dir):
                        cum.cast("long").alias("cum_log_s_e6"))
 
 
+def q_cohort_ltv_curve(spark, sf_dir):
+    """Cohort LTV curves: customers grouped by the month of their first
+    order; for each months-since-first offset, the cohort's revenue
+    that month and the cumulative revenue per cohort customer — the
+    payback-period chart next to cohort_retention's activity matrix.
+
+    Months are integer month-since-epoch arithmetic (year*12 + month —
+    no date intervals, no timezone).  first-order month is one
+    partial+final agg joined back on the same key; the curve
+    re-aggregates to |cohorts| x |offsets| rows and ONLY that tiny
+    relation is windowed for the cumulative sum.  Revenue stays exact
+    DECIMAL until the per-customer division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mse = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    base = o.select("o_custkey", mse.alias("m"),
+                    dec("o_totalprice", "decimal(12,2)").alias("v"))
+    firsts = base.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = firsts.groupBy("m0").agg(
+        F.countDistinct("o_custkey").alias("n_customers"))
+    cells = (base.join(firsts, "o_custkey")
+                 .groupBy(F.col("m0").alias("cohort_m"),
+                          (F.col("m") - F.col("m0")).alias("month_offset"))
+                 .agg(F.sum("v").alias("rev")))
+    w = (W.partitionBy("cohort_m").orderBy("month_offset")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = (cells.withColumn("cum", F.sum("rev").over(w))
+                .join(F.broadcast(sizes.select(
+                    F.col("m0").alias("cohort_m"), "n_customers")),
+                    "cohort_m"))
+    return out.select(
+        "cohort_m", "month_offset", "n_customers",
+        F.col("rev").cast("double").alias("revenue"),
+        F.floor(F.col("cum").cast("double")
+                / F.col("n_customers").cast("double") * 1e2)
+         .cast("long").alias("cum_ltv_cents"))
+
+
 QUERIES = {
     "rfm_segmentation": q_rfm_segmentation,
     "attribution_position_based": q_attribution_position,
     "funnel_windowed_72h": q_funnel_windowed,
     "funnel_latency_quantiles": q_funnel_latency_quantiles,
     "survival_kaplan_meier": q_survival_kaplan_meier,
+    "cohort_ltv_curve": q_cohort_ltv_curve,
     "attribution_last_touch": q_attribution_last_touch,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -708,3 +747,29 @@ def _km_oracle() -> str:
 
 
 ORACLE["survival_kaplan_meier"] = _km_oracle()
+
+ORACLE["cohort_ltv_curve"] = """
+    WITH base AS (
+        SELECT o_custkey,
+               EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate) AS m,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders),
+    firsts AS (SELECT o_custkey, MIN(m) AS m0 FROM base GROUP BY 1),
+    sizes AS (SELECT m0, COUNT(DISTINCT o_custkey) AS n_customers
+              FROM firsts GROUP BY 1),
+    cells AS (
+        SELECT f.m0 AS cohort_m, b.m - f.m0 AS month_offset,
+               SUM(b.v) AS rev
+        FROM base b JOIN firsts f USING (o_custkey)
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT *, SUM(rev) OVER (PARTITION BY cohort_m
+                                 ORDER BY month_offset) AS c
+        FROM cells)
+    SELECT cohort_m, month_offset, s.n_customers,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(FLOOR(CAST(c AS DOUBLE) / CAST(s.n_customers AS DOUBLE)
+                      * 1e2) AS BIGINT) AS cum_ltv_cents
+    FROM cum JOIN sizes s ON s.m0 = cum.cohort_m
+"""

@@ -759,6 +759,49 @@ def q_abtest_cuped(spark, sf_dir):
         " AS (arm, n_users, mean_post_e6, mean_cuped_e6, theta_e6)")
 
 
+def q_abtest_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences readout on the same synthetic
+    experiment as the CUPED query: per-arm pre/post mean spend and the
+    DiD estimate (B_post - B_pre) - (A_post - A_pre) — the
+    observational-causal companion when assignment isn't randomized
+    but trends are parallel.
+
+    Same shape discipline: one conditional exact-decimal aggregate to
+    an 8-scalar relation, fixed-order double expressions floored at
+    1e-6, zero windows, zero second passes.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    v = dec("value", MONEY)
+    mind = e.agg(F.min(day).alias("d0"))
+    base = (e.crossJoin(F.broadcast(mind))
+             .select((F.col("user_id") % 2).alias("arm"),
+                     (day >= F.col("d0") + CUPED_PRE_DAYS).cast("int")
+                     .alias("post"), v.alias("v")))
+    aggs = []
+    for a in (0, 1):
+        for p_ in (0, 1):
+            cond = (F.col("arm") == a) & (F.col("post") == p_)
+            aggs.append(F.sum(F.when(cond, F.col("v"))).cast("double")
+                         .alias(f"s{a}{p_}"))
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+                         .alias(f"n{a}{p_}"))
+    m = base.agg(*aggs)
+    mean = lambda a, p_: f"(s{a}{p_} / n{a}{p_})"  # noqa: E731
+    did = (f"(({mean(1,1)} - {mean(1,0)})"
+           f" - ({mean(0,1)} - {mean(0,0)}))")
+    rows = []
+    for a, name in ((0, "'A'"), (1, "'B'")):
+        rows.append(
+            f"{name}, CAST(n{a}0 AS BIGINT), CAST(n{a}1 AS BIGINT), "
+            f"CAST(FLOOR({mean(a,0)} * 1e6) AS BIGINT), "
+            f"CAST(FLOOR({mean(a,1)} * 1e6) AS BIGINT), "
+            f"CAST(FLOOR({did} * 1e6) AS BIGINT)")
+    return m.selectExpr(
+        f"stack(2, {', '.join(rows)}) AS (arm, n_pre, n_post,"
+        " mean_pre_e6, mean_post_e6, did_e6)")
+
+
 def _det3(m) -> str:
     """3x3 determinant as a fixed-order expression string; m is a list
     of 9 scalar-column names in row-major order."""
@@ -886,6 +929,7 @@ QUERIES = {
     "stats_ttest_welch": q_stats_ttest_welch,
     "regr_multiple_ols": q_regr_multiple_ols,
     "abtest_cuped_readout": q_abtest_cuped,
+    "abtest_diff_in_diff": q_abtest_diff_in_diff,
     "stats_trimmed_mean": q_stats_trimmed,
     "events_anomaly_mad": q_events_anomaly_mad,
     "regr_value_time": q_regr_value_time,
@@ -1360,3 +1404,38 @@ def _cuped_oracle() -> str:
 
 
 ORACLE["abtest_cuped_readout"] = _cuped_oracle()
+
+def _did_oracle() -> str:
+    mean = lambda a, p: f"(s{a}{p} / n{a}{p})"  # noqa: E731
+    did = (f"(({mean(1,1)} - {mean(1,0)})"
+           f" - ({mean(0,1)} - {mean(0,0)}))")
+    sel = []
+    for a, name in ((0, "'A'"), (1, "'B'")):
+        sel.append(f"""
+    SELECT {name} AS arm, CAST(n{a}0 AS BIGINT) AS n_pre,
+           CAST(n{a}1 AS BIGINT) AS n_post,
+           CAST(FLOOR({mean(a,0)} * 1e6) AS BIGINT) AS mean_pre_e6,
+           CAST(FLOOR({mean(a,1)} * 1e6) AS BIGINT) AS mean_post_e6,
+           CAST(FLOOR({did} * 1e6) AS BIGINT) AS did_e6
+    FROM m""")
+    cells = []
+    for a in (0, 1):
+        for p in (0, 1):
+            cond = (f"user_id % 2 = {a} AND CASE WHEN "
+                    f"datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+                    f" >= d0 + {CUPED_PRE_DAYS} THEN 1 ELSE 0 END = {p}")
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN"
+                f" CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s{a}{p},"
+                f" CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)"
+                f" AS n{a}{p}")
+    return f"""
+    WITH d0 AS (
+        SELECT MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+            AS d0 FROM events),
+    m AS (SELECT {", ".join(cells)} FROM events CROSS JOIN d0)
+    {" UNION ALL ".join(sel)}
+"""
+
+
+ORACLE["abtest_diff_in_diff"] = _did_oracle()

@@ -766,10 +766,47 @@ def q_ann_recall(spark, sf_dir):
                       .alias("recall_ppm")))
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Per-dimension embedding drift between two corpus snapshots
+    (vec_id parity stands in for old/new): each dimension's snapshot
+    means and their difference — the model-monitoring report that
+    catches a re-embedded corpus whose distribution silently moved
+    (a drifted dimension invalidates IVF centroids and LSH planes).
+
+    Components quantize to e6 ints row-locally (the gram-matrix
+    recipe); one posexplode + conditional partial+final agg produces
+    the 64-row per-dimension sums, and every emitted number is a
+    fixed-order expression over those exact integers, floored at 1e-9
+    of the ORIGINAL float scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.selectExpr(
+        "vec_id % 2 AS snap",
+        "posexplode(transform(embedding, x ->"
+        " cast(floor(cast(x as double) * 1e6 + 0.5) as bigint)))"
+        " AS (dim, qd)")
+    agg = (q.groupBy("dim")
+            .agg(F.sum(F.when(F.col("snap") == 0, F.col("qd"))).alias("sa"),
+                 F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+                  .alias("na"),
+                 F.sum(F.when(F.col("snap") == 1, F.col("qd"))).alias("sb"),
+                 F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+                  .alias("nb")))
+    mean = lambda s_, n_: (F.col(s_).cast("double")  # noqa: E731
+                           / F.col(n_).cast("double") / 1e6)
+    drift = mean("sa", "na") - mean("sb", "nb")
+    return agg.select(
+        "dim", F.col("na").alias("n_old"), F.col("nb").alias("n_new"),
+        F.floor(mean("sa", "na") * 1e9).cast("long").alias("mean_old_e9"),
+        F.floor(mean("sb", "nb") * 1e9).cast("long").alias("mean_new_e9"),
+        F.floor(drift * 1e9).cast("long").alias("drift_e9"))
+
+
 QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce,
     "knn_label_vote_accuracy": q_knn_label_vote,
     "ann_recall_report": q_ann_recall,
+    "embedding_drift_report": q_embedding_drift,
     "embedding_outlier_scores": q_embedding_outliers,
     "embedding_gram_matrix": q_embedding_gram,
     "embedding_pca_project": q_embedding_pca,
@@ -1111,4 +1148,28 @@ ORACLE["ann_recall_report"] = f"""
     FROM brute b LEFT JOIN ann a
       ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
     GROUP BY 1
+"""
+
+ORACLE["embedding_drift_report"] = """
+    WITH q AS (
+        SELECT vec_id % 2 AS snap, i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS qd
+        FROM embeddings, generate_series(1, 64) g(i)),
+    agg AS (
+        SELECT dim,
+               SUM(CASE WHEN snap = 0 THEN qd END)::BIGINT AS sa,
+               SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+               SUM(CASE WHEN snap = 1 THEN qd END)::BIGINT AS sb,
+               SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+        FROM q GROUP BY 1)
+    SELECT dim, na AS n_old, nb AS n_new,
+           CAST(FLOOR(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 * 1e9)
+                AS BIGINT) AS mean_old_e9,
+           CAST(FLOOR(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 * 1e9)
+                AS BIGINT) AS mean_new_e9,
+           CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6
+                       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6)
+                      * 1e9) AS BIGINT) AS drift_e9
+    FROM agg
 """

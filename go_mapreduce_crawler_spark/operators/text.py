@@ -974,11 +974,33 @@ def q_text_ngram_novelty(spark, sf_dir):
                           .alias("novelty_rate")))
 
 
+def q_doc_length_histogram(spark, sf_dir):
+    """Power-of-two token-length histogram per source: the canonical
+    corpus composition chart (how much of each source is tweets vs
+    articles vs books) and the input to packing-efficiency planning
+    (seq_packing's bin choice).
+
+    Bucket = floor(log2(n_tokens)) computed as bit length of an
+    integer — length(bin(n)) - 1, exact in both engines (no libm log2
+    on a power-of-two boundary); one partial+final agg to
+    |sources| x |buckets| rows.
+    """
+    d = _docs(spark, sf_dir)
+    n = F.size(F.split("text", " "))
+    return (d.select("source", n.alias("n_tokens"))
+             .selectExpr("source", "n_tokens",
+                         "length(bin(n_tokens)) - 1 AS log2_bucket")
+             .groupBy("source", "log2_bucket")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("sum_tokens")))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_oov_rate": q_text_oov_rate,
     "quality_perplexity_buckets": q_quality_ppl_buckets,
     "text_ngram_novelty": q_text_ngram_novelty,
+    "doc_length_log2_histogram": q_doc_length_histogram,
     "text_quality": q_text_quality,
     "text_bm25_top_terms": q_text_bm25,
     "text_langid": q_text_langid,
@@ -1460,4 +1482,12 @@ ORACLE["text_ngram_novelty"] = """
                  / COUNT(*), 6) AS novelty_rate
     FROM grams JOIN firsts USING (h)
     GROUP BY 1
+"""
+
+ORACLE["doc_length_log2_histogram"] = """
+    WITH d AS (SELECT source, len(string_split(text, ' ')) AS n_tokens
+               FROM documents)
+    SELECT source, length(bin(n_tokens)) - 1 AS log2_bucket,
+           COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
+    FROM d GROUP BY 1, 2
 """
