@@ -355,10 +355,43 @@ def q_recursive_reachability(spark, sf_dir):
     """)
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per node on the strong co-purchase
+    graph: triangles_at(v) / C(deg(v), 2) — how clique-like each
+    part's neighborhood is (the community-structure signal Adamic-Adar
+    and triangle counts summarize globally).
+
+    The oriented two-hop triangle join runs ONCE over the cached edge
+    list; each found triangle explodes to its three member nodes and
+    one partial+final agg counts per-node incidences.  The coefficient
+    is exact integer arithmetic emitted as floor(2*t*1e6 /
+    (d*(d-1))); degree-1 nodes emit NULL (undefined denominator).
+    """
+    edges = (_pair_counts(_items(spark, sf_dir).cache())
+             .select("pa", "pb").cache())
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+             .select(F.explode(F.array("a", "b", "c")).alias("node"))
+             .groupBy("node").agg(F.count(F.lit(1)).alias("t")))
+    deg = (edges.select(F.col("pa").alias("node"))
+                .union(edges.select(F.col("pb").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    j = deg.join(tri, "node", "left")            .withColumn("t", F.coalesce("t", F.lit(0)))
+    coeff = F.floor(F.col("t").cast("double") * 2e6
+                    / (F.col("deg").cast("double")
+                       * (F.col("deg").cast("double") - 1.0)))
+    return j.select("node", "deg", F.col("t").alias("n_triangles"),
+                    F.when(F.col("deg") >= 2, coeff)
+                     .cast("long").alias("clustering_ppm"))
+
+
 QUERIES = {
     "graph_degree_distribution": q_degree_distribution,
     "graph_kcore_3": q_kcore_peel,
     "graph_recursive_reachability": q_recursive_reachability,
+    "graph_clustering_coefficient": q_clustering_coefficient,
     "basket_rules": q_basket_rules,
     "triangle_count": q_triangle_count,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -603,4 +636,33 @@ ORACLE["graph_recursive_reachability"] = f"""
         WHERE r.hops < {RCTE_MAX_HOPS})
     SELECT node, MIN(hops) AS dist, COUNT(*)::BIGINT AS n_paths
     FROM reach GROUP BY node
+"""
+
+ORACLE["graph_clustering_coefficient"] = """
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (
+        SELECT node, COUNT(*)::BIGINT AS t
+        FROM (SELECT unnest([e1.pa, e1.pb, e2.pb]) AS node
+              FROM pairs e1
+              JOIN pairs e2 ON e2.pa = e1.pb
+              JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        GROUP BY 1),
+    deg AS (
+        SELECT node, COUNT(*)::BIGINT AS deg
+        FROM (SELECT pa AS node FROM pairs
+              UNION ALL SELECT pb FROM pairs)
+        GROUP BY 1)
+    SELECT d.node, d.deg, COALESCE(t.t, 0)::BIGINT AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN
+               CAST(FLOOR(CAST(COALESCE(t.t, 0) AS DOUBLE) * 2e6
+                          / (CAST(d.deg AS DOUBLE)
+                             * (CAST(d.deg AS DOUBLE) - 1.0))) AS BIGINT)
+           END AS clustering_ppm
+    FROM deg d LEFT JOIN tri t USING (node)
 """
