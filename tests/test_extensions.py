@@ -1166,3 +1166,48 @@ def test_kaplan_meier_matches_python_product_limit(spark, sf_small):
         else:
             assert math.isclose(math.exp(gc / 1e6), s, rel_tol=1e-4), \
                 (t, gc, s)
+
+
+def test_cuped_and_did_match_numpy_reference(spark, sf_small):
+    """CUPED theta/adjusted means and the DiD estimate vs direct numpy
+    computations from raw per-user pre/post sums."""
+    import numpy as np
+    import pandas as pd
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").toPandas()
+    days = (ev["ts"].dt.tz_localize(None)
+            - pd.Timestamp("1970-01-01")).dt.days
+    d0 = days.min()
+    pre = days < d0 + features.CUPED_PRE_DAYS
+    v = ev["value"].round(2)
+    per = pd.DataFrame({
+        "u": ev["user_id"], "x": v.where(pre, 0.0),
+        "y": v.where(~pre, 0.0)}).groupby("u").sum()
+    per["arm"] = (per.index % 2).astype(int)
+    x, y = per["x"].values, per["y"].values
+    theta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    got = {r.arm: r for r in
+           features.q_abtest_cuped(spark, sf_small).collect()}
+    assert abs(got["A"].theta_e6 / 1e6 - theta) < 1e-3
+    for arm, sel in (("A", per["arm"] == 0), ("B", per["arm"] == 1)):
+        raw = y[sel.values].mean()
+        adj = raw - theta * (x[sel.values].mean() - x.mean())
+        assert abs(got[arm].mean_post_e6 / 1e6 - raw) < 1e-3
+        assert abs(got[arm].mean_cuped_e6 / 1e6 - adj) < 1e-3
+        assert got[arm].n_users == int(sel.sum())
+
+    # DiD: event-level pre/post means per arm
+    arm_ev = (ev["user_id"] % 2).astype(int)
+    m = {}
+    for a in (0, 1):
+        for p in (0, 1):
+            mask = (arm_ev == a) & (pre != bool(p))
+            m[(a, p)] = v[mask].mean()
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    gd = {r.arm: r for r in
+          features.q_abtest_diff_in_diff(spark, sf_small).collect()}
+    assert abs(gd["A"].did_e6 / 1e6 - did) < 1e-3
+    assert abs(gd["B"].mean_pre_e6 / 1e6 - m[(1, 0)]) < 1e-3
