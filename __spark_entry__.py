@@ -106,36 +106,81 @@ _CHECKED_R03 = (
     "sample_token_budget", "shard_assignment", "stats_trimmed_mean",
 )
 
-# The 17 weakest-signal rows after round 3 (VERDICT r03 §What's-missing
-# #1-2): 13 with no driver CORRECTNESS row in any round + the 4
-# LSH-family rows whose full value oracle postdates their last driver
-# check (r02 `no_oracle`).  All judge-verified MATCH at sf0.01.
-_FRONT_R04 = (
+# Queries the round-4 driver checked (CORRECTNESS_r04.json keys): 49
+# hash-green + embedding_pca_project rows-only-by-design.  Freshest
+# signal — run last.
+_CHECKED_R04 = (
     "asof_nearest_error", "bpe_train_merges", "bpe_apply_compression",
     "dedup_containment_pairs", "events_anomaly_mad",
     "histogram_equidepth", "label_propagation",
-    "pipeline_pretraining_e2e", "rollup_time_hierarchy",
-    "scalar_variant", "sink_compact_small_files", "text_bigram_lm_score",
-    "text_heavy_hitters_cms",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_components_lsh",
-    "ann_lsh_cosine",
+    "pipeline_pretraining_e2e", "rollup_time_hierarchy", "scalar_variant",
+    "sink_compact_small_files", "text_bigram_lm_score",
+    "text_heavy_hitters_cms", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_components_lsh", "ann_lsh_cosine", "division_all_priorities",
+    "agg_mode_per_group", "snapshot_latest_as_of",
+    "weighted_median_price", "abc_analysis_parts",
+    "dedup_cluster_size_histogram", "decontaminate_fuzzy_minhash",
+    "dedup_lsh_precision_report", "knn_label_vote_accuracy",
+    "ann_recall_report", "embedding_drift_report",
+    "embedding_outlier_scores", "embedding_gram_matrix",
+    "embedding_pca_project", "hard_negative_mining",
+    "embedding_random_projection", "text_oov_rate",
+    "quality_perplexity_buckets", "text_ngram_novelty",
+    "doc_length_log2_histogram", "text_bm25_top_terms",
+    "text_remove_boilerplate", "text_tfidf_doc_pairs",
+    "text_pmi_cooccurrence", "multimodal_dedup_exact",
+    "asof_tolerance_1h", "events_ewma_smooth", "window_streak_longest",
+    "events_seasonality_profile", "intervals_union_active_time",
+    "window_rolling_zscore_30d", "window_cumulative_distinct_users",
+    "events_autocorrelation",
+)
+
+# The 38 rows with no driver CORRECTNESS row in any of rounds 1-4
+# (VERDICT r04 §What's-missing #1 — the set difference queries() minus
+# CORRECTNESS_r01∪r02∪r03∪r04).  All 38 judge-re-verified at sf0.01 in
+# the r04 verdict (37 MATCH + hll_sketch_union_rollup
+# rows-only-by-design); the driver row is the hard signal, so they run
+# first and fit the driver's ~50-query budget.
+_FRONT_R05 = (
+    "events_concurrency_sweep", "events_changepoint_meanshift",
+    "window_sliding_distinct_7d", "events_trending_k",
+    "events_peak_detection", "zorder_layout_key",
+    "hll_sketch_union_rollup", "sample_split_group_holdout",
+    "stats_bootstrap_poisson", "validate_referential_integrity",
+    "feat_winsorize", "anomaly_iqr_fences", "stats_corr_matrix",
+    "stats_chi_square_cells", "stats_ks_two_sample",
+    "gini_revenue_concentration", "stats_ttest_welch",
+    "regr_multiple_ols", "abtest_cuped_readout", "abtest_diff_in_diff",
+    "feat_quantile_normalize", "validate_embeddings",
+    "rfm_segmentation", "attribution_position_based",
+    "funnel_windowed_72h", "funnel_latency_quantiles",
+    "survival_kaplan_meier", "cohort_ltv_curve",
+    "attribution_last_touch", "graph_degree_distribution",
+    "graph_kcore_3", "graph_recursive_reachability",
+    "graph_clustering_coefficient", "graph_adamic_adar",
+    "cdc_merge_apply", "sink_roundtrip_jsonl", "table_checksum_orders",
+    "dsir_importance_weights",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    front = set(_FRONT_R04)
-    r01, r02, r03 = set(_CHECKED_R01), set(_CHECKED_R02), set(_CHECKED_R03)
-    checked = front | r01 | r02 | r03
-    ordered = {k: q[k] for k in _FRONT_R04 if k in q}
+    front = set(_FRONT_R05)
+    rounds = [set(_CHECKED_R01), set(_CHECKED_R02), set(_CHECKED_R03),
+              set(_CHECKED_R04)]
+    checked = front | rounds[0] | rounds[1] | rounds[2] | rounds[3]
+    ordered = {k: q[k] for k in _FRONT_R05 if k in q}
     # Anything not in any list = added this round, never checked: next.
     ordered.update({k: q[k] for k in q if k not in checked})
-    ordered.update({k: q[k] for k in _CHECKED_R01
-                    if k in q and k not in front and k not in r02 and k not in r03})
-    ordered.update({k: q[k] for k in _CHECKED_R02
-                    if k in q and k not in front and k not in r03})
-    ordered.update({k: q[k] for k in _CHECKED_R03
-                    if k in q and k not in front})
+    # Then oldest driver signal first (r01), freshest (r04) last; a
+    # query in several rounds sorts by its freshest appearance.
+    later = [rounds[1] | rounds[2] | rounds[3], rounds[2] | rounds[3],
+             rounds[3], set()]
+    for tup, after in zip(
+            (_CHECKED_R01, _CHECKED_R02, _CHECKED_R03, _CHECKED_R04),
+            later):
+        ordered.update({k: q[k] for k in tup
+                        if k in q and k not in front and k not in after})
     return ordered
 
 
