@@ -78,7 +78,7 @@ _CHECKED_R02 = (
     "multimodal_frame_sample", "multimodal_resize", "asof_purchase_view",
     "asof_next_error", "ts_subsequence_search", "window_tumbling_events",
     "ohlc_hourly", "window_sliding_events", "window_range_frame_30d",
-    "join_interval_overlap", "ts_resample_ffill", "ts_resample_interp",
+    "ts_resample_ffill", "ts_resample_interp",
     "join_salted_skew", "agg_salted_twophase", "approx_distinct_hll",
 )
 
@@ -129,7 +129,7 @@ _CHECKED_R04 = (
     "doc_length_log2_histogram", "text_bm25_top_terms",
     "text_remove_boilerplate", "text_tfidf_doc_pairs",
     "text_pmi_cooccurrence", "multimodal_dedup_exact",
-    "asof_tolerance_1h", "events_ewma_smooth", "window_streak_longest",
+    "asof_tolerance_1h", "window_streak_longest",
     "events_seasonality_profile", "intervals_union_active_time",
     "window_rolling_zscore_30d", "window_cumulative_distinct_users",
     "events_autocorrelation",
@@ -140,7 +140,10 @@ _CHECKED_R04 = (
 # CORRECTNESS_r01∪r02∪r03∪r04).  All 38 judge-re-verified at sf0.01 in
 # the r04 verdict (37 MATCH + hll_sketch_union_rollup
 # rows-only-by-design); the driver row is the hard signal, so they run
-# first and fit the driver's ~50-query budget.
+# first and fit the driver's ~50-query budget.  Plus the 2 queries
+# whose semantics changed this round (interval-overlap is now top-k
+# bounded; ewma left round(x,6) for floor-quantized micros), staling
+# their r02/r04 green rows — they re-run at positions 39-40.
 _FRONT_R05 = (
     "events_concurrency_sweep", "events_changepoint_meanshift",
     "window_sliding_distinct_7d", "events_trending_k",

@@ -382,6 +382,10 @@ def q_funnel_latency_quantiles(spark, sf_dir):
         r = (ranked.crossJoin(F.broadcast(n))
                    .filter(F.col("cum") >= tgt)
                    .agg(F.min("latency_us").alias("latency_us"))
+                   # agg-over-empty yields one NULL row; the oracle's
+                   # inner join yields zero — drop it so a converter-free
+                   # replay emits 0 rows on both sides (ADVICE r04).
+                   .filter(F.col("latency_us").isNotNull())
                    .select(F.lit(p).alias("pct"), "latency_us"))
         rows = r if rows is None else rows.union(r)
     return rows

@@ -190,7 +190,11 @@ def q_sink_compact(spark, sf_dir):
                  F.max("doc_id").alias("max_doc")))
 
 
-CDC_INS_OFFSET = 10_000_000
+# Insert-key shift past the whole TPC-H orderkey domain: max o_orderkey
+# is 6M*sf (60M at sf10), so a 1e12 offset cannot collide with a real
+# key at any SF this engine targets (ADVICE r04; non-collision asserted
+# in tests/test_maintenance_ops.py).
+CDC_INS_OFFSET = 1_000_000_000_000
 
 
 def q_cdc_merge_apply(spark, sf_dir):

@@ -69,18 +69,27 @@ def q_window_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(wr).alias("n_orders_30d"))
 
 
+INTERVAL_OVERLAP_TOP_K = 5
+
+
 def q_interval_overlap(spark, sf_dir):
-    """Interval-overlap self-join: pairs of users whose daily activity
-    spans [min ts, max ts] intersect, with the overlap length.
+    """Interval-overlap self-join: for each user, the TOP-K other users
+    whose daily activity spans [min ts, max ts] overlap theirs the
+    longest (k = INTERVAL_OVERLAP_TOP_K, ties broken by day then user).
 
     The classic interval join Spark lacks as a builtin, composed as
     equi-join on a coarse bucket (the day — exact here since intervals
     are built per day and cannot cross it) + the range residual
     sa<=eb AND sb<=ea.  Without the bucket key this is a cartesian
     BroadcastNestedLoopJoin; with it, a plain shuffled hash join whose
-    per-key fan-out is bounded by users-per-day.  At 100 TB: bucket by
-    hour and dedupe pairs, same shape.  Day and overlap stay in integer
-    epoch arithmetic — no timezone, no floats.
+    per-key fan-out is bounded by users-per-day.  The raw pair relation
+    is quadratic in users-per-day (17M rows at sf0.1 — measured in the
+    r04 verdict), so the OUTPUT is bounded to k rows per user_a by a
+    row_number window over (overlap_us DESC, day_us, user_b): the
+    answer stays human/collect-sized at any scale while the unbounded
+    pair set exists only as a pipeline-local intermediate.  At 100 TB:
+    bucket by hour and dedupe pairs, same shape.  Day and overlap stay
+    in integer epoch arithmetic — no timezone, no floats.
     """
     e = load_table(spark, sf_dir, "events")
     day_us = 86_400_000_000
@@ -93,13 +102,18 @@ def q_interval_overlap(spark, sf_dir):
                   F.col("s").alias("sa"), F.col("e").alias("ea"))
     b = iv.select("day_us", F.col("user_id").alias("user_b"),
                   F.col("s").alias("sb"), F.col("e").alias("eb"))
-    return (a.join(b, ["day_us"])
-             .filter((F.col("user_a") < F.col("user_b"))
-                     & (F.col("sa") <= F.col("eb"))
-                     & (F.col("sb") <= F.col("ea")))
-             .select("day_us", "user_a", "user_b",
-                     (F.least("ea", "eb") - F.greatest("sa", "sb"))
-                     .alias("overlap_us")))
+    pairs = (a.join(b, ["day_us"])
+              .filter((F.col("user_a") < F.col("user_b"))
+                      & (F.col("sa") <= F.col("eb"))
+                      & (F.col("sb") <= F.col("ea")))
+              .select("day_us", "user_a", "user_b",
+                      (F.least("ea", "eb") - F.greatest("sa", "sb"))
+                      .alias("overlap_us")))
+    wk = W.partitionBy("user_a").orderBy(
+        F.desc("overlap_us"), F.asc("day_us"), F.asc("user_b"))
+    return (pairs.withColumn("rn", F.row_number().over(wk))
+                 .filter(F.col("rn") <= INTERVAL_OVERLAP_TOP_K)
+                 .select("day_us", "user_a", "user_b", "overlap_us"))
 
 
 def q_ts_resample_ffill(spark, sf_dir):
@@ -343,9 +357,13 @@ def q_events_ewma(spark, sf_dir):
         "*", *[F.lag("v", j).over(w).alias(f"l{j}")
                for j in range(1, EWMA_K)])
     num, den = _ewma_exprs()
+    # FLOOR-quantized micros, not round(x, 6): Spark rounds the double
+    # via exact BigDecimal HALF_UP while DuckDB rounds in double, so
+    # half-tie quotients near 5e-7 can diverge; FLOOR of bit-identical
+    # doubles is bit-identical (the _corr_e6_expr convention, ADVICE r04).
     return lagged.selectExpr(
         "user_id", "obs_us", "event_id", "v AS value",
-        f"round({num} / {den}, 6) AS ewma")
+        f"CAST(floor(({num} / {den}) * 1e6) AS BIGINT) AS ewma_e6")
 
 
 TREND_TOP = 5
@@ -635,15 +653,15 @@ def q_sliding_distinct_7d(spark, sf_dir):
                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
                        .alias("d"))
              .agg(F.count(F.lit(1)).alias("n_events")))
-    hi = pres.agg(F.max("d")).collect()[0][0]  # bounded: one scalar
-    if hi is None:
-        return pres.select(F.col("d").alias("day"),
-                           F.lit(0).cast("long").alias("n_users_7d"),
-                           F.lit(0).cast("long").alias("n_events_7d")).limit(0)
-    cover = (pres.select(
+    # The max-day clip stays IN the plan (broadcast 1-row aggregate),
+    # not a build-time collect — building the DataFrame must not run a
+    # Spark job (ADVICE r04; every other queries() builder is lazy).
+    hi = F.broadcast(pres.agg(F.max("d").alias("hi")))
+    cover = (pres.crossJoin(hi)
+                 .select(
                 "user_id", "n_events",
                 F.explode(F.sequence(
-                    "d", F.least(F.col("d") + (SLIDE_DAYS - 1), F.lit(hi))))
+                    "d", F.least(F.col("d") + (SLIDE_DAYS - 1), F.col("hi"))))
                  .alias("day")))
     return (cover.groupBy("day")
                  .agg(F.countDistinct("user_id").alias("n_users_7d"),
@@ -895,12 +913,19 @@ ORACLE = {
             SELECT user_id,
                    epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
                    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
-            FROM events GROUP BY 1, 2)
-        SELECT a.day_us AS day_us, a.user_id AS user_a, b.user_id AS user_b,
-               LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
-        FROM iv a JOIN iv b
-          ON a.day_us = b.day_us AND a.user_id < b.user_id
-        WHERE a.s <= b.e AND b.s <= a.e
+            FROM events GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.day_us AS day_us, a.user_id AS user_a,
+                   b.user_id AS user_b,
+                   LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+            FROM iv a JOIN iv b
+              ON a.day_us = b.day_us AND a.user_id < b.user_id
+            WHERE a.s <= b.e AND b.s <= a.e)
+        SELECT day_us, user_a, user_b, overlap_us
+        FROM pairs
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_a
+            ORDER BY overlap_us DESC, day_us ASC, user_b ASC) <= 5
     """,
     "ts_resample_ffill": """
         WITH obs AS (
@@ -991,7 +1016,7 @@ ORACLE["events_ewma_smooth"] = f"""
                FROM events),
     l AS (SELECT user_id, event_id, obs_us, v, {_EWMA_LAGS} FROM b)
     SELECT user_id, obs_us, event_id, v AS value,
-           ROUND({_EWMA_NUM} / {_EWMA_DEN}, 6) AS ewma
+           CAST(FLOOR(({_EWMA_NUM} / {_EWMA_DEN}) * 1e6) AS BIGINT) AS ewma_e6
     FROM l
 """
 

@@ -1211,3 +1211,45 @@ def test_cuped_and_did_match_numpy_reference(spark, sf_small):
           features.q_abtest_diff_in_diff(spark, sf_small).collect()}
     assert abs(gd["A"].did_e6 / 1e6 - did) < 1e-3
     assert abs(gd["B"].mean_pre_e6 / 1e6 - m[(1, 0)]) < 1e-3
+
+
+def test_cdc_insert_keys_do_not_collide_with_base(spark, sf_small):
+    """CDC_INS_OFFSET must shift synthetic inserts past the whole
+    o_orderkey domain (max 6M*sf) — a collision would silently turn an
+    'insert under a fresh key' into an update (ADVICE r04)."""
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_crawler_spark.operators import maintenance
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_small, "orders")
+    max_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+    # Domain headroom: even sf10k's 60B keys stay under the offset.
+    assert maintenance.CDC_INS_OFFSET > max_key * 1_000_000
+    out = maintenance.q_cdc_merge_apply(spark, sf_small)
+    inserted = out.filter(F.col("o_orderkey") >= maintenance.CDC_INS_OFFSET)
+    n_expected = o.filter(F.col("o_orderkey") % 11 == 0).count()
+    assert inserted.count() == n_expected
+    assert inserted.filter(F.col("src") != "cdc").count() == 0
+
+
+def test_sliding_distinct_7d_builds_without_running_a_job(spark, sf_small):
+    """Building the DataFrame must not execute a Spark job (the max-day
+    clip is a broadcast in-plan aggregate, not a driver collect) — the
+    bench times execution only, and plan-only callers must stay free
+    (ADVICE r04)."""
+    from go_mapreduce_crawler_spark.operators import temporal
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_to_build(builder):
+        before = len(tracker.getJobIdsForGroup(None))
+        builder(spark, sf_small).schema  # construction + analysis only
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    # Every builder pays one parquet-listing job inside load_table; a
+    # builder that COLLECTS during construction pays extra executor
+    # jobs.  Pin sliding-distinct to the known-lazy tumbling builder.
+    lazy_jobs = jobs_to_build(temporal.q_window_tumbling)
+    assert jobs_to_build(temporal.q_sliding_distinct_7d) == lazy_jobs
+    assert temporal.q_sliding_distinct_7d(spark, sf_small).count() > 0

@@ -210,6 +210,19 @@ def test_interval_overlap_is_bucketed_hash_join_not_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan, plan[:1500]
 
 
+def test_interval_overlap_output_is_topk_bounded(spark, sf_small):
+    """The raw overlap-pair relation is quadratic in users-per-day (17M
+    rows at sf0.1, r04 verdict); the OUTPUT must be bounded to at most
+    INTERVAL_OVERLAP_TOP_K rows per user_a so the answer stays
+    collect-sized at any scale."""
+    from go_mapreduce_crawler_spark.operators import temporal
+    from pyspark.sql import functions as F
+    df = temporal.q_interval_overlap(spark, sf_small)
+    over = (df.groupBy("user_a").count()
+              .filter(F.col("count") > temporal.INTERVAL_OVERLAP_TOP_K))
+    assert over.count() == 0
+
+
 def test_heavy_hitters_total_is_broadcast_scalar(spark, sf_small):
     from go_mapreduce_crawler_spark.operators import text as t
     df = t.q_heavy_hitters(spark, sf_small)
