@@ -59,6 +59,71 @@ def normalize(df_pandas) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _canon_frame(pdf, cols):
+    """Vectorized canonicalization: shared dtypes + total row order."""
+    import pandas as pd
+
+    out = {}
+    for c in cols:
+        s = pdf[c]
+        if pd.api.types.is_bool_dtype(s):
+            s = s.astype("int64")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype(str)
+        else:
+            # object column: bail to the row-at-a-time path if it holds
+            # composites (lists/dicts) — only flat outputs go fast.
+            sample = s.dropna().head(20)
+            if any(isinstance(v, (list, tuple, dict, np.ndarray))
+                   for v in sample):
+                return None
+            if any(isinstance(v, Decimal) for v in sample):
+                s = s.astype("float64")
+            else:
+                s = s.astype(str).where(~s.isna(), None)
+        out[c] = s
+    f = pd.DataFrame(out)
+    f = f.sort_values(cols, kind="mergesort", na_position="last")
+    return f.reset_index(drop=True)
+
+
+def compare_big(spark_df, con, sql, name="") -> list[str]:
+    """compare(), but vectorized — for multi-million-row results where
+    the per-row Python canonicalization of compare() is the bottleneck.
+    Same contract: count, column names, order-insensitive exact values.
+    """
+    problems = []
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.sql(sql).df()
+    s_cols, d_cols = sorted(s_pdf.columns), sorted(d_pdf.columns)
+    if s_cols != d_cols:
+        return [f"{name}: columns differ spark={s_cols} duck={d_cols}"]
+    if len(s_pdf) != len(d_pdf):
+        problems.append(f"{name}: row counts differ "
+                        f"spark={len(s_pdf)} duck={len(d_pdf)}")
+        return problems
+    s_f = _canon_frame(s_pdf, s_cols)
+    d_f = _canon_frame(d_pdf, s_cols)
+    if s_f is None or d_f is None:          # composite columns present
+        return compare(spark_df, con, sql, name)
+    for c in s_cols:
+        a, b = s_f[c].to_numpy(), d_f[c].to_numpy()
+        if a.dtype.kind == "f":
+            eq = (a == b) | (np.isnan(a) & np.isnan(b))
+        else:
+            eq = (a == b) | ((a != a) & (b != b))  # None==None via NaN
+        if not bool(np.asarray(eq).all()):
+            i = int(np.argmin(eq))
+            problems.append(f"{name}: column {c} first diff row #{i}: "
+                            f"spark={a[i]!r} duck={b[i]!r}")
+            break
+    return problems
+
+
 def compare(spark_df, con, sql, name="") -> list[str]:
     """Returns a list of problems; empty list == match."""
     problems = []

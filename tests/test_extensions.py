@@ -1253,3 +1253,23 @@ def test_sliding_distinct_7d_builds_without_running_a_job(spark, sf_small):
     lazy_jobs = jobs_to_build(temporal.q_window_tumbling)
     assert jobs_to_build(temporal.q_sliding_distinct_7d) == lazy_jobs
     assert temporal.q_sliding_distinct_7d(spark, sf_small).count() > 0
+
+
+def test_compare_big_agrees_with_compare(spark, sf_small):
+    """The vectorized big-result compare (tools/sf_sweep.py path) must
+    agree with the driver-mirror compare: green on a matching query,
+    red on a seeded value mismatch."""
+    import __spark_entry__ as entrymod
+    from tests.oracle_utils import compare, compare_big, duck_connection
+
+    con = duck_connection(sf_small)
+    q = entrymod.queries()
+    sql = entrymod.oracle_sql()["dedup_jaccard_pairs"]
+    df = q["dedup_jaccard_pairs"](spark, sf_small)
+    assert compare(df, con, sql, "jp") == []
+    assert compare_big(df, con, sql, "jp") == []
+    # Seeded mismatch: perturb one oracle value.
+    bad = f"SELECT doc_a, doc_b, jaccard + CASE WHEN doc_a = (SELECT MIN(doc_a) FROM ({sql})) THEN 1 ELSE 0 END AS jaccard FROM ({sql})"
+    assert compare_big(df, con, bad, "jp") != []
+    # Seeded count mismatch.
+    assert compare_big(df, con, f"SELECT * FROM ({sql}) LIMIT 1", "jp") != []
