@@ -1,0 +1,131 @@
+"""Celebrity-skew stress: one bot account with ~3*10^5 events (vs ~20
+per normal user) driven through the operators whose r03/r04 rewrites
+were specifically designed for hot keys — funnel (chained conditional
+min-aggs, no collect_list), sessionize (two windows, one shuffle), and
+MAD anomalies (compacted-value ranks).  Each result is checked against
+an independent Python fold over the same fixture, so the assertion is
+"still CORRECT under heavy skew", the property the celebrity-safe
+rewrites must preserve (wall-time balance is pinned separately by the
+plan-shape tests; timing asserts are flaky in a shared sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+BOT = 1
+BOT_EVENTS = 300_000
+N_USERS = 200
+USER_EVENTS = 20
+TYPES = ("signup", "view", "click", "purchase", "error")
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    """events.parquet with one bot holding ~98% of all rows."""
+    base = 1_500_000_000_000_000  # 2017-07-14 in epoch micros
+    bot = spark.range(BOT_EVENTS).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(base) + F.col("id") * 1_000_000)).alias("ts"),
+        F.lit(BOT).alias("user_id"),
+        F.element_at(F.array(*[F.lit(t) for t in TYPES]),
+                     (F.col("id") % len(TYPES) + 1).cast("int"))
+         .alias("event_type"),
+        # constant value + a sprinkle of huge outliers for MAD
+        F.when(F.col("id") % 10_000 == 7, 9_999.0)
+         .otherwise(10.0 + (F.col("id") % 7).cast("double") / 100)
+         .alias("value"),
+        F.lit('{"k": 1}').alias("props"))
+    normal = spark.range(N_USERS * USER_EVENTS).select(
+        (F.lit(BOT_EVENTS) + F.col("id")).alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(base) + (F.col("id") % USER_EVENTS) * 3_600_000_000
+             + (F.col("id") / USER_EVENTS).cast("long"))).alias("ts"),
+        (F.lit(100) + (F.col("id") / USER_EVENTS).cast("long"))
+         .alias("user_id"),
+        F.element_at(F.array(*[F.lit(t) for t in TYPES]),
+                     (F.col("id") % len(TYPES) + 1).cast("int"))
+         .alias("event_type"),
+        (1.0 + (F.col("id") % 13).cast("double")).alias("value"),
+        F.lit('{"k": 2}').alias("props"))
+    d = str(tmp_path_factory.mktemp("skew"))
+    bot.unionAll(normal).coalesce(4).write.mode("overwrite") \
+       .parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def rows(spark, skew_dir):
+    pdf = (spark.read.parquet(os.path.join(skew_dir, "events.parquet"))
+           .toPandas())
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    return pdf
+
+
+def test_funnel_correct_under_skew(spark, skew_dir, rows):
+    from go_mapreduce_crawler_spark.operators import behavior
+
+    got = {r.stage: r.users for r in
+           behavior.q_funnel_conversion(spark, skew_dir).collect()}
+    stages = behavior.FUNNEL_STAGES
+    counts = dict.fromkeys(stages, 0)
+    for _, u in rows.groupby("user_id"):
+        prev_t = None
+        for k, st in enumerate(stages):
+            sub = u[u.event_type == st]
+            if k > 0:
+                sub = sub[sub.ts > prev_t]
+            if sub.empty:
+                break
+            prev_t = sub.ts.iloc[0]
+            counts[st] += 1
+    assert {s: counts[s] for s in stages} == {s: got[s] for s in stages}
+    # the bot must actually convert, or the stress is vacuous
+    assert counts[stages[-1]] >= 1
+
+
+def test_sessionize_correct_under_skew(spark, skew_dir, rows):
+    from go_mapreduce_crawler_spark.operators import relational
+
+    out = relational.q_sessionize(spark, skew_dir)
+    # partition-sum identity: every event lands in exactly one session
+    assert out.agg(F.sum("n_events")).collect()[0][0] == len(rows)
+    # python fold for the bot: 1s cadence -> ONE session of 300k events
+    bot_sessions = out.filter(F.col("user_id") == BOT).collect()
+    assert len(bot_sessions) == 1
+    assert bot_sessions[0].n_events == BOT_EVENTS
+    # normal users: hourly cadence -> every event its own session
+    n_norm = (out.filter(F.col("user_id") != BOT)
+                 .agg(F.count(F.lit(1))).collect()[0][0])
+    assert n_norm == N_USERS * USER_EVENTS
+
+
+def test_anomaly_mad_correct_under_skew(spark, skew_dir, rows):
+    from go_mapreduce_crawler_spark.operators import features
+
+    got = features.q_events_anomaly_mad(spark, skew_dir)
+    # python reference: lower median + lower-median MAD per type on
+    # 2dp-decimal values, strict 3*MAD threshold
+    from decimal import Decimal
+
+    def lower_median(vals):
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    expected = set()
+    for t, grp in rows.groupby("event_type"):
+        vals = [Decimal(str(v)).quantize(Decimal("0.01"))
+                for v in grp.value]
+        med = lower_median(vals)
+        mad = lower_median([abs(v - med) for v in vals])
+        for eid, v in zip(grp.event_id, vals):
+            if abs(v - med) > 3 * mad:
+                expected.add(eid)
+    assert {r.event_id for r in got.collect()} == expected
+    assert expected  # the planted 9999.0 outliers must be caught
