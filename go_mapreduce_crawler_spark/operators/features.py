@@ -917,6 +917,245 @@ def q_stats_corr_matrix(spark, sf_dir):
         " AS (col_a, col_b, corr_e6)")
 
 
+def _mwu_z_expr() -> str:
+    """Mann-Whitney normal-approximation z with tie correction, as one
+    fixed-order IEEE expression over the EXACT integer columns u1x2
+    (2*U1), n1, n2, tt (sum of t^3 - t over tie groups) — shared
+    verbatim by both engines, floored at 1e6."""
+    nn = "(n1 + n2)"
+    mu2 = "(n1 * n2)"                       # 2 * n1*n2/2
+    var = (f"(n1 * n2 / 12.0 * (({nn} + 1.0)"
+           f" - tt / ({nn} * ({nn} - 1.0))))")
+    z = f"(((u1x2 - {mu2}) / 2.0) / sqrt({var}))"
+    return f"CAST(FLOOR({z} * 1000000.0) AS BIGINT)"
+
+
+def q_stats_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between '{a}' and '{b}' event
+    values — the nonparametric two-sample location test that completes
+    the KS (shape) / Welch (mean) family: robust to outliers and
+    non-normality, the test of choice for skewed engagement metrics.
+
+    Everything reduces to the compacted per-distinct-value relation
+    (value, c1, c2): midranks stay EXACT integers by working in
+    doubled units (2*midrank = 2*r_prev + c + 1, never a .5), so
+    2*R1 = sum(c1 * midrank2), 2*U1 = 2*R1 - n1*(n1+1), and the tie
+    term sum(c^3 - c) are all DECIMAL-exact and order-independent.
+    The rank prefix uses the two-level value-range-bucketed window
+    (the KS/Gini recipe — no global single-partition sort); the one
+    double expression (the z approximation) is a shared fixed-order
+    string floored at 1e-6.
+    """.format(a=_KS_A, b=_KS_B)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B))
+    pts = (e.groupBy("value")
+            .agg(F.sum(F.when(F.col("event_type") == _KS_A, 1)
+                        .otherwise(0)).alias("c1"),
+                 F.sum(F.when(F.col("event_type") == _KS_B, 1)
+                        .otherwise(0)).alias("c2"))
+            .withColumn("c", F.col("c1") + F.col("c2"))
+            .withColumn("bkt", F.floor("value")))
+    bsum = pts.groupBy("bkt").agg(F.sum("c").alias("s"))
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "bkt", F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"))
+    w_in = (W.partitionBy("bkt").orderBy("value")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = (pts.join(F.broadcast(offs), "bkt")
+              .withColumn("rprev",
+                          F.col("off") + F.sum("c").over(w_in) - F.col("c")))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mid2 = 2 * d38("rprev") + d38("c") + 1
+    agg = run.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(d38("c1") * mid2).cast("decimal(38,0)").alias("r1x2"),
+        F.sum(d38("c") * d38("c") * d38("c") - d38("c"))
+         .cast("double").alias("tt"))
+    u1x2 = (F.col("r1x2") - F.col("n1").cast("decimal(38,0)")
+            * (F.col("n1").cast("decimal(38,0)") + 1)).cast("long")
+    return (agg.withColumn("u1x2", u1x2)
+               .selectExpr("u1x2 AS u1_x2", f"{_mwu_z_expr()} AS z_e6",
+                           "n1", "n2"))
+
+
+def _anova_f_from(df, group_col, value_dec_col):
+    """Shared one-way-ANOVA kernel: F statistic of ``value_dec_col``
+    (a DECIMAL(12,2) column expression) across ``group_col`` groups.
+
+    Determinism discipline: per-group moments accumulate in exact
+    integer CENTS (sum s_g, sum of squares q_g); the only cross-group
+    reduction of non-integers — sum of s_g^2/n_g — is made
+    order-independent by flooring each term to an exact integer FIRST
+    (DECIMAL ``div``, == DuckDB ``//``, pinned by a probe test): the
+    floor loses < 1 cent^2 per group, ~1e-14 of SS, far below the
+    1e-6 emission quantum.  One fixed-order double expression then
+    forms F, floored at 1e6.
+    """
+    cents = (value_dec_col * 100).cast("decimal(38,0)")
+    g = (df.groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum(cents).alias("s"),
+                F.sum(cents * cents).alias("q")))
+    per = g.selectExpr(
+        "n", "s", "q", "(s * s) div n AS t")     # exact floor(s^2/n)
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+        F.sum("q").cast("decimal(38,0)").alias("qq"),
+        F.sum("t").cast("decimal(38,0)").alias("tsum"))
+    f_expr = (
+        "CAST(FLOOR(((CAST(tsum AS DOUBLE) - CAST((ss * ss) div nn AS"
+        " DOUBLE)) / (k - 1.0)) / ((CAST(qq AS DOUBLE) - CAST(tsum AS"
+        " DOUBLE)) / (CAST(nn AS DOUBLE) - k)) * 100.0) AS BIGINT)")
+    return tot.selectExpr(
+        f"{f_expr} AS f_e2", "k", "CAST(nn AS BIGINT) AS n")
+
+
+def q_stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F across event types on event value — "does mean
+    value differ across event types at all", the k-group extension of
+    the Welch pair test.  One partial+final aggregate per group, a
+    |k|-row reduction, no window, no second scan; the F leaves as
+    floor(F*100) (2 dp — the statistic is O(10^3), so e2 keeps the
+    integer in comfortable range while the exact-cents kernel below
+    is deterministic to ~1e-14).  Kernel shared with Levene
+    (_anova_f_from).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return _anova_f_from(
+        e.select("event_type", dec("value", MONEY).alias("v")),
+        "event_type", F.col("v"))
+
+
+def q_stats_levene_robust(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) test: one-way ANOVA on
+    |value - median(type)| — "do the event types differ in SPREAD",
+    the robust variance-homogeneity check that decides whether the
+    pooled-variance tests upstream are even applicable.
+
+    The per-type lower median ranks the compacted (type, value, cnt)
+    relation (the events_anomaly_mad two-level recipe, |distinct
+    values| not |rows|), broadcasts back (|k| rows), and the absolute
+    deviations — exact DECIMAL(12,2) — feed the same exact-cents ANOVA
+    kernel as stats_anova_oneway.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", dec("value", MONEY).alias("v"))
+    vc = base.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    grp = W.partitionBy("event_type")
+    w = grp.orderBy("v")
+    ranked = vc.select(
+        "event_type", "v", "cnt",
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+         .alias("cum"),
+        F.sum("cnt").over(grp).alias("n"))
+    target = ((F.col("n") + 1) / 2).cast("long")
+    med = (ranked.filter((F.col("cum") >= target)
+                         & (F.col("cum") - F.col("cnt") < target))
+                 .select("event_type", F.col("v").alias("med")))
+    centered = (base.join(F.broadcast(med), "event_type")
+                    .select("event_type",
+                            F.abs(F.col("v") - F.col("med")).alias("a")))
+    return _anova_f_from(centered, "event_type", F.col("a"))
+
+
+def _cohens_d_exprs() -> tuple[str, str]:
+    """Cohen's d and Hedges' g from the Welch moment columns, one
+    fixed-order IEEE expression each, floored at 1e6."""
+    v1 = "((n1 * q1 - s1 * s1) / (n1 * (n1 - 1)))"
+    v2 = "((n2 * q2 - s2 * s2) / (n2 * (n2 - 1)))"
+    sp = f"sqrt((((n1 - 1) * {v1}) + ((n2 - 1) * {v2})) / (n1 + n2 - 2))"
+    d = f"((s1 / n1 - s2 / n2) / {sp})"
+    g = f"({d} * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)))"
+    return (f"CAST(FLOOR({d} * 1000000.0) AS BIGINT)",
+            f"CAST(FLOOR({g} * 1000000.0) AS BIGINT)")
+
+
+def q_stats_cohens_d(spark, sf_dir):
+    """Effect size (Cohen's d + the small-sample Hedges' g correction)
+    between '{a}' and '{b}' event values — the companion number every
+    A/B significance test needs ("is the difference LARGE, not just
+    detectable").  Same single-scan conditional-moment aggregate as
+    Welch (exact DECIMAL moments, one double conversion each, shared
+    fixed-order expression strings, floor 1e-6).
+    """.format(a=_KS_A, b=_KS_B)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B))
+    v = dec("value", MONEY)
+    is1 = F.col("event_type") == _KS_A
+    agg = e.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(is1, v)).cast("double").alias("s1"),
+        F.sum(F.when(is1, v * v)).cast("double").alias("q1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(~is1, v)).cast("double").alias("s2"),
+        F.sum(F.when(~is1, v * v)).cast("double").alias("q2"))
+    d_e, g_e = _cohens_d_exprs()
+    return agg.selectExpr(f"{d_e} AS cohens_d_e6", f"{g_e} AS hedges_g_e6",
+                          "CAST(n1 AS BIGINT) AS n1",
+                          "CAST(n2 AS BIGINT) AS n2")
+
+
+_SPEAR_X, _SPEAR_Y = "l_quantity", "l_extendedprice"
+
+
+def q_stats_spearman(spark, sf_dir):
+    """Spearman rank correlation between lineitem quantity and price —
+    Pearson on midranks, the monotone-association measure that is
+    blind to the marginal distributions (the feature-screening
+    complement to stats_corr_matrix's linear Pearson).
+
+    Midranks stay EXACT integers in doubled units (2*midrank =
+    2*r_prev + c + 1, the Mann-Whitney recipe): each column compacts
+    to its distinct-value counts, ranks via the bucketed two-level
+    prefix, and the resulting |distinct| rank maps join back onto the
+    single fact scan (Catalyst broadcasts them).  All five sums of
+    rank products accumulate in DECIMAL(38,0) — exact and
+    order-independent — and one shared fixed-order double expression
+    forms rho, floored at 1e-6.  Constant-factor note: doubling both
+    rank vectors leaves Pearson unchanged, so the doubled units need
+    no un-scaling.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    fact = l.select(dec(_SPEAR_X, MONEY).alias("x"),
+                    dec(_SPEAR_Y, MONEY).alias("y"))
+
+    def midrank2_map(col, bucket_div):
+        vc = fact.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        vcb = vc.withColumn("bkt", F.floor(F.col(col) / bucket_div))
+        bsum = vcb.groupBy("bkt").agg(F.sum("c").alias("s"))
+        w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+        offs = bsum.select(
+            "bkt", F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"))
+        w_in = (W.partitionBy("bkt").orderBy(col)
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        return (vcb.join(F.broadcast(offs), "bkt")
+                   .withColumn("rprev",
+                               F.col("off") + F.sum("c").over(w_in)
+                               - F.col("c"))
+                   .select(col,
+                           (2 * d38("rprev") + d38("c") + 1).alias("m2")))
+
+    rx = midrank2_map("x", 1)
+    ry = midrank2_map("y", 1000)
+    j = (fact.join(rx.withColumnRenamed("m2", "mx"), "x")
+             .join(ry.withColumnRenamed("m2", "my"), "y"))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("mx").cast("double").alias("sa"),
+        F.sum("my").cast("double").alias("sb"),
+        F.sum(F.col("mx") * F.col("mx")).cast("double").alias("saa"),
+        F.sum(F.col("my") * F.col("my")).cast("double").alias("sbb"),
+        F.sum(F.col("mx") * F.col("my")).cast("double").alias("sab"))
+    return agg.selectExpr(
+        _corr_pair_e6("m", "sa", "sb", "saa", "sbb", "sab")
+        + " AS spearman_e6",
+        "CAST(m AS BIGINT) AS n")
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
     "validate_referential_integrity": q_validate_referential,
@@ -940,6 +1179,11 @@ QUERIES = {
     "validate_embeddings": q_validate_embeddings,
     "histogram_equiwidth": q_histogram_equiwidth,
     "histogram_equidepth": q_histogram_equidepth,
+    "stats_mannwhitney_u": q_stats_mannwhitney,
+    "stats_anova_oneway": q_stats_anova_oneway,
+    "stats_levene_robust": q_stats_levene_robust,
+    "stats_cohens_d": q_stats_cohens_d,
+    "stats_spearman_corr": q_stats_spearman,
 }
 
 ORACLE = {
@@ -1439,3 +1683,155 @@ def _did_oracle() -> str:
 
 
 ORACLE["abtest_diff_in_diff"] = _did_oracle()
+
+
+ORACLE["stats_mannwhitney_u"] = f"""
+    WITH pts AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                   ::BIGINT AS c1,
+               SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                   ::BIGINT AS c2
+        FROM events
+        WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+        GROUP BY 1),
+    run AS (
+        SELECT c1, c2, c1 + c2 AS c,
+               COALESCE(SUM(c1 + c2) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS rprev
+        FROM pts),
+    agg AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (2 * rprev + c + 1)) AS BIGINT) AS r1x2,
+               CAST(SUM(c * c * c - c) AS DOUBLE) AS tt
+        FROM run),
+    u AS (SELECT n1, n2, tt, r1x2 - n1 * (n1 + 1) AS u1x2 FROM agg)
+    SELECT u1x2 AS u1_x2, {{z}} AS z_e6, n1, n2 FROM u
+""".format(z=_mwu_z_expr())
+
+
+def _anova_oracle(source_cte: str) -> str:
+    """Mirror of _anova_f_from: exact-cents moments, floored s^2/n via
+    HUGEINT //, one fixed-order double F expression (floor 1e2).
+    ``source_cte`` must yield (grp, v DECIMAL(12,2))."""
+    return f"""
+    WITH src AS ({source_cte}),
+    g AS (
+        SELECT grp,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(v * 100 AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(SUM(CAST(v * 100 AS HUGEINT)
+                        * CAST(v * 100 AS HUGEINT)) AS HUGEINT) AS q
+        FROM src GROUP BY 1),
+    per AS (SELECT n, s, q, (s * s) // n AS t FROM g),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(SUM(s) AS HUGEINT) AS ss,
+               CAST(SUM(q) AS HUGEINT) AS qq,
+               CAST(SUM(t) AS HUGEINT) AS tsum
+        FROM per)
+    SELECT CAST(FLOOR(((CAST(tsum AS DOUBLE) - CAST((ss * ss) // nn AS
+           DOUBLE)) / (k - 1.0)) / ((CAST(qq AS DOUBLE) - CAST(tsum AS
+           DOUBLE)) / (CAST(nn AS DOUBLE) - k)) * 100.0) AS BIGINT)
+           AS f_e2,
+           k, CAST(nn AS BIGINT) AS n
+    FROM tot
+"""
+
+
+ORACLE["stats_anova_oneway"] = _anova_oracle(
+    "SELECT event_type AS grp, CAST(value AS DECIMAL(12,2)) AS v"
+    " FROM events")
+
+# Brown-Forsythe: the inner CTE rebuilds |v - median(type)| with the
+# window-rank median (an independent construction of the same lower
+# median the engine ranks via cumulative counts).
+ORACLE["stats_levene_robust"] = _anova_oracle("""
+        SELECT b.event_type AS grp,
+               CAST(ABS(b.v - m.med) AS DECIMAL(12,2)) AS v
+        FROM (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+              FROM events) b
+        JOIN (
+            SELECT event_type, v AS med FROM (
+                SELECT event_type, v,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY v) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM (SELECT event_type,
+                             CAST(value AS DECIMAL(12,2)) AS v
+                      FROM events))
+            WHERE rn = (n + 1) // 2) m
+          ON b.event_type = m.event_type""")
+
+
+def _cohens_d_oracle() -> str:
+    d_e, g_e = _cohens_d_exprs()
+    return f"""
+    WITH m AS (
+        SELECT CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n1,
+               CAST(SUM(CASE WHEN event_type = '{_KS_A}'
+                        THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CASE WHEN event_type = '{_KS_A}'
+                        THEN CAST(value AS DECIMAL(12,2))
+                             * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS q1,
+               CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n2,
+               CAST(SUM(CASE WHEN event_type = '{_KS_B}'
+                        THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS s2,
+               CAST(SUM(CASE WHEN event_type = '{_KS_B}'
+                        THEN CAST(value AS DECIMAL(12,2))
+                             * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS q2
+        FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}'))
+    SELECT {d_e} AS cohens_d_e6, {g_e} AS hedges_g_e6,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM m
+"""
+
+
+ORACLE["stats_cohens_d"] = _cohens_d_oracle()
+
+# Spearman: midranks via the global AVG-rank window identity
+# 2*midrank = 2*rank_prev + c + 1 — an independent construction of the
+# engine's bucketed two-level prefix.
+ORACLE["stats_spearman_corr"] = f"""
+    WITH fact AS (
+        SELECT CAST({_SPEAR_X} AS DECIMAL(12,2)) AS x,
+               CAST({_SPEAR_Y} AS DECIMAL(12,2)) AS y
+        FROM lineitem),
+    rx AS (
+        SELECT x,
+               2 * COALESCE(SUM(c) OVER (ORDER BY x ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+                   AS mx
+        FROM (SELECT x, COUNT(*)::BIGINT AS c FROM fact GROUP BY 1)),
+    ry AS (
+        SELECT y,
+               2 * COALESCE(SUM(c) OVER (ORDER BY y ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+                   AS my
+        FROM (SELECT y, COUNT(*)::BIGINT AS c FROM fact GROUP BY 1)),
+    j AS (SELECT mx, my FROM fact JOIN rx USING (x) JOIN ry USING (y)),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+               CAST(CAST(SUM(mx) AS HUGEINT) AS DOUBLE) AS sa,
+               CAST(CAST(SUM(my) AS HUGEINT) AS DOUBLE) AS sb,
+               CAST(CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT)
+                    AS DOUBLE) AS saa,
+               CAST(CAST(SUM(CAST(my AS HUGEINT) * my) AS HUGEINT)
+                    AS DOUBLE) AS sbb,
+               CAST(CAST(SUM(CAST(mx AS HUGEINT) * my) AS HUGEINT)
+                    AS DOUBLE) AS sab
+        FROM j)
+    SELECT {_corr_pair_e6('m', 'sa', 'sb', 'saa', 'sbb', 'sab')}
+               AS spearman_e6,
+           CAST(m AS BIGINT) AS n
+    FROM m
+"""

@@ -1273,3 +1273,89 @@ def test_compare_big_agrees_with_compare(spark, sf_small):
     assert compare_big(df, con, bad, "jp") != []
     # Seeded count mismatch.
     assert compare_big(df, con, f"SELECT * FROM ({sql}) LIMIT 1", "jp") != []
+
+
+def test_new_rank_stats_match_numpy_reference(spark, sf_small):
+    """Mann-Whitney U/z, one-way ANOVA F, Brown-Forsythe F, Cohen's d /
+    Hedges' g, and Spearman rho recomputed from raw rows with
+    numpy/pure-Python (no shared code with the engine or the oracle)."""
+    import math
+
+    import numpy as np
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    ev = (load_table(spark, sf_small, "events")
+          .select("event_type", "value").toPandas())
+    a = np.round(ev[ev.event_type == "purchase"].value.to_numpy(), 2)
+    b = np.round(ev[ev.event_type == "click"].value.to_numpy(), 2)
+
+    # --- Mann-Whitney with midranks + tie correction
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    tt = 0.0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        t = j - i
+        tt += t**3 - t
+        i = j
+    n1, n2 = len(a), len(b)
+    r1 = ranks[:n1].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    nn = n1 + n2
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(
+        n1 * n2 / 12.0 * ((nn + 1) - tt / (nn * (nn - 1))))
+    got = features.q_stats_mannwhitney(spark, sf_small).collect()[0]
+    assert got.u1_x2 == int(round(2 * u1))
+    assert abs(got.z_e6 / 1e6 - z) < 2e-6
+    assert (got.n1, got.n2) == (n1, n2)
+
+    # --- one-way ANOVA F across all event types
+    groups = [np.round(g.value.to_numpy(), 2)
+              for _, g in ev.groupby("event_type")]
+    N = sum(len(g) for g in groups)
+    k = len(groups)
+    mean = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - mean) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (N - k))
+    got = features.q_stats_anova_oneway(spark, sf_small).collect()[0]
+    assert abs(got.f_e2 / 100.0 - f_ref) < 0.02
+    assert (got.k, got.n) == (k, N)
+
+    # --- Brown-Forsythe = ANOVA on |v - lower_median(group)|
+    def lower_median(x):
+        return np.sort(x)[(len(x) + 1) // 2 - 1]
+
+    cgroups = [np.abs(g - lower_median(g)) for g in groups]
+    mean = np.concatenate(cgroups).mean()
+    ssb = sum(len(g) * (g.mean() - mean) ** 2 for g in cgroups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in cgroups)
+    f_ref = (ssb / (k - 1)) / (ssw / (N - k))
+    got = features.q_stats_levene_robust(spark, sf_small).collect()[0]
+    assert abs(got.f_e2 / 100.0 - f_ref) < 0.02
+
+    # --- Cohen's d / Hedges' g
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    sp = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    d_ref = (a.mean() - b.mean()) / sp
+    g_ref = d_ref * (1 - 3.0 / (4 * (n1 + n2) - 9))
+    got = features.q_stats_cohens_d(spark, sf_small).collect()[0]
+    assert abs(got.cohens_d_e6 / 1e6 - d_ref) < 2e-6
+    assert abs(got.hedges_g_e6 / 1e6 - g_ref) < 2e-6
+
+    # --- Spearman rho on lineitem qty/price via pandas midranks
+    li = (load_table(spark, sf_small, "lineitem")
+          .select("l_quantity", "l_extendedprice").toPandas())
+    rho_ref = (li["l_quantity"].rank(method="average")
+               .corr(li["l_extendedprice"].rank(method="average")))
+    got = features.q_stats_spearman(spark, sf_small).collect()[0]
+    assert abs(got.spearman_e6 / 1e6 - rho_ref) < 2e-6
+    assert got.n == len(li)
