@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -300,14 +301,136 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("n_copies") >= 1))
 
 
+PHASH_CODE_LO = 62          # probe byte values 62..121 (this corpus is
+PHASH_BITS = 60             # pure ASCII 32..121) -> a 60-bit signature
+PHASH_BANDS, PHASH_BAND_BITS = 4, 15
+PHASH_HAM_T = 6
+PHASH_TOP_K = 5
+
+
+def media_phash(df: DataFrame) -> DataFrame:
+    """Perceptual-hash signature over the BINARY payload: bit j is set
+    when byte value (62+j) occurs more often than the uniform share
+    (count * 60 > payload length — integer compare, engine-exact).
+    Byte-histogram shape is content-derived and locality-sensitive
+    (similar media -> similar histograms -> small Hamming distance),
+    the codec-free stand-in for pHash/aHash; a real image corpus swaps
+    this kernel for a DCT over decoded pixels without touching the
+    plan.  Arrow-batched mapInPandas, numpy bincount per payload —
+    narrow, zero shuffles."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fp", T.LongType(), True),
+    ])
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                total = len(arr)
+                fp = 0
+                for j in range(PHASH_BITS):
+                    if counts[PHASH_CODE_LO + j] * PHASH_BITS > total:
+                        fp |= 1 << j
+                fps.append(fp)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "fp": fps})
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the media table — the
+    fuzzy stage after q_multimodal_dedup's exact pass: LSH-banded
+    byte-histogram signatures (media_phash), Hamming <= {t}, bounded
+    to the top-{k} closest partners per media_a (hamming, then
+    media_b — this corpus's shared vocabulary makes histogram shapes
+    broadly similar, so the unbounded pair set is quadratic; the
+    bound is the join_interval_overlap discipline).
+
+    Scale: signatures are 8-byte longs computed in ONE narrow Arrow
+    pass over the binary scan (payloads never shuffle); candidates
+    come from a (band, chunk)-bucketed self-join of the {b}x{bb}-bit
+    band relation — never all-pairs; the exact Hamming re-check and
+    the top-k window run on id+fingerprint pairs only.
+    """.format(t=PHASH_HAM_T, k=PHASH_TOP_K, b=PHASH_BANDS,
+               bb=PHASH_BAND_BITS)
+    m = synth_media(spark, sf_dir)
+    fp = media_phash(m)
+    bands = (fp.select(
+        "media_id", "fp",
+        F.posexplode(F.array(*[
+            (F.shiftright("fp", b * PHASH_BAND_BITS)
+              .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1)))
+            for b in range(PHASH_BANDS)])).alias("band", "chunk")))
+    a = bands.select(F.col("media_id").alias("media_a"),
+                     F.col("fp").alias("fa"), "band", "chunk")
+    b = bands.select(F.col("media_id").alias("media_b"),
+                     F.col("fp").alias("fb"), "band", "chunk")
+    cand = (a.join(b, ["band", "chunk"])
+             .filter(F.col("media_a") < F.col("media_b"))
+             .select("media_a", "media_b", "fa", "fb")
+             .distinct())
+    pairs = (cand.withColumn(
+                 "hamming",
+                 F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+                 .filter(F.col("hamming") <= PHASH_HAM_T))
+    wk = W.partitionBy("media_a").orderBy(F.asc("hamming"),
+                                          F.asc("media_b"))
+    return (pairs.withColumn("rn", F.row_number().over(wk))
+                 .filter(F.col("rn") <= PHASH_TOP_K)
+                 .select("media_a", "media_b", "hamming"))
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_dedup_exact": q_multimodal_dedup,
+    "multimodal_near_dup_phash": q_multimodal_near_dup,
 }
 
+_PHASH_FP_SQL = " + ".join(
+    f"(CASE WHEN (length(text) - length(replace(text,"
+    f" chr({PHASH_CODE_LO + j}), ''))) * {PHASH_BITS} > length(text)"
+    f" THEN {1 << j} ELSE 0 END)"
+    for j in range(PHASH_BITS))
+
 ORACLE = {
+    # Byte-histogram signature recomputed from CHAR counts (the corpus
+    # is pure ASCII, so char counts == payload byte counts) — an
+    # independent construction of the Arrow kernel's numpy bincount;
+    # banding / Hamming / top-k mirror dedup_simhash's oracle shapes.
+    "multimodal_near_dup_phash": f"""
+        WITH fp AS (
+            SELECT doc_id AS media_id,
+                   CAST({_PHASH_FP_SQL} AS BIGINT) AS f
+            FROM documents),
+        bands AS (
+            SELECT media_id, f,
+                   (f >> CAST(b * {PHASH_BAND_BITS} AS INT))
+                       & {(1 << PHASH_BAND_BITS) - 1} AS chunk, b
+            FROM fp, unnest([0, 1, 2, 3]) AS t(b)),
+        cand AS (
+            SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,
+                   a.f AS fa, b2.f AS fb
+            FROM bands a JOIN bands b2
+              ON a.b = b2.b AND a.chunk = b2.chunk
+                 AND a.media_id < b2.media_id),
+        pairs AS (
+            SELECT media_a, media_b,
+                   bit_count(xor(fa, fb)) AS hamming
+            FROM cand
+            WHERE bit_count(xor(fa, fb)) <= {PHASH_HAM_T})
+        SELECT media_a, media_b, hamming
+        FROM pairs
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY media_a
+            ORDER BY hamming ASC, media_b ASC) <= {PHASH_TOP_K}
+    """,
     # The digest-fake feature path IS SQL-expressible: DuckDB's
     # sha256(VARCHAR) hashes the same utf-8 bytes the synth payload
     # carries, hex substrings parse as '0x…' integer casts, and the

@@ -549,6 +549,49 @@ def q_events_autocorrelation(spark, sf_dir):
         + " AS acf_e6")
 
 
+XCORR_A, XCORR_B = "purchase", "click"
+XCORR_MAX_LAG = 6
+
+
+def q_events_crosscorr(spark, sf_dir):
+    """Lagged cross-correlation between the hourly '{a}' and '{b}'
+    count series (lags 0..{k} hours): "does a click surge lead a
+    purchase surge, and by how many hours" — the lead-lag diagnostic
+    behind attribution windows and forecast feature selection, and the
+    two-series sibling of q_events_autocorrelation.
+
+    Both series are the gap-filled compacted relations of
+    _dense_hourly (|hours| rows, never event volume); each lag aligns
+    x_t with y_(t+lag) by an equi-join on the shifted hour key (the
+    {k}+1 probes ride ONE explode of the tiny series — no per-lag
+    scan), and the sufficient statistics accumulate as exact BIGINTs
+    in one partial+final agg.  The only float math is the shared
+    _corr_e6_expr divide+sqrt — bit-identical across engines.  Pairs
+    exist where BOTH series' spans cover the shifted hour (inner
+    join), so m varies by lag and is emitted.
+    """.format(a=XCORR_A, b=XCORR_B, k=XCORR_MAX_LAG)
+    dense = _dense_hourly(spark, sf_dir)
+    a = (dense.filter(F.col("event_type") == XCORR_A)
+              .select(F.col("bucket_us").alias("t"), F.col("v").alias("x")))
+    b = (dense.filter(F.col("event_type") == XCORR_B)
+              .select(F.col("bucket_us").alias("tb"),
+                      F.col("v").alias("y")))
+    al = a.select(
+        "t", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(XCORR_MAX_LAG))).alias("lag"))
+    j = al.join(b, al["t"] + al["lag"] * _HOUR_US == b["tb"])
+    stats = (j.groupBy("lag")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                   F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                   F.sum(F.col("y") * F.col("y")).alias("syy"),
+                   F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    return stats.selectExpr(
+        "lag", "m",
+        _corr_e6_expr("m", "sx", "sy", "sxx", "syy", "sxy")
+        + " AS xcorr_e6")
+
+
 def q_events_concurrency(spark, sf_dir):
     """Sweep-line concurrency: at every interval boundary, how many
     user-sessions are open — the classic "concurrent connections /
@@ -823,6 +866,7 @@ QUERIES = {
     "window_rolling_zscore_30d": q_rolling_zscore,
     "window_cumulative_distinct_users": q_cumulative_distinct_users,
     "events_autocorrelation": q_events_autocorrelation,
+    "events_crosscorr_lagged": q_events_crosscorr,
     "events_concurrency_sweep": q_events_concurrency,
     "events_changepoint_meanshift": q_events_changepoint,
     "window_sliding_distinct_7d": q_sliding_distinct_7d,
@@ -1063,6 +1107,29 @@ ORACLE["events_autocorrelation"] = f"""
         FROM pairs GROUP BY 1, 2)
     SELECT event_type, "lag", m,
            {_corr_e6_expr('m', 'sx', 'sy', 'sxx', 'syy', 'sxy')} AS acf_e6
+    FROM stats
+"""
+
+ORACLE["events_crosscorr_lagged"] = f"""
+    WITH {_DENSE_HOURLY_SQL},
+    a AS (SELECT bucket_us AS t, v AS x FROM dense
+          WHERE event_type = '{XCORR_A}'),
+    b AS (SELECT bucket_us AS tb, v AS y FROM dense
+          WHERE event_type = '{XCORR_B}'),
+    al AS (
+        SELECT t, x, "lag"
+        FROM a, unnest(generate_series(0, {XCORR_MAX_LAG})) AS l("lag")),
+    j AS (SELECT al."lag", al.x, b.y FROM al
+          JOIN b ON al.t + al."lag" * 3600000000 = b.tb),
+    stats AS (
+        SELECT "lag", COUNT(*)::BIGINT AS m,
+               SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy,
+               SUM(x * y)::BIGINT AS sxy
+        FROM j GROUP BY 1)
+    SELECT "lag", m,
+           {_corr_e6_expr('m', 'sx', 'sy', 'sxx', 'syy', 'sxy')}
+               AS xcorr_e6
     FROM stats
 """
 

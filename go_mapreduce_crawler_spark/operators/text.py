@@ -811,6 +811,48 @@ def q_remove_boilerplate(spark, sf_dir):
                 .select("doc_id", "n_segs", "n_kept", "clean_text"))
 
 
+def q_corpus_line_dedup(spark, sf_dir):
+    """C4-style global line dedup, KEEP-FIRST form: every 8-word
+    segment keeps exactly ONE copy corpus-wide — the occurrence with
+    the smallest (doc_id, seg_idx) — and all later occurrences are
+    removed; documents are reassembled from their surviving segments.
+    Complements text_remove_boilerplate (the RefinedWeb variant, which
+    drops ALL copies of any segment seen in >= 2 docs): C4 preserves
+    one canonical copy, so unique content inside partially-duplicated
+    documents survives.
+
+    Scale: ownership is decided on the SLIM (doc_id, seg_idx, digest)
+    projection — one digest-keyed partial+final min(struct) aggregate,
+    16-byte digests + two ints on the wire, never segment text; the
+    winner keys (two ints per distinct segment) join back on
+    (doc_id, seg_idx), and reassembly groups a document's own segments
+    (bounded by the document row, the remove_boilerplate argument).
+    Documents whose every segment is owned elsewhere drop out (both
+    engines construct identically).
+    """
+    d = _docs(spark, sf_dir)
+    segs = (d.select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) - 1) div {SEG_WORDS}),"
+                f" i -> array_join(slice(split(text, ' '), i * {SEG_WORDS} + 1,"
+                f" {SEG_WORDS}), ' '))")).alias("seg_idx", "seg"))
+             .withColumn("dg", F.md5(F.encode("seg", "UTF-8"))))
+    owner = (segs.select("doc_id", "seg_idx", "dg")
+                 .groupBy("dg")
+                 .agg(F.min(F.struct("doc_id", "seg_idx")).alias("o"))
+                 .select(F.col("o.doc_id").alias("doc_id"),
+                         F.col("o.seg_idx").alias("seg_idx")))
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    kept = segs.join(owner, ["doc_id", "seg_idx"])
+    return (kept.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.array_join(F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("seg_idx", "seg"))),
+                         lambda s: s["seg"]), " ").alias("clean_text"))
+                .join(totals, "doc_id")
+                .select("doc_id", "n_segs", "n_kept", "clean_text"))
+
+
 BM25_TOP = 3
 
 
@@ -1022,6 +1064,7 @@ QUERIES = {
     "text_remove_boilerplate": q_remove_boilerplate,
     "text_tfidf_doc_pairs": q_tfidf_doc_pairs,
     "text_pmi_cooccurrence": q_text_pmi_pairs,
+    "corpus_line_dedup_keepfirst": q_corpus_line_dedup,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -1490,4 +1533,30 @@ ORACLE["doc_length_log2_histogram"] = """
     SELECT source, length(bin(n_tokens)) - 1 AS log2_bucket,
            COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
     FROM d GROUP BY 1, 2
+"""
+
+
+# Keep-first ownership via the window-rank construction — independent
+# of the engine's min(struct) aggregate form.
+ORACLE["corpus_line_dedup_keepfirst"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(w[i * {SEG_WORDS} + 1 : (i + 1) * {SEG_WORDS}],
+                               ' ') AS seg
+        FROM d, unnest(generate_series(0, (len(w) - 1) // {SEG_WORDS}))
+                  AS t(i)),
+    sg AS (SELECT doc_id, seg_idx, seg, md5(seg) AS dg FROM segs),
+    kept AS (
+        SELECT doc_id, seg_idx, seg FROM (
+            SELECT doc_id, seg_idx, seg,
+                   ROW_NUMBER() OVER (PARTITION BY dg
+                                      ORDER BY doc_id, seg_idx) AS rn
+            FROM sg)
+        WHERE rn = 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM sg GROUP BY doc_id)
+    SELECT k.doc_id, tot.n_segs, COUNT(*) AS n_kept,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+    FROM kept k JOIN tot USING (doc_id)
+    GROUP BY k.doc_id, tot.n_segs
 """
