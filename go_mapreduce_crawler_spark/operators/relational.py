@@ -897,6 +897,32 @@ def q_set_ops(spark, sf_dir):
     return u.union(i).union(e)
 
 
+def q_set_ops_multiset(spark, sf_dir):
+    """The bag-semantics (ALL) set operators q_set_ops's distinct forms
+    skip: INTERSECT ALL keeps min(n, m) copies per key, EXCEPT ALL
+    keeps n - m, UNION ALL keeps n + m — summarized as per-key counts
+    so the multiplicity arithmetic itself is what the oracle checks
+    (the oracle derives the same counts from LEAST/GREATEST over the
+    two sides' tallies, never running a multiset operator — two
+    independent constructions).  Spark plans INTERSECT ALL / EXCEPT
+    ALL as count-compacted anti/semi aggregates, so nothing here
+    shuffles more than (key, count) rows at any scale.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+
+    def tally(df, op):
+        return (df.groupBy("nationkey")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .select("nationkey", F.lit(op).alias("op"), "cnt"))
+
+    return (tally(c.intersectAll(s), "intersect_all")
+            .union(tally(c.exceptAll(s), "except_all"))
+            .union(tally(c.unionAll(s), "union_all")))
+
+
 # ----------------------------------------------------- scalar functions
 
 def q_scalar_string(spark, sf_dir):
@@ -1392,6 +1418,7 @@ QUERIES = {
     "unpivot_balances": q_unpivot_balances,
     "sort_limit_top20": q_sort_limit,
     "set_ops": q_set_ops,
+    "set_ops_multiset": q_set_ops_multiset,
     "scalar_string": q_scalar_string,
     "scalar_date": q_scalar_date,
     "scalar_math": q_scalar_math,
@@ -1905,6 +1932,27 @@ ORACLE = {
         SELECT nationkey, 'except' AS op FROM (
             SELECT DISTINCT c_nationkey AS nationkey FROM customer
             EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    # bag-semantics counts via LEAST/GREATEST tally arithmetic — never
+    # a multiset operator, so the two constructions are independent
+    "set_ops_multiset": """
+        WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*)::BIGINT AS n
+                    FROM customer GROUP BY 1),
+             sn AS (SELECT s_nationkey AS nationkey, COUNT(*)::BIGINT AS n
+                    FROM supplier GROUP BY 1)
+        SELECT cn.nationkey, 'intersect_all' AS op,
+               LEAST(cn.n, sn.n) AS cnt
+        FROM cn JOIN sn USING (nationkey)
+        WHERE LEAST(cn.n, sn.n) > 0
+        UNION ALL
+        SELECT cn.nationkey, 'except_all' AS op,
+               cn.n - COALESCE(sn.n, 0) AS cnt
+        FROM cn LEFT JOIN sn USING (nationkey)
+        WHERE cn.n - COALESCE(sn.n, 0) > 0
+        UNION ALL
+        SELECT nationkey, 'union_all' AS op,
+               COALESCE(cn.n, 0) + COALESCE(sn.n, 0) AS cnt
+        FROM cn FULL JOIN sn USING (nationkey)
     """,
     "scalar_string": r"""
         SELECT p_partkey,
