@@ -287,7 +287,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     va = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     vb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (cand.join(va, "doc_a").join(vb, "doc_b")
+    # shuffle_hash hint: without it Catalyst's size estimate can pick
+    # the SHINGLE relation as the broadcast side of the verify join
+    # (measured: driver OOM at the 10x replica scale on a default-heap
+    # driver) — the one relation that must never broadcast; the hint
+    # keeps the verify a shuffled hash join with the id-pair side as
+    # build, so shingle arrays shuffle once on doc_id and nothing
+    # collects on the driver.  Same fix at every cand-verify site.
+    return (cand.hint("shuffle_hash").join(va, "doc_a")
+            .hint("shuffle_hash").join(vb, "doc_b")
             .withColumn("jaccard", F.round(
                 inter / (F.size("sh_a") + F.size("sh_b") - inter), 6))
             .filter(F.col("jaccard") >= JACCARD_T)
@@ -419,7 +427,8 @@ def q_dedup_embedding(spark, sf_dir):
                  F.col("nrm").alias("nb"))
     # Norms folded once per row; each surviving pair costs one fold,
     # bit-identical to cosine_sim's operation order.
-    return (cand.join(a, "id_a").join(b, "id_b")
+    return (cand.hint("shuffle_hash").join(a, "id_a")
+             .hint("shuffle_hash").join(b, "id_b")
              .withColumn("cos", F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
              .filter(F.col("cos") >= COSINE_DUP_T)
              .select("id_a", "id_b", "cos"))
@@ -448,6 +457,12 @@ def q_dedup_components(spark, sf_dir):
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Min-label propagation to fixpoint over an undirected pair set."""
+    # Cache the pair source BEFORE mirroring: the union references the
+    # (potentially expensive — LSH) pair subplan twice, and exchange
+    # reuse across the two branches is not guaranteed (measured at the
+    # 10x replica scale: the pipeline ran twice, tripling the query's
+    # shuffle volume).  One cache fill, both branches read it.
+    pairs = pairs.cache()
     edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
                                       F.col("doc_a").alias("doc_b")))
              .distinct().cache())
@@ -833,7 +848,8 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     vb = sh.select(F.col("doc_id").alias("eval_doc_id"),
                    F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (cand.join(va, "train_doc_id").join(vb, "eval_doc_id")
+    return (cand.hint("shuffle_hash").join(va, "train_doc_id")
+            .hint("shuffle_hash").join(vb, "eval_doc_id")
             .withColumn("jaccard", F.round(
                 inter / (F.size("sh_a") + F.size("sh_b") - inter), 6))
             .filter(F.col("jaccard") >= JACCARD_T)
@@ -880,7 +896,8 @@ def q_dedup_lsh_report(spark, sf_dir):
                    F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
-    ver = (cand.join(va, "doc_a").join(vb, "doc_b")
+    ver = (cand.hint("shuffle_hash").join(va, "doc_a")
+            .hint("shuffle_hash").join(vb, "doc_b")
                .filter(jac >= JACCARD_T)
                .agg(F.count(F.lit(1)).alias("n_verified")))
     tot = cand.agg(F.count(F.lit(1)).alias("n_candidates"))

@@ -76,10 +76,21 @@ def test_no_python_udf_in_jvm_operators(spark, sf_small):
 def test_minhash_signature_is_row_local(spark, sf_small):
     """The signature stage is row-local (array_min over transform): only
     the input spread-repartition, bucket groupBy, candidate-distinct and
-    verify shuffles may appear — no explode/groupBy shuffle for
-    signatures (which would scale with docs x shingles x hashes)."""
+    the id-keyed verify shuffles may appear — no explode/groupBy shuffle
+    for signatures (which would scale with docs x shingles x hashes).
+    Both verify joins are pinned as SHUFFLED hash joins (r05):
+    Catalyst's size estimate would otherwise broadcast the
+    shingle-array relation, which OOMs the driver at the 10x replica
+    scale — so the extra id-keyed exchanges (two per verify join:
+    probe + build sides) are the accepted price and broadcast is
+    banned from the verify stage."""
     df = dedup.q_dedup_minhash_lsh(spark, sf_small)
-    assert n_shuffle_exchanges(df) <= 4, physical_plan(df)[:2000]
+    assert n_shuffle_exchanges(df) <= 7, physical_plan(df)[:2000]
+    plan = physical_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    # no broadcast anywhere in the verify pipeline — the shingle
+    # relation must never be a build side
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
 
 
 def test_semi_anti_join_operators(spark, sf_small):
