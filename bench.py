@@ -92,6 +92,13 @@ HEADLINE = [
     "attribution_position_based",
     "cdc_merge_apply",
     "intervals_union_active_time",
+    # r05 additions — one representative per new family
+    "stats_mannwhitney_u",
+    "stats_levene_robust",
+    "stats_spearman_corr",
+    "corpus_line_dedup_keepfirst",
+    "events_crosscorr_lagged",
+    "multimodal_near_dup_phash",
 ]
 
 N_CRAWL_FILES = 2000

@@ -680,10 +680,13 @@ def test_ewma_constant_series_and_first_row_identity(spark, sf_small):
         by_user.setdefault(r.user_id, []).append(r)
     for evs in by_user.values():
         evs.sort(key=lambda r: (r.obs_us, r.event_id))
-        assert abs(evs[0].ewma - round(evs[0].value, 6)) < 1e-9
+        # ewma leaves as floor(x * 1e6) micros (r05, the _corr_e6_expr
+        # convention) — undo the quantization for the invariants
+        assert abs(evs[0].ewma_e6 / 1e6 - evs[0].value) < 2e-6
         for i, r in enumerate(evs):
             window = [e.value for e in evs[max(0, i - 7):i + 1]]
-            assert min(window) - 1e-6 <= r.ewma <= max(window) + 1e-6
+            assert (min(window) - 2e-6 <= r.ewma_e6 / 1e6
+                    <= max(window) + 2e-6)
 
 
 def test_group_split_never_splits_a_source(spark, sf_small):
