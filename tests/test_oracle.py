@@ -50,21 +50,21 @@ def test_entry_smoke(spark):
 
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
-    put the 17 weakest-signal rows (13 never-driver-checked + 4
-    oracle-upgraded LSH, VERDICT r03) first so CORRECTNESS_r04
-    converts them to green rows, then anything new this round, then
-    r01 (oldest green signal) before r02 before r03 (freshest)."""
+    put the 38 never-driver-checked rows (VERDICT r04) first so
+    CORRECTNESS_r05 converts them to green rows, then anything new or
+    semantics-changed this round, then r01 (oldest green signal)
+    before r02/r03/r04 (freshest last)."""
     names = list(QUERIES)
-    front = list(entrymod._FRONT_R04)
-    r01, r02, r03 = (set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
-                     set(entrymod._CHECKED_R03))
+    front = list(entrymod._FRONT_R05)
+    checked = [set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
+               set(entrymod._CHECKED_R03), set(entrymod._CHECKED_R04)]
     assert names[:len(front)] == front
+    anychecked = set().union(*checked)
     never = [n for n in names
-             if n not in r01 and n not in r02 and n not in r03
-             and n not in set(front)]
+             if n not in anychecked and n not in set(front)]
     if never:  # new-this-round queries directly after the front block
         assert max(names.index(n) for n in never) < len(front) + len(never)
     # freshest signal runs last
-    tail = r03 - set(front)
+    tail = checked[3] - set(front)
     assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))
