@@ -301,29 +301,44 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("n_copies") >= 1))
 
 
-PHASH_CODE_LO = 62          # probe byte values 62..121 (this corpus is
-PHASH_BITS = 60             # pure ASCII 32..121) -> a 60-bit signature
+# Probe the 26 byte values that actually occur in this corpus (space +
+# a..y; pure ASCII 32..121): bit j compares cnt[code[i]] with
+# cnt[code[(i+d) % 26]] under the schedule i = j % 26, d = 1 + j // 26
+# — 60 pairwise histogram-gradient comparisons (the dHash trick), each
+# ~50/50 across the corpus.  Probing dead byte ranges instead (first
+# attempt used codes 62..121) zeroed half the signature for EVERY
+# document and collapsed two LSH bands into full-corpus buckets (25M
+# candidate pairs at sf0.1).
+PHASH_CODES = (32,) + tuple(range(97, 122))       # 26 active codes
+PHASH_BITS = 60
 PHASH_BANDS, PHASH_BAND_BITS = 4, 15
 PHASH_HAM_T = 6
 PHASH_TOP_K = 5
 
 
+def _phash_pairs():
+    n = len(PHASH_CODES)
+    return [(PHASH_CODES[j % n], PHASH_CODES[(j % n + 1 + j // n) % n])
+            for j in range(PHASH_BITS)]
+
+
 def media_phash(df: DataFrame) -> DataFrame:
-    """Perceptual-hash signature over the BINARY payload: bit j is set
-    when byte value (62+j) occurs more often than the uniform share
-    (count * 60 > payload length — integer compare, engine-exact).
+    """Perceptual-hash signature over the BINARY payload: 60 pairwise
+    byte-histogram-gradient comparisons over the corpus's active byte
+    values (see PHASH_CODES — integer compares, engine-exact).
     Byte-histogram shape is content-derived and locality-sensitive
     (similar media -> similar histograms -> small Hamming distance),
-    the codec-free stand-in for pHash/aHash; a real image corpus swaps
-    this kernel for a DCT over decoded pixels without touching the
-    plan.  Arrow-batched mapInPandas, numpy bincount per payload —
-    narrow, zero shuffles."""
+    the codec-free stand-in for pHash/dHash; a real image corpus swaps
+    this kernel for a pixel-gradient hash over decoded frames without
+    touching the plan.  Arrow-batched mapInPandas, numpy bincount per
+    payload — narrow, zero shuffles."""
     import numpy as np
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("fp", T.LongType(), True),
     ])
+    schedule = _phash_pairs()
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -331,10 +346,9 @@ def media_phash(df: DataFrame) -> DataFrame:
             for p in pdf["payload"]:
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
                 counts = np.bincount(arr, minlength=256)
-                total = len(arr)
                 fp = 0
-                for j in range(PHASH_BITS):
-                    if counts[PHASH_CODE_LO + j] * PHASH_BITS > total:
+                for j, (ca, cb) in enumerate(schedule):
+                    if counts[ca] > counts[cb]:
                         fp |= 1 << j
                 fps.append(fp)
             yield pd.DataFrame({"media_id": pdf["media_id"], "fp": fps})
@@ -394,10 +408,10 @@ QUERIES = {
 }
 
 _PHASH_FP_SQL = " + ".join(
-    f"(CASE WHEN (length(text) - length(replace(text,"
-    f" chr({PHASH_CODE_LO + j}), ''))) * {PHASH_BITS} > length(text)"
+    f"(CASE WHEN (length(text) - length(replace(text, chr({ca}), '')))"
+    f" > (length(text) - length(replace(text, chr({cb}), '')))"
     f" THEN {1 << j} ELSE 0 END)"
-    for j in range(PHASH_BITS))
+    for j, (ca, cb) in enumerate(_phash_pairs()))
 
 ORACLE = {
     # Byte-histogram signature recomputed from CHAR counts (the corpus

@@ -98,8 +98,17 @@ def q_interval_overlap(spark, sf_dir):
                     .alias("day_us"))
            .agg(F.min(F.unix_micros("ts")).alias("s"),
                 F.max(F.unix_micros("ts")).alias("e")))
-    a = iv.select("day_us", F.col("user_id").alias("user_a"),
-                  F.col("s").alias("sa"), F.col("e").alias("ea"))
+    # Spread the probe side to full parallelism BEFORE the fan-out
+    # join: the quadratic pair stream inherits its partition count
+    # from this tiny (|users x days| rows) shuffle, so the phase-1
+    # sort below parallelizes across every core instead of the
+    # upstream reducer count — and the 17M-row intermediate itself
+    # never re-shuffles.  Keyed on (day_us, user_a) so the phase-1
+    # window's clustering is satisfied with no exchange.
+    par = spark.sparkContext.defaultParallelism
+    a = (iv.select("day_us", F.col("user_id").alias("user_a"),
+                   F.col("s").alias("sa"), F.col("e").alias("ea"))
+           .repartition(par, "day_us", "user_a"))
     b = iv.select("day_us", F.col("user_id").alias("user_b"),
                   F.col("s").alias("sb"), F.col("e").alias("eb"))
     pairs = (a.join(b, ["day_us"])
@@ -109,11 +118,22 @@ def q_interval_overlap(spark, sf_dir):
               .select("day_us", "user_a", "user_b",
                       (F.least("ea", "eb") - F.greatest("sa", "sb"))
                       .alias("overlap_us")))
-    wk = W.partitionBy("user_a").orderBy(
-        F.desc("overlap_us"), F.asc("day_us"), F.asc("user_b"))
-    return (pairs.withColumn("rn", F.row_number().over(wk))
-                 .filter(F.col("rn") <= INTERVAL_OVERLAP_TOP_K)
-                 .select("day_us", "user_a", "user_b", "overlap_us"))
+    # Two-phase top-k so the quadratic pair relation never re-shuffles:
+    # phase 1 ranks per (day_us, user_a) — the join output is already
+    # hash-partitioned on day_us, which satisfies the clustered
+    # distribution for (day_us, user_a), so this window adds NO
+    # exchange (pinned in tests/test_plans.py) and cuts the relation to
+    # <= k rows per (user, day); at most k global winners can share a
+    # day, so phase 2's per-user rank over the reduced set is exact.
+    order = (F.desc("overlap_us"), F.asc("day_us"), F.asc("user_b"))
+    w1 = W.partitionBy("day_us", "user_a").orderBy(*order)
+    reduced = (pairs.withColumn("rn", F.row_number().over(w1))
+                    .filter(F.col("rn") <= INTERVAL_OVERLAP_TOP_K)
+                    .drop("rn"))
+    wk = W.partitionBy("user_a").orderBy(*order)
+    return (reduced.withColumn("rn", F.row_number().over(wk))
+                   .filter(F.col("rn") <= INTERVAL_OVERLAP_TOP_K)
+                   .select("day_us", "user_a", "user_b", "overlap_us"))
 
 
 def q_ts_resample_ffill(spark, sf_dir):
