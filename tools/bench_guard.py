@@ -24,11 +24,25 @@ SLACK_SEC = 0.3
 
 def _unwrap(data: dict) -> dict:
     """Driver-recorded BENCH_r*.json nests bench.py's line under
-    'parsed'; a raw bench.py line is already flat."""
+    'parsed'; a raw bench.py line is already flat.  Some driver logs
+    carry parsed=null with the JSON line only in a (front-truncated)
+    'tail' string — recover the per-query dict by regex in that case
+    (the queries map sits at the end, so truncation never clips it)."""
     if not isinstance(data, dict):
         return {}
     inner = data.get("parsed", data)
-    return inner if isinstance(inner, dict) else {}
+    if isinstance(inner, dict):
+        return inner
+    tail = data.get("tail")
+    if isinstance(tail, str):
+        qm = re.search(r'"queries": \{(.*?)\}', tail)
+        if qm:
+            qs = {k: float(v) for k, v in
+                  re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', qm.group(1))}
+            vm = re.search(r'"value": ([0-9.]+)', tail)
+            return {"queries": qs,
+                    "value": float(vm.group(1)) if vm else None}
+    return {}
 
 
 def latest_baseline(repo_root: str) -> str | None:
