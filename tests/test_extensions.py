@@ -1362,3 +1362,58 @@ def test_new_rank_stats_match_numpy_reference(spark, sf_small):
     got = features.q_stats_spearman(spark, sf_small).collect()[0]
     assert abs(got.spearman_e6 / 1e6 - rho_ref) < 2e-6
     assert got.n == len(li)
+
+
+def test_rank_stats_kernel_properties(spark, sf_small):
+    """Algebraic identities of the new rank-stats kernels, independent
+    of any oracle: U1 + U2 == n1*n2 (label-swap antisymmetry), ANOVA F
+    invariant under group relabeling, Spearman == +1/-1 on strictly
+    monotone synthetic data."""
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_crawler_spark.operators import features
+
+    # --- Mann-Whitney label-swap: swapping the two samples maps
+    # U1 -> n1*n2 - U1 (doubled units: u1x2' = 2*n1*n2 - u1x2)
+    got = features.q_stats_mannwhitney(spark, sf_small).collect()[0]
+    old_a, old_b = features._KS_A, features._KS_B
+    try:
+        features._KS_A, features._KS_B = old_b, old_a
+        swapped = features.q_stats_mannwhitney(spark, sf_small).collect()[0]
+    finally:
+        features._KS_A, features._KS_B = old_a, old_b
+    assert got.u1_x2 + swapped.u1_x2 == 2 * got.n1 * got.n2
+    assert (got.n1, got.n2) == (swapped.n2, swapped.n1)
+    # z antisymmetry up to the 1e-6 floor quantum
+    assert abs(got.z_e6 + swapped.z_e6) <= 1
+
+    # --- ANOVA kernel: relabeling groups must not change F
+    base = spark.createDataFrame(
+        [(g, float(v)) for g in ("a", "b", "c")
+         for v in range(1, 40, 3 if g == "b" else 2)],
+        "grp string, v double").select(
+            "grp", F.col("v").cast("decimal(12,2)").alias("v"))
+    f1 = features._anova_f_from(base, "grp", F.col("v")).collect()[0]
+    relabeled = base.withColumn(
+        "grp", F.concat(F.lit("zz_"), F.col("grp")))
+    f2 = features._anova_f_from(relabeled, "grp", F.col("v")).collect()[0]
+    assert (f1.f_e2, f1.k, f1.n) == (f2.f_e2, f2.k, f2.n)
+
+    # --- Spearman on strictly monotone pairs == +1 exactly
+    import go_mapreduce_crawler_spark.sources.tables as tables
+    mono = spark.range(1, 200).select(
+        F.col("id").cast("decimal(12,2)").alias("x"),
+        (F.col("id") * F.col("id")).cast("decimal(12,2)").alias("y"))
+    # reuse the query's midrank machinery by monkey-loading the table
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, t: mono.select(
+            F.col("x").alias("l_quantity"),
+            F.col("y").alias("l_extendedprice"))
+        features.load_table = tables.load_table
+        r = features.q_stats_spearman(spark, "ignored").collect()[0]
+    finally:
+        tables.load_table = orig
+        features.load_table = orig
+    assert r.spearman_e6 in (999999, 1000000)  # floor(1e6 * 1.0) edge
+    assert r.n == 199
