@@ -766,6 +766,134 @@ def q_ann_recall(spark, sf_dir):
                       .alias("recall_ppm")))
 
 
+PQ_M, PQ_DSUB = 8, 8        # 8 subspaces x 8 dims over the 64-dim vectors
+PQ_K, PQ_ITER = 32, 2       # centroids per subspace, Lloyd rounds
+PQ_SHORTLIST = 50           # ADC shortlist re-ranked exactly
+PQ_TOP = 10
+
+
+def _pq_d2(sub_col, cvec_col):
+    """Squared L2 between two double arrays, sequential fold — the
+    bit-identical pair of the DuckDB list_reduce (the kmeans recipe)."""
+    diff2 = F.zip_with(sub_col, cvec_col,
+                       lambda x, c: (x - c) * (x - c))
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_sub(df, id_col="vec_id"):
+    """(id, m, sub): the M subvector slices per vector, cast double."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.transform(F.slice("embedding", m * PQ_DSUB + 1, PQ_DSUB),
+                        lambda x: x.cast("double"))
+            for m in range(PQ_M)])).alias("m", "sub"))
+
+
+def q_ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound trillion-vector serving layout (Jegou et
+    al., PQ 2011; FAISS's IndexPQ): the corpus is compressed to M={m}
+    one-byte codes per vector (a {m}x{k}-centroid codebook per
+    subspace, trained by the same deterministic Lloyd recipe as
+    kmeans_embeddings, all {m} subspaces in ONE loop), and each query
+    scores the WHOLE corpus through a {m}x{k}-cell lookup table of
+    exact subvector distances — embeddings are never touched after
+    encoding.
+
+    Determinism: codebook means go through the exact-DECIMAL(20,7)
+    double-hop; subvector distances are sequential folds; the ADC sum
+    adds its {m} per-subspace terms in fixed subspace order (four
+    conditional single-element aggregates, then one left-to-right
+    expression — never a float SUM whose order floats); ranks break
+    ties on (adc, vec_id); the score leaves as floor(adc * 1e6).
+
+    Scale: codebooks are {m}x{k} rows — broadcast everywhere; the
+    encoded corpus is (vec_id, m, cid) ints — the 64-float vector
+    compressed to {m} bytes, the entire point of PQ; ADC joins the
+    broadcast |Q| x {m}x{k} distance table to the code stream, so
+    per-candidate work is an integer-keyed lookup and the scan feeding
+    the top-k reads codes, not vectors.  Query set gated by
+    KNN_MAX_QUERIES like every ANN entry point.
+    """.format(m=PQ_M, k=PQ_K)
+    e = _emb(spark, sf_dir)
+    sub = _pq_sub(e).cache()
+    seeds = F.broadcast(e.orderBy("vec_id").limit(PQ_K).select("vec_id"))
+    cent = (sub.join(seeds, "vec_id")
+               .select("m", F.col("vec_id").alias("cid"),
+                       F.col("sub").alias("cvec")))
+
+    def assign(cent_df):
+        scored = (sub.join(F.broadcast(cent_df), "m")
+                     .select("vec_id", "m", "cid",
+                             _pq_d2(F.col("sub"), F.col("cvec"))
+                             .alias("d2")))
+        rk = F.row_number().over(
+            W.partitionBy("vec_id", "m").orderBy("d2", "cid"))
+        return (scored.withColumn("rk", rk)
+                      .filter(F.col("rk") == 1)
+                      .select("vec_id", "m", "cid"))
+
+    for _ in range(PQ_ITER):
+        a = assign(cent)
+        ex = (a.join(sub, ["vec_id", "m"])
+               .select("m", "cid", F.posexplode("sub").alias("dim", "x")))
+        sums = (ex.groupBy("m", "cid", "dim")
+                  .agg(F.sum(F.col("x").cast("decimal(20,7)")).alias("s"),
+                       F.count(F.lit(1)).alias("n")))
+        cent = (sums.select(
+                    "m", "cid", "dim",
+                    (F.col("s").cast("double") / F.col("n").cast("double"))
+                    .alias("mean"))
+                .groupBy("m", "cid")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda p: p["mean"]).alias("cvec")))
+    codes = assign(cent)
+    q = _gate_query_set(
+        e.filter(F.col("vec_id") % 100 == 0), "ann_pq_adc", sf_dir)
+    qsub = _pq_sub(q.select(F.col("vec_id").alias("q_id"), "embedding"),
+                   "q_id")
+    dist = (qsub.join(F.broadcast(cent), "m")
+                .select("q_id", "m", "cid",
+                        _pq_d2(F.col("sub"), F.col("cvec")).alias("pd2")))
+    per = (codes.join(F.broadcast(dist), ["m", "cid"])
+                .filter(F.col("vec_id") != F.col("q_id"))
+                .groupBy("q_id", "vec_id")
+                .agg(*[F.sum(F.when(F.col("m") == m, F.col("pd2")))
+                        .alias(f"p{m}") for m in range(PQ_M)]))
+    adc = F.col("p0")
+    for m in range(1, PQ_M):                 # fixed left-to-right order
+        adc = adc + F.col(f"p{m}")
+    ws = W.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    shortlist = (per.withColumn("adc", adc)
+                    .withColumn("srk", F.row_number().over(ws))
+                    .filter(F.col("srk") <= PQ_SHORTLIST)
+                    .select("q_id", "vec_id"))
+    # exact re-rank of the compressed-domain shortlist (the
+    # ann_int8_rerank two-stage shape): |Q| x shortlist pairs fetch
+    # their true vectors and one sequential fold decides the final
+    # ranks — output quality comes from the exact stage, PQ only
+    # prunes (on featureless synthetic embeddings the coarse ADC rank
+    # alone is noisy; on clustered real corpora it is the FAISS
+    # IndexPQ serving path either way).
+    qv = q.select(F.col("vec_id").alias("q_id"),
+                  F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("qvec"))
+    ev = e.select("vec_id",
+                  F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("evec"))
+    rer = (shortlist.join(F.broadcast(qv), "q_id")
+                    .hint("shuffle_hash").join(ev, "vec_id")
+                    .withColumn("d2", _pq_d2(F.col("qvec"), F.col("evec"))))
+    wk = W.partitionBy("q_id").orderBy(F.col("d2"), F.col("vec_id"))
+    return (rer.withColumn("rk", F.row_number().over(wk))
+               .filter(F.col("rk") <= PQ_TOP)
+               .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk",
+                       F.floor(F.col("d2") * 1e6).cast("long")
+                        .alias("d2_e6")))
+
+
 def q_embedding_drift(spark, sf_dir):
     """Per-dimension embedding drift between two corpus snapshots
     (vec_id parity stands in for old/new): each dimension's snapshot
@@ -819,6 +947,7 @@ QUERIES = {
     "embedding_norms": q_embedding_norms,
     "embedding_centroids_exact": q_embedding_centroids,
     "embedding_quantize_int8": q_embedding_quantize,
+    "ann_pq_adc": q_ann_pq_adc,
 }
 
 # Spark's sequential array fold (F.aggregate starting at 0.0) and
@@ -1173,3 +1302,98 @@ ORACLE["embedding_drift_report"] = """
                       * 1e9) AS BIGINT) AS drift_e9
     FROM agg
 """
+
+
+def _pq_oracle() -> str:
+    """Unrolled DuckDB twin of q_ann_pq_adc: subvector slices ->
+    seeded codebooks -> PQ_ITER Lloyd rounds (all subspaces at once) ->
+    codes -> query distance table -> fixed-order ADC -> top-k.  Same
+    fold shape, decimal double-hop, and (d2, cid)/(adc, vec_id) total
+    orders as the engine."""
+    d2 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(list_zip(s.sub, c.cvec), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)")
+    ms = ", ".join(str(m) for m in range(PQ_M))
+    ctes = [f"""
+        sub AS (
+            SELECT vec_id, t.m AS m,
+                   list_transform(
+                       embedding[t.m * {PQ_DSUB} + 1 : (t.m + 1) * {PQ_DSUB}],
+                       v -> CAST(v AS DOUBLE)) AS sub
+            FROM embeddings, unnest([{ms}]) AS t(m)),
+        cent0 AS (
+            SELECT m, vec_id AS cid, sub AS cvec FROM sub
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT {PQ_K}))"""]
+    for i in range(1, PQ_ITER + 1):
+        ctes.append(f"""
+        assign{i} AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT s.vec_id, s.m, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY {d2}, c.cid) AS rk
+                FROM sub s JOIN cent{i - 1} c USING (m))
+            WHERE rk = 1),
+        sums{i} AS (
+            SELECT a.m, a.cid, t.i AS dim,
+                   SUM(CAST(s.sub[t.i + 1] AS DECIMAL(20,7))) AS sm,
+                   COUNT(*) AS n
+            FROM assign{i} a JOIN sub s USING (vec_id, m),
+                 unnest(range({PQ_DSUB})) AS t(i)
+            GROUP BY 1, 2, 3),
+        cent{i} AS (
+            SELECT m, cid,
+                   list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+                        ORDER BY dim) AS cvec
+            FROM sums{i} GROUP BY m, cid)""")
+    pcols = ", ".join(
+        f"SUM(CASE WHEN m = {m} THEN pd2 END) AS p{m}"
+        for m in range(PQ_M))
+    adc = "p0"
+    for m in range(1, PQ_M):                 # fixed left-to-right order
+        adc = f"({adc} + p{m})"
+    full_d2 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+               "list_transform(list_zip(qv.qvec, ev.evec), "
+               "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)")
+    ctes.append(f"""
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT s.vec_id, s.m, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY {d2}, c.cid) AS rk
+                FROM sub s JOIN cent{PQ_ITER} c USING (m))
+            WHERE rk = 1),
+        dist AS (
+            SELECT s.vec_id AS q_id, s.m AS m, c.cid, {d2} AS pd2
+            FROM sub s JOIN cent{PQ_ITER} c USING (m)
+            WHERE s.vec_id % 100 = 0),
+        per AS (
+            SELECT d.q_id, k.vec_id, {pcols}
+            FROM codes k JOIN dist d USING (m, cid)
+            WHERE k.vec_id <> d.q_id
+            GROUP BY 1, 2),
+        shortlist AS (
+            SELECT q_id, vec_id FROM per
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY {adc}, vec_id) <= {PQ_SHORTLIST}),
+        rer AS (
+            SELECT sl.q_id, sl.vec_id, {full_d2} AS d2
+            FROM shortlist sl
+            JOIN (SELECT vec_id AS q_id,
+                         list_transform(embedding, v -> CAST(v AS DOUBLE))
+                             AS qvec
+                  FROM embeddings) qv USING (q_id)
+            JOIN (SELECT vec_id,
+                         list_transform(embedding, v -> CAST(v AS DOUBLE))
+                             AS evec
+                  FROM embeddings) ev USING (vec_id))""")
+    return ("WITH" + ",".join(ctes) + f"""
+        SELECT q_id, vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rk,
+               CAST(FLOOR(d2 * 1e6) AS BIGINT) AS d2_e6
+        FROM rer
+        WINDOW w AS (PARTITION BY q_id ORDER BY d2, vec_id)
+        QUALIFY ROW_NUMBER() OVER w <= {PQ_TOP}""")
+
+
+ORACLE["ann_pq_adc"] = _pq_oracle()

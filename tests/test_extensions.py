@@ -1417,3 +1417,38 @@ def test_rank_stats_kernel_properties(spark, sf_small):
         features.load_table = orig
     assert r.spearman_e6 in (999999, 1000000)  # floor(1e6 * 1.0) edge
     assert r.n == 199
+
+
+def test_ann_pq_adc_recall_vs_exact_l2(spark, sf_medium):
+    """PQ-ADC shortlist + exact re-rank must recover >= 55% of the
+    exact L2 top-10 per query on average (measured 0.74 on this
+    synthetic corpus — featureless embeddings are PQ's hard case, so
+    the bar sits well under the clustered-corpus regime)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from go_mapreduce_crawler_spark.operators import similarity
+
+    e = similarity._emb(spark, sf_medium)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qv")))
+    d2 = similarity._pq_d2(
+        F.transform("qv", lambda x: x.cast("double")),
+        F.transform("embedding", lambda x: x.cast("double")))
+    scored = (q.join(e, F.col("vec_id") != F.col("q_id"))
+               .withColumn("d2", d2))
+    w = W.partitionBy("q_id").orderBy("d2", "vec_id")
+    exact = (scored.withColumn("rk", F.row_number().over(w))
+                   .filter("rk <= 10").select("q_id", "vec_id").collect())
+    approx = similarity.q_ann_pq_adc(spark, sf_medium).collect()
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.q_id].add(r.vec_id)
+    for r in approx:
+        ap[r.q_id].add(r.neighbor_id)
+    recalls = [len(ex[k] & ap[k]) / len(ex[k]) for k in ex]
+    assert sum(recalls) / len(recalls) >= 0.55, recalls
