@@ -387,6 +387,45 @@ def q_clustering_coefficient(spark, sf_dir):
                      .cast("long").alias("clustering_ppm"))
 
 
+def q_shortest_path_weighted(spark, sf_dir, n_iter: int = 4):
+    """Bounded single-source WEIGHTED shortest path (Bellman-Ford,
+    <= 4 edges) from the smallest node of the strong co-purchase
+    graph.  Edge cost is an exact integer, floor(1e6 / n_ab) — the
+    stronger the co-purchase tie, the cheaper the hop — so every
+    relax-and-min round is integer arithmetic with NO fp-ordering
+    concern, and the unrolled-level oracle matches bit-exactly (the
+    bfs_hops recipe generalized from unit to weighted costs; the
+    reference engine's only traversal is the crawl frontier itself,
+    pool.go's worklist — it has no graph surface at all).
+
+    Scale: identical Pregel shape to q_bfs_hops — per round one join
+    keyed on the frontier plus one min-agg; dist holds only reached
+    nodes.  At web scale keep dist hash-partitioned by node id so the
+    per-round join is co-located, and localCheckpoint truncates
+    lineage so round N does not replan rounds 1..N-1.
+    """
+    edges = _pair_counts(_items(spark, sf_dir))
+    adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"),
+                        "n_ab")
+           .union(edges.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst"), "n_ab"))
+           .select("src", "dst",
+                   F.floor(F.lit(1000000) / F.col("n_ab"))
+                    .cast("bigint").alias("ecost"))
+           .cache())
+    src_node = adj.agg(F.min("src")).collect()[0][0]
+    dist = spark.createDataFrame([(src_node, 0)], "node bigint, cost bigint")
+    for _ in range(n_iter):
+        nxt = (adj.join(dist, adj.src == dist.node)
+               .select(F.col("dst").alias("node"),
+                       (F.col("cost") + F.col("ecost")).alias("cost")))
+        dist = (dist.union(nxt)
+                .groupBy("node").agg(F.min("cost").alias("min_cost"))
+                .withColumnRenamed("min_cost", "cost")
+                .localCheckpoint())
+    return dist.select("node", F.col("cost").alias("min_cost"))
+
+
 QUERIES = {
     "graph_degree_distribution": q_degree_distribution,
     "graph_kcore_3": q_kcore_peel,
@@ -398,6 +437,7 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "label_propagation": q_label_propagation,
     "graph_adamic_adar": q_adamic_adar,
+    "graph_shortest_path_weighted": q_shortest_path_weighted,
 }
 
 def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
@@ -666,3 +706,42 @@ ORACLE["graph_clustering_coefficient"] = """
            END AS clustering_ppm
     FROM deg d LEFT JOIN tri t USING (node)
 """
+
+
+def _shortest_path_oracle(n_iter: int = 4) -> str:
+    """Unrolled relax-and-min levels — one CTE per Bellman-Ford round,
+    each GROUP BY node, so level k holds <= |nodes| rows (a recursive
+    CTE keyed on (node, cost, hops) would enumerate every distinct-cost
+    path instead).  Integer costs make every level bit-exact."""
+    ctes = ["""
+        items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   count(*) AS n_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+        adj AS (
+            SELECT pa AS src, pb AS dst,
+                   CAST(FLOOR(1000000 / n_ab) AS BIGINT) AS ecost
+            FROM edges
+            UNION ALL
+            SELECT pb, pa, CAST(FLOOR(1000000 / n_ab) AS BIGINT)
+            FROM edges),
+        d0 AS (SELECT (SELECT min(src) FROM adj) AS node,
+                      CAST(0 AS BIGINT) AS cost)"""]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""
+        d{k} AS (
+            SELECT node, min(cost) AS cost FROM (
+                SELECT node, cost FROM d{k - 1}
+                UNION ALL
+                SELECT a.dst AS node, d.cost + a.ecost AS cost
+                FROM d{k - 1} d JOIN adj a ON a.src = d.node)
+            GROUP BY 1)""")
+    return ("WITH " + ",".join(ctes)
+            + f"\n        SELECT node, cost AS min_cost FROM d{n_iter}")
+
+
+ORACLE["graph_shortest_path_weighted"] = _shortest_path_oracle()

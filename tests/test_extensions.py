@@ -1452,3 +1452,31 @@ def test_ann_pq_adc_recall_vs_exact_l2(spark, sf_medium):
         ap[r.q_id].add(r.neighbor_id)
     recalls = [len(ex[k] & ap[k]) / len(ex[k]) for k in ex]
     assert sum(recalls) / len(recalls) >= 0.55, recalls
+
+
+def test_shortest_path_weighted_matches_python_bellman_ford(spark, sf_small):
+    """graph_shortest_path_weighted == a pure-Python Bellman-Ford fold
+    (4 rounds) over the same integer-cost adjacency — the distributed
+    relax-and-min must be exactly the sequential one (integer costs, no
+    fp concern), and costs must be reachable-monotone (source = 0)."""
+    from go_mapreduce_crawler_spark.operators import graph
+    adj_rows = (graph._pair_counts(graph._items(spark, sf_small))
+                .collect())
+    adj = {}
+    for r in adj_rows:
+        c = 1000000 // r["n_ab"]
+        adj.setdefault(r["pa"], []).append((r["pb"], c))
+        adj.setdefault(r["pb"], []).append((r["pa"], c))
+    src = min(adj)
+    dist = {src: 0}
+    for _ in range(4):
+        nxt = dict(dist)
+        for node, d0 in dist.items():
+            for nb, c in adj[node]:
+                if nb not in nxt or d0 + c < nxt[nb]:
+                    nxt[nb] = d0 + c
+        dist = nxt
+    got = {r["node"]: r["min_cost"]
+           for r in graph.q_shortest_path_weighted(spark, sf_small).collect()}
+    assert got == dist
+    assert got[src] == 0
