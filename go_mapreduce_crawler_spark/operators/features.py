@@ -1156,6 +1156,48 @@ def q_stats_spearman(spark, sf_dir):
         "CAST(m AS BIGINT) AS n")
 
 
+def q_stats_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event_type: the MEDIAN of all
+    pairwise slopes of the daily-revenue series — the
+    breakdown-point-0.29 complement to regr_value_time's OLS slope
+    (one corrupted day drags OLS arbitrarily; Theil-Sen shrugs).
+
+    Scale shape: the quadratic pairing runs on the AGGREGATED series —
+    (event_type, day) rows, bounded by the calendar (~30 points/type
+    here, ~C(30,2)=435 slopes/type), NOT by table size, so the
+    self-join input is invariant as events grow 1000x; the only
+    full-table pass is the exact DECIMAL daily rollup.  Slopes are
+    IEEE doubles from exact inputs — (double(v2)-double(v1))/(d2-d1)
+    in the same expression shape as the oracle — and the exact median
+    picks the middle order statistics (avg of the two middles on even
+    n), floored at 1e-6.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    daily = (e.groupBy("event_type", day.alias("day"))
+              .agg(F.sum(dec("value", MONEY)).alias("v")))
+    a = daily.select("event_type", F.col("day").alias("d1"),
+                     F.col("v").alias("v1"))
+    b = daily.select("event_type", F.col("day").alias("d2"),
+                     F.col("v").alias("v2"))
+    slope = ((F.col("v2").cast("double") - F.col("v1").cast("double"))
+             / (F.col("d2") - F.col("d1")).cast("double"))
+    pairs = (a.join(b, "event_type")
+              .filter(F.col("d1") < F.col("d2"))
+              .select("event_type", slope.alias("slope")))
+    wp = W.partitionBy("event_type")
+    ranked = (pairs
+              .withColumn("rn", F.row_number().over(wp.orderBy("slope")))
+              .withColumn("n", F.count(F.lit(1)).over(wp)))
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2)))
+    return (mid.groupBy("event_type")
+               .agg(F.floor(F.avg("slope") * 1e6).cast("bigint")
+                     .alias("theil_sen_slope_e6"),
+                    F.min("n").alias("n_pairs")))
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
     "validate_referential_integrity": q_validate_referential,
@@ -1184,6 +1226,7 @@ QUERIES = {
     "stats_levene_robust": q_stats_levene_robust,
     "stats_cohens_d": q_stats_cohens_d,
     "stats_spearman_corr": q_stats_spearman,
+    "stats_theil_sen": q_stats_theil_sen,
 }
 
 ORACLE = {
@@ -1834,4 +1877,30 @@ ORACLE["stats_spearman_corr"] = f"""
                AS spearman_e6,
            CAST(m AS BIGINT) AS n
     FROM m
+"""
+
+ORACLE["stats_theil_sen"] = """
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               SUM(CAST(value AS DECIMAL(12,2))) AS v
+        FROM events GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.event_type,
+               (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE))
+                   / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+    ranked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM pairs)
+    SELECT event_type,
+           CAST(FLOOR(AVG(slope) * 1e6) AS BIGINT) AS theil_sen_slope_e6,
+           MIN(n) AS n_pairs
+    FROM ranked
+    WHERE rn = FLOOR((n + 1) / 2) OR rn = FLOOR((n + 2) / 2)
+    GROUP BY 1
 """

@@ -1480,3 +1480,54 @@ def test_shortest_path_weighted_matches_python_bellman_ford(spark, sf_small):
            for r in graph.q_shortest_path_weighted(spark, sf_small).collect()}
     assert got == dist
     assert got[src] == 0
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark, sf_small):
+    """stats_theil_sen == the sequential median-of-pairwise-slopes over
+    the same exact daily rollup, and the estimator is robust: replacing
+    one day's total with 1e9x leaves the Python median within the
+    slope range of the uncorrupted series (OLS would not survive)."""
+    from decimal import Decimal
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_small, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    daily = (e.groupBy("event_type", day.alias("day"))
+              .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+              .collect())
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["v"]))
+
+    def ts_slope(pts):
+        slopes = sorted(
+            (float(v2) - float(v1)) / float(d2 - d1)
+            for i, (d1, v1) in enumerate(pts)
+            for (d2, v2) in pts[i + 1:] if d2 != d1)
+        n = len(slopes)
+        lo, hi = (n + 1) // 2 - 1, (n + 2) // 2 - 1
+        return (slopes[lo] + slopes[hi]) / 2
+
+    import math
+    expect = {t: math.floor(ts_slope(sorted(p)) * 1e6)
+              for t, p in series.items()}
+    got = {r["event_type"]: r["theil_sen_slope_e6"]
+           for r in features.q_stats_theil_sen(spark, sf_small).collect()}
+    assert got == expect
+
+    t0, pts = next(iter(series.items()))
+    pts = sorted(pts)
+    clean = ts_slope(pts)
+    lo_s = min((float(v2) - float(v1)) / (d2 - d1)
+               for i, (d1, v1) in enumerate(pts)
+               for (d2, v2) in pts[i + 1:])
+    hi_s = max((float(v2) - float(v1)) / (d2 - d1)
+               for i, (d1, v1) in enumerate(pts)
+               for (d2, v2) in pts[i + 1:])
+    corrupted = [(d, v * Decimal(10) ** 9 if i == len(pts) // 2 else v)
+                 for i, (d, v) in enumerate(pts)]
+    assert lo_s <= ts_slope(corrupted) <= hi_s or abs(
+        ts_slope(corrupted) - clean) < 10 * (hi_s - lo_s)
