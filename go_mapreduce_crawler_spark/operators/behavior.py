@@ -488,7 +488,46 @@ def q_cohort_ltv_curve(spark, sf_dir):
          .cast("long").alias("cum_ltv_cents"))
 
 
+def q_session_paths(spark, sf_dir):
+    """Top session paths: the first 3 event types of every 30-minute
+    session (the sessionize_events recipe), concatenated 'a>b>c', with
+    how many sessions took each path — the product-analytics "user
+    journey" query (path cardinality <= |event_types|^3, tiny).
+
+    Scale shape: ONE shuffle on user_id covers all three windows
+    (session boundary lag, boundary cumsum, within-session rank); the
+    per-session path is built from the <= 3 RANKED rows only — the
+    collect_list buffers 3 structs max per session, never a celebrity
+    user's history — and the path count is a partial+final hash agg on
+    a low-cardinality key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_seq = W.partitionBy("user_id").orderBy(*order)
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag("ts", 1).over(w_seq)))
+    sess = (e.withColumn("new_sess",
+                         F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0))
+             .withColumn("session_id",
+                         F.sum("new_sess").over(
+                             w_seq.rowsBetween(W.unboundedPreceding,
+                                               W.currentRow))))
+    w_in = W.partitionBy("user_id", "session_id").orderBy(*order)
+    first3 = (sess.withColumn("rn", F.row_number().over(w_in))
+                  .filter(F.col("rn") <= 3))
+    paths = (first3.groupBy("user_id", "session_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("rn", "event_type"))),
+                     lambda s: s["event_type"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path")
+                 .agg(F.count(F.lit(1)).alias("n_sessions")))
+
+
 QUERIES = {
+    "behavior_session_paths": q_session_paths,
     "rfm_segmentation": q_rfm_segmentation,
     "attribution_position_based": q_attribution_position,
     "funnel_windowed_72h": q_funnel_windowed,
@@ -776,4 +815,32 @@ ORACLE["cohort_ltv_curve"] = """
            CAST(FLOOR(CAST(c AS DOUBLE) / CAST(s.n_customers AS DOUBLE)
                       * 1e2) AS BIGINT) AS cum_ltv_cents
     FROM cum JOIN sizes s ON s.m0 = cum.cohort_m
+"""
+
+ORACLE["behavior_session_paths"] = """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                        LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+                      > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS session_id
+        FROM seq),
+    r AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess),
+    p AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY 1, 2)
+    SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
 """

@@ -1531,3 +1531,17 @@ def test_theil_sen_matches_python_median_of_slopes(spark, sf_small):
                  for i, (d, v) in enumerate(pts)]
     assert lo_s <= ts_slope(corrupted) <= hi_s or abs(
         ts_slope(corrupted) - clean) < 10 * (hi_s - lo_s)
+
+
+def test_session_paths_partition_sessions(spark, sf_small):
+    """Every 30-min session contributes exactly one path: n_sessions
+    sums to the sessionize_events row count, and each path is 1-3
+    '>'-joined event types from the alphabet."""
+    from go_mapreduce_crawler_spark.operators import behavior, relational
+    paths = behavior.q_session_paths(spark, sf_small).collect()
+    n_sessions = relational.q_sessionize(spark, sf_small).count()
+    assert sum(r["n_sessions"] for r in paths) == n_sessions
+    types = {"click", "view", "signup", "error", "purchase"}
+    for r in paths:
+        segs = r["path"].split(">")
+        assert 1 <= len(segs) <= 3 and set(segs) <= types, r["path"]
