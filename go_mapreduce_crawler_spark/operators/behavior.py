@@ -488,6 +488,52 @@ def q_cohort_ltv_curve(spark, sf_dir):
          .cast("long").alias("cum_ltv_cents"))
 
 
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_MAX_AGE_DAYS = 365
+# floor(2^(-d/half_life) * 1e12), computed ONCE in Python and shared by
+# both engines (Spark joins it broadcast; the DuckDB oracle inlines it
+# as VALUES) — the repo's weight-table answer to libm pow not being a
+# cross-engine contract.  Ages past the table decay to w < 1e-12*1e12
+# = 0 anyway, so the left-join + COALESCE(w, 0) IS the true tail.
+_DECAY_W = tuple(
+    (d, int(2.0 ** (-d / float(DECAY_HALF_LIFE_DAYS)) * 1e12))
+    for d in range(DECAY_MAX_AGE_DAYS + 1))
+
+
+def q_decayed_engagement(spark, sf_dir):
+    """Half-life-decayed engagement score per user: sum of event value
+    weighted by 2^(-age_days/7), age measured from the corpus max day —
+    the recency-weighted activity metric behind "active user" ranking
+    (RFM's recency column made continuous).
+
+    Exactness: value goes to integer CENTS, the decay weight is an
+    integer from the shared 366-row table, so every term is one exact
+    BIGINT multiply and the per-user fold is an order-independent
+    DECIMAL(38,0) sum — floats appear exactly once, in the final
+    floor(sum/1e12) descale of an identical exact input on both
+    engines.  The corpus max day is an IN-PLAN broadcast aggregate
+    (no driver collect), and the weight table joins broadcast, so the
+    events table shuffles ONCE, on user_id, for the final agg.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    mx = e.agg(F.max(day).alias("max_day"))
+    w = spark.createDataFrame(list(_DECAY_W), "age_d int, w_e12 long")
+    cents = (dec("value", "decimal(12,2)") * 100).cast("long")
+    base = (e.select("user_id", day.alias("day"), cents.alias("cents"))
+             .crossJoin(F.broadcast(mx))
+             .withColumn("age_d", F.col("max_day") - F.col("day"))
+             .join(F.broadcast(w), "age_d", "left"))
+    term = (F.col("cents") * F.coalesce("w_e12", F.lit(0))
+            ).cast("decimal(38,0)")
+    return (base.groupBy("user_id")
+                .agg(F.sum(term).alias("s"),
+                     F.count(F.lit(1)).alias("n_events"))
+                .select("user_id", "n_events",
+                        F.floor(F.col("s").cast("double") / F.lit(1e12))
+                         .cast("long").alias("score_cents")))
+
+
 def q_session_paths(spark, sf_dir):
     """Top session paths: the first 3 event types of every 30-minute
     session (the sessionize_events recipe), concatenated 'a>b>c', with
@@ -528,6 +574,7 @@ def q_session_paths(spark, sf_dir):
 
 QUERIES = {
     "behavior_session_paths": q_session_paths,
+    "events_decayed_engagement": q_decayed_engagement,
     "rfm_segmentation": q_rfm_segmentation,
     "attribution_position_based": q_attribution_position,
     "funnel_windowed_72h": q_funnel_windowed,
@@ -844,3 +891,30 @@ ORACLE["behavior_session_paths"] = """
         FROM r WHERE rn <= 3 GROUP BY 1, 2)
     SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
 """
+
+
+def _decayed_engagement_oracle() -> str:
+    vals = ", ".join(f"({d}, {w})" for d, w in _DECAY_W)
+    return f"""
+    WITH w(age_d, w_e12) AS (VALUES {vals}),
+    mx AS (SELECT MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS max_day FROM events),
+    base AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               (SELECT max_day FROM mx)
+                   - datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS age_d
+        FROM events),
+    t AS (
+        SELECT user_id,
+               CAST(cents * COALESCE(w.w_e12, 0) AS DECIMAL(38,0)) AS term
+        FROM base LEFT JOIN w USING (age_d))
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(FLOOR(CAST(SUM(term) AS DOUBLE) / 1e12) AS BIGINT)
+               AS score_cents
+    FROM t GROUP BY 1
+    """
+
+
+ORACLE["events_decayed_engagement"] = _decayed_engagement_oracle()

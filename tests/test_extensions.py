@@ -1545,3 +1545,37 @@ def test_session_paths_partition_sessions(spark, sf_small):
     for r in paths:
         segs = r["path"].split(">")
         assert 1 <= len(segs) <= 3 and set(segs) <= types, r["path"]
+
+
+def test_decayed_engagement_matches_python_fold(spark, sf_small):
+    """events_decayed_engagement == a sequential integer fold with the
+    same shared weight table; decay only shrinks: score <= undecayed
+    cents total for non-negative values."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from go_mapreduce_crawler_spark.operators import behavior
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = (load_table(spark, sf_small, "events")
+            .select("user_id", F.to_date("ts").alias("d"), "value")
+            .collect())
+    wt = dict(behavior._DECAY_W)
+    epoch = __import__("datetime").date(1970, 1, 1)
+    max_day = max((r["d"] - epoch).days for r in rows)
+    acc, cnt, raw = {}, {}, {}
+    for r in rows:
+        cents = int(Decimal(str(r["value"])).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP) * 100)
+        age = max_day - (r["d"] - epoch).days
+        u = r["user_id"]
+        acc[u] = acc.get(u, 0) + cents * wt.get(age, 0)
+        raw[u] = raw.get(u, 0) + cents
+        cnt[u] = cnt.get(u, 0) + 1
+    expect = {u: (cnt[u], math.floor(v / 1e12)) for u, v in acc.items()}
+    got = {r["user_id"]: (r["n_events"], r["score_cents"])
+           for r in behavior.q_decayed_engagement(spark, sf_small).collect()}
+    assert got == expect
+    for u, (_, score) in got.items():
+        assert score <= raw[u]
