@@ -470,6 +470,76 @@ def q_dsir_weights(spark, sf_dir):
                         .cast("long").alias("mean_logw_e6")))
 
 
+# ------------------------------------------------------------------
+# Crawl-frontier URL canonicalization + dedup
+# ------------------------------------------------------------------
+#
+# The reference IS a crawler (crawler.go's worklist of fetch targets),
+# and the first thing a crawl frontier needs at 100 TB is URL
+# canonicalization: the same page arrives as HTTP://HOST:80/a?b=2&a=1,
+# host/a/?a=1&b=2&utm_source=feed, and host/a?a=1&b=2#frag.  The
+# testdata has no URL column, so each document synthesizes ONE messy
+# URL deterministically from (doc_id, source) — five variant shapes
+# covering scheme/host case, default port, trailing slash, utm_*
+# params, unsorted params, and fragments — with the SAME expression in
+# both engines, then both canonicalize and dedup.  Canonical recipe:
+# strip fragment; lowercase scheme and host:port; drop the scheme's
+# default port; strip trailing path slashes (empty path -> '/'); drop
+# utm_* params; sort the rest.  Everything is JVM built-in string/array
+# ops (whole-stage codegen — no UDF), and the only shuffle is the final
+# partial+final agg on the canonical URL.
+
+def q_url_frontier_dedup(spark, sf_dir):
+    """Canonicalize one synthetic messy URL per document and collapse
+    the crawl frontier: canonical_url -> variant count + the smallest
+    doc_id as the fetch representative."""
+    d = load_table(spark, sf_dir, "documents")
+    pg = F.floor(F.col("doc_id") / 7).cast("bigint").cast("string")
+    v = F.col("doc_id") % 5
+    url = (F.when(v == 0, F.concat(F.lit("HTTP://"), F.upper("source"),
+                                   F.lit(".Example.COM:80/page/"), pg,
+                                   F.lit("?b=2&a=1")))
+            .when(v == 1, F.concat(F.lit("http://"), F.col("source"),
+                                   F.lit(".example.com/page/"), pg,
+                                   F.lit("/?a=1&b=2&utm_source=feed")))
+            .when(v == 2, F.concat(F.lit("http://"), F.col("source"),
+                                   F.lit(".example.com/page/"), pg,
+                                   F.lit("?a=1&b=2#sec-"),
+                                   (F.col("doc_id") % 3).cast("string")))
+            .when(v == 3, F.concat(F.lit("https://"), F.col("source"),
+                                   F.lit(".example.com/page/"), pg,
+                                   F.lit("?a=1&b=2")))
+            .otherwise(F.concat(F.lit("http://"), F.col("source"),
+                                F.lit(".example.com:8080/page/"), pg,
+                                F.lit("?a=1&b=2"))))
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z]+://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(hostport, ":80$", ""))
+             .when(scheme == "https",
+                   F.regexp_replace(hostport, ":443$", ""))
+             .otherwise(hostport))
+    pathq = F.regexp_replace(rest, "^[^/?]+", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, "^([^?]*)", 1),
+                            "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_")))
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+         .otherwise(F.lit("")))
+    return (d.select(canon.alias("canonical_url"), "doc_id")
+             .groupBy("canonical_url")
+             .agg(F.count(F.lit(1)).alias("n_variants"),
+                  F.min("doc_id").alias("keep_doc_id")))
+
+
 QUERIES = {
     "quality_classifier_hashed": q_quality_classifier,
     "dsir_importance_weights": q_dsir_weights,
@@ -479,6 +549,7 @@ QUERIES = {
     "text_blocklist_filter": q_blocklist_filter,
     "sample_token_budget": q_sample_token_budget,
     "shard_assignment": q_shard_assignment,
+    "crawl_url_frontier_dedup": q_url_frontier_dedup,
 }
 
 _W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
@@ -616,3 +687,74 @@ def _dsir_oracle_sql() -> str:
 
 
 ORACLE["dsir_importance_weights"] = _dsir_oracle_sql()
+
+ORACLE["crawl_url_frontier_dedup"] = """
+    WITH raw AS (
+        SELECT doc_id,
+               CAST(CAST(FLOOR(doc_id / 7) AS BIGINT) AS VARCHAR) AS pg,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'HTTP://' || upper(source)
+                             || '.Example.COM:80/page/'
+                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                                     AS VARCHAR)
+                             || '?b=2&a=1'
+                 WHEN 1 THEN 'http://' || source || '.example.com/page/'
+                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                                     AS VARCHAR)
+                             || '/?a=1&b=2&utm_source=feed'
+                 WHEN 2 THEN 'http://' || source || '.example.com/page/'
+                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                                     AS VARCHAR)
+                             || '?a=1&b=2#sec-'
+                             || CAST(doc_id % 3 AS VARCHAR)
+                 WHEN 3 THEN 'https://' || source || '.example.com/page/'
+                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                                     AS VARCHAR)
+                             || '?a=1&b=2'
+                 ELSE 'http://' || source || '.example.com:8080/page/'
+                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                                     AS VARCHAR)
+                             || '?a=1&b=2'
+               END AS url
+        FROM documents),
+    parts AS (
+        SELECT doc_id,
+               regexp_replace(url, '#.*$', '') AS u
+        FROM raw),
+    split1 AS (
+        SELECT doc_id, u,
+               lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+               regexp_replace(u, '^[A-Za-z]+://', '') AS rest
+        FROM parts),
+    split2 AS (
+        SELECT doc_id, scheme,
+               lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+               regexp_replace(rest, '^[^/?]+', '') AS pathq
+        FROM split1),
+    split3 AS (
+        SELECT doc_id, scheme,
+               CASE WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END AS host,
+               regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                              '/+$', '') AS path0,
+               regexp_extract(pathq, '\\?(.*)$', 1) AS query
+        FROM split2),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host
+               || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+               || CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&')
+                       ELSE '' END AS canonical_url
+        FROM (SELECT doc_id, scheme, host, path0,
+                     list_sort(list_filter(string_split(query, '&'),
+                         p -> p <> '' AND NOT starts_with(p, 'utm_')))
+                         AS params
+              FROM split3))
+    SELECT canonical_url, COUNT(*) AS n_variants,
+           MIN(doc_id) AS keep_doc_id
+    FROM canon GROUP BY 1
+"""

@@ -1579,3 +1579,64 @@ def test_decayed_engagement_matches_python_fold(spark, sf_small):
     assert got == expect
     for u, (_, score) in got.items():
         assert score <= raw[u]
+
+
+def test_url_frontier_dedup_matches_python_canonicalizer(spark, sf_small):
+    """crawl_url_frontier_dedup == a reference Python canonicalizer
+    over the same synthetic messy URLs; http/https and :8080 variants
+    must NOT collapse into the default-port http form."""
+    import re
+
+    from go_mapreduce_crawler_spark.operators import curation
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    docs = (load_table(spark, sf_small, "documents")
+            .select("doc_id", "source").collect())
+
+    def messy(doc_id, source):
+        pg = str(int(doc_id // 7))
+        v = doc_id % 5
+        if v == 0:
+            return (f"HTTP://{source.upper()}.Example.COM:80/page/{pg}"
+                    "?b=2&a=1")
+        if v == 1:
+            return (f"http://{source}.example.com/page/{pg}/"
+                    "?a=1&b=2&utm_source=feed")
+        if v == 2:
+            return (f"http://{source}.example.com/page/{pg}"
+                    f"?a=1&b=2#sec-{doc_id % 3}")
+        if v == 3:
+            return f"https://{source}.example.com/page/{pg}?a=1&b=2"
+        return f"http://{source}.example.com:8080/page/{pg}?a=1&b=2"
+
+    def canon(url):
+        u = re.sub(r"#.*$", "", url)
+        scheme, rest = u.split("://", 1)
+        scheme = scheme.lower()
+        m = re.match(r"^([^/?]+)", rest)
+        hostport = m.group(1).lower()
+        pathq = rest[m.end():]
+        default = {"http": ":80", "https": ":443"}.get(scheme)
+        host = (hostport[: -len(default)]
+                if default and hostport.endswith(default) else hostport)
+        path = re.sub(r"/+$", "", pathq.split("?")[0]) or "/"
+        query = pathq.split("?", 1)[1] if "?" in pathq else ""
+        params = sorted(p for p in query.split("&")
+                        if p and not p.startswith("utm_"))
+        return (f"{scheme}://{host}{path}"
+                + ("?" + "&".join(params) if params else ""))
+
+    expect = {}
+    for r in docs:
+        c = canon(messy(r["doc_id"], r["source"]))
+        n, keep = expect.get(c, (0, None))
+        expect[c] = (n + 1,
+                     r["doc_id"] if keep is None else min(keep, r["doc_id"]))
+    got = {r["canonical_url"]: (r["n_variants"], r["keep_doc_id"])
+           for r in curation.q_url_frontier_dedup(spark, sf_small).collect()}
+    assert got == expect
+    schemes = {u.split("://")[0] for u in got}
+    assert schemes == {"http", "https"}
+    assert any(":8080" in u for u in got)
+    assert not any(":80/" in u and ":8080" not in u for u in got)
+    assert not any("utm_" in u or "#" in u for u in got)
