@@ -494,8 +494,13 @@ def q_url_frontier_dedup(spark, sf_dir):
     the crawl frontier: canonical_url -> variant count + the smallest
     doc_id as the fetch representative."""
     d = load_table(spark, sf_dir, "documents")
-    pg = F.floor(F.col("doc_id") / 7).cast("bigint").cast("string")
-    v = F.col("doc_id") % 5
+    # variant = floor(doc_id/20) % 5 and page = floor(doc_id/100):
+    # source is src{doc_id % 20}, so within one 100-block each source
+    # sees the SAME page through all 5 messy shapes — canonicalization
+    # must collapse the three http-default-port variants (asserted in
+    # tests) while keeping https and :8080 distinct.
+    pg = F.floor(F.col("doc_id") / 100).cast("bigint").cast("string")
+    v = F.floor(F.col("doc_id") / 20).cast("bigint") % 5
     url = (F.when(v == 0, F.concat(F.lit("HTTP://"), F.upper("source"),
                                    F.lit(".Example.COM:80/page/"), pg,
                                    F.lit("?b=2&a=1")))
@@ -691,28 +696,28 @@ ORACLE["dsir_importance_weights"] = _dsir_oracle_sql()
 ORACLE["crawl_url_frontier_dedup"] = """
     WITH raw AS (
         SELECT doc_id,
-               CAST(CAST(FLOOR(doc_id / 7) AS BIGINT) AS VARCHAR) AS pg,
-               CASE doc_id % 5
+               CAST(CAST(FLOOR(doc_id / 100) AS BIGINT) AS VARCHAR) AS pg,
+               CASE CAST(FLOOR(doc_id / 20) AS BIGINT) % 5
                  WHEN 0 THEN 'HTTP://' || upper(source)
                              || '.Example.COM:80/page/'
-                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                             || CAST(CAST(FLOOR(doc_id / 100) AS BIGINT)
                                      AS VARCHAR)
                              || '?b=2&a=1'
                  WHEN 1 THEN 'http://' || source || '.example.com/page/'
-                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                             || CAST(CAST(FLOOR(doc_id / 100) AS BIGINT)
                                      AS VARCHAR)
                              || '/?a=1&b=2&utm_source=feed'
                  WHEN 2 THEN 'http://' || source || '.example.com/page/'
-                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                             || CAST(CAST(FLOOR(doc_id / 100) AS BIGINT)
                                      AS VARCHAR)
                              || '?a=1&b=2#sec-'
                              || CAST(doc_id % 3 AS VARCHAR)
                  WHEN 3 THEN 'https://' || source || '.example.com/page/'
-                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                             || CAST(CAST(FLOOR(doc_id / 100) AS BIGINT)
                                      AS VARCHAR)
                              || '?a=1&b=2'
                  ELSE 'http://' || source || '.example.com:8080/page/'
-                             || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT)
+                             || CAST(CAST(FLOOR(doc_id / 100) AS BIGINT)
                                      AS VARCHAR)
                              || '?a=1&b=2'
                END AS url

@@ -1594,8 +1594,8 @@ def test_url_frontier_dedup_matches_python_canonicalizer(spark, sf_small):
             .select("doc_id", "source").collect())
 
     def messy(doc_id, source):
-        pg = str(int(doc_id // 7))
-        v = doc_id % 5
+        pg = str(int(doc_id // 100))
+        v = (doc_id // 20) % 5
         if v == 0:
             return (f"HTTP://{source.upper()}.Example.COM:80/page/{pg}"
                     "?b=2&a=1")
@@ -1640,3 +1640,4 @@ def test_url_frontier_dedup_matches_python_canonicalizer(spark, sf_small):
     assert any(":8080" in u for u in got)
     assert not any(":80/" in u and ":8080" not in u for u in got)
     assert not any("utm_" in u or "#" in u for u in got)
+    assert any(n >= 3 for n, _ in got.values())  # variants collapsed
