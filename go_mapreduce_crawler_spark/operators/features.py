@@ -1198,6 +1198,57 @@ def q_stats_theil_sen(spark, sf_dir):
                     F.min("n").alias("n_pairs")))
 
 
+def q_anomaly_seasonal_residual(spark, sf_dir):
+    """Seasonality-adjusted anomaly detection: an event is anomalous
+    iff its value deviates from its (event_type, day-of-week, hour)
+    cell mean by more than 3 residual-sigmas of its type — the
+    follow-up to events_anomaly_mad that a daily/hourly load cycle
+    demands (a Friday-18:00 spike is normal ON FRIDAYS AT 18:00).
+
+    Identity used: sum of squared residuals against per-cell means
+    decomposes as SUM_b (S2_b - S_b^2/n_b) — entirely from the exact
+    per-cell DECIMAL power sums, no second residual pass.  Each cell's
+    contribution quantizes to integer micros before the cross-cell sum
+    (the pagerank fixed-point recipe: 168 doubles summed in engine
+    order would not be a contract), so the 3-sigma threshold is the
+    same double in both engines.  The events table never shuffles:
+    the cell grid (5x7x24) and per-type variances broadcast back onto
+    the scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")),
+                 F.lit(7))
+    v = dec("value", MONEY)
+    base = e.select("event_id", "event_type", dow.alias("dow"),
+                    F.hour("ts").alias("hour"), v.alias("v"))
+    cells = (base.groupBy("event_type", "dow", "hour")
+                 .agg(F.count(F.lit(1)).alias("n_b"),
+                      F.sum("v").alias("s_b"),
+                      F.sum(F.col("v") * F.col("v")).alias("s2_b")))
+    nb = F.col("n_b").cast("double")
+    sb = F.col("s_b").cast("double")
+    s2b = F.col("s2_b").cast("double")
+    cstats = cells.select(
+        "event_type", "dow", "hour", "n_b",
+        (sb / nb).alias("m_b"),
+        F.floor((s2b - sb * sb / nb) * 1e6).cast("long")
+         .alias("contrib_e6"))
+    var_t = (cstats.groupBy("event_type")
+             .agg(F.sum("contrib_e6").alias("ssd_e6"),
+                  F.sum("n_b").alias("n"))
+             .select("event_type",
+                     ((F.col("ssd_e6").cast("double") / F.lit(1e6))
+                      / F.col("n").cast("double")).alias("var_r")))
+    j = (base.join(F.broadcast(cstats.select("event_type", "dow",
+                                             "hour", "m_b")),
+                   ["event_type", "dow", "hour"])
+             .join(F.broadcast(var_t), "event_type"))
+    resid = F.col("v").cast("double") - F.col("m_b")
+    return (j.filter(resid * resid > F.lit(9.0) * F.col("var_r"))
+             .select("event_id", "event_type", "dow", "hour",
+                     F.floor(resid * 1e6).cast("long").alias("resid_e6")))
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
     "validate_referential_integrity": q_validate_referential,
@@ -1227,6 +1278,7 @@ QUERIES = {
     "stats_cohens_d": q_stats_cohens_d,
     "stats_spearman_corr": q_stats_spearman,
     "stats_theil_sen": q_stats_theil_sen,
+    "anomaly_seasonal_residual": q_anomaly_seasonal_residual,
 }
 
 ORACLE = {
@@ -1903,4 +1955,40 @@ ORACLE["stats_theil_sen"] = """
     FROM ranked
     WHERE rn = FLOOR((n + 1) / 2) OR rn = FLOOR((n + 2) / 2)
     GROUP BY 1
+"""
+
+ORACLE["anomaly_seasonal_residual"] = """
+    WITH base AS (
+        SELECT event_id, event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                   AS dow,
+               EXTRACT(hour FROM ts)::INT AS hour,
+               CAST(value AS DECIMAL(12,2)) AS v
+        FROM events),
+    cells AS (
+        SELECT event_type, dow, hour,
+               COUNT(*)::BIGINT AS n_b,
+               SUM(v) AS s_b, SUM(v * v) AS s2_b
+        FROM base GROUP BY 1, 2, 3),
+    cstats AS (
+        SELECT event_type, dow, hour, n_b,
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+               CAST(FLOOR((CAST(s2_b AS DOUBLE)
+                           - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                             / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS contrib_e6
+        FROM cells),
+    var_t AS (
+        SELECT event_type,
+               (CAST(SUM(contrib_e6) AS DOUBLE) / 1e6)
+                   / CAST(SUM(n_b) AS DOUBLE) AS var_r
+        FROM cstats GROUP BY 1)
+    SELECT b.event_id, b.event_type, b.dow, b.hour,
+           CAST(FLOOR((CAST(b.v AS DOUBLE) - c.m_b) * 1e6) AS BIGINT)
+               AS resid_e6
+    FROM base b
+    JOIN cstats c USING (event_type, dow, hour)
+    JOIN var_t t USING (event_type)
+    WHERE (CAST(b.v AS DOUBLE) - c.m_b)
+          * (CAST(b.v AS DOUBLE) - c.m_b) > 9.0 * t.var_r
 """

@@ -1641,3 +1641,53 @@ def test_url_frontier_dedup_matches_python_canonicalizer(spark, sf_small):
     assert not any(":80/" in u and ":8080" not in u for u in got)
     assert not any("utm_" in u or "#" in u for u in got)
     assert any(n >= 3 for n, _ in got.values())  # variants collapsed
+
+
+def test_anomaly_seasonal_residual_matches_python(spark, sf_small):
+    """anomaly_seasonal_residual == a sequential Python pass using the
+    same cell-mean / decomposed-variance recipe, and flagged events are
+    a subset of all events with |resid| strictly above 3 sigma."""
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = (load_table(spark, sf_small, "events")
+            .select("event_id", "event_type", "value",
+                    F.pmod(F.datediff(F.to_date("ts"),
+                                      F.lit("1970-01-01")),
+                           F.lit(7)).alias("dow"),
+                    F.hour("ts").alias("hour"))
+            .collect())
+    cell = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    for r in rows:
+        v = Decimal(str(r["value"])).quantize(Decimal("0.01"),
+                                              rounding=ROUND_HALF_UP)
+        c = cell[(r["event_type"], r["dow"], r["hour"])]
+        c[0] += 1
+        c[1] += v
+        c[2] += v * v
+    contrib, n_t = defaultdict(int), defaultdict(int)
+    m_b = {}
+    for k, (n, s, s2) in cell.items():
+        m_b[k] = float(s) / n
+        contrib[k[0]] += math.floor(
+            (float(s2) - float(s) * float(s) / n) * 1e6)
+        n_t[k[0]] += n
+    var = {t: (contrib[t] / 1e6) / n_t[t] for t in contrib}
+    expect = {}
+    for r in rows:
+        v = float(Decimal(str(r["value"])).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP))
+        k = (r["event_type"], r["dow"], r["hour"])
+        resid = v - m_b[k]
+        if resid * resid > 9.0 * var[r["event_type"]]:
+            expect[r["event_id"]] = math.floor(resid * 1e6)
+    got = {r["event_id"]: r["resid_e6"]
+           for r in features.q_anomaly_seasonal_residual(
+               spark, sf_small).collect()}
+    assert got == expect
+    assert 0 < len(got) < len(rows)
