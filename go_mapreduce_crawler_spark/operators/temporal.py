@@ -878,7 +878,87 @@ def q_rolling_zscore(spark, sf_dir):
          .cast("long").alias("z_e6"))
 
 
+HOLT_ALPHA, HOLT_BETA = 0.5, 0.3
+HOLT_MAX_LAG = 400
+
+
+def _holt_weights():
+    """Per-lag forecast coefficients for Holt's linear method.
+
+    The recurrence l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}),
+    b_t = a*b*y_t - a*b*l_{t-1} + (1-a*b)*b_{t-1} (init l_1=y_1,
+    b_1=0) is LINEAR: state_T = M^(T-1) e1 y_1 + sum_{t>=2} M^(T-t) g
+    y_t with constant M, so the one-step forecast l_T + b_T is a pure
+    weighted sum of the series where each y_t's weight depends only on
+    its lag from the end (plus a special column for the first point).
+    That turns a sequential fold into ONE broadcast-join + exact
+    integer aggregate — no recursion, no window scan over the series.
+    Weights are computed once here, quantized to integer e6, and
+    shared verbatim by the Spark plan and the DuckDB oracle (the
+    decayed-engagement weight-table recipe): the operator's contract
+    is quantized-weight Holt, identical in both engines.
+    """
+    import math
+    a, b = HOLT_ALPHA, HOLT_BETA
+    m = ((1.0 - a, 1.0 - a), (-a * b, 1.0 - a * b))
+    p = ((1.0, 0.0), (0.0, 1.0))
+    rows = []
+    for lag in range(HOLT_MAX_LAG + 1):
+        wf_g = (p[0][0] + p[1][0]) * a + (p[0][1] + p[1][1]) * a * b
+        wf_e1 = p[0][0] + p[1][0]
+        rows.append((lag, int(math.floor(wf_g * 1e6)),
+                     int(math.floor(wf_e1 * 1e6))))
+        p = (
+            (m[0][0] * p[0][0] + m[0][1] * p[1][0],
+             m[0][0] * p[0][1] + m[0][1] * p[1][1]),
+            (m[1][0] * p[0][0] + m[1][1] * p[1][0],
+             m[1][0] * p[0][1] + m[1][1] * p[1][1]),
+        )
+    return tuple(rows)
+
+
+_HOLT_W = _holt_weights()
+
+
+def q_events_holt_forecast(spark, sf_dir):
+    """Holt double-exponential one-step forecast of daily revenue per
+    event_type (level + trend smoothing, the EWMA upgrade that tracks
+    a drifting series) — evaluated in closed form as a lag-weighted
+    sum (see _holt_weights), so the "iterative" smoother costs one
+    exact DECIMAL rollup + one broadcast join + one integer fold.
+
+    The series is the daily-revenue rollup in integer cents; rank and
+    length come from one window over that tiny (|types| x |days|)
+    relation; every term is cents * weight_e6 in BIGINT (exact), the
+    per-type sum is order-independent, and the only float op is the
+    final descale.  Missing days per type compress ranks (position
+    lag, not calendar lag) — robust to sparse types.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    daily = (e.groupBy("event_type", day.alias("day"))
+              .agg((F.sum(dec("value", MONEY)) * 100)
+                   .cast("long").alias("cents")))
+    wt = W.partitionBy("event_type")
+    ranked = (daily
+              .withColumn("rn", F.row_number().over(wt.orderBy("day")))
+              .withColumn("t_len", F.count(F.lit(1)).over(wt))
+              .withColumn("lag", F.col("t_len") - F.col("rn")))
+    w = spark.createDataFrame(
+        list(_HOLT_W), "lag int, wf_g_e6 long, wf_e1_e6 long")
+    term = F.col("cents") * F.when(F.col("rn") == 1, F.col("wf_e1_e6")) \
+                             .otherwise(F.col("wf_g_e6"))
+    return (ranked.join(F.broadcast(w), "lag")
+            .groupBy("event_type")
+            .agg(F.max("t_len").alias("n_days"),
+                 F.sum(term).alias("s"))
+            .select("event_type", "n_days",
+                    F.floor(F.col("s").cast("double") / F.lit(1e6))
+                     .cast("long").alias("forecast_cents")))
+
+
 QUERIES = {
+    "events_holt_forecast": q_events_holt_forecast,
     "events_ewma_smooth": q_events_ewma,
     "window_streak_longest": q_streak_longest,
     "events_seasonality_profile": q_events_seasonality,
@@ -1338,3 +1418,33 @@ ORACLE["window_rolling_zscore_30d"] = """
            END AS z_e6
     FROM wins
 """
+
+
+def _holt_oracle() -> str:
+    vals = ", ".join(f"({lag}, {g}, {e1})" for lag, g, e1 in _HOLT_W)
+    return f"""
+    WITH w(lag, wf_g_e6, wf_e1_e6) AS (VALUES {vals}),
+    daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS t_len
+        FROM daily)
+    SELECT r.event_type, MAX(r.t_len) AS n_days,
+           CAST(FLOOR(CAST(SUM(r.cents * CASE WHEN r.rn = 1
+                                THEN w.wf_e1_e6
+                                ELSE w.wf_g_e6 END) AS DOUBLE)
+                      / 1e6) AS BIGINT) AS forecast_cents
+    FROM ranked r JOIN w ON w.lag = r.t_len - r.rn
+    GROUP BY 1
+    """
+
+
+ORACLE["events_holt_forecast"] = _holt_oracle()

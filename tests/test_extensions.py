@@ -1691,3 +1691,48 @@ def test_anomaly_seasonal_residual_matches_python(spark, sf_small):
                spark, sf_small).collect()}
     assert got == expect
     assert 0 < len(got) < len(rows)
+
+
+def test_holt_forecast_equals_sequential_recurrence(spark, sf_small):
+    """The closed-form lag-weight evaluation must agree with the
+    SEQUENTIAL Holt recurrence (l_1=y_1, b_1=0) within the quantized
+    weight-table error bound sum(|y_t|)*1e-6 + 1 floor step — the
+    linearity argument made executable — and exactly equal the Python
+    evaluation of the shared weight table."""
+    import math
+    from collections import defaultdict
+
+    from go_mapreduce_crawler_spark.operators import temporal
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    daily = (load_table(spark, sf_small, "events")
+             .groupBy("event_type",
+                      F.datediff(F.to_date("ts"),
+                                 F.lit("1970-01-01")).alias("day"))
+             .agg((F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+                  .cast("long").alias("cents"))
+             .collect())
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["cents"]))
+    got = {r["event_type"]: r["forecast_cents"]
+           for r in temporal.q_events_holt_forecast(
+               spark, sf_small).collect()}
+    wtab = temporal._HOLT_W
+    a, b = temporal.HOLT_ALPHA, temporal.HOLT_BETA
+    for t, pts in series.items():
+        ys = [c for _, c in sorted(pts)]
+        n = len(ys)
+        # exact shared-table evaluation
+        s = sum(c * (wtab[n - rn][2] if rn == 1 else wtab[n - rn][1])
+                for rn, c in enumerate(ys, 1))
+        assert got[t] == math.floor(s / 1e6)
+        # sequential recurrence within quantization bound
+        l, tr = float(ys[0]), 0.0
+        for y in ys[1:]:
+            l_new = a * y + (1 - a) * (l + tr)
+            tr = b * (l_new - l) + (1 - b) * tr
+            l = l_new
+        bound = sum(abs(y) for y in ys) * 1e-6 + 1
+        assert abs(got[t] - (l + tr)) <= bound, (t, got[t], l + tr)
