@@ -1198,29 +1198,21 @@ def q_stats_theil_sen(spark, sf_dir):
                     F.min("n").alias("n_pairs")))
 
 
-def q_anomaly_seasonal_residual(spark, sf_dir):
-    """Seasonality-adjusted anomaly detection: an event is anomalous
-    iff its value deviates from its (event_type, day-of-week, hour)
-    cell mean by more than 3 residual-sigmas of its type — the
-    follow-up to events_anomaly_mad that a daily/hourly load cycle
-    demands (a Friday-18:00 spike is normal ON FRIDAYS AT 18:00).
-
-    Identity used: sum of squared residuals against per-cell means
-    decomposes as SUM_b (S2_b - S_b^2/n_b) — entirely from the exact
-    per-cell DECIMAL power sums, no second residual pass.  Each cell's
-    contribution quantizes to integer micros before the cross-cell sum
-    (the pagerank fixed-point recipe: 168 doubles summed in engine
-    order would not be a contract), so the 3-sigma threshold is the
-    same double in both engines.  The events table never shuffles:
-    the cell grid (5x7x24) and per-type variances broadcast back onto
-    the scan.
-    """
-    e = load_table(spark, sf_dir, "events")
+def _seasonal_base(events):
+    """Row-local (event_id, type, dow, hour, exact-DECIMAL value)."""
     dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")),
                  F.lit(7))
-    v = dec("value", MONEY)
-    base = e.select("event_id", "event_type", dow.alias("dow"),
-                    F.hour("ts").alias("hour"), v.alias("v"))
+    return events.select("event_id", "event_type", dow.alias("dow"),
+                         F.hour("ts").alias("hour"),
+                         dec("value", MONEY).alias("v"))
+
+
+def seasonal_baseline(events):
+    """Train the seasonal baseline: (event_type, dow, hour, m_b) cell
+    means + (event_type, var_r) residual variances — the static
+    relations streaming.stream_anomaly_scoring broadcasts onto a live
+    stream."""
+    base = _seasonal_base(events)
     cells = (base.groupBy("event_type", "dow", "hour")
                  .agg(F.count(F.lit(1)).alias("n_b"),
                       F.sum("v").alias("s_b"),
@@ -1239,8 +1231,30 @@ def q_anomaly_seasonal_residual(spark, sf_dir):
              .select("event_type",
                      ((F.col("ssd_e6").cast("double") / F.lit(1e6))
                       / F.col("n").cast("double")).alias("var_r")))
-    j = (base.join(F.broadcast(cstats.select("event_type", "dow",
-                                             "hour", "m_b")),
+    return cstats.select("event_type", "dow", "hour", "m_b"), var_t
+
+
+def q_anomaly_seasonal_residual(spark, sf_dir):
+    """Seasonality-adjusted anomaly detection: an event is anomalous
+    iff its value deviates from its (event_type, day-of-week, hour)
+    cell mean by more than 3 residual-sigmas of its type — the
+    follow-up to events_anomaly_mad that a daily/hourly load cycle
+    demands (a Friday-18:00 spike is normal ON FRIDAYS AT 18:00).
+
+    Identity used: sum of squared residuals against per-cell means
+    decomposes as SUM_b (S2_b - S_b^2/n_b) — entirely from the exact
+    per-cell DECIMAL power sums, no second residual pass.  Each cell's
+    contribution quantizes to integer micros before the cross-cell sum
+    (the pagerank fixed-point recipe: 168 doubles summed in engine
+    order would not be a contract), so the 3-sigma threshold is the
+    same double in both engines.  The events table never shuffles:
+    the cell grid (5x7x24) and per-type variances broadcast back onto
+    the scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = _seasonal_base(e)
+    cell_means, var_t = seasonal_baseline(e)
+    j = (base.join(F.broadcast(cell_means),
                    ["event_type", "dow", "hour"])
              .join(F.broadcast(var_t), "event_type"))
     resid = F.col("v").cast("double") - F.col("m_b")

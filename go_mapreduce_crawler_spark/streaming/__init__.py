@@ -1,10 +1,14 @@
-from .sessions import stream_sessionize, stream_windowed_counts
-from .stateful import (read_mv_state, stream_dedup, stream_gap_fill,
+from .sessions import (stream_sessionize, stream_trending_counts,
+                       stream_windowed_counts, trending_topk_finalize)
+from .stateful import (read_mv_state, stream_anomaly_scoring,
+                       stream_dedup, stream_gap_fill,
                        stream_mv_refresh, stream_running_totals,
                        stream_stream_left_outer_join,
                        stream_stream_purchase_view_join, stream_to_parquet)
 
 __all__ = ["stream_sessionize", "stream_windowed_counts",
+           "stream_trending_counts", "trending_topk_finalize",
+           "stream_anomaly_scoring",
            "stream_dedup", "stream_gap_fill", "stream_running_totals",
            "stream_stream_purchase_view_join", "stream_stream_left_outer_join",
            "stream_to_parquet",

@@ -53,3 +53,35 @@ def stream_sessionize(events: DataFrame,
                     F.unix_micros("sw.start").alias("start_us"),
                     F.unix_micros("sw.end").alias("end_us"),
                     "n_events", "sum_value"))
+
+
+def stream_trending_counts(events: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming half of trending-topics: watermarked tumbling counts
+    per (window, event_type), append mode — each window's counts emit
+    exactly once, when the watermark closes it.
+
+    Ranking (the top-k step) is NOT expressible on an open stream —
+    a window function over a streaming aggregate would re-rank on
+    every update — so the contract splits: this emits closed windows;
+    ``trending_topk_finalize`` ranks them (run it inside foreachBatch
+    on the appended rows, or on the sink table).  The batch twin is
+    operators.temporal's events_trending_k.
+    """
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.unix_micros("win.start").alias("win_start_us"),
+                    "event_type", "n_events"))
+
+
+def trending_topk_finalize(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank closed-window counts to the top-k types per window —
+    deterministic tie-break on event_type.  Batch-side finalizer for
+    stream_trending_counts (foreachBatch / sink-table step)."""
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("win_start_us")
+          .orderBy(F.desc("n_events"), F.asc("event_type")))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))

@@ -295,3 +295,35 @@ def read_mv_state(spark, state_dir: str) -> DataFrame:
     versions = sorted(int(p.rsplit("state_v", 1)[1])
                       for p in _glob.glob(f"{state_dir}/state_v*"))
     return spark.read.parquet(f"{state_dir}/state_v{versions[-1]}")
+
+
+def stream_anomaly_scoring(events: DataFrame,
+                           cell_means: DataFrame,
+                           type_vars: DataFrame) -> DataFrame:
+    """Score a live event stream against a STATIC seasonal baseline
+    (the online half of features.q_anomaly_seasonal_residual): the
+    (event_type, dow, hour) cell means and per-type residual variances
+    are batch-trained relations that broadcast onto the stream, and
+    the 3-sigma verdict is row-local — so this is a pure projection
+    that runs identically on a batch or streaming DataFrame (the
+    blocklist_verdict pattern), with no streaming state at all.
+
+    cell_means: (event_type, dow, hour, m_b); type_vars:
+    (event_type, var_r) — exactly the intermediates of the batch
+    operator, so batch-vs-stream parity is definitional.
+    """
+    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")),
+                 F.lit(7))
+    base = events.select(
+        "event_id", "event_type", dow.alias("dow"),
+        F.hour("ts").alias("hour"),
+        F.col("value").cast("decimal(12,2)").alias("v"))
+    j = (base.join(F.broadcast(cell_means),
+                   ["event_type", "dow", "hour"], "left")
+             .join(F.broadcast(type_vars), "event_type", "left"))
+    resid = F.col("v").cast("double") - F.col("m_b")
+    return j.select(
+        "event_id", "event_type", "dow", "hour",
+        F.floor(resid * 1e6).cast("long").alias("resid_e6"),
+        F.coalesce(resid * resid > F.lit(9.0) * F.col("var_r"),
+                   F.lit(False)).alias("is_anomaly"))

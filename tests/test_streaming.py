@@ -536,3 +536,66 @@ def test_stream_stream_left_outer_join_matches_batch(spark, event_stream_dir):
     g = {(r.purchase_id, r.view_id) for r in got.collect()}
     assert g == e
     assert any(vid is None for _, vid in g), "no null-padded rows emitted"
+
+
+def test_stream_trending_topk_matches_batch(spark, event_stream_dir):
+    """Watermarked trending counts (append mode = closed windows only)
+    + batch finalizer must equal the batch windowed-count ranking."""
+    from go_mapreduce_crawler_spark.streaming import (
+        stream_trending_counts, trending_topk_finalize)
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream
+                     .schema(batch_events.schema).parquet(event_stream_dir))
+    closed = _run_stream_append(
+        spark, stream_trending_counts(stream_events), "trend_counts")
+    got = {tuple(r) for r in trending_topk_finalize(closed).collect()}
+
+    batch_counts = (batch_events
+                    .groupBy(F.window("ts", "1 hour").alias("win"),
+                             "event_type")
+                    .agg(F.count(F.lit(1)).alias("n_events"))
+                    .select(F.unix_micros("win.start")
+                             .alias("win_start_us"),
+                            "event_type", "n_events"))
+    expect = {tuple(r)
+              for r in trending_topk_finalize(batch_counts).collect()}
+    # availableNow + append emits only windows the final watermark
+    # (max_ts - 2h) closed: got must be exactly the closed subset.
+    max_us = batch_events.agg(
+        F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = max_us - 2 * 3600 * 1_000_000
+    closed_expect = {r for r in expect
+                     if r[0] + 3600 * 1_000_000 <= wm_us}
+    assert len(got) > 0 and got == closed_expect
+    by_win = {}
+    for win, _, _, rnk in got:
+        by_win.setdefault(win, []).append(rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_win.values())
+
+
+def test_stream_anomaly_scoring_matches_batch_operator(spark,
+                                                       event_stream_dir,
+                                                       sf_small):
+    """Scoring a stream against the batch-trained seasonal baseline
+    must flag exactly the rows the batch operator emits."""
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.streaming import stream_anomaly_scoring
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    cell_means, var_t = features.seasonal_baseline(batch_events)
+    cell_means, var_t = cell_means.cache(), var_t.cache()
+    stream_events = (spark.readStream
+                     .schema(batch_events.schema).parquet(event_stream_dir))
+    got = _run_stream_append(
+        spark,
+        stream_anomaly_scoring(stream_events, cell_means, var_t),
+        "anom_scores")
+    flagged = {r.event_id: r.resid_e6
+               for r in got.collect() if r.is_anomaly}
+    expect = {r.event_id: r.resid_e6
+              for r in features.q_anomaly_seasonal_residual(
+                  spark, sf_small).collect()}
+    assert flagged == expect and len(flagged) > 0
+    assert got.count() == batch_events.count()
