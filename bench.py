@@ -99,6 +99,12 @@ HEADLINE = [
     "corpus_line_dedup_keepfirst",
     "events_crosscorr_lagged",
     "multimodal_near_dup_phash",
+    # r05b additions — one representative per new family
+    "ann_pq_adc",
+    "crawl_url_frontier_dedup",
+    "events_holt_forecast",
+    "behavior_session_paths",
+    "graph_shortest_path_weighted",
 ]
 
 N_CRAWL_FILES = 2000

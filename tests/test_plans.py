@@ -772,3 +772,42 @@ def test_r04_batch4_plan_shapes(spark, sf_small):
                temporal.q_streak_longest, text.q_text_ngram_novelty,
                dedup.q_dedup_cluster_sizes):
         assert has_partial_and_final_agg(fn(spark, sf_small)), fn.__name__
+
+
+def test_r05b_plan_shapes(spark, sf_small):
+    """r05b batch: URL canonicalization is pure codegen (no Python, no
+    explode) with exactly the one final agg shuffle; seasonal-residual
+    anomaly broadcasts the cell grid + variances back onto the fact
+    scan; decayed engagement broadcasts the weight table and max-day
+    (one user_id shuffle, no driver collect of data); Holt's forecast
+    joins the weight table broadcast; Theil-Sen pairs only the
+    aggregated daily series."""
+    from go_mapreduce_crawler_spark.operators import (behavior, curation,
+                                                      features, temporal)
+    url = curation.q_url_frontier_dedup(spark, sf_small)
+    plan = physical_plan(url)
+    assert not has_python_udf(url)
+    assert "Generate" not in plan, plan[:1200]       # no explode survives
+    assert n_shuffle_exchanges(url) == 1, plan[:1200]
+    assert has_partial_and_final_agg(url)
+
+    an = features.q_anomaly_seasonal_residual(spark, sf_small)
+    aplan = physical_plan(an)
+    assert aplan.count("BroadcastHashJoin") >= 2, aplan[:2000]
+    assert not has_python_udf(an)
+
+    de = behavior.q_decayed_engagement(spark, sf_small)
+    dplan = physical_plan(de)
+    assert has_broadcast_join(de)
+    assert not has_python_udf(de)
+    assert "BroadcastNestedLoopJoin" in dplan, dplan[:1500]  # max-day
+
+    hf = temporal.q_events_holt_forecast(spark, sf_small)
+    assert has_broadcast_join(hf)
+    assert not has_python_udf(hf)
+
+    ts = features.q_stats_theil_sen(spark, sf_small)
+    assert not has_python_udf(ts)
+    # the pair join's inputs are the compacted daily rollup: the join
+    # must sit ABOVE at least one partial+final aggregate
+    assert has_partial_and_final_agg(ts)
