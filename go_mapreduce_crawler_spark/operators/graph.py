@@ -387,6 +387,60 @@ def q_clustering_coefficient(spark, sf_dir):
                      .cast("long").alias("clustering_ppm"))
 
 
+PPR_N_SEEDS = 3
+
+
+def q_ppr_seeded(spark, sf_dir, n_iter: int = 5, d: float = 0.85):
+    """Personalized PageRank: random walks restart at a SEED SET (the
+    3 smallest strong-graph nodes) instead of everywhere — "related
+    items for THESE products", the recommendation form of PageRank.
+
+    Same Pregel data movement and exact-arithmetic discipline as
+    q_pagerank_copurchase (quantize contributions to floor(c*1e15)
+    longs, exact SUM, one dequantize per iteration; localCheckpoint per
+    round); only the teleport differs — (1-d)/|S| lands on seeds, 0
+    elsewhere, via one broadcast membership join per iteration.  Seeds
+    are a 3-row driver collect of ids (the bfs source-node pattern),
+    never data.
+    """
+    edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb")
+    adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+           .union(edges.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst")))
+           .cache())
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj_deg = adj.join(deg, "src").localCheckpoint()
+    seeds = [r[0] for r in
+             deg.select("src").orderBy("src").limit(PPR_N_SEEDS).collect()]
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "seed bigint")
+    init = 1.0 / PPR_N_SEEDS
+    restart = (1.0 - d) / PPR_N_SEEDS
+    pr = (deg.select(F.col("src").alias("node"))
+             .join(F.broadcast(seed_df), F.col("node") == F.col("seed"),
+                   "left")
+             .select("node",
+                     F.when(F.col("seed").isNotNull(), F.lit(init))
+                      .otherwise(F.lit(0.0)).alias("rank")))
+    for _ in range(n_iter):
+        contribs = (adj_deg.join(pr, adj_deg.src == pr.node)
+                    .select("dst",
+                            F.floor((F.col("rank") / F.col("deg"))
+                                    * F.lit(1e15)).alias("c_fp"))
+                    .groupBy("dst")
+                    .agg(F.sum("c_fp").alias("inflow_fp")))
+        pr = (contribs
+              .join(F.broadcast(seed_df), F.col("dst") == F.col("seed"),
+                    "left")
+              .select(F.col("dst").alias("node"),
+                      (F.when(F.col("seed").isNotNull(), F.lit(restart))
+                        .otherwise(F.lit(0.0))
+                       + F.lit(d) * (F.col("inflow_fp").cast("double")
+                                     / F.lit(1e15))).alias("rank"))
+              .localCheckpoint())
+    return pr.select("node", F.floor(F.col("rank") * 1e9)
+                     .cast("long").alias("rank_e9"))
+
+
 def q_shortest_path_weighted(spark, sf_dir, n_iter: int = 4):
     """Bounded single-source WEIGHTED shortest path (Bellman-Ford,
     <= 4 edges) from the smallest node of the strong co-purchase
@@ -438,6 +492,7 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "graph_adamic_adar": q_adamic_adar,
     "graph_shortest_path_weighted": q_shortest_path_weighted,
+    "graph_ppr_seeded": q_ppr_seeded,
 }
 
 def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
@@ -745,3 +800,53 @@ def _shortest_path_oracle(n_iter: int = 4) -> str:
 
 
 ORACLE["graph_shortest_path_weighted"] = _shortest_path_oracle()
+
+
+def _ppr_oracle(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unrolled-CTE DuckDB twin of q_ppr_seeded — the _pagerank_oracle
+    recipe with the teleport restricted to the seed set."""
+    dd = repr(float(d))
+    init = repr(1.0 / PPR_N_SEEDS)
+    restart = repr((1.0 - d) / PPR_N_SEEDS)
+    ctes = [f"""
+        items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+        adj AS (SELECT pa AS src, pb AS dst FROM edges
+                UNION ALL SELECT pb, pa FROM edges),
+        deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+        seeds AS (SELECT src AS seed FROM deg
+                  ORDER BY src LIMIT {PPR_N_SEEDS}),
+        adjdeg AS (SELECT adj.src, adj.dst, deg.deg
+                   FROM adj JOIN deg USING (src)),
+        pr0 AS (SELECT d.src AS node,
+                       CASE WHEN s.seed IS NOT NULL
+                            THEN CAST('{init}' AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END AS rank
+                FROM deg d LEFT JOIN seeds s ON d.src = s.seed)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+        pr{i} AS (
+            SELECT g.node,
+                   CASE WHEN s.seed IS NOT NULL
+                        THEN CAST('{restart}' AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END
+                   + CAST('{dd}' AS DOUBLE) * g.inflow AS rank
+            FROM (SELECT a.dst AS node,
+                         CAST(SUM(CAST(floor(p.rank / a.deg * 1e15)
+                                       AS BIGINT)) AS DOUBLE) / 1e15
+                             AS inflow
+                  FROM adjdeg a JOIN pr{i - 1} p ON p.node = a.src
+                  GROUP BY a.dst) g
+            LEFT JOIN seeds s ON g.node = s.seed)""")
+    return ("WITH" + ",".join(ctes)
+            + f"""
+        SELECT node, CAST(floor(rank * 1e9) AS BIGINT) AS rank_e9
+        FROM pr{n_iter}""")
+
+
+ORACLE["graph_ppr_seeded"] = _ppr_oracle()

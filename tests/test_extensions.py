@@ -1736,3 +1736,18 @@ def test_holt_forecast_equals_sequential_recurrence(spark, sf_small):
             l = l_new
         bound = sum(abs(y) for y in ys) * 1e-6 + 1
         assert abs(got[t] - (l + tr)) <= bound, (t, got[t], l + tr)
+
+
+def test_ppr_conserves_mass_and_localizes_on_seeds(spark, sf_small):
+    """Personalized PageRank with no dangling nodes conserves unit
+    mass, and the walk stays local: the 3 seeds hold far more than 3
+    uniform shares of the total rank."""
+    from go_mapreduce_crawler_spark.operators import graph
+    rows = graph.q_ppr_seeded(spark, sf_small).collect()
+    total = sum(r["rank_e9"] for r in rows) / 1e9
+    assert abs(total - 1.0) < 1e-5
+    ranks = {r["node"]: r["rank_e9"] for r in rows}
+    seeds = sorted(ranks)[:graph.PPR_N_SEEDS]
+    seed_mass = sum(ranks[s] for s in seeds) / 1e9
+    assert seed_mass > 5.0 * graph.PPR_N_SEEDS / len(ranks)
+    assert all(v >= 0 for v in ranks.values())
