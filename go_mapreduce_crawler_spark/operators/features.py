@@ -1156,6 +1156,69 @@ def q_stats_spearman(spark, sf_dir):
         "CAST(m AS BIGINT) AS n")
 
 
+def _kw_h_exprs() -> tuple[str, str]:
+    """Kruskal-Wallis H and its tie-corrected form as fixed-order IEEE
+    expressions over exact columns: tsum = SUM_g floor(R2_g^2 / n_g)
+    in doubled-rank units (so SUM_g R_g^2/n_g = tsum/4), nn = N,
+    tt = SUM(c^3 - c).  Shared verbatim by both engines, floor 1e6."""
+    h = "(3.0 * tsum / (nn * (nn + 1.0)) - 3.0 * (nn + 1.0))"
+    corr = "(1.0 - tt / (nn * nn * nn - nn))"
+    return (f"CAST(FLOOR({h} * 1000000.0) AS BIGINT)",
+            f"CAST(FLOOR(({h} / {corr}) * 1000000.0) AS BIGINT)")
+
+
+def q_stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across ALL event types — the k-group rank test
+    that is to stats_anova_oneway what Mann-Whitney is to Welch's t:
+    one-way location comparison with no normality assumption.
+
+    The Mann-Whitney exactness kernel generalized to k groups: pooled
+    midranks stay EXACT integers in doubled units over the compacted
+    distinct-value relation (two-level bucketed prefix, no global
+    sort); per-group doubled rank sums R2_g accumulate in
+    DECIMAL(38,0); the one cross-group non-integer reduction
+    SUM_g R2_g^2/n_g is floored to an exact integer per group FIRST
+    (DECIMAL div == DuckDB // on HUGEINT — the ANOVA recipe), so both
+    engines reach identical inputs for the single fixed-order H
+    expression.  R2_g^2 <= 4*N^4 caps the exact path at N ~ 3e9 rows
+    per test cell; past that the GK-sketch rank approximation applies.
+    """
+    e = load_table(spark, sf_dir, "events")
+    vc = (e.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+           .withColumn("bkt", F.floor("value")))
+    bsum = vc.groupBy("bkt").agg(F.sum("c").alias("s"))
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "bkt", F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"))
+    w_in = (W.partitionBy("bkt").orderBy("value")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    run = (vc.join(F.broadcast(offs), "bkt")
+             .withColumn("rprev",
+                         F.col("off") + F.sum("c").over(w_in) - F.col("c")))
+    mid = run.select("value",
+                     (2 * d38("rprev") + d38("c") + 1).alias("mid2"))
+    gv = (e.groupBy("event_type", "value")
+           .agg(F.count(F.lit(1)).alias("cg")))
+    g = (gv.join(mid, "value")
+           .groupBy("event_type")
+           .agg(F.sum(d38("cg")).cast("decimal(38,0)").alias("n_g"),
+                F.sum(d38("cg") * F.col("mid2"))
+                 .cast("decimal(38,0)").alias("r2")))
+    per = g.selectExpr("n_g", "(r2 * r2) div n_g AS t")
+    tie = run.agg(
+        F.sum(d38("c") * d38("c") * d38("c") - d38("c"))
+         .cast("double").alias("tt"))
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                  F.sum("n_g").cast("double").alias("nn"),
+                  F.sum("t").cast("double").alias("tsum"))
+    h_e6, h_tie_e6 = _kw_h_exprs()
+    return (tot.crossJoin(F.broadcast(tie))
+               .selectExpr("k", "CAST(nn AS BIGINT) AS n",
+                           f"{h_e6} AS h_e6",
+                           f"{h_tie_e6} AS h_tie_e6"))
+
+
 def q_stats_theil_sen(spark, sf_dir):
     """Theil-Sen robust trend per event_type: the MEDIAN of all
     pairwise slopes of the daily-revenue series — the
@@ -1293,6 +1356,7 @@ QUERIES = {
     "stats_spearman_corr": q_stats_spearman,
     "stats_theil_sen": q_stats_theil_sen,
     "anomaly_seasonal_residual": q_anomaly_seasonal_residual,
+    "stats_kruskal_wallis": q_stats_kruskal_wallis,
 }
 
 ORACLE = {
@@ -2006,3 +2070,38 @@ ORACLE["anomaly_seasonal_residual"] = """
     WHERE (CAST(b.v AS DOUBLE) - c.m_b)
           * (CAST(b.v AS DOUBLE) - c.m_b) > 9.0 * t.var_r
 """
+
+
+def _kruskal_oracle() -> str:
+    h_e6, h_tie_e6 = _kw_h_exprs()
+    return f"""
+    WITH vc AS (
+        SELECT value AS v, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM events GROUP BY 1),
+    run AS (
+        SELECT v, c,
+               COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS rprev
+        FROM vc),
+    mid AS (SELECT v, c, 2 * rprev + c + 1 AS mid2 FROM run),
+    gv AS (
+        SELECT event_type, value AS v, CAST(COUNT(*) AS HUGEINT) AS cg
+        FROM events GROUP BY 1, 2),
+    g AS (
+        SELECT event_type, SUM(cg) AS n_g, SUM(cg * m.mid2) AS r2
+        FROM gv JOIN mid m USING (v) GROUP BY 1),
+    per AS (SELECT n_g, (r2 * r2) // n_g AS t FROM g),
+    tie AS (SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tt FROM vc),
+    tot AS (
+        SELECT COUNT(*)::BIGINT AS k,
+               CAST(SUM(n_g) AS DOUBLE) AS nn,
+               CAST(SUM(t) AS DOUBLE) AS tsum
+        FROM per)
+    SELECT k, CAST(nn AS BIGINT) AS n,
+           {h_e6} AS h_e6, {h_tie_e6} AS h_tie_e6
+    FROM tot, tie
+    """
+
+
+ORACLE["stats_kruskal_wallis"] = _kruskal_oracle()

@@ -1751,3 +1751,36 @@ def test_ppr_conserves_mass_and_localizes_on_seeds(spark, sf_small):
     seed_mass = sum(ranks[s] for s in seeds) / 1e9
     assert seed_mass > 5.0 * graph.PPR_N_SEEDS / len(ranks)
     assert all(v >= 0 for v in ranks.values())
+
+
+def test_kruskal_wallis_matches_python_midranks(spark, sf_small):
+    """stats_kruskal_wallis == a sequential Python evaluation with
+    exact doubled-unit midranks, per-group floored R2^2/n, and the same
+    fixed-order H expression."""
+    import math
+    from collections import Counter, defaultdict
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_small, "events")
+            .select("event_type", "value").collect())
+    cnt = Counter(r["value"] for r in rows)
+    mid2, rprev = {}, 0
+    for v in sorted(cnt):
+        mid2[v] = 2 * rprev + cnt[v] + 1
+        rprev += cnt[v]
+    grp = defaultdict(lambda: [0, 0])
+    for r in rows:
+        g = grp[r["event_type"]]
+        g[0] += 1
+        g[1] += mid2[r["value"]]
+    tsum = sum((r2 * r2) // n for n, r2 in grp.values())
+    nn = float(len(rows))
+    tt = float(sum(c ** 3 - c for c in cnt.values()))
+    h = 3.0 * tsum / (nn * (nn + 1.0)) - 3.0 * (nn + 1.0)
+    corr = 1.0 - tt / (nn ** 3 - nn)
+    row = features.q_stats_kruskal_wallis(spark, sf_small).collect()[0]
+    assert row["k"] == len(grp) and row["n"] == len(rows)
+    assert row["h_e6"] == math.floor(h * 1e6)
+    assert row["h_tie_e6"] == math.floor(h / corr * 1e6)
