@@ -1219,6 +1219,63 @@ def q_stats_kruskal_wallis(spark, sf_dir):
                            f"{h_tie_e6} AS h_tie_e6"))
 
 
+def q_stats_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b between lineitem quantity and discount — the
+    concordance-based association measure that completes the
+    correlation family (Pearson: linear; Spearman: monotone-by-rank;
+    Kendall: pairwise-order agreement, the most outlier-robust).
+
+    The O(n^2) pair enumeration collapses onto the COMPACTED value
+    grid: both columns have bounded domains (50 quantities x 11
+    discounts => <= 550 cells), so concordant/discordant pair counts
+    are one inequality join over a broadcast-sized relation —
+    SF-INVARIANT work after the single partial+final grid agg, with
+    every count an exact integer (C, D, tie terms all DECIMAL-exact).
+    tau-b's denominator is the one double expression, shared
+    fixed-order, floored at 1e-6.  Unbounded domains would first
+    bucket one side (the GK-sketch rank path); the grid form is the
+    exact-kernel fast path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (li.groupBy(F.col("l_quantity").alias("x"),
+                        F.col("l_discount").alias("y"))
+               .agg(F.count(F.lit(1)).alias("n_xy"))
+               .cache())
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = cells.select(F.col("x").alias("xa"), F.col("y").alias("ya"),
+                     F.col("n_xy").alias("na"))
+    b = cells.select(F.col("x").alias("xb"), F.col("y").alias("yb"),
+                     F.col("n_xy").alias("nb"))
+    prod = (F.col("na").cast("decimal(38,0)")
+            * F.col("nb").cast("decimal(38,0)"))
+    pairs = (a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+              .agg(F.sum(F.when(F.col("ya") < F.col("yb"), prod))
+                    .cast("decimal(38,0)").alias("c_pairs"),
+                   F.sum(F.when(F.col("ya") > F.col("yb"), prod))
+                    .cast("decimal(38,0)").alias("d_pairs")))
+    xt = (cells.groupBy("x").agg(F.sum("n_xy").alias("nx"))
+               .agg(F.sum(d38("nx") * (d38("nx") - 1) / 2)
+                     .cast("decimal(38,0)").alias("n1")))
+    yt = (cells.groupBy("y").agg(F.sum("n_xy").alias("ny"))
+               .agg(F.sum(d38("ny") * (d38("ny") - 1) / 2)
+                     .cast("decimal(38,0)").alias("n2")))
+    nn = cells.agg(F.sum("n_xy").cast("decimal(38,0)").alias("n"))
+    tau = ("CAST(FLOOR((CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE))"
+           " / sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))"
+           " * (CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)))"
+           " * 1000000.0) AS BIGINT)")
+    return (pairs.crossJoin(F.broadcast(xt))
+                 .crossJoin(F.broadcast(yt))
+                 .crossJoin(F.broadcast(nn))
+                 .selectExpr("CAST(n AS BIGINT) AS n",
+                             "CAST(c_pairs AS BIGINT) AS c_pairs",
+                             "CAST(d_pairs AS BIGINT) AS d_pairs",
+                             "n * (n - 1) div 2 AS n0",
+                             "n1", "n2")
+                 .selectExpr("n", "c_pairs", "d_pairs",
+                             f"{tau} AS tau_b_e6"))
+
+
 def q_stats_theil_sen(spark, sf_dir):
     """Theil-Sen robust trend per event_type: the MEDIAN of all
     pairwise slopes of the daily-revenue series — the
@@ -1357,6 +1414,7 @@ QUERIES = {
     "stats_theil_sen": q_stats_theil_sen,
     "anomaly_seasonal_residual": q_anomaly_seasonal_residual,
     "stats_kruskal_wallis": q_stats_kruskal_wallis,
+    "stats_kendall_tau": q_stats_kendall_tau,
 }
 
 ORACLE = {
@@ -2105,3 +2163,38 @@ def _kruskal_oracle() -> str:
 
 
 ORACLE["stats_kruskal_wallis"] = _kruskal_oracle()
+
+
+def _kendall_oracle() -> str:
+    tau = ("CAST(FLOOR((CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE))"
+           " / sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))"
+           " * (CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)))"
+           " * 1000000.0) AS BIGINT)")
+    return f"""
+    WITH cells AS (
+        SELECT l_quantity AS x, l_discount AS y,
+               CAST(COUNT(*) AS HUGEINT) AS n_xy
+        FROM lineitem GROUP BY 1, 2),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN a.y < b.y
+                             THEN a.n_xy * b.n_xy END) AS HUGEINT)
+                   AS c_pairs,
+               CAST(SUM(CASE WHEN a.y > b.y
+                             THEN a.n_xy * b.n_xy END) AS HUGEINT)
+                   AS d_pairs
+        FROM cells a JOIN cells b ON a.x < b.x),
+    xt AS (SELECT SUM((nx * (nx - 1)) // 2) AS n1
+           FROM (SELECT SUM(n_xy) AS nx FROM cells GROUP BY x)),
+    yt AS (SELECT SUM((ny * (ny - 1)) // 2) AS n2
+           FROM (SELECT SUM(n_xy) AS ny FROM cells GROUP BY y)),
+    nn AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+    base AS (
+        SELECT n, CAST(c_pairs AS BIGINT) AS c_pairs,
+               CAST(d_pairs AS BIGINT) AS d_pairs,
+               (CAST(n AS HUGEINT) * (n - 1)) // 2 AS n0, n1, n2
+        FROM pairs, xt, yt, nn)
+    SELECT n, c_pairs, d_pairs, {tau} AS tau_b_e6 FROM base
+    """
+
+
+ORACLE["stats_kendall_tau"] = _kendall_oracle()

@@ -1784,3 +1784,40 @@ def test_kruskal_wallis_matches_python_midranks(spark, sf_small):
     assert row["k"] == len(grp) and row["n"] == len(rows)
     assert row["h_e6"] == math.floor(h * 1e6)
     assert row["h_tie_e6"] == math.floor(h / corr * 1e6)
+
+
+def test_kendall_tau_matches_python_pair_enumeration(spark, sf_small):
+    """stats_kendall_tau == brute-force O(n^2) pair counting in Python
+    (ground truth on the raw rows, not the grid), including tie terms
+    and the tau-b normalization."""
+    import math
+    from collections import Counter
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    pts = [(r["l_quantity"], r["l_discount"])
+           for r in load_table(spark, sf_small, "lineitem")
+           .select("l_quantity", "l_discount").collect()]
+    n = len(pts)
+    cnt = Counter(pts)
+    keys = sorted(cnt)
+    c_pairs = d_pairs = 0
+    for i, (xa, ya) in enumerate(keys):
+        for xb, yb in keys[i + 1:]:
+            if xa == xb:
+                continue
+            if (xa < xb) == (ya < yb) and ya != yb:
+                c_pairs += cnt[(xa, ya)] * cnt[(xb, yb)]
+            elif ya != yb:
+                d_pairs += cnt[(xa, ya)] * cnt[(xb, yb)]
+    xc, yc = Counter(x for x, _ in pts), Counter(y for _, y in pts)
+    n0 = n * (n - 1) // 2
+    n1 = sum(v * (v - 1) // 2 for v in xc.values())
+    n2 = sum(v * (v - 1) // 2 for v in yc.values())
+    tau = (c_pairs - d_pairs) / math.sqrt(
+        (float(n0) - n1) * (float(n0) - n2))
+    row = features.q_stats_kendall_tau(spark, sf_small).collect()[0]
+    assert (row["n"], row["c_pairs"], row["d_pairs"]) == (n, c_pairs,
+                                                          d_pairs)
+    assert row["tau_b_e6"] == math.floor(tau * 1e6)
