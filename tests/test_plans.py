@@ -811,3 +811,22 @@ def test_r05b_plan_shapes(spark, sf_small):
     # the pair join's inputs are the compacted daily rollup: the join
     # must sit ABOVE at least one partial+final aggregate
     assert has_partial_and_final_agg(ts)
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_small,
+                                                 tmp_path):
+    """Hive-layout partitioned sink + filtered re-read must prune at
+    the PARTITION level (PartitionFilters on the scan, one partition
+    directory scanned) — the property that makes lang/source-sharded
+    100 TB corpora cheap to slice."""
+    from go_mapreduce_crawler_spark.sources.sinks import write_parquet
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, out, partition_by=["lang"], n_files=2)
+    rd = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = physical_plan(rd)
+    assert "PartitionFilters" in plan and "lang" in plan, plan[:1500]
+    n_langs = docs.select("lang").distinct().count()
+    assert rd.count() == docs.filter(F.col("lang") == "en").count()
+    assert n_langs > 1
