@@ -545,6 +545,54 @@ def q_url_frontier_dedup(spark, sf_dir):
                   F.min("doc_id").alias("keep_doc_id")))
 
 
+# robots.txt-style rules: (rule_id, host-or-*, path prefix, allow).
+# Longest matching prefix wins; a host-specific rule beats a wildcard
+# at equal prefix length (rule_id breaks exact ties).  Shared verbatim
+# by the Spark plan (broadcast) and the oracle (VALUES).
+ROBOTS_RULES = (
+    (1, "*", "/", 1),                       # default: allow
+    (2, "*", "/page/1", 0),                 # blocks /page/1, /page/1*
+    (3, "*", "/page/12", 1),                # longest-prefix re-allow
+    (4, "src3.example.com", "/page/", 0),   # host-specific block
+)
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots-style fetch-policy filter over the deduplicated canonical
+    frontier: every URL gets the verdict of its LONGEST-matching path
+    prefix rule (host-specific beating wildcard on ties) — the
+    crawl-side cousin of text_blocklist_filter, and the classic
+    longest-prefix-match join (IP routing / robots.txt semantics).
+
+    Scale shape: the rule table is broadcast (a real robots corpus is
+    |hosts|-bounded and belongs in a broadcast dim or a co-partitioned
+    join on host); candidates fan out to <= |matching rules| per URL
+    and one row_number window keyed on the URL keeps the longest — no
+    per-URL rule arrays, no UDF.
+    """
+    f = q_url_frontier_dedup(spark, sf_dir)
+    urls = f.select(
+        "canonical_url", "keep_doc_id",
+        F.regexp_extract("canonical_url",
+                         "^[a-z]+://([^/?]+)", 1).alias("host"),
+        F.regexp_extract("canonical_url",
+                         "^[a-z]+://[^/?]+([^?]*)", 1).alias("path"))
+    rules = spark.createDataFrame(
+        list(ROBOTS_RULES), "rule_id int, rhost string, prefix string, "
+                            "allow int")
+    m = urls.join(
+        F.broadcast(rules),
+        ((F.col("rhost") == "*") | (F.col("rhost") == F.col("host")))
+        & F.col("path").startswith(F.col("prefix")))
+    spec = (F.when(F.col("rhost") != "*", 1).otherwise(0))
+    w = W.partitionBy("canonical_url").orderBy(
+        F.length("prefix").desc(), spec.desc(), F.asc("rule_id"))
+    return (m.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") == 1)
+             .select("canonical_url", "keep_doc_id", "host", "rule_id",
+                     (F.col("allow") == 1).alias("allowed")))
+
+
 QUERIES = {
     "quality_classifier_hashed": q_quality_classifier,
     "dsir_importance_weights": q_dsir_weights,
@@ -555,6 +603,7 @@ QUERIES = {
     "sample_token_budget": q_sample_token_budget,
     "shard_assignment": q_shard_assignment,
     "crawl_url_frontier_dedup": q_url_frontier_dedup,
+    "crawl_robots_filter": q_robots_filter,
 }
 
 _W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
@@ -763,3 +812,39 @@ ORACLE["crawl_url_frontier_dedup"] = """
            MIN(doc_id) AS keep_doc_id
     FROM canon GROUP BY 1
 """
+
+
+def _robots_oracle() -> str:
+    vals = ", ".join(f"({i}, '{h}', '{p}', {a})"
+                     for i, h, p, a in ROBOTS_RULES)
+    return f"""
+    WITH frontier AS ({ORACLE["crawl_url_frontier_dedup"]}),
+    urls AS (
+        SELECT canonical_url, keep_doc_id,
+               regexp_extract(canonical_url,
+                              '^[a-z]+://([^/?]+)', 1) AS host,
+               regexp_extract(canonical_url,
+                              '^[a-z]+://[^/?]+([^?]*)', 1) AS path
+        FROM frontier),
+    rules(rule_id, rhost, prefix, allow) AS (VALUES {vals}),
+    m AS (
+        SELECT u.canonical_url, u.keep_doc_id, u.host,
+               r.rule_id, r.allow, r.prefix, r.rhost
+        FROM urls u JOIN rules r
+          ON (r.rhost = '*' OR r.rhost = u.host)
+         AND starts_with(u.path, r.prefix)),
+    rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY canonical_url
+                   ORDER BY length(prefix) DESC,
+                            CASE WHEN rhost <> '*' THEN 1 ELSE 0 END
+                                DESC,
+                            rule_id) AS rk
+        FROM m)
+    SELECT canonical_url, keep_doc_id, host, rule_id,
+           allow = 1 AS allowed
+    FROM rk WHERE rk = 1
+    """
+
+
+ORACLE["crawl_robots_filter"] = _robots_oracle()

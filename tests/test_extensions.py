@@ -1821,3 +1821,37 @@ def test_kendall_tau_matches_python_pair_enumeration(spark, sf_small):
     assert (row["n"], row["c_pairs"], row["d_pairs"]) == (n, c_pairs,
                                                           d_pairs)
     assert row["tau_b_e6"] == math.floor(tau * 1e6)
+
+
+def test_robots_filter_longest_prefix_semantics(spark, sf_small):
+    """crawl_robots_filter == a Python longest-prefix matcher, and the
+    rule interplay holds: /page/1* is blocked except the /page/12*
+    re-allow; src3's host rule only wins where no longer wildcard
+    prefix matches."""
+    from go_mapreduce_crawler_spark.operators import curation
+    rows = curation.q_robots_filter(spark, sf_small).collect()
+    frontier = curation.q_url_frontier_dedup(spark, sf_small).count()
+    assert len(rows) == frontier           # default rule catches all
+
+    def verdict(host, path):
+        best = None
+        for rid, rhost, prefix, allow in curation.ROBOTS_RULES:
+            if rhost not in ("*", host) or not path.startswith(prefix):
+                continue
+            key = (len(prefix), rhost != "*", -rid)
+            if best is None or key > best[0]:
+                best = (key, rid, allow)
+        return best[1], bool(best[2])
+
+    import re
+    for r in rows:
+        m = re.match(r"^[a-z]+://([^/?]+)([^?]*)", r["canonical_url"])
+        rid, allowed = verdict(m.group(1), m.group(2))
+        assert (r["rule_id"], r["allowed"]) == (rid, allowed), \
+            r["canonical_url"]
+    blocked = {r["canonical_url"] for r in rows if not r["allowed"]}
+    allowed = {r["canonical_url"] for r in rows if r["allowed"]}
+    assert any("/page/1" in u for u in blocked)
+    assert all("/page/12" not in u for u in blocked if "src3" not in u)
+    assert any("src3" in u for u in blocked)
+    assert len(blocked) > 0 and len(allowed) > 0
