@@ -166,6 +166,20 @@ _FRONT_R05 = (
 )
 
 
+# The 12 ops the first r05 session added (verified at three SFs, never
+# driver-checked).  Pinned so the SECOND r05 session's additions queue
+# BEHIND them — positions 38-49 keep the whole first batch inside the
+# driver's ~50-query budget; this session's ops convert to driver green
+# in r06.
+_NEW_R05 = (
+    "set_ops_multiset", "ann_pq_adc", "corpus_line_dedup_keepfirst",
+    "multimodal_near_dup_phash", "events_ewma_smooth",
+    "events_crosscorr_lagged", "join_interval_overlap",
+    "stats_mannwhitney_u", "stats_anova_oneway", "stats_levene_robust",
+    "stats_cohens_d", "stats_spearman_corr",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
     front = set(_FRONT_R05)
@@ -173,7 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               set(_CHECKED_R04)]
     checked = front | rounds[0] | rounds[1] | rounds[2] | rounds[3]
     ordered = {k: q[k] for k in _FRONT_R05 if k in q}
-    # Anything not in any list = added this round, never checked: next.
+    # First r05 batch right after the front block (inside the budget)…
+    ordered.update({k: q[k] for k in _NEW_R05 if k in q})
+    # …then anything newer still, never checked in any round.
     ordered.update({k: q[k] for k in q if k not in checked})
     # Then oldest driver signal first (r01), freshest (r04) last; a
     # query in several rounds sorts by its freshest appearance.
