@@ -467,7 +467,12 @@ def q_shortest_path_weighted(spark, sf_dir, n_iter: int = 4):
                    F.floor(F.lit(1000000) / F.col("n_ab"))
                     .cast("bigint").alias("ecost"))
            .cache())
-    src_node = adj.agg(F.min("src")).collect()[0][0]
+    # Source = the highest-degree node (min id on ties): the hub's
+    # component is the graph's core at every SF — the min-id node sat
+    # in a 2-node component at sf0.1, a vacuous walk.
+    src_node = (adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                   .orderBy(F.desc("deg"), F.asc("src"))
+                   .limit(1).collect()[0][0])
     dist = spark.createDataFrame([(src_node, 0)], "node bigint, cost bigint")
     for _ in range(n_iter):
         nxt = (adj.join(dist, adj.src == dist.node)
@@ -784,7 +789,9 @@ def _shortest_path_oracle(n_iter: int = 4) -> str:
             UNION ALL
             SELECT pb, pa, CAST(FLOOR(1000000 / n_ab) AS BIGINT)
             FROM edges),
-        d0 AS (SELECT (SELECT min(src) FROM adj) AS node,
+        d0 AS (SELECT (SELECT src FROM adj
+                       GROUP BY src
+                       ORDER BY count(*) DESC, src LIMIT 1) AS node,
                       CAST(0 AS BIGINT) AS cost)"""]
     for k in range(1, n_iter + 1):
         ctes.append(f"""

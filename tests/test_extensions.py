@@ -1467,7 +1467,8 @@ def test_shortest_path_weighted_matches_python_bellman_ford(spark, sf_small):
         c = 1000000 // r["n_ab"]
         adj.setdefault(r["pa"], []).append((r["pb"], c))
         adj.setdefault(r["pb"], []).append((r["pa"], c))
-    src = min(adj)
+    deg = {n: len(v) for n, v in adj.items()}
+    src = min(n for n in adj if deg[n] == max(deg.values()))
     dist = {src: 0}
     for _ in range(4):
         nxt = dict(dist)
