@@ -1,0 +1,35 @@
+"""Partitioning-invariance check: each r05b op must produce the
+IDENTICAL result set on a local[4] session with shuffle.partitions=3
+as on the default local[*]/32 session (order-insensitive compare)."""
+import json, sys
+sys.path.insert(0, '/root/repo')
+from pyspark.sql import SparkSession
+
+NEW = ["graph_shortest_path_weighted", "graph_ppr_seeded",
+       "stats_theil_sen", "stats_kruskal_wallis", "stats_kendall_tau",
+       "anomaly_seasonal_residual", "behavior_session_paths",
+       "events_decayed_engagement", "crawl_url_frontier_dedup",
+       "crawl_robots_filter", "events_holt_forecast"]
+SF = "/root/testdata/sf0.01"
+
+def run(master, parts, name_suffix):
+    spark = (SparkSession.builder.master(master)
+             .appName("pi" + name_suffix)
+             .config("spark.sql.shuffle.partitions", str(parts))
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+    q = e.queries()
+    out = {}
+    for n in NEW:
+        rows = q[n](spark, SF).collect()
+        out[n] = sorted(tuple(r) for r in rows)
+    spark.stop()
+    return out
+
+a = run("local[4]", 3, "a")
+b = run("local[8]", 32, "b")
+res = {n: ("OK" if a[n] == b[n] else "MISMATCH") for n in NEW}
+print(json.dumps(res, indent=1))
+assert all(v == "OK" for v in res.values()), res
+print(f"{len(NEW)}/{len(NEW)} partitioning-invariant")
