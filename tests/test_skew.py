@@ -129,3 +129,47 @@ def test_anomaly_mad_correct_under_skew(spark, skew_dir, rows):
                 expected.add(eid)
     assert {r.event_id for r in got.collect()} == expected
     assert expected  # the planted 9999.0 outliers must be caught
+
+
+def test_session_paths_correct_under_skew(spark, skew_dir, rows):
+    """behavior_session_paths under the bot: one 300k-event session
+    still yields exactly ONE 3-event path row (the <=3-row buffer
+    claim), and totals partition the session count."""
+    from go_mapreduce_crawler_spark.operators import behavior, relational
+
+    paths = behavior.q_session_paths(spark, skew_dir).collect()
+    n_sessions = relational.q_sessionize(spark, skew_dir).count()
+    assert sum(r["n_sessions"] for r in paths) == n_sessions
+    # bot cadence is 1s -> one giant session starting signup>view>click
+    bot_path = ">".join(
+        rows[rows.user_id == BOT].event_type.iloc[:3].tolist())
+    assert any(r["path"] == bot_path for r in paths)
+    assert all(len(r["path"].split(">")) <= 3 for r in paths)
+
+
+def test_decayed_engagement_correct_under_skew(spark, skew_dir, rows):
+    """events_decayed_engagement under the bot: the 300k-row hot key
+    reduces to ONE exact output row matching a Python integer fold."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from go_mapreduce_crawler_spark.operators import behavior
+
+    got = {r["user_id"]: (r["n_events"], r["score_cents"])
+           for r in behavior.q_decayed_engagement(spark, skew_dir)
+           .collect()}
+    wt = dict(behavior._DECAY_W)
+    days = rows.ts.dt.floor("D")
+    epoch = days.min().floor("D")
+    max_day = (days.max() - epoch).days + (epoch - epoch).days
+    day_idx = (days - days.min()).dt.days
+    max_idx = day_idx.max()
+    acc, cnt = {}, {}
+    for (u, v, d) in zip(rows.user_id, rows.value, day_idx):
+        cents = int(Decimal(str(v)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP) * 100)
+        acc[u] = acc.get(u, 0) + cents * wt.get(int(max_idx - d), 0)
+        cnt[u] = cnt.get(u, 0) + 1
+    expect = {u: (cnt[u], math.floor(s / 1e12)) for u, s in acc.items()}
+    assert got == expect
+    assert got[BOT][0] == BOT_EVENTS
