@@ -848,3 +848,69 @@ def _robots_oracle() -> str:
 
 
 ORACLE["crawl_robots_filter"] = _robots_oracle()
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """End-to-end crawl scheduling — the reference's actual job, as one
+    declarative chain: canonicalize + dedup the frontier, apply the
+    robots policy, then emit each host's politeness-scheduled fetch
+    plan: queue depth, blocked count, the first URL to fetch, and the
+    estimated crawl time at that host's crawl-delay (hash-derived 1-3 s
+    — standing in for a robots crawl-delay directive, identical integer
+    in both engines).
+
+    Scale shape: everything upstream is the two audited operators; the
+    per-host rollup is a partial+final agg on ~|hosts| keys, and the
+    first-URL argmin is a min over (slot, url) structs — no per-host
+    URL arrays.  The per-host SLOT assignment (row_number by
+    keep_doc_id) is the politeness queue position; at 100 TB hosts are
+    the natural partition key for the fetch stage, and this relation
+    IS that partitioning's work manifest.
+    """
+    v = q_robots_filter(spark, sf_dir)
+    delay = (F.conv(F.substring(F.md5(F.encode("host", "UTF-8")), 1, 8),
+                    16, 10).cast("long") % 3 + 1)
+    w = W.partitionBy("host").orderBy("keep_doc_id")
+    slots = (v.filter(F.col("allowed"))
+              .withColumn("slot", F.row_number().over(w)))
+    firsts = (slots.filter(F.col("slot") == 1)
+                   .select("host", F.col("canonical_url")
+                            .alias("first_url")))
+    allowed = (slots.groupBy("host")
+               .agg(F.count(F.lit(1)).alias("n_allowed"))
+               .join(firsts, "host"))
+    blocked = (v.filter(~F.col("allowed"))
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n_blocked")))
+    return (allowed.join(blocked, "host", "left")
+            .select("host", "n_allowed",
+                    F.coalesce("n_blocked", F.lit(0)).alias("n_blocked"),
+                    "first_url",
+                    (F.col("n_allowed") * delay).alias("est_seconds")))
+
+
+QUERIES["crawl_schedule_e2e"] = q_crawl_schedule
+
+ORACLE["crawl_schedule_e2e"] = f"""
+    WITH verdicts AS ({ORACLE["crawl_robots_filter"]}),
+    slots AS (
+        SELECT host, canonical_url, keep_doc_id,
+               ROW_NUMBER() OVER (PARTITION BY host
+                                  ORDER BY keep_doc_id) AS slot
+        FROM verdicts WHERE allowed),
+    firsts AS (
+        SELECT host, canonical_url AS first_url
+        FROM slots WHERE slot = 1),
+    allowed AS (
+        SELECT s.host, COUNT(*)::BIGINT AS n_allowed,
+               MIN(f.first_url) AS first_url
+        FROM slots s JOIN firsts f USING (host) GROUP BY 1),
+    blocked AS (
+        SELECT host, COUNT(*)::BIGINT AS n_blocked
+        FROM verdicts WHERE NOT allowed GROUP BY 1)
+    SELECT a.host, a.n_allowed,
+           COALESCE(b.n_blocked, 0) AS n_blocked, a.first_url,
+           a.n_allowed * ((('0x' || substr(md5(a.host), 1, 8))::BIGINT
+                           % 3) + 1) AS est_seconds
+    FROM allowed a LEFT JOIN blocked b USING (host)
+"""

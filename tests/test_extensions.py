@@ -1856,3 +1856,30 @@ def test_robots_filter_longest_prefix_semantics(spark, sf_small):
     assert all("/page/12" not in u for u in blocked if "src3" not in u)
     assert any("src3" in u for u in blocked)
     assert len(blocked) > 0 and len(allowed) > 0
+
+
+def test_crawl_schedule_consistent_with_stage_outputs(spark, sf_small):
+    """crawl_schedule_e2e totals must reconcile with its two upstream
+    stages, the first_url must be the smallest keep_doc_id allowed URL
+    of its host, and est_seconds = n_allowed * the host's 1-3s delay."""
+    from go_mapreduce_crawler_spark.operators import curation
+    sched = {r["host"]: r for r in
+             curation.q_crawl_schedule(spark, sf_small).collect()}
+    verd = curation.q_robots_filter(spark, sf_small).collect()
+    by_host = {}
+    for r in verd:
+        by_host.setdefault(r["host"], []).append(r)
+    import hashlib
+    for host, rows in by_host.items():
+        allowed = sorted((r["keep_doc_id"], r["canonical_url"])
+                         for r in rows if r["allowed"])
+        blocked = [r for r in rows if not r["allowed"]]
+        if not allowed:
+            assert host not in sched
+            continue
+        s = sched[host]
+        assert s["n_allowed"] == len(allowed)
+        assert s["n_blocked"] == len(blocked)
+        assert s["first_url"] == allowed[0][1]
+        delay = int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % 3 + 1
+        assert s["est_seconds"] == len(allowed) * delay
