@@ -489,6 +489,37 @@ def q_dsir_weights(spark, sf_dir):
 # ops (whole-stage codegen — no UDF), and the only shuffle is the final
 # partial+final agg on the canonical URL.
 
+def canonical_url_expr(url):
+    """The canonicalizer as a reusable column expression (JVM built-ins
+    only): strip fragment; lowercase scheme and host:port; drop the
+    scheme's default port; strip trailing path slashes (empty -> '/');
+    drop utm_* params; sort the rest.  IDEMPOTENT by construction —
+    canon(canon(u)) == canon(u), pinned in tests — which is what lets
+    an incremental crawl re-canonicalize its own frontier for free."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z]+://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(hostport, ":80$", ""))
+             .when(scheme == "https",
+                   F.regexp_replace(hostport, ":443$", ""))
+             .otherwise(hostport))
+    pathq = F.regexp_replace(rest, "^[^/?]+", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, "^([^?]*)", 1),
+                            "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_")))
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+         .otherwise(F.lit("")))
+
+
 def q_url_frontier_dedup(spark, sf_dir):
     """Canonicalize one synthetic messy URL per document and collapse
     the crawl frontier: canonical_url -> variant count + the smallest
@@ -517,29 +548,8 @@ def q_url_frontier_dedup(spark, sf_dir):
             .otherwise(F.concat(F.lit("http://"), F.col("source"),
                                 F.lit(".example.com:8080/page/"), pg,
                                 F.lit("?a=1&b=2"))))
-    u = F.regexp_replace(url, "#.*$", "")
-    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
-    rest = F.regexp_replace(u, "^[A-Za-z]+://", "")
-    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
-    host = (F.when(scheme == "http",
-                   F.regexp_replace(hostport, ":80$", ""))
-             .when(scheme == "https",
-                   F.regexp_replace(hostport, ":443$", ""))
-             .otherwise(hostport))
-    pathq = F.regexp_replace(rest, "^[^/?]+", "")
-    path = F.regexp_replace(F.regexp_extract(pathq, "^([^?]*)", 1),
-                            "/+$", "")
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
-    params = F.array_sort(F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.startswith("utm_")))
-    canon = F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(F.size(params) > 0,
-               F.concat(F.lit("?"), F.array_join(params, "&")))
-         .otherwise(F.lit("")))
-    return (d.select(canon.alias("canonical_url"), "doc_id")
+    return (d.select(canonical_url_expr(url).alias("canonical_url"),
+                     "doc_id")
              .groupBy("canonical_url")
              .agg(F.count(F.lit(1)).alias("n_variants"),
                   F.min("doc_id").alias("keep_doc_id")))

@@ -1883,3 +1883,18 @@ def test_crawl_schedule_consistent_with_stage_outputs(spark, sf_small):
         assert s["first_url"] == allowed[0][1]
         delay = int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % 3 + 1
         assert s["est_seconds"] == len(allowed) * delay
+
+
+def test_url_canonicalizer_is_idempotent(spark, sf_small):
+    """canon(canon(u)) == canon(u) over the whole frontier — the
+    property that lets an incremental crawl re-canonicalize its own
+    output for free (and the definition of 'canonical')."""
+    from go_mapreduce_crawler_spark.operators import curation
+    from pyspark.sql import functions as F
+    f = curation.q_url_frontier_dedup(spark, sf_small)
+    twice = f.select(
+        "canonical_url",
+        curation.canonical_url_expr(F.col("canonical_url"))
+        .alias("again"))
+    bad = twice.filter(F.col("canonical_url") != F.col("again"))
+    assert bad.count() == 0, bad.take(3)
