@@ -621,3 +621,40 @@ def test_abc_two_level_equals_python_global_cumsum(spark, tmp_path):
         assert got == expect, (seed,
                                {k: (got[k], expect[k]) for k in got
                                 if got[k] != expect[k]})
+
+
+@given(st.lists(st.integers(min_value=-10**8, max_value=10**8),
+                min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_holt_lag_weights_reproduce_the_recurrence(ys):
+    """The closed-form property behind events_holt_forecast, on random
+    integer series: evaluating the UNQUANTIZED lag weights (M^lag
+    columns) must equal running the sequential Holt recurrence — the
+    linearity argument itself, independent of Spark and of the e6
+    quantization."""
+    from go_mapreduce_crawler_spark.operators.temporal import (HOLT_ALPHA,
+                                                               HOLT_BETA)
+    a, b = HOLT_ALPHA, HOLT_BETA
+    # sequential recurrence
+    l, tr = float(ys[0]), 0.0
+    for y in ys[1:]:
+        l_new = a * y + (1 - a) * (l + tr)
+        tr = b * (l_new - l) + (1 - b) * tr
+        l = l_new
+    seq = l + tr
+    # closed form: forecast = sum_t w(lag_t) * y_t with exact M^lag
+    m = ((1.0 - a, 1.0 - a), (-a * b, 1.0 - a * b))
+    p = ((1.0, 0.0), (0.0, 1.0))
+    w_g, w_e1 = {}, {}
+    for lag in range(len(ys)):
+        w_g[lag] = (p[0][0] + p[1][0]) * a + (p[0][1] + p[1][1]) * a * b
+        w_e1[lag] = p[0][0] + p[1][0]
+        p = ((m[0][0] * p[0][0] + m[0][1] * p[1][0],
+              m[0][0] * p[0][1] + m[0][1] * p[1][1]),
+             (m[1][0] * p[0][0] + m[1][1] * p[1][0],
+              m[1][0] * p[0][1] + m[1][1] * p[1][1]))
+    n = len(ys)
+    closed = sum((w_e1 if rn == 1 else w_g)[n - rn] * y
+                 for rn, y in enumerate(ys, 1))
+    assert abs(closed - seq) <= 1e-9 * max(1.0, abs(seq), *map(abs, ys))
