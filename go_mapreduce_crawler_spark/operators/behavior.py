@@ -488,6 +488,135 @@ def q_cohort_ltv_curve(spark, sf_dir):
          .cast("long").alias("cum_ltv_cents"))
 
 
+MARKOV_ABSORB_ITERS = 8
+MARKOV_CHANNELS = ("click", "error", "signup", "view")   # non-purchase
+
+
+def _journey_transitions(spark, sf_dir):
+    """(from_state, to_state, n) over all session journeys: START ->
+    first channel, channel -> channel, channel -> CONV at the first
+    purchase (journey ends there), last channel -> NULL if the session
+    never converts.  One user_id window shuffle (the sessionize
+    recipe), then a partial+final agg down to <= (|channels|+1)^2
+    rows."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_seq = W.partitionBy("user_id").orderBy(*order)
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag("ts", 1).over(w_seq)))
+    sess = (e.withColumn("new_sess",
+                         F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0))
+             .withColumn("sid",
+                         F.sum("new_sess").over(
+                             w_seq.rowsBetween(W.unboundedPreceding,
+                                               W.currentRow))))
+    w_in = W.partitionBy("user_id", "sid").orderBy(*order)
+    w_all = (W.partitionBy("user_id", "sid")
+              .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    rn = F.row_number().over(w_in)
+    conv_rn = F.min(F.when(F.col("event_type") == "purchase",
+                           F.col("rn"))).over(w_all)
+    n_rows = F.count(F.lit(1)).over(w_all)
+    j = (sess.withColumn("rn", rn)
+             .withColumn("conv_rn", conv_rn)
+             .withColumn("n_rows", n_rows)
+             .filter(F.col("conv_rn").isNull()
+                     | (F.col("rn") <= F.col("conv_rn")))
+             .withColumn("state",
+                         F.when(F.col("event_type") == "purchase",
+                                F.lit("CONV"))
+                          .otherwise(F.col("event_type"))))
+    steps = (j.withColumn("prev",
+                          F.coalesce(F.lag("state", 1).over(w_in),
+                                     F.lit("START")))
+              .select(F.col("prev").alias("s"),
+                      F.col("state").alias("t")))
+    last_rn = F.coalesce(F.col("conv_rn"), F.col("n_rows"))
+    tails = (j.filter(F.col("conv_rn").isNull()
+                      & (F.col("rn") == last_rn))
+              .select(F.col("state").alias("s"), F.lit("NULL").alias("t")))
+    return (steps.union(tails)
+                 .groupBy("s", "t").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_attribution_markov_removal(spark, sf_dir):
+    """Markov removal-effect attribution — the data-driven alternative
+    to last-touch/position rules: model session journeys as a Markov
+    chain over channels with absorbing CONV/NULL states, compute the
+    probability of converting within MARKOV_ABSORB_ITERS steps from
+    START, then re-compute with each channel REMOVED (its inbound
+    probability mass redirected to NULL — journeys through it fail);
+    the channel's credit is 1 - p_removed/p_base (Anderl et al. 2014,
+    the standard e-commerce attribution model no SQL dialect ships).
+
+    Exactness: transition probabilities are IEEE ratios of exact
+    counts in the same expression shape on both engines; every
+    absorption iteration quantizes each p*v product to floor(x*1e15)
+    longs and sums EXACTLY (the pagerank recipe), so after 8
+    iterations x 5 scenarios the doubles still agree bit-for-bit.
+
+    Scale: the journey extraction is the sessionize shuffle; the chain
+    itself is a <= (|channels|+3)^2-row relation REPLICATED per
+    scenario (base + one per removed channel) so ALL scenarios
+    absorb in the SAME 8 tiny joins — scenario is a column, not a
+    driver loop; at 100 TB the fact-table pass is one window + one
+    agg, and the iterations are metadata-sized.
+    """
+    trans = _journey_transitions(spark, sf_dir).cache()
+    tot = (trans.groupBy("s").agg(F.sum("n").alias("n_s")))
+    base_p = (trans.join(tot, "s")
+                   .select("s", "t", (F.col("n").cast("double")
+                                      / F.col("n_s").cast("double"))
+                           .alias("p")))
+    scen = spark.createDataFrame(
+        [("BASE",)] + [(c,) for c in MARKOV_CHANNELS],
+        "removed string")
+    # removal: drop the removed channel's outgoing rows; redirect its
+    # inbound mass to NULL; merge parallel edges (at most 2 terms).
+    redirected = (base_p.crossJoin(F.broadcast(scen))
+                  .filter(F.col("s") != F.col("removed"))
+                  .withColumn("t2",
+                              F.when(F.col("t") == F.col("removed"),
+                                     F.lit("NULL")).otherwise(F.col("t")))
+                  .groupBy("removed", "s", "t2")
+                  .agg(F.sum("p").alias("p"))
+                  .withColumnRenamed("t2", "t")
+                  .cache())
+    v = (redirected.select("removed", F.col("s").alias("state"))
+         .union(redirected.select("removed", F.col("t").alias("state")))
+         .distinct()
+         .select("removed", "state",
+                 F.when(F.col("state") == "CONV", F.lit(1.0))
+                  .otherwise(F.lit(0.0)).alias("v")))
+    for _ in range(MARKOV_ABSORB_ITERS):
+        nxt = (redirected.join(
+                   v.select("removed", F.col("state").alias("t"), "v"),
+                   ["removed", "t"])
+               .select("removed", "s",
+                       F.floor(F.col("p") * F.col("v") * F.lit(1e15))
+                        .alias("pv_fp"))
+               .groupBy("removed", F.col("s").alias("state"))
+               .agg((F.sum("pv_fp").cast("double") / F.lit(1e15))
+                    .alias("v")))
+        v = (nxt.filter(~F.col("state").isin("CONV", "NULL"))
+                .union(v.filter(F.col("state").isin("CONV", "NULL")))
+                .localCheckpoint())
+    starts = (v.filter(F.col("state") == "START")
+               .select("removed", F.col("v").alias("p_conv")))
+    base = (starts.filter(F.col("removed") == "BASE")
+                  .select(F.col("p_conv").alias("p_base")))
+    return (starts.filter(F.col("removed") != "BASE")
+            .crossJoin(F.broadcast(base))
+            .select(F.col("removed").alias("channel"),
+                    F.floor(F.col("p_conv") * 1e9).cast("long")
+                     .alias("p_removed_e9"),
+                    F.floor(F.col("p_base") * 1e9).cast("long")
+                     .alias("p_base_e9"),
+                    F.floor((F.lit(1.0) - F.col("p_conv")
+                             / F.col("p_base")) * 1e6).cast("long")
+                     .alias("removal_effect_e6")))
+
+
 DECAY_HALF_LIFE_DAYS = 7
 DECAY_MAX_AGE_DAYS = 365
 # floor(2^(-d/half_life) * 1e12), computed ONCE in Python and shared by
@@ -575,6 +704,7 @@ def q_session_paths(spark, sf_dir):
 QUERIES = {
     "behavior_session_paths": q_session_paths,
     "events_decayed_engagement": q_decayed_engagement,
+    "attribution_markov_removal": q_attribution_markov_removal,
     "rfm_segmentation": q_rfm_segmentation,
     "attribution_position_based": q_attribution_position,
     "funnel_windowed_72h": q_funnel_windowed,
@@ -918,3 +1048,96 @@ def _decayed_engagement_oracle() -> str:
 
 
 ORACLE["events_decayed_engagement"] = _decayed_engagement_oracle()
+
+
+def _markov_removal_oracle(k: int = MARKOV_ABSORB_ITERS) -> str:
+    scen = ", ".join(f"('{c}')" for c in ("BASE",) + MARKOV_CHANNELS)
+    ctes = [f"""
+    seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                        LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+                      > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS sid
+        FROM seq),
+    rn AS (
+        SELECT user_id, sid, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess),
+    marked AS (
+        SELECT user_id, sid, event_type, rn,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+                   OVER (PARTITION BY user_id, sid) AS conv_rn,
+               COUNT(*) OVER (PARTITION BY user_id, sid) AS n_rows
+        FROM rn),
+    j AS (
+        SELECT user_id, sid, rn, conv_rn, n_rows,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS state
+        FROM marked
+        WHERE conv_rn IS NULL OR rn <= conv_rn),
+    steps AS (
+        SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id, sid
+                                         ORDER BY rn), 'START') AS s,
+               state AS t
+        FROM j
+        UNION ALL
+        SELECT state AS s, 'NULL' AS t
+        FROM j
+        WHERE conv_rn IS NULL AND rn = COALESCE(conv_rn, n_rows)),
+    trans AS (SELECT s, t, COUNT(*)::BIGINT AS n FROM steps GROUP BY 1, 2),
+    tot AS (SELECT s, SUM(n)::BIGINT AS n_s FROM trans GROUP BY 1),
+    base_p AS (
+        SELECT trans.s, trans.t,
+               CAST(trans.n AS DOUBLE) / CAST(tot.n_s AS DOUBLE) AS p
+        FROM trans JOIN tot USING (s)),
+    scen(removed) AS (VALUES {scen}),
+    redirected AS MATERIALIZED (
+        SELECT removed, s,
+               CASE WHEN t = removed THEN 'NULL' ELSE t END AS t,
+               SUM(p) AS p
+        FROM base_p CROSS JOIN scen
+        WHERE s <> removed
+        GROUP BY 1, 2, 3),
+    v0 AS MATERIALIZED (
+        SELECT removed, state,
+               CASE WHEN state = 'CONV' THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS v
+        FROM (SELECT DISTINCT removed, s AS state FROM redirected
+              UNION
+              SELECT DISTINCT removed, t FROM redirected))"""]
+    for i in range(1, k + 1):
+        ctes.append(f"""
+    v{i} AS MATERIALIZED (
+        SELECT removed, state, v FROM (
+            SELECT r.removed, r.s AS state,
+                   CAST(SUM(CAST(FLOOR(r.p * v.v * 1e15) AS BIGINT))
+                        AS DOUBLE) / 1e15 AS v
+            FROM redirected r
+            JOIN v{i - 1} v ON v.removed = r.removed AND v.state = r.t
+            GROUP BY 1, 2)
+        UNION ALL
+        SELECT removed, state, v FROM v{i - 1}
+        WHERE state IN ('CONV', 'NULL'))""")
+    return ("WITH" + ",".join(ctes) + f"""
+    SELECT s.removed AS channel,
+           CAST(FLOOR(s.p_conv * 1e9) AS BIGINT) AS p_removed_e9,
+           CAST(FLOOR(b.p_base * 1e9) AS BIGINT) AS p_base_e9,
+           CAST(FLOOR((CAST(1.0 AS DOUBLE) - s.p_conv / b.p_base)
+                      * 1e6) AS BIGINT) AS removal_effect_e6
+    FROM (SELECT removed, v AS p_conv FROM v{k}
+          WHERE state = 'START' AND removed <> 'BASE') s,
+         (SELECT v AS p_base FROM v{k}
+          WHERE state = 'START' AND removed = 'BASE') b""")
+
+
+ORACLE["attribution_markov_removal"] = _markov_removal_oracle()

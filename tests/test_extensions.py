@@ -1898,3 +1898,79 @@ def test_url_canonicalizer_is_idempotent(spark, sf_small):
         .alias("again"))
     bad = twice.filter(F.col("canonical_url") != F.col("again"))
     assert bad.count() == 0, bad.take(3)
+
+
+def test_markov_removal_matches_python_absorption(spark, sf_small):
+    """attribution_markov_removal == a sequential Python build of the
+    journey chain + 8 quantized absorption iterations per scenario;
+    removal effects lie in [0, 1] and base conversion is positive."""
+    import math
+    from collections import defaultdict
+
+    from go_mapreduce_crawler_spark.operators import behavior
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_small, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect())
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    trans = defaultdict(int)
+    i = 0
+    while i < len(rows):
+        j = i
+        sess = [rows[i]]
+        while (j + 1 < len(rows)
+               and rows[j + 1]["user_id"] == rows[j]["user_id"]
+               and (rows[j + 1]["ts"] - rows[j]["ts"]).total_seconds()
+               <= 1800):
+            j += 1
+            sess.append(rows[j])
+        states = []
+        for r in sess:
+            if r["event_type"] == "purchase":
+                states.append("CONV")
+                break
+            states.append(r["event_type"])
+        prev = "START"
+        for st in states:
+            trans[(prev, st)] += 1
+            prev = st
+        if states[-1] != "CONV":
+            trans[(states[-1], "NULL")] += 1
+        i = j + 1
+
+    tot = defaultdict(int)
+    for (s, _), n in trans.items():
+        tot[s] += n
+
+    def absorb(removed):
+        red = defaultdict(float)
+        for (s, t), n in trans.items():
+            if s == removed:
+                continue
+            t2 = "NULL" if t == removed else t
+            red[(s, t2)] += n / tot[s]
+        states = ({s for s, _ in red} | {t for _, t in red})
+        v = {st: (1.0 if st == "CONV" else 0.0) for st in states}
+        for _ in range(behavior.MARKOV_ABSORB_ITERS):
+            nxt = defaultdict(int)
+            for (s, t), p in red.items():
+                nxt[s] += math.floor(p * v[t] * 1e15)
+            for s in nxt:
+                v[s] = nxt[s] / 1e15
+        return v["START"]
+
+    p_base = absorb("BASE")
+    got = {r["channel"]: r for r in
+           behavior.q_attribution_markov_removal(spark, sf_small)
+           .collect()}
+    assert set(got) == set(behavior.MARKOV_CHANNELS)
+    assert p_base > 0
+    for c in behavior.MARKOV_CHANNELS:
+        p_c = absorb(c)
+        r = got[c]
+        assert r["p_base_e9"] == math.floor(p_base * 1e9)
+        assert r["p_removed_e9"] == math.floor(p_c * 1e9)
+        assert r["removal_effect_e6"] == math.floor(
+            (1.0 - p_c / p_base) * 1e6)
+        assert 0 <= r["removal_effect_e6"] <= 1_000_000
