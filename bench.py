@@ -105,6 +105,7 @@ HEADLINE = [
     "events_holt_forecast",
     "behavior_session_paths",
     "graph_shortest_path_weighted",
+    "attribution_markov_removal",
 ]
 
 N_CRAWL_FILES = 2000
