@@ -924,3 +924,68 @@ ORACLE["crawl_schedule_e2e"] = f"""
                            % 3) + 1) AS est_seconds
     FROM allowed a LEFT JOIN blocked b USING (host)
 """
+
+
+K_ANON = 5
+
+
+def q_privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit over the corpus — the
+    data-governance gate a training-data pipeline runs before release
+    (Sweeney 2002; Machanavajjhala 2007): treat (lang, log2 length
+    bucket) as the quasi-identifier a re-identification attack would
+    join on, `source` as the sensitive attribute, and report every
+    equivalence class's size k, its sensitive-value diversity l, and
+    whether it passes k >= K_ANON — plus the class's doc share, so the
+    suppression cost of enforcing k-anonymity is read off directly.
+
+    One partial+final agg to the QI-class grid (|langs| x ~12 buckets);
+    the distinct-sensitive count is a two-level agg (exact, no
+    approx_count_distinct) and the share denominator is a broadcast
+    1-row total.  Zero joins touch the corpus twice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    qi = d.select(
+        "lang",
+        F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+         .cast("int").alias("len_bucket"),
+        "source")
+    cls = (qi.groupBy("lang", "len_bucket", "source")
+             .agg(F.count(F.lit(1)).alias("n_sv"))
+             .groupBy("lang", "len_bucket")
+             .agg(F.sum("n_sv").alias("k"),
+                  F.count(F.lit(1)).alias("l_diversity")))
+    total = qi.agg(F.count(F.lit(1)).alias("n_total"))
+    return (cls.crossJoin(F.broadcast(total))
+            .select("lang", "len_bucket",
+                    F.col("k").cast("long").alias("k"),
+                    F.col("l_diversity").cast("long").alias("l_diversity"),
+                    (F.col("k") >= K_ANON).alias("k_anonymous"),
+                    F.floor(F.col("k").cast("double")
+                            / F.col("n_total").cast("double") * 1e6)
+                     .cast("long").alias("share_e6")))
+
+
+QUERIES["privacy_k_anonymity"] = q_privacy_k_anonymity
+
+ORACLE["privacy_k_anonymity"] = f"""
+    WITH qi AS (
+        SELECT lang,
+               CAST(FLOOR(log2(GREATEST(n_chars, 1))) AS INT)
+                   AS len_bucket,
+               source
+        FROM documents),
+    cls AS (
+        SELECT lang, len_bucket,
+               SUM(n_sv)::BIGINT AS k,
+               COUNT(*)::BIGINT AS l_diversity
+        FROM (SELECT lang, len_bucket, source, COUNT(*) AS n_sv
+              FROM qi GROUP BY 1, 2, 3)
+        GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM qi)
+    SELECT lang, len_bucket, k, l_diversity,
+           k >= {K_ANON} AS k_anonymous,
+           CAST(FLOOR(CAST(k AS DOUBLE) / CAST(n_total AS DOUBLE)
+                      * 1e6) AS BIGINT) AS share_e6
+    FROM cls, tot
+"""

@@ -1974,3 +1974,34 @@ def test_markov_removal_matches_python_absorption(spark, sf_small):
         assert r["removal_effect_e6"] == math.floor(
             (1.0 - p_c / p_base) * 1e6)
         assert 0 <= r["removal_effect_e6"] <= 1_000_000
+
+
+def test_k_anonymity_matches_python_and_partitions_corpus(spark,
+                                                          sf_small):
+    """privacy_k_anonymity == a Python audit over the same QI classes;
+    class sizes partition the corpus and l <= k everywhere."""
+    import math
+    from collections import defaultdict
+
+    from go_mapreduce_crawler_spark.operators import curation
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    docs = (load_table(spark, sf_small, "documents")
+            .select("lang", "n_chars", "source").collect())
+    cls = defaultdict(lambda: [0, set()])
+    for r in docs:
+        b = int(math.floor(math.log2(max(r["n_chars"], 1))))
+        c = cls[(r["lang"], b)]
+        c[0] += 1
+        c[1].add(r["source"])
+    got = {(r["lang"], r["len_bucket"]):
+           (r["k"], r["l_diversity"], r["k_anonymous"], r["share_e6"])
+           for r in curation.q_privacy_k_anonymity(spark,
+                                                   sf_small).collect()}
+    n = len(docs)
+    expect = {key: (c[0], len(c[1]), c[0] >= curation.K_ANON,
+                    math.floor(c[0] / n * 1e6))
+              for key, c in cls.items()}
+    assert got == expect
+    assert sum(k for k, _, _, _ in got.values()) == n
+    assert all(l <= k for k, l, _, _ in got.values())
