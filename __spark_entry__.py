@@ -144,7 +144,10 @@ _CHECKED_R04 = (
 # whose semantics changed this round (interval-overlap is now top-k
 # bounded; ewma left round(x,6) for floor-quantized micros), staling
 # their r02/r04 green rows — they re-run at positions 39-40.
-_FRONT_R05 = (
+# The 50 queries CORRECTNESS_r05 actually checked (49 hash-green +
+# hll rows-only; survival_kaplan_meier was the round's one red row and
+# is RE-FRONTED below after the r06 hardenings).
+_CHECKED_R05 = (
     "events_concurrency_sweep", "events_changepoint_meanshift",
     "window_sliding_distinct_7d", "events_trending_k",
     "events_peak_detection", "zorder_layout_key",
@@ -157,47 +160,54 @@ _FRONT_R05 = (
     "feat_quantile_normalize", "validate_embeddings",
     "rfm_segmentation", "attribution_position_based",
     "funnel_windowed_72h", "funnel_latency_quantiles",
-    "survival_kaplan_meier", "cohort_ltv_curve",
+    "cohort_ltv_curve",
     "attribution_last_touch", "graph_degree_distribution",
     "graph_kcore_3", "graph_recursive_reachability",
     "graph_clustering_coefficient", "graph_adamic_adar",
     "cdc_merge_apply", "sink_roundtrip_jsonl", "table_checksum_orders",
-    "dsir_importance_weights",
+    "dsir_importance_weights", "set_ops_multiset", "ann_pq_adc",
+    "corpus_line_dedup_keepfirst", "multimodal_near_dup_phash",
+    "events_ewma_smooth", "events_crosscorr_lagged",
+    "join_interval_overlap", "stats_mannwhitney_u",
+    "stats_anova_oneway", "stats_levene_robust", "stats_cohens_d",
+    "stats_spearman_corr",
 )
 
 
-# The 12 ops the first r05 session added (verified at three SFs, never
-# driver-checked).  Pinned so the SECOND r05 session's additions queue
-# BEHIND them — positions 38-49 keep the whole first batch inside the
-# driver's ~50-query budget; this session's ops convert to driver green
-# in r06.
-_NEW_R05 = (
-    "set_ops_multiset", "ann_pq_adc", "corpus_line_dedup_keepfirst",
-    "multimodal_near_dup_phash", "events_ewma_smooth",
-    "events_crosscorr_lagged", "join_interval_overlap",
-    "stats_mannwhitney_u", "stats_anova_oneway", "stats_levene_robust",
-    "stats_cohens_d", "stats_spearman_corr",
+# Round-6 front: survival_kaplan_meier re-runs FIRST (r05's only
+# driver-red row; re-hardened this round — tz-free day index, floor
+# quantization, BIGINT-cast oracle n_risk), then the 14 r05b ops that
+# were judge-verified at sf0.01 but have no driver row yet.  New r06
+# ops queue right behind via the never-checked rule, all inside the
+# driver's ~50-query budget.
+_FRONT_R06 = (
+    "survival_kaplan_meier",
+    "events_holt_forecast", "stats_theil_sen",
+    "anomaly_seasonal_residual", "stats_kruskal_wallis",
+    "stats_kendall_tau", "behavior_session_paths",
+    "events_decayed_engagement", "attribution_markov_removal",
+    "graph_shortest_path_weighted", "graph_ppr_seeded",
+    "crawl_url_frontier_dedup", "crawl_robots_filter",
+    "crawl_schedule_e2e", "privacy_k_anonymity",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    front = set(_FRONT_R05)
-    rounds = [set(_CHECKED_R01), set(_CHECKED_R02), set(_CHECKED_R03),
-              set(_CHECKED_R04)]
-    checked = front | rounds[0] | rounds[1] | rounds[2] | rounds[3]
-    ordered = {k: q[k] for k in _FRONT_R05 if k in q}
-    # First r05 batch right after the front block (inside the budget)…
-    ordered.update({k: q[k] for k in _NEW_R05 if k in q})
-    # …then anything newer still, never checked in any round.
+    front = set(_FRONT_R06)
+    round_tups = (_CHECKED_R01, _CHECKED_R02, _CHECKED_R03,
+                  _CHECKED_R04, _CHECKED_R05)
+    rounds = [set(t) for t in round_tups]
+    checked = front | set().union(*rounds)
+    ordered = {k: q[k] for k in _FRONT_R06 if k in q}
+    # Anything never driver-checked in any round (this round's new ops)
+    # runs right behind the front block, inside the budget.
     ordered.update({k: q[k] for k in q if k not in checked})
-    # Then oldest driver signal first (r01), freshest (r04) last; a
+    # Then oldest driver signal first (r01), freshest (r05) last; a
     # query in several rounds sorts by its freshest appearance.
-    later = [rounds[1] | rounds[2] | rounds[3], rounds[2] | rounds[3],
-             rounds[3], set()]
-    for tup, after in zip(
-            (_CHECKED_R01, _CHECKED_R02, _CHECKED_R03, _CHECKED_R04),
-            later):
+    for i, tup in enumerate(round_tups):
+        after = set().union(*rounds[i + 1:]) if i + 1 < len(rounds) \
+            else set()
         ordered.update({k: q[k] for k in tup
                         if k in q and k not in front and k not in after})
     return ordered

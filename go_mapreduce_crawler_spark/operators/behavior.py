@@ -411,9 +411,17 @@ def q_survival_kaplan_meier(spark, sf_dir):
     duration exhausts the risk set (n == d), survival is exactly 0 and
     the cumulative log is NULL from that point on (flagged, not
     -inf).
+
+    r06 hardenings (the r05 driver hash-mismatch did not reproduce
+    locally; all three suspect classes are closed defensively): the
+    day index is tz-free integer arithmetic on unix micros (no
+    session-timezone-sensitive to_date), the KM term is FLOOR-
+    quantized (repo doctrine since the ewma fix — round() half-ties
+    are engine bait), and the oracle BIGINT-casts its window-derived
+    n_risk before it enters bin() (DuckDB window SUM is HUGEINT).
     """
     e = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    day = F.expr("CAST(unix_micros(ts) DIV 86400000000 AS INT)")
     per = (e.groupBy("user_id")
             .agg(F.min(day).alias("t0"),
                  F.min(F.when(F.col("event_type") == "error", day))
@@ -433,8 +441,8 @@ def q_survival_kaplan_meier(spark, sf_dir):
     from .text import _ln_det, _lit_spark
     term = ("CASE WHEN d = 0 THEN 0"
             " WHEN n_risk = d THEN NULL"
-            f" ELSE CAST(round(({_ln_det('(n_risk - d)', _lit_spark)}"
-            f" - {_ln_det('n_risk', _lit_spark)}) * 1e6, 0) AS BIGINT)"
+            f" ELSE CAST(floor(({_ln_det('(n_risk - d)', _lit_spark)}"
+            f" - {_ln_det('n_risk', _lit_spark)}) * 1e6) AS BIGINT)"
             " END")
     base = (cnts.crossJoin(F.broadcast(total))
                 .withColumn("n_risk",
@@ -923,19 +931,17 @@ def _km_oracle() -> str:
     from .text import _ln_det, _lit_duck
     term = ("CASE WHEN d = 0 THEN 0"
             " WHEN n_risk = d THEN NULL"
-            f" ELSE CAST(round(({_ln_det('(n_risk - d)', _lit_duck)}"
-            f" - {_ln_det('n_risk', _lit_duck)}) * 1e6, 0) AS BIGINT)"
+            f" ELSE CAST(floor(({_ln_det('(n_risk - d)', _lit_duck)}"
+            f" - {_ln_det('n_risk', _lit_duck)}) * 1e6) AS BIGINT)"
             " END")
     return f"""
     WITH per AS (
         SELECT user_id,
-               MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
-                   AS t0,
+               MIN(CAST(epoch_us(ts) // 86400000000 AS INT)) AS t0,
                MIN(CASE WHEN event_type = 'error'
-                        THEN datediff('day', DATE '1970-01-01',
-                                      CAST(ts AS DATE)) END) AS errd,
-               MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
-                   AS lastd
+                        THEN CAST(epoch_us(ts) // 86400000000 AS INT)
+                   END) AS errd,
+               MAX(CAST(epoch_us(ts) // 86400000000 AS INT)) AS lastd
         FROM events GROUP BY 1),
     dur AS (
         SELECT COALESCE(errd - t0, lastd - t0) AS duration_day,
@@ -948,10 +954,10 @@ def _km_oracle() -> str:
     tot AS (SELECT SUM(n_at)::BIGINT AS tot FROM cnts),
     base AS (
         SELECT duration_day, n_at, d,
-               tot - COALESCE(SUM(n_at) OVER (
+               CAST(tot - COALESCE(SUM(n_at) OVER (
                    ORDER BY duration_day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS n_risk
+                   AS BIGINT) AS n_risk
         FROM cnts CROSS JOIN tot),
     terms AS (
         SELECT duration_day, n_risk, d, {term} AS term_e6
