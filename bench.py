@@ -203,15 +203,20 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Key order matters operationally: the driver's log capture has
+    # truncated the FRONT of this (long) line before (BENCH_r05's tail
+    # lost the headline total) — emit the big per-query dict first and
+    # the {"metric","value"} summary LAST so a surviving tail always
+    # contains the totals.
     out = {
-        "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
         "queries": timings,
         "sf": sf_val,
     }
     if errors:
         out["errors"] = errors
+    out["unit"] = "sec"
+    out["metric"] = "headline_queries_total_runtime"
+    out["value"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
 
 

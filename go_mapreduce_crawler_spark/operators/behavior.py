@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dec
+from ..functions.exact import dec, ts_day
 from ..sources.tables import load_table
 
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
@@ -92,15 +92,22 @@ def q_cohort_retention(spark, sf_dir):
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
     firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    cohort = F.date_trunc("week", "first_ts")
-    # The cohort bucket leaves the engine as an ISO date STRING: pandas
+    # Monday-start weeks as tz-free integer arithmetic (epoch day 4 =
+    # 1970-01-05, a Monday): date_trunc("week", ...) renders in the
+    # SESSION timezone and shifts buckets on a non-UTC driver.  The
+    # cohort bucket leaves the engine as an ISO date STRING: pandas
     # materializes Spark timestamps as ns, DuckDB's as us, and Spark
     # dates as object — a temporal column hash-mismatches on dtype
-    # alone, while yyyy-MM-dd renders identically in both engines.
+    # alone, while yyyy-MM-dd renders identically in both engines
+    # (date_from_unix_date is pure arithmetic, no timezone).
+    fday = ts_day("first_ts")
+    cw = fday - F.pmod(fday - F.lit(4), F.lit(7))
+    eday = ts_day("ts")
+    ew = eday - F.pmod(eday - F.lit(4), F.lit(7))
     return (e.join(firsts, "user_id")
-             .groupBy(F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
-                      (F.datediff(F.date_trunc("week", "ts"), cohort) / 7)
-                      .cast("int").alias("week_offset"))
+             .groupBy(F.date_from_unix_date(cw).cast("string")
+                       .alias("cohort_week"),
+                      ((ew - cw) / 7).cast("int").alias("week_offset"))
              .agg(F.countDistinct("user_id").alias("users")))
 
 
@@ -653,7 +660,7 @@ def q_decayed_engagement(spark, sf_dir):
     events table shuffles ONCE, on user_id, for the final agg.
     """
     e = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    day = ts_day()
     mx = e.agg(F.max(day).alias("max_day"))
     w = spark.createDataFrame(list(_DECAY_W), "age_d int, w_e12 long")
     cents = (dec("value", "decimal(12,2)") * 100).cast("long")
@@ -661,8 +668,12 @@ def q_decayed_engagement(spark, sf_dir):
              .crossJoin(F.broadcast(mx))
              .withColumn("age_d", F.col("max_day") - F.col("day"))
              .join(F.broadcast(w), "age_d", "left"))
-    term = (F.col("cents") * F.coalesce("w_e12", F.lit(0))
-            ).cast("decimal(38,0)")
+    # cents is cast to decimal BEFORE the multiply (ADVICE r05): the
+    # product of two BIGINTs (cents x w_e12, up to ~1e19) would wrap
+    # silently in Spark while DuckDB raises — computing it in
+    # decimal(38,0) keeps both engines exact at any event value.
+    term = (F.col("cents").cast("decimal(38,0)")
+            * F.coalesce("w_e12", F.lit(0)))
     return (base.groupBy("user_id")
                 .agg(F.sum(term).alias("s"),
                      F.count(F.lit(1)).alias("n_events"))

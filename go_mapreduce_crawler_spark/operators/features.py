@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dec
+from ..functions.exact import dec, ts_day, ts_hour
 from ..sources.tables import load_table
 
 MONEY = "decimal(12,2)"
@@ -543,7 +543,7 @@ def q_stats_chi_square(spark, sf_dir):
     (engine-portable; no locale-dependent weekday function).
     """
     e = load_table(spark, sf_dir, "events")
-    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(7))
+    dow = F.pmod(ts_day(), F.lit(7))
     cells = (e.groupBy(F.col("event_type"), dow.alias("dow"))
               .agg(F.count(F.lit(1)).alias("o")))
     rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
@@ -720,7 +720,7 @@ def q_abtest_cuped(spark, sf_dir):
     derives from a broadcast 1-row min-day aggregate.
     """.format(d=CUPED_PRE_DAYS)
     e = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    day = ts_day()
     v = dec("value", MONEY)
     mind = e.agg(F.min(day).alias("d0"))
     per = (e.crossJoin(F.broadcast(mind))
@@ -771,7 +771,7 @@ def q_abtest_diff_in_diff(spark, sf_dir):
     1e-6, zero windows, zero second passes.
     """
     e = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    day = ts_day()
     v = dec("value", MONEY)
     mind = e.agg(F.min(day).alias("d0"))
     base = (e.crossJoin(F.broadcast(mind))
@@ -1293,7 +1293,7 @@ def q_stats_theil_sen(spark, sf_dir):
     n), floored at 1e-6.
     """
     e = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    day = ts_day()
     daily = (e.groupBy("event_type", day.alias("day"))
               .agg(F.sum(dec("value", MONEY)).alias("v")))
     a = daily.select("event_type", F.col("day").alias("d1"),
@@ -1320,10 +1320,9 @@ def q_stats_theil_sen(spark, sf_dir):
 
 def _seasonal_base(events):
     """Row-local (event_id, type, dow, hour, exact-DECIMAL value)."""
-    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")),
-                 F.lit(7))
+    dow = F.pmod(ts_day(), F.lit(7))
     return events.select("event_id", "event_type", dow.alias("dow"),
-                         F.hour("ts").alias("hour"),
+                         ts_hour().alias("hour"),
                          dec("value", MONEY).alias("v"))
 
 

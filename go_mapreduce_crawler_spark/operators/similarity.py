@@ -809,13 +809,22 @@ def q_ann_pq_adc(spark, sf_dir):
     ties on (adc, vec_id); the score leaves as floor(adc * 1e6).
 
     Scale: codebooks are {m}x{k} rows — broadcast everywhere; the
-    encoded corpus is (vec_id, m, cid) ints — the 64-float vector
-    compressed to {m} bytes, the entire point of PQ; ADC joins the
-    broadcast |Q| x {m}x{k} distance table to the code stream, so
-    per-candidate work is an integer-keyed lookup and the scan feeding
-    the top-k reads codes, not vectors.  Query set gated by
-    KNN_MAX_QUERIES like every ANN entry point.
-    """.format(m=PQ_M, k=PQ_K)
+    encoded corpus is pivoted ONCE to (vec_id, array<int>[{m}]) — the
+    64-float vector compressed to {m} bytes, the entire point of PQ.
+    ADC is then a row-local LUT walk exactly as in FAISS: the
+    |Q| x {m}x{k} table of exact subvector distances (computed by the
+    same Spark fold, so every double is engine-exact) is broadcast as
+    one numpy array and ONE Arrow mapInPandas pass scores every local
+    code row against every query and emits only its partition-local
+    top-{s} per query — so the only pre-top-k shuffle is the code
+    pivot (N x {m} -> N int rows) and the global rank exchange carries
+    ~partitions x |Q| x {s} skinny rows, never N x |Q| (the r05 shape
+    joined the code stream to the distance table and shuffled
+    N x {m} x |Q| rows into a groupBy — ~4e11 rows at 1e9 vectors;
+    this shape is invariant in N past the scan).  Query set gated by
+    KNN_MAX_QUERIES like every ANN entry point; the LUT closure is
+    |Q| x {m}x{k} doubles, bounded by the same gate.
+    """.format(m=PQ_M, k=PQ_K, s=PQ_SHORTLIST)
     e = _emb(spark, sf_dir)
     sub = _pq_sub(e).cache()
     seeds = F.broadcast(e.orderBy("vec_id").limit(PQ_K).select("vec_id"))
@@ -849,7 +858,18 @@ def q_ann_pq_adc(spark, sf_dir):
                 .agg(F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "mean"))),
                     lambda p: p["mean"]).alias("cvec")))
+        # Materialize each round's M x K codebook (tiny): otherwise
+        # round i's lineage re-executes rounds 0..i-1, and the encode
+        # pass + LUT collect below would re-run the whole loop again
+        # (iterative-algorithm doctrine — cut lineage every round).
+        cent = cent.cache()
     codes = assign(cent)
+    # Pivot the code stream once: N x M (vec_id, m, cid) rows -> N rows
+    # of (vec_id, array<int>[M]) — the scan the ADC kernel reads.
+    code_arr = (codes.groupBy("vec_id")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                         lambda p: p["cid"]).alias("code")))
     q = _gate_query_set(
         e.filter(F.col("vec_id") % 100 == 0), "ann_pq_adc", sf_dir)
     qsub = _pq_sub(q.select(F.col("vec_id").alias("q_id"), "embedding"),
@@ -857,19 +877,57 @@ def q_ann_pq_adc(spark, sf_dir):
     dist = (qsub.join(F.broadcast(cent), "m")
                 .select("q_id", "m", "cid",
                         _pq_d2(F.col("sub"), F.col("cvec")).alias("pd2")))
-    per = (codes.join(F.broadcast(dist), ["m", "cid"])
-                .filter(F.col("vec_id") != F.col("q_id"))
-                .groupBy("q_id", "vec_id")
-                .agg(*[F.sum(F.when(F.col("m") == m, F.col("pd2")))
-                        .alias(f"p{m}") for m in range(PQ_M)]))
-    adc = F.col("p0")
-    for m in range(1, PQ_M):                 # fixed left-to-right order
-        adc = adc + F.col(f"p{m}")
+    # ONE tiny LUT-build job: |Q| x M x K exact doubles (gate-bounded)
+    # collected and re-broadcast as a numpy array — the same Spark fold
+    # computes every cell, so the doubles are bit-identical to the r05
+    # join form; only the delivery mechanism changed.
+    import numpy as np
+    lut_rows = dist.collect()
+    q_ids = sorted({r["q_id"] for r in lut_rows})
+    q_pos = {qid: i for i, qid in enumerate(q_ids)}
+    lut_np = np.zeros((len(q_ids), PQ_M * PQ_K), dtype=np.float64)
+    for r in lut_rows:
+        lut_np[q_pos[r["q_id"]], r["m"] * PQ_K + r["cid"]] = r["pd2"]
+    b_lut = spark.sparkContext.broadcast(lut_np)
+    b_qids = spark.sparkContext.broadcast(
+        np.array(q_ids, dtype=np.int64))
+
+    def adc_scan(batches):
+        import pandas as pd
+        lut = b_lut.value
+        qids = b_qids.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            cm = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            offs = cm + np.arange(PQ_M, dtype=np.int64) * PQ_K
+            outs = []
+            for qi in range(lut.shape[0]):
+                row = lut[qi]
+                # fixed left-to-right subspace order: the same IEEE
+                # addition chain as the oracle's p0 + p1 + ... + p7
+                adc = row[offs[:, 0]].copy()
+                for m in range(1, PQ_M):
+                    adc += row[offs[:, m]]
+                mask = vid != qids[qi]
+                av, vv = adc[mask], vid[mask]
+                if len(vv) == 0:
+                    continue
+                k = min(PQ_SHORTLIST, len(vv))
+                top = np.lexsort((vv, av))[:k]   # (adc, vec_id) order
+                outs.append(pd.DataFrame(
+                    {"q_id": np.full(k, qids[qi], dtype=np.int64),
+                     "vec_id": vv[top], "adc": av[top]}))
+            if outs:
+                yield pd.concat(outs)
+
+    scanned = code_arr.mapInPandas(
+        adc_scan, "q_id long, vec_id long, adc double")
     ws = W.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
-    shortlist = (per.withColumn("adc", adc)
-                    .withColumn("srk", F.row_number().over(ws))
-                    .filter(F.col("srk") <= PQ_SHORTLIST)
-                    .select("q_id", "vec_id"))
+    shortlist = (scanned.withColumn("srk", F.row_number().over(ws))
+                        .filter(F.col("srk") <= PQ_SHORTLIST)
+                        .select("q_id", "vec_id"))
     # exact re-rank of the compressed-domain shortlist (the
     # ann_int8_rerank two-stage shape): |Q| x shortlist pairs fetch
     # their true vectors and one sequential fold decides the final

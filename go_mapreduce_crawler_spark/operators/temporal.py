@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dec
+from ..functions.exact import dec, ts_day, ts_hour, ts_day_str
 from ..sources.tables import load_table
 
 MONEY = "decimal(12,2)"
@@ -248,7 +248,8 @@ def q_ohlc_hourly(spark, sf_dir):
     # pandas materializes Spark timestamps as ns and DuckDB's as us, so
     # a raw timestamp column hash-mismatches on dtype alone).
     return (e.groupBy("event_type",
-                      F.unix_micros(F.date_trunc("hour", "ts")).alias("hr_us"))
+                      F.expr("(unix_micros(ts) DIV 3600000000) * 3600000000")
+                       .alias("hr_us"))
              .agg(F.min_by(v, key).cast("double").alias("open"),
                   F.max(v).cast("double").alias("high"),
                   F.min(v).cast("double").alias("low"),
@@ -328,8 +329,8 @@ def q_rollup_time_hierarchy(spark, sf_dir):
     # but stays None on DuckDB's, and DATE becomes midnight
     # datetime64 via DuckDB's pandas path — strings are lossless and
     # NULL-faithful in both engines.
-    return (e.select(F.to_date("ts").cast("string").alias("day"),
-                     F.hour("ts").cast("string").alias("hr"),
+    return (e.select(ts_day_str().alias("day"),
+                     ts_hour().cast("string").alias("hr"),
                      dec("value", MONEY).alias("v"))
              .rollup("day", "hr")
              .agg(F.count(F.lit(1)).alias("n_events"),
@@ -712,9 +713,7 @@ def q_sliding_distinct_7d(spark, sf_dir):
     phantom periods a dashboard would not render).
     """
     e = load_table(spark, sf_dir, "events")
-    pres = (e.groupBy("user_id",
-                      F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
-                       .alias("d"))
+    pres = (e.groupBy("user_id", ts_day().alias("d"))
              .agg(F.count(F.lit(1)).alias("n_events")))
     # The max-day clip stays IN the plan (broadcast 1-row aggregate),
     # not a build-time collect — building the DataFrame must not run a
@@ -745,7 +744,7 @@ def q_cumulative_distinct_users(spark, sf_dir):
     total forward.
     """
     e = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    day = ts_day()
     firsts = (e.groupBy("user_id").agg(F.min(day).alias("fday")))
     newc = firsts.groupBy(F.col("fday").alias("day")) \
                  .agg(F.count(F.lit(1)).alias("n_new_users"))
@@ -771,7 +770,7 @@ def q_streak_longest(spark, sf_dir):
     window partition is bounded by one user's active-day count.
     """
     e = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    day = ts_day()
     days = e.select("user_id", day.alias("day")).distinct()
     w = W.partitionBy("user_id").orderBy("day")
     isl = days.withColumn("isl", F.col("day") - F.row_number().over(w))
@@ -796,9 +795,9 @@ def q_events_seasonality(spark, sf_dir):
     identical.  Day-of-week is the portable epoch-day mod 7.
     """
     e = load_table(spark, sf_dir, "events")
-    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(7))
+    dow = F.pmod(ts_day(), F.lit(7))
     cells = (e.groupBy("event_type", dow.alias("dow"),
-                       F.hour("ts").alias("hour"))
+                       ts_hour().alias("hour"))
               .agg(F.count(F.lit(1)).alias("n_events")))
     tot = cells.groupBy("event_type").agg(F.sum("n_events").alias("t"))
     load = F.floor(F.col("n_events").cast("double") * 168_000_000.0
@@ -935,7 +934,7 @@ def q_events_holt_forecast(spark, sf_dir):
     lag, not calendar lag) — robust to sparse types.
     """
     e = load_table(spark, sf_dir, "events")
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    day = ts_day()
     daily = (e.groupBy("event_type", day.alias("day"))
               .agg((F.sum(dec("value", MONEY)) * 100)
                    .cast("long").alias("cents")))
@@ -946,9 +945,15 @@ def q_events_holt_forecast(spark, sf_dir):
               .withColumn("lag", F.col("t_len") - F.col("rn")))
     w = spark.createDataFrame(
         list(_HOLT_W), "lag int, wf_g_e6 long, wf_e1_e6 long")
-    term = F.col("cents") * F.when(F.col("rn") == 1, F.col("wf_e1_e6")) \
-                             .otherwise(F.col("wf_g_e6"))
-    return (ranked.join(F.broadcast(w), "lag")
+    # LEFT join + COALESCE(weight, 0) (ADVICE r05): the weight table
+    # stops at HOLT_MAX_LAG, but the closed-form weights have floored
+    # to 0 long before lag 400 — so points older than the table get
+    # the weight an extended table would give them (exactly 0) instead
+    # of being silently dropped while n_days still counts them.
+    term = F.col("cents") * F.coalesce(
+        F.when(F.col("rn") == 1, F.col("wf_e1_e6"))
+         .otherwise(F.col("wf_g_e6")), F.lit(0))
+    return (ranked.join(F.broadcast(w), "lag", "left")
             .groupBy("event_type")
             .agg(F.max("t_len").alias("n_days"),
                  F.sum(term).alias("s"))
@@ -1438,11 +1443,11 @@ def _holt_oracle() -> str:
                COUNT(*) OVER (PARTITION BY event_type) AS t_len
         FROM daily)
     SELECT r.event_type, MAX(r.t_len) AS n_days,
-           CAST(FLOOR(CAST(SUM(r.cents * CASE WHEN r.rn = 1
+           CAST(FLOOR(CAST(SUM(r.cents * COALESCE(CASE WHEN r.rn = 1
                                 THEN w.wf_e1_e6
-                                ELSE w.wf_g_e6 END) AS DOUBLE)
+                                ELSE w.wf_g_e6 END, 0)) AS DOUBLE)
                       / 1e6) AS BIGINT) AS forecast_cents
-    FROM ranked r JOIN w ON w.lag = r.t_len - r.rn
+    FROM ranked r LEFT JOIN w ON w.lag = r.t_len - r.rn
     GROUP BY 1
     """
 

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.exact import ts_day, ts_hour
+
 
 def stream_running_totals(events: DataFrame) -> DataFrame:
     """Running per-user event count + value sum across ALL micro-batches.
@@ -312,11 +314,10 @@ def stream_anomaly_scoring(events: DataFrame,
     (event_type, var_r) — exactly the intermediates of the batch
     operator, so batch-vs-stream parity is definitional.
     """
-    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")),
-                 F.lit(7))
+    dow = F.pmod(ts_day(), F.lit(7))
     base = events.select(
         "event_id", "event_type", dow.alias("dow"),
-        F.hour("ts").alias("hour"),
+        ts_hour().alias("hour"),
         F.col("value").cast("decimal(12,2)").alias("v"))
     j = (base.join(F.broadcast(cell_means),
                    ["event_type", "dow", "hour"], "left")

@@ -25,6 +25,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _duck_df(con, sql):
+    """Fetch an oracle result EXACTLY: .df() converts DECIMAL(38,0) /
+    HUGEINT to float64 (values beyond 2^53 alias — ADVICE r05); the
+    arrow path keeps decimals as decimal128 -> Decimal objects."""
+    return con.sql(sql).arrow().to_pandas()
+
+
 def _canon(v):
     if v is None:
         return None
@@ -33,6 +40,11 @@ def _canon(v):
     if isinstance(v, (np.integer,)):
         v = int(v)
     if isinstance(v, Decimal):
+        # integral decimals compare as exact ints (beyond-2^53 values
+        # must not round through float64); fractional keep float
+        # semantics (both engines emit the identical double there).
+        if v == v.to_integral_value():
+            return int(v)
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
@@ -82,7 +94,19 @@ def _canon_frame(pdf, cols):
                    for v in sample):
                 return None
             if any(isinstance(v, Decimal) for v in sample):
-                s = s.astype("float64")
+                # Exact path (ADVICE r05): integral DECIMAL(38,0) /
+                # HUGEINT beyond 2^53 alias as float64 — keep them as
+                # Python ints (object dtype; sorts numerically, and
+                # int == int64 compares exactly); fractional decimals
+                # keep float semantics.
+                def _dec(v):
+                    if v is None:
+                        return None
+                    if isinstance(v, Decimal):
+                        return (int(v) if v == v.to_integral_value()
+                                else float(v))
+                    return v
+                s = s.map(_dec)
             else:
                 s = s.astype(str).where(~s.isna(), None)
         out[c] = s
@@ -98,7 +122,7 @@ def compare_big(spark_df, con, sql, name="") -> list[str]:
     """
     problems = []
     s_pdf = spark_df.toPandas()
-    d_pdf = con.sql(sql).df()
+    d_pdf = _duck_df(con, sql)
     s_cols, d_cols = sorted(s_pdf.columns), sorted(d_pdf.columns)
     if s_cols != d_cols:
         return [f"{name}: columns differ spark={s_cols} duck={d_cols}"]
@@ -112,6 +136,10 @@ def compare_big(spark_df, con, sql, name="") -> list[str]:
         return compare(spark_df, con, sql, name)
     for c in s_cols:
         a, b = s_f[c].to_numpy(), d_f[c].to_numpy()
+        if a.dtype != b.dtype:
+            # one engine emitted int64 where the other emitted exact
+            # object ints (the Decimal path) — compare as objects
+            a, b = a.astype(object), b.astype(object)
         if a.dtype.kind == "f":
             eq = (a == b) | (np.isnan(a) & np.isnan(b))
         else:
@@ -128,7 +156,7 @@ def compare(spark_df, con, sql, name="") -> list[str]:
     """Returns a list of problems; empty list == match."""
     problems = []
     s_pdf = spark_df.toPandas()
-    d_pdf = con.sql(sql).df()
+    d_pdf = _duck_df(con, sql)
     s_cols, s_rows = normalize(s_pdf)
     d_cols, d_rows = normalize(d_pdf)
     if s_cols != d_cols:

@@ -50,14 +50,15 @@ def test_entry_smoke(spark):
 
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
-    put the 38 never-driver-checked rows (VERDICT r04) first so
-    CORRECTNESS_r05 converts them to green rows, then anything new or
-    semantics-changed this round, then r01 (oldest green signal)
-    before r02/r03/r04 (freshest last)."""
+    put the r05 driver-red row + the 14 never-driver-checked r05b rows
+    (VERDICT r05) first so CORRECTNESS_r06 converts them to green rows,
+    then anything new this round, then r01 (oldest green signal) before
+    r02..r05 (freshest last)."""
     names = list(QUERIES)
-    front = list(entrymod._FRONT_R05)
+    front = list(entrymod._FRONT_R06)
     checked = [set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
-               set(entrymod._CHECKED_R03), set(entrymod._CHECKED_R04)]
+               set(entrymod._CHECKED_R03), set(entrymod._CHECKED_R04),
+               set(entrymod._CHECKED_R05)]
     assert names[:len(front)] == front
     anychecked = set().union(*checked)
     never = [n for n in names
@@ -65,6 +66,6 @@ def test_queries_order_frontloads_weakest_driver_signal():
     if never:  # new-this-round queries directly after the front block
         assert max(names.index(n) for n in never) < len(front) + len(never)
     # freshest signal runs last
-    tail = checked[3] - set(front)
+    tail = checked[4] - set(front)
     assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))

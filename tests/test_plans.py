@@ -830,3 +830,26 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_small,
     n_langs = docs.select("lang").distinct().count()
     assert rd.count() == docs.filter(F.col("lang") == "en").count()
     assert n_langs > 1
+
+
+def test_ann_pq_adc_lut_walk_is_row_local(spark, sf_small):
+    """ann_pq_adc: the ADC stage must be the FAISS shape — one Arrow
+    kernel (MapInPandas) whose DIRECT child is the code-pivot aggregate,
+    never a join.  The r05 shape joined the (vec_id, m, cid) code stream
+    to the per-query distance table and shuffled N x M x |Q| rows into a
+    groupBy (~4e11 rows at 1e9 vectors); row-local LUT scoring plus
+    partition-local top-k makes the pre-rank exchange carry only
+    ~partitions x |Q| x shortlist skinny rows."""
+    from go_mapreduce_crawler_spark.operators import similarity as s
+    plan = physical_plan(s.q_ann_pq_adc(spark, sf_small))
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # top-down print: everything after the kernel is its subtree (the
+    # PQ training joins live deeper); the FIRST node under the kernel
+    # must be the pivot aggregate, before any join of any kind.
+    after = plan[plan.index("MapInPandas"):]
+    first_agg = after.index("ObjectHashAggregate")
+    joins = [after.index(j) for j in
+             ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin") if j in after]
+    assert not joins or first_agg < min(joins), after[:1500]

@@ -114,6 +114,15 @@ def compare_with_watchdog(fn, name, n_rows):
 
     def watchdog():
         if not done.wait(ORACLE_BUDGET_SEC):
+            # Re-check AFTER the wait (ADVICE r05): if the budget
+            # expires just as compare() returns, done.set() in the
+            # finally may already have run — interrupting then would
+            # cancel the NEXT query's oracle and misattribute the
+            # failure.  A residual sliver remains (set() between this
+            # check and interrupt()), acceptable for a diagnostics
+            # tool; the flag records intent either way.
+            if done.is_set():
+                return
             interrupted.append(True)
             con.interrupt()
 
