@@ -106,6 +106,9 @@ HEADLINE = [
     "behavior_session_paths",
     "graph_shortest_path_weighted",
     "attribution_markov_removal",
+    # r06 additions — mergeable-sketch + batched-trainer families
+    "quantile_sketch_rollup",
+    "bpe_train_batched",
 ]
 
 N_CRAWL_FILES = 2000

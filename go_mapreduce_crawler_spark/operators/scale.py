@@ -151,6 +151,79 @@ def q_approx_quantiles(spark, sf_dir):
 CMS_D, CMS_W = 4, 1024          # sketch depth (hash rows) x width (slots)
 
 
+QSK_SUB = 16        # sub-buckets per octave -> relative error <= 1/16
+QSK_PCTS = (50, 90, 99)
+
+# HDR-histogram bin index of a positive BIGINT c, pure integer ops
+# shared verbatim by both engines: octave e = floor(log2 c) via
+# length(bin(c))-1 (the _ln_det exponent trick), then 16 linear
+# sub-buckets inside the octave.  c <= 0 collapses to bin 0.
+_QSK_BIN = ("CASE WHEN c <= 0 THEN 0 ELSE"
+            " (length(bin(c)) - 1) * 16"
+            " + CAST(((c - (CAST(1 AS BIGINT) << (length(bin(c)) - 1)))"
+            " * 16) {div} (CAST(1 AS BIGINT) << (length(bin(c)) - 1))"
+            " AS INT) + 1 END")
+
+# lower bound (cents) of bin b — the deterministic representative the
+# percentile extraction reports.
+_QSK_LOWER = ("CASE WHEN b = 0 THEN CAST(0 AS BIGINT) ELSE"
+              " (CAST(1 AS BIGINT) << ((b - 1) {div} 16))"
+              " + (CAST((b - 1) % 16 AS BIGINT)"
+              " * (CAST(1 AS BIGINT) << ((b - 1) {div} 16))) {div} 16"
+              " END")
+
+
+def q_quantile_sketch_rollup(spark, sf_dir):
+    """Mergeable QUANTILE-sketch rollup — the percentile sibling of
+    hll_sketch_union_rollup, and the reference's Accumulate/Combine
+    monoid contract (internal/filecrawler/crawler.go:31, 41-43) applied
+    to the one aggregate family that previously had no mergeable form:
+    at 100 TB you pre-aggregate a bounded sketch per (dim, day) cell
+    and MERGE sketches for any rollup — you never re-rank raw values.
+
+    The sketch is a fixed-size HDR-style log2 histogram (one octave per
+    power of two, 16 linear sub-buckets each, ~700 possible bins over
+    the BIGINT cents domain): per (event_type, day) the partial sketch
+    is the sparse (bin -> count) map, the merge is bin-wise count
+    addition (associative + commutative — the monoid), and percentiles
+    read off the merged cumulative histogram with relative value error
+    <= 1/16.  Unlike KLL/t-digest this sketch is DETERMINISTIC and
+    integer-exact, so the whole operator carries a full DuckDB value
+    oracle (hll/GK are rows-only) — and the union identity
+    merge(daily sketches) == sketch(whole table) holds EXACTLY, pinned
+    in tests/test_extensions.py.
+
+    Plan shape: one partial+final agg to the daily-sketch relation, a
+    second agg for the merge (|types| x ~700 bins), a window over that
+    tiny relation for the CDF, and a broadcast percentile probe —
+    events shuffle once, on the sketch cell key.
+    """
+    from ..functions.exact import ts_day
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    cents = (dec("value", MONEY) * 100).cast("long")
+    base = e.select("event_type", ts_day().alias("day"), cents.alias("c"))
+    daily = (base.selectExpr("event_type", "day",
+                             _QSK_BIN.format(div="DIV") + " AS b")
+                 .groupBy("event_type", "day", "b")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+    merged = (daily.groupBy("event_type", "b")
+                   .agg(F.sum("cnt").alias("cnt")))
+    tot = merged.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    w = (W.partitionBy("event_type").orderBy("b")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = merged.withColumn("cum", F.sum("cnt").over(w))
+    p_df = spark.createDataFrame([(p,) for p in QSK_PCTS], "pct int")
+    return (cum.join(F.broadcast(tot), "event_type")
+               .crossJoin(F.broadcast(p_df))
+               .filter(F.col("cum")
+                       >= F.expr("CAST(CEIL(n * pct / 100.0) AS BIGINT)"))
+               .groupBy("event_type", "pct")
+               .agg(F.min("n").alias("n_rows"),
+                    F.min(F.expr(_QSK_LOWER.format(div="DIV")))
+                     .alias("approx_cents")))
+
+
 def q_heavy_hitters_cms(spark, sf_dir):
     """Count-Min-Sketch heavy hitters over document words — the
     fixed-size-summary path for frequency estimation (Cormode &
@@ -246,6 +319,7 @@ QUERIES = {
     "approx_distinct_hll": q_approx_distinct,
     "hll_sketch_union_rollup": q_hll_sketch_rollup,
     "approx_quantiles_gk": q_approx_quantiles,
+    "quantile_sketch_rollup": q_quantile_sketch_rollup,
     "text_heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
@@ -306,3 +380,30 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+ORACLE["quantile_sketch_rollup"] = f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS INT) AS day,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        FROM events),
+    binned AS (
+        SELECT event_type, day, {_QSK_BIN.format(div='//')} AS b
+        FROM base),
+    daily AS (SELECT event_type, day, b, COUNT(*)::BIGINT AS cnt
+              FROM binned GROUP BY 1, 2, 3),
+    merged AS (SELECT event_type, b, SUM(cnt)::BIGINT AS cnt
+               FROM daily GROUP BY 1, 2),
+    tot AS (SELECT event_type, SUM(cnt)::BIGINT AS n
+            FROM merged GROUP BY 1),
+    cum AS (SELECT event_type, b,
+                   SUM(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY b)::BIGINT AS cum
+            FROM merged),
+    p(pct) AS (VALUES (50), (90), (99))
+    SELECT c.event_type, p.pct, MIN(t.n) AS n_rows,
+           MIN({_QSK_LOWER.format(div='//').replace('b =', 'c.b =').replace('(b -', '(c.b -')}) AS approx_cents
+    FROM cum c JOIN tot t USING (event_type) CROSS JOIN p
+    WHERE c.cum >= CAST(CEIL(t.n * p.pct / 100.0) AS BIGINT)
+    GROUP BY 1, 2
+"""

@@ -2005,3 +2005,63 @@ def test_k_anonymity_matches_python_and_partitions_corpus(spark,
     assert got == expect
     assert sum(k for k, _, _, _ in got.values()) == n
     assert all(l <= k for k, l, _, _ in got.values())
+
+
+def test_quantile_sketch_envelope_and_monoid(spark, sf_medium):
+    """quantile_sketch_rollup: (a) each approximate percentile is the
+    lower bound of the bin CONTAINING the exact ceil-rank order
+    statistic — so approx <= exact < approx * (1 + 1/16) + 2 (the +2
+    absorbs sub-integer bin widths in the lowest octaves); (b) the
+    monoid contract: bin counts merged from the per-day partial
+    sketches equal the direct whole-table sketch EXACTLY (the
+    reference's Accumulate/Combine contract, crawler.go:31, 41-43)."""
+    import math
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from go_mapreduce_crawler_spark.operators import scale as sc
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = sc.q_quantile_sketch_rollup(spark, sf_medium).collect()
+    assert rows, "empty sketch result"
+    # exact percentiles per type from the raw cents
+    raw = (load_table(spark, sf_medium, "events")
+           .select("event_type",
+                   (F.col("value").cast("decimal(12,2)") * 100)
+                   .cast("long").alias("c")).collect())
+    by_type: dict[str, list[int]] = {}
+    for r in raw:
+        by_type.setdefault(r["event_type"], []).append(r["c"])
+    for v in by_type.values():
+        v.sort()
+    for r in rows:
+        vals = by_type[r["event_type"]]
+        assert r["n_rows"] == len(vals)
+        exact = vals[math.ceil(len(vals) * r["pct"] / 100.0) - 1]
+        approx = r["approx_cents"]
+        assert approx <= exact, (r, exact)
+        assert exact < approx * (1 + 1 / sc.QSK_SUB) + 2, (r, exact)
+
+    # monoid: merge(daily partials) == direct sketch, bin-for-bin
+    def bins(values):
+        out = Counter()
+        for c in values:
+            if c <= 0:
+                b = 0
+            else:
+                e = c.bit_length() - 1
+                b = e * 16 + ((c - (1 << e)) * 16) // (1 << e) + 1
+            out[b] += 1
+        return out
+    direct = bins([c for v in by_type.values() for c in v])
+    merged = Counter()
+    daily = (load_table(spark, sf_medium, "events")
+             .selectExpr("CAST(unix_micros(ts) DIV 86400000000 AS INT)"
+                         " AS day",
+                         "CAST(CAST(value AS DECIMAL(12,2)) * 100"
+                         " AS BIGINT) AS c").collect())
+    per_day: dict[int, list[int]] = {}
+    for r in daily:
+        per_day.setdefault(r["day"], []).append(r["c"])
+    for v in per_day.values():
+        merged.update(bins(v))        # partial sketches, then merge
+    assert merged == direct

@@ -658,3 +658,66 @@ def test_holt_lag_weights_reproduce_the_recurrence(ys):
     closed = sum((w_e1 if rn == 1 else w_g)[n - rn] * y
                  for rn, y in enumerate(ys, 1))
     assert abs(closed - seq) <= 1e-9 * max(1.0, abs(seq), *map(abs, ys))
+
+
+def test_bpe_batched_trainer_matches_python_reference(spark, tmp_path):
+    """q_bpe_train_batched must equal a pure-Python reference of the
+    SAME batched semantics (per round: frequency snapshot -> top-N pool
+    by (count desc, a, b) -> greedy symbol-disjoint acceptance capped
+    at the batch size -> leftmost-nonoverlapping rewrite of every
+    accepted pair) on a random corpus — pins the round structure, the
+    greedy walk, and the batch rewrite end to end."""
+    import random
+
+    import go_mapreduce_crawler_spark.operators.curation as cur
+
+    rng = random.Random(29)
+    vocab = [c + d for c in "abcdef" for d in "xyz"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 30))))
+            for i in range(60)]
+
+    def ref_train(corpus, rounds, topn, batch):
+        texts = [" " + t.replace(" ", "  ") + " " for _, t in corpus]
+        out = []
+        for rnd in range(rounds):
+            counts = {}
+            for s in texts:
+                toks = s.strip(" ").split("  ")
+                for x, y in zip(toks, toks[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + 1
+            pool = sorted(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[:topn]
+            used, acc = set(), []
+            for (a, b), c in pool:
+                if len(acc) >= batch:
+                    break
+                if a in used or b in used:
+                    continue
+                used.update((a, b))
+                acc.append((a, b, c))
+            if not acc:
+                break
+            for bid, (a, b, c) in enumerate(acc, 1):
+                out.append((len(out), rnd, bid, a, b, a + "_" + b, c))
+            texts = [sfull for sfull in (
+                _apply(s, acc) for s in texts)]
+        return out
+
+    def _apply(s, acc):
+        for a, b, _ in acc:
+            s = s.replace(f" {a}  {b} ", f" {a}_{b} ")
+        return s
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string") \
+         .write.parquet(d)
+    orig = cur.load_table
+    try:
+        cur.load_table = lambda s, sd, t: s.read.parquet(d)
+        got = [(r.merge_id, r.round, r.bid, r.a, r.b, r.merged, r.cnt)
+               for r in cur.q_bpe_train_batched(spark, "x").collect()]
+    finally:
+        cur.load_table = orig
+    assert sorted(got) == ref_train(docs, cur.BPE_B_ROUNDS,
+                                    cur.BPE_B_TOPN, cur.BPE_B_BATCH)
