@@ -109,6 +109,8 @@ HEADLINE = [
     # r06 additions — mergeable-sketch + batched-trainer families
     "quantile_sketch_rollup",
     "bpe_train_batched",
+    "join_bloom_prefilter",
+    "text_zipf_slope",
 ]
 
 N_CRAWL_FILES = 2000

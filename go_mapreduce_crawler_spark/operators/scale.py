@@ -151,6 +151,132 @@ def q_approx_quantiles(spark, sf_dir):
 CMS_D, CMS_W = 4, 1024          # sketch depth (hash rows) x width (slots)
 
 
+SKEW_P = 32     # diagnosed partition count
+
+
+def q_diag_partition_skew(spark, sf_dir):
+    """Shuffle-skew diagnosis report: simulate hash-partitioning the
+    event log on user_id into 32 reducers (the portable md5 hash — the
+    engine-independent stand-in for hashpartitioning) and report each
+    reducer's load, its share, and its ratio to the fair share — the
+    report an operator reads BEFORE deciding to salt (join_salted_skew)
+    or to let AQE split (the straggler is visible as ratio_e6 >> 1e6).
+
+    One partial+final agg to 32 rows; the total joins back as an
+    in-plan broadcast aggregate (no driver collect).  All outputs are
+    floored integer fixed-point — engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    part = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                               1, 8), 16, 10).cast("long") % SKEW_P)
+    loads = (e.groupBy(part.alias("partition"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = loads.agg(F.sum("n_rows").alias("total"))
+    return (loads.crossJoin(F.broadcast(tot))
+            .select("partition", "n_rows",
+                    F.floor(F.col("n_rows") * 1e6 / F.col("total"))
+                     .cast("long").alias("share_e6"),
+                    F.floor(F.col("n_rows") * SKEW_P * 1e6
+                            / F.col("total"))
+                     .cast("long").alias("ratio_e6")))
+
+
+BLOOM_J_BITS = 1 << 20      # bitmap bits (m); 32 KB of long words
+BLOOM_J_K = 4               # probes per key (4 md5 chunks, portable)
+
+
+def q_join_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered semi-join: lineitem rows are pruned against a
+    FIXED-SIZE bloom filter of the urgent-order keys BEFORE the exact
+    semi-join, then the survivors are re-checked exactly — the
+    runtime-filter pattern (Spark's InjectRuntimeFilter, Trino's
+    dynamic filtering) as an explicit, engine-portable operator.
+
+    Why it matters at 100 TB: when the dim side is too big to
+    broadcast as a hash relation, the JOIN must shuffle BOTH sides —
+    but a bloom of the dim keys is m/32 = 32k words (~256 KB) NO
+    MATTER how many keys it summarizes, so it always broadcasts, and
+    the fact scan drops non-matching rows before they reach any
+    exchange.  False positives only cost wasted recheck work; the
+    exact join restores precision, so the OUTPUT is independent of the
+    bloom (the oracle is the plain semi-join + agg, no bloom mirror
+    needed).
+
+    Build: one partial+final bit_or agg over the dim keys' probe
+    positions (k = 4 seeded xxhash64 probes — native JVM hashing; the
+    md5-chunk recipe text_contamination_bloom uses for oracle
+    portability costs ~4 string conv()s per fact row, and THIS bloom
+    never needs an oracle mirror because the rechecked output is
+    bloom-independent), packed 32 bits/word and delivered as ONE
+    broadcast dense-array row.  Probe: fully ROW-LOCAL — the fact side
+    never explodes and never shuffles to test membership (probing via
+    a slot JOIN would re-shuffle the fact table and defeat the point);
+    the bloom prune is pinned BELOW the fact-side exchange in
+    tests/test_plans.py.
+    """
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
+    li = load_table(spark, sf_dir, "lineitem")
+    m, k = BLOOM_J_BITS, BLOOM_J_K
+
+    # Native seeded xxhash64 probes: the md5-chunk recipe costs ~4
+    # string conv()s per fact row (measured 10x the whole query); this
+    # bloom never needs an oracle mirror (the rechecked output is
+    # bloom-independent), so portability buys nothing here.
+    def probes(col):
+        return F.array(*[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+            for i in range(k)])
+
+    # 32 bits per word (the portable packing — DuckDB raises on
+    # 1::BIGINT << 63, and parity with text_contamination_bloom).
+    # DENSE array bitmap, not a map: Spark's map element_at is a
+    # LINEAR scan over the entries (32k comparisons per probe — probed
+    # 4x per fact row it turned the O(1) filter into the hot loop);
+    # array element_at indexes in O(1).  The dense grid is built by a
+    # left join of the 32k-slot range against the sparse bit_or words
+    # — build-side-only work, fixed size at any dim cardinality.
+    slots = (o.select(F.explode(probes(F.col("o_orderkey"))).alias("pos"))
+              .select(F.shiftright(F.col("pos"), 5).alias("slot"),
+                      F.expr("shiftleft(1L, cast(pos % 32 as int))")
+                       .alias("b"))
+              .groupBy("slot").agg(F.bit_or("b").alias("word")))
+    bloom = (spark.range(m // 32)
+             .select(F.col("id").alias("slot"))
+             .join(slots, "slot", "left")
+             .select("slot", F.coalesce("word", F.lit(0)).alias("word"))
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("slot", "word"))),
+                 lambda p: p["word"]).alias("bw")))
+    hit = " AND ".join(
+        f"(element_at(bw, cast(shiftright(element_at(_pp, {i + 1}), 5)"
+        f" AS INT) + 1) & shiftleft(1L,"
+        f" cast(element_at(_pp, {i + 1}) % 32 as int))) != 0"
+        for i in range(k))
+    pre = (li.crossJoin(F.broadcast(bloom))
+             .withColumn("_pp", probes(F.col("l_orderkey")))
+             .filter(F.expr(hit))
+             .drop("bw", "_pp"))
+    # Recheck as a shuffle INNER join on the unique key (== semi join):
+    # a left-semi here is pushed BELOW the bloom stage by Catalyst's
+    # PushDownLeftSemiAntiJoin (its condition only needs the left
+    # subtree), which would broadcast-join first and make the bloom
+    # dead code; inner + shuffle_hash models the too-big-to-broadcast
+    # dim the pattern exists for, and the plan pin holds the bloom
+    # prune BELOW the fact exchange.
+    exact = (pre.hint("shuffle_hash")
+                .join(o.select("o_orderkey"),
+                      pre.l_orderkey == F.col("o_orderkey"), "inner")
+                .drop("o_orderkey"))
+    return (exact.groupBy("l_returnflag", "l_linestatus")
+                 .agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.sum(dec("l_quantity")).cast("double")
+                       .alias("sum_qty"),
+                      F.sum(dec("l_extendedprice")
+                            * (F.lit(1).cast(MONEY) - dec("l_discount")))
+                       .cast("double").alias("revenue")))
+
+
 QSK_SUB = 16        # sub-buckets per octave -> relative error <= 1/16
 QSK_PCTS = (50, 90, 99)
 
@@ -320,6 +446,8 @@ QUERIES = {
     "hll_sketch_union_rollup": q_hll_sketch_rollup,
     "approx_quantiles_gk": q_approx_quantiles,
     "quantile_sketch_rollup": q_quantile_sketch_rollup,
+    "join_bloom_prefilter": q_join_bloom_prefilter,
+    "diag_partition_skew": q_diag_partition_skew,
     "text_heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
@@ -406,4 +534,32 @@ ORACLE["quantile_sketch_rollup"] = f"""
     FROM cum c JOIN tot t USING (event_type) CROSS JOIN p
     WHERE c.cum >= CAST(CEIL(t.n * p.pct / 100.0) AS BIGINT)
     GROUP BY 1, 2
+"""
+
+ORACLE["join_bloom_prefilter"] = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)::BIGINT AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY 1, 2
+"""
+
+ORACLE["diag_partition_skew"] = """
+    WITH loads AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 32 AS partition,
+               COUNT(*)::BIGINT AS n_rows
+        FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n_rows)::BIGINT AS total FROM loads)
+    SELECT partition, n_rows,
+           CAST(FLOOR(n_rows * 1e6 / total) AS BIGINT) AS share_e6,
+           CAST(FLOOR(n_rows * 32 * 1e6 / total) AS BIGINT) AS ratio_e6
+    FROM loads CROSS JOIN tot
 """

@@ -1037,6 +1037,149 @@ def q_doc_length_histogram(spark, sf_dir):
                   F.sum("n_tokens").alias("sum_tokens")))
 
 
+ZIPF_TOP = 100      # head terms fitted
+HEAPS_SHARDS = 20   # growth-curve checkpoints
+
+
+def q_text_zipf_slope(spark, sf_dir):
+    """Zipf fit of the corpus frequency head: OLS slope of ln(freq) on
+    ln(rank) over the top-100 terms — the one-number corpus-health
+    statistic (natural language sits near -1; template/boilerplate
+    corpora flatten, spam steepens).  The pretraining-data cousin of
+    quality_perplexity_buckets: it audits the DISTRIBUTION, not the
+    documents.
+
+    Scale + determinism: term counts are one partial+final agg; ranks
+    and the fit touch only the 100-row head (TakeOrdered, tiny).  Both
+    ln's go through _ln_det on INTEGER rank/count and quantize to e6
+    ints ONCE per row, so all OLS moments are exact integer sums in
+    DECIMAL(38,0) — order-independent — and the slope/intercept are
+    single fixed-order double expressions over those exact moments,
+    floored at 1e-6 (the regr_multiple_ols recipe applied to a
+    log-log fit).
+    """
+    d = _docs(spark, sf_dir)
+    counts = (d.select(F.explode(F.split("text", " ")).alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    rk = F.row_number().over(W.orderBy(F.desc("cnt"), "w"))
+    head = (counts.withColumn("rank", rk)
+                  .filter(F.col("rank") <= ZIPF_TOP))
+    x = f"CAST(floor({_ln_det('rank', _lit_spark)} * 1e6) AS BIGINT)"
+    y = f"CAST(floor({_ln_det('cnt', _lit_spark)} * 1e6) AS BIGINT)"
+    pts = head.selectExpr("rank", f"{x} AS x6", f"{y} AS y6")
+    mo = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x6").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y6").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x6") * F.col("y6")).cast("decimal(38,0)"))
+         .alias("sxy"),
+        F.sum((F.col("x6") * F.col("x6")).cast("decimal(38,0)"))
+         .alias("sxx"))
+    num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    den = "CAST(n * sxx - sx * sx AS DOUBLE)"
+    return mo.selectExpr(
+        "CAST(n AS INT) AS n_terms",
+        f"CAST(floor(({num}) / ({den}) * 1e6) AS BIGINT) AS slope_e6",
+        f"CAST(floor((CAST(sy AS DOUBLE) - ({num}) / ({den})"
+        f" * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)"
+        " AS intercept_e6")
+
+
+def q_corpus_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: the corpus is split into 20
+    fixed shards (doc_id mod 20, a deterministic ingest order) and the
+    curve reports cumulative token count vs cumulative DISTINCT-term
+    count as shards accumulate — the chart that predicts tokenizer
+    vocabulary pressure and dedup headroom as a 100 TB crawl grows
+    (sublinear vocab growth = healthy; linear = id-soup/noise).
+
+    The cumulative distinct is NOT recomputed per prefix (that would
+    be 20 distinct-aggs): each term contributes to every prefix at or
+    after its FIRST shard, so one min-agg per term + a 20-row window
+    gives every checkpoint exactly — the same compaction trick as
+    window_cumulative_distinct_users.  All integers, full oracle.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select((F.col("doc_id") % HEAPS_SHARDS).alias("shard"),
+                    F.explode(F.split("text", " ")).alias("w"))
+    per_shard = toks.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    firsts = (toks.groupBy("w").agg(F.min("shard").alias("fs"))
+                  .groupBy(F.col("fs").alias("shard"))
+                  .agg(F.count(F.lit(1)).alias("n_new_terms")))
+    w = (W.orderBy("shard")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (per_shard.join(firsts, "shard", "left")
+            .select("shard", "n_tokens",
+                    F.coalesce("n_new_terms", F.lit(0))
+                     .alias("n_new_terms"))
+            .withColumn("tokens_cum", F.sum("n_tokens").over(w))
+            .withColumn("vocab_cum", F.sum("n_new_terms").over(w))
+            .select("shard", "n_tokens", "n_new_terms",
+                    "tokens_cum", "vocab_cum"))
+
+
+def q_eval_auc_stopword(spark, sf_dir):
+    """Rank AUC (= Mann-Whitney statistic) of the English-stopword
+    feature as a detector of lang == 'en' — the threshold-free quality
+    metric every classifier in the curation stack should report (the
+    eval twin of text_langid: langid uses the feature to DECIDE, this
+    measures how separable the feature actually is).
+
+    Fully integer end to end: the score has 11 distinct values (0-10
+    distinct stopword hits), so ranking compacts to an 11-row
+    relation; doubled-unit midranks (the Mann-Whitney recipe) make tie
+    handling exact, and AUC = (R+ - n+(n+ + 1)/2) / (n+ n-) is emitted
+    as a DECIMAL-div floor at 1e-6 (== DuckDB //) — no float exists
+    anywhere in the operator.
+    """
+    d = _docs(spark, sf_dir)
+    hits = F.size(F.array_intersect(
+        F.array_distinct(F.split("text", " ")),
+        F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    per = (d.select(hits.alias("s"),
+                    (F.col("lang") == "en").cast("long").alias("y"))
+            .groupBy("s").agg(F.count(F.lit(1)).alias("n"),
+                              F.sum("y").alias("n_pos")))
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    mid2 = (F.coalesce(F.sum("n").over(w), F.lit(0)) * 2
+            + F.col("n") + 1)            # doubled-unit midrank
+    tot = (per.select((F.col("n_pos").cast("decimal(38,0)")
+                       * mid2.cast("decimal(38,0)")).alias("rp2"),
+                      "n", "n_pos")
+              .agg(F.sum("rp2").alias("rpos2"),
+                   F.sum("n_pos").cast("decimal(38,0)").alias("np"),
+                   (F.sum("n") - F.sum("n_pos")).cast("decimal(38,0)")
+                   .alias("nn")))
+    return tot.selectExpr(
+        "CAST(np AS BIGINT) AS n_pos",
+        "CAST(nn AS BIGINT) AS n_neg",
+        "CAST((rpos2 - np * (np + 1)) * 1000000"
+        " div (2 * np * nn) AS BIGINT) AS auc_ppm")
+
+
+def q_eval_calibration_bins(spark, sf_dir):
+    """Calibration table of the stopword detector: per distinct
+    feature value (0-10 English-stopword hits), the document count and
+    the empirical P(lang = 'en') — the reliability diagram that says
+    WHERE a score is trustworthy, which AUC alone cannot (a perfectly
+    ranked but mis-scaled score calibrates badly).  One partial+final
+    agg to <= 11 rows; rate floored at 1e-6.
+    """
+    d = _docs(spark, sf_dir)
+    hits = F.size(F.array_intersect(
+        F.array_distinct(F.split("text", " ")),
+        F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    return (d.select(hits.alias("score_bin"),
+                     (F.col("lang") == "en").cast("long").alias("y"))
+             .groupBy("score_bin")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("y").alias("n_en"))
+             .select("score_bin", "n_docs", "n_en",
+                     F.floor(F.col("n_en") * 1e6 / F.col("n_docs"))
+                      .cast("long").alias("rate_ppm")))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_oov_rate": q_text_oov_rate,
@@ -1065,6 +1208,10 @@ QUERIES = {
     "text_tfidf_doc_pairs": q_tfidf_doc_pairs,
     "text_pmi_cooccurrence": q_text_pmi_pairs,
     "corpus_line_dedup_keepfirst": q_corpus_line_dedup,
+    "text_zipf_slope": q_text_zipf_slope,
+    "corpus_heaps_curve": q_corpus_heaps_curve,
+    "eval_auc_stopword": q_eval_auc_stopword,
+    "eval_calibration_bins": q_eval_calibration_bins,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -1559,4 +1706,91 @@ ORACLE["corpus_line_dedup_keepfirst"] = f"""
            string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
     FROM kept k JOIN tot USING (doc_id)
     GROUP BY k.doc_id, tot.n_segs
+"""
+
+_ZX = f"CAST(floor({_ln_det('rank', _lit_duck)} * 1e6) AS BIGINT)"
+_ZY = f"CAST(floor({_ln_det('cnt', _lit_duck)} * 1e6) AS BIGINT)"
+ORACLE["text_zipf_slope"] = f"""
+    WITH counts AS (
+        SELECT w, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents) GROUP BY 1),
+    head AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+        FROM counts QUALIFY rank <= {ZIPF_TOP}),
+    pts AS (SELECT {_ZX} AS x6, {_ZY} AS y6 FROM head),
+    mo AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(x6::DECIMAL(38,0)) AS sx,
+               SUM(y6::DECIMAL(38,0)) AS sy,
+               SUM((x6 * y6)::DECIMAL(38,0)) AS sxy,
+               SUM((x6 * x6)::DECIMAL(38,0)) AS sxx
+        FROM pts)
+    SELECT CAST(n AS INT) AS n_terms,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6)
+                AS BIGINT) AS slope_e6,
+           CAST(floor((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                AS BIGINT) AS intercept_e6
+    FROM mo
+"""
+
+ORACLE["corpus_heaps_curve"] = f"""
+    WITH toks AS (
+        SELECT doc_id % {HEAPS_SHARDS} AS shard,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    per_shard AS (
+        SELECT shard, COUNT(*)::BIGINT AS n_tokens
+        FROM toks GROUP BY 1),
+    firsts AS (
+        SELECT fs AS shard, COUNT(*)::BIGINT AS n_new_terms
+        FROM (SELECT w, MIN(shard) AS fs FROM toks GROUP BY 1)
+        GROUP BY 1)
+    SELECT p.shard, p.n_tokens,
+           COALESCE(f.n_new_terms, 0)::BIGINT AS n_new_terms,
+           SUM(p.n_tokens) OVER (ORDER BY p.shard)::BIGINT AS tokens_cum,
+           SUM(COALESCE(f.n_new_terms, 0))
+               OVER (ORDER BY p.shard)::BIGINT AS vocab_cum
+    FROM per_shard p LEFT JOIN firsts f USING (shard)
+"""
+
+_EN_HITS = _HITS["en"]
+ORACLE["eval_auc_stopword"] = f"""
+    WITH per AS (
+        SELECT {_EN_HITS} AS s, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pos
+        FROM documents GROUP BY 1),
+    mid AS (
+        SELECT n, n_pos,
+               (COALESCE(SUM(n) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) * 2 + n + 1)::HUGEINT AS mid2
+        FROM per),
+    tot AS (
+        -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL rounds through
+        -- a float quotient (measured: ...604.9), only the integer
+        -- types divide exactly.  Spark's decimal div truncates the
+        -- exact quotient, matching HUGEINT //.
+        SELECT SUM(n_pos::HUGEINT * mid2) AS rpos2,
+               SUM(n_pos)::HUGEINT AS np,
+               (SUM(n) - SUM(n_pos))::HUGEINT AS nn
+        FROM mid)
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST((rpos2 - np * (np + 1)) * 1000000
+                // (2 * np * nn) AS BIGINT) AS auc_ppm
+    FROM tot
+"""
+
+ORACLE["eval_calibration_bins"] = f"""
+    SELECT {_EN_HITS} AS score_bin, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+           CAST(FLOOR(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      * 1e6 / COUNT(*)) AS BIGINT) AS rate_ppm
+    FROM documents GROUP BY 1
 """

@@ -1,6 +1,8 @@
 from .sessions import (stream_sessionize, stream_trending_counts,
                        stream_windowed_counts, trending_topk_finalize)
-from .stateful import (read_mv_state, stream_anomaly_scoring,
+from .stateful import (decayed_engagement_finalize,
+                       read_mv_state, stream_anomaly_scoring,
+                       stream_decayed_engagement,
                        stream_dedup, stream_gap_fill,
                        stream_mv_refresh, stream_running_totals,
                        stream_stream_left_outer_join,
@@ -12,4 +14,5 @@ __all__ = ["stream_sessionize", "stream_windowed_counts",
            "stream_dedup", "stream_gap_fill", "stream_running_totals",
            "stream_stream_purchase_view_join", "stream_stream_left_outer_join",
            "stream_to_parquet",
-           "stream_mv_refresh", "read_mv_state"]
+           "stream_mv_refresh", "read_mv_state",
+           "stream_decayed_engagement", "decayed_engagement_finalize"]

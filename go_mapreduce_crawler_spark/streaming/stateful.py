@@ -328,3 +328,90 @@ def stream_anomaly_scoring(events: DataFrame,
         F.floor(resid * 1e6).cast("long").alias("resid_e6"),
         F.coalesce(resid * resid > F.lit(9.0) * F.col("var_r"),
                    F.lit(False)).alias("is_anomaly"))
+
+
+def stream_decayed_engagement(events: DataFrame, ref_day: int,
+                              state_dir: str, checkpoint: str):
+    """Continuously-maintained per-user decayed-engagement score — the
+    streaming twin of behavior.q_events_decayed_engagement, built on
+    the stream_mv_refresh state pattern (the score is a pure monoid:
+    each event's term cents x w(age) is independent of every other
+    event once the reference day is FIXED, so per-batch partials merge
+    by DECIMAL addition, exactly-once via versioned snapshots).
+
+    ``ref_day`` is the static deployment contract (the batch operator
+    derives it in-plan from the corpus max; a live scorer pins it at
+    deploy time, like stream_anomaly_scoring's static baseline) —
+    events newer than ref_day take weight w(0) = 1e12 via the
+    age clamp, so a replayed historical stream and the batch operator
+    agree bit-for-bit (pinned in tests/test_streaming.py).
+
+    Scale: per batch the work is one |users-in-batch| partial agg; the
+    merge join is |view| x |batch-users| keyed by user — bounded by
+    key cardinality, never stream length.
+    """
+    from ..operators.behavior import _DECAY_W
+
+    spark = events.sparkSession
+    wdf = spark.createDataFrame(list(_DECAY_W), "age_d int, w_e12 long")
+
+    def _versions(fs_dir: str) -> list[int]:
+        import glob as _glob
+        out = []
+        for p in _glob.glob(f"{fs_dir}/state_v*"):
+            try:
+                out.append(int(p.rsplit("state_v", 1)[1]))
+            except ValueError:
+                pass
+        return sorted(out)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        terms = (batch_df
+                 .select("user_id", ts_day().alias("day"),
+                         (F.col("value").cast("decimal(12,2)") * 100)
+                         .cast("long").alias("cents"))
+                 .withColumn("age_d",
+                             F.greatest(F.lit(ref_day) - F.col("day"),
+                                        F.lit(0)))
+                 .join(F.broadcast(wdf), "age_d", "left"))
+        partial = terms.groupBy("user_id").agg(
+            F.sum(F.col("cents").cast("decimal(38,0)")
+                  * F.coalesce("w_e12", F.lit(0))).alias("s"),
+            F.count(F.lit(1)).alias("n_events"))
+        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+            p = prev.select(F.col("user_id").alias("k"),
+                            F.col("s").alias("s1"),
+                            F.col("n_events").alias("n1"))
+            d = partial.select(F.col("user_id").alias("k"),
+                               F.col("s").alias("s2"),
+                               F.col("n_events").alias("n2"))
+            z = F.lit(0).cast("decimal(38,0)")
+            merged = (p.join(d, "k", "full_outer")
+                      .select(F.col("k").alias("user_id"),
+                              (F.coalesce("s1", z) + F.coalesce("s2", z))
+                              .cast("decimal(38,0)").alias("s"),
+                              (F.coalesce("n1", F.lit(0))
+                               + F.coalesce("n2", F.lit(0)))
+                              .alias("n_events")))
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}", ignore_errors=True)
+
+    return (events.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def decayed_engagement_finalize(state_df: DataFrame) -> DataFrame:
+    """Snapshot -> the batch operator's output shape."""
+    return state_df.select(
+        "user_id", "n_events",
+        F.floor(F.col("s").cast("double") / F.lit(1e12))
+         .cast("long").alias("score_cents"))

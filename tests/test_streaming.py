@@ -599,3 +599,36 @@ def test_stream_anomaly_scoring_matches_batch_operator(spark,
                   spark, sf_small).collect()}
     assert flagged == expect and len(flagged) > 0
     assert got.count() == batch_events.count()
+
+
+def test_stream_decayed_engagement_matches_batch_operator(
+        spark, event_stream_dir, sf_small, tmp_path):
+    """The foreachBatch-maintained per-user decayed-engagement view,
+    replayed over the historical stream with ref_day pinned to the
+    corpus max day, must equal the batch operator bit-for-bit — the
+    monoid-merge (Accumulate/Combine) contract carried into streaming
+    state.  The stream arrives in 4 parquet splits, so at least the
+    later micro-batches exercise the full-outer snapshot merge."""
+    from pyspark.sql import functions as F
+    from go_mapreduce_crawler_spark.operators import behavior
+    from go_mapreduce_crawler_spark.streaming import (
+        decayed_engagement_finalize, read_mv_state,
+        stream_decayed_engagement)
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    ref_day = batch_events.agg(F.max(F.expr(
+        "CAST(unix_micros(ts) DIV 86400000000 AS INT)"))).collect()[0][0]
+    stream_events = (spark.readStream.option("maxFilesPerTrigger", "1")
+                     .schema(batch_events.schema)
+                     .parquet(event_stream_dir))
+    state = str(tmp_path / "deng_state")
+    ckpt = str(tmp_path / "deng_ckpt")
+    q = stream_decayed_engagement(stream_events, ref_day, state, ckpt)
+    q.awaitTermination(180)
+    got = {(r.user_id, r.n_events, r.score_cents)
+           for r in decayed_engagement_finalize(
+               read_mv_state(spark, state)).collect()}
+    expect = {(r.user_id, r.n_events, r.score_cents)
+              for r in behavior.q_decayed_engagement(
+                  spark, sf_small).collect()}
+    assert got == expect and len(got) > 0
