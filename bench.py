@@ -111,6 +111,7 @@ HEADLINE = [
     "bpe_train_batched",
     "join_bloom_prefilter",
     "text_zipf_slope",
+    "mv_join_delta_refresh",
 ]
 
 N_CRAWL_FILES = 2000

@@ -393,6 +393,63 @@ def q_bpe_train_batched(spark, sf_dir):
              " a string, b string, merged string, cnt long")
 
 
+def q_bpe_apply_batched(spark, sf_dir):
+    """Apply the batched-trained merges back to the corpus and report
+    per-document token compression — the tokenize-with-trained-vocab
+    step for the >=64-merge vocabulary (the apply face of
+    q_bpe_train_batched, as bpe_apply_compression is of q_bpe_train).
+    Training runs as in the trainer (bounded pool collects); the
+    application itself is five fold-over-literal-array projections —
+    row-local, zero shuffles, trivially streamable.  Integer token
+    arithmetic, so the unrolled oracle's final corpus matches exactly.
+    """
+    base = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.concat(F.lit(" "),
+                             F.regexp_replace("text", " ", "  "),
+                             F.lit(" ")).alias("s")))
+    d = base
+    for rnd in range(BPE_B_ROUNDS):
+        toks = F.split(F.trim(F.col("s")), "  ")
+        n = F.size(toks)
+        pairs = d.select(F.explode(F.zip_with(
+            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")))).alias("p"))
+        pool = (pairs.groupBy(F.col("p.a").alias("a"),
+                              F.col("p.b").alias("b"))
+                     .agg(F.count(F.lit(1)).alias("cnt"))
+                     .orderBy(F.desc("cnt"), "a", "b")
+                     .limit(BPE_B_TOPN).collect())
+        used: set = set()
+        batch = []
+        for r in pool:
+            if len(batch) >= BPE_B_BATCH:
+                break
+            if r.a in used or r.b in used:
+                continue
+            used.update((r.a, r.b))
+            batch.append(r)
+        if not batch:
+            break
+        mlit = F.array(*[
+            F.struct(F.lit(f" {r.a}  {r.b} ").alias("pat"),
+                     F.lit(f" {r.a}_{r.b} ").alias("rep"))
+            for r in batch])
+        col = F.aggregate(mlit, F.col("s"),
+                          lambda acc, m: F.replace(acc, m["pat"],
+                                                   m["rep"]))
+        d = d.select("doc_id", col.alias("s"))
+        d = d.localCheckpoint(eager=False)
+    n0 = F.size(F.split(F.trim(F.col("s0")), "  "))
+    nf = F.size(F.split(F.trim(F.col("s")), "  "))
+    return (d.join(base.select("doc_id", F.col("s").alias("s0")),
+                   "doc_id")
+             .select("doc_id",
+                     n0.alias("n_tokens_before"),
+                     nf.alias("n_tokens_after"),
+                     F.round(nf.cast("double") / n0, 6).alias("ratio")))
+
+
 def _bpe_batched_oracle_sql() -> str:
     """Unrolled DuckDB mirror of q_bpe_train_batched: per round a pair
     count, a ranked pool, the greedy symbol-disjoint walk as a
@@ -501,6 +558,25 @@ def q_bpe_apply(spark, sf_dir):
 # ------------------------------------------------------------------
 # End-to-end pretraining-corpus pipeline (capstone composition)
 # ------------------------------------------------------------------
+
+
+def _bpe_apply_batched_oracle_sql() -> str:
+    """The batched pipeline's final corpus, reported as per-document
+    token accounting (the _bpe_apply_oracle_sql twin)."""
+    body = _bpe_batched_oracle_sql()
+    prefix = body[:body.rindex(" SELECT CAST(ROW_NUMBER()")]
+    return prefix + f"""
+        SELECT d0.doc_id,
+               len(string_split(trim(d0.s, ' '), '  '))
+                   AS n_tokens_before,
+               len(string_split(trim(d{BPE_B_ROUNDS}.s, ' '), '  '))
+                   AS n_tokens_after,
+               ROUND(len(string_split(trim(d{BPE_B_ROUNDS}.s, ' '),
+                                      '  '))::DOUBLE
+                     / len(string_split(trim(d0.s, ' '), '  ')), 6)
+                   AS ratio
+        FROM d0 JOIN d{BPE_B_ROUNDS} USING (doc_id)
+    """
 
 
 def q_pipeline_pretraining(spark, sf_dir):
@@ -757,6 +833,7 @@ QUERIES = {
     "dsir_importance_weights": q_dsir_weights,
     "bpe_train_merges": q_bpe_train,
     "bpe_train_batched": q_bpe_train_batched,
+    "bpe_apply_batched": q_bpe_apply_batched,
     "bpe_apply_compression": q_bpe_apply,
     "pipeline_pretraining_e2e": q_pipeline_pretraining,
     "text_blocklist_filter": q_blocklist_filter,
@@ -771,6 +848,7 @@ _W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
 ORACLE = {
     "bpe_train_merges": _bpe_oracle_sql(),
     "bpe_train_batched": _bpe_batched_oracle_sql(),
+    "bpe_apply_batched": _bpe_apply_batched_oracle_sql(),
     "bpe_apply_compression": _bpe_apply_oracle_sql(),
     "pipeline_pretraining_e2e": f"""
         WITH s1 AS (

@@ -29,7 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.exact import dec
 from ..sources.tables import load_table
+
+MONEY = "decimal(12,2)"
 
 _DROP, _REPRICE, _ADD = 97, 101, 103
 _REKEY = 10_000_000_000
@@ -314,12 +317,72 @@ def q_table_checksum(spark, sf_dir):
                  F.sum(lane(9)).alias("checksum_lane2"))
 
 
+def q_mv_join_delta_refresh(spark, sf_dir):
+    """Incremental maintenance of a JOIN-aggregate view: the
+    per-mktsegment (order count, exact revenue) view over
+    orders x customer, refreshed under a fact-side CDC batch by the
+    delta-join algebra  V' = V (+) agg(delta(O) |x| C)  — the view
+    over the changed table is NEVER recomputed from scratch, which is
+    the property that makes dashboard views affordable at 100 TB
+    (mv_incremental_refresh maintains GROUPED state; this maintains
+    state whose grouping key lives on the OTHER side of a join).
+
+    The CDC batch derives deterministically from orders (keys %7
+    delete; %5-and-not-%7 reprice +10; %11 insert under a shifted key
+    — the cdc_merge_apply convention) and carries SIGNED contributions
+    (delete: (-1, -price); update: (0, +10); insert: (+1, +price)), so
+    folding is a pure monoid: the delta aggregates against the
+    broadcast dim to |segments| rows and merges into the view with one
+    full-outer join + coalesce.  Counts and revenue stay exact DECIMAL
+    throughout; groups whose count reaches 0 drop out.
+
+    The oracle is the strongest possible check: a DIRECT recompute of
+    the view over the post-merge table — the incremental algebra must
+    equal the full rebuild.
+    """
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    k = F.col("o_orderkey")
+    price = dec("o_totalprice", MONEY)
+    z = F.lit(0).cast(MONEY)
+
+    v = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .groupBy("c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(price).alias("rev")))
+
+    dels = o.filter(k % 7 == 0).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-price).alias("dv"))
+    upds = o.filter((k % 5 == 0) & (k % 7 != 0)).select(
+        "o_custkey", F.lit(0).alias("dn"),
+        F.lit(10).cast(MONEY).alias("dv"))
+    ins = o.filter(k % 11 == 0).select(
+        "o_custkey", F.lit(1).alias("dn"), price.alias("dv"))
+    dagg = (dels.union(upds).union(ins)
+            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv")))
+
+    merged = (v.join(dagg, "c_mktsegment", "full_outer")
+               .select("c_mktsegment",
+                       (F.coalesce("n", F.lit(0))
+                        + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+                       (F.coalesce(F.col("rev"), z)
+                        + F.coalesce(F.col("dv"), z)).alias("rev")))
+    return (merged.filter(F.col("n_orders") > 0)
+                  .select("c_mktsegment", "n_orders",
+                          F.col("rev").cast("double").alias("revenue")))
+
+
 QUERIES = {
     "cdc_merge_apply": q_cdc_merge_apply,
     "sink_roundtrip_jsonl": q_sink_roundtrip_jsonl,
     "table_checksum_orders": q_table_checksum,
     "table_diff": q_table_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
+    "mv_join_delta_refresh": q_mv_join_delta_refresh,
     "sink_roundtrip_parquet": q_sink_roundtrip,
     "sink_compact_small_files": q_sink_compact,
 }
@@ -440,4 +503,22 @@ ORACLE["table_checksum_orders"] = """
            SUM(('0x' || substr(h, 1, 8))::BIGINT)::BIGINT AS checksum_lane1,
            SUM(('0x' || substr(h, 9, 8))::BIGINT)::BIGINT AS checksum_lane2
     FROM h
+"""
+
+ORACLE["mv_join_delta_refresh"] = """
+    WITH o2 AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 != 0
+                    THEN CAST(o_totalprice AS DECIMAL(12,2))
+                         + CAST(10 AS DECIMAL(12,2))
+                    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+        FROM orders WHERE o_orderkey % 7 != 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000000, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey % 11 = 0)
+    SELECT c.c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS revenue
+    FROM o2 JOIN customer c ON o2.o_custkey = c.c_custkey
+    GROUP BY 1
 """
