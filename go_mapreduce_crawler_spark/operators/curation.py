@@ -200,6 +200,47 @@ def q_shard_assignment(spark, sf_dir):
                 .select("doc_id", "shard", "pos"))
 
 
+def q_skyline_pareto_docs(spark, sf_dir):
+    """Skyline (Pareto-frontier) operator over documents: the docs not
+    STRICTLY dominated on (quality score, length) — no other doc is
+    better on BOTH axes — i.e. the classic SKYLINE operator
+    (Borzsonyi et al., ICDE 2001) applied to the curation trade-off
+    every data recipe faces: quality vs. quantity, where the frontier
+    is exactly the set of defensible picks.
+
+    Scale: the naive skyline is an all-pairs NOT EXISTS (the oracle
+    states it that way as an independent formulation).  The engine
+    form compacts first — groupBy(score) -> max length (one
+    partial+final agg to |distinct scores| rows), a prefix-max window
+    over that TINY relation ordered by score DESC (strictly-greater
+    prefix via the 1-PRECEDING frame), broadcast back, row-local
+    dominance test.  Documents shuffle once, into the score
+    compaction; the window never touches them.  quality = the hashed
+    linear classifier's exact integer score_milli, so both axes are
+    integers and dominance is tie-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    score = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, t: acc + _tok_weight_spark(t))
+    base = d.select("doc_id", score.alias("score_milli"),
+                    F.col("n_chars").cast("long").alias("n_chars"))
+    per_score = base.groupBy("score_milli").agg(
+        F.max("n_chars").alias("mx"))
+    w = (W.orderBy(F.desc("score_milli"))
+          .rowsBetween(W.unboundedPreceding, -1))
+    pmax = per_score.select(
+        "score_milli",
+        F.coalesce(F.max("mx").over(w), F.lit(-1)).alias("better_mx"))
+    # dominated <=> some strictly-better-scored doc is ALSO strictly
+    # longer <=> better_mx > n_chars; a tie on length does not
+    # dominate, so the keep test is >= (strict-both dominance).
+    return (base.join(F.broadcast(pmax), "score_milli")
+                .filter(F.col("n_chars") >= F.col("better_mx"))
+                .select("doc_id", "score_milli", "n_chars"))
+
+
 # ------------------------------------------------------------------
 # Distributed BPE merge training
 # ------------------------------------------------------------------
@@ -834,6 +875,7 @@ QUERIES = {
     "bpe_train_merges": q_bpe_train,
     "bpe_train_batched": q_bpe_train_batched,
     "bpe_apply_batched": q_bpe_apply_batched,
+    "skyline_pareto_docs": q_skyline_pareto_docs,
     "bpe_apply_compression": q_bpe_apply,
     "pipeline_pretraining_e2e": q_pipeline_pretraining,
     "text_blocklist_filter": q_blocklist_filter,
@@ -1217,4 +1259,22 @@ ORACLE["privacy_k_anonymity"] = f"""
            CAST(FLOOR(CAST(k AS DOUBLE) / CAST(n_total AS DOUBLE)
                       * 1e6) AS BIGINT) AS share_e6
     FROM cls, tot
+"""
+
+ORACLE["skyline_pareto_docs"] = f"""
+    WITH b AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                                      t -> {_W_DUCK})),
+                   (a, b) -> a + b) AS score_milli,
+               n_chars::BIGINT AS n_chars
+        FROM documents)
+    SELECT d.doc_id, d.score_milli, d.n_chars
+    FROM b d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM b o
+        WHERE o.score_milli > d.score_milli
+          AND o.n_chars > d.n_chars)
 """

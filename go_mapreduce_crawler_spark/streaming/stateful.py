@@ -415,3 +415,89 @@ def decayed_engagement_finalize(state_df: DataFrame) -> DataFrame:
         "user_id", "n_events",
         F.floor(F.col("s").cast("double") / F.lit(1e12))
          .cast("long").alias("score_cents"))
+
+
+def stream_quantile_sketch(events: DataFrame, state_dir: str,
+                           checkpoint: str):
+    """Continuously-maintained per-type quantile sketch — the streaming
+    twin of scale.q_quantile_sketch_rollup and the third instance of
+    the foreachBatch monoid-state pattern (MV refresh: grouped sums;
+    decayed engagement: per-user scores; here: DISTRIBUTIONS).  The
+    HDR-style bin counts are the canonical mergeable state: per batch
+    one partial (type, bin) count, merged into the snapshot by integer
+    addition — so any percentile of the stream-so-far is readable at
+    every checkpoint without ever re-ranking history, which is the
+    entire point of a mergeable sketch at an unbounded input.
+
+    Scale: per-batch work is bounded by |types| x ~700 bins regardless
+    of batch size (map-side combine absorbs rows); the merge join is
+    sketch-sized.  Versioned snapshots keep retries exactly-once.
+    """
+    from ..operators.scale import _QSK_BIN
+
+    spark = events.sparkSession
+
+    def _versions(fs_dir: str) -> list[int]:
+        import glob as _glob
+        out = []
+        for p in _glob.glob(f"{fs_dir}/state_v*"):
+            try:
+                out.append(int(p.rsplit("state_v", 1)[1]))
+            except ValueError:
+                pass
+        return sorted(out)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+        partial = (batch_df
+                   .select("event_type", cents.alias("c"))
+                   .selectExpr("event_type",
+                               _QSK_BIN.format(div="DIV") + " AS b")
+                   .groupBy("event_type", "b")
+                   .agg(F.count(F.lit(1)).alias("cnt")))
+        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+            p = prev.select("event_type", "b", F.col("cnt").alias("c1"))
+            d = partial.select("event_type", "b",
+                               F.col("cnt").alias("c2"))
+            merged = (p.join(d, ["event_type", "b"], "full_outer")
+                      .select("event_type", "b",
+                              (F.coalesce("c1", F.lit(0))
+                               + F.coalesce("c2", F.lit(0)))
+                              .alias("cnt")))
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}", ignore_errors=True)
+
+    return (events.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def quantile_sketch_finalize(state_df: DataFrame) -> DataFrame:
+    """Snapshot -> the batch rollup's output shape (per-type approx
+    percentiles with the same bin lower-bound representatives)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.scale import _QSK_LOWER, QSK_PCTS
+
+    spark = state_df.sparkSession
+    tot = state_df.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    w = (W.partitionBy("event_type").orderBy("b")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = state_df.withColumn("cum", F.sum("cnt").over(w))
+    p_df = spark.createDataFrame([(p,) for p in QSK_PCTS], "pct int")
+    return (cum.join(F.broadcast(tot), "event_type")
+               .crossJoin(F.broadcast(p_df))
+               .filter(F.col("cum")
+                       >= F.expr("CAST(CEIL(n * pct / 100.0) AS BIGINT)"))
+               .groupBy("event_type", "pct")
+               .agg(F.min("n").alias("n_rows"),
+                    F.min(F.expr(_QSK_LOWER.format(div="DIV")))
+                     .alias("approx_cents")))

@@ -2193,3 +2193,34 @@ def test_auc_and_calibration_ground_truth(spark, sf_medium):
         assert ne == sum(1 for x, y in pts if x == s and y)
         assert rate == math.floor(ne * 1e6 / n)
     assert all(0 <= r <= 1_000_000 for _, _, r in cal.values())
+
+
+def test_skyline_pareto_ground_truth(spark, sf_medium):
+    """skyline_pareto_docs equals the O(n^2) strict-dominance frontier
+    computed directly in Python (the definition, not either engine
+    formulation — this is the third independent construction; the
+    DuckDB NOT EXISTS oracle already caught a tie-on-one-axis bug in
+    the prefix-max form)."""
+    from go_mapreduce_crawler_spark.operators import curation
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_medium, "documents") \
+        .select("doc_id", "text", "n_chars").collect()
+
+    def w(tok):
+        import hashlib
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) \
+            % 2001 - 1000
+
+    pts = [(r.doc_id, sum(w(t) for t in r.text.split(" ")), r.n_chars)
+           for r in docs]
+    expect = {(i, s, c) for i, s, c in pts
+              if not any(s2 > s and c2 > c for _, s2, c2 in pts)}
+    got = {(r.doc_id, r.score_milli, r.n_chars)
+           for r in curation.q_skyline_pareto_docs(
+               spark, sf_medium).collect()}
+    assert got == expect and len(got) > 0
+    # frontier property: sorted by score desc, lengths strictly decrease
+    front = sorted(got, key=lambda t: (-t[1], t[2]))
+    for (_, s1, c1), (_, s2, c2) in zip(front, front[1:]):
+        assert s1 > s2 or c1 <= c2

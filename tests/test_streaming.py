@@ -632,3 +632,31 @@ def test_stream_decayed_engagement_matches_batch_operator(
               for r in behavior.q_decayed_engagement(
                   spark, sf_small).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_stream_quantile_sketch_matches_batch_rollup(
+        spark, event_stream_dir, sf_small, tmp_path):
+    """The foreachBatch-maintained per-type quantile sketch, replayed
+    over the historical stream, must finalize to EXACTLY the batch
+    rollup's percentiles — mergeable-sketch state means micro-batch
+    boundaries cannot change any answer (the monoid law observed
+    end-to-end through streaming checkpoints)."""
+    from go_mapreduce_crawler_spark.operators import scale as sc
+    from go_mapreduce_crawler_spark.streaming import (
+        quantile_sketch_finalize, read_mv_state, stream_quantile_sketch)
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream.option("maxFilesPerTrigger", "1")
+                     .schema(batch_events.schema)
+                     .parquet(event_stream_dir))
+    state = str(tmp_path / "qsk_state")
+    ckpt = str(tmp_path / "qsk_ckpt")
+    q = stream_quantile_sketch(stream_events, state, ckpt)
+    q.awaitTermination(180)
+    got = {(r.event_type, r.pct, r.n_rows, r.approx_cents)
+           for r in quantile_sketch_finalize(
+               read_mv_state(spark, state)).collect()}
+    expect = {(r.event_type, r.pct, r.n_rows, r.approx_cents)
+              for r in sc.q_quantile_sketch_rollup(
+                  spark, sf_small).collect()}
+    assert got == expect and len(got) > 0
