@@ -112,6 +112,8 @@ HEADLINE = [
     "join_bloom_prefilter",
     "text_zipf_slope",
     "mv_join_delta_refresh",
+    "skyline_pareto_docs",
+    "chunk_content_defined",
 ]
 
 N_CRAWL_FILES = 2000

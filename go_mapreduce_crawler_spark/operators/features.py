@@ -1382,9 +1382,60 @@ def q_anomaly_seasonal_residual(spark, sf_dir):
                      F.floor(resid * 1e6).cast("long").alias("resid_e6")))
 
 
+_PROFILE_CHECKS = (
+    # (label, kind, lhs columns, rhs column or None)
+    ("key: l_orderkey+l_linenumber", "key",
+     ("l_orderkey", "l_linenumber"), None),
+    ("key: l_orderkey", "key", ("l_orderkey",), None),
+    ("key: l_orderkey+l_partkey+l_suppkey", "key",
+     ("l_orderkey", "l_partkey", "l_suppkey"), None),
+    ("fd: l_orderkey -> l_returnflag", "fd",
+     ("l_orderkey",), "l_returnflag"),
+    ("fd: l_partkey -> l_suppkey", "fd", ("l_partkey",), "l_suppkey"),
+    ("fd: l_orderkey -> l_shipdate", "fd",
+     ("l_orderkey",), "l_shipdate"),
+)
+
+
+def q_profile_keys_fds(spark, sf_dir):
+    """Data-profiling report: candidate-KEY and functional-dependency
+    checks over lineitem (the Metanome-style uniqueness/FD discovery
+    core, restricted to a declared candidate set — full lattice search
+    is a driver loop over exactly this primitive).  A key holds iff
+    |distinct(lhs)| = |rows|; an FD lhs -> rhs holds iff
+    |distinct(lhs)| = |distinct(lhs, rhs)| (every lhs value maps to
+    one rhs).  The fixture makes the report non-trivial: the composite
+    PK holds, the single-column "keys" fail, one FD holds vacuously
+    per lhs-key and the others genuinely fail.
+
+    Scale: each check is one partial+final distinct-count agg (6
+    scans here for declarative clarity; a production profiler fuses
+    them into one pass of grouping sets).  No windows, no joins —
+    profiling must be runnable ON the 100 TB table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for label, kind, lhs, rhs in _PROFILE_CHECKS:
+        lhs_d = F.countDistinct(*[F.col(c) for c in lhs])
+        if kind == "key":
+            base = F.count(F.lit(1))
+        else:
+            base = F.countDistinct(*([F.col(c) for c in lhs]
+                                     + [F.col(rhs)]))
+        r = li.agg(lhs_d.alias("n_lhs"), base.alias("n_base")).select(
+            F.lit(label).alias("check"),
+            F.lit(kind).alias("kind"),
+            F.col("n_lhs").alias("n_distinct_lhs"),
+            F.col("n_base").alias("n_reference"),
+            (F.col("n_lhs") == F.col("n_base")).alias("holds"))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "feat_zscore_per_type": q_feat_zscore,
     "validate_referential_integrity": q_validate_referential,
+    "profile_keys_fds": q_profile_keys_fds,
     "feat_winsorize": q_feat_winsorize,
     "anomaly_iqr_fences": q_anomaly_iqr,
     "stats_corr_matrix": q_stats_corr_matrix,
@@ -2197,3 +2248,17 @@ def _kendall_oracle() -> str:
 
 
 ORACLE["stats_kendall_tau"] = _kendall_oracle()
+
+ORACLE["profile_keys_fds"] = """
+    SELECT 'key: l_orderkey+l_linenumber' AS check, 'key' AS kind, COUNT(DISTINCT ROW(l_orderkey, l_linenumber))::BIGINT AS n_distinct_lhs, COUNT(*)::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_orderkey, l_linenumber)) = COUNT(*) AS holds FROM lineitem
+    UNION ALL
+    SELECT 'key: l_orderkey' AS check, 'key' AS kind, COUNT(DISTINCT (l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(*)::BIGINT AS n_reference, COUNT(DISTINCT (l_orderkey)) = COUNT(*) AS holds FROM lineitem
+    UNION ALL
+    SELECT 'key: l_orderkey+l_partkey+l_suppkey' AS check, 'key' AS kind, COUNT(DISTINCT ROW(l_orderkey, l_partkey, l_suppkey))::BIGINT AS n_distinct_lhs, COUNT(*)::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_orderkey, l_partkey, l_suppkey)) = COUNT(*) AS holds FROM lineitem
+    UNION ALL
+    SELECT 'fd: l_orderkey -> l_returnflag' AS check, 'fd' AS kind, COUNT(DISTINCT (l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_orderkey, l_returnflag))::BIGINT AS n_reference, COUNT(DISTINCT (l_orderkey)) = COUNT(DISTINCT ROW(l_orderkey, l_returnflag)) AS holds FROM lineitem
+    UNION ALL
+    SELECT 'fd: l_partkey -> l_suppkey' AS check, 'fd' AS kind, COUNT(DISTINCT (l_partkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_partkey, l_suppkey))::BIGINT AS n_reference, COUNT(DISTINCT (l_partkey)) = COUNT(DISTINCT ROW(l_partkey, l_suppkey)) AS holds FROM lineitem
+    UNION ALL
+    SELECT 'fd: l_orderkey -> l_shipdate' AS check, 'fd' AS kind, COUNT(DISTINCT (l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_orderkey, l_shipdate))::BIGINT AS n_reference, COUNT(DISTINCT (l_orderkey)) = COUNT(DISTINCT ROW(l_orderkey, l_shipdate)) AS holds FROM lineitem
+"""

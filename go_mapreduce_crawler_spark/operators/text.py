@@ -1180,6 +1180,55 @@ def q_eval_calibration_bins(spark, sf_dir):
                       .cast("long").alias("rate_ppm")))
 
 
+CDC_MOD = 16      # expected chunk length (words); boundary ~ 1/16
+CDC_TOP = 100     # duplicated chunks reported
+
+
+def q_chunk_content_defined(spark, sf_dir):
+    """Content-defined chunking (Rabin/CDC-style) + chunk-level dedup
+    report: chunk boundaries are placed where a WORD's hash hits
+    0 mod {m} — so chunk edges move WITH the content, and an insertion
+    near the top of a document disturbs only its own chunk instead of
+    re-offsetting every fixed-size window (the property rsync/LBFS/
+    storage dedup rely on, and what doc_chunking_rag's fixed windows
+    cannot give).  Output: the top duplicated chunks across the corpus
+    (digest, occurrences, distinct docs) — the sub-document dedup
+    signal that document-level fingerprints miss.
+
+    Scale + determinism: the boundary test is the portable md5_32
+    hash; words shuffle ONCE (doc-keyed) into chunk assembly, chunks
+    leave as md5 digests immediately, and only digests shuffle for the
+    dedup count; the top-{k} bound is TakeOrdered.  Chunk strings are
+    assembled by array_sort(struct(pos, word)) — no collect_list order
+    assumption.
+    """.format(m=CDC_MOD, k=CDC_TOP)
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id",
+                 F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    is_b = (F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+            .cast("long") % CDC_MOD == 0).cast("int")
+    win = (W.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, -1))
+    cid = F.coalesce(F.sum(is_b).over(win), F.lit(0))
+    ch = (w.withColumn("cid", cid)
+           .groupBy("doc_id", "cid")
+           .agg(F.md5(F.concat_ws(" ", F.transform(
+               F.array_sort(F.collect_list(F.struct("pos", "w"))),
+               lambda p: p["w"]))).alias("chunk_md5"),
+                F.count(F.lit(1)).alias("n_words")))
+    agg = (ch.groupBy("chunk_md5")
+             .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                  F.countDistinct("doc_id").alias("n_docs"),
+                  F.min("n_words").alias("n_words")))
+    top = (agg.filter(F.col("n_occurrences") > 1)
+              .orderBy(F.desc("n_occurrences"), "chunk_md5")
+              .limit(CDC_TOP))
+    rk = F.row_number().over(
+        W.orderBy(F.desc("n_occurrences"), "chunk_md5"))
+    return top.withColumn("rk", rk).select(
+        "rk", "chunk_md5", "n_occurrences", "n_docs", "n_words")
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_oov_rate": q_text_oov_rate,
@@ -1212,6 +1261,7 @@ QUERIES = {
     "corpus_heaps_curve": q_corpus_heaps_curve,
     "eval_auc_stopword": q_eval_auc_stopword,
     "eval_calibration_bins": q_eval_calibration_bins,
+    "chunk_content_defined": q_chunk_content_defined,
 }
 
 _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in STOPWORDS.items()}
@@ -1793,4 +1843,38 @@ ORACLE["eval_calibration_bins"] = f"""
            CAST(FLOOR(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                       * 1e6 / COUNT(*)) AS BIGINT) AS rate_ppm
     FROM documents GROUP BY 1
+"""
+
+ORACLE["chunk_content_defined"] = f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    w AS (
+        SELECT doc_id, a[j] AS w, j AS pos
+        FROM ws, unnest(generate_series(1, len(a))) AS u(j)),
+    f AS (
+        SELECT doc_id, w, pos,
+               CASE WHEN ('0x' || substr(md5(w), 1, 8))::BIGINT
+                         % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+        FROM w),
+    c AS (
+        SELECT doc_id, w, pos,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cid
+        FROM f),
+    ch AS (
+        SELECT doc_id, cid,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
+               COUNT(*)::BIGINT AS n_words
+        FROM c GROUP BY 1, 2),
+    agg AS (
+        SELECT chunk_md5, COUNT(*)::BIGINT AS n_occurrences,
+               COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+               MIN(n_words)::BIGINT AS n_words
+        FROM ch GROUP BY 1)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                                   chunk_md5) AS INT) AS rk,
+           chunk_md5, n_occurrences, n_docs, n_words
+    FROM agg WHERE n_occurrences > 1
+    ORDER BY rk LIMIT {CDC_TOP}
 """

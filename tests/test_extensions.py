@@ -2224,3 +2224,32 @@ def test_skyline_pareto_ground_truth(spark, sf_medium):
     front = sorted(got, key=lambda t: (-t[1], t[2]))
     for (_, s1, c1), (_, s2, c2) in zip(front, front[1:]):
         assert s1 > s2 or c1 <= c2
+
+
+def test_profile_keys_fds_ground_truth(spark, sf_medium):
+    """profile_keys_fds agrees with direct Python set arithmetic on
+    every declared check, and the fixture's structure shows through:
+    the composite PK holds while the single-column 'keys' fail."""
+    from go_mapreduce_crawler_spark.operators import features as ft
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = {r.check: r for r in
+            ft.q_profile_keys_fds(spark, sf_medium).collect()}
+    li = load_table(spark, sf_medium, "lineitem") \
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "l_returnflag", "l_shipdate").collect()
+    for label, kind, lhs, rhs in ft._PROFILE_CHECKS:
+        lhs_vals = {tuple(getattr(r, c) for c in lhs) for r in li}
+        if kind == "key":
+            ref = len(li)
+        else:
+            ref = len({tuple(getattr(r, c) for c in lhs)
+                       + (getattr(r, rhs),) for r in li})
+        got = rows[label]
+        assert (got.n_distinct_lhs, got.n_reference, got.holds) == \
+            (len(lhs_vals), ref, len(lhs_vals) == ref), label
+    # fixture structure: the single-column "key" fails (orders have
+    # many lines); whether a composite holds is SF-dependent (the
+    # sf0.001 generator even collides the triple) — the cross-check
+    # above is the contract, not any fixed verdict.
+    assert not rows["key: l_orderkey"].holds

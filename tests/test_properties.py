@@ -721,3 +721,46 @@ def test_bpe_batched_trainer_matches_python_reference(spark, tmp_path):
         cur.load_table = orig
     assert sorted(got) == ref_train(docs, cur.BPE_B_ROUNDS,
                                     cur.BPE_B_TOPN, cur.BPE_B_BATCH)
+
+
+def test_cdc_chunk_boundaries_are_insert_stable():
+    """The content-defined chunking property the operator exists for:
+    prepending words to a document disturbs only chunks up to the
+    first boundary AFTER the edit — every later chunk is bit-identical
+    (fixed-size windows would re-offset all of them).  Pure-Python
+    replication of the operator's boundary rule (md5_32(word) % 16)."""
+    import hashlib
+    import random
+
+    from go_mapreduce_crawler_spark.operators.text import CDC_MOD
+
+    def is_boundary(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) \
+            % CDC_MOD == 0
+
+    def chunks(words):
+        out, cur = [], []
+        for w in words:
+            cur.append(w)
+            if is_boundary(w):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    words = [rng.choice(vocab) for _ in range(400)]
+    base = chunks(words)
+    assert len(base) > 10          # boundaries actually fire
+    edited = chunks(["inserted", "stuff"] + words)
+    # all chunks after the first boundary are shared verbatim
+    shared = set(base) & set(edited)
+    assert len(shared) >= len(base) - 1
+    # and a FIXED window of the same average size shares almost nothing
+    k = max(1, len(words) // max(len(base), 1))
+    fixed = [" ".join(words[i:i + k]) for i in range(0, len(words), k)]
+    fixed_edited = [" ".join((["inserted", "stuff"] + words)[i:i + k])
+                    for i in range(0, len(words) + 2, k)]
+    assert len(set(fixed) & set(fixed_edited)) <= len(base) // 2
