@@ -10,7 +10,8 @@ NEW = ["quantile_sketch_rollup", "bpe_train_batched",
        "diag_partition_skew", "text_zipf_slope",
        "corpus_heaps_curve", "eval_auc_stopword",
        "eval_calibration_bins", "mv_join_delta_refresh",
-       "survival_kaplan_meier"]
+       "survival_kaplan_meier", "skyline_pareto_docs",
+       "profile_keys_fds", "chunk_content_defined"]
 SF = "/root/testdata/sf0.01"
 
 def run(master, parts, name_suffix):
