@@ -174,36 +174,66 @@ _CHECKED_R05 = (
 )
 
 
-# Round-6 front: survival_kaplan_meier re-runs FIRST (r05's only
-# driver-red row; re-hardened this round — tz-free day index, floor
-# quantization, BIGINT-cast oracle n_risk), then the 14 r05b ops that
-# were judge-verified at sf0.01 but have no driver row yet.  New r06
-# ops queue right behind via the never-checked rule, all inside the
-# driver's ~50-query budget.
-_FRONT_R06 = (
-    "survival_kaplan_meier",
-    "events_holt_forecast", "stats_theil_sen",
+# The 50 queries CORRECTNESS_r06 checked (all 50 hash-green, zero err;
+# survival_kaplan_meier's tz hardening landed — the r05 red row is
+# gone).  Freshest driver signal — runs last.
+_CHECKED_R06 = (
+    "survival_kaplan_meier", "events_holt_forecast", "stats_theil_sen",
     "anomaly_seasonal_residual", "stats_kruskal_wallis",
     "stats_kendall_tau", "behavior_session_paths",
     "events_decayed_engagement", "attribution_markov_removal",
     "graph_shortest_path_weighted", "graph_ppr_seeded",
     "crawl_url_frontier_dedup", "crawl_robots_filter",
-    "crawl_schedule_e2e", "privacy_k_anonymity",
+    "crawl_schedule_e2e", "privacy_k_anonymity", "text_zipf_slope",
+    "corpus_heaps_curve", "eval_auc_stopword", "eval_calibration_bins",
+    "chunk_content_defined", "quantile_sketch_rollup",
+    "join_bloom_prefilter", "diag_partition_skew", "profile_keys_fds",
+    "mv_join_delta_refresh", "bpe_train_batched", "bpe_apply_batched",
+    "skyline_pareto_docs", "scan_filter_project", "q1_pricing_summary",
+    "q6_revenue_change", "agg_distinct", "agg_argminmax",
+    "rollup_region_nation", "cube_flag_status", "grouping_sets",
+    "pivot_linestatus", "q3_shipping_priority", "q5_local_supplier",
+    "q7_nation_volume", "q10_returned_items", "q14_promo_revenue",
+    "q19_disjunctive_predicates", "q22_idle_customers",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q15_top_supplier",
+    "q16_supplier_part_count",
+)
+
+
+# Round-7 front (VERDICT r06 items 1,2,5,7,8,9 + ADVICE item 2): the
+# r07 NEW ops run first (never driver-checked — streaming replay rows,
+# suffix-array substring dedup, unigram-LM trainer, skew advisor,
+# cross-modal dedup), then the ops whose CODE changed after their last
+# driver row (ann_pq_adc was re-planned in r06 but stayed r05-signed —
+# the advice item; multimodal_near_dup_phash gets the vectorized
+# kernel; profile_keys_fds / text_zipf_slope / eval_auc_stopword get
+# the r06 advice fixes; bpe_train_batched gets the bigger-vocab
+# acceptance).  The stale-signal rotation (VERDICT item 1: 64 rows
+# still r01/r02-signed) then fills the rest of the ~50-query budget
+# automatically via the oldest-round-first ordering below.
+_FRONT_R07 = (
+    "stream_mv_refresh_replay", "stream_decayed_engagement_replay",
+    "stream_quantile_sketch_replay",
+    "dedup_substring_suffix_array", "unigram_lm_train",
+    "skew_salt_advisor", "crossmodal_dedup_report",
+    "ann_pq_adc", "multimodal_near_dup_phash", "profile_keys_fds",
+    "text_zipf_slope", "eval_auc_stopword", "bpe_train_batched",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    front = set(_FRONT_R06)
+    front = set(_FRONT_R07)
     round_tups = (_CHECKED_R01, _CHECKED_R02, _CHECKED_R03,
-                  _CHECKED_R04, _CHECKED_R05)
+                  _CHECKED_R04, _CHECKED_R05, _CHECKED_R06)
     rounds = [set(t) for t in round_tups]
     checked = front | set().union(*rounds)
-    ordered = {k: q[k] for k in _FRONT_R06 if k in q}
+    ordered = {k: q[k] for k in _FRONT_R07 if k in q}
     # Anything never driver-checked in any round (this round's new ops)
     # runs right behind the front block, inside the budget.
     ordered.update({k: q[k] for k in q if k not in checked})
-    # Then oldest driver signal first (r01), freshest (r05) last; a
+    # Then oldest driver signal first (r01), freshest (r06) last; a
     # query in several rounds sorts by its freshest appearance.
     for i, tup in enumerate(round_tups):
         after = set().union(*rounds[i + 1:]) if i + 1 < len(rounds) \

@@ -10,12 +10,12 @@ from __future__ import annotations
 
 from . import (asof, behavior, curation, dedup, features, graph,
                maintenance, ml, multimodal, relational, sampling, scale,
-               similarity, temporal, text, udx)
+               similarity, streaming_replay, temporal, text, udx)
 
 
 _MODULES = (relational, dedup, similarity, text, multimodal, asof,
             temporal, scale, sampling, udx, features, behavior, graph,
-            maintenance, ml, curation)
+            maintenance, ml, curation, streaming_replay)
 
 
 def all_queries():

@@ -1412,16 +1412,25 @@ def q_profile_keys_fds(spark, sf_dir):
     scans here for declarative clarity; a production profiler fuses
     them into one pass of grouping sets).  No windows, no joins —
     profiling must be runnable ON the 100 TB table.
+
+    NULL-safety (r06 advice): countDistinct(a, b, ...) silently drops
+    rows where ANY argument is NULL, which would miscount keys/FDs on
+    nullable profiled columns; wrapping the tuple in a struct makes
+    the row itself non-null, so NULL-holding rows count as distinct
+    values — matching DuckDB's COUNT(DISTINCT ROW(...)) semantics
+    (NULL fields inside a struct compare field-wise, NULL = NULL for
+    distinctness, in both engines).
     """
     li = load_table(spark, sf_dir, "lineitem")
     out = None
     for label, kind, lhs, rhs in _PROFILE_CHECKS:
-        lhs_d = F.countDistinct(*[F.col(c) for c in lhs])
+        lhs_d = F.countDistinct(
+            F.struct(*[F.col(c) for c in lhs]))
         if kind == "key":
             base = F.count(F.lit(1))
         else:
-            base = F.countDistinct(*([F.col(c) for c in lhs]
-                                     + [F.col(rhs)]))
+            base = F.countDistinct(
+                F.struct(*([F.col(c) for c in lhs] + [F.col(rhs)])))
         r = li.agg(lhs_d.alias("n_lhs"), base.alias("n_base")).select(
             F.lit(label).alias("check"),
             F.lit(kind).alias("kind"),
@@ -2252,13 +2261,13 @@ ORACLE["stats_kendall_tau"] = _kendall_oracle()
 ORACLE["profile_keys_fds"] = """
     SELECT 'key: l_orderkey+l_linenumber' AS check, 'key' AS kind, COUNT(DISTINCT ROW(l_orderkey, l_linenumber))::BIGINT AS n_distinct_lhs, COUNT(*)::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_orderkey, l_linenumber)) = COUNT(*) AS holds FROM lineitem
     UNION ALL
-    SELECT 'key: l_orderkey' AS check, 'key' AS kind, COUNT(DISTINCT (l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(*)::BIGINT AS n_reference, COUNT(DISTINCT (l_orderkey)) = COUNT(*) AS holds FROM lineitem
+    SELECT 'key: l_orderkey' AS check, 'key' AS kind, COUNT(DISTINCT ROW(l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(*)::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_orderkey)) = COUNT(*) AS holds FROM lineitem
     UNION ALL
     SELECT 'key: l_orderkey+l_partkey+l_suppkey' AS check, 'key' AS kind, COUNT(DISTINCT ROW(l_orderkey, l_partkey, l_suppkey))::BIGINT AS n_distinct_lhs, COUNT(*)::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_orderkey, l_partkey, l_suppkey)) = COUNT(*) AS holds FROM lineitem
     UNION ALL
-    SELECT 'fd: l_orderkey -> l_returnflag' AS check, 'fd' AS kind, COUNT(DISTINCT (l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_orderkey, l_returnflag))::BIGINT AS n_reference, COUNT(DISTINCT (l_orderkey)) = COUNT(DISTINCT ROW(l_orderkey, l_returnflag)) AS holds FROM lineitem
+    SELECT 'fd: l_orderkey -> l_returnflag' AS check, 'fd' AS kind, COUNT(DISTINCT ROW(l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_orderkey, l_returnflag))::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_orderkey)) = COUNT(DISTINCT ROW(l_orderkey, l_returnflag)) AS holds FROM lineitem
     UNION ALL
-    SELECT 'fd: l_partkey -> l_suppkey' AS check, 'fd' AS kind, COUNT(DISTINCT (l_partkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_partkey, l_suppkey))::BIGINT AS n_reference, COUNT(DISTINCT (l_partkey)) = COUNT(DISTINCT ROW(l_partkey, l_suppkey)) AS holds FROM lineitem
+    SELECT 'fd: l_partkey -> l_suppkey' AS check, 'fd' AS kind, COUNT(DISTINCT ROW(l_partkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_partkey, l_suppkey))::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_partkey)) = COUNT(DISTINCT ROW(l_partkey, l_suppkey)) AS holds FROM lineitem
     UNION ALL
-    SELECT 'fd: l_orderkey -> l_shipdate' AS check, 'fd' AS kind, COUNT(DISTINCT (l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_orderkey, l_shipdate))::BIGINT AS n_reference, COUNT(DISTINCT (l_orderkey)) = COUNT(DISTINCT ROW(l_orderkey, l_shipdate)) AS holds FROM lineitem
+    SELECT 'fd: l_orderkey -> l_shipdate' AS check, 'fd' AS kind, COUNT(DISTINCT ROW(l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_orderkey, l_shipdate))::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_orderkey)) = COUNT(DISTINCT ROW(l_orderkey, l_shipdate)) AS holds FROM lineitem
 """

@@ -1,0 +1,112 @@
+"""Driver-checkable correctness rows for the foreachBatch monoid-state
+streaming family (VERDICT r06 item 7).
+
+The three continuously-maintained views (stream_mv_refresh,
+stream_decayed_engagement, stream_quantile_sketch — streaming/
+stateful.py) were parity-tested against their batch twins but had no
+driver CORRECTNESS rows.  Each query here replays the events table as a
+deterministic multi-file stream (maxFilesPerTrigger=1 under an
+availableNow trigger => one micro-batch per file, so the later batches
+exercise the full-outer snapshot merge), then returns the FINALIZED
+view as a plain DataFrame.
+
+Why a full value oracle is legitimate for a streaming operator: the
+state is a monoid (grouped sums / decayed-score terms / HDR bin
+counts), so the finalized view is provably independent of micro-batch
+boundaries, and the versioned-snapshot protocol makes replays
+exactly-once.  The oracle is therefore the batch twin's SQL over the
+same events table — a hash MATCH is an end-to-end exactly-once proof
+under the value hash, not a weakened rows-only check.
+
+Reference parity: the monoid merge is the reference's
+Accumulate/Combine contract (crawler.go:31, pool.go:102-121) carried
+into streaming state; exactly-once versioning plays the role of the
+reference's deterministic single-error collect (crawler.go:204-255).
+
+Scale: per micro-batch the shuffled state is bounded by KEY cardinality
+(|event_type| / |users| / |types|x~700 bins), never by stream length —
+the property that lets the same code follow a 100 TB/day firehose.  The
+replay fixture write is test plumbing, not the operator.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming.stateful import (decayed_engagement_finalize,
+                                  quantile_sketch_finalize, read_mv_state,
+                                  stream_decayed_engagement,
+                                  stream_mv_refresh, stream_quantile_sketch)
+from .behavior import _decayed_engagement_oracle
+from .scale import ORACLE as _SCALE_ORACLE
+
+REPLAY_SPLITS = 4          # micro-batches per replay
+_AWAIT_S = 300
+
+
+def _replay(spark, sf_dir: str, name: str):
+    """Write events as a REPLAY_SPLITS-file parquet dir (the committed
+    replay fixture) and return (streaming_df, state_dir, ckpt_dir)."""
+    root = tempfile.mkdtemp(prefix=f"sgraft_replay_{name}_")
+    in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
+    batch = load_table(spark, sf_dir, "events")
+    batch.repartition(REPLAY_SPLITS).write.mode("overwrite").parquet(in_dir)
+    stream = (spark.readStream.option("maxFilesPerTrigger", "1")
+              .schema(batch.schema).parquet(in_dir))
+    return batch, stream, state, ckpt
+
+
+def q_stream_mv_refresh_replay(spark, sf_dir):
+    """Replay -> foreachBatch MERGE-maintained per-type view -> final
+    snapshot (event_type, n_events, sum_value)."""
+    _, stream, state, ckpt = _replay(spark, sf_dir, "mv")
+    q = stream_mv_refresh(stream, state, ckpt)
+    q.awaitTermination(_AWAIT_S)
+    return (read_mv_state(spark, state)
+            .select("event_type", F.col("n").alias("n_events"),
+                    F.col("s").alias("sum_value")))
+
+
+def q_stream_decayed_engagement_replay(spark, sf_dir):
+    """Replay -> foreachBatch per-user decayed-engagement view with
+    ref_day pinned to the corpus max (the deployment contract; the
+    historical replay then agrees bit-for-bit with the batch operator)."""
+    batch, stream, state, ckpt = _replay(spark, sf_dir, "deng")
+    ref_day = batch.agg(F.max(F.expr(
+        "CAST(unix_micros(ts) DIV 86400000000 AS INT)"))).collect()[0][0]
+    q = stream_decayed_engagement(stream, ref_day, state, ckpt)
+    q.awaitTermination(_AWAIT_S)
+    return decayed_engagement_finalize(read_mv_state(spark, state))
+
+
+def q_stream_quantile_sketch_replay(spark, sf_dir):
+    """Replay -> foreachBatch per-type HDR quantile sketch -> finalized
+    percentiles (exactly the batch rollup's output — the mergeable-
+    sketch monoid law observed through streaming checkpoints)."""
+    _, stream, state, ckpt = _replay(spark, sf_dir, "qsk")
+    q = stream_quantile_sketch(stream, state, ckpt)
+    q.awaitTermination(_AWAIT_S)
+    return quantile_sketch_finalize(read_mv_state(spark, state))
+
+
+QUERIES = {
+    "stream_mv_refresh_replay": q_stream_mv_refresh_replay,
+    "stream_decayed_engagement_replay": q_stream_decayed_engagement_replay,
+    "stream_quantile_sketch_replay": q_stream_quantile_sketch_replay,
+}
+
+ORACLE = {
+    # the batch twin of stream_mv_refresh (maintenance MV semantics)
+    "stream_mv_refresh_replay": """
+        SELECT event_type, COUNT(*)::BIGINT AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    # the batch twins' oracles, verbatim
+    "stream_decayed_engagement_replay": _decayed_engagement_oracle(),
+    "stream_quantile_sketch_replay": _SCALE_ORACLE["quantile_sketch_rollup"],
+}

@@ -1049,8 +1049,12 @@ def q_text_zipf_slope(spark, sf_dir):
     quality_perplexity_buckets: it audits the DISTRIBUTION, not the
     documents.
 
-    Scale + determinism: term counts are one partial+final agg; ranks
-    and the fit touch only the 100-row head (TakeOrdered, tiny).  Both
+    Scale + determinism: term counts are one partial+final agg; the
+    head is pre-pruned with an orderBy().limit() — a
+    TakeOrderedAndProject, a per-partition top-100 merged on the
+    driver side of the exchange, never a full sort — so the
+    row_number window (which has no partitionBy) ranks a 100-row
+    relation, not the whole vocabulary (r06 advice fix).  Both
     ln's go through _ln_det on INTEGER rank/count and quantize to e6
     ints ONCE per row, so all OLS moments are exact integer sums in
     DECIMAL(38,0) — order-independent — and the slope/intercept are
@@ -1061,9 +1065,9 @@ def q_text_zipf_slope(spark, sf_dir):
     d = _docs(spark, sf_dir)
     counts = (d.select(F.explode(F.split("text", " ")).alias("w"))
                .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    top = counts.orderBy(F.desc("cnt"), "w").limit(ZIPF_TOP)
     rk = F.row_number().over(W.orderBy(F.desc("cnt"), "w"))
-    head = (counts.withColumn("rank", rk)
-                  .filter(F.col("rank") <= ZIPF_TOP))
+    head = top.withColumn("rank", rk)
     x = f"CAST(floor({_ln_det('rank', _lit_spark)} * 1e6) AS BIGINT)"
     y = f"CAST(floor({_ln_det('cnt', _lit_spark)} * 1e6) AS BIGINT)"
     pts = head.selectExpr("rank", f"{x} AS x6", f"{y} AS y6")
@@ -1154,8 +1158,13 @@ def q_eval_auc_stopword(spark, sf_dir):
     return tot.selectExpr(
         "CAST(np AS BIGINT) AS n_pos",
         "CAST(nn AS BIGINT) AS n_neg",
-        "CAST((rpos2 - np * (np + 1)) * 1000000"
-        " div (2 * np * nn) AS BIGINT) AS auc_ppm")
+        # single-class corpus (np or nn = 0): AUC undefined -> NULL on
+        # BOTH sides (DuckDB's // would raise; Spark's div would NULL
+        # silently — the explicit CASE makes the engines agree, r06
+        # advice fix)
+        "CASE WHEN np = 0 OR nn = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST((rpos2 - np * (np + 1)) * 1000000"
+        " div (2 * np * nn) AS BIGINT) END AS auc_ppm")
 
 
 def q_eval_calibration_bins(spark, sf_dir):
@@ -1832,8 +1841,9 @@ ORACLE["eval_auc_stopword"] = f"""
                (SUM(n) - SUM(n_pos))::HUGEINT AS nn
         FROM mid)
     SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-           CAST((rpos2 - np * (np + 1)) * 1000000
-                // (2 * np * nn) AS BIGINT) AS auc_ppm
+           CASE WHEN np = 0 OR nn = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST((rpos2 - np * (np + 1)) * 1000000
+                     // (2 * np * nn) AS BIGINT) END AS auc_ppm
     FROM tot
 """
 

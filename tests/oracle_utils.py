@@ -63,11 +63,30 @@ def _canon(v):
     return v
 
 
+def _sort_key(v):
+    """Type-insensitive total order for the row sort (ADVICE r06): an
+    int 2 from one engine and a float 2.0 from the other are == but
+    have different reprs, so a repr sort could align equal row sets
+    differently and report a false first-diff.  Numbers sort by exact
+    numeric value (Python compares int vs float exactly, no 2^53
+    aliasing); kind prefixes keep None/numbers/composites/strings in
+    disjoint bands."""
+    if v is None:
+        return (0,)
+    if isinstance(v, bool):
+        return (1, int(v))
+    if isinstance(v, (int, float)):
+        return (1, v)
+    if isinstance(v, tuple):
+        return (2, tuple(_sort_key(x) for x in v))
+    return (3, repr(v))
+
+
 def normalize(df_pandas) -> tuple[list[str], list[tuple]]:
     cols = sorted(df_pandas.columns)
     rows = [tuple(_canon(v) for v in row)
             for row in df_pandas[cols].itertuples(index=False, name=None)]
-    rows.sort(key=repr)
+    rows.sort(key=lambda r: tuple(_sort_key(v) for v in r))
     return cols, rows
 
 

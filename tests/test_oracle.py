@@ -50,22 +50,26 @@ def test_entry_smoke(spark):
 
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
-    put the r05 driver-red row + the 14 never-driver-checked r05b rows
-    (VERDICT r05) first so CORRECTNESS_r06 converts them to green rows,
-    then anything new this round, then r01 (oldest green signal) before
-    r02..r05 (freshest last)."""
+    put the r07 new ops + the code-changed-since-last-driver-row ops
+    (VERDICT r06 item 1 / ADVICE item 2) first, then anything else new
+    this round, then r01 (oldest green signal) before r02..r06
+    (freshest last) — the stale-signal rotation."""
     names = list(QUERIES)
-    front = list(entrymod._FRONT_R06)
+    front = [n for n in entrymod._FRONT_R07 if n in QUERIES]
     checked = [set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
                set(entrymod._CHECKED_R03), set(entrymod._CHECKED_R04),
-               set(entrymod._CHECKED_R05)]
+               set(entrymod._CHECKED_R05), set(entrymod._CHECKED_R06)]
     assert names[:len(front)] == front
     anychecked = set().union(*checked)
     never = [n for n in names
              if n not in anychecked and n not in set(front)]
     if never:  # new-this-round queries directly after the front block
         assert max(names.index(n) for n in never) < len(front) + len(never)
+    # oldest signal (r01) runs right after the front+new block
+    r01_only = checked[0] - set().union(*checked[1:]) - set(front)
+    start = len(front) + len(never)
+    assert set(names[start:start + len(r01_only)]) == r01_only
     # freshest signal runs last
-    tail = checked[4] - set(front)
+    tail = checked[5] - set(front)
     assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))
