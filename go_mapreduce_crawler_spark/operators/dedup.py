@@ -818,6 +818,112 @@ def q_dedup_spans(spark, sf_dir):
              .withColumn("keep", F.col("dup_span_ratio") <= SPAN_DUP_MAX))
 
 
+SUBSTR_K = 8   # duplicated-substring threshold (tokens; power of two)
+
+
+def q_dedup_substring_suffix(spark, sf_dir):
+    """EXACT substring dedup at >= {K} tokens with the APPLIED rewrite
+    (Lee et al., ACL'22 "ExactSubstr": remove every token position
+    covered by a substring of >= k tokens that occurs elsewhere in the
+    corpus) — the production operator dedup_spans_ngram approximates.
+
+    Method: distributed suffix RANKING by Karp-Miller-Rosenberg prefix
+    doubling with LEADER naming — log2(k) rounds; each round pairs
+    every position's name with the name k/2 ahead (a lead() over the
+    doc-ordered window — no self-join) and renames each (name,
+    next-name) class to its minimal packed position (a min() over the
+    class-partitioned window — no id generator, no name table, no
+    join).  After round log2(k) two positions carry the same name iff
+    their next k tokens are IDENTICAL (exact equality end to end — the
+    names are class leaders, not digests, so no hash collisions
+    exist).  Names need only be injective, not rank-ordered: the dedup
+    semantics consume the EQUIVALENCE CLASSES of k-token windows,
+    never their lexicographic order, so the order-dense ranking a full
+    suffix-array sort needs (and its global sort) is provably
+    unnecessary — the plan contains no single-partition sort at any
+    round.  A window start whose class has >= 2 members is a
+    duplicated substring; the union of their [s, s+k) spans (a per-doc
+    running window-max, bounded frame) is exactly the set of positions
+    covered by SOME duplicated substring of length >= k, because any
+    duplicated m >= k substring covers its positions with duplicated
+    k-windows and every duplicated k-window IS a duplicated substring.
+
+    Determinism + scale: leader naming is a pure function of the data
+    (min packed position per class), so the whole pipeline is one lazy
+    plan — no per-round materialization, no cache-consistency
+    contract, recompute-safe on a fault-prone cluster.  Each round is
+    exactly two bounded shuffles of the N-position relation (doc-hash
+    for the lead window, class-hash for the rename window); k = {K}
+    means 3 rounds; the rewrite adds one doc-keyed window and one
+    doc-keyed agg.  The report is localCheckpoint'ed so the driver's
+    count+collect pair computes the rounds once; production writes the
+    rewritten corpus to a sink instead.  Packed position =
+    doc_id * 2^22 + pos (docs up to 2^41, 4M tokens/doc — beyond
+    that, switch the name column to a (doc_id, pos) struct, same
+    plan).
+
+    Output: (doc_id, n_tokens, n_removed, clean_md5) — the rewrite
+    digest is what ships; the per-doc removal count is the curation
+    report.
+    """
+    return _substring_report(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def _substring_report(spark, sf_dir):
+    """The lazy plan behind q_dedup_substring_suffix (exposed so the
+    plan pins can inspect it before the checkpoint cut)."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    pack = (F.col("doc_id").cast("long") * F.lit(1 << 22).cast("long")
+            + F.col("pos"))
+    cur = (toks.withColumn("r", F.min(pack).over(W.partitionBy("w")))
+               .select("doc_id", "pos", "r"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    step = 1
+    while step < SUBSTR_K:
+        paired = cur.withColumn(
+            "r2", F.coalesce(F.lead("r", step).over(wdoc), F.lit(-1)))
+        cur = (paired.withColumn(
+                   "r", F.min(pack).over(W.partitionBy("r", "r2")))
+                     .select("doc_id", "pos", "r"))
+        step *= 2
+    base = d.select("doc_id",
+                    F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tokens"))
+    starts = (cur.join(base, "doc_id")
+                 .filter(F.col("pos") + SUBSTR_K <= F.col("n_tokens")))
+    dup = (starts.groupBy("r").agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") >= 2))
+    flags = (starts.join(dup, "r", "left_semi")
+                   .select("doc_id", "pos", F.lit(1).alias("f")))
+    covw = (W.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(-(SUBSTR_K - 1), 0))
+    cov = (toks.join(flags, ["doc_id", "pos"], "left")
+               .withColumn("covered",
+                           F.max(F.coalesce("f", F.lit(0))).over(covw)))
+    kept = (cov.filter(F.col("covered") == 0)
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.md5(F.encode(F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s["w"])), "UTF-8")).alias("kept_md5")))
+    empty_md5 = F.md5(F.encode(F.lit(""), "UTF-8"))
+    return (base.join(kept, "doc_id", "left")
+                .select("doc_id", "n_tokens",
+                        (F.col("n_tokens")
+                         - F.coalesce("n_kept", F.lit(0)))
+                        .alias("n_removed"),
+                        F.coalesce("kept_md5", empty_md5)
+                         .alias("clean_md5")))
+
+
+q_dedup_substring_suffix.__doc__ = \
+    q_dedup_substring_suffix.__doc__.replace("{K}", str(SUBSTR_K))
+
+
 DECON_EVAL_MOD = 10   # doc_id % 10 == 0 stands in for the eval set
 
 
@@ -913,6 +1019,7 @@ QUERIES = {
     "decontaminate_fuzzy_minhash": q_decontaminate_fuzzy,
     "dedup_lsh_precision_report": q_dedup_lsh_report,
     "dedup_spans_ngram": q_dedup_spans,
+    "dedup_substring_suffix_array": q_dedup_substring_suffix,
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
@@ -999,6 +1106,39 @@ ORACLE = {
                    FROM reach GROUP BY node)
         SELECT cluster_id, COUNT(*) AS n_members
         FROM minlbl GROUP BY cluster_id HAVING COUNT(*) >= 2
+    """,
+    # INDEPENDENT construction (not a prefix-doubling twin): a
+    # duplicated >= K substring covers exactly the union of duplicated
+    # EXACT K-token windows (no hashes), so the oracle counts literal
+    # K-gram strings — stronger than mirroring the engine's rounds.
+    "dedup_substring_suffix_array": f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents),
+        tok AS (SELECT doc_id, j AS pos, a[j] AS w, len(a) AS n
+                FROM ws, unnest(generate_series(1, len(a))) AS u(j)),
+        k AS (SELECT doc_id, j AS pos,
+                     array_to_string(a[j:j+{SUBSTR_K - 1}], ' ') AS g
+              FROM ws,
+                   unnest(generate_series(1, len(a) - {SUBSTR_K - 1}))
+                       AS u(j)),
+        dupg AS (SELECT g FROM k GROUP BY g HAVING COUNT(*) >= 2),
+        ds AS (SELECT doc_id, pos, 1 AS f
+               FROM k WHERE g IN (SELECT g FROM dupg)),
+        cov AS (SELECT t.doc_id, t.pos, t.w, t.n,
+                       MAX(COALESCE(d.f, 0)) OVER (
+                           PARTITION BY t.doc_id ORDER BY t.pos
+                           ROWS BETWEEN {SUBSTR_K - 1} PRECEDING
+                                    AND CURRENT ROW) AS covered
+                FROM tok t LEFT JOIN ds d USING (doc_id, pos)),
+        kept AS (SELECT doc_id, COUNT(*) AS n_kept,
+                        md5(string_agg(w, ' ' ORDER BY pos)) AS kept_md5
+                 FROM cov WHERE covered = 0 GROUP BY doc_id),
+        base AS (SELECT doc_id, MIN(n) AS n_tokens FROM tok GROUP BY 1)
+        SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               CAST(b.n_tokens - COALESCE(k2.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(k2.kept_md5, md5('')) AS clean_md5
+        FROM base b LEFT JOIN kept k2 USING (doc_id)
     """,
     "dedup_spans_ngram": f"""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -871,3 +871,21 @@ def test_bloom_prefilter_join_prunes_below_the_fact_exchange(spark,
     assert (plan.index("ShuffledHashJoin")
             < plan.index("BroadcastNestedLoopJoin")), plan[:2000]
     assert not has_python_udf(df)
+
+
+def test_substring_suffix_dedup_no_single_partition_sort(spark, sf_small):
+    """dedup_substring_suffix_array: every window in the prefix-doubling
+    rank rounds and the rewrite is PARTITIONED (doc-hash or class-hash)
+    — no Exchange SinglePartition anywhere (the global sort a
+    lexicographic suffix array would need is provably unnecessary for
+    the dedup semantics), no Python UDF, and naming is leader-based so
+    the plan is one lazy chain (no InMemoryRelation)."""
+    from go_mapreduce_crawler_spark.operators.dedup import _substring_report
+    df = _substring_report(spark, sf_small)
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert not has_python_udf(df)
+    assert "InMemoryRelation" not in plan
+    # the doubling rounds are window exchanges: >= 3 hashpartitioning
+    # exchanges on the class keys must survive in the plan
+    assert plan.count("hashpartitioning") >= 4, plan[:3000]

@@ -764,3 +764,64 @@ def test_cdc_chunk_boundaries_are_insert_stable():
     fixed_edited = [" ".join((["inserted", "stuff"] + words)[i:i + k])
                     for i in range(0, len(words) + 2, k)]
     assert len(set(fixed) & set(fixed_edited)) <= len(base) // 2
+
+
+def test_substring_dedup_matches_python_suffix_array(spark, tmp_path):
+    """The prefix-doubling leader-naming engine must agree with a REAL
+    Python suffix array (sorted suffixes + adjacent-LCP detection, the
+    Lee et al. ACL'22 construction): a position starts a duplicated
+    >= K window iff its suffix shares an LCP >= K with an adjacent
+    suffix in suffix-array order; the rewrite removes the union of
+    those [s, s+K) spans.  Unique per-doc separators stop matches from
+    crossing document boundaries, exactly like the engine's per-doc
+    windows."""
+    import hashlib
+
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        SUBSTR_K, q_dedup_substring_suffix)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .orderBy("doc_id").limit(80).collect())
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    # ---- Python ground truth: true suffix array over the token
+    # concatenation with unique separators ----
+    seq, where = [], []            # where[g] = (doc_id, pos-in-doc)
+    for i, r in enumerate(docs):
+        toks = r.text.split(" ")
+        for p, w in enumerate(toks):
+            seq.append(w)
+            where.append((r.doc_id, p))
+        seq.append(f"\x00sep{i}")
+        where.append((None, None))
+    n = len(seq)
+    sa = sorted(range(n), key=lambda i: seq[i:])
+
+    def lcp(i, j):
+        l = 0
+        while i + l < n and j + l < n and seq[i + l] == seq[j + l]:
+            l += 1
+        return l
+
+    dup_start = set()
+    for a, b in zip(sa, sa[1:]):
+        if lcp(a, b) >= SUBSTR_K:
+            dup_start.add(a)
+            dup_start.add(b)
+    removed = set()                # global positions covered
+    for s in dup_start:
+        removed.update(range(s, s + SUBSTR_K))
+    expect = {}
+    for i, r in enumerate(docs):
+        toks = r.text.split(" ")
+        offs = [g for g, (di, _) in enumerate(where) if di == r.doc_id]
+        kept = [seq[g] for g in offs if g not in removed]
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        expect[r.doc_id] = (len(toks), len(toks) - len(kept), md5)
+
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_md5)
+           for r in q_dedup_substring_suffix(spark, d).collect()}
+    assert got == expect
+    assert sum(v[1] for v in expect.values()) > 0   # fixture non-trivial
