@@ -2253,3 +2253,28 @@ def test_profile_keys_fds_ground_truth(spark, sf_medium):
     # sf0.001 generator even collides the triple) — the cross-check
     # above is the contract, not any fixed verdict.
     assert not rows["key: l_orderkey"].holds
+
+
+def test_phash_vectorized_kernel_byte_identical_to_reference(spark,
+                                                             sf_medium):
+    """The r07 vectorized phash kernel (one concatenated-buffer
+    bincount + a (n, 60) boolean matrix-dot per Arrow batch) must
+    produce bit-identical fingerprints to the straightforward
+    per-payload loop it replaced."""
+    import numpy as np
+
+    m = multimodal.synth_media(spark, sf_medium)
+    got = {r.media_id: r.fp
+           for r in multimodal.media_phash(m).collect()}
+    schedule = multimodal._phash_pairs()
+    expect = {}
+    for r in m.select("media_id", "payload").collect():
+        counts = np.bincount(
+            np.frombuffer(bytes(r.payload), dtype=np.uint8),
+            minlength=256)
+        fp = 0
+        for j, (ca, cb) in enumerate(schedule):
+            if counts[ca] > counts[cb]:
+                fp |= 1 << j
+        expect[r.media_id] = fp
+    assert got == expect and len(got) > 0
