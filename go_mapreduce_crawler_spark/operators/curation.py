@@ -491,6 +491,225 @@ def q_bpe_apply_batched(spark, sf_dir):
                      F.round(nf.cast("double") / n0, 6).alias("ratio")))
 
 
+UNIG_MAXP = 4     # max piece length (chars)
+UNIG_V = 48       # multi-char candidate cap (top by corpus weight)
+UNIG_ROUNDS = 3   # hard-EM rounds
+UNIG_MAXW = 12    # word-length unroll bound shared with the oracle
+
+
+def _unig_costs(spark, vocab):
+    """{piece: cost} in integer micro-nats, cost = round((ln(total) -
+    ln(cnt)) * 1e6) — both ln's through the ENGINE-evaluated _ln_det
+    (collected from a vocab-sized Spark job), so the integers the
+    Python DP compares are bit-identical to what the DuckDB twin
+    derives with _lit_duck."""
+    from .text import _ln_det, _lit_spark
+
+    total = sum(c for _, c in vocab)
+    vdf = spark.createDataFrame(vocab, "piece string, cnt long")
+    expr = (f"CAST(round(({_ln_det(str(total), _lit_spark)}"
+            f" - {_ln_det('cnt', _lit_spark)}) * 1e6, 0) AS BIGINT)")
+    return {r.piece: r.cost_un
+            for r in vdf.selectExpr("piece",
+                                    f"{expr} AS cost_un").collect()}
+
+
+def _viterbi_kernel(costs):
+    """Arrow-batched E-step: per distinct word the min-cost
+    segmentation under the broadcast cost dict (integer adds and
+    compares only; ties take the SMALLEST split point j, i.e. the
+    longest final piece — the same total order the oracle's
+    ROW_NUMBER() OVER (ORDER BY cost, j) applies)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            op, ou = [], []
+            for w, c in zip(pdf["w"], pdf["c"]):
+                n = len(w)
+                inf = 1 << 62
+                dp = [0] + [inf] * n
+                bj = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    best, bestj = inf, 0
+                    for j in range(max(0, i - UNIG_MAXP), i):
+                        pc = costs.get(w[j:i])
+                        if pc is None:
+                            continue
+                        cand = dp[j] + pc
+                        if cand < best:
+                            best, bestj = cand, j
+                    dp[i], bj[i] = best, bestj
+                i = n
+                while i > 0:
+                    j = bj[i]
+                    op.append(w[j:i])
+                    ou.append(int(c))
+                    i = j
+            yield pd.DataFrame({"piece": op, "usage": ou})
+    return kernel
+
+
+def q_unigram_lm_train(spark, sf_dir):
+    """SentencePiece-style UNIGRAM-LM tokenizer trainer (Kudo, ACL'18)
+    — the EM sibling of the BPE trainers (VERDICT r06 item 5): seed a
+    capped candidate vocabulary from corpus substrings, then iterate
+    hard-EM rounds where the E-step Viterbi-segments every distinct
+    word under the current piece costs and the M-step re-estimates
+    piece probabilities from segmentation usage, pruning multi-char
+    pieces that fell out of use (single chars are never pruned —
+    segmentability closure).
+
+    Determinism: piece costs are integer micro-nats from the
+    engine-evaluated _ln_det (round((ln total - ln cnt) * 1e6)); the
+    DP is pure integer arithmetic with a fixed tie order (smallest
+    split point), so every round — and therefore the whole training
+    run — is bit-reproducible across engines, partitionings, and
+    sessions.
+
+    Scale: the E-step runs on the COMPACTED distinct-word relation
+    (Heaps-sublinear in corpus size) as one Arrow mapInPandas pass
+    with the capped vocabulary broadcast in the closure; per round the
+    only other traffic is a vocab-sized partial+final agg and two
+    bounded collects (|vocab| <= {v} + alphabet — the same bounded-
+    iteration contract as the BPE trainers' top-{v} pools).  Nothing
+    scales with document count except the one distinct-word agg.
+
+    Output: the final vocabulary (piece, piece_len, cnt, cost_un) —
+    cnt from the last M-step, cost in micro-nats.
+    """.format(v=UNIG_V)
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select(F.explode(F.split("text", " ")).alias("w"))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    cand = (words
+            .select("w", "c",
+                    F.explode(F.sequence(F.lit(1), F.length("w")))
+                     .alias("s"))
+            .select("w", "c", "s",
+                    F.explode(F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(UNIG_MAXP),
+                                F.length("w") - F.col("s") + 1)))
+                     .alias("l"))
+            .selectExpr("substring(w, s, l) AS piece", "c")
+            .groupBy("piece").agg(F.sum("c").alias("cnt")))
+    multi = (cand.filter(F.length("piece") > 1)
+                 .orderBy(F.desc("cnt"), "piece").limit(UNIG_V))
+    chars = cand.filter(F.length("piece") == 1)
+    vocab = ([(r.piece, r.cnt) for r in multi.collect()]
+             + [(r.piece, r.cnt) for r in chars.collect()])
+    for _ in range(UNIG_ROUNDS):
+        costs = _unig_costs(spark, vocab)
+        usage = {r.piece: r.usage for r in
+                 (words.select("w", "c")
+                       .mapInPandas(_viterbi_kernel(costs),
+                                    "piece string, usage long")
+                       .groupBy("piece")
+                       .agg(F.sum("usage").alias("usage"))).collect()}
+        vocab = ([(p, usage[p]) for (p, _) in vocab
+                  if len(p) > 1 and usage.get(p, 0) > 0]
+                 + [(p, max(usage.get(p, 0), 1)) for (p, _) in vocab
+                    if len(p) == 1])
+    from .text import _ln_det, _lit_spark
+    total = sum(c for _, c in vocab)
+    vdf = spark.createDataFrame(vocab, "piece string, cnt long")
+    expr = (f"CAST(round(({_ln_det(str(total), _lit_spark)}"
+            f" - {_ln_det('cnt', _lit_spark)}) * 1e6, 0) AS BIGINT)")
+    return vdf.selectExpr("piece",
+                          "CAST(length(piece) AS INT) AS piece_len",
+                          "cnt", f"{expr} AS cost_un")
+
+
+def _unigram_oracle_sql() -> str:
+    """Unrolled DuckDB twin of q_unigram_lm_train: candidate seeding +
+    cap, then per EM round an UNROLLED Viterbi (dp stage per char
+    position up to UNIG_MAXW, ROW_NUMBER tie-break on (cost, j)), an
+    unrolled backtrace, the usage agg, and the prune/char-floor
+    M-step.  MATERIALIZED CTEs keep the ~{n}-stage plan linear."""
+    from .text import _ln_det, _lit_duck
+
+    L, P, R = UNIG_MAXW, UNIG_MAXP, UNIG_ROUNDS
+    ln = _ln_det
+    q = [f"""
+WITH words AS MATERIALIZED (
+  SELECT w, COUNT(*)::BIGINT AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1),
+cand AS MATERIALIZED (
+  SELECT substr(w, s, l) AS piece, SUM(c)::BIGINT AS cnt
+  FROM words,
+       unnest(generate_series(1, len(w))) AS ts(s),
+       unnest(generate_series(1, {P})) AS tl(l)
+  WHERE s + l - 1 <= len(w)
+  GROUP BY 1),
+chars AS MATERIALIZED (
+  SELECT piece, cnt FROM cand WHERE len(piece) = 1),
+v0 AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM cand WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {UNIG_V})
+  UNION ALL SELECT piece, cnt FROM chars)"""]
+    for r in range(R + 1):
+        q.append(f""",
+cost{r} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round(({ln('t.t', _lit_duck)} - {ln('cnt', _lit_duck)})
+              * 1e6, 0) AS BIGINT) AS cost
+  FROM v{r}, (SELECT SUM(cnt)::BIGINT AS t FROM v{r}) t)""")
+        if r == R:
+            break
+        rr = r + 1
+        q.append(f""",
+dp{rr}_0 AS MATERIALIZED (
+  SELECT w, c, CAST(0 AS BIGINT) AS cost, 0 AS j FROM words)""")
+        for i in range(1, L + 1):
+            opts = "\n      UNION ALL\n      ".join(
+                f"""SELECT p.w, p.c, p.cost + ct.cost AS cost, {j} AS j
+      FROM dp{rr}_{j} p JOIN cost{r} ct
+        ON ct.piece = substr(p.w, {j + 1}, {i - j})
+      WHERE len(p.w) >= {i}"""
+                for j in range(max(0, i - P), i))
+            q.append(f""",
+dp{rr}_{i} AS MATERIALIZED (
+  SELECT w, c, cost, j FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY w ORDER BY cost, j)
+           AS rn
+    FROM ({opts})) WHERE rn = 1)""")
+        dpall = "\n    UNION ALL\n    ".join(
+            f"SELECT w, c, cost, j, {i} AS i FROM dp{rr}_{i}"
+            for i in range(1, L + 1))
+        q.append(f""",
+dpall{rr} AS MATERIALIZED (
+    {dpall}),
+bt{rr}_0 AS MATERIALIZED (SELECT w, c, len(w) AS i FROM words)""")
+        for k in range(L):
+            q.append(f""",
+pc{rr}_{k} AS MATERIALIZED (
+  SELECT b.w, b.c, substr(b.w, d.j + 1, b.i - d.j) AS piece,
+         d.j AS ni
+  FROM bt{rr}_{k} b JOIN dpall{rr} d ON d.w = b.w AND d.i = b.i
+  WHERE b.i > 0),
+bt{rr}_{k + 1} AS MATERIALIZED (
+  SELECT w, c, ni AS i FROM pc{rr}_{k})""")
+        pieces = "\n    UNION ALL\n    ".join(
+            f"SELECT piece, c FROM pc{rr}_{k}" for k in range(L))
+        q.append(f""",
+usage{rr} AS MATERIALIZED (
+  SELECT piece, SUM(c)::BIGINT AS usage FROM (
+    {pieces}) GROUP BY 1),
+v{rr} AS MATERIALIZED (
+  SELECT piece, usage AS cnt FROM usage{rr} WHERE len(piece) > 1
+  UNION ALL
+  SELECT ch.piece,
+         GREATEST(COALESCE(u.usage, 0), CAST(1 AS BIGINT)) AS cnt
+  FROM chars ch LEFT JOIN usage{rr} u USING (piece))""")
+    q.append(f"""
+SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt,
+       cost AS cost_un
+FROM cost{R}""")
+    return "".join(q)
+
+
 def _bpe_batched_oracle_sql() -> str:
     """Unrolled DuckDB mirror of q_bpe_train_batched: per round a pair
     count, a ranked pool, the greedy symbol-disjoint walk as a
@@ -874,6 +1093,7 @@ QUERIES = {
     "dsir_importance_weights": q_dsir_weights,
     "bpe_train_merges": q_bpe_train,
     "bpe_train_batched": q_bpe_train_batched,
+    "unigram_lm_train": q_unigram_lm_train,
     "bpe_apply_batched": q_bpe_apply_batched,
     "skyline_pareto_docs": q_skyline_pareto_docs,
     "bpe_apply_compression": q_bpe_apply,
@@ -890,6 +1110,7 @@ _W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
 ORACLE = {
     "bpe_train_merges": _bpe_oracle_sql(),
     "bpe_train_batched": _bpe_batched_oracle_sql(),
+    "unigram_lm_train": _unigram_oracle_sql(),
     "bpe_apply_batched": _bpe_apply_batched_oracle_sql(),
     "bpe_apply_compression": _bpe_apply_oracle_sql(),
     "pipeline_pretraining_e2e": f"""

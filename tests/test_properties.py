@@ -825,3 +825,88 @@ def test_substring_dedup_matches_python_suffix_array(spark, tmp_path):
            for r in q_dedup_substring_suffix(spark, d).collect()}
     assert got == expect
     assert sum(v[1] for v in expect.values()) > 0   # fixture non-trivial
+
+
+def test_unigram_lm_trainer_matches_python_reference(spark):
+    """q_unigram_lm_train vs an independent pure-Python trainer: same
+    candidate seeding + cap, the same integer-micro-nat costs via an
+    IEEE-double replica of _ln_det (every op in that formula is
+    correctly rounded, so Python evaluates the identical doubles), the
+    same smallest-j Viterbi tie-break, prune and char-floor M-steps —
+    the full EM run must agree bit-for-bit."""
+    import math
+    from collections import Counter
+
+    from go_mapreduce_crawler_spark.operators.curation import (
+        UNIG_MAXP, UNIG_ROUNDS, UNIG_V, q_unigram_lm_train)
+
+    rows = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect())
+    words = Counter()
+    for r in rows:
+        words.update(r.text.split(" "))
+
+    def ln_det(n: int) -> float:
+        e = n.bit_length() - 1
+        m = n / (2.0 ** e)
+        t = (m - 1.0) / (m + 1.0)
+        t2 = t * t
+        poly = 1.0 / 15.0
+        for k in (13, 11, 9, 7, 5, 3):
+            poly = (1.0 / k) + t2 * poly
+        lnm = 2.0 * t * (1.0 + t2 * poly)
+        return lnm + float(e) * math.log(2)
+
+    def costs_of(vocab):
+        total = sum(c for _, c in vocab)
+        lt = ln_det(total)
+        # round-half-even like SQL round(x, 0) on doubles
+        return {p: int(round((lt - ln_det(c)) * 1e6, 0))
+                for p, c in vocab}
+
+    cand = Counter()
+    for w, c in words.items():
+        for s in range(len(w)):
+            for l in range(1, min(UNIG_MAXP, len(w) - s) + 1):
+                cand[w[s:s + l]] += c
+    multi = sorted((p for p in cand if len(p) > 1),
+                   key=lambda p: (-cand[p], p))[:UNIG_V]
+    chars = [p for p in cand if len(p) == 1]
+    vocab = [(p, cand[p]) for p in multi] + [(p, cand[p]) for p in chars]
+
+    def viterbi(w, costs):
+        n = len(w)
+        inf = 1 << 62
+        dp = [0] + [inf] * n
+        bj = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best, bestj = inf, 0
+            for j in range(max(0, i - UNIG_MAXP), i):
+                pc = costs.get(w[j:i])
+                if pc is None:
+                    continue
+                if dp[j] + pc < best:
+                    best, bestj = dp[j] + pc, j
+            dp[i], bj[i] = best, bestj
+        i, seg = n, []
+        while i > 0:
+            seg.append(w[bj[i]:i])
+            i = bj[i]
+        return seg
+
+    for _ in range(UNIG_ROUNDS):
+        costs = costs_of(vocab)
+        usage = Counter()
+        for w, c in words.items():
+            for p in viterbi(w, costs):
+                usage[p] += c
+        vocab = ([(p, usage[p]) for p, _ in vocab
+                  if len(p) > 1 and usage[p] > 0]
+                 + [(p, max(usage[p], 1)) for p, _ in vocab
+                    if len(p) == 1])
+    costs = costs_of(vocab)
+    expect = {(p, len(p), c, costs[p]) for p, c in vocab}
+    got = {(r.piece, r.piece_len, r.cnt, r.cost_un)
+           for r in q_unigram_lm_train(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got == expect and len(got) > 30
