@@ -426,12 +426,43 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("media_a", "media_b", "hamming"))
 
 
+def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL dedup report (VERDICT r06 item 9): join the TEXT
+    near-dup pair relation (dedup_minhash_lsh, shingle-Jaccard >= 0.5)
+    with the MEDIA near-dup pair relation (multimodal_near_dup_phash,
+    Hamming <= 6 top-5) on the shared doc<->media key and keep the
+    SYMMETRIC DIFFERENCE — the pairs where the text is duplicated but
+    the media differs (caption-reuse / re-encoded media) or the media
+    matches but the text differs (alt-text paraphrase, image reposts)
+    — the curation signal neither unimodal pass can see.
+
+    Scale: both inputs are the already-bounded digest-pair relations
+    (banded, verified, top-k capped — never payloads), so this is one
+    full-outer join of two id-pair tables keyed identically; the
+    filter is row-local.  The oracle composes both families' oracle
+    CTE chains verbatim.
+    """
+    from .dedup import q_dedup_minhash_lsh
+
+    t = q_dedup_minhash_lsh(spark, sf_dir)
+    m = (q_multimodal_near_dup(spark, sf_dir)
+         .select(F.col("media_a").alias("doc_a"),
+                 F.col("media_b").alias("doc_b"), "hamming"))
+    j = t.join(m, ["doc_a", "doc_b"], "full_outer")
+    return (j.select("doc_a", "doc_b",
+                     F.col("jaccard").isNotNull().alias("text_dup"),
+                     F.col("hamming").isNotNull().alias("media_dup"),
+                     "jaccard", "hamming")
+             .filter(F.col("text_dup") != F.col("media_dup")))
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_dedup_exact": q_multimodal_dedup,
     "multimodal_near_dup_phash": q_multimodal_near_dup,
+    "crossmodal_dedup_report": q_crossmodal_dedup,
 }
 
 _PHASH_FP_SQL = " + ".join(
@@ -440,12 +471,12 @@ _PHASH_FP_SQL = " + ".join(
     f" THEN {1 << j} ELSE 0 END)"
     for j, (ca, cb) in enumerate(_phash_pairs()))
 
-ORACLE = {
-    # Byte-histogram signature recomputed from CHAR counts (the corpus
-    # is pure ASCII, so char counts == payload byte counts) — an
-    # independent construction of the Arrow kernel's numpy bincount;
-    # banding / Hamming / top-k mirror dedup_simhash's oracle shapes.
-    "multimodal_near_dup_phash": f"""
+# Byte-histogram signature recomputed from CHAR counts (the corpus
+# is pure ASCII, so char counts == payload byte counts) — an
+# independent construction of the Arrow kernel's numpy bincount;
+# banding / Hamming / top-k mirror dedup_simhash's oracle shapes.
+# Named so crossmodal_dedup_report can reuse it verbatim.
+_PHASH_NEARDUP_SQL = f"""
         WITH fp AS (
             SELECT doc_id AS media_id,
                    CAST({_PHASH_FP_SQL} AS BIGINT) AS f
@@ -471,7 +502,31 @@ ORACLE = {
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY media_a
             ORDER BY hamming ASC, media_b ASC) <= {PHASH_TOP_K}
-    """,
+    """
+
+def _crossmodal_oracle_sql() -> str:
+    """Both families' oracle CTEs verbatim: the minhash pair chain
+    (ends in mh(doc_a, doc_b, jaccard)) plus the phash near-dup SQL
+    nested as a subquery, full-outer joined on the shared key."""
+    from .dedup import _minhash_pair_ctes
+
+    return f"""
+    WITH {_minhash_pair_ctes()},
+    mp AS ({_PHASH_NEARDUP_SQL})
+    SELECT COALESCE(t.doc_a, mp.media_a) AS doc_a,
+           COALESCE(t.doc_b, mp.media_b) AS doc_b,
+           t.doc_a IS NOT NULL AS text_dup,
+           mp.media_a IS NOT NULL AS media_dup,
+           t.jaccard, mp.hamming
+    FROM mh t FULL JOIN mp
+      ON t.doc_a = mp.media_a AND t.doc_b = mp.media_b
+    WHERE (t.doc_a IS NOT NULL) != (mp.media_a IS NOT NULL)
+    """
+
+
+ORACLE = {
+    "multimodal_near_dup_phash": _PHASH_NEARDUP_SQL,
+    "crossmodal_dedup_report": _crossmodal_oracle_sql(),
     # The digest-fake feature path IS SQL-expressible: DuckDB's
     # sha256(VARCHAR) hashes the same utf-8 bytes the synth payload
     # carries, hex substrings parse as '0x…' integer casts, and the

@@ -181,6 +181,66 @@ def q_diag_partition_skew(spark, sf_dir):
                      .cast("long").alias("ratio_e6")))
 
 
+def q_skew_salt_advisor(spark, sf_dir):
+    """Skew-REMEDY advisor — closes the loop from diagnosis
+    (q_diag_partition_skew) to action (q_join_salted's salt): from the
+    measured per-key histogram it computes the salt factor each hot
+    key needs, salt_k = clamp(ceil(cnt_k * P / N), 1, P) — exactly
+    enough cells to bring every (key, salt) cell to <= the fair share
+    N/P — and emits the PROJECTED post-salting reducer report (same
+    shape as the diagnosis, so before/after diff directly), plus the
+    global recommendation (how many keys need salting, the largest
+    factor).
+
+    The projection assumes ADDITIVE salt placement — partition =
+    (hash(key) + salt_idx) mod P, the standard trick that round-robins
+    a hot key's cells across consecutive reducers instead of re-rolling
+    a collision-prone independent hash per cell (with P cells on a
+    32-reducer celebrity key, an independent hash would birthday two
+    cells onto one reducer and waste ~2x of the salt's headroom).
+    Cell loads split exactly: cnt DIV salt with the remainder spread
+    one-per-cell.
+
+    Scale: one partial+final agg to the COMPACTED key histogram, a
+    broadcast total, and a <= P-per-key explode of the (tiny) salted
+    key set — runs ON the 100 TB table like the diagnosis does.  All
+    integer fixed-point; fully oracled; pinned <= 1.5x fair share on
+    the celebrity fixture in tests/test_skew.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    keys = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = keys.agg(F.sum("cnt").alias("total"))
+    salt = F.least(
+        F.lit(SKEW_P).cast("long"),
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr(f"CAST((cnt * {SKEW_P} + total - 1)"
+                          f" DIV total AS BIGINT)")))
+    ks = keys.crossJoin(F.broadcast(tot)).withColumn("salt", salt)
+    summ = ks.agg(
+        F.sum((F.col("salt") > 1).cast("long")).alias("n_salted_keys"),
+        F.max("salt").alias("max_salt"))
+    cells = ks.select(
+        "user_id", "cnt", "salt", "total",
+        F.explode(F.expr("sequence(0, CAST(salt AS INT) - 1)"))
+         .alias("i"))
+    h32 = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("long"))
+    load = (F.expr("cnt DIV salt")
+            + (F.col("i") < F.col("cnt") % F.col("salt")).cast("long"))
+    proj = (cells
+            .groupBy(((h32 + F.col("i")) % SKEW_P).alias("partition"))
+            .agg(F.sum(load).alias("n_rows")))
+    return (proj.crossJoin(F.broadcast(tot))
+                .crossJoin(F.broadcast(summ))
+                .select("partition", "n_rows",
+                        F.floor(F.col("n_rows") * 1e6 / F.col("total"))
+                         .cast("long").alias("share_e6"),
+                        F.floor(F.col("n_rows") * SKEW_P * 1e6
+                                / F.col("total"))
+                         .cast("long").alias("ratio_e6"),
+                        "n_salted_keys", "max_salt"))
+
+
 BLOOM_J_BITS = 1 << 20      # bitmap bits (m); 32 KB of long words
 BLOOM_J_K = 4               # probes per key (4 md5 chunks, portable)
 
@@ -448,6 +508,7 @@ QUERIES = {
     "quantile_sketch_rollup": q_quantile_sketch_rollup,
     "join_bloom_prefilter": q_join_bloom_prefilter,
     "diag_partition_skew": q_diag_partition_skew,
+    "skew_salt_advisor": q_skew_salt_advisor,
     "text_heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
@@ -549,6 +610,39 @@ ORACLE["join_bloom_prefilter"] = """
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                          WHERE o_orderpriority = '1-URGENT')
     GROUP BY 1, 2
+"""
+
+ORACLE["skew_salt_advisor"] = """
+    WITH keys AS (
+        SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY 1),
+    tot AS (SELECT SUM(cnt)::BIGINT AS total FROM keys),
+    ks AS (
+        SELECT user_id, cnt,
+               LEAST(CAST(32 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+                   CAST((cnt * 32 + total - 1) // total AS BIGINT)))
+                   AS salt
+        FROM keys CROSS JOIN tot),
+    summ AS (
+        SELECT SUM(CASE WHEN salt > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_salted_keys,
+               MAX(salt)::BIGINT AS max_salt
+        FROM ks),
+    cells AS (
+        SELECT user_id, cnt, salt, i
+        FROM ks, unnest(generate_series(0, CAST(salt AS INT) - 1))
+                 AS u(i)),
+    loads AS (
+        SELECT ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                     ::BIGINT + i) % 32) AS partition,
+               SUM(cnt // salt
+                   + CASE WHEN i < cnt % salt THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_rows
+        FROM cells GROUP BY 1)
+    SELECT partition, n_rows,
+           CAST(FLOOR(n_rows * 1e6 / total) AS BIGINT) AS share_e6,
+           CAST(FLOOR(n_rows * 32 * 1e6 / total) AS BIGINT) AS ratio_e6,
+           n_salted_keys, max_salt
+    FROM loads CROSS JOIN tot CROSS JOIN summ
 """
 
 ORACLE["diag_partition_skew"] = """

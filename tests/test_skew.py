@@ -173,3 +173,23 @@ def test_decayed_engagement_correct_under_skew(spark, skew_dir, rows):
     expect = {u: (cnt[u], math.floor(s / 1e12)) for u, s in acc.items()}
     assert got == expect
     assert got[BOT][0] == BOT_EVENTS
+
+
+def test_salt_advisor_projection_within_fair_share(spark, skew_dir):
+    """On the celebrity fixture (one bot ~98% of rows) the UNSALTED
+    diagnosis shows a reducer at ~31x fair share; the advisor must (a)
+    single out the bot (exactly one key salted, at the max factor 32),
+    and (b) project every post-salting reducer at <= 1.5x fair share —
+    the bar the salted funnel/sessionize plans are designed to."""
+    from go_mapreduce_crawler_spark.operators.scale import (
+        q_diag_partition_skew, q_skew_salt_advisor)
+
+    before = q_diag_partition_skew(spark, skew_dir).collect()
+    assert max(r.ratio_e6 for r in before) > 20_000_000  # ~31x
+    after = q_skew_salt_advisor(spark, skew_dir).collect()
+    assert len(after) == 32                      # every reducer loaded
+    assert all(r.n_salted_keys == 1 for r in after)
+    assert all(r.max_salt == 32 for r in after)
+    assert max(r.ratio_e6 for r in after) <= 1_500_000
+    total = sum(r.n_rows for r in after)
+    assert total == sum(r.n_rows for r in before)  # loads conserved
