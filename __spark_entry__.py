@@ -217,8 +217,12 @@ _FRONT_R07 = (
     "stream_quantile_sketch_replay",
     "dedup_substring_suffix_array", "unigram_lm_train",
     "skew_salt_advisor", "crossmodal_dedup_report",
+    "bpe_train_batched512",
     "ann_pq_adc", "multimodal_near_dup_phash", "profile_keys_fds",
-    "text_zipf_slope", "eval_auc_stopword", "bpe_train_batched",
+    "text_zipf_slope", "eval_auc_stopword",
+    # the acceptance-rule upgrade (non-chaining batches) changed the
+    # batched-BPE merge tables, staling their r06 rows
+    "bpe_train_batched", "bpe_apply_batched",
 )
 
 

@@ -114,6 +114,12 @@ HEADLINE = [
     "mv_join_delta_refresh",
     "skyline_pareto_docs",
     "chunk_content_defined",
+    # r07 additions — one representative per new family
+    "dedup_substring_suffix_array",
+    "unigram_lm_train",
+    "skew_salt_advisor",
+    "bpe_train_batched512",
+    "crossmodal_dedup_report",
 ]
 
 N_CRAWL_FILES = 2000

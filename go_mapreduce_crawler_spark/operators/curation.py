@@ -365,17 +365,22 @@ def q_bpe_train_batched(spark, sf_dir):
     Per round: (1) one corpus-wide adjacent-pair count (the same
     explode + partial/final agg as the sequential trainer); (2) rank
     the top {topn} pairs by (count DESC, a, b) — a bounded collect;
-    (3) GREEDY SYMBOL-DISJOINT selection: walk the pool in rank order,
-    accept a pair iff neither symbol was used by an earlier ACCEPTED
-    pair this round, stop at {batch}.  Disjointness makes the batch
-    exact: replacing " a  b " cannot create or destroy an occurrence
-    of any other accepted pair (no shared symbols), so the batched
-    rewrite equals applying those merges sequentially against the
-    round's frequency snapshot — the standard frequency-snapshot
-    batching of distributed BPE trainers.  It can differ from strict
-    one-at-a-time BPE only in that counts refresh per ROUND, not per
-    merge; the trade buys a 16x cut in Spark rounds (a 32k vocabulary
-    becomes ~2k rounds instead of 32k).
+    (3) GREEDY NON-CHAINING selection: walk the pool in rank order,
+    accept (a, b) iff a was not used as a RIGHT and b not as a LEFT by
+    an earlier accepted pair (and a != b), stop at {batch}.  The rule
+    is exactly what batching needs: two accepted occurrences can only
+    overlap at a shared position, which requires a chain "x a b" (one
+    pair's left = another's right) — forbidden — so replacing " a  b "
+    cannot create or destroy an occurrence of any other accepted pair
+    and the batched rewrite equals applying those merges sequentially
+    against the round's frequency snapshot (the standard
+    frequency-snapshot batching of distributed BPE trainers, but with
+    same-left / same-right families batching together — the r07
+    upgrade from full symbol-disjointness, whose acceptance plateaued
+    at ~16/round because every frequent pair shares a hot word).  It
+    can differ from strict one-at-a-time BPE only in that counts
+    refresh per ROUND, not per merge; the trade buys the rounds cut
+    that makes a 32k vocabulary feasible.
 
     The rewrite is {batch} chained literal replaces in ONE narrow
     projection (row-local, zero shuffle); localCheckpoint caps plan
@@ -384,13 +389,21 @@ def q_bpe_train_batched(spark, sf_dir):
     carrying the used-symbol list.  Pinned against a pure-Python
     reference trainer in tests/test_properties.py.
     """.format(topn=BPE_B_TOPN, batch=BPE_B_BATCH)
+    return _bpe_train_batched_impl(spark, sf_dir, BPE_B_ROUNDS,
+                                   BPE_B_TOPN, BPE_B_BATCH)
+
+
+def _bpe_train_batched_impl(spark, sf_dir, rounds, topn, batch_cap):
+    """The batched trainer, parameterized (rounds, pool size, per-round
+    acceptance cap) — q_bpe_train_batched uses the 5x96x16 toy scale,
+    q_bpe_train_batched512 the production-shaped 16x4096x64."""
     d = (load_table(spark, sf_dir, "documents")
          .select("doc_id",
                  F.concat(F.lit(" "),
                           F.regexp_replace("text", " ", "  "),
                           F.lit(" ")).alias("s")))
     out = []
-    for rnd in range(BPE_B_ROUNDS):
+    for rnd in range(rounds):
         toks = F.split(F.trim(F.col("s")), "  ")
         n = F.size(toks)
         pairs = d.select(F.explode(F.zip_with(
@@ -400,15 +413,29 @@ def q_bpe_train_batched(spark, sf_dir):
                               F.col("p.b").alias("b"))
                      .agg(F.count(F.lit(1)).alias("cnt"))
                      .orderBy(F.desc("cnt"), "a", "b")
-                     .limit(BPE_B_TOPN).collect())
-        used: set = set()
+                     .limit(topn).collect())
+        # Greedy NON-CHAINING acceptance (r07, replacing the stricter
+        # symbol-disjoint rule): accept (a, b) iff a was not used as a
+        # RIGHT and b not as a LEFT by an earlier accepted pair (and
+        # a != b).  Two accepted occurrences can only overlap at a
+        # shared position, which requires one pair's left to be
+        # another's right (a chain "x a b") — exactly what this rule
+        # forbids — so the batched rewrite still equals applying the
+        # accepted merges sequentially against the round's snapshot,
+        # while same-left families ("the X1", "the X2", ...) now batch
+        # together: measured acceptance rose from ~16/round (the
+        # symbol-disjoint plateau on this corpus: every frequent pair
+        # shares a hot word) to the batch cap.
+        used_l: set = set()
+        used_r: set = set()
         batch = []
         for r in pool:
-            if len(batch) >= BPE_B_BATCH:
+            if len(batch) >= batch_cap:
                 break
-            if r.a in used or r.b in used:
+            if r.a in used_r or r.b in used_l or r.a == r.b:
                 continue
-            used.update((r.a, r.b))
+            used_l.add(r.a)
+            used_r.add(r.b)
             batch.append(r)
         if not batch:        # no pairs at all -> later rounds are too
             break
@@ -432,6 +459,26 @@ def q_bpe_train_batched(spark, sf_dir):
     return spark.createDataFrame(
         out, "merge_id int, round int, bid int,"
              " a string, b string, merged string, cnt long")
+
+
+BPE_512_ROUNDS = 4     # production-shaped: 512 merges in 4 rounds
+BPE_512_TOPN = 2048
+BPE_512_BATCH = 128
+
+
+def q_bpe_train_batched512(spark, sf_dir):
+    """The batched trainer at PRODUCTION SHAPE (VERDICT r06 item 6):
+    512 merges in four Spark rounds — the non-chaining acceptance rule
+    fills a 128-merge batch every round (the symbol-disjoint rule
+    plateaued at ~16), so a 32k-merge vocabulary is ~250 rounds of
+    exactly this loop.  Same per-round plan as q_bpe_train_batched
+    (one pair-count agg, one bounded pool collect, one fold-over-
+    literal-array rewrite); same greedy-snapshot equivalence, pinned
+    at 512 merges against the pure-Python reference in
+    tests/test_properties.py.
+    """
+    return _bpe_train_batched_impl(spark, sf_dir, BPE_512_ROUNDS,
+                                   BPE_512_TOPN, BPE_512_BATCH)
 
 
 def q_bpe_apply_batched(spark, sf_dir):
@@ -461,14 +508,16 @@ def q_bpe_apply_batched(spark, sf_dir):
                      .agg(F.count(F.lit(1)).alias("cnt"))
                      .orderBy(F.desc("cnt"), "a", "b")
                      .limit(BPE_B_TOPN).collect())
-        used: set = set()
+        used_l: set = set()
+        used_r: set = set()
         batch = []
         for r in pool:
             if len(batch) >= BPE_B_BATCH:
                 break
-            if r.a in used or r.b in used:
+            if r.a in used_r or r.b in used_l or r.a == r.b:
                 continue
-            used.update((r.a, r.b))
+            used_l.add(r.a)
+            used_r.add(r.b)
             batch.append(r)
         if not batch:
             break
@@ -710,16 +759,19 @@ FROM cost{R}""")
     return "".join(q)
 
 
-def _bpe_batched_oracle_sql() -> str:
-    """Unrolled DuckDB mirror of q_bpe_train_batched: per round a pair
-    count, a ranked pool, the greedy symbol-disjoint walk as a
-    recursive CTE carrying the used-symbol list, and a 16-deep nested
-    literal replace (absent batch slots coalesce to a never-occurring
-    chr(1) pattern = identity)."""
+def _bpe_batched_oracle_sql(rounds: int = BPE_B_ROUNDS,
+                            topn: int = BPE_B_TOPN,
+                            batch: int = BPE_B_BATCH) -> str:
+    """Unrolled DuckDB mirror of the batched trainer: per round a pair
+    count, a ranked pool, the greedy NON-CHAINING walk as a recursive
+    CTE carrying the used-LEFT and used-RIGHT symbol lists, and the
+    batch rewrite as a second recursive CTE that applies one accepted
+    merge's replace per step (a nested replace chain hits DuckDB's
+    128-deep binder recursion cap at production batch sizes)."""
     parts = ["WITH RECURSIVE d0 AS MATERIALIZED (SELECT doc_id,"
              " ' ' || replace(text, ' ', '  ') || ' ' AS s"
              " FROM documents)"]
-    for i in range(BPE_B_ROUNDS):
+    for i in range(rounds):
         parts.append(f"""
         , p{i} AS MATERIALIZED (
             SELECT seq[j] AS a, seq[j + 1] AS b, COUNT(*)::BIGINT AS cnt
@@ -731,41 +783,46 @@ def _bpe_batched_oracle_sql() -> str:
         , top{i} AS MATERIALIZED (
             SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk,
                    a, b, cnt
-            FROM p{i} QUALIFY rk <= {BPE_B_TOPN})
+            FROM p{i} QUALIFY rk <= {topn})
         , sel{i} AS (
-            SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used,
+            SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS ul,
+                   CAST([] AS VARCHAR[]) AS ur,
                    CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
                    CAST(NULL AS BIGINT) AS cnt, 0 AS n_acc
             UNION ALL
             SELECT t.rk,
-                   CASE WHEN c.ok THEN
-                        list_append(list_append(s.used, t.a), t.b)
-                        ELSE s.used END,
+                   CASE WHEN c.ok THEN list_append(s.ul, t.a)
+                        ELSE s.ul END,
+                   CASE WHEN c.ok THEN list_append(s.ur, t.b)
+                        ELSE s.ur END,
                    CASE WHEN c.ok THEN t.a END,
                    CASE WHEN c.ok THEN t.b END,
                    CASE WHEN c.ok THEN t.cnt END,
                    s.n_acc + CASE WHEN c.ok THEN 1 ELSE 0 END
             FROM sel{i} s JOIN top{i} t ON t.rk = s.rk + 1,
-                 LATERAL (SELECT NOT list_contains(s.used, t.a)
-                             AND NOT list_contains(s.used, t.b) AS ok) c
-            WHERE s.n_acc < {BPE_B_BATCH})
+                 LATERAL (SELECT NOT list_contains(s.ur, t.a)
+                             AND NOT list_contains(s.ul, t.b)
+                             AND t.a != t.b AS ok) c
+            WHERE s.n_acc < {batch})
         , acc{i} AS MATERIALIZED (
             SELECT a, b, cnt,
                    CAST(ROW_NUMBER() OVER (ORDER BY rk) AS INT) AS bid
             FROM sel{i} WHERE a IS NOT NULL)""")
-        repl = "s"
-        for k in range(1, BPE_B_BATCH + 1):
-            pat = (f"COALESCE((SELECT ' ' || a || '  ' || b || ' '"
-                   f" FROM acc{i} WHERE bid = {k}), chr(1))")
-            rep = (f"COALESCE((SELECT ' ' || a || '_' || b || ' '"
-                   f" FROM acc{i} WHERE bid = {k}), chr(1))")
-            repl = f"replace({repl}, {pat}, {rep})"
         parts.append(f"""
-        , d{i + 1} AS MATERIALIZED (SELECT doc_id, {repl} AS s
-                                    FROM d{i})""")
+        , rw{i} AS (
+            SELECT doc_id, s, 0 AS k FROM d{i}
+            UNION ALL
+            SELECT r.doc_id,
+                   replace(r.s, ' ' || a.a || '  ' || a.b || ' ',
+                           ' ' || a.a || '_' || a.b || ' '),
+                   r.k + 1
+            FROM rw{i} r JOIN acc{i} a ON a.bid = r.k + 1)
+        , d{i + 1} AS MATERIALIZED (
+            SELECT doc_id, s FROM rw{i}
+            WHERE k = COALESCE((SELECT MAX(bid) FROM acc{i}), 0))""")
     selects = " UNION ALL ".join(
         f"SELECT {i} AS round, bid, a, b, a || '_' || b AS merged, cnt"
-        f" FROM acc{i}" for i in range(BPE_B_ROUNDS))
+        f" FROM acc{i}" for i in range(rounds))
     return ("".join(parts)
             + f""" SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, bid)
                           - 1 AS INT) AS merge_id,
@@ -1093,6 +1150,7 @@ QUERIES = {
     "dsir_importance_weights": q_dsir_weights,
     "bpe_train_merges": q_bpe_train,
     "bpe_train_batched": q_bpe_train_batched,
+    "bpe_train_batched512": q_bpe_train_batched512,
     "unigram_lm_train": q_unigram_lm_train,
     "bpe_apply_batched": q_bpe_apply_batched,
     "skyline_pareto_docs": q_skyline_pareto_docs,
@@ -1110,6 +1168,8 @@ _W_DUCK = "(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000)"
 ORACLE = {
     "bpe_train_merges": _bpe_oracle_sql(),
     "bpe_train_batched": _bpe_batched_oracle_sql(),
+    "bpe_train_batched512": _bpe_batched_oracle_sql(
+        BPE_512_ROUNDS, BPE_512_TOPN, BPE_512_BATCH),
     "unigram_lm_train": _unigram_oracle_sql(),
     "bpe_apply_batched": _bpe_apply_batched_oracle_sql(),
     "bpe_apply_compression": _bpe_apply_oracle_sql(),

@@ -663,7 +663,7 @@ def test_holt_lag_weights_reproduce_the_recurrence(ys):
 def test_bpe_batched_trainer_matches_python_reference(spark, tmp_path):
     """q_bpe_train_batched must equal a pure-Python reference of the
     SAME batched semantics (per round: frequency snapshot -> top-N pool
-    by (count desc, a, b) -> greedy symbol-disjoint acceptance capped
+    by (count desc, a, b) -> greedy NON-CHAINING acceptance capped
     at the batch size -> leftmost-nonoverlapping rewrite of every
     accepted pair) on a random corpus — pins the round structure, the
     greedy walk, and the batch rewrite end to end."""
@@ -688,13 +688,14 @@ def test_bpe_batched_trainer_matches_python_reference(spark, tmp_path):
                     counts[(x, y)] = counts.get((x, y), 0) + 1
             pool = sorted(counts.items(),
                           key=lambda kv: (-kv[1], kv[0]))[:topn]
-            used, acc = set(), []
+            used_l, used_r, acc = set(), set(), []
             for (a, b), c in pool:
                 if len(acc) >= batch:
                     break
-                if a in used or b in used:
+                if a in used_r or b in used_l or a == b:
                     continue
-                used.update((a, b))
+                used_l.add(a)
+                used_r.add(b)
                 acc.append((a, b, c))
             if not acc:
                 break
@@ -910,3 +911,55 @@ def test_unigram_lm_trainer_matches_python_reference(spark):
            for r in q_unigram_lm_train(
                spark, "/root/testdata/sf0.001").collect()}
     assert got == expect and len(got) > 30
+
+
+def test_bpe_batched_512_matches_python_reference_on_corpus(spark):
+    """The production-shaped 4x2048x128 configuration must train
+    EXACTLY 512 merges on the sf0.001 corpus (the non-chaining rule
+    fills the 128-batch every round) and agree merge-for-merge with
+    the pure-Python reference of the same batched semantics."""
+    import go_mapreduce_crawler_spark.operators.curation as cur
+
+    docs = [(r.doc_id, r.text) for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect()]
+
+    def ref_train(corpus, rounds, topn, batch):
+        texts = [" " + t.replace(" ", "  ") + " " for _, t in corpus]
+        out = []
+        for rnd in range(rounds):
+            counts = {}
+            for s in texts:
+                toks = s.strip(" ").split("  ")
+                for x, y in zip(toks, toks[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + 1
+            pool = sorted(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[:topn]
+            used_l, used_r, acc = set(), set(), []
+            for (a, b), c in pool:
+                if len(acc) >= batch:
+                    break
+                if a in used_r or b in used_l or a == b:
+                    continue
+                used_l.add(a)
+                used_r.add(b)
+                acc.append((a, b, c))
+            if not acc:
+                break
+            for bid, (a, b, c) in enumerate(acc, 1):
+                out.append((len(out), rnd, bid, a, b, a + "_" + b, c))
+            nt = []
+            for s in texts:
+                for a, b, _ in acc:
+                    s = s.replace(f" {a}  {b} ", f" {a}_{b} ")
+                nt.append(s)
+            texts = nt
+        return out
+
+    expect = ref_train(docs, cur.BPE_512_ROUNDS, cur.BPE_512_TOPN,
+                       cur.BPE_512_BATCH)
+    assert len(expect) == 512
+    got = sorted(
+        (r.merge_id, r.round, r.bid, r.a, r.b, r.merged, r.cnt)
+        for r in cur.q_bpe_train_batched512(
+            spark, "/root/testdata/sf0.001").collect())
+    assert got == expect
