@@ -1,0 +1,188 @@
+"""REAL-sf1 scale evidence for the shuffle-heavy top 10 (VERDICT r06
+item 3): run each at sf0.01 / sf0.1 / sf1 and record wall time +
+shuffle bytes per query.
+
+Unlike the r06 probe's key-shifted replicas, sf1 DOCUMENTS here are
+FRESHLY GENERATED from the corpus's observed generative process (the
+replica shortcut gives every doc >= 10 exact copies, which distorts
+exactly the dedup structure these queries exist to measure):
+  - 50,000 docs (10x sf0.1), lengths uniform 10..100 words drawn
+    uniformly from the same 30-word vocabulary;
+  - ~5% near-duplicates: a permuted copy of an earlier doc with a
+    'dup' marker token inserted (the corpus's observed near-dup form);
+  - ~0.2% exact duplicates of an earlier doc;
+  - lang ~ (en 41%, de/es/fr/zh ~15% each), source ~ uniform src0..19,
+    n_chars = len(text) — all distributions measured from sf0.1.
+Fact tables (events/orders/lineitem) reuse the r06 key-shifted replica
+recipe — the realistic fact-grows-dim-fixed scale-up — since none of
+the 10 probed queries read them except via dims.
+
+NOTE on slopes: this synthetic corpus is a NEAR-CLIQUE (every doc
+draws from the same 30 words, so most doc pairs share >= 50% of their
+word sets).  The pair-emitting diagnostics therefore have inherently
+super-linear OUTPUT on this fixture; for those the meaningful slope is
+shuffle bytes vs OUTPUT rows (recorded), not vs input rows.
+
+Run:  python tools/scale_probe_r07.py [out_json]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import random
+import sys
+import time
+import urllib.error
+import urllib.request
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/spark_graft_sf1_r07"
+N_DOCS = 50_000
+REPLICAS = 10
+KEY_STRIDE = 1_000_000_000
+
+VOCAB = ["spark", "window", "merge", "table", "column", "vector",
+         "stream", "value", "data", "small", "join", "filter", "big",
+         "group", "hash", "customer", "sort", "order", "slow", "line",
+         "part", "fast", "the", "row", "agg", "key", "query", "a",
+         "scan", "batch"]
+LANGS = ["en"] * 41 + ["de"] * 15 + ["es"] * 15 + ["fr"] * 15 + ["zh"] * 14
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "true")
+         .config("spark.ui.port", "4058")
+         .config("spark.driver.memory", "12g")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sc = spark.sparkContext
+
+
+def gen_documents():
+    """Fresh 10x corpus from the measured generative process —
+    deterministic (seeded per doc_id), no RNG state shared between
+    docs so the build is order-independent."""
+    rows = []
+    for i in range(N_DOCS):
+        rng = random.Random(
+            int(hashlib.md5(f"sf1doc{i}".encode()).hexdigest()[:8], 16))
+        r = rng.random()
+        if i > 10 and r < 0.002:                       # exact dup
+            src = rows[rng.randrange(len(rows))]
+            text = src[1]
+        elif i > 10 and r < 0.052:                     # permuted near-dup
+            src = rows[rng.randrange(len(rows))]
+            words = src[1].split(" ")
+            rng.shuffle(words)
+            words.insert(rng.randrange(len(words) + 1), "dup")
+            text = " ".join(words)
+        else:
+            n = rng.randint(10, 100)
+            text = " ".join(rng.choice(VOCAB) for _ in range(n))
+        rows.append((i, text, rng.choice(LANGS),
+                     f"src{rng.randrange(20)}", len(text)))
+    return rows
+
+
+def build_sf1():
+    os.makedirs(SF1, exist_ok=True)
+    if not os.path.exists(os.path.join(SF1, "documents.parquet")):
+        df = spark.createDataFrame(
+            gen_documents(),
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+        df.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(SF1, "documents.parquet"))
+    if not os.path.exists(os.path.join(SF1, "events.parquet")):
+        e = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+        reps = None
+        for i in range(REPLICAS):
+            r = e.select(
+                (F.col("event_id") + i * KEY_STRIDE).alias("event_id"),
+                "ts",
+                (F.col("user_id") + i * KEY_STRIDE).alias("user_id"),
+                "event_type", "value", "props")
+            reps = r if reps is None else reps.unionAll(r)
+        reps.coalesce(16).write.mode("overwrite").parquet(
+            os.path.join(SF1, "events.parquet"))
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        dst = os.path.join(SF1, f"{t}.parquet")
+        if not os.path.exists(dst):
+            spark.read.parquet(os.path.join(SF01, f"{t}.parquet")) \
+                .write.mode("overwrite").parquet(dst)
+
+
+def _rest(path):
+    url = (f"http://localhost:4058/api/v1/applications/"
+           f"{sc.applicationId}{path}")
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+def shuffle_bytes_for_group(group):
+    jobs = [j for j in _rest("/jobs") if j.get("jobGroup") == group]
+    stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
+    rd = wr = 0
+    for sid in stage_ids:
+        try:
+            for att in _rest(f"/stages/{sid}"):
+                rd += att.get("shuffleReadBytes", 0)
+                wr += att.get("shuffleWriteBytes", 0)
+        except urllib.error.HTTPError:
+            pass
+    return rd, wr
+
+
+def probe(name, fn, sf_dir, tag):
+    group = f"probe-{name}-{tag}"
+    sc.setJobGroup(group, name)
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    sec = round(time.time() - t0, 2)
+    sc.setJobGroup("idle", "idle")
+    rd, wr = shuffle_bytes_for_group(group)
+    return {"rows": n, "sec": sec,
+            "shuffle_read_mb": round(rd / 1e6, 1),
+            "shuffle_write_mb": round(wr / 1e6, 1)}
+
+
+NAMES = [
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_components_lsh",
+    "dedup_components_bigstar", "dedup_containment_pairs",
+    "text_tfidf_doc_pairs", "text_ngram_novelty",
+    "multimodal_near_dup_phash", "dedup_substring_suffix_array",
+    "corpus_line_dedup_keepfirst",
+]
+
+
+def main():
+    build_sf1()
+    from go_mapreduce_crawler_spark.operators import all_queries
+    q = all_queries()
+    out = {"n_docs_sf1": N_DOCS, "fresh_documents": True,
+           "results": {}}
+    for tag, sf in (("sf0.01", SF001), ("sf0.1", SF01), ("sf1", SF1)):
+        in_rows = spark.read.parquet(
+            os.path.join(sf, "documents.parquet")).count()
+        for name in NAMES:
+            r = probe(name, q[name], sf, tag)
+            r["input_docs"] = in_rows
+            out["results"].setdefault(name, {})[tag] = r
+            print(f"{name} @ {tag}: {r}", flush=True)
+    dest = sys.argv[1] if len(sys.argv) > 1 else \
+        os.path.join(repo, "tools", "scale_probe_r07.json")
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
+    print("->", dest)
+
+
+if __name__ == "__main__":
+    main()
