@@ -314,6 +314,7 @@ PHASH_BITS = 60
 PHASH_BANDS, PHASH_BAND_BITS = 4, 15
 PHASH_HAM_T = 6
 PHASH_TOP_K = 5
+PHASH_BUCKET_W = 16   # sorted-neighborhood width inside a band bucket
 
 
 def _phash_pairs():
@@ -381,11 +382,18 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures are 8-byte longs computed in ONE narrow Arrow
     pass over the binary scan (payloads never shuffle); candidates
-    come from a (band, chunk)-bucketed self-join of the {b}x{bb}-bit
-    band relation — never all-pairs; the exact Hamming re-check and
-    the top-k window run on id+fingerprint pairs only.
+    come from SORTED-NEIGHBORHOOD pairing inside each {b}x{bb}-bit
+    band bucket (each member meets its next {w} neighbors in
+    (fp, media_id) order via an equi-join on (band, chunk, rank+j)) —
+    never all-pairs AND never bucket-quadratic: the r07 real-sf1 probe
+    measured the previous bucket self-join at ~x100 candidates for x10
+    media (degenerate signatures concentrate buckets), while SNM work
+    is O(m x {w}) regardless of bucket shape; similar fingerprints
+    sort adjacent, so exact and near-identical signatures always pair.
+    The exact Hamming check and top-k window run on id+fingerprint
+    pairs only.
     """.format(t=PHASH_HAM_T, k=PHASH_TOP_K, b=PHASH_BANDS,
-               bb=PHASH_BAND_BITS)
+               bb=PHASH_BAND_BITS, w=PHASH_BUCKET_W)
     m = synth_media(spark, sf_dir)
     fp = media_phash(m)
     bands = (fp.select(
@@ -394,36 +402,39 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.shiftright("fp", b * PHASH_BAND_BITS)
               .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1)))
             for b in range(PHASH_BANDS)])).alias("band", "chunk")))
-    a = bands.select(F.col("media_id").alias("media_a"),
-                     F.col("fp").alias("fa"), "band", "chunk")
-    b = bands.select(F.col("media_id").alias("media_b"),
-                     F.col("fp").alias("fb"), "band", "chunk")
-    # r07 re-plan (same pair semantics, measured 3.6s -> ~1s at sf0.1
-    # where the Hamming gate keeps 2.9M of 4.6M raw candidates on this
-    # histogram-similar corpus): (1) the Hamming test runs row-local in
-    # the band join's pipelined output — no exchange before it; (2) a
-    # PARTIAL top-k per (band, chunk, media_a) runs INSIDE the join's
-    # existing (band, chunk) partitioning (a sort, no new exchange —
-    # the global top-k of a union is contained in the union of
-    # per-band top-ks, the TakeOrdered argument applied per key), so
-    # the dedup + final-rank shuffles carry <= bands x k rows per
-    # media_a instead of every Hamming survivor.
-    joined = (a.join(b, ["band", "chunk"])
-               .filter(F.col("media_a") < F.col("media_b"))
-               .withColumn("hamming",
-                           F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
-               .filter(F.col("hamming") <= PHASH_HAM_T))
-    wpre = W.partitionBy("band", "chunk", "media_a") \
-            .orderBy(F.asc("hamming"), F.asc("media_b"))
-    pre = (joined.withColumn("prn", F.row_number().over(wpre))
-                 .filter(F.col("prn") <= PHASH_TOP_K)
-                 .select("media_a", "media_b", "hamming")
-                 .distinct())
+    # r07 re-plan: SORTED-NEIGHBORHOOD pairing inside each band bucket
+    # (the blocking/SNM standard) replaces the bucket self-join.  The
+    # real-sf1 probe caught the self-join quadratic in bucket size:
+    # signatures on a histogram-similar corpus concentrate into few
+    # chunks, so candidates grew ~x100 for x10 media (91s at 50k).
+    # Here each bucket member pairs with only its next 16 neighbors
+    # in (fp, media_id) order — similar fingerprints sort adjacent, so
+    # exact and near-identical signatures are always paired — making
+    # candidate work O(m x 16) per bucket, LINEAR in corpus size, via
+    # a plain equi-join on (band, chunk, rank+j).  The Hamming gate
+    # and top-5-per-media_a rank run on that bounded relation.
+    wsn = W.partitionBy("band", "chunk").orderBy("fp", "media_id")
+    ranked = bands.withColumn("rn", F.row_number().over(wsn))
+    offs = F.explode(F.array(*[F.lit(j)
+                               for j in range(1, PHASH_BUCKET_W + 1)]))
+    probes = (ranked.select("media_id", "fp", "band", "chunk", "rn",
+                            offs.alias("j"))
+                    .withColumn("rn2", F.col("rn") + F.col("j")))
+    right = ranked.select(F.col("media_id").alias("mid2"),
+                          F.col("fp").alias("fp2"), "band", "chunk",
+                          F.col("rn").alias("rn2"))
+    pairs = (probes.join(right, ["band", "chunk", "rn2"])
+             .select(F.least("media_id", "mid2").alias("media_a"),
+                     F.greatest("media_id", "mid2").alias("media_b"),
+                     F.bit_count(F.col("fp").bitwiseXOR(F.col("fp2")))
+                      .alias("hamming"))
+             .filter(F.col("hamming") <= PHASH_HAM_T)
+             .distinct())
     wk = W.partitionBy("media_a").orderBy(F.asc("hamming"),
                                           F.asc("media_b"))
-    return (pre.withColumn("rn", F.row_number().over(wk))
-               .filter(F.col("rn") <= PHASH_TOP_K)
-               .select("media_a", "media_b", "hamming"))
+    return (pairs.withColumn("rn", F.row_number().over(wk))
+                 .filter(F.col("rn") <= PHASH_TOP_K)
+                 .select("media_a", "media_b", "hamming"))
 
 
 def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,17 +497,22 @@ _PHASH_NEARDUP_SQL = f"""
                    (f >> CAST(b * {PHASH_BAND_BITS} AS INT))
                        & {(1 << PHASH_BAND_BITS) - 1} AS chunk, b
             FROM fp, unnest([0, 1, 2, 3]) AS t(b)),
+        ranked AS (
+            SELECT media_id, f, b, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY b, chunk
+                                      ORDER BY f, media_id) AS rn
+            FROM bands),
         cand AS (
-            SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,
-                   a.f AS fa, b2.f AS fb
-            FROM bands a JOIN bands b2
-              ON a.b = b2.b AND a.chunk = b2.chunk
-                 AND a.media_id < b2.media_id),
+            SELECT DISTINCT
+                   LEAST(x.media_id, y.media_id) AS media_a,
+                   GREATEST(x.media_id, y.media_id) AS media_b,
+                   bit_count(xor(x.f, y.f)) AS hamming
+            FROM ranked x JOIN ranked y
+              ON x.b = y.b AND x.chunk = y.chunk
+                 AND y.rn BETWEEN x.rn + 1 AND x.rn + {PHASH_BUCKET_W}),
         pairs AS (
-            SELECT media_a, media_b,
-                   bit_count(xor(fa, fb)) AS hamming
-            FROM cand
-            WHERE bit_count(xor(fa, fb)) <= {PHASH_HAM_T})
+            SELECT media_a, media_b, hamming
+            FROM cand WHERE hamming <= {PHASH_HAM_T})
         SELECT media_a, media_b, hamming
         FROM pairs
         QUALIFY ROW_NUMBER() OVER (

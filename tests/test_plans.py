@@ -889,3 +889,20 @@ def test_substring_suffix_dedup_no_single_partition_sort(spark, sf_small):
     # the doubling rounds are window exchanges: >= 3 hashpartitioning
     # exchanges on the class keys must survive in the plan
     assert plan.count("hashpartitioning") >= 4, plan[:3000]
+
+
+def test_phash_near_dup_candidates_are_rank_equijoined(spark, sf_small):
+    """multimodal_near_dup_phash (r07 SNM re-plan): the candidate join
+    must be a plain EQUI-join keyed on (band, chunk, rank+j) — never a
+    bucket self-join on (band, chunk) alone, whose work is quadratic
+    in bucket size (the real-sf1 probe measured ~x100 candidates for
+    x10 media before the re-plan)."""
+    from go_mapreduce_crawler_spark.operators.multimodal import (
+        q_multimodal_near_dup)
+    df = q_multimodal_near_dup(spark, sf_small)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "rn2" in plan, plan[:2000]        # the rank key reaches the join
+    # band explode on both join inputs + the neighbor-offset explode —
+    # and nothing else ("Generate (" matches tree nodes once each)
+    assert plan.count("Generate (") == 3, plan[:2500]
