@@ -627,6 +627,20 @@ def q_unigram_lm_train(spark, sf_dir):
     Output: the final vocabulary (piece, piece_len, cnt, cost_un) —
     cnt from the last M-step, cost in micro-nats.
     """.format(v=UNIG_V)
+    _, vocab = _unigram_train(spark, sf_dir)
+    from .text import _ln_det, _lit_spark
+    total = sum(c for _, c in vocab)
+    vdf = spark.createDataFrame(vocab, "piece string, cnt long")
+    expr = (f"CAST(round(({_ln_det(str(total), _lit_spark)}"
+            f" - {_ln_det('cnt', _lit_spark)}) * 1e6, 0) AS BIGINT)")
+    return vdf.selectExpr("piece",
+                          "CAST(length(piece) AS INT) AS piece_len",
+                          "cnt", f"{expr} AS cost_un")
+
+
+def _unigram_train(spark, sf_dir):
+    """The trainer loop (seed + {R} hard-EM rounds); returns
+    (distinct-word DataFrame, final vocab list)."""
     d = load_table(spark, sf_dir, "documents")
     words = (d.select(F.explode(F.split("text", " ")).alias("w"))
               .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
@@ -659,22 +673,81 @@ def q_unigram_lm_train(spark, sf_dir):
                   if len(p) > 1 and usage.get(p, 0) > 0]
                  + [(p, max(usage.get(p, 0), 1)) for (p, _) in vocab
                     if len(p) == 1])
-    from .text import _ln_det, _lit_spark
-    total = sum(c for _, c in vocab)
-    vdf = spark.createDataFrame(vocab, "piece string, cnt long")
-    expr = (f"CAST(round(({_ln_det(str(total), _lit_spark)}"
-            f" - {_ln_det('cnt', _lit_spark)}) * 1e6, 0) AS BIGINT)")
-    return vdf.selectExpr("piece",
-                          "CAST(length(piece) AS INT) AS piece_len",
-                          "cnt", f"{expr} AS cost_un")
+    return words, vocab
 
 
-def _unigram_oracle_sql() -> str:
+def _viterbi_len_kernel(costs):
+    """Arrow-batched apply: per distinct word the PIECE COUNT of its
+    min-cost segmentation under the final costs (same DP and smallest-
+    split tie order as training, so the piece count follows the same
+    argmin chain the oracle's carried np column reproduces)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ws, ns = [], []
+            for w in pdf["w"]:
+                n = len(w)
+                inf = 1 << 62
+                dp = [0] + [inf] * n
+                bj = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    best, bestj = inf, 0
+                    for j in range(max(0, i - UNIG_MAXP), i):
+                        pc = costs.get(w[j:i])
+                        if pc is None:
+                            continue
+                        if dp[j] + pc < best:
+                            best, bestj = dp[j] + pc, j
+                    dp[i], bj[i] = best, bestj
+                i, np_ = n, 0
+                while i > 0:
+                    np_ += 1
+                    i = bj[i]
+                ws.append(w)
+                ns.append(np_)
+            yield pd.DataFrame({"w": ws, "n_pieces": ns})
+    return kernel
+
+
+def q_unigram_lm_apply(spark, sf_dir):
+    """Tokenize-with-trained-vocab for the unigram LM (the apply face
+    of q_unigram_lm_train, as bpe_apply_batched is of the batched BPE
+    trainer): train, Viterbi-segment every DISTINCT word once under
+    the final costs, and report per-document piece accounting —
+    words, pieces, and pieces-per-word in exact integer ppm.
+
+    Scale: the expensive part (the DP) runs once per DISTINCT word
+    (Heaps-compacted), not per occurrence; documents then join the
+    tiny word -> piece-count relation and aggregate — one explode +
+    one keyed join + one doc agg, no payload ever reaches the DP.
+    """
+    words, vocab = _unigram_train(spark, sf_dir)
+    costs = _unig_costs(spark, vocab)
+    wp = words.select("w").mapInPandas(
+        _viterbi_len_kernel(costs), "w string, n_pieces int")
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (toks.join(wp, "w")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_words"),
+                     F.sum("n_pieces").alias("n_pieces"))
+                .selectExpr("doc_id", "n_words",
+                            "CAST(n_pieces AS BIGINT) AS n_pieces",
+                            "CAST(n_pieces * 1000000 DIV n_words"
+                            " AS BIGINT) AS pieces_per_word_ppm"))
+
+
+def _unigram_oracle_sql(apply: bool = False) -> str:
     """Unrolled DuckDB twin of q_unigram_lm_train: candidate seeding +
     cap, then per EM round an UNROLLED Viterbi (dp stage per char
     position up to UNIG_MAXW, ROW_NUMBER tie-break on (cost, j)), an
     unrolled backtrace, the usage agg, and the prune/char-floor
-    M-step.  MATERIALIZED CTEs keep the ~{n}-stage plan linear."""
+    M-step.  MATERIALIZED CTEs keep the many-stage plan linear.
+    With apply=True, one more unrolled DP under the FINAL costs
+    carries the argmin chain's PIECE COUNT (np) per distinct word,
+    and the result is the per-document piece accounting
+    (q_unigram_lm_apply's twin)."""
     from .text import _ln_det, _lit_duck
 
     L, P, R = UNIG_MAXW, UNIG_MAXP, UNIG_ROUNDS
@@ -752,10 +825,45 @@ v{rr} AS MATERIALIZED (
   SELECT ch.piece,
          GREATEST(COALESCE(u.usage, 0), CAST(1 AS BIGINT)) AS cnt
   FROM chars ch LEFT JOIN usage{rr} u USING (piece))""")
-    q.append(f"""
+    if not apply:
+        q.append(f"""
 SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt,
        cost AS cost_un
 FROM cost{R}""")
+        return "".join(q)
+    q.append(""",
+dpa_0 AS MATERIALIZED (
+  SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS np FROM words)""")
+    for i in range(1, L + 1):
+        opts = "\n      UNION ALL\n      ".join(
+            f"""SELECT p.w, p.cost + ct.cost AS cost, p.np + 1 AS np,
+             {j} AS j
+      FROM dpa_{j} p JOIN cost{R} ct
+        ON ct.piece = substr(p.w, {j + 1}, {i - j})
+      WHERE len(p.w) >= {i}"""
+            for j in range(max(0, i - P), i))
+        q.append(f""",
+dpa_{i} AS MATERIALIZED (
+  SELECT w, cost, np FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY w ORDER BY cost, j)
+           AS rn
+    FROM ({opts})) WHERE rn = 1)""")
+    dpalla = "\n    UNION ALL\n    ".join(
+        f"SELECT w, np, {i} AS i FROM dpa_{i}" for i in range(1, L + 1))
+    q.append(f""",
+dpalla AS MATERIALIZED (
+    {dpalla}),
+wp AS MATERIALIZED (
+  SELECT d.w, d.np
+  FROM dpalla d JOIN (SELECT DISTINCT w, len(w) AS lw FROM words) x
+    ON x.w = d.w AND d.i = x.lw),
+dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       FROM documents)
+SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       SUM(np)::BIGINT AS n_pieces,
+       CAST(SUM(np)::HUGEINT * 1000000 // COUNT(*)::HUGEINT AS BIGINT)
+           AS pieces_per_word_ppm
+FROM dt JOIN wp USING (w) GROUP BY doc_id""")
     return "".join(q)
 
 
@@ -1152,6 +1260,7 @@ QUERIES = {
     "bpe_train_batched": q_bpe_train_batched,
     "bpe_train_batched512": q_bpe_train_batched512,
     "unigram_lm_train": q_unigram_lm_train,
+    "unigram_lm_apply": q_unigram_lm_apply,
     "bpe_apply_batched": q_bpe_apply_batched,
     "skyline_pareto_docs": q_skyline_pareto_docs,
     "bpe_apply_compression": q_bpe_apply,
@@ -1171,6 +1280,7 @@ ORACLE = {
     "bpe_train_batched512": _bpe_batched_oracle_sql(
         BPE_512_ROUNDS, BPE_512_TOPN, BPE_512_BATCH),
     "unigram_lm_train": _unigram_oracle_sql(),
+    "unigram_lm_apply": _unigram_oracle_sql(apply=True),
     "bpe_apply_batched": _bpe_apply_batched_oracle_sql(),
     "bpe_apply_compression": _bpe_apply_oracle_sql(),
     "pipeline_pretraining_e2e": f"""
