@@ -216,7 +216,8 @@ _FRONT_R07 = (
     "stream_mv_refresh_replay", "stream_decayed_engagement_replay",
     "stream_quantile_sketch_replay",
     "dedup_substring_suffix_array", "unigram_lm_train",
-    "unigram_lm_apply", "skew_salt_advisor", "crossmodal_dedup_report",
+    "unigram_lm_apply", "corpus_domain_mixture",
+    "skew_salt_advisor", "crossmodal_dedup_report",
     "bpe_train_batched512",
     "ann_pq_adc", "multimodal_near_dup_phash", "profile_keys_fds",
     "text_zipf_slope", "eval_auc_stopword",

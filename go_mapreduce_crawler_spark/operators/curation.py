@@ -677,15 +677,16 @@ def _unigram_train(spark, sf_dir):
 
 
 def _viterbi_len_kernel(costs):
-    """Arrow-batched apply: per distinct word the PIECE COUNT of its
-    min-cost segmentation under the final costs (same DP and smallest-
-    split tie order as training, so the piece count follows the same
-    argmin chain the oracle's carried np column reproduces)."""
+    """Arrow-batched apply: per distinct word the PIECE COUNT and the
+    total min COST (micro-nats) of its segmentation under the final
+    costs (same DP and smallest-split tie order as training, so both
+    follow the same argmin chain the oracle's carried columns
+    reproduce)."""
     import pandas as pd
 
     def kernel(batches):
         for pdf in batches:
-            ws, ns = [], []
+            ws, ns, cs = [], [], []
             for w in pdf["w"]:
                 n = len(w)
                 inf = 1 << 62
@@ -706,7 +707,9 @@ def _viterbi_len_kernel(costs):
                     i = bj[i]
                 ws.append(w)
                 ns.append(np_)
-            yield pd.DataFrame({"w": ws, "n_pieces": ns})
+                cs.append(dp[n])
+            yield pd.DataFrame({"w": ws, "n_pieces": ns,
+                                "cost_un": cs})
     return kernel
 
 
@@ -724,8 +727,10 @@ def q_unigram_lm_apply(spark, sf_dir):
     """
     words, vocab = _unigram_train(spark, sf_dir)
     costs = _unig_costs(spark, vocab)
-    wp = words.select("w").mapInPandas(
-        _viterbi_len_kernel(costs), "w string, n_pieces int")
+    wp = (words.select("w")
+               .mapInPandas(_viterbi_len_kernel(costs),
+                            "w string, n_pieces int, cost_un long")
+               .select("w", "n_pieces"))
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     return (toks.join(wp, "w")
@@ -738,7 +743,51 @@ def q_unigram_lm_apply(spark, sf_dir):
                             " AS BIGINT) AS pieces_per_word_ppm"))
 
 
-def _unigram_oracle_sql(apply: bool = False) -> str:
+def q_corpus_domain_mixture(spark, sf_dir):
+    """Data-mixing weights per SOURCE domain from language-model
+    difficulty (the deterministic skeleton of DoReMi-style domain
+    reweighting, Xie et al. 2023: upweight the domains the current
+    model finds hard): train the unigram LM, score every distinct
+    word's min segmentation cost (micro-nats), aggregate per source
+    to mean-cost-per-word, and emit difficulty-proportional mixture
+    weights — all exact integer arithmetic end to end (difficulty =
+    DIV of micro-nat sums; weight_ppm = difficulty x 1e6 DIV the
+    cross-domain difficulty total), so the mixture is bit-reproducible
+    and fully value-oracled.  A production DoReMi iterates this with
+    a real reference model; the Spark shape — score row-locally on
+    the compacted word relation, join, one domain agg, one broadcast
+    total — is identical.
+
+    Scale: the DP runs once per DISTINCT word; documents contribute
+    one explode + one keyed join; domains are a ~|sources|-row
+    relation, so the mixture math is metadata-sized.
+    """
+    words, vocab = _unigram_train(spark, sf_dir)
+    costs = _unig_costs(spark, vocab)
+    wp = (words.select("w")
+               .mapInPandas(_viterbi_len_kernel(costs),
+                            "w string, n_pieces int, cost_un long")
+               .select("w", "cost_un"))
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source",
+                    F.explode(F.split("text", " ")).alias("w"))
+    per = (toks.join(wp, "w")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum("cost_un").alias("sum_cost_un"))
+               .selectExpr("source", "n_words", "sum_cost_un",
+                           "CAST(sum_cost_un DIV n_words AS BIGINT)"
+                           " AS difficulty_ppw"))
+    tot = per.agg(F.sum("difficulty_ppw").alias("t"))
+    return (per.crossJoin(F.broadcast(tot))
+               .selectExpr("source", "n_words", "sum_cost_un",
+                           "difficulty_ppw",
+                           "CAST(difficulty_ppw * 1000000 DIV t"
+                           " AS BIGINT) AS mixture_ppm"))
+
+
+def _unigram_oracle_sql(apply: bool = False,
+                        mixture: bool = False) -> str:
     """Unrolled DuckDB twin of q_unigram_lm_train: candidate seeding +
     cap, then per EM round an UNROLLED Viterbi (dp stage per char
     position up to UNIG_MAXW, ROW_NUMBER tie-break on (cost, j)), an
@@ -825,7 +874,7 @@ v{rr} AS MATERIALIZED (
   SELECT ch.piece,
          GREATEST(COALESCE(u.usage, 0), CAST(1 AS BIGINT)) AS cnt
   FROM chars ch LEFT JOIN usage{rr} u USING (piece))""")
-    if not apply:
+    if not apply and not mixture:
         q.append(f"""
 SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt,
        cost AS cost_un
@@ -849,14 +898,35 @@ dpa_{i} AS MATERIALIZED (
            AS rn
     FROM ({opts})) WHERE rn = 1)""")
     dpalla = "\n    UNION ALL\n    ".join(
-        f"SELECT w, np, {i} AS i FROM dpa_{i}" for i in range(1, L + 1))
+        f"SELECT w, np, cost, {i} AS i FROM dpa_{i}"
+        for i in range(1, L + 1))
     q.append(f""",
 dpalla AS MATERIALIZED (
     {dpalla}),
 wp AS MATERIALIZED (
-  SELECT d.w, d.np
+  SELECT d.w, d.np, d.cost
   FROM dpalla d JOIN (SELECT DISTINCT w, len(w) AS lw FROM words) x
-    ON x.w = d.w AND d.i = x.lw),
+    ON x.w = d.w AND d.i = x.lw)""")
+    if mixture:
+        q.append(""",
+dt AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       FROM documents),
+per AS (
+  SELECT source, COUNT(*)::BIGINT AS n_words,
+         SUM(cost)::BIGINT AS sum_cost_un
+  FROM dt JOIN wp USING (w) GROUP BY 1),
+per2 AS (
+  SELECT source, n_words, sum_cost_un,
+         CAST(sum_cost_un::HUGEINT // n_words::HUGEINT AS BIGINT)
+             AS difficulty_ppw
+  FROM per),
+tot AS (SELECT SUM(difficulty_ppw)::HUGEINT AS t FROM per2)
+SELECT source, n_words, sum_cost_un, difficulty_ppw,
+       CAST(difficulty_ppw::HUGEINT * 1000000 // t AS BIGINT)
+           AS mixture_ppm
+FROM per2 CROSS JOIN tot""")
+        return "".join(q)
+    q.append(""",
 dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
        FROM documents)
 SELECT doc_id, COUNT(*)::BIGINT AS n_words,
@@ -1261,6 +1331,7 @@ QUERIES = {
     "bpe_train_batched512": q_bpe_train_batched512,
     "unigram_lm_train": q_unigram_lm_train,
     "unigram_lm_apply": q_unigram_lm_apply,
+    "corpus_domain_mixture": q_corpus_domain_mixture,
     "bpe_apply_batched": q_bpe_apply_batched,
     "skyline_pareto_docs": q_skyline_pareto_docs,
     "bpe_apply_compression": q_bpe_apply,
@@ -1281,6 +1352,7 @@ ORACLE = {
         BPE_512_ROUNDS, BPE_512_TOPN, BPE_512_BATCH),
     "unigram_lm_train": _unigram_oracle_sql(),
     "unigram_lm_apply": _unigram_oracle_sql(apply=True),
+    "corpus_domain_mixture": _unigram_oracle_sql(mixture=True),
     "bpe_apply_batched": _bpe_apply_batched_oracle_sql(),
     "bpe_apply_compression": _bpe_apply_oracle_sql(),
     "pipeline_pretraining_e2e": f"""
