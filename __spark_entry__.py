@@ -217,6 +217,7 @@ _FRONT_R07 = (
     "stream_quantile_sketch_replay",
     "dedup_substring_suffix_array", "unigram_lm_train",
     "unigram_lm_apply", "corpus_domain_mixture",
+    "inverted_index_delta_refresh",
     "skew_salt_advisor", "crossmodal_dedup_report",
     "bpe_train_batched512",
     "ann_pq_adc", "multimodal_near_dup_phash", "profile_keys_fds",

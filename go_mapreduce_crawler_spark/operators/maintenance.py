@@ -376,7 +376,65 @@ def q_mv_join_delta_refresh(spark, sf_dir):
                           F.col("rev").cast("double").alias("revenue")))
 
 
+IDX_DELTA_MOD = 10   # doc_id % 10 == 0 plays the insert batch
+
+
+def q_inverted_index_delta(spark, sf_dir):
+    """Incremental INVERTED-INDEX maintenance (the IVM pattern of
+    mv_join_delta_refresh applied to the retrieval index): the index
+    over the base corpus (doc_id % {m} != 0) absorbs an insert batch
+    (doc_id % {m} == 0) by a term-keyed full-outer MERGE of postings —
+    V' = V (+) index(delta) — instead of a full rebuild.  Postings are
+    per-term sorted (doc, tf) arrays; merge is array concat + sort
+    (base and delta doc sets are disjoint, so merged == rebuilt
+    exactly, which is precisely what the oracle checks: it indexes the
+    POST-insert corpus directly).
+
+    Terms are word 3-grams (the tfidf/spans convention — unigrams are
+    degenerate on this vocabulary).  Output per term: df, tf, and an
+    md5 digest of the sorted posting list, so the full index content
+    is value-hashed without shipping arrays to the driver.
+
+    Scale: each side is one (term, doc) partial+final agg + one
+    term-keyed collect_list; the merge joins index-sized relations on
+    the term key — delta cost is O(|delta index|), never corpus size.
+    100 TB postings use positional delta encoding in a real store; the
+    merge algebra is unchanged.
+    """.format(m=IDX_DELTA_MOD)
+    from .text import _token_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def index(docs):
+        g = docs.select("doc_id", F.explode(
+            _token_ngrams(F.split("text", " "), 3)).alias("t"))
+        pd_ = (g.groupBy("t", "doc_id")
+                .agg(F.count(F.lit(1)).alias("tf")))
+        return (pd_.groupBy("t")
+                   .agg(F.array_sort(F.collect_list(
+                        F.struct("doc_id", "tf"))).alias("post")))
+    base = index(d.filter(F.col("doc_id") % IDX_DELTA_MOD != 0))
+    delta = index(d.filter(F.col("doc_id") % IDX_DELTA_MOD == 0))
+    empty = F.array().cast("array<struct<doc_id:bigint,tf:bigint>>")
+    merged = (base.withColumnRenamed("post", "pa")
+                  .join(delta.withColumnRenamed("post", "pb"),
+                        "t", "full_outer")
+                  .select("t", F.array_sort(F.concat(
+                      F.coalesce("pa", empty),
+                      F.coalesce("pb", empty))).alias("post")))
+    return merged.select(
+        "t",
+        F.size("post").cast("long").alias("df"),
+        F.aggregate("post", F.lit(0).cast("long"),
+                    lambda a, p: a + p["tf"]).alias("tf"),
+        F.md5(F.encode(F.concat_ws(",", F.transform(
+            "post", lambda p: F.concat_ws(
+                ":", p["doc_id"].cast("string"),
+                p["tf"].cast("string")))), "UTF-8")).alias("postings_md5"))
+
+
 QUERIES = {
+    "inverted_index_delta_refresh": q_inverted_index_delta,
     "cdc_merge_apply": q_cdc_merge_apply,
     "sink_roundtrip_jsonl": q_sink_roundtrip_jsonl,
     "table_checksum_orders": q_table_checksum,
@@ -388,6 +446,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    # direct index over the POST-insert corpus: incremental == rebuild
+    "inverted_index_delta_refresh": """
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents),
+        g AS (SELECT doc_id,
+                     array_to_string(a[j:j+2], ' ') AS t
+              FROM ws, unnest(generate_series(1, len(a) - 2)) AS u(j)
+              WHERE len(a) >= 3),
+        pd AS (SELECT t, doc_id, COUNT(*)::BIGINT AS tf
+               FROM g GROUP BY 1, 2)
+        SELECT t, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS tf,
+               md5(string_agg(doc_id || ':' || tf, ','
+                              ORDER BY doc_id)) AS postings_md5
+        FROM pd GROUP BY t
+    """,
     "table_diff": f"""
         WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
                      FROM orders),
