@@ -9,7 +9,8 @@ NEW = ["dedup_substring_suffix_array", "unigram_lm_train",
        "skew_salt_advisor", "crossmodal_dedup_report",
        "bpe_train_batched512", "multimodal_near_dup_phash",
        "stream_mv_refresh_replay", "stream_decayed_engagement_replay",
-       "stream_quantile_sketch_replay"]
+       "stream_quantile_sketch_replay", "unigram_lm_apply",
+       "corpus_domain_mixture", "inverted_index_delta_refresh"]
 SF = "/root/testdata/sf0.01"
 
 def run(master, parts, name_suffix):
