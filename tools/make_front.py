@@ -58,6 +58,25 @@ def main() -> None:
     if stale:
         print(f"\n# WARNING: driver checked {stale} but queries() no "
               "longer has them")
+    # Staleness rotation report (VERDICT r06 item 1): last driver
+    # round per query, oldest first — the rows the next front should
+    # rotate into the ~50-query budget after the never/changed block.
+    last = {}
+    rounds = []
+    for name in sorted(x for x in dir(entry)
+                       if x.startswith("_CHECKED_R")):
+        rounds.append((name, set(getattr(entry, name))))
+    rounds.append((f"_CHECKED_R{n:02d}", set(rn)))
+    for name, keys in rounds:
+        for k in keys:
+            last[k] = name
+    order = sorted((x for x in q if x in last),
+                   key=lambda x: (last[x], x))
+    from collections import Counter
+    print("\n# last-driver-round distribution:",
+          dict(Counter(last[x] for x in order)))
+    print("# 50 stalest (oldest round first) — rotation candidates:")
+    print(_tuple_src("_STALEST_50", order[:50]))
 
 
 if __name__ == "__main__":
