@@ -660,3 +660,67 @@ def test_stream_quantile_sketch_matches_batch_rollup(
               for r in sc.q_quantile_sketch_rollup(
                   spark, sf_small).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_mv_refresh_versioned_snapshots_are_retry_idempotent(
+        spark, event_stream_dir, tmp_path):
+    """The exactly-once claim of the foreachBatch monoid-state family,
+    pinned directly: re-running a micro-batch's merge with the SAME
+    batch_id (what a Structured Streaming retry does after a failure
+    between sink write and checkpoint commit) must leave the final
+    view bit-identical — the replayed batch overwrites its own version
+    and merges from the same predecessor, never double-counting."""
+    from go_mapreduce_crawler_spark.streaming.stateful import (
+        read_mv_state, stream_mv_refresh)
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (spark.readStream.option("maxFilesPerTrigger", "1")
+                     .schema(batch_events.schema)
+                     .parquet(event_stream_dir))
+    state = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "mv_ckpt")
+    q = stream_mv_refresh(stream_events, state, ckpt)
+    q.awaitTermination(180)
+    before = {tuple(r) for r in read_mv_state(spark, state).collect()}
+
+    # simulate a retry of the LAST batch: re-run the merge body with
+    # the same batch_id over the same rows (one of the 4 splits)
+    import glob as _glob
+    versions = sorted(int(p.rsplit("state_v", 1)[1])
+                      for p in _glob.glob(f"{state}/state_v*"))
+    last = versions[-1]
+    from pyspark.sql import functions as F
+    prevs = [v for v in versions if v < last]
+    prev = spark.read.parquet(f"{state}/state_v{prevs[-1]}") if prevs \
+        else None
+    # the operator's merge recomputes partial(batch) + prev; replaying
+    # with the same id must OVERWRITE, not accumulate.  We emulate the
+    # exact merge body on the true last-batch rows, read from the
+    # checkpoint's file-source log (ckpt/sources/0/<batchId> records
+    # exactly which files that micro-batch consumed):
+    import json as _json
+    with open(f"{ckpt}/sources/0/{last}") as fh:
+        entries = [_json.loads(line) for line in fh
+                   if line.startswith("{")]
+    last_files = [e["path"] for e in entries]
+    last_batch = spark.read.parquet(*last_files)
+    partial = last_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+    if prev is not None:
+        p = prev.select(F.col("event_type").alias("k"),
+                        F.col("n").alias("n1"), F.col("s").alias("s1"))
+        d = partial.select(F.col("event_type").alias("k"),
+                           F.col("n").alias("n2"), F.col("s").alias("s2"))
+        z = F.lit(0).cast("decimal(18,2)")
+        merged = (p.join(d, "k", "full_outer")
+                  .select(F.col("k").alias("event_type"),
+                          (F.coalesce("n1", F.lit(0))
+                           + F.coalesce("n2", F.lit(0))).alias("n"),
+                          (F.coalesce("s1", z) + F.coalesce("s2", z))
+                          .cast("decimal(18,2)").alias("s")))
+    else:
+        merged = partial
+    merged.write.mode("overwrite").parquet(f"{state}/state_v{last}")
+    after = {tuple(r) for r in read_mv_state(spark, state).collect()}
+    assert after == before and len(after) > 0
