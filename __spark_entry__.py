@@ -203,15 +203,20 @@ _CHECKED_R06 = (
 
 # Round-7 front (VERDICT r06 items 1,2,5,7,8,9 + ADVICE item 2): the
 # r07 NEW ops run first (never driver-checked — streaming replay rows,
-# suffix-array substring dedup, unigram-LM trainer, skew advisor,
-# cross-modal dedup), then the ops whose CODE changed after their last
-# driver row (ann_pq_adc was re-planned in r06 but stayed r05-signed —
-# the advice item; multimodal_near_dup_phash gets the vectorized
-# kernel; profile_keys_fds / text_zipf_slope / eval_auc_stopword get
-# the r06 advice fixes; bpe_train_batched gets the bigger-vocab
+# suffix-array substring dedup, unigram-LM trainer+apply+mixture,
+# index IVM, skew advisor, cross-modal dedup), then the ops whose CODE
+# changed after their last driver row (ann_pq_adc was re-planned in
+# r06 but stayed r05-signed — the advice item;
+# multimodal_near_dup_phash gets the vectorized kernel + SNM
+# candidates; profile_keys_fds / text_zipf_slope / eval_auc_stopword
+# get the r06 advice fixes; the batched-BPE pair gets the non-chaining
 # acceptance).  The stale-signal rotation (VERDICT item 1: 64 rows
-# still r01/r02-signed) then fills the rest of the ~50-query budget
-# automatically via the oldest-round-first ordering below.
+# still r01/r02-signed) fills the rest of the ~50-query budget
+# oldest-round-first below.  Budget math, stated deliberately: 18
+# front slots (11 new + 7 changed — both mandated by their own r06
+# "Done" criteria and by the r05/r06 re-front-changed-ops doctrine)
+# leave 32 slots for the stale rotation (all 22 r01 rows + the first
+# 10 r02 rows); the remaining r02 rows rotate in r08.
 _FRONT_R07 = (
     "stream_mv_refresh_replay", "stream_decayed_engagement_replay",
     "stream_quantile_sketch_replay",
