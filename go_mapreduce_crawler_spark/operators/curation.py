@@ -644,6 +644,18 @@ def _unigram_train(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     words = (d.select(F.explode(F.split("text", " ")).alias("w"))
               .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    # Loud unroll-bound guard (r07 ADVICE item 1): UNIG_MAXW bounds the
+    # ORACLE's unrolled DP only — the Spark kernels are unbounded — so
+    # a corpus word longer than the bound would silently vanish from
+    # the oracle's usage counts and the apply/mixture inner joins.
+    # Fail the query explicitly instead (one cheap agg; the driver
+    # records an honest `err`, never a silent divergence).
+    maxw = words.agg(F.max(F.length("w"))).collect()[0][0] or 0
+    if maxw > UNIG_MAXW:
+        raise ValueError(
+            f"corpus max word length {maxw} exceeds UNIG_MAXW="
+            f"{UNIG_MAXW}; raise the oracle unroll bound before "
+            "training on this corpus")
     cand = (words
             .select("w", "c",
                     F.explode(F.sequence(F.lit(1), F.length("w")))

@@ -223,6 +223,25 @@ def _shingles(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
+def _minhash_sig(spark, sf_dir):
+    """(shingles, k={k} Carter-Wegman signature) relations — the shared
+    front of _minhash_bands and the banding advisor.  See
+    _minhash_bands for the hashing rationale."""
+    sh = _shingles(spark, sf_dir).cache()
+    hs = sh.selectExpr(
+        "doc_id",
+        "transform(shingles, s ->"
+        " cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)) AS hs"
+    ).cache()
+    sig = hs.selectExpr("doc_id", *[
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MH_P}L)) AS h{k}"
+        for k, (a, b) in enumerate(MH_AB)])
+    return sh, sig
+
+
+_minhash_sig.__doc__ = _minhash_sig.__doc__.replace("{k}", str(MINHASH_K))
+
+
 def _minhash_bands(spark, sf_dir):
     """Shared (shingles, band-bucket) pipeline for the minhash family.
 
@@ -242,15 +261,7 @@ def _minhash_bands(spark, sf_dir):
     transform into all 32 min-folds, recomputing the string hashing
     32x (the similarity.py `bits` lesson).
     """
-    sh = _shingles(spark, sf_dir).cache()
-    hs = sh.selectExpr(
-        "doc_id",
-        "transform(shingles, s ->"
-        " cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)) AS hs"
-    ).cache()
-    sig = hs.selectExpr("doc_id", *[
-        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MH_P}L)) AS h{k}"
-        for k, (a, b) in enumerate(MH_AB)])
+    sh, sig = _minhash_sig(spark, sf_dir)
     r = MINHASH_K // LSH_BANDS
     bands = sig.selectExpr(
         "doc_id",
@@ -831,9 +842,14 @@ def q_dedup_substring_suffix(spark, sf_dir):
     doubling with LEADER naming — log2(k) rounds; each round pairs
     every position's name with the name k/2 ahead (a lead() over the
     doc-ordered window — no self-join) and renames each (name,
-    next-name) class to its minimal packed position (a min() over the
-    class-partitioned window — no id generator, no name table, no
-    join).  After round log2(k) two positions carry the same name iff
+    next-name) class to its minimal packed position via
+    groupBy(class).agg(min(pack)) + an equi-join back (skew-safe: the
+    map-side partial agg absorbs Zipf-hot classes before the shuffle
+    and AQE's skew-join can split the probe side — unlike a
+    class-partitioned window, whose single task per class would
+    straggle/OOM on a head token at 100x; no id generator, no
+    non-deterministic naming).  After round log2(k) two positions
+    carry the same name iff
     their next k tokens are IDENTICAL (exact equality end to end — the
     names are class leaders, not digests, so no hash collisions
     exist).  Names need only be injective, not rank-ordered: the dedup
@@ -849,15 +865,19 @@ def q_dedup_substring_suffix(spark, sf_dir):
     k-windows and every duplicated k-window IS a duplicated substring.
 
     Determinism + scale: leader naming is a pure function of the data
-    (min packed position per class), so the whole pipeline is one lazy
-    plan — no per-round materialization, no cache-consistency
-    contract, recompute-safe on a fault-prone cluster.  Each round is
-    exactly two bounded shuffles of the N-position relation (doc-hash
-    for the lead window, class-hash for the rename window); k = {K}
-    means 3 rounds; the rewrite adds one doc-keyed window and one
-    doc-keyed agg.  The report is localCheckpoint'ed so the driver's
-    count+collect pair computes the rounds once; production writes the
-    rewritten corpus to a sink instead.  Packed position =
+    (min packed position per class), so every round snapshot is
+    recompute-safe on a fault-prone cluster.  Each round is three
+    bounded shuffles of the N-position relation (doc-hash for the lead
+    window, class-hash for the partial-agg'd min, class-hash for the
+    join back) plus one eager localCheckpoint of the compact
+    (doc_id, pos, r) relation — the lineage cut that keeps the
+    branched groupBy+join rounds from recomputing 2^rounds times (the
+    standard external-memory suffix-array trade; see
+    _substring_report).  k = {K} means 3 rounds; the rewrite adds one
+    doc-keyed window and one doc-keyed agg.  The report is
+    localCheckpoint'ed so the driver's count+collect pair computes the
+    rounds once; production writes the rewritten corpus to a sink
+    instead.  Packed position =
     doc_id * 2^22 + pos (docs up to 2^41, 4M tokens/doc — beyond
     that, switch the name column to a (doc_id, pos) struct, same
     plan).
@@ -869,26 +889,45 @@ def q_dedup_substring_suffix(spark, sf_dir):
     return _substring_report(spark, sf_dir).localCheckpoint(eager=True)
 
 
-def _substring_report(spark, sf_dir):
-    """The lazy plan behind q_dedup_substring_suffix (exposed so the
-    plan pins can inspect it before the checkpoint cut)."""
+def _substring_report(spark, sf_dir, checkpoint_rounds: bool = True):
+    """The plan behind q_dedup_substring_suffix (exposed so the plan
+    pins can inspect it; ``checkpoint_rounds=False`` keeps the whole
+    pipeline lazy so a test can read every naming round in ONE plan).
+
+    Skew note (r07 verdict item 3): class-min naming is
+    ``groupBy(key).agg(min(pack))`` + equi-join back, NEVER
+    ``min().over(Window.partitionBy(key))`` — a window partition is one
+    task and AQE cannot split it, so on a real Zipf vocabulary the top
+    token (~5% of all positions) would serialize into a single
+    straggler/OOM task at 100x.  The groupBy's map-side partial
+    aggregation absorbs the hot key before the shuffle, and the join
+    back is a plain equi-join AQE's skew-join can split.  The join
+    branches the lineage (names + probe both read the round's pair
+    relation), so each round eagerly localCheckpoints the compact
+    (doc_id, pos, r) relation — without the cut, recompute doubles per
+    round (2^rounds leaf scans).  Per-round materialization of the
+    position relation is the standard external-memory suffix-array
+    trade; each round is still shuffle-linear in N."""
     from pyspark.sql import Window as W
+
+    def _cut(df):
+        return df.localCheckpoint(eager=True) if checkpoint_rounds else df
 
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
     pack = (F.col("doc_id").cast("long") * F.lit(1 << 22).cast("long")
             + F.col("pos"))
-    cur = (toks.withColumn("r", F.min(pack).over(W.partitionBy("w")))
-               .select("doc_id", "pos", "r"))
+    lead0 = toks.groupBy("w").agg(F.min(pack).alias("r"))
+    cur = _cut(toks.join(lead0, "w").select("doc_id", "pos", "r"))
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     step = 1
     while step < SUBSTR_K:
         paired = cur.withColumn(
             "r2", F.coalesce(F.lead("r", step).over(wdoc), F.lit(-1)))
-        cur = (paired.withColumn(
-                   "r", F.min(pack).over(W.partitionBy("r", "r2")))
-                     .select("doc_id", "pos", "r"))
+        names = paired.groupBy("r", "r2").agg(F.min(pack).alias("rn"))
+        cur = _cut(paired.join(names, ["r", "r2"])
+                   .select("doc_id", "pos", F.col("rn").alias("r")))
         step *= 2
     base = d.select("doc_id",
                     F.size(F.split("text", " ")).cast("long")
@@ -1014,7 +1053,95 @@ def q_dedup_lsh_report(spark, sf_dir):
                        prec.alias("precision_ppm")))
 
 
+# Every (b, r) factorization of the k=32 signature the advisor scores.
+LSH_ADV_CONFIGS = tuple((MINHASH_K // r, r) for r in (1, 2, 4, 8, 16, 32))
+LSH_ADV_RECALL_FLOOR_E6 = 950_000   # required recall at jaccard 0.9
+
+
+def _lsh_recall_e6(s: float, b: int, r: int) -> int:
+    """floor(1e6 * (1 - (1 - s^r)^b)) — the standard LSH S-curve.
+    Computed ONCE in Python and emitted as the SAME literal into both
+    the Spark plan and the DuckDB oracle, so engine-libm differences
+    cannot exist by construction."""
+    import math
+    return math.floor((1.0 - (1.0 - s ** r) ** b) * 1e6)
+
+
+def q_lsh_banding_advisor(spark, sf_dir):
+    """LSH (b, r) AUTO-SCALING ADVISOR (r07 verdict item 8) — the
+    banding sibling of scale.q_skew_salt_advisor: from the corpus's
+    OWN k={k} minhash signatures it measures, for every (b, r)
+    factorization of the signature, the candidate mass that banding
+    would actually generate on THIS corpus (sum over real band buckets
+    of C(m, 2), with multiplicity — the join work an LSH pass pays),
+    alongside the analytic S-curve recall at the near-dup threshold
+    (s=0.5) and at strong-dup similarity (s=0.9), and flags the
+    CHOSEN config: the cheapest candidate mass among configs whose
+    s=0.9 recall clears {floor}ppm (ties -> smaller b).  This closes
+    the measured-probe loop for the whole LSH family the way the salt
+    advisor closes it for join skew: parameters come from measured
+    corpus statistics, not folklore defaults.
+
+    Scale: signatures are computed once, row-locally; the only
+    shuffle is ONE partial+final agg over the exploded
+    (b, r, band, bucket) keys — sum(b)= {nbands} bucket rows per doc,
+    a constant fan-out like the production band explode — followed by
+    a 6-row config fold.  Hot buckets hurt nobody: the agg counts
+    them, it never pairs them.  Recall columns are literals (see
+    _lsh_recall_e6), so both engines agree bit-for-bit.
+
+    Output: (b, r, recall50_e6, recall90_e6, n_buckets, n_hot_buckets,
+    candidate_pairs, max_bucket, chosen).
+    """
+    _, sig = _minhash_sig(spark, sf_dir)
+    entries = []
+    for b, r in LSH_ADV_CONFIGS:
+        for band in range(b):
+            cols = ", ".join(f"h{band * r + j}" for j in range(r))
+            entries.append(
+                f"struct({b} AS b, {r} AS r, {band} AS band,"
+                f" md5(concat_ws(',', {cols})) AS bucket)")
+    bands = sig.selectExpr(
+        "doc_id", "explode(array(" + ", ".join(entries) + ")) AS e")
+    occ = (bands.groupBy("e.b", "e.r", "e.band", "e.bucket")
+                .agg(F.count(F.lit(1)).alias("m")))
+    per_cfg = (occ.groupBy("b", "r")
+               .agg(F.sum(F.expr("m * (m - 1) DIV 2"))
+                     .alias("candidate_pairs"),
+                    F.count(F.lit(1)).alias("n_buckets"),
+                    F.sum((F.col("m") >= 2).cast("long"))
+                     .alias("n_hot_buckets"),
+                    F.max("m").alias("max_bucket")))
+    cfgs = spark.createDataFrame(
+        [(b, r, _lsh_recall_e6(0.5, b, r), _lsh_recall_e6(0.9, b, r))
+         for b, r in LSH_ADV_CONFIGS],
+        "b int, r int, recall50_e6 long, recall90_e6 long")
+    joined = per_cfg.join(F.broadcast(cfgs), ["b", "r"])
+    best = (joined.filter(F.col("recall90_e6") >= LSH_ADV_RECALL_FLOOR_E6)
+                  .agg(F.min(F.struct(
+                      F.col("candidate_pairs").alias("cp"),
+                      F.col("b").alias("b"))).alias("w")))
+    chosen = ((F.col("recall90_e6") >= LSH_ADV_RECALL_FLOOR_E6)
+              & (F.col("candidate_pairs") == F.col("w.cp"))
+              & (F.col("b") == F.col("w.b"))).cast("int")
+    return (joined.crossJoin(F.broadcast(best))
+                  .select("b", "r", "recall50_e6", "recall90_e6",
+                          "n_buckets", "n_hot_buckets",
+                          "candidate_pairs", "max_bucket",
+                          chosen.alias("chosen")))
+
+
+q_lsh_banding_advisor.__doc__ = (q_lsh_banding_advisor.__doc__
+                                 .replace("{k}", str(MINHASH_K))
+                                 .replace("{floor}",
+                                          str(LSH_ADV_RECALL_FLOOR_E6))
+                                 .replace("{nbands}",
+                                          str(sum(b for b, _ in
+                                                  LSH_ADV_CONFIGS))))
+
+
 QUERIES = {
+    "lsh_banding_advisor": q_lsh_banding_advisor,
     "dedup_cluster_size_histogram": q_dedup_cluster_sizes,
     "decontaminate_fuzzy_minhash": q_decontaminate_fuzzy,
     "dedup_lsh_precision_report": q_dedup_lsh_report,
@@ -1088,7 +1215,74 @@ def _minhash_pair_ctes() -> str:
                WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_T})"""
 
 
+def _lsh_advisor_oracle() -> str:
+    """DuckDB mirror of q_lsh_banding_advisor: same shingle/signature
+    CTEs as _minhash_pair_ctes, the per-config band keys as a UNION ALL
+    over the MATERIALIZED signature (struct-free — the struct_pack-in-
+    lambda / unnest-struct paths are the known DuckDB segfault
+    surface), and the same literal recall columns."""
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
+        f" AS h{k}"
+        for k, (a, b) in enumerate(MH_AB))
+    branches = []
+    for b, r in LSH_ADV_CONFIGS:
+        for band in range(b):
+            cols = ", ".join(f"h{band * r + j}" for j in range(r))
+            branches.append(
+                f"SELECT doc_id, {b} AS b, {r} AS r, {band} AS band,"
+                f" md5(concat_ws(',', {cols})) AS bucket FROM sig")
+    values = ", ".join(
+        f"({b}, {r}, {_lsh_recall_e6(0.5, b, r)},"
+        f" {_lsh_recall_e6(0.9, b, r)})"
+        for b, r in LSH_ADV_CONFIGS)
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, text
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= {SHINGLE_N}
+                           THEN list_distinct(list_transform(
+                               generate_series(1, len(w) - 2),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+                           ELSE [text] END AS shingles
+               FROM d),
+        hs AS (SELECT doc_id,
+                      list_transform(shingles,
+                          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)
+                          AS hs
+               FROM sh),
+        sig AS MATERIALIZED (SELECT doc_id, {sig_exprs} FROM hs),
+        bands AS ({' UNION ALL '.join(branches)}),
+        occ AS (SELECT b, r, band, bucket, COUNT(*) AS m
+                FROM bands GROUP BY 1, 2, 3, 4),
+        per_cfg AS (
+            SELECT b, r,
+                   SUM(m * (m - 1) // 2)::BIGINT AS candidate_pairs,
+                   COUNT(*)::BIGINT AS n_buckets,
+                   SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_hot_buckets,
+                   MAX(m)::BIGINT AS max_bucket
+            FROM occ GROUP BY 1, 2),
+        cfgs(b, r, recall50_e6, recall90_e6) AS (VALUES {values}),
+        joined AS (SELECT * FROM per_cfg JOIN cfgs USING (b, r)),
+        best AS (SELECT candidate_pairs AS cp, b AS bb FROM joined
+                 WHERE recall90_e6 >= {LSH_ADV_RECALL_FLOOR_E6}
+                 ORDER BY candidate_pairs, b LIMIT 1)
+        SELECT j.b::INT AS b, j.r::INT AS r,
+               j.recall50_e6::BIGINT AS recall50_e6,
+               j.recall90_e6::BIGINT AS recall90_e6,
+               j.n_buckets, j.n_hot_buckets, j.candidate_pairs,
+               j.max_bucket,
+               (CASE WHEN j.recall90_e6 >= {LSH_ADV_RECALL_FLOOR_E6}
+                      AND j.candidate_pairs = best.cp
+                      AND j.b = best.bb
+                     THEN 1 ELSE 0 END)::INT AS chosen
+        FROM joined j, best
+    """
+
+
 ORACLE = {
+    "lsh_banding_advisor": _lsh_advisor_oracle(),
     "dedup_minhash_lsh":
         "WITH " + _minhash_pair_ctes() + " SELECT * FROM mh",
     "dedup_components_lsh": f"""

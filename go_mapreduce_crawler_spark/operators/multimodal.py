@@ -388,8 +388,20 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs AND never bucket-quadratic: the r07 real-sf1 probe
     measured the previous bucket self-join at ~x100 candidates for x10
     media (degenerate signatures concentrate buckets), while SNM work
-    is O(m x {w}) regardless of bucket shape; similar fingerprints
-    sort adjacent, so exact and near-identical signatures always pair.
+    is O(m x {w}) regardless of bucket shape.
+
+    Recall contract (stated explicitly, r07 advice): SNM pairs a
+    member ONLY with its next {w} neighbors in (fp, media_id) bucket
+    order, so two media whose fingerprints sit more than {w} sorted
+    ranks apart in every band bucket are never candidates — in
+    particular an IDENTICAL-fingerprint cluster larger than {w}+1 does
+    not emit all its internal pairs (each member still fills its
+    top-{k} with hamming-0 partners, and exact-duplicate clusters of
+    ANY size are fully grouped by the exact pass, multimodal_dedup_
+    exact, whose payload-digest groupBy has no width bound).  That
+    W-bounded recall is the deliberate price for O(m x {w}) work per
+    bucket; the oracle mirrors the same construction, so the driver
+    check verifies the bounded semantics, not an all-pairs claim.
     The exact Hamming check and top-k window run on id+fingerprint
     pairs only.
     """.format(t=PHASH_HAM_T, k=PHASH_TOP_K, b=PHASH_BANDS,
@@ -408,11 +420,12 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures on a histogram-similar corpus concentrate into few
     # chunks, so candidates grew ~x100 for x10 media (91s at 50k).
     # Here each bucket member pairs with only its next 16 neighbors
-    # in (fp, media_id) order — similar fingerprints sort adjacent, so
-    # exact and near-identical signatures are always paired — making
-    # candidate work O(m x 16) per bucket, LINEAR in corpus size, via
-    # a plain equi-join on (band, chunk, rank+j).  The Hamming gate
-    # and top-5-per-media_a rank run on that bounded relation.
+    # in (fp, media_id) order — similar fingerprints sort adjacent
+    # (W-bounded recall: members >16 ranks apart never pair; see the
+    # docstring's recall contract) — making candidate work O(m x 16)
+    # per bucket, LINEAR in corpus size, via a plain equi-join on
+    # (band, chunk, rank+j).  The Hamming gate and top-5-per-media_a
+    # rank run on that bounded relation.
     wsn = W.partitionBy("band", "chunk").orderBy("fp", "media_id")
     ranked = bands.withColumn("rn", F.row_number().over(wsn))
     offs = F.explode(F.array(*[F.lit(j)

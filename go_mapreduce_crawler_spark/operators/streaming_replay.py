@@ -31,6 +31,8 @@ replay fixture write is test plumbing, not the operator.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -49,8 +51,13 @@ _AWAIT_S = 300
 
 def _replay(spark, sf_dir: str, name: str):
     """Write events as a REPLAY_SPLITS-file parquet dir (the committed
-    replay fixture) and return (streaming_df, state_dir, ckpt_dir)."""
+    replay fixture) and return (streaming_df, state_dir, ckpt_dir).
+
+    The fixture root is removed at interpreter exit (NOT at function
+    return — the caller's result DataFrame lazily reads the state
+    parquet, so eager removal would break the driver's later collect)."""
     root = tempfile.mkdtemp(prefix=f"sgraft_replay_{name}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
     batch = load_table(spark, sf_dir, "events")
     batch.repartition(REPLAY_SPLITS).write.mode("overwrite").parquet(in_dir)
@@ -59,12 +66,33 @@ def _replay(spark, sf_dir: str, name: str):
     return batch, stream, state, ckpt
 
 
+def _await_drained(q, name: str) -> None:
+    """Block until the availableNow replay drains; FAIL LOUDLY otherwise.
+
+    A maintenance replay that times out must surface as an error, never
+    publish the partial ``state_v*`` snapshot it happened to reach — the
+    reference's collect records the error instead of a wrong result
+    (crawler.go:245-253).  ``awaitTermination(t)`` returns False on
+    timeout; the previous code discarded that boolean, which is exactly
+    the silent-partial-snapshot signature the r07 driver box observed."""
+    drained = q.awaitTermination(_AWAIT_S)
+    if not drained:
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay '{name}' did not drain within {_AWAIT_S}s; "
+            "refusing to read a partial state snapshot")
+    exc = q.exception()
+    if exc is not None:
+        raise RuntimeError(
+            f"streaming replay '{name}' terminated with error") from exc
+
+
 def q_stream_mv_refresh_replay(spark, sf_dir):
     """Replay -> foreachBatch MERGE-maintained per-type view -> final
     snapshot (event_type, n_events, sum_value)."""
     _, stream, state, ckpt = _replay(spark, sf_dir, "mv")
     q = stream_mv_refresh(stream, state, ckpt)
-    q.awaitTermination(_AWAIT_S)
+    _await_drained(q, "mv_refresh")
     return (read_mv_state(spark, state)
             .select("event_type", F.col("n").alias("n_events"),
                     F.col("s").alias("sum_value")))
@@ -78,7 +106,7 @@ def q_stream_decayed_engagement_replay(spark, sf_dir):
     ref_day = batch.agg(F.max(F.expr(
         "CAST(unix_micros(ts) DIV 86400000000 AS INT)"))).collect()[0][0]
     q = stream_decayed_engagement(stream, ref_day, state, ckpt)
-    q.awaitTermination(_AWAIT_S)
+    _await_drained(q, "decayed_engagement")
     return decayed_engagement_finalize(read_mv_state(spark, state))
 
 
@@ -88,7 +116,7 @@ def q_stream_quantile_sketch_replay(spark, sf_dir):
     sketch monoid law observed through streaming checkpoints)."""
     _, stream, state, ckpt = _replay(spark, sf_dir, "qsk")
     q = stream_quantile_sketch(stream, state, ckpt)
-    q.awaitTermination(_AWAIT_S)
+    _await_drained(q, "quantile_sketch")
     return quantile_sketch_finalize(read_mv_state(spark, state))
 
 

@@ -906,6 +906,84 @@ def q_text_bm25(spark, sf_dir):
                           "bm25_e6", "rk"))
 
 
+BM25R_QUERIES = 5    # retrieval queries derived from the corpus
+BM25R_QLEN = 3       # terms per query
+BM25R_TOPK = 10      # ranked documents returned per query
+BM25R_SALT = 64      # two-phase top-k fan-in
+
+
+def q_text_bm25_retrieval(spark, sf_dir):
+    """BM25 RANKED RETRIEVAL (r07 verdict item 5): score every document
+    against a query-term set and return the top-{k} documents per
+    query — the classic Okapi search operator on top of the same
+    tf/df/dl statistics the inverted index and q_text_bm25 maintain.
+    The query workload is derived deterministically from the corpus
+    (the top {nq}x{ql} document-frequency terms, {ql} per query, in
+    (df desc, word) order), so the operator is self-contained and
+    scale-invariant; swapping in user queries is a one-relation change.
+
+    Scale: term scoring is the per-(term, doc) integer expression of
+    _bm25_e6_expr with the {nq}x{ql}-row query relation BROADCAST onto
+    the tf relation (posting-list sized, never corpus-quadratic); the
+    per-query document ranking is a TWO-PHASE SALTED top-k (local
+    top-{k} per (query, hash-salt) bucket, then a {s}x{k}-row final
+    fold per query) — no global window and no single task ever holds
+    more than one bucket's rows, so a query matching every document
+    (these high-df queries do) still ranks in bounded memory.  The
+    only global sort is the query-derivation TakeOrdered over the
+    {nq}x{ql}-row term head.  Ties break (score desc, doc_id).
+
+    Output: (query_id, query_terms, doc_id, score_e6, rk).
+    """.format(k=BM25R_TOPK, nq=BM25R_QUERIES, ql=BM25R_QLEN,
+               s=BM25R_SALT)
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id",
+                     F.explode(F.split("text", " ")).alias("word"))
+    tf = (words.groupBy("doc_id", "word")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scal = dl.agg(F.sum("dl").alias("total_words"),
+                  F.count(F.lit(1)).alias("n_docs"))
+    nterms = BM25R_QUERIES * BM25R_QLEN
+    head = dfr.orderBy(F.desc("df"), "word").limit(nterms)
+    qt = (head.withColumn(
+              "trk", F.row_number().over(
+                  Window.orderBy(F.desc("df"), F.asc("word"))))
+              .withColumn("query_id",
+                          ((F.col("trk") - 1) / BM25R_QLEN)
+                          .cast("int")))
+    qnames = (qt.groupBy("query_id")
+                .agg(F.array_join(F.transform(
+                    F.array_sort(F.collect_list(F.struct("trk", "word"))),
+                    lambda s: s["word"]), " ").alias("query_terms")))
+    scored = (tf.join(F.broadcast(qt.select("word", "query_id", "df")),
+                      "word")
+                .join(dl, "doc_id")
+                .crossJoin(F.broadcast(scal))
+                .selectExpr("query_id", "doc_id",
+                            _bm25_e6_expr(_lit_spark) + " AS bm25_e6"))
+    qs = (scored.groupBy("query_id", "doc_id")
+                .agg(F.sum("bm25_e6").alias("score_e6")))
+    key = F.struct((-F.col("score_e6")).alias("ns"),
+                   F.col("doc_id").alias("doc_id"),
+                   F.col("score_e6").alias("score_e6"))
+    p1 = (qs.groupBy("query_id",
+                     F.pmod(F.xxhash64("doc_id"),
+                            F.lit(BM25R_SALT)).alias("salt"))
+            .agg(F.slice(F.array_sort(F.collect_list(key)), 1,
+                         BM25R_TOPK).alias("part")))
+    p2 = (p1.groupBy("query_id")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("part"))),
+                         1, BM25R_TOPK).alias("top")))
+    return (p2.select("query_id", F.posexplode("top").alias("i", "t"))
+              .join(F.broadcast(qnames), "query_id")
+              .select("query_id", "query_terms",
+                      F.col("t.doc_id").alias("doc_id"),
+                      F.col("t.score_e6").alias("score_e6"),
+                      (F.col("i") + 1).alias("rk")))
+
+
 VOCAB_K = 1000
 
 
@@ -1246,6 +1324,7 @@ QUERIES = {
     "doc_length_log2_histogram": q_doc_length_histogram,
     "text_quality": q_text_quality,
     "text_bm25_top_terms": q_text_bm25,
+    "text_bm25_retrieval": q_text_bm25_retrieval,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow_fingerprints": q_text_winnow,
@@ -1686,6 +1765,44 @@ ORACLE["text_bm25_top_terms"] = f"""
         FROM scored)
     SELECT doc_id, word, tf, df, dl, bm25_e6, rk
     FROM ranked WHERE rk <= {BM25_TOP}
+"""
+
+ORACLE["text_bm25_retrieval"] = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf
+           FROM words GROUP BY doc_id, word),
+    dfr AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    scal AS (SELECT SUM(dl)::BIGINT AS total_words,
+                    COUNT(*)::BIGINT AS n_docs FROM dl),
+    qt AS (
+        SELECT word, df, trk,
+               CAST((trk - 1) // {BM25R_QLEN} AS INT) AS query_id
+        FROM (SELECT word, df,
+                     ROW_NUMBER() OVER (ORDER BY df DESC, word) AS trk
+              FROM dfr)
+        WHERE trk <= {BM25R_QUERIES * BM25R_QLEN}),
+    qnames AS (SELECT query_id,
+                      string_agg(word, ' ' ORDER BY trk) AS query_terms
+               FROM qt GROUP BY query_id),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id, tf.tf, qt.df, dl.dl,
+               {_bm25_e6_expr(_lit_duck)} AS bm25_e6
+        FROM tf JOIN qt USING (word) JOIN dl ON dl.doc_id = tf.doc_id,
+             scal),
+    qs AS (SELECT query_id, doc_id,
+                  SUM(bm25_e6)::BIGINT AS score_e6
+           FROM scored GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_e6 DESC, doc_id)
+                  AS rk
+        FROM qs)
+    SELECT query_id, query_terms, doc_id, score_e6, rk
+    FROM ranked JOIN qnames USING (query_id)
+    WHERE rk <= {BM25R_TOPK}
 """
 
 ORACLE["text_oov_rate"] = f"""

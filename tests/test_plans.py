@@ -874,20 +874,33 @@ def test_bloom_prefilter_join_prunes_below_the_fact_exchange(spark,
 
 
 def test_substring_suffix_dedup_no_single_partition_sort(spark, sf_small):
-    """dedup_substring_suffix_array: every window in the prefix-doubling
-    rank rounds and the rewrite is PARTITIONED (doc-hash or class-hash)
-    — no Exchange SinglePartition anywhere (the global sort a
-    lexicographic suffix array would need is provably unnecessary for
-    the dedup semantics), no Python UDF, and naming is leader-based so
-    the plan is one lazy chain (no InMemoryRelation)."""
+    """dedup_substring_suffix_array (r07 verdict item 3 de-skew): the
+    full lazy plan (checkpoint_rounds=False) must contain NO window
+    keyed by a naming class — every Window spec is doc_id-partitioned
+    (the lead pairing and the coverage frame); class-min naming is
+    groupBy+join, so a Zipf-hot token/class never serializes into one
+    window task.  Also: no Exchange SinglePartition anywhere (the
+    global sort a lexicographic suffix array would need is provably
+    unnecessary for the dedup semantics), no Python UDF, no
+    InMemoryRelation."""
+    import re
+
     from go_mapreduce_crawler_spark.operators.dedup import _substring_report
-    df = _substring_report(spark, sf_small)
+    df = _substring_report(spark, sf_small, checkpoint_rounds=False)
     plan = physical_plan(df)
     assert "Exchange SinglePartition" not in plan, plan[:2000]
     assert not has_python_udf(df)
     assert "InMemoryRelation" not in plan
-    # the doubling rounds are window exchanges: >= 3 hashpartitioning
-    # exchanges on the class keys must survive in the plan
+    # every Window node must be doc_id-partitioned; a window keyed by
+    # w / r / r2 would be the single-task-per-class skew the r07
+    # verdict flagged (first windowspecdefinition arg = first
+    # partition column)
+    win_keys = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert win_keys, plan[:2000]
+    assert all(k == "doc_id" for k in win_keys), (set(win_keys),
+                                                  plan[:3000])
+    # the naming rounds survive as class-keyed hashpartitioning
+    # exchanges (agg + join per round) on top of the doc windows
     assert plan.count("hashpartitioning") >= 4, plan[:3000]
 
 

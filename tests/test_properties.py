@@ -963,3 +963,90 @@ def test_bpe_batched_512_matches_python_reference_on_corpus(spark):
         for r in cur.q_bpe_train_batched512(
             spark, "/root/testdata/sf0.001").collect())
     assert got == expect
+
+
+def test_unigram_train_rejects_words_beyond_oracle_unroll_bound(
+        spark, tmp_path):
+    """UNIG_MAXW guard (r07 advice item 1): the bound unrolls only the
+    ORACLE's DP — the Spark kernels are unbounded — so a corpus word
+    longer than UNIG_MAXW would silently vanish from the oracle's
+    usage counts and the apply/mixture inner joins.  The trainer must
+    fail LOUDLY instead (driver records err, never a silent hash
+    divergence)."""
+    import pytest
+
+    from go_mapreduce_crawler_spark.operators.curation import (
+        UNIG_MAXW, _unigram_train)
+
+    long_word = "x" * (UNIG_MAXW + 1)
+    df = spark.createDataFrame(
+        [(1, f"alpha {long_word} beta", "en", "web", 20)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    d = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(d)
+    with pytest.raises(ValueError, match="UNIG_MAXW"):
+        _unigram_train(spark, str(tmp_path))
+
+
+def test_bm25_retrieval_matches_python_reference(spark):
+    """q_text_bm25_retrieval vs an independent pure-Python BM25 ranker
+    (IEEE-double _ln_det replica, identical operation order): same
+    derived query workload (top-15 df terms, 3 per query), same
+    per-term floor(score*1e6) integers, same (score desc, doc_id)
+    top-10 per query."""
+    import math
+    from collections import Counter, defaultdict
+
+    from go_mapreduce_crawler_spark.operators.text import (
+        BM25R_QLEN, BM25R_QUERIES, BM25R_TOPK, q_text_bm25_retrieval)
+
+    def ln_det(n: int) -> float:
+        e = n.bit_length() - 1
+        m = n / (2.0 ** e)
+        t = (m - 1.0) / (m + 1.0)
+        t2 = t * t
+        poly = 1.0 / 15.0
+        for k in (13, 11, 9, 7, 5, 3):
+            poly = (1.0 / k) + t2 * poly
+        lnm = 2.0 * t * (1.0 + t2 * poly)
+        return lnm + float(e) * math.log(2)
+
+    rows = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect())
+    tf = Counter()
+    for r in rows:
+        for w in r.text.split(" "):
+            tf[(r.doc_id, w)] += 1
+    df = Counter(w for (_, w) in tf)
+    dl = Counter()
+    for (d, w), c in tf.items():
+        dl[d] += c
+    total_words, n_docs = sum(dl.values()), len(dl)
+
+    nterms = BM25R_QUERIES * BM25R_QLEN
+    head = sorted(df, key=lambda w: (-df[w], w))[:nterms]
+    qid = {w: i // BM25R_QLEN for i, w in enumerate(head)}
+    qterms = {q: " ".join(head[q * BM25R_QLEN:(q + 1) * BM25R_QLEN])
+              for q in range(BM25R_QUERIES)}
+
+    score = defaultdict(int)
+    for (d, w), c in tf.items():
+        if w not in qid:
+            continue
+        idf = (ln_det(2 * n_docs - 2 * df[w] + 1)
+               - ln_det(2 * df[w] + 1))
+        dln = 0.25 + 0.75 * (float(dl[d] * n_docs) / float(total_words))
+        score[(qid[w], d)] += math.floor(
+            (idf * (float(c) * 2.2)) / (float(c) + 1.2 * dln) * 1e6)
+    expect = set()
+    for q in range(BM25R_QUERIES):
+        docs = sorted(((d, s) for (qq, d), s in score.items()
+                       if qq == q), key=lambda x: (-x[1], x[0]))
+        for rk, (d, s) in enumerate(docs[:BM25R_TOPK], 1):
+            expect.add((q, qterms[q], d, s, rk))
+
+    got = {(r.query_id, r.query_terms, r.doc_id, r.score_e6, r.rk)
+           for r in q_text_bm25_retrieval(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got == expect and len(got) == BM25R_QUERIES * BM25R_TOPK

@@ -193,3 +193,55 @@ def test_salt_advisor_projection_within_fair_share(spark, skew_dir):
     assert max(r.ratio_e6 for r in after) <= 1_500_000
     total = sum(r.n_rows for r in after)
     assert total == sum(r.n_rows for r in before)  # loads conserved
+
+
+def test_lsh_banding_advisor_recall_and_budget(spark):
+    """q_lsh_banding_advisor on the near-clique sf0.001 corpus: (a)
+    the recall literals must equal an independent evaluation of the
+    LSH S-curve 1-(1-s^r)^b; (b) candidate mass per config must equal
+    a ground-truth recount from the raw signatures (independent
+    pandas path, not the engine's agg); (c) exactly ONE config is
+    chosen, it clears the s=0.9 recall floor, and no ELIGIBLE config
+    has smaller candidate mass — the advised (b, r) keeps the
+    candidate budget minimal at the required recall."""
+    import math
+    from collections import Counter
+
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        LSH_ADV_CONFIGS, LSH_ADV_RECALL_FLOOR_E6, _minhash_sig,
+        q_lsh_banding_advisor)
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_lsh_banding_advisor(spark, sf).collect()
+    assert {(r.b, r.r) for r in rows} == set(LSH_ADV_CONFIGS)
+
+    for r in rows:
+        for s, col in ((0.5, r.recall50_e6), (0.9, r.recall90_e6)):
+            assert col == math.floor(
+                (1.0 - (1.0 - s ** r.r) ** r.b) * 1e6), (r.b, r.r, s)
+
+    # ground-truth candidate mass from the raw signatures
+    _, sig = _minhash_sig(spark, sf)
+    sigs = sig.toPandas().set_index("doc_id")
+    by_cfg = {}
+    for b, rr in LSH_ADV_CONFIGS:
+        occ = Counter()
+        for _, row in sigs.iterrows():
+            for band in range(b):
+                key = tuple(row[f"h{band * rr + j}"] for j in range(rr))
+                occ[(band, key)] += 1
+        by_cfg[(b, rr)] = (
+            sum(m * (m - 1) // 2 for m in occ.values()),
+            len(occ), sum(1 for m in occ.values() if m >= 2),
+            max(occ.values()))
+    for r in rows:
+        assert (r.candidate_pairs, r.n_buckets, r.n_hot_buckets,
+                r.max_bucket) == by_cfg[(r.b, r.r)], (r.b, r.r)
+
+    chosen = [r for r in rows if r.chosen == 1]
+    assert len(chosen) == 1
+    c = chosen[0]
+    eligible = [r for r in rows
+                if r.recall90_e6 >= LSH_ADV_RECALL_FLOOR_E6]
+    assert c.recall90_e6 >= LSH_ADV_RECALL_FLOOR_E6
+    assert all(c.candidate_pairs <= r.candidate_pairs for r in eligible)

@@ -724,3 +724,41 @@ def test_mv_refresh_versioned_snapshots_are_retry_idempotent(
     merged.write.mode("overwrite").parquet(f"{state}/state_v{last}")
     after = {tuple(r) for r in read_mv_state(spark, state).collect()}
     assert after == before and len(after) > 0
+
+
+def test_replay_await_raises_on_timeout_and_stream_error():
+    """_await_drained (r07 verdict item 1): a replay that does not
+    drain within the budget must STOP the query and raise — never let
+    the caller read a partial state_v* snapshot (the r07 driver-red
+    signature: rows+schema match, smaller sums) — and a terminated
+    stream with a recorded exception must surface it."""
+    import pytest
+
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        _await_drained)
+
+    class FakeQuery:
+        def __init__(self, drained, exc=None):
+            self._drained, self._exc, self.stopped = drained, exc, False
+
+        def awaitTermination(self, timeout):
+            return self._drained
+
+        def stop(self):
+            self.stopped = True
+
+        def exception(self):
+            return self._exc
+
+    hung = FakeQuery(drained=False)
+    with pytest.raises(TimeoutError, match="did not drain"):
+        _await_drained(hung, "mv_refresh")
+    assert hung.stopped          # no zombie stream left writing state
+
+    died = FakeQuery(drained=True, exc=ValueError("executor lost"))
+    with pytest.raises(RuntimeError, match="terminated with error"):
+        _await_drained(died, "mv_refresh")
+
+    ok = FakeQuery(drained=True)
+    _await_drained(ok, "mv_refresh")   # clean drain returns silently
+    assert not ok.stopped
