@@ -233,18 +233,83 @@ _FRONT_R07 = (
 )
 
 
+# The 50 queries CORRECTNESS_r07 checked (49 hash-green +
+# stream_mv_refresh_replay red — the awaitTermination-timeout
+# robustness defect fixed this round and RE-FRONTED below).
+_CHECKED_R07 = (
+    "stream_mv_refresh_replay", "stream_decayed_engagement_replay",
+    "stream_quantile_sketch_replay", "dedup_substring_suffix_array",
+    "unigram_lm_train", "unigram_lm_apply", "corpus_domain_mixture",
+    "inverted_index_delta_refresh", "skew_salt_advisor",
+    "crossmodal_dedup_report", "bpe_train_batched512", "ann_pq_adc",
+    "multimodal_near_dup_phash", "profile_keys_fds", "text_zipf_slope",
+    "eval_auc_stopword", "bpe_train_batched", "bpe_apply_batched",
+    "q20_part_promotion", "q21_waiting_suppliers",
+    "q13_customer_distribution", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "join_left_outer", "join_semi",
+    "join_anti", "join_full_outer", "join_range_bands",
+    "window_topk_per_group", "window_running_sum",
+    "window_rank_dense_ntile", "window_percent_cume", "null_semantics",
+    "unpivot_balances", "sort_limit_top20", "set_ops", "scalar_string",
+    "scalar_date", "scalar_math", "scd2_upsert", "sessionize_events",
+    "stats_moments_exact", "median_per_group", "percentile_cont_exact",
+    "dedup_exact_groups", "corpus_clean_pipeline",
+    "dedup_exact_keep_min", "dedup_jaccard_pairs",
+    "dedup_fuzzy_levenshtein", "dedup_components",
+)
+
+
+# Round-8 front (VERDICT r07 items 1, 2, 5, 6, 7, 8 + advice).
+# Budget math, stated deliberately: 11 front slots — the r07-red
+# replay row plus its two timeout-hardened siblings (item 1; all
+# three replay entries changed code), the de-skewed suffix-array
+# naming (item 3), the three unigram rows whose shared trainer gained
+# the UNIG_MAXW guard + words-source refactor (advice item 1), and
+# the 4 NEW ops (BM25 retrieval, streaming windowed span dedup,
+# production-vocab unigram, LSH banding advisor) — leave 39 slots for
+# the stale rotation: all 32 remaining r02-signed rows (item 2)
+# plus the 7 oldest r03 rows.  After r08 no row is older than r03.
+_FRONT_R08 = (
+    "stream_mv_refresh_replay", "stream_decayed_engagement_replay",
+    "stream_quantile_sketch_replay",
+    "dedup_substring_suffix_array",
+    "unigram_lm_train", "unigram_lm_apply", "corpus_domain_mixture",
+    "stream_windowed_span_dedup_replay", "text_bm25_retrieval",
+    "lsh_banding_advisor", "unigram_lm_train_v1k",
+    # 32 r02-signed rows (oldest driver signal left)
+    "agg_salted_twophase", "approx_distinct_hll", "asof_next_error",
+    "asof_purchase_view", "dedup_components_bigstar",
+    "dedup_embedding_cosine", "embedding_centroids_exact",
+    "embedding_norms", "join_salted_skew", "knn_bruteforce_cosine",
+    "multimodal_frame_sample", "multimodal_resize", "ohlc_hourly",
+    "text_bigram_freq", "text_contamination_3gram", "text_fingerprint",
+    "text_heavy_hitters", "text_inverted_index", "text_langid",
+    "text_quality", "text_repetition_gopher", "text_scrub_pii",
+    "text_stats", "text_tfidf_top_terms", "text_unigram_lm_score",
+    "text_winnow_fingerprints", "ts_resample_ffill",
+    "ts_resample_interp", "ts_subsequence_search",
+    "window_range_frame_30d", "window_sliding_events",
+    "window_tumbling_events",
+    # 7 oldest r03 rows
+    "ann_int8_rerank", "ann_ivf_cosine", "approx_quantiles_gk",
+    "basket_rules", "bfs_hops", "chunk_boilerplate",
+    "cohort_retention",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    front = set(_FRONT_R07)
+    front = set(_FRONT_R08)
     round_tups = (_CHECKED_R01, _CHECKED_R02, _CHECKED_R03,
-                  _CHECKED_R04, _CHECKED_R05, _CHECKED_R06)
+                  _CHECKED_R04, _CHECKED_R05, _CHECKED_R06,
+                  _CHECKED_R07)
     rounds = [set(t) for t in round_tups]
     checked = front | set().union(*rounds)
-    ordered = {k: q[k] for k in _FRONT_R07 if k in q}
+    ordered = {k: q[k] for k in _FRONT_R08 if k in q}
     # Anything never driver-checked in any round (this round's new ops)
     # runs right behind the front block, inside the budget.
     ordered.update({k: q[k] for k in q if k not in checked})
-    # Then oldest driver signal first (r01), freshest (r06) last; a
+    # Then oldest driver signal first (r01), freshest (r07) last; a
     # query in several rounds sorts by its freshest appearance.
     for i, tup in enumerate(round_tups):
         after = set().union(*rounds[i + 1:]) if i + 1 < len(rounds) \

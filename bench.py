@@ -120,6 +120,11 @@ HEADLINE = [
     "skew_salt_advisor",
     "bpe_train_batched512",
     "crossmodal_dedup_report",
+    # r08 additions — one representative per new family
+    "text_bm25_retrieval",
+    "lsh_banding_advisor",
+    "unigram_lm_train_v1k",
+    "stream_windowed_span_dedup_replay",
 ]
 
 N_CRAWL_FILES = 2000

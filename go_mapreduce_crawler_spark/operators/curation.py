@@ -628,6 +628,12 @@ def q_unigram_lm_train(spark, sf_dir):
     cnt from the last M-step, cost in micro-nats.
     """.format(v=UNIG_V)
     _, vocab = _unigram_train(spark, sf_dir)
+    return _unigram_vocab_df(spark, vocab)
+
+
+def _unigram_vocab_df(spark, vocab):
+    """vocab list -> (piece, piece_len, cnt, cost_un) DataFrame with
+    engine-evaluated _ln_det costs."""
     from .text import _ln_det, _lit_spark
     total = sum(c for _, c in vocab)
     vdf = spark.createDataFrame(vocab, "piece string, cnt long")
@@ -638,12 +644,70 @@ def q_unigram_lm_train(spark, sf_dir):
                           "cnt", f"{expr} AS cost_un")
 
 
-def _unigram_train(spark, sf_dir):
-    """The trainer loop (seed + {R} hard-EM rounds); returns
-    (distinct-word DataFrame, final vocab list)."""
+def q_unigram_lm_train_v1k(spark, sf_dir):
+    """PRODUCTION-SHAPED unigram-LM training run (r07 verdict item 7)
+    — what bpe_train_batched512 is to the 80-merge BPE toy: the SAME
+    trainer loop (_unigram_train: engine-evaluated integer micro-nat
+    costs, Arrow Viterbi E-step over the compacted distinct-word
+    relation, prune + char-floor M-step) at a candidate cap of
+    {v} multi-char pieces and {r} hard-EM rounds, on the CHUNKED word
+    stream (_unigram_words: fixed {w}-char segments of each document,
+    ~9.8k distinct words and ~1.5k candidate pieces at every SF — the
+    workload where a production cap actually binds; the raw corpus
+    vocabulary has only 204 multi-char pieces, so a 1k cap would be
+    theater).
+
+    Scale: identical round structure to the toy — per round one
+    vocab-sized cost collect (<= {v} + alphabet rows), one Arrow
+    mapInPandas pass over distinct words (Heaps-sublinear), one
+    vocab-sized usage agg.  Nothing new scales with document count.
+
+    Bit-reproducibility: same _ln_det integer costs, same smallest-j
+    tie order — pinned merge-for-merge against the pure-Python
+    replica in tests/test_properties.py.
+    """.format(v=UNIG1K_V, r=UNIG1K_ROUNDS, w=UNIG_CHUNK_W)
+    _, vocab = _unigram_train(spark, sf_dir, v=UNIG1K_V,
+                              rounds=UNIG1K_ROUNDS, chunked=True)
+    return _unigram_vocab_df(spark, vocab)
+
+
+UNIG1K_V = 1024     # production-shaped candidate cap (binds: the
+                    # chunked word stream has ~1.5k multi-char pieces)
+UNIG1K_ROUNDS = 4   # one more hard-EM round than the toy
+UNIG_CHUNK_W = UNIG_MAXW   # chunk width == the oracle unroll bound
+
+
+def _unigram_words(spark, sf_dir, chunked: bool = False):
+    """Distinct-word relation (w, c).  chunked=True re-segments each
+    document into fixed {w}-char chunks of the space-joined text
+    (spaces -> '_', chunks cross word boundaries) — a DETERMINISTIC
+    richer word stream (~9.8k distinct words / ~1.5k multi-char
+    candidate pieces at every SF vs the raw corpus's 31/204), the
+    workload that makes a production-sized candidate cap actually
+    bind.  Both engines derive it with the same expressions."""
     d = load_table(spark, sf_dir, "documents")
-    words = (d.select(F.explode(F.split("text", " ")).alias("w"))
-              .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    if not chunked:
+        words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    else:
+        W = UNIG_CHUNK_W
+        words = (d.filter(F.length("text") > 0)
+                  .selectExpr("replace(text, ' ', '_') AS b")
+                  .selectExpr(
+                      f"explode(transform(sequence(1,"
+                      f" CAST((length(b) + {W - 1}) DIV {W} AS INT)),"
+                      f" i -> substring(b, (i-1)*{W} + 1, {W}))) AS w"))
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+
+
+_unigram_words.__doc__ = _unigram_words.__doc__.replace(
+    "{w}", str(UNIG_CHUNK_W))
+
+
+def _unigram_train(spark, sf_dir, v: int = UNIG_V,
+                   rounds: int = UNIG_ROUNDS, chunked: bool = False):
+    """The trainer loop (seed + hard-EM rounds); returns
+    (distinct-word DataFrame, final vocab list)."""
+    words = _unigram_words(spark, sf_dir, chunked)
     # Loud unroll-bound guard (r07 ADVICE item 1): UNIG_MAXW bounds the
     # ORACLE's unrolled DP only — the Spark kernels are unbounded — so
     # a corpus word longer than the bound would silently vanish from
@@ -669,11 +733,11 @@ def _unigram_train(spark, sf_dir):
             .selectExpr("substring(w, s, l) AS piece", "c")
             .groupBy("piece").agg(F.sum("c").alias("cnt")))
     multi = (cand.filter(F.length("piece") > 1)
-                 .orderBy(F.desc("cnt"), "piece").limit(UNIG_V))
+                 .orderBy(F.desc("cnt"), "piece").limit(v))
     chars = cand.filter(F.length("piece") == 1)
     vocab = ([(r.piece, r.cnt) for r in multi.collect()]
              + [(r.piece, r.cnt) for r in chars.collect()])
-    for _ in range(UNIG_ROUNDS):
+    for _ in range(rounds):
         costs = _unig_costs(spark, vocab)
         usage = {r.piece: r.usage for r in
                  (words.select("w", "c")
@@ -799,7 +863,10 @@ def q_corpus_domain_mixture(spark, sf_dir):
 
 
 def _unigram_oracle_sql(apply: bool = False,
-                        mixture: bool = False) -> str:
+                        mixture: bool = False,
+                        v: int = UNIG_V,
+                        rounds: int = UNIG_ROUNDS,
+                        chunked: bool = False) -> str:
     """Unrolled DuckDB twin of q_unigram_lm_train: candidate seeding +
     cap, then per EM round an UNROLLED Viterbi (dp stage per char
     position up to UNIG_MAXW, ROW_NUMBER tie-break on (cost, j)), an
@@ -811,12 +878,23 @@ def _unigram_oracle_sql(apply: bool = False,
     (q_unigram_lm_apply's twin)."""
     from .text import _ln_det, _lit_duck
 
-    L, P, R = UNIG_MAXW, UNIG_MAXP, UNIG_ROUNDS
+    L, P, R = UNIG_MAXW, UNIG_MAXP, rounds
     ln = _ln_det
+    if not chunked:
+        words_src = "SELECT unnest(string_split(text, ' ')) AS w" \
+                    " FROM documents"
+    else:
+        W = UNIG_CHUNK_W
+        words_src = (
+            f"SELECT unnest(list_transform("
+            f"generate_series(1, (len(b) + {W - 1}) // {W}),"
+            f" i -> substr(b, (i-1)*{W} + 1, {W}))) AS w"
+            f" FROM (SELECT replace(text, ' ', '_') AS b"
+            f" FROM documents WHERE len(text) > 0)")
     q = [f"""
 WITH words AS MATERIALIZED (
   SELECT w, COUNT(*)::BIGINT AS c FROM (
-    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    {words_src})
   GROUP BY 1),
 cand AS MATERIALIZED (
   SELECT substr(w, s, l) AS piece, SUM(c)::BIGINT AS cnt
@@ -830,7 +908,7 @@ chars AS MATERIALIZED (
 v0 AS MATERIALIZED (
   SELECT piece, cnt FROM (
     SELECT piece, cnt FROM cand WHERE len(piece) > 1
-    ORDER BY cnt DESC, piece LIMIT {UNIG_V})
+    ORDER BY cnt DESC, piece LIMIT {v})
   UNION ALL SELECT piece, cnt FROM chars)"""]
     for r in range(R + 1):
         q.append(f""",
@@ -1342,6 +1420,7 @@ QUERIES = {
     "bpe_train_batched": q_bpe_train_batched,
     "bpe_train_batched512": q_bpe_train_batched512,
     "unigram_lm_train": q_unigram_lm_train,
+    "unigram_lm_train_v1k": q_unigram_lm_train_v1k,
     "unigram_lm_apply": q_unigram_lm_apply,
     "corpus_domain_mixture": q_corpus_domain_mixture,
     "bpe_apply_batched": q_bpe_apply_batched,
@@ -1363,6 +1442,8 @@ ORACLE = {
     "bpe_train_batched512": _bpe_batched_oracle_sql(
         BPE_512_ROUNDS, BPE_512_TOPN, BPE_512_BATCH),
     "unigram_lm_train": _unigram_oracle_sql(),
+    "unigram_lm_train_v1k": _unigram_oracle_sql(
+        v=UNIG1K_V, rounds=UNIG1K_ROUNDS, chunked=True),
     "unigram_lm_apply": _unigram_oracle_sql(apply=True),
     "corpus_domain_mixture": _unigram_oracle_sql(mixture=True),
     "bpe_apply_batched": _bpe_apply_batched_oracle_sql(),

@@ -38,10 +38,13 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..streaming.stateful import (decayed_engagement_finalize,
+from ..streaming.stateful import (SPAN_WIN_DOCS,
+                                  decayed_engagement_finalize,
                                   quantile_sketch_finalize, read_mv_state,
                                   stream_decayed_engagement,
-                                  stream_mv_refresh, stream_quantile_sketch)
+                                  stream_mv_refresh, stream_quantile_sketch,
+                                  stream_windowed_span_dedup,
+                                  windowed_span_dedup_finalize)
 from .behavior import _decayed_engagement_oracle
 from .scale import ORACLE as _SCALE_ORACLE
 
@@ -120,13 +123,95 @@ def q_stream_quantile_sketch_replay(spark, sf_dir):
     return quantile_sketch_finalize(read_mv_state(spark, state))
 
 
+def _replay_ordered_docs(spark, sf_dir: str, name: str):
+    """Write documents as REPLAY_SPLITS doc_id-range files in
+    ASCENDING mod-time order (one file written per range, smallest
+    ids first) so the file source's oldest-first replay delivers
+    documents in doc_id order across micro-batches — the ordering
+    contract stream_windowed_span_dedup's trailing-window eviction
+    requires (a production deployment gets the same guarantee from
+    its ingest watermark)."""
+    import os
+    import shutil as _sh
+    import time
+
+    root = tempfile.mkdtemp(prefix=f"sgraft_replay_{name}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
+    os.makedirs(in_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    for i in range(REPLAY_SPLITS):
+        lo = (mx + 1) * i // REPLAY_SPLITS
+        hi = (mx + 1) * (i + 1) // REPLAY_SPLITS
+        stage = f"{root}/stage{i}"
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+             .coalesce(1).write.mode("overwrite").parquet(stage))
+        import glob as _glob
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        _sh.copyfile(part, f"{in_dir}/{i:02d}.parquet")
+        time.sleep(0.05)   # strictly increasing mod-times
+    stream = (spark.readStream.option("maxFilesPerTrigger", "1")
+              .schema(docs.schema).parquet(in_dir))
+    return stream, state, ckpt
+
+
+def q_stream_windowed_span_dedup_replay(spark, sf_dir):
+    """Ordered replay -> foreachBatch windowed span dedup -> finalized
+    per-doc report (doc_id, n_grams, n_dup_grams, dup_ppm).  The
+    oracle is the batch twin over the same documents table (dup iff
+    some doc in [d - W, d - 1] shares the gram), so a hash MATCH is
+    an end-to-end exactly-once proof of the windowed-history
+    semantics through streaming checkpoints."""
+    stream, state, ckpt = _replay_ordered_docs(spark, sf_dir, "span")
+    q = stream_windowed_span_dedup(stream, state, ckpt)
+    _await_drained(q, "windowed_span_dedup")
+    return windowed_span_dedup_finalize(spark, state)
+
+
 QUERIES = {
+    "stream_windowed_span_dedup_replay":
+        q_stream_windowed_span_dedup_replay,
     "stream_mv_refresh_replay": q_stream_mv_refresh_replay,
     "stream_decayed_engagement_replay": q_stream_decayed_engagement_replay,
     "stream_quantile_sketch_replay": q_stream_quantile_sketch_replay,
 }
 
+def _span_oracle() -> str:
+    from ..operators.dedup import SPAN_N
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     md5(array_to_string(w[i:i+{SPAN_N - 1}], ' ')) AS gm
+              FROM d, unnest(generate_series(1, len(w) - {SPAN_N - 1}))
+                       AS t(i)
+              WHERE len(w) >= {SPAN_N}),
+        post AS (SELECT DISTINCT doc_id, gm FROM g),
+        dup AS (SELECT o.doc_id, COUNT(*) AS n_dup_grams
+                FROM g o
+                WHERE EXISTS (SELECT 1 FROM post h
+                              WHERE h.gm = o.gm
+                                AND h.doc_id < o.doc_id
+                                AND h.doc_id >= o.doc_id
+                                               - {SPAN_WIN_DOCS})
+                GROUP BY 1),
+        base AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams
+                 FROM g GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(base.n_grams, 0)::BIGINT AS n_grams,
+               COALESCE(dup.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+               (COALESCE(dup.n_dup_grams, 0) * 1000000
+                // greatest(COALESCE(base.n_grams, 0), 1))::BIGINT
+                   AS dup_ppm
+        FROM d LEFT JOIN base USING (doc_id)
+               LEFT JOIN dup USING (doc_id)
+    """
+
+
 ORACLE = {
+    # the batch twin of the windowed streaming span dedup
+    "stream_windowed_span_dedup_replay": _span_oracle(),
     # the batch twin of stream_mv_refresh (maintenance MV semantics)
     "stream_mv_refresh_replay": """
         SELECT event_type, COUNT(*)::BIGINT AS n_events,

@@ -501,3 +501,123 @@ def quantile_sketch_finalize(state_df: DataFrame) -> DataFrame:
                .agg(F.min("n").alias("n_rows"),
                     F.min(F.expr(_QSK_LOWER.format(div="DIV")))
                      .alias("approx_cents")))
+
+
+SPAN_WIN_DOCS = 200   # trailing-window width (docs) for streaming span dedup
+
+
+def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
+                               checkpoint: str):
+    """Streaming WINDOWED SPAN DEDUP (r07 verdict item 6) — the
+    firehose form of dedup_spans_ngram: every arriving document is
+    judged against the SPAN_N-token gram postings of the trailing
+    SPAN_WIN_DOCS documents (by doc_id), the semantics a 100 TB/day
+    ingest actually needs (dedup against recent history, not the
+    unbounded past).
+
+    Semantics are a pure function of the data, independent of
+    micro-batch boundaries: a gram position in doc d is a duplicate
+    iff SOME document d' with d - W <= d' < d contains the same gram
+    (strictly-earlier doc_id, trailing window W).  The foreachBatch
+    state is two monoid relations under versioned snapshots
+    (exactly-once like stream_mv_refresh): ``verdicts`` — the
+    append-only per-doc report (each doc's verdict is finalized in
+    the batch that delivers it) — and ``postings`` — the DISTINCT
+    (doc_id, gm) relation PRUNED to doc_id > max_seen - W, the
+    bounded trailing window.
+
+    Ordering contract: the file replay must deliver documents in
+    doc_id order across batches (the replay fixture writes one
+    doc_id-range file at a time; the file source replays mod-time
+    order) — the same bounded-disorder contract a production
+    watermark would enforce.  Under that contract pruning is safe:
+    every future doc has id > max_seen, so it can only need postings
+    with doc_id > max_seen - W.
+
+    Scale: per batch the work is one gram explode of the batch, one
+    semi-join of batch positions against the W-doc posting state
+    (equi on the 32-hex gram digest + a doc_id range filter), and a
+    verdicts append; state is bounded by the trailing window's gram
+    count, never stream length.
+    """
+    from ..operators.dedup import SPAN_N
+
+    spark = docs.sparkSession
+
+    def _versions(fs_dir: str) -> list[int]:
+        import glob as _glob
+        out = []
+        for p in _glob.glob(f"{fs_dir}/state_v*"):
+            try:
+                out.append(int(p.rsplit("state_v", 1)[1]))
+            except ValueError:
+                pass
+        return sorted(out)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        w = F.split("text", " ")
+        grams = F.when(
+            F.size(w) >= SPAN_N,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - SPAN_N),
+                lambda i: F.md5(F.encode(
+                    F.array_join(F.slice(w, i + 1, SPAN_N), " "),
+                    "UTF-8")))
+        ).otherwise(F.array().cast("array<string>"))
+        g = batch_df.select("doc_id", grams.alias("grams"))
+        occ = g.select("doc_id", F.explode("grams").alias("gm"))
+        base = g.select("doc_id",
+                        F.size("grams").cast("long").alias("n_grams"))
+        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        if prevs:
+            post0 = spark.read.parquet(
+                f"{state_dir}/state_v{prevs[-1]}/postings")
+            verd0 = spark.read.parquet(
+                f"{state_dir}/state_v{prevs[-1]}/verdicts")
+        else:
+            post0 = spark.createDataFrame([], "doc_id long, gm string")
+            verd0 = spark.createDataFrame(
+                [], "doc_id long, n_grams long, n_dup_grams long")
+        hist = post0.unionByName(occ.distinct())
+        o, h = occ.alias("o"), hist.alias("h")
+        dup = (o.join(h, (F.col("o.gm") == F.col("h.gm"))
+                      & (F.col("h.doc_id") < F.col("o.doc_id"))
+                      & (F.col("h.doc_id")
+                         >= F.col("o.doc_id") - SPAN_WIN_DOCS),
+                      "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_dup_grams")))
+        verd_new = (base.join(dup, "doc_id", "left")
+                        .select("doc_id", "n_grams",
+                                F.coalesce("n_dup_grams", F.lit(0))
+                                 .cast("long").alias("n_dup_grams")))
+        verd0.unionByName(verd_new).write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}/verdicts")
+        mx = (spark.read
+              .parquet(f"{state_dir}/state_v{batch_id}/verdicts")
+              .agg(F.max("doc_id")).collect()[0][0])
+        kept = (hist.filter(F.col("doc_id") > mx - SPAN_WIN_DOCS)
+                if mx is not None else hist)
+        kept.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}/postings")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}", ignore_errors=True)
+
+    return (docs.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def windowed_span_dedup_finalize(spark, state_dir: str) -> DataFrame:
+    """Latest verdicts snapshot -> the batch twin's output shape."""
+    import glob as _glob
+    versions = sorted(int(p.rsplit("state_v", 1)[1])
+                      for p in _glob.glob(f"{state_dir}/state_v*"))
+    v = spark.read.parquet(
+        f"{state_dir}/state_v{versions[-1]}/verdicts")
+    return v.select(
+        "doc_id", "n_grams", "n_dup_grams",
+        F.expr("(n_dup_grams * 1000000) DIV greatest(n_grams, 1)")
+         .alias("dup_ppm"))

@@ -50,26 +50,30 @@ def test_entry_smoke(spark):
 
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
-    put the r07 new ops + the code-changed-since-last-driver-row ops
-    (VERDICT r06 item 1 / ADVICE item 2) first, then anything else new
-    this round, then r01 (oldest green signal) before r02..r06
-    (freshest last) — the stale-signal rotation."""
+    put the r08 front first (the r07-red replay row + its hardened
+    siblings, the code-changed-since-last-driver-row ops, the new
+    ops, and the 32 r02-stale + 7 oldest-r03 rotation — VERDICT r07
+    items 1-3), then anything else new this round, then oldest driver
+    signal before freshest (r07 last)."""
     names = list(QUERIES)
-    front = [n for n in entrymod._FRONT_R07 if n in QUERIES]
+    front = [n for n in entrymod._FRONT_R08 if n in QUERIES]
     checked = [set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
                set(entrymod._CHECKED_R03), set(entrymod._CHECKED_R04),
-               set(entrymod._CHECKED_R05), set(entrymod._CHECKED_R06)]
+               set(entrymod._CHECKED_R05), set(entrymod._CHECKED_R06),
+               set(entrymod._CHECKED_R07)]
     assert names[:len(front)] == front
+    # the front fills the ~50-query budget: the red replay row runs
+    # FIRST, and every r02-signed row is inside the budget
+    assert front[0] == "stream_mv_refresh_replay"
+    assert len(front) == 50
+    r02_only = checked[1] - set().union(*checked[2:])
+    assert r02_only <= set(front)
     anychecked = set().union(*checked)
     never = [n for n in names
              if n not in anychecked and n not in set(front)]
     if never:  # new-this-round queries directly after the front block
         assert max(names.index(n) for n in never) < len(front) + len(never)
-    # oldest signal (r01) runs right after the front+new block
-    r01_only = checked[0] - set().union(*checked[1:]) - set(front)
-    start = len(front) + len(never)
-    assert set(names[start:start + len(r01_only)]) == r01_only
     # freshest signal runs last
-    tail = checked[5] - set(front)
+    tail = checked[6] - set(front)
     assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))

@@ -1050,3 +1050,94 @@ def test_bm25_retrieval_matches_python_reference(spark):
            for r in q_text_bm25_retrieval(
                spark, "/root/testdata/sf0.001").collect()}
     assert got == expect and len(got) == BM25R_QUERIES * BM25R_TOPK
+
+
+def test_unigram_v1k_trainer_matches_python_reference(spark):
+    """q_unigram_lm_train_v1k (production-shaped: chunked word stream,
+    1024-candidate cap, 4 hard-EM rounds) vs the same pure-Python
+    trainer replica used for the toy — the full run must agree
+    bit-for-bit, and the cap must actually BIND (more candidates than
+    cap, exactly 1024 multi-char pieces seeded)."""
+    import math
+    from collections import Counter
+
+    from go_mapreduce_crawler_spark.operators.curation import (
+        UNIG1K_ROUNDS, UNIG1K_V, UNIG_CHUNK_W, UNIG_MAXP,
+        q_unigram_lm_train_v1k)
+
+    def ln_det(n: int) -> float:
+        e = n.bit_length() - 1
+        m = n / (2.0 ** e)
+        t = (m - 1.0) / (m + 1.0)
+        t2 = t * t
+        poly = 1.0 / 15.0
+        for k in (13, 11, 9, 7, 5, 3):
+            poly = (1.0 / k) + t2 * poly
+        lnm = 2.0 * t * (1.0 + t2 * poly)
+        return lnm + float(e) * math.log(2)
+
+    def costs_of(vocab):
+        total = sum(c for _, c in vocab)
+        lt = ln_det(total)
+        return {p: int(round((lt - ln_det(c)) * 1e6, 0))
+                for p, c in vocab}
+
+    def viterbi(w, costs):
+        n = len(w)
+        inf = 1 << 62
+        dp = [0] + [inf] * n
+        bj = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best, bestj = inf, 0
+            for j in range(max(0, i - UNIG_MAXP), i):
+                pc = costs.get(w[j:i])
+                if pc is None:
+                    continue
+                if dp[j] + pc < best:
+                    best, bestj = dp[j] + pc, j
+            dp[i], bj[i] = best, bestj
+        i, seg = n, []
+        while i > 0:
+            seg.append(w[bj[i]:i])
+            i = bj[i]
+        return seg
+
+    rows = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect())
+    words = Counter()
+    W = UNIG_CHUNK_W
+    for r in rows:
+        if not r.text:
+            continue
+        b = r.text.replace(" ", "_")
+        for i in range(0, len(b), W):
+            words[b[i:i + W]] += 1
+
+    cand = Counter()
+    for w, c in words.items():
+        for s in range(len(w)):
+            for l in range(1, min(UNIG_MAXP, len(w) - s) + 1):
+                cand[w[s:s + l]] += c
+    multis = sorted((p for p in cand if len(p) > 1),
+                    key=lambda p: (-cand[p], p))
+    assert len(multis) > UNIG1K_V          # the cap binds
+    multi = multis[:UNIG1K_V]
+    chars = [p for p in cand if len(p) == 1]
+    vocab = [(p, cand[p]) for p in multi] + [(p, cand[p]) for p in chars]
+
+    for _ in range(UNIG1K_ROUNDS):
+        costs = costs_of(vocab)
+        usage = Counter()
+        for w, c in words.items():
+            for p in viterbi(w, costs):
+                usage[p] += c
+        vocab = ([(p, usage[p]) for p, _ in vocab
+                  if len(p) > 1 and usage[p] > 0]
+                 + [(p, max(usage[p], 1)) for p, _ in vocab
+                    if len(p) == 1])
+    costs = costs_of(vocab)
+    expect = {(p, len(p), c, costs[p]) for p, c in vocab}
+    got = {(r.piece, r.piece_len, r.cnt, r.cost_un)
+           for r in q_unigram_lm_train_v1k(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got == expect and len(got) > 200

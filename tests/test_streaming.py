@@ -762,3 +762,66 @@ def test_replay_await_raises_on_timeout_and_stream_error():
     ok = FakeQuery(drained=True)
     _await_drained(ok, "mv_refresh")   # clean drain returns silently
     assert not ok.stopped
+
+
+def test_windowed_span_dedup_replay_matches_batch_twin_and_prunes(spark):
+    """stream_windowed_span_dedup_replay: (a) the finalized view must
+    equal an independent batch computation of the windowed-history
+    semantics (dup iff some doc in [d-W, d-1] shares the SPAN_N-gram);
+    (b) the surviving posting state must be PRUNED to the trailing
+    window (doc_id > max_seen - W) — the bounded-state contract."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_crawler_spark.operators.dedup import SPAN_N
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        _replay_ordered_docs)
+    from go_mapreduce_crawler_spark.streaming.stateful import (
+        SPAN_WIN_DOCS, stream_windowed_span_dedup,
+        windowed_span_dedup_finalize)
+
+    sf = "/root/testdata/sf0.001"
+    stream, state, ckpt = _replay_ordered_docs(spark, sf, "spantest")
+    q = stream_windowed_span_dedup(stream, state, ckpt)
+    assert q.awaitTermination(300)
+    got = {(r.doc_id, r.n_grams, r.n_dup_grams, r.dup_ppm)
+           for r in windowed_span_dedup_finalize(spark, state).collect()}
+
+    # independent batch twin in Spark (different construction: join,
+    # not streaming state)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    w = F.split("text", " ")
+    grams = F.when(F.size(w) >= SPAN_N, F.transform(
+        F.sequence(F.lit(0), F.size(w) - SPAN_N),
+        lambda i: F.md5(F.encode(
+            F.array_join(F.slice(w, i + 1, SPAN_N), " "), "UTF-8")))
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("grams"))
+    occ = g.select("doc_id", F.explode("grams").alias("gm"))
+    post = occ.distinct()
+    dup = (occ.alias("o").join(
+               post.alias("h"),
+               (F.col("o.gm") == F.col("h.gm"))
+               & (F.col("h.doc_id") < F.col("o.doc_id"))
+               & (F.col("h.doc_id")
+                  >= F.col("o.doc_id") - SPAN_WIN_DOCS), "left_semi")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd")))
+    twin = (g.select("doc_id", F.size("grams").cast("long").alias("ng"))
+             .join(dup, "doc_id", "left")
+             .select("doc_id", "ng",
+                     F.coalesce("nd", F.lit(0)).cast("long").alias("nd"))
+             .withColumn("ppm", F.expr(
+                 "(nd * 1000000) DIV greatest(ng, 1)")))
+    expect = {(r.doc_id, r.ng, r.nd, r.ppm) for r in twin.collect()}
+    assert got == expect and len(got) == d.count()
+
+    # pruning bound: state postings stay within the trailing window
+    versions = sorted(int(p.rsplit("state_v", 1)[1])
+                      for p in glob.glob(f"{state}/state_v*"))
+    kept = spark.read.parquet(
+        f"{state}/state_v{versions[-1]}/postings")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    assert kept.filter(
+        F.col("doc_id") <= mx - SPAN_WIN_DOCS).count() == 0
+    assert kept.count() > 0
