@@ -125,6 +125,7 @@ HEADLINE = [
     "lsh_banding_advisor",
     "unigram_lm_train_v1k",
     "stream_windowed_span_dedup_replay",
+    "domain_mixture_mw_iterated",
 ]
 
 N_CRAWL_FILES = 2000

@@ -862,6 +862,182 @@ def q_corpus_domain_mixture(spark, sf_dir):
                            " AS BIGINT) AS mixture_ppm"))
 
 
+DOREMI_ROUNDS = 5          # multiplicative-weights iterations
+DOREMI_ETA_PPM = 500_000   # step size eta = 0.5 in ppm
+
+
+def q_domain_mixture_mw(spark, sf_dir):
+    """ITERATED DoReMi-style domain reweighting (multiplicative
+    weights over excess LM loss — Xie et al. 2023, the iteration the
+    one-step corpus_domain_mixture skeleton lacks), with a
+    REFERENCE-MODEL PROXY pair the engine already maintains: the
+    corpus unigram LM (text_unigram_lm_score's model) as the
+    reference and the Jelinek-Mercer bigram LM
+    (text_bigram_lm_score's model) as the stronger "current" model.
+    Per source the EXCESS loss is the per-token cost gap
+    max(unigram_cost - bigram_cost, 0) in integer micro-nats — the
+    learnability headroom DoReMi upweights — and the domain weights
+    follow {t} multiplicative-weights rounds
+    w <- normalize(w * (1 + eta * excess_norm)) with eta = {e} ppm,
+    all in exact integer ppm arithmetic (DIV), so the whole
+    trajectory is bit-reproducible and fully value-oracled.
+
+    Scale: the two LM cost relations are the operators' own shapes
+    (one word shuffle + one bigram shuffle, models broadcast); after
+    the per-source agg everything is a |sources|-row relation, so the
+    {t} unrolled rounds are metadata-sized plan stages (a production
+    DoReMi swaps the proxy pair for real model losses; the mixture
+    math is identical).
+
+    Output: the full trajectory (round 0..{t}) of
+    (round, source, excess_ppw, weight_ppm).
+    """.format(t=DOREMI_ROUNDS, e=DOREMI_ETA_PPM)
+    from .text import _lit_spark, _ln_det
+
+    d = load_table(spark, sf_dir, "documents")
+    words_all = d.select(F.explode(F.split("text", " ")).alias("word"))
+    total = words_all.agg(F.count(F.lit(1)).alias("total"))
+    logp_u = (f"CAST(round(({_ln_det('cnt', _lit_spark)}"
+              f" - {_ln_det('total', _lit_spark)}) * 1e6, 0) AS BIGINT)")
+    umodel = (words_all.groupBy("word")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .crossJoin(F.broadcast(total))
+              .selectExpr("word", f"{logp_u} AS logp_u"))
+    stok = d.select("source",
+                    F.explode(F.split("text", " ")).alias("word"))
+    uper = (stok.join(F.broadcast(umodel), "word")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.sum("logp_u").alias("sum_u")))
+    w = F.split("text", " ")
+    n = F.size(w)
+    bg = (d.select("source", F.explode(F.zip_with(
+              F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+              lambda a, b: F.struct(a.alias("prev"), b.alias("word"))))
+           .alias("p"))
+           .select("source", "p.prev", "p.word"))
+    uni = words_all.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    bi = bg.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c_ab"))
+    logp_bi = (f"CAST(round(({_ln_det('(c_ab * N + c_a * c_b)', _lit_spark)}"
+               f" - {_ln_det('(2 * c_a * N)', _lit_spark)}) * 1e6, 0)"
+               f" AS BIGINT)")
+    bmodel = (bi.join(uni.select(F.col("word").alias("prev"),
+                                 F.col("c").alias("c_a")), "prev")
+                .join(uni.select("word", F.col("c").alias("c_b")), "word")
+                .crossJoin(F.broadcast(
+                    words_all.agg(F.count(F.lit(1)).alias("N"))))
+                .selectExpr("prev", "word", f"{logp_bi} AS logp_bi"))
+    bper = (bg.join(F.broadcast(bmodel), ["prev", "word"])
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum("logp_bi").alias("sum_b")))
+    per = (uper.join(bper, "source")
+               .selectExpr("source",
+                           "(-sum_u) DIV n_tokens AS unig_cost_ppw",
+                           "(-sum_b) DIV n_bigrams AS big_cost_ppw")
+               .selectExpr("source",
+                           "greatest(unig_cost_ppw - big_cost_ppw,"
+                           " CAST(0 AS BIGINT)) AS excess_ppw"))
+    # After the per-source agg the whole MW state is |sources|
+    # integers — collected once and iterated driver-side (the BPE
+    # trainers' bounded-collect contract); every step is exact
+    # integer ppm arithmetic, bit-identical to the oracle's unrolled
+    # SQL rounds, and the result ships back as a literal relation.
+    base = sorted((r.source, r.excess_ppw) for r in per.collect())
+    k = len(base)
+    te = sum(e for _, e in base)
+    enorm = {s: e * 1_000_000 // max(te, 1) for s, e in base}
+    wgt = {s: 1_000_000 // k for s, _ in base}
+    traj = [(0, s, e, wgt[s]) for s, e in base]
+    for t in range(1, DOREMI_ROUNDS + 1):
+        stepped = {s: (wgt[s] * (1_000_000
+                                 + (DOREMI_ETA_PPM * enorm[s])
+                                 // 1_000_000)) // 1_000_000
+                   for s, _ in base}
+        sw = sum(stepped.values())
+        wgt = {s: stepped[s] * 1_000_000 // sw for s, _ in base}
+        traj.extend((t, s, e, wgt[s]) for s, e in base)
+    return spark.createDataFrame(
+        traj, "round int, source string, excess_ppw long,"
+              " weight_ppm long")
+
+
+def _doremi_oracle_sql() -> str:
+    """DuckDB twin of q_domain_mixture_mw: the two LM-model CTE chains
+    (verbatim from the text family's oracles), per-source cost gaps,
+    and the unrolled multiplicative-weights rounds."""
+    from .text import _lit_duck, _ln_det
+
+    rounds = []
+    prev = "w0"
+    for t in range(1, DOREMI_ROUNDS + 1):
+        rounds.append(f""",
+w{t}s AS (SELECT source, excess_ppw, exc_norm_ppm,
+                 (w * (1000000 + ({DOREMI_ETA_PPM} * exc_norm_ppm)
+                       // 1000000)) // 1000000 AS w
+          FROM {prev}),
+w{t} AS (SELECT source, excess_ppw, exc_norm_ppm,
+                w * 1000000 // (SELECT SUM(w) FROM w{t}s) AS w
+         FROM w{t}s)""")
+        prev = f"w{t}"
+    finals = "\n        UNION ALL ".join(
+        f"SELECT {t} AS round, source, excess_ppw,"
+        f" w::BIGINT AS weight_ppm FROM w{t}"
+        for t in range(0, DOREMI_ROUNDS + 1))
+    return f"""
+        WITH words AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+        t AS (SELECT COUNT(*) AS total FROM words),
+        counts AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM words GROUP BY 1),
+        umodel AS MATERIALIZED (
+            SELECT word,
+                   CAST(ROUND(({_ln_det('cnt', _lit_duck)}
+                               - {_ln_det('total', _lit_duck)}) * 1e6, 0)
+                        AS BIGINT) AS logp_u
+            FROM counts CROSS JOIN t),
+        stok AS MATERIALIZED (SELECT source, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+        uper AS MATERIALIZED (SELECT source, COUNT(*) AS n_tokens,
+                        SUM(logp_u)::BIGINT AS sum_u
+                 FROM stok JOIN umodel USING (word) GROUP BY 1),
+        d2 AS MATERIALIZED (SELECT source, string_split(text, ' ') AS w
+               FROM documents),
+        bg AS MATERIALIZED (SELECT source, w[i] AS prev, w[i + 1] AS word
+               FROM d2, unnest(generate_series(1,
+                                greatest(len(w) - 1, 0))) AS t2(i)),
+        uni AS MATERIALIZED (SELECT word, COUNT(*) AS c FROM words GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS N FROM words),
+        bi AS MATERIALIZED (SELECT prev, word, COUNT(*) AS c_ab
+               FROM bg GROUP BY 1, 2),
+        bmodel AS MATERIALIZED (
+            SELECT bi.prev, bi.word,
+                   CAST(ROUND(({_ln_det('(c_ab * N + c_a * c_b)',
+                                        _lit_duck)}
+                               - {_ln_det('(2 * c_a * N)', _lit_duck)})
+                              * 1e6, 0) AS BIGINT) AS logp_bi
+            FROM bi
+            JOIN (SELECT word AS prev, c AS c_a FROM uni) ua USING (prev)
+            JOIN (SELECT word, c AS c_b FROM uni) ub USING (word)
+            CROSS JOIN tot),
+        bper AS MATERIALIZED (SELECT source, COUNT(*) AS n_bigrams,
+                        SUM(logp_bi)::BIGINT AS sum_b
+                 FROM bg JOIN bmodel USING (prev, word) GROUP BY 1),
+        per AS MATERIALIZED (SELECT source,
+                       greatest(((-sum_u) // n_tokens)
+                                - ((-sum_b) // n_bigrams),
+                                0)::BIGINT AS excess_ppw
+                FROM uper JOIN bper USING (source)),
+        te AS (SELECT SUM(excess_ppw)::BIGINT AS te,
+                      COUNT(*)::BIGINT AS k FROM per),
+        w0 AS (SELECT source, excess_ppw,
+                      excess_ppw * 1000000 // greatest(te, 1)
+                          AS exc_norm_ppm,
+                      (1000000 // k)::BIGINT AS w
+               FROM per, te){''.join(rounds)}
+        {finals}
+    """
+
+
 def _unigram_oracle_sql(apply: bool = False,
                         mixture: bool = False,
                         v: int = UNIG_V,
@@ -1423,6 +1599,7 @@ QUERIES = {
     "unigram_lm_train_v1k": q_unigram_lm_train_v1k,
     "unigram_lm_apply": q_unigram_lm_apply,
     "corpus_domain_mixture": q_corpus_domain_mixture,
+    "domain_mixture_mw_iterated": q_domain_mixture_mw,
     "bpe_apply_batched": q_bpe_apply_batched,
     "skyline_pareto_docs": q_skyline_pareto_docs,
     "bpe_apply_compression": q_bpe_apply,
@@ -1446,6 +1623,7 @@ ORACLE = {
         v=UNIG1K_V, rounds=UNIG1K_ROUNDS, chunked=True),
     "unigram_lm_apply": _unigram_oracle_sql(apply=True),
     "corpus_domain_mixture": _unigram_oracle_sql(mixture=True),
+    "domain_mixture_mw_iterated": _doremi_oracle_sql(),
     "bpe_apply_batched": _bpe_apply_batched_oracle_sql(),
     "bpe_apply_compression": _bpe_apply_oracle_sql(),
     "pipeline_pretraining_e2e": f"""

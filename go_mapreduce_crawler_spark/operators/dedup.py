@@ -869,7 +869,7 @@ def q_dedup_substring_suffix(spark, sf_dir):
     recompute-safe on a fault-prone cluster.  Each round is three
     bounded shuffles of the N-position relation (doc-hash for the lead
     window, class-hash for the partial-agg'd min, class-hash for the
-    join back) plus one eager localCheckpoint of the compact
+    join back) plus one lazy localCheckpoint of the compact
     (doc_id, pos, r) relation — the lineage cut that keeps the
     branched groupBy+join rounds from recomputing 2^rounds times (the
     standard external-memory suffix-array trade; see
@@ -903,15 +903,21 @@ def _substring_report(spark, sf_dir, checkpoint_rounds: bool = True):
     aggregation absorbs the hot key before the shuffle, and the join
     back is a plain equi-join AQE's skew-join can split.  The join
     branches the lineage (names + probe both read the round's pair
-    relation), so each round eagerly localCheckpoints the compact
+    relation), so each round localCheckpoints the compact
     (doc_id, pos, r) relation — without the cut, recompute doubles per
-    round (2^rounds leaf scans).  Per-round materialization of the
-    position relation is the standard external-memory suffix-array
-    trade; each round is still shuffle-linear in N."""
+    round (2^rounds leaf scans).  LAZY checkpoints (eager=False)
+    materialize inside the query's own first job, so the rounds
+    pipeline instead of running as serialized eager jobs — measured
+    9.3s vs 19.7s cold at the 50k-doc Zipf probe (tools/
+    scale_probe_r08.py fixture) for identical results.  Per-round
+    materialization of the position relation is the standard
+    external-memory suffix-array trade; each round is still
+    shuffle-linear in N."""
     from pyspark.sql import Window as W
 
     def _cut(df):
-        return df.localCheckpoint(eager=True) if checkpoint_rounds else df
+        return df.localCheckpoint(eager=False) if checkpoint_rounds \
+            else df
 
     d = _docs(spark, sf_dir)
     toks = d.select(

@@ -1141,3 +1141,84 @@ def test_unigram_v1k_trainer_matches_python_reference(spark):
            for r in q_unigram_lm_train_v1k(
                spark, "/root/testdata/sf0.001").collect()}
     assert got == expect and len(got) > 200
+
+
+def test_domain_mixture_mw_matches_python_reference(spark):
+    """q_domain_mixture_mw vs an independent pure-Python computation
+    of the excess losses (ln_det replica over raw token/bigram counts)
+    and the multiplicative-weights trajectory; plus the DoReMi
+    property: weight mass moves monotonically toward the max-excess
+    source and the trajectory stays normalized."""
+    import math
+    from collections import Counter
+
+    from go_mapreduce_crawler_spark.operators.curation import (
+        DOREMI_ETA_PPM, DOREMI_ROUNDS, q_domain_mixture_mw)
+
+    def ln_det(n: int) -> float:
+        e = n.bit_length() - 1
+        m = n / (2.0 ** e)
+        t = (m - 1.0) / (m + 1.0)
+        t2 = t * t
+        poly = 1.0 / 15.0
+        for kk in (13, 11, 9, 7, 5, 3):
+            poly = (1.0 / kk) + t2 * poly
+        return 2.0 * t * (1.0 + t2 * poly) + float(e) * math.log(2)
+
+    rows = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect())
+    uni, bi = Counter(), Counter()
+    src_tok, src_bg = Counter(), Counter()
+    su, sb = Counter(), Counter()
+    for r in rows:
+        ws = r.text.split(" ")
+        uni.update(ws)
+    N = sum(uni.values())
+    for r in rows:
+        ws = r.text.split(" ")
+        bi.update(zip(ws, ws[1:]))
+    lp_u = {w: int(round((ln_det(c) - ln_det(N)) * 1e6, 0))
+            for w, c in uni.items()}
+    lp_b = {p: int(round((ln_det(c_ab * N + uni[p[0]] * uni[p[1]])
+                          - ln_det(2 * uni[p[0]] * N)) * 1e6, 0))
+            for p, c_ab in bi.items()}
+    for r in rows:
+        ws = r.text.split(" ")
+        src_tok[r.source] += len(ws)
+        su[r.source] += sum(lp_u[w] for w in ws)
+        src_bg[r.source] += len(ws) - 1
+        sb[r.source] += sum(lp_b[p] for p in zip(ws, ws[1:]))
+    base = sorted(
+        (s, max((-su[s]) // src_tok[s] - (-sb[s]) // src_bg[s], 0))
+        for s in src_tok)
+    k = len(base)
+    te = sum(e for _, e in base)
+    enorm = {s: e * 10**6 // max(te, 1) for s, e in base}
+    w = {s: 10**6 // k for s, _ in base}
+    expect = {(0, s, e, w[s]) for s, e in base}
+    for t in range(1, DOREMI_ROUNDS + 1):
+        stepped = {s: (w[s] * (10**6 + (DOREMI_ETA_PPM * enorm[s])
+                               // 10**6)) // 10**6 for s, _ in base}
+        sw = sum(stepped.values())
+        w = {s: stepped[s] * 10**6 // sw for s, _ in base}
+        expect |= {(t, s, e, w[s]) for s, e in base}
+
+    got_rows = q_domain_mixture_mw(
+        spark, "/root/testdata/sf0.001").collect()
+    got = {(r["round"], r.source, r.excess_ppw, r.weight_ppm)
+           for r in got_rows}
+    assert got == expect
+    assert len(got) == k * (DOREMI_ROUNDS + 1)
+
+    # MW property: the max-excess source's weight is non-decreasing
+    # and ends strictly above uniform; every round stays ~normalized
+    smax = max(base, key=lambda x: (x[1], x[0]))[0]
+    per_round = {}
+    for (t, s, e, wt) in got:
+        per_round.setdefault(t, {})[s] = wt
+    ws_max = [per_round[t][smax] for t in range(DOREMI_ROUNDS + 1)]
+    assert all(a <= b for a, b in zip(ws_max, ws_max[1:]))
+    if te > 0:
+        assert ws_max[-1] > 10**6 // k
+    for t, wm in per_round.items():
+        assert abs(sum(wm.values()) - 10**6) <= k
