@@ -126,6 +126,7 @@ HEADLINE = [
     "unigram_lm_train_v1k",
     "stream_windowed_span_dedup_replay",
     "domain_mixture_mw_iterated",
+    "dedup_substring_len_profile",
 ]
 
 N_CRAWL_FILES = 2000

@@ -969,6 +969,100 @@ q_dedup_substring_suffix.__doc__ = \
     q_dedup_substring_suffix.__doc__.replace("{K}", str(SUBSTR_K))
 
 
+SUBSTR_LEVELS = (8, 16, 32, 64)   # duplicated-window lengths profiled
+
+
+def q_dedup_substring_len_profile(spark, sf_dir):
+    """Duplicated-substring LENGTH PROFILE — how much of the corpus is
+    covered by duplicated runs of 8 / 16 / 32 / 64 tokens (the
+    decision input for choosing ExactSubstr's k: too small over-cuts
+    boilerplate-adjacent text, too large misses near-verbatim reuse).
+    One KMR prefix-doubling chain (the de-skewed groupBy+join naming
+    of _substring_report) extended to 6 rounds names 64-token window
+    classes; the 8/16/32-token profiles read the SAME chain at its
+    intermediate rounds — 4 profiles for one doubling's work, which
+    is the whole point of the doubling construction.
+
+    Scale: identical per-round shape to dedup_substring_suffix_array
+    (three bounded shuffles of the position relation + a lazy
+    lineage cut per round); each profile level adds only
+    digest-relation aggs on the checkpointed round output.  Exactness
+    inherits from leader naming (classes, not hashes).
+
+    Output: (k, n_dup_positions, n_docs_with_dup, n_dup_classes) —
+    one row per profiled length.
+    """
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    pack = (F.col("doc_id").cast("long") * F.lit(1 << 22).cast("long")
+            + F.col("pos"))
+    base = d.select("doc_id",
+                    F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tokens"))
+    lead0 = toks.groupBy("w").agg(F.min(pack).alias("r"))
+    cur = (toks.join(lead0, "w").select("doc_id", "pos", "r")
+               .localCheckpoint(eager=False))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    out = None
+    step = 1
+    while step * 2 <= max(SUBSTR_LEVELS):
+        paired = cur.withColumn(
+            "r2", F.coalesce(F.lead("r", step).over(wdoc), F.lit(-1)))
+        names = paired.groupBy("r", "r2").agg(F.min(pack).alias("rn"))
+        cur = (paired.join(names, ["r", "r2"])
+                     .select("doc_id", "pos", F.col("rn").alias("r"))
+                     .localCheckpoint(eager=False))
+        step *= 2
+        L = step
+        if L not in SUBSTR_LEVELS:
+            continue
+        starts = (cur.join(base, "doc_id")
+                     .filter(F.col("pos") + L <= F.col("n_tokens")))
+        dup = (starts.groupBy("r").agg(F.count(F.lit(1)).alias("n"))
+                     .filter(F.col("n") >= 2))
+        flagged = starts.join(dup, "r", "left_semi")
+        a = flagged.agg(
+            F.count(F.lit(1)).alias("n_dup_positions"),
+            F.countDistinct("doc_id").alias("n_docs_with_dup"))
+        b = dup.agg(F.count(F.lit(1)).alias("n_dup_classes"))
+        row = (a.crossJoin(b)
+                .select(F.lit(L).alias("k"), "n_dup_positions",
+                        "n_docs_with_dup", "n_dup_classes"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _substring_len_profile_oracle() -> str:
+    """Literal K-gram DuckDB twin per profiled length (independent
+    construction — md5 gram strings, not prefix doubling)."""
+    blocks, finals = [], []
+    for L in SUBSTR_LEVELS:
+        blocks.append(f"""
+        gk{L} AS MATERIALIZED (
+            SELECT doc_id, md5(array_to_string(w[i:i+{L - 1}], ' '))
+                       AS gm
+            FROM d, unnest(generate_series(1, len(w) - {L - 1}))
+                     AS t{L}(i)
+            WHERE len(w) >= {L}),
+        dup{L} AS MATERIALIZED (
+            SELECT gm FROM gk{L} GROUP BY gm HAVING COUNT(*) >= 2),
+        st{L} AS (
+            SELECT COUNT(*)::BIGINT AS n_dup_positions,
+                   COUNT(DISTINCT doc_id)::BIGINT AS n_docs_with_dup
+            FROM gk{L} WHERE gm IN (SELECT gm FROM dup{L})),
+        cl{L} AS (SELECT COUNT(*)::BIGINT AS n_dup_classes
+                  FROM dup{L})""")
+        finals.append(
+            f"SELECT {L} AS k, n_dup_positions, n_docs_with_dup,"
+            f" n_dup_classes FROM st{L}, cl{L}")
+    return ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w"
+            " FROM documents)," + ",".join(blocks)
+            + "\n        " + "\n        UNION ALL ".join(finals))
+
+
 DECON_EVAL_MOD = 10   # doc_id % 10 == 0 stands in for the eval set
 
 
@@ -1153,6 +1247,7 @@ QUERIES = {
     "dedup_lsh_precision_report": q_dedup_lsh_report,
     "dedup_spans_ngram": q_dedup_spans,
     "dedup_substring_suffix_array": q_dedup_substring_suffix,
+    "dedup_substring_len_profile": q_dedup_substring_len_profile,
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
@@ -1289,6 +1384,7 @@ def _lsh_advisor_oracle() -> str:
 
 ORACLE = {
     "lsh_banding_advisor": _lsh_advisor_oracle(),
+    "dedup_substring_len_profile": _substring_len_profile_oracle(),
     "dedup_minhash_lsh":
         "WITH " + _minhash_pair_ctes() + " SELECT * FROM mh",
     "dedup_components_lsh": f"""

@@ -1222,3 +1222,39 @@ def test_domain_mixture_mw_matches_python_reference(spark):
         assert ws_max[-1] > 10**6 // k
     for t, wm in per_round.items():
         assert abs(sum(wm.values()) - 10**6) <= k
+
+
+def test_substring_len_profile_matches_python_literal_grams(spark):
+    """q_dedup_substring_len_profile vs a pure-Python literal K-gram
+    count at every profiled length (independent of both the engine's
+    prefix doubling AND the oracle's md5 grams)."""
+    from collections import Counter
+
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        SUBSTR_LEVELS, q_dedup_substring_len_profile)
+
+    rows = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect())
+    expect = {}
+    for L in SUBSTR_LEVELS:
+        occ = Counter()
+        docs_of = {}
+        for r in rows:
+            ws = r.text.split(" ")
+            for i in range(len(ws) - L + 1):
+                gm = tuple(ws[i:i + L])
+                occ[gm] += 1
+                docs_of.setdefault(gm, set()).add(r.doc_id)
+        dup = {g for g, c in occ.items() if c >= 2}
+        expect[L] = (sum(occ[g] for g in dup),
+                     len(set().union(*(docs_of[g] for g in dup))
+                         if dup else set()),
+                     len(dup))
+    got = {r.k: (r.n_dup_positions, r.n_docs_with_dup, r.n_dup_classes)
+           for r in q_dedup_substring_len_profile(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got == expect
+    # sanity on the profile shape: longer windows can only shrink
+    ks = sorted(got)
+    for a, b in zip(ks, ks[1:]):
+        assert got[b][0] <= got[a][0]
