@@ -223,6 +223,42 @@ def _shingles(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
+def _band_buckets_of(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band-bucket keys for an ARBITRARY
+    documents-shaped DataFrame — the per-batch form of _minhash_bands
+    for the streaming family (no cache: streaming batches are small
+    and foreachBatch re-plans per batch anyway).  Same shingle
+    construction, md5-derived shingle hash, Carter-Wegman signature
+    family, and band keys as the batch operators, so streaming and
+    batch candidacy agree bit-for-bit."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    pair = F.zip_with(F.slice(w, 1, n - 2), F.slice(w, 2, n - 2),
+                      lambda a, b: F.concat_ws(" ", a, b))
+    tri = F.zip_with(pair, F.slice(w, 3, n - 2),
+                     lambda ab, c_: F.concat_ws(" ", ab, c_))
+    sh = F.when(n >= SHINGLE_N, tri).otherwise(F.array(F.col("text")))
+    shing = docs_df.select("doc_id",
+                           F.array_distinct(sh).alias("shingles"))
+    hs = shing.selectExpr(
+        "doc_id",
+        "transform(shingles, s ->"
+        " cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)) AS hs")
+    sig = hs.selectExpr("doc_id", *[
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MH_P}L))"
+        f" AS h{k}"
+        for k, (a, b) in enumerate(MH_AB)])
+    r = MINHASH_K // LSH_BANDS
+    return (sig.selectExpr(
+                "doc_id",
+                "explode(array(" + ",".join(
+                    f"struct({b} AS band, md5(concat_ws(',',"
+                    + ",".join(f"h{b * r + j}" for j in range(r))
+                    + ")) AS bucket)"
+                    for b in range(LSH_BANDS)) + ")) AS bb")
+               .select("doc_id", "bb.band", "bb.bucket"))
+
+
 def _minhash_sig(spark, sf_dir):
     """(shingles, k={k} Carter-Wegman signature) relations — the shared
     front of _minhash_bands and the banding advisor.  See

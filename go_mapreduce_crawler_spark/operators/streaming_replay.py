@@ -43,7 +43,9 @@ from ..streaming.stateful import (SPAN_WIN_DOCS,
                                   quantile_sketch_finalize, read_mv_state,
                                   stream_decayed_engagement,
                                   stream_mv_refresh, stream_quantile_sketch,
+                                  stream_windowed_minhash_dedup,
                                   stream_windowed_span_dedup,
+                                  windowed_minhash_dedup_finalize,
                                   windowed_span_dedup_finalize)
 from .behavior import _decayed_engagement_oracle
 from .scale import ORACLE as _SCALE_ORACLE
@@ -169,9 +171,25 @@ def q_stream_windowed_span_dedup_replay(spark, sf_dir):
     return windowed_span_dedup_finalize(spark, state)
 
 
+def q_stream_windowed_minhash_dedup_replay(spark, sf_dir):
+    """Ordered replay -> foreachBatch windowed MinHash-LSH candidate
+    flagging -> finalized per-doc report (doc_id,
+    is_near_dup_candidate, n_hit_bands).  Candidate-only semantics by
+    design (the inline filter stage; the batch verifier runs
+    offline); the oracle is the batch twin over the same documents —
+    a doc is flagged iff some doc in [d - W, d - 1] shares any band
+    bucket under the SAME Carter-Wegman signature family."""
+    stream, state, ckpt = _replay_ordered_docs(spark, sf_dir, "mh")
+    q = stream_windowed_minhash_dedup(stream, state, ckpt)
+    _await_drained(q, "windowed_minhash_dedup")
+    return windowed_minhash_dedup_finalize(spark, state)
+
+
 QUERIES = {
     "stream_windowed_span_dedup_replay":
         q_stream_windowed_span_dedup_replay,
+    "stream_minhash_dedup_replay":
+        q_stream_windowed_minhash_dedup_replay,
     "stream_mv_refresh_replay": q_stream_mv_refresh_replay,
     "stream_decayed_engagement_replay": q_stream_decayed_engagement_replay,
     "stream_quantile_sketch_replay": q_stream_quantile_sketch_replay,
@@ -209,9 +227,64 @@ def _span_oracle() -> str:
     """
 
 
+def _minhash_window_oracle() -> str:
+    """Batch twin of the windowed MinHash candidate flagging: the
+    dedup family's shingle/signature CTEs (same constants), band keys
+    as a UNION ALL over the materialized signature, and the
+    trailing-window EXISTS."""
+    from ..operators.dedup import (LSH_BANDS, MH_AB, MH_P, MINHASH_K,
+                                   SHINGLE_N)
+    r = MINHASH_K // LSH_BANDS
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
+        f" AS h{k}"
+        for k, (a, b) in enumerate(MH_AB))
+    band_branches = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ")) AS bucket FROM sig"
+        for b in range(LSH_BANDS))
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, text
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= {SHINGLE_N}
+                           THEN list_distinct(list_transform(
+                               generate_series(1, len(w) - 2),
+                               i -> concat_ws(' ', w[i], w[i+1],
+                                              w[i+2])))
+                           ELSE [text] END AS shingles
+               FROM d),
+        hs AS (SELECT doc_id,
+                      list_transform(shingles,
+                          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)
+                          AS hs
+               FROM sh),
+        sig AS MATERIALIZED (SELECT doc_id, {sig_exprs} FROM hs),
+        bands AS MATERIALIZED ({band_branches}),
+        hits AS (SELECT o.doc_id,
+                        COUNT(DISTINCT o.band)::BIGINT AS n_hit_bands
+                 FROM bands o
+                 WHERE EXISTS (SELECT 1 FROM bands h
+                               WHERE h.band = o.band
+                                 AND h.bucket = o.bucket
+                                 AND h.doc_id < o.doc_id
+                                 AND h.doc_id >= o.doc_id
+                                                - {SPAN_WIN_DOCS})
+                 GROUP BY 1)
+        SELECT d.doc_id,
+               (CASE WHEN hits.doc_id IS NULL THEN 0 ELSE 1 END)::INT
+                   AS is_near_dup_candidate,
+               COALESCE(hits.n_hit_bands, 0)::BIGINT AS n_hit_bands
+        FROM d LEFT JOIN hits USING (doc_id)
+    """
+
+
 ORACLE = {
     # the batch twin of the windowed streaming span dedup
     "stream_windowed_span_dedup_replay": _span_oracle(),
+    # the batch twin of the windowed MinHash candidate flagging
+    "stream_minhash_dedup_replay": _minhash_window_oracle(),
     # the batch twin of stream_mv_refresh (maintenance MV semantics)
     "stream_mv_refresh_replay": """
         SELECT event_type, COUNT(*)::BIGINT AS n_events,

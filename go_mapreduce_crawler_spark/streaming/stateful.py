@@ -621,3 +621,103 @@ def windowed_span_dedup_finalize(spark, state_dir: str) -> DataFrame:
         "doc_id", "n_grams", "n_dup_grams",
         F.expr("(n_dup_grams * 1000000) DIV greatest(n_grams, 1)")
          .alias("dup_ppm"))
+
+
+def stream_windowed_minhash_dedup(docs: DataFrame, state_dir: str,
+                                  checkpoint: str):
+    """Streaming WINDOWED MinHash-LSH near-dup CANDIDATE flagging —
+    the fuzzy sibling of stream_windowed_span_dedup and the firehose
+    form of dedup_minhash_lsh's candidate stage: every arriving
+    document is flagged iff it shares ANY of its 8 LSH band buckets
+    with a document in the trailing SPAN_WIN_DOCS window (strictly
+    earlier doc_id).  Candidate-only BY DESIGN: this is the bounded
+    filter stage a 100 TB/day ingest runs inline (banded recall, no
+    verify); the flagged stream feeds the batch verifier
+    (dedup_minhash_lsh) offline, exactly the two-tier split the batch
+    family documents.
+
+    Same monoid/versioned-snapshot state as the span form: an
+    append-only per-doc verdict relation plus the (doc, band, bucket)
+    posting relation pruned to doc_id > max_seen - W (safe under the
+    ordered-replay / ingest-watermark contract).  Signatures come
+    from _band_buckets_of — bit-identical to the batch family's
+    Carter-Wegman construction, so the batch-twin oracle is a full
+    value proof.
+
+    Scale: per batch one row-local signature pass over the batch,
+    one semi-join of the batch's 8N band keys against the W-doc
+    posting state, a verdicts append; state is bounded by the
+    trailing window, never stream length.
+    """
+    from ..operators.dedup import _band_buckets_of
+
+    spark = docs.sparkSession
+
+    def _versions(fs_dir: str) -> list[int]:
+        import glob as _glob
+        out = []
+        for p in _glob.glob(f"{fs_dir}/state_v*"):
+            try:
+                out.append(int(p.rsplit("state_v", 1)[1]))
+            except ValueError:
+                pass
+        return sorted(out)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        bands = _band_buckets_of(batch_df)
+        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        if prevs:
+            post0 = spark.read.parquet(
+                f"{state_dir}/state_v{prevs[-1]}/postings")
+            verd0 = spark.read.parquet(
+                f"{state_dir}/state_v{prevs[-1]}/verdicts")
+        else:
+            post0 = spark.createDataFrame(
+                [], "doc_id long, band int, bucket string")
+            verd0 = spark.createDataFrame(
+                [], "doc_id long, is_near_dup_candidate int,"
+                    " n_hit_bands long")
+        hist = post0.unionByName(bands)
+        o, h = bands.alias("o"), hist.alias("h")
+        hits = (o.join(h, (F.col("o.band") == F.col("h.band"))
+                       & (F.col("o.bucket") == F.col("h.bucket"))
+                       & (F.col("h.doc_id") < F.col("o.doc_id"))
+                       & (F.col("h.doc_id")
+                          >= F.col("o.doc_id") - SPAN_WIN_DOCS),
+                       "left_semi")
+                 .groupBy("doc_id")
+                 .agg(F.countDistinct("band").alias("n_hit_bands")))
+        verd_new = (batch_df.select("doc_id")
+                    .join(hits, "doc_id", "left")
+                    .select("doc_id",
+                            F.when(F.col("n_hit_bands").isNotNull(),
+                                   F.lit(1)).otherwise(F.lit(0))
+                             .cast("int").alias("is_near_dup_candidate"),
+                            F.coalesce("n_hit_bands", F.lit(0))
+                             .cast("long").alias("n_hit_bands")))
+        verd0.unionByName(verd_new).write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}/verdicts")
+        mx = (spark.read
+              .parquet(f"{state_dir}/state_v{batch_id}/verdicts")
+              .agg(F.max("doc_id")).collect()[0][0])
+        kept = (hist.filter(F.col("doc_id") > mx - SPAN_WIN_DOCS)
+                if mx is not None else hist)
+        kept.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}/postings")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}", ignore_errors=True)
+
+    return (docs.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def windowed_minhash_dedup_finalize(spark, state_dir: str) -> DataFrame:
+    """Latest verdicts snapshot of the windowed MinHash candidates."""
+    import glob as _glob
+    versions = sorted(int(p.rsplit("state_v", 1)[1])
+                      for p in _glob.glob(f"{state_dir}/state_v*"))
+    return spark.read.parquet(
+        f"{state_dir}/state_v{versions[-1]}/verdicts")

@@ -825,3 +825,59 @@ def test_windowed_span_dedup_replay_matches_batch_twin_and_prunes(spark):
     assert kept.filter(
         F.col("doc_id") <= mx - SPAN_WIN_DOCS).count() == 0
     assert kept.count() > 0
+
+
+def test_windowed_minhash_replay_matches_batch_twin_and_family(spark):
+    """stream_minhash_dedup_replay: (a) the finalized view equals an
+    independent Spark batch computation over _band_buckets_of (join
+    construction, not streaming state); (b) family consistency — for
+    every VERIFIED batch near-dup pair (dedup_minhash_lsh) whose ids
+    are within the trailing window, the later doc must be flagged
+    (the candidate stage can only over-approximate the verified
+    relation, never miss it)."""
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        _band_buckets_of, q_dedup_minhash_lsh)
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        _replay_ordered_docs)
+    from go_mapreduce_crawler_spark.streaming.stateful import (
+        SPAN_WIN_DOCS, stream_windowed_minhash_dedup,
+        windowed_minhash_dedup_finalize)
+
+    sf = "/root/testdata/sf0.001"
+    stream, state, ckpt = _replay_ordered_docs(spark, sf, "mhtest")
+    q = stream_windowed_minhash_dedup(stream, state, ckpt)
+    assert q.awaitTermination(300)
+    got = {(r.doc_id, r.is_near_dup_candidate, r.n_hit_bands)
+           for r in windowed_minhash_dedup_finalize(
+               spark, state).collect()}
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    bands = _band_buckets_of(d)
+    o, h = bands.alias("o"), bands.alias("h")
+    hits = (o.join(h, (F.col("o.band") == F.col("h.band"))
+                   & (F.col("o.bucket") == F.col("h.bucket"))
+                   & (F.col("h.doc_id") < F.col("o.doc_id"))
+                   & (F.col("h.doc_id")
+                      >= F.col("o.doc_id") - SPAN_WIN_DOCS),
+                   "left_semi")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("band").alias("nb")))
+    twin = (d.select("doc_id").join(hits, "doc_id", "left")
+             .select("doc_id",
+                     F.when(F.col("nb").isNotNull(), 1).otherwise(0)
+                      .cast("int").alias("c"),
+                     F.coalesce("nb", F.lit(0)).cast("long")
+                      .alias("nb")))
+    expect = {(r.doc_id, r.c, r.nb) for r in twin.collect()}
+    assert got == expect and len(got) == d.count()
+    assert any(c == 1 for _, c, _ in got)   # fixture has near-dups
+
+    flagged = {doc for doc, c, _ in got if c == 1}
+    pairs = q_dedup_minhash_lsh(spark, sf).collect()
+    in_window = [(r.doc_a, r.doc_b) for r in pairs
+                 if 0 < r.doc_b - r.doc_a <= SPAN_WIN_DOCS]
+    assert in_window   # the consistency claim is non-vacuous
+    missed = [p for p in in_window if p[1] not in flagged]
+    assert not missed, missed[:5]
