@@ -260,16 +260,17 @@ _CHECKED_R07 = (
 
 
 # Round-8 front (VERDICT r07 items 1, 2, 5, 6, 7, 8 + advice).
-# Budget math, stated deliberately: 14 front slots — the r07-red
+# Budget math, stated deliberately: 15 front slots — the r07-red
 # replay row plus its two timeout-hardened siblings (item 1; all
 # three replay entries changed code), the de-skewed suffix-array
 # naming (item 3), the three unigram rows whose shared trainer gained
 # the UNIG_MAXW guard + words-source refactor (advice item 1), and
-# the 7 NEW ops (BM25 retrieval, streaming windowed span + MinHash
+# the 8 NEW ops (BM25 retrieval, streaming windowed span + MinHash
 # dedup, production-vocab unigram, LSH banding advisor, iterated
-# DoReMi mixture, substring length profile) — leave 36 slots for the
-# stale rotation: all 32 remaining r02-signed rows (item 2) plus the
-# 4 oldest r03 rows.  After r08 no row is older than r03.
+# DoReMi mixture, substring length profile, TextRank keywords) —
+# leave 35 slots for the stale rotation: all 32 remaining r02-signed
+# rows (item 2) plus the 3 oldest r03 rows.  After r08 no row is
+# older than r03.
 _FRONT_R08 = (
     "stream_mv_refresh_replay", "stream_decayed_engagement_replay",
     "stream_quantile_sketch_replay",
@@ -278,7 +279,7 @@ _FRONT_R08 = (
     "stream_windowed_span_dedup_replay", "text_bm25_retrieval",
     "lsh_banding_advisor", "unigram_lm_train_v1k",
     "domain_mixture_mw_iterated", "dedup_substring_len_profile",
-    "stream_minhash_dedup_replay",
+    "stream_minhash_dedup_replay", "text_textrank_keywords",
     # 32 r02-signed rows (oldest driver signal left)
     "agg_salted_twophase", "approx_distinct_hll", "asof_next_error",
     "asof_purchase_view", "dedup_components_bigstar",
@@ -293,9 +294,8 @@ _FRONT_R08 = (
     "ts_resample_interp", "ts_subsequence_search",
     "window_range_frame_30d", "window_sliding_events",
     "window_tumbling_events",
-    # 4 oldest r03 rows
+    # 3 oldest r03 rows
     "ann_int8_rerank", "ann_ivf_cosine", "approx_quantiles_gk",
-    "basket_rules",
 )
 
 

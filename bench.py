@@ -127,6 +127,7 @@ HEADLINE = [
     "stream_windowed_span_dedup_replay",
     "domain_mixture_mw_iterated",
     "dedup_substring_len_profile",
+    "text_textrank_keywords",
 ]
 
 N_CRAWL_FILES = 2000

@@ -984,6 +984,150 @@ def q_text_bm25_retrieval(spark, sf_dir):
                       (F.col("i") + 1).alias("rk")))
 
 
+TR_V = 500       # TextRank vocabulary cap (top corpus words)
+TR_TOP = 20      # keywords returned
+TR_ITER = 5      # synchronous weighted-PageRank iterations
+TR_D = 0.85      # damping
+
+
+def q_text_textrank_keywords(spark, sf_dir):
+    """TextRank corpus KEYWORDS (Mihalcea & Tarau, EMNLP'04): weighted
+    PageRank over the word co-occurrence graph (words within distance
+    <= 2 in a document are linked; edge weight = corpus co-occurrence
+    count), vocabulary capped to the top {v} corpus words, {it}
+    synchronous iterations at damping {d} — the graph family's
+    ranking recipe (q_pagerank_copurchase) composed onto the text
+    family's token stream.
+
+    Determinism across engines: each weighted contribution
+    rank * w / wsum is quantized to floor(c * 1e15) and the longs are
+    summed (order-independent partial+final agg, the pagerank
+    recipe); both engines dequantize once per iteration, so after {it}
+    rounds the doubles agree bit-for-bit.
+
+    Scale: pair generation is ROW-LOCAL (zip_with over offset slices
+    — no self-join, no shuffle until the pair count agg); the
+    iteration shuffles only (node, contribution-long) pairs over a
+    <= {v}-node graph, so each round is metadata-sized regardless of
+    corpus size.  Top-{k} is a TakeOrdered over the final vocab-sized
+    rank relation.
+
+    Output: (rk, word, rank_e9) — the top-{k} keywords.
+    """.format(v=TR_V, it=TR_ITER, d=TR_D, k=TR_TOP)
+    d = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n = F.size(w)
+
+    def offs(k):
+        return F.zip_with(
+            F.slice(w, 1, n - k), F.slice(w, k + 1, n - k),
+            lambda a, b: F.struct(F.least(a, b).alias("wa"),
+                                  F.greatest(a, b).alias("wb")))
+
+    pairs = (d.select(F.explode(F.concat(offs(1), offs(2))).alias("p"))
+              .select("p.wa", "p.wb")
+              .filter(F.col("wa") != F.col("wb")))
+    words = d.select(F.explode(w).alias("word"))
+    vocab = (words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+                  .orderBy(F.desc("cnt"), "word").limit(TR_V)
+                  .select("word"))
+    wedges = (pairs.join(F.broadcast(vocab.select(
+                  F.col("word").alias("wa"))), "wa")
+                   .join(F.broadcast(vocab.select(
+                  F.col("word").alias("wb"))), "wb")
+                   .groupBy("wa", "wb")
+                   .agg(F.count(F.lit(1)).alias("wgt")))
+    adj = (wedges.select(F.col("wa").alias("src"),
+                         F.col("wb").alias("dst"), "wgt")
+           .union(wedges.select(F.col("wb").alias("src"),
+                                F.col("wa").alias("dst"), "wgt")))
+    wsum = adj.groupBy("src").agg(F.sum("wgt").alias("wsum"))
+    adj_deg = adj.join(wsum, "src").localCheckpoint()
+    n_nodes = wsum.count()
+    pr = wsum.select(F.col("src").alias("node"),
+                     (F.lit(1.0) / F.lit(n_nodes)).alias("rank"))
+    for _ in range(TR_ITER):
+        contribs = (adj_deg.join(pr, adj_deg.src == pr.node)
+                    .select("dst",
+                            F.floor((F.col("rank") * F.col("wgt")
+                                     / F.col("wsum")) * F.lit(1e15))
+                             .alias("c_fp"))
+                    .groupBy("dst")
+                    .agg(F.sum("c_fp").alias("inflow_fp")))
+        pr = contribs.select(
+            F.col("dst").alias("node"),
+            (F.lit(1.0 - TR_D) / F.lit(n_nodes)
+             + F.lit(TR_D) * (F.col("inflow_fp").cast("double")
+                              / F.lit(1e15))).alias("rank")
+        ).localCheckpoint()
+    ranked = pr.select(F.col("node").alias("word"),
+                       F.floor(F.col("rank") * 1e9)
+                        .cast("long").alias("rank_e9"))
+    top = ranked.orderBy(F.desc("rank_e9"), "word").limit(TR_TOP)
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("rank_e9"), F.asc("word")))
+    return top.withColumn("rk", rk).select("rk", "word", "rank_e9")
+
+
+def _textrank_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of q_text_textrank_keywords — the
+    pagerank oracle's quantize-sum-dequantize per iteration, over the
+    co-occurrence graph built with the same two offset branches."""
+    dd, omd = repr(float(TR_D)), repr(1.0 - TR_D)
+    ctes = [f"""
+        d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        pairs AS (
+            SELECT least(w[i], w[i+1]) AS wa,
+                   greatest(w[i], w[i+1]) AS wb
+            FROM d, unnest(generate_series(1, len(w) - 1)) AS t1(i)
+            UNION ALL
+            SELECT least(w[i], w[i+2]), greatest(w[i], w[i+2])
+            FROM d, unnest(generate_series(1, len(w) - 2)) AS t2(i)),
+        vocab AS (
+            SELECT word FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+            GROUP BY word
+            ORDER BY COUNT(*) DESC, word LIMIT {TR_V}),
+        wedges AS MATERIALIZED (
+            SELECT wa, wb, COUNT(*)::BIGINT AS wgt
+            FROM pairs
+            WHERE wa <> wb
+              AND wa IN (SELECT word FROM vocab)
+              AND wb IN (SELECT word FROM vocab)
+            GROUP BY 1, 2),
+        adj AS (SELECT wa AS src, wb AS dst, wgt FROM wedges
+                UNION ALL SELECT wb, wa, wgt FROM wedges),
+        ws AS (SELECT src, SUM(wgt)::BIGINT AS wsum
+               FROM adj GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM ws),
+        adjdeg AS MATERIALIZED (
+            SELECT adj.src, adj.dst, adj.wgt, ws.wsum
+            FROM adj JOIN ws USING (src)),
+        pr0 AS (SELECT src AS node,
+                       CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+                FROM ws)"""]
+    for i in range(1, TR_ITER + 1):
+        ctes.append(f"""
+        pr{i} AS MATERIALIZED (
+            SELECT a.dst AS node,
+                   CAST('{omd}' AS DOUBLE) / (SELECT n FROM nn)
+                   + CAST('{dd}' AS DOUBLE)
+                     * (CAST(SUM(CAST(floor(p.rank * a.wgt / a.wsum
+                                            * 1e15)
+                                      AS BIGINT)) AS DOUBLE) / 1e15)
+                       AS rank
+            FROM adjdeg a JOIN pr{i - 1} p ON p.node = a.src
+            GROUP BY a.dst)""")
+    return ("WITH" + ",".join(ctes) + f"""
+        SELECT ROW_NUMBER() OVER (ORDER BY rank_e9 DESC, word) AS rk,
+               word, rank_e9
+        FROM (SELECT node AS word,
+                     CAST(floor(rank * 1e9) AS BIGINT) AS rank_e9
+              FROM pr{TR_ITER})
+        ORDER BY rank_e9 DESC, word LIMIT {TR_TOP}""")
+
+
 VOCAB_K = 1000
 
 
@@ -1325,6 +1469,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_bm25_top_terms": q_text_bm25,
     "text_bm25_retrieval": q_text_bm25_retrieval,
+    "text_textrank_keywords": q_text_textrank_keywords,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow_fingerprints": q_text_winnow,
@@ -1766,6 +1911,8 @@ ORACLE["text_bm25_top_terms"] = f"""
     SELECT doc_id, word, tf, df, dl, bm25_e6, rk
     FROM ranked WHERE rk <= {BM25_TOP}
 """
+
+ORACLE["text_textrank_keywords"] = _textrank_oracle()
 
 ORACLE["text_bm25_retrieval"] = f"""
     WITH words AS (

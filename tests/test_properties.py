@@ -1258,3 +1258,50 @@ def test_substring_len_profile_matches_python_literal_grams(spark):
     ks = sorted(got)
     for a, b in zip(ks, ks[1:]):
         assert got[b][0] <= got[a][0]
+
+
+def test_textrank_keywords_matches_python_reference(spark):
+    """q_text_textrank_keywords vs a pure-Python weighted-PageRank
+    replica (same co-occurrence graph, same floor(c*1e15)
+    quantize-sum-dequantize per iteration, same tie order)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from go_mapreduce_crawler_spark.operators.text import (
+        TR_D, TR_ITER, TR_TOP, TR_V, q_text_textrank_keywords)
+
+    rows = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect())
+    wc = Counter()
+    for r in rows:
+        wc.update(r.text.split(" "))
+    vocab = set(sorted(wc, key=lambda x: (-wc[x], x))[:TR_V])
+
+    wedges = Counter()
+    for r in rows:
+        ws = r.text.split(" ")
+        for k in (1, 2):
+            for a, b in zip(ws, ws[k:]):
+                if a != b and a in vocab and b in vocab:
+                    wedges[(min(a, b), max(a, b))] += 1
+    adj = defaultdict(list)
+    for (a, b), g in wedges.items():
+        adj[a].append((b, g))
+        adj[b].append((a, g))
+    wsum = {u: sum(g for _, g in nb) for u, nb in adj.items()}
+    n = len(adj)
+    rank = {u: 1.0 / n for u in adj}
+    for _ in range(TR_ITER):
+        inflow = defaultdict(int)
+        for u, nb in adj.items():
+            for v, g in nb:
+                inflow[v] += math.floor((rank[u] * g / wsum[u]) * 1e15)
+        rank = {v: (1.0 - TR_D) / n + TR_D * (float(f) / 1e15)
+                for v, f in inflow.items()}
+    scored = sorted(((math.floor(r * 1e9), w) for w, r in rank.items()),
+                    key=lambda x: (-x[0], x[1]))[:TR_TOP]
+    expect = {(i + 1, w, s) for i, (s, w) in enumerate(scored)}
+    got = {(r.rk, r.word, r.rank_e9)
+           for r in q_text_textrank_keywords(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got == expect and len(got) == TR_TOP
