@@ -6,9 +6,10 @@ sys.path.insert(0, '/root/repo')
 from pyspark.sql import SparkSession
 
 NEW = ["text_bm25_retrieval", "lsh_banding_advisor",
-              "unigram_lm_train_v1k", "stream_windowed_span_dedup_replay",
-              "domain_mixture_mw_iterated", "dedup_substring_suffix_array",
-              "stream_mv_refresh_replay"]
+       "unigram_lm_train_v1k", "stream_windowed_span_dedup_replay",
+       "domain_mixture_mw_iterated", "dedup_substring_suffix_array",
+       "stream_mv_refresh_replay", "stream_minhash_dedup_replay",
+       "text_textrank_keywords", "dedup_substring_len_profile"]
 SF = "/root/testdata/sf0.01"
 
 def run(master, parts, name_suffix):
