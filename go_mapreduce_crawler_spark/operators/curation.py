@@ -945,6 +945,18 @@ def q_domain_mixture_mw(spark, sf_dir):
     # SQL rounds, and the result ships back as a literal relation.
     base = sorted((r.source, r.excess_ppw) for r in per.collect())
     k = len(base)
+    # Loud precondition (review finding): the per-source join is INNER
+    # on the bigram stats, so a source whose every document is a
+    # single word would silently vanish from the mixture (and from
+    # the oracle identically — an invisible omission).  Fail
+    # explicitly instead; a real reweighter must see every domain.
+    n_sources = d.select("source").distinct().count()
+    if k != n_sources:
+        raise ValueError(
+            f"domain_mixture_mw: only {k} of {n_sources} sources have "
+            "bigram statistics — a single-word-document domain cannot "
+            "be scored by the bigram proxy; fix the corpus or the "
+            "proxy before mixing")
     te = sum(e for _, e in base)
     enorm = {s: e * 1_000_000 // max(te, 1) for s, e in base}
     wgt = {s: 1_000_000 // k for s, _ in base}

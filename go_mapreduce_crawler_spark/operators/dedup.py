@@ -223,14 +223,21 @@ def _shingles(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
-def _band_buckets_of(docs_df: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) LSH band-bucket keys for an ARBITRARY
-    documents-shaped DataFrame — the per-batch form of _minhash_bands
-    for the streaming family (no cache: streaming batches are small
-    and foreachBatch re-plans per batch anyway).  Same shingle
-    construction, md5-derived shingle hash, Carter-Wegman signature
-    family, and band keys as the batch operators, so streaming and
-    batch candidacy agree bit-for-bit."""
+def _sig_agg_of(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{k}) Carter-Wegman signatures for an ARBITRARY
+    documents-shaped DataFrame, with the md5 shingle hash computed
+    EXACTLY ONCE per shingle: the hash array is exploded (the
+    Generate's input projection evaluates the transform once per row)
+    and the {k} minima are one partial+final aggregation.  This is
+    the cache-free alternative to _minhash_sig's barrier: HOFs are
+    interpreted (no codegen subexpression elimination), so the
+    transform/array_min form recomputes the md5 transform {k}x unless
+    a cache blocks projection collapse — wrong for streaming batches
+    (leaked cache per micro-batch) and for one-shot consumers like
+    the banding advisor (two corpus-sized relations pinned for no
+    reuse).  The agg costs one doc-keyed shuffle of (doc, h) rows,
+    absorbed map-side.  Same shingle construction and hash family as
+    the batch operators, so candidacy agrees bit-for-bit."""
     w = F.split(F.col("text"), " ")
     n = F.size(w)
     pair = F.zip_with(F.slice(w, 1, n - 2), F.slice(w, 2, n - 2),
@@ -238,16 +245,26 @@ def _band_buckets_of(docs_df: DataFrame) -> DataFrame:
     tri = F.zip_with(pair, F.slice(w, 3, n - 2),
                      lambda ab, c_: F.concat_ws(" ", ab, c_))
     sh = F.when(n >= SHINGLE_N, tri).otherwise(F.array(F.col("text")))
-    shing = docs_df.select("doc_id",
-                           F.array_distinct(sh).alias("shingles"))
-    hs = shing.selectExpr(
-        "doc_id",
-        "transform(shingles, s ->"
-        " cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)) AS hs")
-    sig = hs.selectExpr("doc_id", *[
-        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MH_P}L))"
-        f" AS h{k}"
+    hs_rows = (docs_df
+               .select("doc_id", F.array_distinct(sh).alias("shingles"))
+               .select("doc_id", F.explode(F.expr(
+                   "transform(shingles, s -> cast(conv(substring("
+                   "md5(s), 1, 8), 16, 10) as bigint))")).alias("h")))
+    return hs_rows.groupBy("doc_id").agg(*[
+        F.min(F.expr(f"({a}L * h + {b}L) % {MH_P}L")).alias(f"h{k}")
         for k, (a, b) in enumerate(MH_AB)])
+
+
+_sig_agg_of.__doc__ = _sig_agg_of.__doc__.replace("{k}", str(MINHASH_K))
+
+
+def _band_buckets_of(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band-bucket keys for an ARBITRARY
+    documents-shaped DataFrame — the per-batch form of _minhash_bands
+    for the streaming family, built on _sig_agg_of (md5 once per
+    shingle, no cache).  Same band keys as the batch operators, so
+    streaming and batch candidacy agree bit-for-bit."""
+    sig = _sig_agg_of(docs_df)
     r = MINHASH_K // LSH_BANDS
     return (sig.selectExpr(
                 "doc_id",
@@ -1229,7 +1246,20 @@ def q_lsh_banding_advisor(spark, sf_dir):
     Output: (b, r, recall50_e6, recall90_e6, n_buckets, n_hot_buckets,
     candidate_pairs, max_bucket, chosen).
     """
-    _, sig = _minhash_sig(spark, sf_dir)
+    # Invariant guard (review finding): if NO config cleared the
+    # recall floor, the engine would emit chosen=NULL rows while the
+    # oracle's empty `best` CTE returns ZERO rows — a confusing
+    # hash-red far from the real defect.  The recalls are Python
+    # literals, so make the divergence unreachable by construction.
+    if not any(_lsh_recall_e6(0.9, b, r) >= LSH_ADV_RECALL_FLOOR_E6
+               for b, r in LSH_ADV_CONFIGS):
+        raise ValueError(
+            "lsh_banding_advisor: no (b, r) config clears "
+            f"LSH_ADV_RECALL_FLOOR_E6={LSH_ADV_RECALL_FLOOR_E6} — "
+            "lower the floor or widen LSH_ADV_CONFIGS")
+    # cache-free signature build: the advisor reads sig exactly once,
+    # so _minhash_sig's pinned sh/hs caches would be pure waste here
+    sig = _sig_agg_of(_docs(spark, sf_dir))
     entries = []
     for b, r in LSH_ADV_CONFIGS:
         for band in range(b):

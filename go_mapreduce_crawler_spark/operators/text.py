@@ -1019,8 +1019,12 @@ def q_text_textrank_keywords(spark, sf_dir):
     n = F.size(w)
 
     def offs(k):
+        # length clamped at 0: a doc shorter than k+1 tokens yields an
+        # empty pair array (Spark's slice rejects negative lengths;
+        # the oracle's generate_series(1, len-k) is empty the same way)
+        ln = F.greatest(n - k, F.lit(0))
         return F.zip_with(
-            F.slice(w, 1, n - k), F.slice(w, k + 1, n - k),
+            F.slice(w, 1, ln), F.slice(w, k + 1, ln),
             lambda a, b: F.struct(F.least(a, b).alias("wa"),
                                   F.greatest(a, b).alias("wb")))
 

@@ -250,23 +250,14 @@ def stream_mv_refresh(events: DataFrame, state_dir: str, checkpoint: str):
     """
     spark = events.sparkSession
 
-    def _versions(fs_dir: str) -> list[int]:
-        import glob as _glob
-        out = []
-        for p in _glob.glob(f"{fs_dir}/state_v*"):
-            try:
-                out.append(int(p.rsplit("state_v", 1)[1]))
-            except ValueError:
-                pass
-        return sorted(out)
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
         partial = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
-        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
         if prevs:
             prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
             p = prev.select(F.col("event_type").alias("k"),
@@ -293,9 +284,11 @@ def stream_mv_refresh(events: DataFrame, state_dir: str, checkpoint: str):
 
 def read_mv_state(spark, state_dir: str) -> DataFrame:
     """Latest snapshot of the foreachBatch-maintained view."""
-    import glob as _glob
-    versions = sorted(int(p.rsplit("state_v", 1)[1])
-                      for p in _glob.glob(f"{state_dir}/state_v*"))
+    versions = _state_versions(state_dir)
+    if not versions:
+        raise ValueError(
+            f"no committed state_v* snapshot under {state_dir} — the "
+            "stream produced no snapshot")
     return spark.read.parquet(f"{state_dir}/state_v{versions[-1]}")
 
 
@@ -355,16 +348,6 @@ def stream_decayed_engagement(events: DataFrame, ref_day: int,
     spark = events.sparkSession
     wdf = spark.createDataFrame(list(_DECAY_W), "age_d int, w_e12 long")
 
-    def _versions(fs_dir: str) -> list[int]:
-        import glob as _glob
-        out = []
-        for p in _glob.glob(f"{fs_dir}/state_v*"):
-            try:
-                out.append(int(p.rsplit("state_v", 1)[1]))
-            except ValueError:
-                pass
-        return sorted(out)
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
@@ -380,7 +363,8 @@ def stream_decayed_engagement(events: DataFrame, ref_day: int,
             F.sum(F.col("cents").cast("decimal(38,0)")
                   * F.coalesce("w_e12", F.lit(0))).alias("s"),
             F.count(F.lit(1)).alias("n_events"))
-        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
         if prevs:
             prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
             p = prev.select(F.col("user_id").alias("k"),
@@ -437,16 +421,6 @@ def stream_quantile_sketch(events: DataFrame, state_dir: str,
 
     spark = events.sparkSession
 
-    def _versions(fs_dir: str) -> list[int]:
-        import glob as _glob
-        out = []
-        for p in _glob.glob(f"{fs_dir}/state_v*"):
-            try:
-                out.append(int(p.rsplit("state_v", 1)[1]))
-            except ValueError:
-                pass
-        return sorted(out)
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
@@ -457,7 +431,8 @@ def stream_quantile_sketch(events: DataFrame, state_dir: str,
                                _QSK_BIN.format(div="DIV") + " AS b")
                    .groupBy("event_type", "b")
                    .agg(F.count(F.lit(1)).alias("cnt")))
-        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
         if prevs:
             prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
             p = prev.select("event_type", "b", F.col("cnt").alias("c1"))
@@ -506,6 +481,20 @@ def quantile_sketch_finalize(state_df: DataFrame) -> DataFrame:
 SPAN_WIN_DOCS = 200   # trailing-window width (docs) for streaming span dedup
 
 
+def _state_versions(fs_dir: str) -> list[int]:
+    """Sorted committed snapshot versions under ``fs_dir`` —
+    tolerates stray non-integer ``state_v*`` suffixes (temp dirs),
+    unlike a bare int() parse."""
+    import glob as _glob
+    out = []
+    for p in _glob.glob(f"{fs_dir}/state_v*"):
+        try:
+            out.append(int(p.rsplit("state_v", 1)[1]))
+        except ValueError:
+            pass
+    return sorted(out)
+
+
 def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
                                checkpoint: str):
     """Streaming WINDOWED SPAN DEDUP (r07 verdict item 6) — the
@@ -519,12 +508,16 @@ def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
     micro-batch boundaries: a gram position in doc d is a duplicate
     iff SOME document d' with d - W <= d' < d contains the same gram
     (strictly-earlier doc_id, trailing window W).  The foreachBatch
-    state is two monoid relations under versioned snapshots
-    (exactly-once like stream_mv_refresh): ``verdicts`` — the
+    state is two relations: ``verdicts_b<batch>`` — a LITERALLY
     append-only per-doc report (each doc's verdict is finalized in
-    the batch that delivers it) — and ``postings`` — the DISTINCT
-    (doc_id, gm) relation PRUNED to doc_id > max_seen - W, the
-    bounded trailing window.
+    the batch that delivers it and written ONCE to that batch's own
+    directory — never rewritten, so total verdict I/O is linear in
+    stream length, and a retried batch idempotently overwrites only
+    its own directory) — and the versioned ``state_v<batch>``
+    snapshot holding ``postings`` (the DISTINCT (doc_id, gm) relation
+    PRUNED to doc_id > max_seen - W, the bounded trailing window) and
+    ``meta`` (the running max doc_id, so pruning never re-reads the
+    verdict log).
 
     Ordering contract: the file replay must deliver documents in
     doc_id order across batches (the replay fixture writes one
@@ -536,23 +529,14 @@ def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
 
     Scale: per batch the work is one gram explode of the batch, one
     semi-join of batch positions against the W-doc posting state
-    (equi on the 32-hex gram digest + a doc_id range filter), and a
-    verdicts append; state is bounded by the trailing window's gram
-    count, never stream length.
+    (equi on the 32-hex gram digest + a doc_id range filter), and ONE
+    batch-sized verdict write; per-batch state I/O is bounded by the
+    trailing window's gram count plus the batch size, never stream
+    length.
     """
     from ..operators.dedup import SPAN_N
 
     spark = docs.sparkSession
-
-    def _versions(fs_dir: str) -> list[int]:
-        import glob as _glob
-        out = []
-        for p in _glob.glob(f"{fs_dir}/state_v*"):
-            try:
-                out.append(int(p.rsplit("state_v", 1)[1]))
-            except ValueError:
-                pass
-        return sorted(out)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
@@ -570,16 +554,17 @@ def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
         occ = g.select("doc_id", F.explode("grams").alias("gm"))
         base = g.select("doc_id",
                         F.size("grams").cast("long").alias("n_grams"))
-        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
         if prevs:
             post0 = spark.read.parquet(
                 f"{state_dir}/state_v{prevs[-1]}/postings")
-            verd0 = spark.read.parquet(
-                f"{state_dir}/state_v{prevs[-1]}/verdicts")
+            prev_mx = (spark.read
+                       .parquet(f"{state_dir}/state_v{prevs[-1]}/meta")
+                       .collect()[0][0])
         else:
             post0 = spark.createDataFrame([], "doc_id long, gm string")
-            verd0 = spark.createDataFrame(
-                [], "doc_id long, n_grams long, n_dup_grams long")
+            prev_mx = None
         hist = post0.unionByName(occ.distinct())
         o, h = occ.alias("o"), hist.alias("h")
         dup = (o.join(h, (F.col("o.gm") == F.col("h.gm"))
@@ -593,11 +578,13 @@ def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
                         .select("doc_id", "n_grams",
                                 F.coalesce("n_dup_grams", F.lit(0))
                                  .cast("long").alias("n_dup_grams")))
-        verd0.unionByName(verd_new).write.mode("overwrite").parquet(
-            f"{state_dir}/state_v{batch_id}/verdicts")
-        mx = (spark.read
-              .parquet(f"{state_dir}/state_v{batch_id}/verdicts")
-              .agg(F.max("doc_id")).collect()[0][0])
+        verd_new.write.mode("overwrite").parquet(
+            f"{state_dir}/verdicts_b{batch_id}")
+        bmx = batch_df.agg(F.max("doc_id")).collect()[0][0]
+        mx = max(x for x in (prev_mx, bmx) if x is not None) \
+            if (prev_mx is not None or bmx is not None) else None
+        spark.createDataFrame([(mx,)], "mx long").write.mode(
+            "overwrite").parquet(f"{state_dir}/state_v{batch_id}/meta")
         kept = (hist.filter(F.col("doc_id") > mx - SPAN_WIN_DOCS)
                 if mx is not None else hist)
         kept.write.mode("overwrite").parquet(
@@ -610,14 +597,20 @@ def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
             .trigger(availableNow=True).start())
 
 
-def windowed_span_dedup_finalize(spark, state_dir: str) -> DataFrame:
-    """Latest verdicts snapshot -> the batch twin's output shape."""
+def _read_verdict_log(spark, state_dir: str) -> DataFrame:
+    """Union of the per-batch verdict directories (the append-only
+    log both windowed dedup streams write)."""
     import glob as _glob
-    versions = sorted(int(p.rsplit("state_v", 1)[1])
-                      for p in _glob.glob(f"{state_dir}/state_v*"))
-    v = spark.read.parquet(
-        f"{state_dir}/state_v{versions[-1]}/verdicts")
-    return v.select(
+    if not _glob.glob(f"{state_dir}/verdicts_b*"):
+        raise ValueError(
+            f"no committed verdict batches under {state_dir} — the "
+            "replay stream produced no snapshot")
+    return spark.read.parquet(f"{state_dir}/verdicts_b*")
+
+
+def windowed_span_dedup_finalize(spark, state_dir: str) -> DataFrame:
+    """Verdict log -> the batch twin's output shape."""
+    return _read_verdict_log(spark, state_dir).select(
         "doc_id", "n_grams", "n_dup_grams",
         F.expr("(n_dup_grams * 1000000) DIV greatest(n_grams, 1)")
          .alias("dup_ppm"))
@@ -636,49 +629,43 @@ def stream_windowed_minhash_dedup(docs: DataFrame, state_dir: str,
     (dedup_minhash_lsh) offline, exactly the two-tier split the batch
     family documents.
 
-    Same monoid/versioned-snapshot state as the span form: an
-    append-only per-doc verdict relation plus the (doc, band, bucket)
-    posting relation pruned to doc_id > max_seen - W (safe under the
-    ordered-replay / ingest-watermark contract).  Signatures come
-    from _band_buckets_of — bit-identical to the batch family's
-    Carter-Wegman construction, so the batch-twin oracle is a full
-    value proof.
+    Same state layout as the span form: per-batch append-only
+    ``verdicts_b<batch>`` directories (one batch-sized write each —
+    verdict I/O linear in stream length; retries overwrite only their
+    own directory) plus the versioned ``state_v<batch>`` snapshot
+    holding the (doc, band, bucket) postings pruned to
+    doc_id > max_seen - W and the running-max ``meta`` row (safe
+    under the ordered-replay / ingest-watermark contract).
+    Signatures come from _band_buckets_of — bit-identical to the
+    batch family's Carter-Wegman construction, so the batch-twin
+    oracle is a full value proof.
 
-    Scale: per batch one row-local signature pass over the batch,
-    one semi-join of the batch's 8N band keys against the W-doc
-    posting state, a verdicts append; state is bounded by the
-    trailing window, never stream length.
+    Scale: per batch one signature pass over the batch (md5 once per
+    shingle — see _band_buckets_of), one semi-join of the batch's 8N
+    band keys against the W-doc posting state, one batch-sized
+    verdict write; per-batch state I/O is bounded by the trailing
+    window plus the batch, never stream length.
     """
     from ..operators.dedup import _band_buckets_of
 
     spark = docs.sparkSession
 
-    def _versions(fs_dir: str) -> list[int]:
-        import glob as _glob
-        out = []
-        for p in _glob.glob(f"{fs_dir}/state_v*"):
-            try:
-                out.append(int(p.rsplit("state_v", 1)[1]))
-            except ValueError:
-                pass
-        return sorted(out)
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
         bands = _band_buckets_of(batch_df)
-        prevs = [v for v in _versions(state_dir) if v < batch_id]
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
         if prevs:
             post0 = spark.read.parquet(
                 f"{state_dir}/state_v{prevs[-1]}/postings")
-            verd0 = spark.read.parquet(
-                f"{state_dir}/state_v{prevs[-1]}/verdicts")
+            prev_mx = (spark.read
+                       .parquet(f"{state_dir}/state_v{prevs[-1]}/meta")
+                       .collect()[0][0])
         else:
             post0 = spark.createDataFrame(
                 [], "doc_id long, band int, bucket string")
-            verd0 = spark.createDataFrame(
-                [], "doc_id long, is_near_dup_candidate int,"
-                    " n_hit_bands long")
+            prev_mx = None
         hist = post0.unionByName(bands)
         o, h = bands.alias("o"), hist.alias("h")
         hits = (o.join(h, (F.col("o.band") == F.col("h.band"))
@@ -697,11 +684,13 @@ def stream_windowed_minhash_dedup(docs: DataFrame, state_dir: str,
                              .cast("int").alias("is_near_dup_candidate"),
                             F.coalesce("n_hit_bands", F.lit(0))
                              .cast("long").alias("n_hit_bands")))
-        verd0.unionByName(verd_new).write.mode("overwrite").parquet(
-            f"{state_dir}/state_v{batch_id}/verdicts")
-        mx = (spark.read
-              .parquet(f"{state_dir}/state_v{batch_id}/verdicts")
-              .agg(F.max("doc_id")).collect()[0][0])
+        verd_new.write.mode("overwrite").parquet(
+            f"{state_dir}/verdicts_b{batch_id}")
+        bmx = batch_df.agg(F.max("doc_id")).collect()[0][0]
+        mx = max(x for x in (prev_mx, bmx) if x is not None) \
+            if (prev_mx is not None or bmx is not None) else None
+        spark.createDataFrame([(mx,)], "mx long").write.mode(
+            "overwrite").parquet(f"{state_dir}/state_v{batch_id}/meta")
         kept = (hist.filter(F.col("doc_id") > mx - SPAN_WIN_DOCS)
                 if mx is not None else hist)
         kept.write.mode("overwrite").parquet(
@@ -715,9 +704,5 @@ def stream_windowed_minhash_dedup(docs: DataFrame, state_dir: str,
 
 
 def windowed_minhash_dedup_finalize(spark, state_dir: str) -> DataFrame:
-    """Latest verdicts snapshot of the windowed MinHash candidates."""
-    import glob as _glob
-    versions = sorted(int(p.rsplit("state_v", 1)[1])
-                      for p in _glob.glob(f"{state_dir}/state_v*"))
-    return spark.read.parquet(
-        f"{state_dir}/state_v{versions[-1]}/verdicts")
+    """Verdict log of the windowed MinHash candidates."""
+    return _read_verdict_log(spark, state_dir)

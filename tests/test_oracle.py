@@ -51,8 +51,8 @@ def test_entry_smoke(spark):
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
     put the r08 front first (the r07-red replay row + its hardened
-    siblings, the code-changed-since-last-driver-row ops, the new
-    ops, and the 32 r02-stale + 7 oldest-r03 rotation — VERDICT r07
+    siblings, the code-changed-since-last-driver-row ops, the 8 new
+    ops, and the 32 r02-stale + 3 oldest-r03 rotation — VERDICT r07
     items 1-3), then anything else new this round, then oldest driver
     signal before freshest (r07 last)."""
     names = list(QUERIES)

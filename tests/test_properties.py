@@ -1305,3 +1305,45 @@ def test_textrank_keywords_matches_python_reference(spark):
            for r in q_text_textrank_keywords(
                spark, "/root/testdata/sf0.001").collect()}
     assert got == expect and len(got) == TR_TOP
+
+
+def test_textrank_tolerates_single_word_documents(spark, tmp_path):
+    """Regression (review finding): a 1-token document used to crash
+    offs(2) with slice length -1; the clamped form must yield the
+    same keywords the oracle's generate_series semantics produce."""
+    from go_mapreduce_crawler_spark.operators.text import (
+        q_text_textrank_keywords)
+
+    df = spark.createDataFrame(
+        [(1, "solo", "en", "web", 4),
+         (2, "alpha beta", "en", "web", 10),
+         (3, "alpha beta gamma alpha beta", "en", "web", 27)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    d = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(d)
+    rows = q_text_textrank_keywords(spark, str(tmp_path)).collect()
+    words = {r.word for r in rows}
+    assert words == {"alpha", "beta", "gamma"}   # 'solo' has no edges
+    assert all(r.rank_e9 > 0 for r in rows)
+
+
+def test_domain_mixture_rejects_bigram_free_source(spark, tmp_path):
+    """Loud guard (review finding): a source whose every document is
+    a single word has no bigram statistics and must fail explicitly,
+    never silently vanish from the mixture."""
+    import pytest
+
+    from go_mapreduce_crawler_spark.operators.curation import (
+        q_domain_mixture_mw)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en", "srcA", 16),
+         (2, "beta gamma beta", "en", "srcA", 15),
+         (3, "solo", "en", "srcB", 4)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    d = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(d)
+    with pytest.raises(ValueError, match="bigram"):
+        q_domain_mixture_mw(spark, str(tmp_path))
