@@ -520,7 +520,18 @@ def q_dedup_components(spark, sf_dir):
 
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
-    """Min-label propagation to fixpoint over an undirected pair set."""
+    """(cluster_id, n_members >= 2) summary of `_min_label_labels`."""
+    labels = _min_label_labels(pairs)
+    return (labels.groupBy(F.col("lbl").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") >= 2))
+
+
+def _min_label_labels(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair set.
+
+    Returns the full (node, lbl) labelling — every node that appears in
+    any pair, labelled with its component's minimum node id."""
     # Cache the pair source BEFORE mirroring: the union references the
     # (potentially expensive — LSH) pair subplan twice, and exchange
     # reuse across the two branches is not guaranteed (measured at the
@@ -564,9 +575,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             "min-label propagation did not reach its fixpoint in 20 "
             "rounds (graph diameter > 20); use _star_components "
             "(dedup_components_bigstar) for high-diameter graphs.")
-    return (labels.groupBy(F.col("lbl").alias("cluster_id"))
-            .agg(F.count(F.lit(1)).alias("n_members"))
-            .filter(F.col("n_members") >= 2))
+    return labels
 
 
 def _canonical(e: DataFrame) -> DataFrame:
@@ -672,6 +681,48 @@ def q_dedup_components_lsh(spark, sf_dir):
     """
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return _min_label_components(pairs)
+
+
+def q_dedup_cluster_weights(spark, sf_dir):
+    """Cluster-aware sampling weights: fold every near-dup cluster into
+    ONE survivor document carrying the cluster's mass as an integer
+    weight — the "keep one, upweight" curation policy (dedup that
+    preserves the corpus' empirical distribution for mixture/sampling
+    math downstream, instead of silently down-weighting whatever was
+    crawled most).  Survivor policy = the dedup_keep_best quality rule
+    (longest member, ties -> lowest doc_id); docs in no cluster pass
+    through with weight 1, so SUM(weight) == |corpus| exactly (the
+    mass-conservation pin in tests/test_extensions.py).
+
+    Composition is the production pipeline's: banded MinHash-LSH pair
+    generation (near-linear, never all-pairs) -> min-label components
+    -> one partial+final agg per cluster.  Scale shape: labels and
+    digests are the only wide shuffles; the survivor rides in a
+    min(struct(-n_chars, doc_id)) aggregate cell (no corpus window);
+    the weight-1 passthrough is a LEFT ANTI join on doc_id, which AQE
+    plans as broadcast when the clustered-node set is small (near-dup
+    graphs are sparse: nodes <= 2 * verified pairs) and as a plain
+    shuffle join otherwise.
+
+    Reference bar: the survivor fold is the Accumulate/Combine monoid
+    contract (pool.go:102-121, crawler.go:75-91) keyed by cluster
+    label.  Oracle: recursive-CTE components over the portable
+    (md5 + Carter-Wegman) pair set + a ROW_NUMBER survivor — a
+    different construction, same values.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_labels(pairs)
+    member = labels.join(docs, labels.node == docs.doc_id) \
+                   .select("lbl", "doc_id", "n_chars")
+    best = F.min(F.struct((-F.col("n_chars")).alias("negn"),
+                          F.col("doc_id").alias("did")))
+    surv = (member.groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("weight"), best.alias("b"))
+            .select(F.col("b.did").alias("doc_id"), "weight"))
+    singles = (docs.join(labels, docs.doc_id == labels.node, "left_anti")
+               .select("doc_id", F.lit(1).cast("long").alias("weight")))
+    return surv.unionAll(singles)
 
 
 def q_dedup_fuzzy_lev(spark, sf_dir):
@@ -1307,6 +1358,7 @@ q_lsh_banding_advisor.__doc__ = (q_lsh_banding_advisor.__doc__
 
 
 QUERIES = {
+    "dedup_cluster_sampling_weights": q_dedup_cluster_weights,
     "lsh_banding_advisor": q_lsh_banding_advisor,
     "dedup_cluster_size_histogram": q_dedup_cluster_sizes,
     "decontaminate_fuzzy_minhash": q_decontaminate_fuzzy,
@@ -1453,6 +1505,36 @@ ORACLE = {
     "dedup_substring_len_profile": _substring_len_profile_oracle(),
     "dedup_minhash_lsh":
         "WITH " + _minhash_pair_ctes() + " SELECT * FROM mh",
+    # Independent survivor construction: ROW_NUMBER over (n_chars DESC,
+    # doc_id) per component vs the engine's min(struct) fold.
+    "dedup_cluster_sampling_weights": f"""
+        WITH RECURSIVE {_minhash_pair_ctes()},
+        edges AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM mh
+            UNION SELECT doc_b, doc_a FROM mh),
+        cnodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM cnodes
+            UNION
+            SELECT e.doc_a, r.lbl FROM edges e JOIN reach r
+              ON r.node = e.doc_b),
+        minlbl AS (SELECT node, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY node),
+        mem AS (SELECT m.cluster_id, d.doc_id, d.n_chars
+                FROM minlbl m JOIN documents d ON d.doc_id = m.node),
+        ranked AS (
+            SELECT cluster_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS weight
+            FROM mem)
+        SELECT doc_id, weight::BIGINT AS weight FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, 1::BIGINT AS weight
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT node FROM minlbl)
+    """,
     "dedup_components_lsh": f"""
         WITH RECURSIVE {_minhash_pair_ctes()},
         edges AS MATERIALIZED (

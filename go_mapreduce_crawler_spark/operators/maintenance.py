@@ -433,7 +433,78 @@ def q_inverted_index_delta(spark, sf_dir):
                 p["tf"].cast("string")))), "UTF-8")).alias("postings_md5"))
 
 
+_FORGET = 53           # forget-set predicate: c_custkey % _FORGET == 0
+
+
+def q_gdpr_delete_cascade(spark, sf_dir):
+    """Right-to-be-forgotten cascade: given a forget-set of customer
+    keys, propagate the deletion through the foreign-key chain
+    (customer -> orders -> lineitem) and emit the per-table deletion
+    report — (table, n_total, n_deleted, n_retained) plus an
+    order-independent checksum of the RETAINED keys, so replicas can
+    verify they applied the same erasure without shipping row data
+    (the table_checksum recipe on the survivor key set).
+
+    The deterministic forget-set (c_custkey % 53 == 0, ~2% of
+    customers) stands in for the external deletion-request table; the
+    cascade itself never assumes the predicate — orders are matched by
+    an explicit key relation and lineitem by the derived deleted-order
+    keys, exactly as with an arbitrary request list.
+
+    Scale shape: each fact table is scanned ONCE and aggregated with a
+    deletion flag — no row is rewritten here (the report is the audit
+    artifact; the rewrite is an anti-join write the sinks already
+    cover).  The forget-key and deleted-order-key relations are
+    deletion-request-sized, so both flag joins broadcast
+    (F.broadcast pinned); at a 100 TB fact table that means two
+    scan+partial-agg passes and zero fact-side shuffles.  Checksums
+    are two independent md5 lanes summed as exact integers (collision
+    must cancel in both lanes).
+
+    Reference bar: the (result, recorded-error) contract of
+    crawler.go:204-255 — the report surfaces exactly what was erased
+    rather than silently mutating state.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    forget = (cust.filter(F.col("c_custkey") % _FORGET == 0)
+              .select(F.col("c_custkey").alias("fk")))
+    dead_orders = (orders.join(F.broadcast(forget),
+                               orders.o_custkey == F.col("fk"))
+                   .select(F.col("o_orderkey").alias("dk")))
+
+    def report(df, key, flag, table):
+        lane = lambda pos: F.conv(  # noqa: E731
+            F.substring(F.md5(key.cast("string")), pos, 8), 16, 10) \
+            .cast("long")
+        keep = (~flag).cast("long")
+        return df.groupBy(F.lit(table).alias("tbl")).agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(flag.cast("long")).alias("n_deleted"),
+            F.sum(keep).alias("n_retained"),
+            F.sum(keep * lane(1)).alias("retained_lane1"),
+            F.sum(keep * lane(9)).alias("retained_lane2"))
+
+    c_rep = report(
+        cust.join(F.broadcast(forget),
+                  cust.c_custkey == F.col("fk"), "left"),
+        F.col("c_custkey"), F.col("fk").isNotNull(), "customer")
+    o_rep = report(
+        orders.join(F.broadcast(forget),
+                    orders.o_custkey == F.col("fk"), "left"),
+        F.col("o_orderkey"), F.col("fk").isNotNull(), "orders")
+    l_rep = report(
+        li.join(F.broadcast(dead_orders),
+                li.l_orderkey == F.col("dk"), "left"),
+        F.concat_ws("#", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string")),
+        F.col("dk").isNotNull(), "lineitem")
+    return c_rep.unionAll(o_rep).unionAll(l_rep)
+
+
 QUERIES = {
+    "gdpr_delete_cascade": q_gdpr_delete_cascade,
     "inverted_index_delta_refresh": q_inverted_index_delta,
     "cdc_merge_apply": q_cdc_merge_apply,
     "sink_roundtrip_jsonl": q_sink_roundtrip_jsonl,
@@ -525,6 +596,65 @@ ORACLE = {
         FROM orders GROUP BY o_orderpriority
     """,
 }
+
+# INDEPENDENT construction: the engine cascades through explicit key
+# relations (broadcast joins); the oracle re-derives deletion straight
+# from the predicate and an IN-subquery — same report.
+ORACLE["gdpr_delete_cascade"] = f"""
+    WITH dead_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey % {_FORGET} = 0),
+    c AS (
+        SELECT 'customer' AS tbl, COUNT(*)::BIGINT AS n_total,
+               SUM(CASE WHEN c_custkey % {_FORGET} = 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+               SUM(CASE WHEN c_custkey % {_FORGET} = 0
+                        THEN 0 ELSE 1 END)::BIGINT AS n_retained,
+               SUM(CASE WHEN c_custkey % {_FORGET} = 0 THEN 0 ELSE
+                   ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                   1, 8))::BIGINT END)::BIGINT
+                   AS retained_lane1,
+               SUM(CASE WHEN c_custkey % {_FORGET} = 0 THEN 0 ELSE
+                   ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                   9, 8))::BIGINT END)::BIGINT
+                   AS retained_lane2
+        FROM customer),
+    o AS (
+        SELECT 'orders' AS tbl, COUNT(*)::BIGINT AS n_total,
+               SUM(CASE WHEN o_custkey % {_FORGET} = 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+               SUM(CASE WHEN o_custkey % {_FORGET} = 0
+                        THEN 0 ELSE 1 END)::BIGINT AS n_retained,
+               SUM(CASE WHEN o_custkey % {_FORGET} = 0 THEN 0 ELSE
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                   1, 8))::BIGINT END)::BIGINT
+                   AS retained_lane1,
+               SUM(CASE WHEN o_custkey % {_FORGET} = 0 THEN 0 ELSE
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                   9, 8))::BIGINT END)::BIGINT
+                   AS retained_lane2
+        FROM orders),
+    lk AS (
+        SELECT concat_ws('#', CAST(l_orderkey AS VARCHAR),
+                         CAST(l_linenumber AS VARCHAR)) AS k,
+               (l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+                   AS dead
+        FROM lineitem),
+    l AS (
+        SELECT 'lineitem' AS tbl, COUNT(*)::BIGINT AS n_total,
+               SUM(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT
+                   AS n_deleted,
+               SUM(CASE WHEN dead THEN 0 ELSE 1 END)::BIGINT
+                   AS n_retained,
+               SUM(CASE WHEN dead THEN 0 ELSE
+                   ('0x' || substr(md5(k), 1, 8))::BIGINT END)::BIGINT
+                   AS retained_lane1,
+               SUM(CASE WHEN dead THEN 0 ELSE
+                   ('0x' || substr(md5(k), 9, 8))::BIGINT END)::BIGINT
+                   AS retained_lane2
+        FROM lk)
+    SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+"""
 
 ORACLE["cdc_merge_apply"] = f"""
     WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),

@@ -498,7 +498,109 @@ def q_zorder_layout(spark, sf_dir):
         " AS file_id")
 
 
+ADV_BCAST_B = 10 * 1024 * 1024   # autoBroadcastJoinThreshold default
+ADV_SKEW_E6 = 4_000_000          # hot key > 4x fair share -> salt
+
+
+def _join_side_stats(df, key, canon, side):
+    """One-row side summary: rows, distinct keys, hottest key, bytes.
+
+    Two partial+final aggs (one over the COMPACTED key histogram, one
+    over the raw canon bytes) — runs ON the 100 TB table.
+    """
+    hist = df.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+    ks = hist.agg(F.sum("cnt").alias(f"{side}_rows"),
+                  F.count(F.lit(1)).alias(f"{side}_keys"),
+                  F.max("cnt").alias(f"{side}_maxfreq"))
+    bs = df.agg(F.sum(F.octet_length(canon)).alias(f"{side}_bytes"))
+    return ks.crossJoin(bs)
+
+
+def advise_join(probe_stats, build_stats):
+    """The decision kernel over two one-row side summaries — shared by
+    the query below and the fixture tests (celebrity key -> salt,
+    oversized dim -> sort-merge)."""
+    j = probe_stats.crossJoin(build_stats)
+    # DECIMAL(38,0) intermediate: maxfreq * keys * 1e6 overflows BIGINT
+    # on realistic 100 TB cardinalities; integer DIV keeps both engines
+    # bit-identical (no double rounding at the floor boundary).
+    skew = lambda s: F.expr(  # noqa: E731
+        f"CAST((CAST({s}_maxfreq AS DECIMAL(38,0)) * {s}_keys * 1000000)"
+        f" DIV {s}_rows AS BIGINT)")
+    j = j.withColumn("probe_skew_e6", skew("probe")) \
+         .withColumn("build_skew_e6", skew("build"))
+    min_bytes = F.least("probe_bytes", "build_bytes")
+    bcast_side = F.when(F.col("build_bytes") <= F.col("probe_bytes"),
+                        F.lit("build")).otherwise(F.lit("probe"))
+    strategy = (F.when(min_bytes <= ADV_BCAST_B, F.lit("broadcast"))
+                .when(F.greatest("probe_skew_e6", "build_skew_e6")
+                      >= ADV_SKEW_E6, F.lit("shuffle-salt"))
+                .otherwise(F.lit("sort-merge")))
+    shuffle_b = F.when(min_bytes <= ADV_BCAST_B, F.lit(0).cast("long")) \
+        .otherwise((F.col("probe_bytes")
+                    + F.col("build_bytes")).cast("long"))
+    j = (j.withColumn("strategy", strategy)
+          .withColumn("bcast_side",
+                      F.when(min_bytes <= ADV_BCAST_B, bcast_side)
+                       .otherwise(F.lit("none")))
+          .withColumn("est_shuffle_bytes", shuffle_b))
+    shared = ["strategy", "bcast_side", "est_shuffle_bytes"]
+    row = lambda s: j.select(  # noqa: E731
+        F.lit(s).alias("side"), F.col(f"{s}_rows").alias("n_rows"),
+        F.col(f"{s}_keys").alias("n_distinct_keys"),
+        F.col(f"{s}_maxfreq").alias("max_key_freq"),
+        F.col(f"{s}_bytes").alias("est_bytes"),
+        F.col(f"{s}_skew_e6").alias("skew_ratio_e6"), *shared)
+    return row("probe").unionAll(row("build"))
+
+
+def q_join_strategy_advisor(spark, sf_dir):
+    """Join-strategy advisor — the planning twin of skew_salt_advisor:
+    MEASURE both sides of a planned join (orders ⋈ customer on
+    custkey) and emit, per side, the cardinality/skew/byte statistics
+    plus the physical strategy a cost-based planner would pick from
+    them: broadcast when the smaller side fits under the 10 MB
+    autoBroadcastJoinThreshold (shuffle cost 0 — the fact table never
+    moves), shuffle-salt when the hottest key exceeds 4x its fair
+    share (the straggler regime AQE's skew split handles late and a
+    salt plan fixes up front), sort-merge otherwise — with the
+    projected shuffle bytes for the chosen plan.
+
+    Why it matters at 100 TB: Spark's own CBO only has these numbers
+    if ANALYZE ran; on a raw-parquet lake this advisor IS the ANALYZE
+    pass, scoped to one join, and its outputs (strategy, bcast side,
+    projected shuffle bytes) are exactly the knobs a pipeline sets
+    (broadcast hint, salt factor, shuffle partitions).  Byte sizes
+    are measured from the canonicalized row text (the table_checksum
+    canon), not schema guesses — compressed parquet under-reports the
+    in-flight shuffle width.
+
+    Scale shape: two aggs per side (compacted key histogram + byte
+    sum), a 1x1 crossJoin of one-row summaries, integer fixed-point
+    throughout.  All decision arithmetic is oracled; the celebrity
+    and oversized-dim regimes are pinned on fixtures in
+    tests/test_skew.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o_canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"), F.col("o_orderstatus"),
+        F.col("o_totalprice").cast(MONEY).cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"))
+    c_canon = F.concat_ws(
+        "|", F.col("c_custkey").cast("string"), F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_acctbal").cast(MONEY).cast("string"),
+        F.col("c_mktsegment"))
+    return advise_join(
+        _join_side_stats(o, F.col("o_custkey"), o_canon, "probe"),
+        _join_side_stats(c, F.col("c_custkey"), c_canon, "build"))
+
+
 QUERIES = {
+    "join_strategy_advisor": q_join_strategy_advisor,
     "zorder_layout_key": q_zorder_layout,
     "join_salted_skew": q_join_salted,
     "agg_salted_twophase": q_agg_salted_twophase,
@@ -569,6 +671,67 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+ORACLE["join_strategy_advisor"] = f"""
+    WITH oc AS (
+        SELECT o_custkey AS k,
+               concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                         CAST(o_custkey AS VARCHAR), o_orderstatus,
+                         CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS VARCHAR),
+                         strftime(o_orderdate, '%Y-%m-%d'),
+                         o_orderpriority) AS canon
+        FROM orders),
+    cc AS (
+        SELECT c_custkey AS k,
+               concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+                         CAST(c_nationkey AS VARCHAR),
+                         CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                              AS VARCHAR),
+                         c_mktsegment) AS canon
+        FROM customer),
+    ph AS (SELECT k, COUNT(*) AS cnt FROM oc GROUP BY k),
+    bh AS (SELECT k, COUNT(*) AS cnt FROM cc GROUP BY k),
+    ps AS (SELECT SUM(cnt)::BIGINT AS probe_rows,
+                  COUNT(*)::BIGINT AS probe_keys,
+                  MAX(cnt)::BIGINT AS probe_maxfreq FROM ph),
+    bs AS (SELECT SUM(cnt)::BIGINT AS build_rows,
+                  COUNT(*)::BIGINT AS build_keys,
+                  MAX(cnt)::BIGINT AS build_maxfreq FROM bh),
+    pb AS (SELECT SUM(strlen(canon))::BIGINT AS probe_bytes FROM oc),
+    bb AS (SELECT SUM(strlen(canon))::BIGINT AS build_bytes FROM cc),
+    j AS (SELECT *,
+            ((probe_maxfreq::HUGEINT * probe_keys * 1000000)
+             // probe_rows)::BIGINT AS probe_skew_e6,
+            ((build_maxfreq::HUGEINT * build_keys * 1000000)
+             // build_rows)::BIGINT AS build_skew_e6
+          FROM ps, bs, pb, bb),
+    d AS (SELECT *,
+            CASE WHEN LEAST(probe_bytes, build_bytes) <= {ADV_BCAST_B}
+                 THEN 'broadcast'
+                 WHEN GREATEST(probe_skew_e6, build_skew_e6)
+                      >= {ADV_SKEW_E6}
+                 THEN 'shuffle-salt'
+                 ELSE 'sort-merge' END AS strategy,
+            CASE WHEN LEAST(probe_bytes, build_bytes) <= {ADV_BCAST_B}
+                 THEN (CASE WHEN build_bytes <= probe_bytes
+                            THEN 'build' ELSE 'probe' END)
+                 ELSE 'none' END AS bcast_side,
+            (CASE WHEN LEAST(probe_bytes, build_bytes) <= {ADV_BCAST_B}
+                  THEN 0
+                  ELSE probe_bytes + build_bytes END)::BIGINT
+                AS est_shuffle_bytes
+          FROM j)
+    SELECT 'probe' AS side, probe_rows AS n_rows,
+           probe_keys AS n_distinct_keys, probe_maxfreq AS max_key_freq,
+           probe_bytes AS est_bytes, probe_skew_e6 AS skew_ratio_e6,
+           strategy, bcast_side, est_shuffle_bytes
+    FROM d
+    UNION ALL
+    SELECT 'build', build_rows, build_keys, build_maxfreq, build_bytes,
+           build_skew_e6, strategy, bcast_side, est_shuffle_bytes
+    FROM d
+"""
 
 ORACLE["quantile_sketch_rollup"] = f"""
     WITH base AS (

@@ -1464,7 +1464,54 @@ def q_chunk_content_defined(spark, sf_dir):
         "rk", "chunk_md5", "n_occurrences", "n_docs", "n_words")
 
 
+def q_quality_adaptive_threshold(spark, sf_dir):
+    """Per-SOURCE adaptive quality gate: instead of one global cutoff,
+    each source keeps its own top 75% by uniqueness score — the
+    domain-aware filtering rule (a fixed global threshold calibrated on
+    web text silently eviscerates code/forum/low-resource domains;
+    Gopher and CCNet both filter per-domain for exactly this reason).
+
+    Score = floor(distinct_words * 1000 / words) — integer milli-units,
+    engine-exact.  Cutoff per source = the 25th-percentile score over
+    the COMPACTED (source, score, cnt) relation (compaction-before-rank
+    doctrine: the cumulative window orders <= 1001 distinct score
+    values per source, value-domain bounded, never the raw corpus), a
+    doc is kept iff score >= its own source's cutoff, and the kept
+    counts are summed from the same compacted relation — the fact
+    table is scanned ONCE for the histogram and never re-shuffled.
+
+    Output per source: cutoff, totals, kept fraction in ppm — the
+    audit row a curation run logs before applying the gate.
+    """
+    d = _docs(spark, sf_dir)
+    score = F.expr(
+        "CAST((size(array_distinct(split(text, ' '))) * 1000)"
+        " DIV size(split(text, ' ')) AS BIGINT)")
+    hist = (d.select("source", score.alias("score"))
+            .groupBy("source", "score")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    w_cum = (W.partitionBy("source").orderBy("score")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n_total"))
+    cut = (cum.join(tot, "source")
+           .filter(F.col("cum") * 4 >= F.col("n_total"))
+           .groupBy("source")
+           .agg(F.min("score").alias("cutoff_e3"),
+                F.min("n_total").alias("n_total")))
+    kept = (hist.join(F.broadcast(cut), "source")
+            .groupBy("source", "cutoff_e3", "n_total")
+            .agg(F.sum(F.when(F.col("score") >= F.col("cutoff_e3"),
+                              F.col("cnt")).otherwise(F.lit(0)))
+                 .alias("n_kept")))
+    return kept.select(
+        "source", "cutoff_e3", "n_total", "n_kept",
+        F.expr("CAST((n_kept * 1000000) DIV n_total AS BIGINT)")
+         .alias("kept_ppm"))
+
+
 QUERIES = {
+    "quality_adaptive_threshold": q_quality_adaptive_threshold,
     "text_stats": q_text_stats,
     "text_oov_rate": q_text_oov_rate,
     "quality_perplexity_buckets": q_quality_ppl_buckets,
@@ -1507,6 +1554,35 @@ _HITS = {k: f"len(list_intersect(list_distinct(string_split(text, ' ')), {v}))"
 _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 
 ORACLE = {
+    "quality_adaptive_threshold": """
+        WITH s AS (
+            SELECT source,
+                   (len(list_distinct(string_split(text, ' '))) * 1000)
+                     // len(string_split(text, ' ')) AS score
+            FROM documents),
+        hist AS (SELECT source, score, COUNT(*)::BIGINT AS cnt
+                 FROM s GROUP BY 1, 2),
+        cum AS (SELECT source, score, cnt,
+                       SUM(cnt) OVER (PARTITION BY source
+                                      ORDER BY score) AS cum
+                FROM hist),
+        tot AS (SELECT source, SUM(cnt)::BIGINT AS n_total
+                FROM hist GROUP BY 1),
+        cut AS (SELECT c.source, MIN(score)::BIGINT AS cutoff_e3,
+                       MIN(n_total)::BIGINT AS n_total
+                FROM cum c JOIN tot t ON c.source = t.source
+                WHERE c.cum * 4 >= t.n_total GROUP BY 1),
+        kept AS (SELECT h.source, k.cutoff_e3, k.n_total,
+                        SUM(CASE WHEN h.score >= k.cutoff_e3
+                                 THEN h.cnt ELSE 0 END)::BIGINT
+                            AS n_kept
+                 FROM hist h JOIN cut k ON h.source = k.source
+                 GROUP BY 1, 2, 3)
+        SELECT source, cutoff_e3, n_total, n_kept,
+               ((n_kept::HUGEINT * 1000000) // n_total)::BIGINT
+                   AS kept_ppm
+        FROM kept
+    """,
     "text_contamination_bloom": f"""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
                    FROM documents),
