@@ -128,6 +128,13 @@ HEADLINE = [
     "domain_mixture_mw_iterated",
     "dedup_substring_len_profile",
     "text_textrank_keywords",
+    "dedup_cluster_sampling_weights",
+    "gdpr_delete_cascade",
+    "join_strategy_advisor",
+    "quality_adaptive_threshold",
+    "multimodal_audio_energy",
+    "sample_neyman_allocation",
+    "dedup_incremental_lsh",
 ]
 
 N_CRAWL_FILES = 2000

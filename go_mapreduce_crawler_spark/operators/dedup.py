@@ -683,6 +683,51 @@ def q_dedup_components_lsh(spark, sf_dir):
     return _min_label_components(pairs)
 
 
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Ingest-time NEAR-dup screening — the fuzzy sibling of
+    q_dedup_incremental: today's batch (doc_id % 10 == 0) is probed
+    against the BASE corpus's LSH band-bucket index, candidates
+    verified with true shingle Jaccard, and every (new doc, base doc)
+    near-duplicate pair is emitted — the continuously-growing-corpus
+    step where re-banding 100 TB per day is not an option (the base
+    bucket index is maintained incrementally like
+    inverted_index_delta_refresh; here both sides are derived from the
+    same table so the oracle can rebuild them).
+
+    Scale shape: batch signatures are row-local (_band_buckets_of);
+    the probe is an equi-join on (band, bucket) between the
+    BATCH-sized bucket relation and the base index — signature bytes,
+    never text; the verify join ships shingle arrays for candidate
+    docs only (shuffle_hash-hinted at every cand-verify site — the
+    shingle relation must never broadcast).  Candidates batch-vs-base
+    agree bit-for-bit with the full-corpus banding (same bucket keys),
+    so the oracle is the shared mh CTE restricted to mixed pairs.
+    """
+    d = _docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    bb_base = _band_buckets_of(base)
+    bb_new = _band_buckets_of(batch)
+    cand = (bb_new.select(F.col("doc_id").alias("doc_new"),
+                          "band", "bucket")
+            .join(bb_base.select(F.col("doc_id").alias("doc_base"),
+                                 "band", "bucket"),
+                  ["band", "bucket"])
+            .select("doc_new", "doc_base").distinct())
+    sh = _shingles(spark, sf_dir)
+    va = sh.select(F.col("doc_id").alias("doc_new"),
+                   F.col("shingles").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("doc_base"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (cand.hint("shuffle_hash").join(va, "doc_new")
+            .hint("shuffle_hash").join(vb, "doc_base")
+            .withColumn("jaccard", F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6))
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .select("doc_new", "doc_base", "jaccard"))
+
+
 def q_dedup_cluster_weights(spark, sf_dir):
     """Cluster-aware sampling weights: fold every near-dup cluster into
     ONE survivor document carrying the cluster's mass as an integer
@@ -1358,6 +1403,7 @@ q_lsh_banding_advisor.__doc__ = (q_lsh_banding_advisor.__doc__
 
 
 QUERIES = {
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "dedup_cluster_sampling_weights": q_dedup_cluster_weights,
     "lsh_banding_advisor": q_lsh_banding_advisor,
     "dedup_cluster_size_histogram": q_dedup_cluster_sizes,
@@ -1505,6 +1551,18 @@ ORACLE = {
     "dedup_substring_len_profile": _substring_len_profile_oracle(),
     "dedup_minhash_lsh":
         "WITH " + _minhash_pair_ctes() + " SELECT * FROM mh",
+    # Batch-vs-base candidacy == full-corpus candidacy restricted to
+    # mixed pairs (bucket keys are per-doc), so the shared mh CTE
+    # filtered to exactly-one-side-in-batch is the exact oracle.
+    "dedup_incremental_lsh":
+        "WITH " + _minhash_pair_ctes() + """
+        SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+                   AS doc_new,
+               CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END
+                   AS doc_base,
+               jaccard
+        FROM mh WHERE (doc_a % 10 = 0) != (doc_b % 10 = 0)
+    """,
     # Independent survivor construction: ROW_NUMBER over (n_chars DESC,
     # doc_id) per component vs the engine's min(struct) fold.
     "dedup_cluster_sampling_weights": f"""

@@ -480,7 +480,66 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("text_dup") != F.col("media_dup")))
 
 
+AUDIO_WIN = 64     # samples per energy window (bytes of the fake PCM)
+
+
+def audio_energy_windows(df: DataFrame) -> DataFrame:
+    """Windowed audio energy profile over binary payloads: the payload
+    is decoded as 8-bit PCM (the deterministic fake — a real deployment
+    swaps `np.frombuffer` for an ffmpeg decode, same kernel signature)
+    and reduced to per-window (n_samples, sum-of-squares energy, peak)
+    rows — the VAD/loudness front-end of an audio curation pipeline.
+
+    Arrow-batched mapInPandas, zero shuffles: the per-window reduction
+    happens INSIDE the kernel with numpy reduceat (one pass over the
+    batch's concatenated samples, no per-sample rows ever leave the
+    worker), so the operator emits n/WIN rows per clip, not n.  All
+    outputs are exact integers (uint8 squares summed in int64).
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_idx", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("peak", T.LongType(), False),
+    ])
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ids, wins, ns, es, ps = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(p), dtype=np.uint8) \
+                    .astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    continue
+                starts = np.arange(0, n, AUDIO_WIN)
+                ids.extend([mid] * len(starts))
+                wins.extend(range(len(starts)))
+                cnt = np.diff(np.append(starts, n))
+                ns.extend(cnt.tolist())
+                es.extend(np.add.reduceat(s * s, starts).tolist())
+                ps.extend(np.maximum.reduceat(s, starts).tolist())
+            yield pd.DataFrame({"media_id": ids, "win_idx": wins,
+                                "n_samples": ns, "energy": es,
+                                "peak": ps})
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Audio-kind clips only — the metadata filter prunes BEFORE the
+    Python kernel runs (2/3 of payloads are never deserialized), the
+    property that makes metadata-typed binary columns pay off at
+    100 TB.  Full value oracle: the fake PCM is the utf-8 payload, so
+    DuckDB re-derives every window from hex(encode(text))."""
+    m = synth_media(spark, sf_dir).filter(F.col("meta.kind") == "audio")
+    return audio_energy_windows(m.select("media_id", "payload"))
+
+
 QUERIES = {
+    "multimodal_audio_energy": q_multimodal_audio_energy,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
@@ -554,6 +613,22 @@ def _crossmodal_oracle_sql() -> str:
 
 
 ORACLE = {
+    # Per-window PCM profile re-derived byte-by-byte from the hex
+    # rendering of the utf-8 payload — an independent (string-math)
+    # construction of the numpy reduceat kernel.
+    "multimodal_audio_energy": f"""
+        WITH a AS (SELECT doc_id AS media_id, encode(text) AS b
+                   FROM documents WHERE doc_id % 3 = 1),
+        hx AS (SELECT media_id, hex(b) AS h, octet_length(b) AS n
+               FROM a WHERE octet_length(b) > 0),
+        by AS (SELECT media_id,
+                      CAST((i - 1) // {AUDIO_WIN} AS BIGINT) AS win_idx,
+                      ('0x' || substr(h, 2 * i - 1, 2))::BIGINT AS v
+               FROM hx, unnest(generate_series(1, n)) AS t(i))
+        SELECT media_id, win_idx, COUNT(*)::BIGINT AS n_samples,
+               SUM(v * v)::BIGINT AS energy, MAX(v)::BIGINT AS peak
+        FROM by GROUP BY 1, 2
+    """,
     "multimodal_near_dup_phash": _PHASH_NEARDUP_SQL,
     "crossmodal_dedup_report": _crossmodal_oracle_sql(),
     # The digest-fake feature path IS SQL-expressible: DuckDB's

@@ -184,7 +184,63 @@ def q_sample_split_group(spark, sf_dir):
          .otherwise("train").alias("split"))
 
 
+NEYMAN_BUDGET = 1000    # labeling budget to allocate across strata
+
+
+def q_sample_neyman(spark, sf_dir):
+    """Neyman-optimal stratified allocation: split a fixed labeling /
+    eval budget B across strata (sources) proportional to n_h * s_h —
+    the allocation minimizing the variance of the stratified mean
+    (Neyman 1934), the design question behind every "which docs do we
+    send to human raters" pass.  Proportional allocation oversamples
+    big uniform strata; Neyman shifts budget to strata that are big
+    AND internally diverse.
+
+    All arithmetic is engine-exact: per-stratum (n, Σx, Σx²) from ONE
+    partial+final agg over the fact table (DECIMAL(38,0) power sums —
+    overflow-free at any corpus size); sample variance ×1e6 by integer
+    DIV; s_e3 = floor(sqrt) — the sqrt argument stays < 2^53 (it is a
+    per-doc-length variance, not a corpus aggregate), so the
+    IEEE-exactly-rounded sqrt is deterministic in both engines.  The
+    final largest-remainder apportionment (so ΣA alloc == B exactly, no
+    floor dust) ranks the STRATA relation only — |sources| rows, never
+    the corpus.
+
+    Output per stratum: n_docs, s_e3 (length stddev, milli-units),
+    alloc.  Pinned in tests: Σalloc == B and the allocation beats
+    proportional on the fixture's variance-weighted objective.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    st = (d.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sx"),
+               F.sum((F.col("n_chars") * F.col("n_chars"))
+                     .cast("decimal(38,0)")).alias("sxx")))
+    s2_e6 = F.expr(
+        "CASE WHEN n < 2 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(((n * sxx - sx * sx) * 1000000) DIV (n * (n - 1)) "
+        "AS BIGINT) END")
+    st = st.withColumn("s_e3", F.floor(F.sqrt(s2_e6)).cast("long"))
+    st = st.withColumn("w", F.col("n") * F.col("s_e3"))
+    tot = st.agg(F.sum("w").alias("tw"))
+    j = st.crossJoin(F.broadcast(tot))
+    j = (j.withColumn("base", F.expr(
+            f"CAST(({NEYMAN_BUDGET} * w) DIV tw AS BIGINT)"))
+          .withColumn("rem", F.expr(f"({NEYMAN_BUDGET} * w) % tw")))
+    used = j.agg(F.sum("base").alias("used"))
+    j = j.crossJoin(F.broadcast(used))
+    # largest-remainder top-up over the |strata|-sized relation
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("source")))
+    return (j.withColumn("rk", rk)
+            .select("source", F.col("n").alias("n_docs"), "s_e3",
+                    (F.col("base")
+                     + (F.col("rk") <= NEYMAN_BUDGET - F.col("used"))
+                       .cast("long")).alias("alloc")))
+
+
 QUERIES = {
+    "sample_neyman_allocation": q_sample_neyman,
     "sample_split_deterministic": q_sample_split,
     "sample_split_group_holdout": q_sample_split_group,
     "sample_temperature_mix": q_sample_temperature_mix,
@@ -196,6 +252,34 @@ QUERIES = {
 _B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE = {
+    "sample_neyman_allocation": f"""
+        WITH st AS (SELECT source, COUNT(*)::BIGINT AS n,
+                           SUM(n_chars::HUGEINT) AS sx,
+                           SUM((n_chars::HUGEINT * n_chars)) AS sxx
+                    FROM documents GROUP BY 1),
+        v AS (SELECT source, n,
+                     CASE WHEN n < 2 THEN 0
+                          ELSE ((n * sxx - sx * sx) * 1000000)
+                               // (n * (n - 1)) END AS s2e6
+              FROM st),
+        s AS (SELECT source, n,
+                     FLOOR(SQRT(s2e6::DOUBLE))::BIGINT AS s_e3
+              FROM v),
+        w AS (SELECT source, n, s_e3, n * s_e3 AS w FROM s),
+        t AS (SELECT SUM(w) AS tw FROM w),
+        j AS (SELECT source, n, s_e3,
+                     ({NEYMAN_BUDGET} * w) // tw AS base,
+                     ({NEYMAN_BUDGET} * w) % tw AS rem
+              FROM w, t),
+        u AS (SELECT SUM(base) AS used FROM j),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                            AS rk
+              FROM j, u)
+        SELECT source, n AS n_docs, s_e3,
+               (base + CASE WHEN rk <= {NEYMAN_BUDGET} - used
+                            THEN 1 ELSE 0 END)::BIGINT AS alloc
+        FROM r
+    """,
     "sample_temperature_mix": f"""
         WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
         t AS (SELECT COUNT(*) AS total FROM documents),

@@ -148,6 +148,89 @@ def test_join_strategy_advisor_on_tpch(spark):
         assert r.est_bytes > 20 * r.n_rows
 
 
+# ---------------------------------------------------------- audio energy
+
+def test_audio_energy_matches_python_fold(spark):
+    """Per-window (count, energy, peak) equals a pure-Python fold over
+    the same utf-8 payload bytes, and only audio-kind media appear
+    (the metadata filter pruned before the kernel)."""
+    from go_mapreduce_crawler_spark.operators.multimodal import (
+        AUDIO_WIN, q_multimodal_audio_energy)
+
+    out = {}
+    for r in q_multimodal_audio_energy(spark, SF).collect():
+        out[(r.media_id, r.win_idx)] = (r.n_samples, r.energy, r.peak)
+    docs = {r.doc_id: r.text
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+                          .select("doc_id", "text").collect()}
+    expect = {}
+    for did, text in docs.items():
+        if did % 3 != 1:                      # audio kind only
+            continue
+        b = text.encode("utf-8")
+        for w in range((len(b) + AUDIO_WIN - 1) // AUDIO_WIN):
+            chunk = b[w * AUDIO_WIN:(w + 1) * AUDIO_WIN]
+            expect[(did, w)] = (len(chunk),
+                                sum(x * x for x in chunk), max(chunk))
+    assert out == expect and expect
+
+
+# ------------------------------------------------------ neyman allocation
+
+def test_neyman_allocation_exact_budget_and_replica(spark):
+    import math
+
+    from go_mapreduce_crawler_spark.operators.sampling import (
+        NEYMAN_BUDGET, q_sample_neyman)
+
+    out = {r.source: r for r in q_sample_neyman(spark, SF).collect()}
+    assert sum(r.alloc for r in out.values()) == NEYMAN_BUDGET
+
+    rows = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("source", "n_chars").collect())
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    stats = {}
+    for src, xs in by_src.items():
+        n, sx = len(xs), sum(xs)
+        sxx = sum(x * x for x in xs)
+        s2e6 = 0 if n < 2 else (n * sxx - sx * sx) * 10**6 // (n * (n - 1))
+        stats[src] = (n, math.isqrt(s2e6))
+    tw = sum(n * s for n, s in stats.values())
+    base = {s: NEYMAN_BUDGET * n * se // tw
+            for s, (n, se) in stats.items()}
+    rem = {s: (NEYMAN_BUDGET * n * se) % tw
+           for s, (n, se) in stats.items()}
+    leftover = NEYMAN_BUDGET - sum(base.values())
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    for src, r in out.items():
+        assert (r.n_docs, r.s_e3, r.alloc) == (
+            stats[src][0], stats[src][1], base[src]), src
+
+
+# --------------------------------------------------- incremental LSH dedup
+
+def test_incremental_lsh_equals_filtered_batch_family(spark):
+    """Ingest-time pairs == the batch dedup_minhash_lsh pair set
+    restricted to exactly-one-side-in-batch (same buckets, same verify
+    — the family-consistency contract)."""
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        q_dedup_incremental_lsh, q_dedup_minhash_lsh)
+
+    inc = {(r.doc_new, r.doc_base, r.jaccard)
+           for r in q_dedup_incremental_lsh(spark, SF).collect()}
+    full = q_dedup_minhash_lsh(spark, SF).collect()
+    want = set()
+    for r in full:
+        if (r.doc_a % 10 == 0) != (r.doc_b % 10 == 0):
+            new, base = ((r.doc_a, r.doc_b) if r.doc_a % 10 == 0
+                         else (r.doc_b, r.doc_a))
+            want.add((new, base, r.jaccard))
+    assert inc == want and want
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
