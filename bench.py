@@ -135,6 +135,9 @@ HEADLINE = [
     "multimodal_audio_energy",
     "sample_neyman_allocation",
     "dedup_incremental_lsh",
+    "ivf_index_delta_refresh",
+    "schema_drift_detect",
+    "stream_gdpr_forget_replay",
 ]
 
 N_CRAWL_FILES = 2000

@@ -1441,7 +1441,91 @@ def q_profile_keys_fds(spark, sf_dir):
     return out
 
 
+DRIFT_SPLIT = "1997-01-01"     # base snapshot < split <= incoming batch
+
+
+def q_schema_drift(spark, sf_dir):
+    """Column-level DRIFT report between a base snapshot and an
+    incoming batch (orders split on o_orderdate) — the ingest-monitor
+    pass a 100 TB lake runs before appending a day's partition:
+    per column, row/null/distinct counts and value range on BOTH
+    sides, plus the drift verdicts (ndv ratio outside [0.5x, 2x],
+    null-rate delta > 1000 ppm, or the batch's range escaping the base
+    range) that page the pipeline owner before a bad upstream deploy
+    poisons the table.
+
+    One partial+final aggregate PER SIDE computes every column's
+    stats in a single pass (the multi-countDistinct plans through one
+    Expand — one scan each side, no per-column re-reads); the stack()
+    unpivot and the column-keyed join run on the 4-row profile
+    relations.  Ranges compare on canonical strings (prices fixed to
+    DECIMAL(12,2)) so the report is engine- and type-portable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = {
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_totalprice": F.col("o_totalprice").cast("decimal(12,2)"),
+        "o_custkey": F.col("o_custkey"),
+    }
+
+    # Numeric mins/maxes render as zero-padded fixed-width strings so
+    # the post-stack range compares stay ORDER-CORRECT lexicographically
+    # (plain "100" < "99" would invert the escape flags).
+    pad = {"o_totalprice": 15, "o_custkey": 12}
+
+    def profile(df):
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for name, c in cols.items():
+            mn, mx = F.min(c).cast("string"), F.max(c).cast("string")
+            if name in pad:
+                mn = F.lpad(mn, pad[name], "0")
+                mx = F.lpad(mx, pad[name], "0")
+            aggs += [
+                F.sum(c.isNull().cast("long")).alias(f"nn_{name}"),
+                F.countDistinct(c).alias(f"ndv_{name}"),
+                mn.alias(f"mn_{name}"),
+                mx.alias(f"mx_{name}"),
+            ]
+        wide = df.agg(*aggs)
+        stack = "stack(%d, %s) as (col, n_null, ndv, mn, mx)" % (
+            len(cols), ", ".join(
+                f"'{n}', nn_{n}, ndv_{n}, mn_{n}, mx_{n}" for n in cols))
+        return wide.select("n", F.expr(stack))
+
+    base = profile(o.filter(F.col("o_orderdate") < DRIFT_SPLIT))
+    new = profile(o.filter(F.col("o_orderdate") >= DRIFT_SPLIT))
+    b = base.select(F.col("col"), F.col("n").alias("base_n"),
+                    F.col("n_null").alias("base_null"),
+                    F.col("ndv").alias("base_ndv"),
+                    F.col("mn").alias("base_min"),
+                    F.col("mx").alias("base_max"))
+    nw = new.select(F.col("col"), F.col("n").alias("new_n"),
+                    F.col("n_null").alias("new_null"),
+                    F.col("ndv").alias("new_ndv"),
+                    F.col("mn").alias("new_min"),
+                    F.col("mx").alias("new_max"))
+    j = b.join(nw, "col")
+    ppm = lambda nl, n: F.expr(  # noqa: E731
+        f"CAST(({nl} * 1000000) DIV {n} AS BIGINT)")
+    j = (j.withColumn("base_null_ppm", ppm("base_null", "base_n"))
+          .withColumn("new_null_ppm", ppm("new_null", "new_n"))
+          .withColumn("ndv_ratio_e6", F.expr(
+              "CAST((new_ndv * 1000000) DIV base_ndv AS BIGINT)")))
+    drift = ((F.col("ndv_ratio_e6") < 500_000)
+             | (F.col("ndv_ratio_e6") > 2_000_000)
+             | (F.abs(F.col("new_null_ppm") - F.col("base_null_ppm"))
+                > 1000)
+             | (F.col("new_min") < F.col("base_min"))
+             | (F.col("new_max") > F.col("base_max")))
+    return j.select("col", "base_n", "new_n", "base_ndv", "new_ndv",
+                    "base_null_ppm", "new_null_ppm", "ndv_ratio_e6",
+                    "base_min", "base_max", "new_min", "new_max",
+                    drift.alias("drift"))
+
+
 QUERIES = {
+    "schema_drift_detect": q_schema_drift,
     "feat_zscore_per_type": q_feat_zscore,
     "validate_referential_integrity": q_validate_referential,
     "profile_keys_fds": q_profile_keys_fds,
@@ -1476,7 +1560,60 @@ QUERIES = {
     "stats_kendall_tau": q_stats_kendall_tau,
 }
 
+def _drift_oracle() -> str:
+    cols = {
+        "o_orderstatus": ("o_orderstatus", 0),
+        "o_orderpriority": ("o_orderpriority", 0),
+        "o_totalprice": ("CAST(o_totalprice AS DECIMAL(12,2))", 15),
+        "o_custkey": ("o_custkey", 12),
+    }
+
+    def side(rel, p):
+        parts = []
+        for name, (expr, padw) in cols.items():
+            mn, mx = f"CAST(MIN({expr}) AS VARCHAR)", \
+                     f"CAST(MAX({expr}) AS VARCHAR)"
+            if padw:
+                mn, mx = f"lpad({mn}, {padw}, '0')", \
+                         f"lpad({mx}, {padw}, '0')"
+            parts.append(f"""
+            SELECT '{name}' AS col, COUNT(*)::BIGINT AS {p}_n,
+                   SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS {p}_null,
+                   COUNT(DISTINCT {expr})::BIGINT AS {p}_ndv,
+                   {mn} AS {p}_min, {mx} AS {p}_max
+            FROM {rel}""")
+        return " UNION ALL ".join(parts)
+
+    return f"""
+        WITH b0 AS (SELECT * FROM orders
+                    WHERE o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'),
+        n0 AS (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '{DRIFT_SPLIT}'),
+        bp AS ({side('b0', 'base')}),
+        np AS ({side('n0', 'new')}),
+        j AS (SELECT bp.*, np.new_n, np.new_null, np.new_ndv,
+                     np.new_min, np.new_max
+              FROM bp JOIN np USING (col)),
+        m AS (SELECT *,
+                     (base_null * 1000000) // base_n AS base_null_ppm,
+                     (new_null * 1000000) // new_n AS new_null_ppm,
+                     (new_ndv * 1000000) // base_ndv AS ndv_ratio_e6
+              FROM j)
+        SELECT col, base_n, new_n, base_ndv, new_ndv,
+               base_null_ppm::BIGINT AS base_null_ppm,
+               new_null_ppm::BIGINT AS new_null_ppm,
+               ndv_ratio_e6::BIGINT AS ndv_ratio_e6,
+               base_min, base_max, new_min, new_max,
+               (ndv_ratio_e6 < 500000 OR ndv_ratio_e6 > 2000000
+                OR ABS(new_null_ppm - base_null_ppm) > 1000
+                OR new_min < base_min OR new_max > base_max) AS drift
+        FROM m
+    """
+
+
 ORACLE = {
+    "schema_drift_detect": _drift_oracle(),
     "histogram_equidepth": """
         WITH b AS (
             SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,

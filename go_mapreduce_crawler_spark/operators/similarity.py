@@ -988,7 +988,77 @@ def q_embedding_drift(spark, sf_dir):
         F.floor(drift * 1e9).cast("long").alias("drift_e9"))
 
 
+IVF_DELTA_MOD = 10     # vec_id % 10 == 0 stands in for "today's vectors"
+
+
+def q_ivf_index_delta(spark, sf_dir):
+    """Incremental maintenance of the IVF ANN index — the IVM pattern
+    (inverted_index_delta_refresh) applied to the vector index: the
+    cell->stats index over the BASE vectors (vec_id % 10 != 0) absorbs
+    an insert batch by assigning ONLY the new vectors to the FROZEN
+    base-trained centroids and monoid-merging per-cell stats — never
+    re-assigning the base corpus (at 100 TB of vectors a full re-index
+    per ingest is the cost this op exists to avoid; centroid RE-train
+    is the rare offline event, not the ingest path).
+
+    Per-cell state is (n_vecs, two md5 checksum lanes over member
+    vec_ids) — an order-independent commutative monoid, so merged ==
+    rebuilt exactly (assignment is row-local per vector), which is
+    what the oracle checks by rebuilding the index over the POST-insert
+    corpus directly.  No posting arrays are collected: the state is
+    |cells| rows of integers (production sizes C ~ sqrt(N), postings
+    stay columnar in the store; the lanes verify full membership
+    without shipping it).
+
+    Scale: centroid literals are a bounded collect (IVF_CELLS rows);
+    assignment is a zero-shuffle row-local argmax projection; each
+    side's index is ONE partial+final agg keyed by cell; the merge
+    joins |cells|-sized relations.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % IVF_DELTA_MOD != 0)
+    delta = e.filter(F.col("vec_id") % IVF_DELTA_MOD == 0)
+    cent_rows = (base.orderBy("vec_id").limit(IVF_CELLS)
+                 .select("embedding").collect())
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+    cell_scores = "array(" + ",".join(
+        f"struct({_dot_sql('embedding', c)} / {repr(nc)}D AS cos,"
+        f" {i} AS cell)"
+        for i, (c, nc) in enumerate(zip(cents, cnorms))) + ")"
+    lane = lambda pos: F.conv(  # noqa: E731
+        F.substring(F.md5(F.col("vec_id").cast("string")), pos, 8),
+        16, 10).cast("long")
+
+    def index(df):
+        assigned = df.withColumn(
+            "cell",
+            F.array_max(F.expr(cell_scores)).getField("cell")
+             .cast("long"))
+        return assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lane(1)).alias("l1"),
+            F.sum(lane(9)).alias("l2"))
+
+    b, d = index(base), index(delta)
+    z = F.lit(0).cast("long")
+    return (b.select("cell", F.col("n").alias("n1"),
+                     F.col("l1").alias("a1"), F.col("l2").alias("a2"))
+            .join(d.select("cell", F.col("n").alias("n2"),
+                           F.col("l1").alias("b1"),
+                           F.col("l2").alias("b2")),
+                  "cell", "full_outer")
+            .select("cell",
+                    (F.coalesce("n1", z) + F.coalesce("n2", z))
+                    .alias("n_vecs"),
+                    (F.coalesce("a1", z) + F.coalesce("b1", z))
+                    .alias("members_lane1"),
+                    (F.coalesce("a2", z) + F.coalesce("b2", z))
+                    .alias("members_lane2")))
+
+
 QUERIES = {
+    "ivf_index_delta_refresh": q_ivf_index_delta,
     "knn_bruteforce_cosine": q_knn_bruteforce,
     "knn_label_vote_accuracy": q_knn_label_vote,
     "ann_recall_report": q_ann_recall,
@@ -1194,6 +1264,34 @@ ORACLE["ann_int8_rerank"] = f"""
 # rounded re-rank.  The Spark side's centroid norms are Python
 # math.sqrt over a left-to-right sum — bit-identical to
 # sqrt(list_reduce(...)) here.
+# Direct index over the POST-insert corpus with BASE-trained centroids:
+# incremental == rebuild (assignment is row-local per vector).
+ORACLE["ivf_index_delta_refresh"] = f"""
+    WITH cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec,
+               sqrt({_SQN.format(a='embedding')}) AS cnrm
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % {IVF_DELTA_MOD} <> 0
+              ORDER BY vec_id LIMIT {IVF_CELLS})),
+    affin AS (
+        SELECT e.vec_id, c.cell,
+               {_DOT.format(a='e.embedding', b='c.cvec')} / c.cnrm AS a
+        FROM embeddings e CROSS JOIN cent c),
+    ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY a DESC, cell DESC) AS rk
+        FROM affin),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE rk = 1)
+    SELECT cell, COUNT(*)::BIGINT AS n_vecs,
+           SUM(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+               ::BIGINT)::BIGINT AS members_lane1,
+           SUM(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 9, 8))
+               ::BIGINT)::BIGINT AS members_lane2
+    FROM assigned GROUP BY cell
+"""
+
 ORACLE["ann_ivf_cosine"] = f"""
     WITH cent AS (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,

@@ -48,6 +48,7 @@ from ..streaming.stateful import (SPAN_WIN_DOCS,
                                   windowed_minhash_dedup_finalize,
                                   windowed_span_dedup_finalize)
 from .behavior import _decayed_engagement_oracle
+from .maintenance import _FORGET
 from .scale import ORACLE as _SCALE_ORACLE
 
 REPLAY_SPLITS = 4          # micro-batches per replay
@@ -185,7 +186,46 @@ def q_stream_windowed_minhash_dedup_replay(spark, sf_dir):
     return windowed_minhash_dedup_finalize(spark, state)
 
 
+def q_stream_gdpr_forget_replay(spark, sf_dir):
+    """Deletion-request stream replay: the forget set (c_custkey %
+    {m} == 0, the batch cascade's fixture) split into REPLAY_SPLITS
+    request files -> streaming anti-join maintenance of the per-custkey
+    order view -> finalized per-mktsegment retention report.  Deletion
+    is a commutative idempotent monoid action, so the finalized view
+    is batching-independent and the batch-twin SQL is a full
+    exactly-once value proof (the replay family's contract).
+    """.format(m=_FORGET)
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import stream_gdpr_forget
+
+    root = tempfile.mkdtemp(prefix="sgraft_replay_gdpr_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
+    cust = load_table(spark, sf_dir, "customer")
+    requests = (cust.filter(F.col("c_custkey") % _FORGET == 0)
+                .select(F.col("c_custkey").alias("fk")))
+    requests.repartition(REPLAY_SPLITS).write.mode("overwrite") \
+        .parquet(in_dir)
+    stream = (spark.readStream.option("maxFilesPerTrigger", "1")
+              .schema(requests.schema).parquet(in_dir))
+    orders = load_table(spark, sf_dir, "orders")
+    q = stream_gdpr_forget(stream, orders, state, ckpt)
+    _await_drained(q, "gdpr_forget")
+    view = read_mv_state(spark, state)
+    dim = cust.select("c_custkey", "c_mktsegment")
+    return (view.join(F.broadcast(dim),
+                      view["o_custkey"] == dim["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum("n").alias("n_orders"),
+                 F.sum("s").cast("double").alias("sum_total")))
+
+
 QUERIES = {
+    "stream_gdpr_forget_replay": q_stream_gdpr_forget_replay,
     "stream_windowed_span_dedup_replay":
         q_stream_windowed_span_dedup_replay,
     "stream_minhash_dedup_replay":
@@ -281,6 +321,18 @@ def _minhash_window_oracle() -> str:
 
 
 ORACLE = {
+    # the batch twin of the streaming forget cascade: retained ==
+    # predicate-filtered join, independent of request batching
+    "stream_gdpr_forget_replay": f"""
+        SELECT c_mktsegment, COUNT(DISTINCT o_custkey)::BIGINT
+                   AS n_custs,
+               COUNT(*)::BIGINT AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey % {_FORGET} <> 0
+        GROUP BY 1
+    """,
     # the batch twin of the windowed streaming span dedup
     "stream_windowed_span_dedup_replay": _span_oracle(),
     # the batch twin of the windowed MinHash candidate flagging

@@ -292,6 +292,51 @@ def read_mv_state(spark, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/state_v{versions[-1]}")
 
 
+def stream_gdpr_forget(requests: DataFrame, orders: DataFrame,
+                       state_dir: str, checkpoint: str):
+    """Streaming right-to-be-forgotten: deletion REQUESTS (customer
+    keys) arrive as a stream; the maintained state is the per-custkey
+    retained order view, and each micro-batch ANTI-JOINS the
+    accumulated view against that batch's keys — erasure keeps pace
+    with the request stream instead of waiting for a nightly rewrite
+    (the batch twin is maintenance.q_gdpr_delete_cascade).
+
+    Exactly-once for free: deletion by key is commutative AND
+    idempotent (removing a key twice == once), so the finalized view
+    is independent of micro-batch boundaries and retries — the
+    versioned-snapshot protocol (stream_mv_refresh) just makes the
+    file writes atomic per batch.  Batch 0 seeds the view from the
+    orders table (one partial+final agg); every later batch's work is
+    |view| x |batch keys| — the view never re-derives from raw orders.
+    """
+    spark = requests.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+        else:
+            prev = orders.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("s"))
+        keys = batch_df.select("fk").distinct()
+        merged = prev.join(keys, prev["o_custkey"] == keys["fk"],
+                           "left_anti")
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}",
+                          ignore_errors=True)
+
+    return (requests.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def stream_anomaly_scoring(events: DataFrame,
                            cell_means: DataFrame,
                            type_vars: DataFrame) -> DataFrame:

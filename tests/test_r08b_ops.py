@@ -231,6 +231,93 @@ def test_incremental_lsh_equals_filtered_batch_family(spark):
     assert inc == want and want
 
 
+# ------------------------------------------------------ IVF index delta
+
+def test_ivf_index_delta_equals_rebuild(spark):
+    """Incremental (base index + delta assignment) == rebuild over the
+    post-insert corpus with the same frozen centroids, and the index
+    covers every vector exactly once."""
+    from pyspark.sql import functions as FF
+
+    from go_mapreduce_crawler_spark.operators.similarity import (
+        q_ivf_index_delta)
+
+    out = {r.cell: (r.n_vecs, r.members_lane1, r.members_lane2)
+           for r in q_ivf_index_delta(spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert sum(v[0] for v in out.values()) == emb.count()
+
+    # rebuild: same centroid derivation, full corpus in one pass
+    import hashlib
+    import math as m
+
+    base_rows = (emb.filter(FF.col("vec_id") % 10 != 0)
+                 .orderBy("vec_id").limit(16)
+                 .select("embedding").collect())
+    cents = [[float(x) for x in r.embedding] for r in base_rows]
+    cnorms = [m.sqrt(sum(x * x for x in c)) for c in cents]
+    want: dict[int, list[int]] = {}
+    for r in emb.select("vec_id", "embedding").collect():
+        v = [float(x) for x in r.embedding]
+        best = max(range(len(cents)),
+                   key=lambda i: (sum(a * b for a, b in
+                                      zip(v, cents[i])) / cnorms[i], i))
+        h = hashlib.md5(str(r.vec_id).encode()).hexdigest()
+        st = want.setdefault(best, [0, 0, 0])
+        st[0] += 1
+        st[1] += int(h[:8], 16)
+        st[2] += int(h[8:16], 16)
+    assert out == {c: tuple(v) for c, v in want.items()}
+
+
+# --------------------------------------------------------- schema drift
+
+def test_schema_drift_flag_logic_consistent(spark):
+    from go_mapreduce_crawler_spark.operators.features import (
+        q_schema_drift)
+
+    rows = q_schema_drift(spark, SF).collect()
+    assert {r.col for r in rows} == {
+        "o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey"}
+    for r in rows:
+        assert r.ndv_ratio_e6 == r.new_ndv * 10**6 // r.base_ndv
+        expect = (r.ndv_ratio_e6 < 500_000 or r.ndv_ratio_e6 > 2_000_000
+                  or abs(r.new_null_ppm - r.base_null_ppm) > 1000
+                  or r.new_min < r.base_min or r.new_max > r.base_max)
+        assert r.drift == expect, r.col
+        assert r.base_n > 0 and r.new_n > 0
+
+
+# ------------------------------------------------ streaming GDPR forget
+
+def test_stream_gdpr_forget_matches_batch_predicate(spark):
+    """Finalized streaming view == the batch predicate report, and the
+    erased keys are really gone from the final snapshot."""
+    from pyspark.sql import functions as FF
+
+    from go_mapreduce_crawler_spark.operators.maintenance import _FORGET
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        q_stream_gdpr_forget_replay)
+
+    out = {r.c_mktsegment: (r.n_custs, r.n_orders, r.sum_total)
+           for r in q_stream_gdpr_forget_replay(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    batch = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+             .filter(FF.col("c_custkey") % _FORGET != 0)
+             .groupBy("c_mktsegment")
+             .agg(FF.countDistinct("o_custkey").alias("nc"),
+                  FF.count(FF.lit(1)).alias("no"),
+                  FF.sum(FF.col("o_totalprice")
+                         .cast("decimal(18,2)")).cast("double")
+                  .alias("st")))
+    want = {r.c_mktsegment: (r.nc, r.no, r.st) for r in batch.collect()}
+    assert out == want
+    n_retained = orders.filter(
+        FF.col("o_custkey") % _FORGET != 0).count()
+    assert sum(v[1] for v in out.values()) == n_retained
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
