@@ -138,6 +138,10 @@ HEADLINE = [
     "ivf_index_delta_refresh",
     "schema_drift_detect",
     "stream_gdpr_forget_replay",
+    "eval_langid_confusion",
+    "bpe_fertility_by_lang",
+    "shuffle_partition_advisor",
+    "dedup_family_overlap",
 ]
 
 N_CRAWL_FILES = 2000

@@ -348,6 +348,34 @@ def _bpe_apply_oracle_sql() -> str:
     """
 
 
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer FERTILITY audit: tokens-per-word by language after
+    applying the trained merges — the standard multilingual-tokenizer
+    health metric (a vocab trained on English-heavy data tokenizes
+    low-resource languages into more pieces per word; fertility per
+    language is how that tax is measured before committing a vocab to
+    a training run; cf. the per-language fertility tables in the
+    XLM-R/BLOOM tokenizer analyses).
+
+    Composition: the q_bpe_apply per-doc accounting (row-local merge
+    application after the bounded-collect trainer) joined to the
+    documents dim for lang, then ONE partial+final agg on the |langs|
+    key.  fertility_ppm = Σ tokens_after * 1e6 DIV Σ words — integer,
+    engine-exact; the oracle composes the unrolled-8-step BPE oracle
+    verbatim.
+    """
+    acct = q_bpe_apply(spark, sf_dir)
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (acct.join(lang, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens_before").alias("sum_words"),
+                 F.sum("n_tokens_after").alias("sum_tokens"))
+            .select("lang", "n_docs", "sum_words", "sum_tokens",
+                    F.expr("CAST((sum_tokens * 1000000) DIV sum_words"
+                           " AS BIGINT)").alias("fertility_ppm")))
+
+
 # ------------------------------------------------------------------
 # Batched BPE: top-N compatible merges per Spark round
 # ------------------------------------------------------------------
@@ -2024,3 +2052,17 @@ ORACLE["skyline_pareto_docs"] = f"""
         WHERE o.score_milli > d.score_milli
           AND o.n_chars > d.n_chars)
 """
+
+QUERIES["bpe_fertility_by_lang"] = q_bpe_fertility_by_lang
+
+ORACLE["bpe_fertility_by_lang"] = (
+    "WITH p AS (" + _bpe_apply_oracle_sql() + """),
+    j AS (SELECT d.lang, p.n_tokens_before, p.n_tokens_after
+          FROM p JOIN documents d USING (doc_id))
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens_before)::BIGINT AS sum_words,
+           SUM(n_tokens_after)::BIGINT AS sum_tokens,
+           ((SUM(n_tokens_after)::HUGEINT * 1000000)
+            // SUM(n_tokens_before))::BIGINT AS fertility_ppm
+    FROM j GROUP BY 1
+""")

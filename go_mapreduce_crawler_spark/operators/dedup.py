@@ -770,6 +770,49 @@ def q_dedup_cluster_weights(spark, sf_dir):
     return surv.unionAll(singles)
 
 
+def q_dedup_family_overlap(spark, sf_dir):
+    """Cross-FAMILY dedup agreement report: pair-set sizes and
+    pairwise overlaps between the exact-Jaccard ground truth, the
+    MinHash-LSH family, and the SimHash family — the calibration
+    readout a curation run logs to decide which fuzzy passes add
+    recall and how much the families agree (the jaccard∩minhash row
+    IS measured LSH recall; low minhash∩simhash overlap means the two
+    catch DIFFERENT duplication modes — paraphrase-heavy vs
+    boilerplate-heavy — and both passes earn their cost).
+
+    The exact-Jaccard family is the diagnostic ground truth (its
+    inverted-index self-join is quadratic in colliding docs — at
+    100 TB you run it on a sample to calibrate, never the corpus; the
+    banded families are the production path).  Overlaps are id-pair
+    equi-joins; output is a 3-row summary.  The oracle composes the
+    families' oracle constructions verbatim; minhash ⊆ jaccard (its
+    verify IS true Jaccard at the same threshold) is pinned in tests.
+    """
+    jp = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    mh = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    fams = {"jaccard": jp.cache(), "minhash": mh.cache(),
+            "simhash": sh.cache()}
+
+    def row(na, nb):
+        fa, fb = fams[na], fams[nb]
+        common = fa.join(fb, ["doc_a", "doc_b"])
+        return (fa.agg(F.count(F.lit(1)).alias("n_a"))
+                .crossJoin(fb.agg(F.count(F.lit(1)).alias("n_b")))
+                .crossJoin(common.agg(
+                    F.count(F.lit(1)).alias("n_common")))
+                .select(F.lit(na).alias("family_a"),
+                        F.lit(nb).alias("family_b"),
+                        "n_a", "n_b", "n_common",
+                        F.expr("CAST((n_common * 1000000) DIV"
+                               " (n_a + n_b - n_common) AS BIGINT)")
+                         .alias("pairset_jaccard_ppm")))
+
+    return (row("jaccard", "minhash")
+            .unionAll(row("jaccard", "simhash"))
+            .unionAll(row("minhash", "simhash")))
+
+
 def q_dedup_fuzzy_lev(spark, sf_dir):
     """Edit-distance near-dup pairs with prefix blocking: docs sharing a
     16-char normalized prefix, Levenshtein <= 10 on the 80-char prefix.
@@ -1563,6 +1606,8 @@ ORACLE = {
                jaccard
         FROM mh WHERE (doc_a % 10 = 0) != (doc_b % 10 = 0)
     """,
+    # (dedup_family_overlap's oracle is assigned below the dict — it
+    # composes the minhash/simhash entries verbatim.)
     # Independent survivor construction: ROW_NUMBER over (n_chars DESC,
     # doc_id) per component vs the engine's min(struct) fold.
     "dedup_cluster_sampling_weights": f"""
@@ -1897,3 +1942,37 @@ ORACLE["dedup_lsh_precision_report"] = "WITH " + _minhash_pair_ctes() + """
                AS precision_ppm
     FROM tot CROSS JOIN ver
 """
+
+QUERIES["dedup_family_overlap"] = q_dedup_family_overlap
+
+_OVERLAP_ROW = """
+    SELECT '{a}' AS family_a, '{b}' AS family_b,
+           (SELECT COUNT(*) FROM {a}_p)::BIGINT AS n_a,
+           (SELECT COUNT(*) FROM {b}_p)::BIGINT AS n_b,
+           (SELECT COUNT(*) FROM {a}_p x JOIN {b}_p y
+              ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b)::BIGINT
+               AS n_common,
+           (((SELECT COUNT(*) FROM {a}_p x JOIN {b}_p y
+                ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b) * 1000000)
+            // ((SELECT COUNT(*) FROM {a}_p)
+                + (SELECT COUNT(*) FROM {b}_p)
+                - (SELECT COUNT(*) FROM {a}_p x JOIN {b}_p y
+                     ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b)))
+               ::BIGINT AS pairset_jaccard_ppm
+"""
+
+ORACLE["dedup_family_overlap"] = (
+    """
+    WITH jaccard_p AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ("""
+    + ORACLE["dedup_jaccard_pairs"] + """)),
+    minhash_p AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ("""
+    + ORACLE["dedup_minhash_lsh"] + """)),
+    simhash_p AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ("""
+    + ORACLE["dedup_simhash"] + """))
+    """
+    + _OVERLAP_ROW.format(a="jaccard", b="minhash")
+    + " UNION ALL " + _OVERLAP_ROW.format(a="jaccard", b="simhash")
+    + " UNION ALL " + _OVERLAP_ROW.format(a="minhash", b="simhash"))

@@ -599,7 +599,66 @@ def q_join_strategy_advisor(spark, sf_dir):
         _join_side_stats(c, F.col("c_custkey"), c_canon, "build"))
 
 
+SHUF_TARGET_B = 64 * 1024 * 1024    # bytes/shuffle partition to aim at
+SCAN_TARGET_B = 128 * 1024 * 1024   # spark.sql.files.maxPartitionBytes
+
+
+def q_shuffle_partition_advisor(spark, sf_dir):
+    """Shuffle/scan SIZING advisor — the third knob next to the join
+    and skew advisors: from measured in-flight row bytes (canonical
+    row text, not compressed parquet footprint — a zstd parquet
+    under-reports shuffle width 3-5x) emit, per table, the
+    spark.sql.shuffle.partitions and files.maxPartitionBytes-style
+    split counts that land each partition at the 64 MB / 128 MB
+    targets.  Mis-sizing is THE silent 100 TB regression: too few
+    partitions spill (one reducer > executor memory), too many drown
+    the scheduler in empty tasks; this op turns the guess into a
+    measured, oracled number (the sf0.1 fixture recommends 1 — the
+    point is the arithmetic is pinned so the 100 TB run can trust it).
+
+    One partial+final byte/count agg per table; integer ceil-division
+    throughout.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li_canon = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast(MONEY).cast("string"),
+        F.col("l_extendedprice").cast(MONEY).cast("string"),
+        F.col("l_discount").cast(MONEY).cast("string"),
+        F.col("l_tax").cast(MONEY).cast("string"),
+        F.col("l_returnflag"), F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"))
+    o_canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"), F.col("o_orderstatus"),
+        F.col("o_totalprice").cast(MONEY).cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"))
+
+    def advise(df, canon, name):
+        s = df.agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(F.octet_length(canon)).alias("est_bytes"))
+        return s.select(
+            F.lit(name).alias("tbl"), "n_rows", "est_bytes",
+            F.expr("CAST(est_bytes DIV n_rows AS BIGINT)")
+             .alias("avg_row_bytes"),
+            F.expr(f"CAST((est_bytes + {SHUF_TARGET_B} - 1)"
+                   f" DIV {SHUF_TARGET_B} AS BIGINT)")
+             .alias("rec_shuffle_partitions"),
+            F.expr(f"CAST((est_bytes + {SCAN_TARGET_B} - 1)"
+                   f" DIV {SCAN_TARGET_B} AS BIGINT)")
+             .alias("rec_scan_splits"))
+
+    return advise(li, li_canon, "lineitem") \
+        .unionAll(advise(o, o_canon, "orders"))
+
+
 QUERIES = {
+    "shuffle_partition_advisor": q_shuffle_partition_advisor,
     "join_strategy_advisor": q_join_strategy_advisor,
     "zorder_layout_key": q_zorder_layout,
     "join_salted_skew": q_join_salted,
@@ -671,6 +730,42 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+ORACLE["shuffle_partition_advisor"] = f"""
+    WITH lc AS (
+        SELECT concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                   CAST(l_partkey AS VARCHAR),
+                   CAST(l_suppkey AS VARCHAR),
+                   CAST(l_linenumber AS VARCHAR),
+                   CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        AS VARCHAR),
+                   CAST(CAST(l_discount AS DECIMAL(12,2)) AS VARCHAR),
+                   CAST(CAST(l_tax AS DECIMAL(12,2)) AS VARCHAR),
+                   l_returnflag, l_linestatus,
+                   strftime(l_shipdate, '%Y-%m-%d')) AS canon
+        FROM lineitem),
+    oc AS (
+        SELECT concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR), o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d'),
+                   o_orderpriority) AS canon
+        FROM orders),
+    s AS (
+        SELECT 'lineitem' AS tbl, COUNT(*)::BIGINT AS n_rows,
+               SUM(strlen(canon))::BIGINT AS est_bytes FROM lc
+        UNION ALL
+        SELECT 'orders', COUNT(*)::BIGINT,
+               SUM(strlen(canon))::BIGINT FROM oc)
+    SELECT tbl, n_rows, est_bytes,
+           (est_bytes // n_rows)::BIGINT AS avg_row_bytes,
+           ((est_bytes + {SHUF_TARGET_B} - 1) // {SHUF_TARGET_B})
+               ::BIGINT AS rec_shuffle_partitions,
+           ((est_bytes + {SCAN_TARGET_B} - 1) // {SCAN_TARGET_B})
+               ::BIGINT AS rec_scan_splits
+    FROM s
+"""
 
 ORACLE["join_strategy_advisor"] = f"""
     WITH oc AS (

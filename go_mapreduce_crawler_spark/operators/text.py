@@ -1464,6 +1464,29 @@ def q_chunk_content_defined(spark, sf_dir):
         "rk", "chunk_md5", "n_occurrences", "n_docs", "n_words")
 
 
+def q_eval_langid_confusion(spark, sf_dir):
+    """Language-ID CONFUSION MATRIX: the labeled-eval step after
+    text_langid — per (true lang, predicted lang) cell, the count and
+    the row-normalized recall in ppm (diagonal cells are per-language
+    recall; off-diagonal cells say WHICH confusions happen, the signal
+    that decides where to spend classifier work before filtering a
+    100 TB multilingual crawl by language).
+
+    Scale shape: the classifier is row-local (stopword-set
+    intersections); the matrix is one partial+final agg on a
+    |langs|^2-bounded key; row totals join back broadcast.  Integer
+    ppm arithmetic; fully oracled by composing the text_langid oracle.
+    """
+    pred = q_text_langid(spark, sf_dir).select("lang", "pred_lang")
+    c = (pred.groupBy("lang", "pred_lang")
+         .agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return (c.join(F.broadcast(t), "lang")
+            .select("lang", "pred_lang", "n",
+                    F.expr("CAST((n * 1000000) DIV tot AS BIGINT)")
+                     .alias("row_ppm")))
+
+
 def q_quality_adaptive_threshold(spark, sf_dir):
     """Per-SOURCE adaptive quality gate: instead of one global cutoff,
     each source keeps its own top 75% by uniqueness score — the
@@ -1511,6 +1534,7 @@ def q_quality_adaptive_threshold(spark, sf_dir):
 
 
 QUERIES = {
+    "eval_langid_confusion": q_eval_langid_confusion,
     "quality_adaptive_threshold": q_quality_adaptive_threshold,
     "text_stats": q_text_stats,
     "text_oov_rate": q_text_oov_rate,
@@ -2232,3 +2256,13 @@ ORACLE["chunk_content_defined"] = f"""
     FROM agg WHERE n_occurrences > 1
     ORDER BY rk LIMIT {CDC_TOP}
 """
+
+ORACLE["eval_langid_confusion"] = (
+    "WITH p AS (" + ORACLE["text_langid"] + """),
+    c AS (SELECT lang, pred_lang, COUNT(*)::BIGINT AS n
+          FROM p GROUP BY 1, 2),
+    t AS (SELECT lang, SUM(n)::BIGINT AS tot FROM c GROUP BY 1)
+    SELECT c.lang, c.pred_lang, c.n,
+           ((c.n * 1000000) // t.tot)::BIGINT AS row_ppm
+    FROM c JOIN t USING (lang)
+""")

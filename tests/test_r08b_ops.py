@@ -318,6 +318,84 @@ def test_stream_gdpr_forget_matches_batch_predicate(spark):
     assert sum(v[1] for v in out.values()) == n_retained
 
 
+# -------------------------------------------------- langid confusion
+
+def test_langid_confusion_covers_corpus(spark):
+    from go_mapreduce_crawler_spark.operators.text import (
+        q_eval_langid_confusion)
+
+    rows = q_eval_langid_confusion(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.n
+        assert r.row_ppm == r.n * 10**6 // by_lang.get(r.lang, 1) or True
+    # per-lang ppm re-derivation with the true totals
+    for r in rows:
+        assert r.row_ppm == r.n * 10**6 // by_lang[r.lang]
+
+
+# ------------------------------------------------- tokenizer fertility
+
+def test_bpe_fertility_bounds_and_totals(spark):
+    from go_mapreduce_crawler_spark.operators.curation import (
+        q_bpe_apply, q_bpe_fertility_by_lang)
+
+    rows = q_bpe_fertility_by_lang(spark, SF).collect()
+    acct = q_bpe_apply(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == len(acct)
+    assert sum(r.sum_words for r in rows) == \
+        sum(a.n_tokens_before for a in acct)
+    assert sum(r.sum_tokens for r in rows) == \
+        sum(a.n_tokens_after for a in acct)
+    for r in rows:
+        # merges only ever shrink token counts
+        assert 0 < r.fertility_ppm <= 1_000_000
+        assert r.fertility_ppm == r.sum_tokens * 10**6 // r.sum_words
+
+
+# -------------------------------------------------- shuffle sizing
+
+def test_shuffle_partition_advisor_arithmetic(spark):
+    from go_mapreduce_crawler_spark.operators.scale import (
+        SCAN_TARGET_B, SHUF_TARGET_B, q_shuffle_partition_advisor)
+
+    rows = {r.tbl: r for r in
+            q_shuffle_partition_advisor(spark, SF).collect()}
+    assert set(rows) == {"lineitem", "orders"}
+    for r in rows.values():
+        assert r.avg_row_bytes == r.est_bytes // r.n_rows
+        assert r.rec_shuffle_partitions == \
+            -(-r.est_bytes // SHUF_TARGET_B)
+        assert r.rec_scan_splits == -(-r.est_bytes // SCAN_TARGET_B)
+        assert r.est_bytes > 20 * r.n_rows     # canon bytes are real
+    assert rows["lineitem"].n_rows > rows["orders"].n_rows
+
+
+# ------------------------------------------------ dedup family overlap
+
+def test_family_overlap_minhash_contained_in_jaccard(spark):
+    """MinHash-LSH verifies candidates with TRUE Jaccard at the same
+    threshold, so its pair set is contained in the exact-Jaccard
+    ground truth: n_common == n_minhash on the (jaccard, minhash) row
+    — that row IS measured LSH recall."""
+    from go_mapreduce_crawler_spark.operators.dedup import (
+        q_dedup_family_overlap)
+
+    rows = {(r.family_a, r.family_b): r
+            for r in q_dedup_family_overlap(spark, SF).collect()}
+    assert set(rows) == {("jaccard", "minhash"), ("jaccard", "simhash"),
+                         ("minhash", "simhash")}
+    for r in rows.values():
+        assert r.n_common <= min(r.n_a, r.n_b)
+        assert r.pairset_jaccard_ppm == \
+            r.n_common * 10**6 // (r.n_a + r.n_b - r.n_common)
+    jm = rows[("jaccard", "minhash")]
+    assert jm.n_common == jm.n_b            # minhash ⊆ jaccard
+    assert jm.n_a > 0 and jm.n_b > 0
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
