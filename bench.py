@@ -142,6 +142,8 @@ HEADLINE = [
     "bpe_fertility_by_lang",
     "shuffle_partition_advisor",
     "dedup_family_overlap",
+    "reservoir_delta_refresh",
+    "multimodal_video_scene_cuts",
 ]
 
 N_CRAWL_FILES = 2000

@@ -538,7 +538,64 @@ def q_multimodal_audio_energy(spark, sf_dir):
     return audio_energy_windows(m.select("media_id", "payload"))
 
 
+CUT_NUM, CUT_DEN = 5, 1    # cut iff 5*|Δenergy| > 1*max(e_i, e_prev)
+
+
+def q_multimodal_video_cuts(spark, sf_dir):
+    """Scene-cut detection plumbing for video payloads: the payload is
+    split into meta.n_frames contiguous byte runs (the deterministic
+    fake decode — a real deployment swaps in per-frame RGB and a
+    histogram distance, same kernel signature and same downstream
+    plan), per-frame energy Σbyte² is reduced in-kernel, and a CUT is
+    flagged between consecutive observed frames when the energy jumps
+    by more than 20% (5*|Δ| > max) — integer arithmetic end to end.
+
+    Output per clip: observed frame count, cut count — the shot-
+    boundary summary a video curation pass stores per asset.  Scale:
+    metadata filter prunes non-video payloads before the kernel; the
+    kernel emits ONE row per clip (frame reduction happens inside the
+    Arrow batch, no per-frame rows shuffle); zero shuffles end to end.
+    Full value oracle via DuckDB hex byte math + a frame-keyed window.
+    """
+    m = synth_media(spark, sf_dir).filter(F.col("meta.kind") == "video")
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames_observed", T.LongType(), False),
+        T.StructField("n_cuts", T.LongType(), False),
+    ])
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ids, nfs, cuts = [], [], []
+            for mid, p, meta in zip(pdf["media_id"], pdf["payload"],
+                                    pdf["meta"]):
+                s = np.frombuffer(bytes(p), dtype=np.uint8) \
+                    .astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    continue
+                nf = int(meta["n_frames"])
+                f = (np.arange(n) * nf) // n
+                # boundaries where f changes; reduceat per observed run
+                starts = np.flatnonzero(
+                    np.diff(f, prepend=f[0] - 1))
+                e = np.add.reduceat(s * s, starts)
+                d = np.abs(np.diff(e))
+                mx = np.maximum(e[1:], e[:-1])
+                ids.append(mid)
+                nfs.append(len(starts))
+                cuts.append(int((CUT_NUM * d > CUT_DEN * mx).sum()))
+            yield pd.DataFrame({"media_id": ids,
+                                "n_frames_observed": nfs,
+                                "n_cuts": cuts})
+
+    return m.select("media_id", "payload", "meta") \
+            .mapInPandas(kernel, schema=out_schema)
+
+
 QUERIES = {
+    "multimodal_video_scene_cuts": q_multimodal_video_cuts,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frames,
@@ -613,6 +670,31 @@ def _crossmodal_oracle_sql() -> str:
 
 
 ORACLE = {
+    # Frame runs re-derived from hex byte math: frame(j) = (j*nf) DIV L,
+    # per-frame Σbyte², LAG window over observed frames, integer cut rule.
+    "multimodal_video_scene_cuts": f"""
+        WITH v AS (SELECT doc_id AS media_id, encode(text) AS b,
+                          (n_chars % 120 + 1)::BIGINT AS nf
+                   FROM documents WHERE doc_id % 3 = 2),
+        hx AS (SELECT media_id, hex(b) AS h, octet_length(b) AS n, nf
+               FROM v WHERE octet_length(b) > 0),
+        by AS (SELECT media_id,
+                      (((i - 1) * nf) // n)::BIGINT AS f,
+                      ('0x' || substr(h, 2 * i - 1, 2))::BIGINT AS x
+               FROM hx, unnest(generate_series(1, n)) AS t(i)),
+        fe AS (SELECT media_id, f, SUM(x * x)::BIGINT AS e
+               FROM by GROUP BY 1, 2),
+        lagd AS (SELECT media_id, e,
+                        LAG(e) OVER (PARTITION BY media_id
+                                     ORDER BY f) AS ep
+                 FROM fe)
+        SELECT media_id, COUNT(*)::BIGINT AS n_frames_observed,
+               SUM(CASE WHEN ep IS NOT NULL
+                         AND {CUT_NUM} * ABS(e - ep)
+                             > {CUT_DEN} * GREATEST(e, ep)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_cuts
+        FROM lagd GROUP BY 1
+    """,
     # Per-window PCM profile re-derived byte-by-byte from the hex
     # rendering of the utf-8 payload — an independent (string-math)
     # construction of the numpy reduceat kernel.

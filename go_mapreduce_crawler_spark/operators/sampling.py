@@ -102,16 +102,61 @@ def q_sample_weighted(spark, sf_dir):
     strata — the 100 TB path.
     """
     d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("ares_key"), "doc_id")
+    return (d.select("doc_id", "lang", "n_chars",
+                     _ares_key().alias("ares_key"))
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 5)
+             .select("doc_id", "lang", "n_chars", "rk"))
+
+
+def _ares_key():
+    """The q_sample_weighted A-Res key, recomputable from row data."""
     u = ((F.conv(F.substring(
             F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")),
             1, 6), 16, 10).cast("bigint").cast("double") + 0.5)
          / 16777216.0)
-    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    return F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+
+
+def q_reservoir_delta(spark, sf_dir):
+    """Weighted-reservoir MAINTENANCE under ingest — the IVM pattern
+    applied to sampling: the base corpus's per-language top-5 A-Res
+    reservoir absorbs an insert batch (doc_id % 10 == 0) by unioning
+    the batch's OWN tiny reservoir and re-ranking the <= 10 rows per
+    stratum — never rescanning the base corpus.  Correct because
+    top-k-by-key is a monotone mergeable summary (Efraimidis-Spirakis
+    keys are a pure function of each row, so merge-then-top-k ==
+    top-k-over-union bit-for-bit), which is exactly what the oracle
+    checks: it recomputes the reservoir over the POST-insert corpus
+    directly.
+
+    Scale: each side is the q_sample_weighted plan (WindowGroupLimit
+    pushes the partial top-k below the shuffle — k x partitions x
+    strata rows move); the merge re-ranks k*2 rows per stratum.  The
+    A-Res key is RECOMPUTED row-locally from (doc_id, n_chars) at
+    merge time — no libm-sensitive double is ever stored or compared
+    across engines (the q_sample_weighted determinism contract).
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def reservoir(df):
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("ares_key"), "doc_id")
+        return (df.select("doc_id", "lang", "n_chars",
+                          _ares_key().alias("ares_key"))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 5)
+                .select("doc_id", "lang", "n_chars"))
+
+    base = reservoir(d.filter(F.col("doc_id") % 10 != 0))
+    delta = reservoir(d.filter(F.col("doc_id") % 10 == 0))
+    merged = base.unionAll(delta)
     w = Window.partitionBy("lang").orderBy(F.desc("ares_key"), "doc_id")
-    return (d.select("doc_id", "lang", "n_chars", key.alias("ares_key"))
-             .withColumn("rk", F.row_number().over(w))
-             .filter(F.col("rk") <= 5)
-             .select("doc_id", "lang", "n_chars", "rk"))
+    return (merged.withColumn("ares_key", _ares_key())
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("doc_id", "lang", "n_chars", "rk"))
 
 
 MIX_TAU = 0.5     # temperature: weight_lang ∝ n_lang^tau
@@ -444,3 +489,9 @@ def _boot_oracle() -> str:
 
 
 ORACLE["stats_bootstrap_poisson"] = _boot_oracle()
+
+
+QUERIES["reservoir_delta_refresh"] = q_reservoir_delta
+
+# direct reservoir over the POST-insert corpus: merged == rebuilt
+ORACLE["reservoir_delta_refresh"] = ORACLE["sample_weighted_reservoir"]

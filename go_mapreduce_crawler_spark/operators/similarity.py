@@ -1057,7 +1057,57 @@ def q_ivf_index_delta(spark, sf_dir):
                     .alias("members_lane2")))
 
 
+KNN_GRAPH_K = 5
+
+
+def q_knn_graph_ivf(spark, sf_dir):
+    """CORPUS-WIDE kNN graph, IVF-cell-bounded — the precursor
+    relation for SemDeDup clustering, label propagation over
+    embeddings, and graph-based diversity sampling: every vector's
+    top-{k} cosine neighbors WITHIN its coarse cell, built for the
+    whole corpus (the kNN/ANN entry points answer a bounded QUERY set;
+    this materializes the all-vectors graph the pipeline stores).
+
+    Scale: assignment to the deterministic base centroids is a
+    row-local argmax projection; pair work is the per-cell self-join —
+    quadratic in CELL size, never corpus size, the dedup_semantic
+    geometry bound (production sizes C ~ sqrt(N), so cell-pair work is
+    ~N^1.5 spread over C independent tasks; the probe-multiple recall
+    trade lives in ann_ivf_cosine).  Exact re-scored cosine with the
+    knn tie-break contract (rounded score desc, neighbor id) — full
+    value oracle.
+    """.format(k=KNN_GRAPH_K)
+    e = _emb(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
+    cent_rows = (load_table(spark, sf_dir, "embeddings")
+                 .orderBy("vec_id").limit(IVF_CELLS)
+                 .select("embedding").collect())
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+    cell_scores = "array(" + ",".join(
+        f"struct({_dot_sql('embedding', c)} / {repr(nc)}D AS cos,"
+        f" {i} AS cell)"
+        for i, (c, nc) in enumerate(zip(cents, cnorms))) + ")"
+    assigned = e.withColumn(
+        "cell", F.array_max(F.expr(cell_scores)).getField("cell"))
+    a = assigned.select("cell", F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec"),
+                        F.col("nrm").alias("q_nrm"))
+    b = assigned.select("cell", "vec_id", "embedding", "nrm")
+    scored = (a.join(b, "cell")
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .withColumn("cos", F.round(
+                  dot("q_vec", "embedding")
+                  / (F.col("q_nrm") * F.col("nrm")), 6)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                      F.col("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KNN_GRAPH_K)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rk"))
+
+
 QUERIES = {
+    "knn_graph_ivf": q_knn_graph_ivf,
     "ivf_index_delta_refresh": q_ivf_index_delta,
     "knn_bruteforce_cosine": q_knn_bruteforce,
     "knn_label_vote_accuracy": q_knn_label_vote,
@@ -1264,6 +1314,44 @@ ORACLE["ann_int8_rerank"] = f"""
 # rounded re-rank.  The Spark side's centroid norms are Python
 # math.sqrt over a left-to-right sum — bit-identical to
 # sqrt(list_reduce(...)) here.
+ORACLE["knn_graph_ivf"] = f"""
+    WITH cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec,
+               sqrt({_SQN.format(a='embedding')}) AS cnrm
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {IVF_CELLS})),
+    affin AS (
+        SELECT e.vec_id, c.cell,
+               {_DOT.format(a='e.embedding', b='c.cvec')} / c.cnrm AS a
+        FROM embeddings e CROSS JOIN cent c),
+    ranked_aff AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY a DESC, cell DESC) AS rk
+        FROM affin),
+    assigned AS (SELECT vec_id, cell FROM ranked_aff WHERE rk = 1),
+    pairs AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    scored AS (
+        SELECT p.q_id, p.neighbor_id,
+               ROUND({_DOT.format(a='q.embedding', b='e.embedding')}
+                     / (sqrt({_SQN.format(a='q.embedding')})
+                        * sqrt({_SQN.format(a='e.embedding')})), 6)
+                   AS cos
+        FROM pairs p
+        JOIN embeddings q ON q.vec_id = p.q_id
+        JOIN embeddings e ON e.vec_id = p.neighbor_id),
+    fin AS (
+        SELECT q_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored)
+    SELECT q_id, neighbor_id, cos, rk FROM fin WHERE rk <= {KNN_GRAPH_K}
+"""
+
 # Direct index over the POST-insert corpus with BASE-trained centroids:
 # incremental == rebuild (assignment is row-local per vector).
 ORACLE["ivf_index_delta_refresh"] = f"""

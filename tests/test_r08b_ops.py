@@ -396,6 +396,85 @@ def test_family_overlap_minhash_contained_in_jaccard(spark):
     assert jm.n_a > 0 and jm.n_b > 0
 
 
+# --------------------------------------------------- reservoir delta
+
+def test_reservoir_delta_equals_direct(spark):
+    """Merged base+delta reservoir == the one-shot reservoir over the
+    full corpus (top-k-by-key is a mergeable summary)."""
+    from go_mapreduce_crawler_spark.operators.sampling import (
+        q_reservoir_delta, q_sample_weighted)
+
+    inc = sorted(tuple(r) for r in
+                 q_reservoir_delta(spark, SF).collect())
+    direct = sorted(tuple(r) for r in
+                    q_sample_weighted(spark, SF).collect())
+    assert inc == direct and inc
+
+
+# ----------------------------------------------------- kNN graph (IVF)
+
+def test_knn_graph_neighbors_share_cell_and_rank(spark):
+    import math as m
+
+    from go_mapreduce_crawler_spark.operators.similarity import (
+        KNN_GRAPH_K, q_knn_graph_ivf)
+
+    rows = q_knn_graph_ivf(spark, SF).collect()
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+                         .collect()}
+    cents = [emb[i] for i in sorted(emb)[:16]]
+    cnorms = [m.sqrt(sum(x * x for x in c)) for c in cents]
+
+    def cell(v):
+        return max(range(16),
+                   key=lambda i: (sum(a * b for a, b in
+                                      zip(v, cents[i])) / cnorms[i], i))
+
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+        assert cell(emb[r.q_id]) == cell(emb[r.neighbor_id])
+        qv, nv = emb[r.q_id], emb[r.neighbor_id]
+        want = round(sum(a * b for a, b in zip(qv, nv))
+                     / (m.sqrt(sum(x * x for x in qv))
+                        * m.sqrt(sum(x * x for x in nv))), 6)
+        assert abs(r.cos - want) < 1e-9
+    for q, rs in by_q.items():
+        rks = sorted(r.rk for r in rs)
+        assert rks == list(range(1, len(rs) + 1))
+        assert len(rs) <= KNN_GRAPH_K
+
+
+# ------------------------------------------------------ video scene cuts
+
+def test_video_cuts_match_python_fold(spark):
+    from go_mapreduce_crawler_spark.operators.multimodal import (
+        CUT_DEN, CUT_NUM, q_multimodal_video_cuts)
+
+    out = {r.media_id: (r.n_frames_observed, r.n_cuts)
+           for r in q_multimodal_video_cuts(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text", "n_chars").collect()
+    expect = {}
+    for r in docs:
+        if r.doc_id % 3 != 2:
+            continue
+        b = r.text.encode("utf-8")
+        n, nf = len(b), r.n_chars % 120 + 1
+        if n == 0:
+            continue
+        runs: dict[int, int] = {}
+        for j, x in enumerate(b):
+            runs[j * nf // n] = runs.get(j * nf // n, 0) + x * x
+        es = [runs[f] for f in sorted(runs)]
+        cuts = sum(1 for a, bb in zip(es, es[1:])
+                   if CUT_NUM * abs(bb - a) > CUT_DEN * max(a, bb))
+        expect[r.doc_id] = (len(es), cuts)
+    assert out == expect and expect
+    assert any(c for _, c in expect.values())   # fixture has real cuts
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
