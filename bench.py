@@ -144,6 +144,8 @@ HEADLINE = [
     "dedup_family_overlap",
     "reservoir_delta_refresh",
     "multimodal_video_scene_cuts",
+    "bloom_filter_advisor",
+    "stream_ivf_index_replay",
 ]
 
 N_CRAWL_FILES = 2000

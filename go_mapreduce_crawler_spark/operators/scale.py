@@ -657,7 +657,58 @@ def q_shuffle_partition_advisor(spark, sf_dir):
         .unionAll(advise(o, o_canon, "orders"))
 
 
+BLOOM_ADV_FPP_PPM = (10_000, 1_000, 100)   # 1%, 0.1%, 0.01% targets
+
+
+def _bloom_plan(p_ppm: int):
+    """(bits-per-key coefficient, probe count) for a target FP rate —
+    the standard optima m/n = -ln p / ln^2 2, k = -log2 p, computed
+    once in Python so both engines consume the identical literal."""
+    import math
+    p = p_ppm / 1e6
+    c = -math.log(p) / (math.log(2.0) ** 2)
+    k = max(1, round(-math.log(p) / math.log(2.0)))
+    return c, k
+
+
+def q_bloom_filter_advisor(spark, sf_dir):
+    """Bloom SIZING advisor — the fourth advisor next to join/skew/
+    shuffle sizing: from the MEASURED distinct key count of the
+    runtime-filter build side (the urgent-orders dim that
+    join_bloom_prefilter and the decontamination blooms summarize),
+    emit for each target false-positive rate the optimal bit count
+    m = ceil(n * (-ln p / ln² 2)), probe count k = -log₂ p, the
+    megabyte footprint, and whether the filter still broadcasts under
+    the 10 MB threshold — the numbers that decide between a bloom
+    prefilter and a full shuffle join at 100 TB (a bloom's size grows
+    with KEYS, not rows, which is why it broadcasts when the dim
+    can't).
+
+    One distinct-count agg (the only corpus-sized work) + a 3-literal
+    explode; the bits-per-key coefficients are Python-computed
+    literals so the double arithmetic is bit-identical in both
+    engines.
+    """
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
+    n = o.agg(F.countDistinct("o_orderkey").alias("n_keys"))
+    plans = F.explode(F.array(*[
+        F.struct(F.lit(p).alias("target_fpp_ppm"),
+                 F.lit(_bloom_plan(p)[0]).alias("c"),
+                 F.lit(_bloom_plan(p)[1]).cast("long").alias("k"))
+        for p in BLOOM_ADV_FPP_PPM])).alias("pl")
+    j = n.select("n_keys", plans)
+    m_bits = F.ceil(F.col("n_keys") * F.col("pl.c")).cast("long")
+    return j.select(
+        F.col("pl.target_fpp_ppm").alias("target_fpp_ppm"),
+        "n_keys", m_bits.alias("m_bits"), F.col("pl.k").alias("k"),
+        F.expr(f"CAST(CEIL(n_keys * pl.c) AS BIGINT) DIV 8388608")
+         .alias("m_mb"),
+        (m_bits <= ADV_BCAST_B * 8).alias("broadcastable"))
+
+
 QUERIES = {
+    "bloom_filter_advisor": q_bloom_filter_advisor,
     "shuffle_partition_advisor": q_shuffle_partition_advisor,
     "join_strategy_advisor": q_join_strategy_advisor,
     "zorder_layout_key": q_zorder_layout,
@@ -730,6 +781,24 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+_BLOOM_ROWS = " UNION ALL ".join(
+    f"SELECT {p} AS target_fpp_ppm, {_bloom_plan(p)[0]!r} AS c,"
+    f" {_bloom_plan(p)[1]} AS k"
+    for p in BLOOM_ADV_FPP_PPM)
+
+ORACLE["bloom_filter_advisor"] = f"""
+    WITH n AS (SELECT COUNT(DISTINCT o_orderkey)::BIGINT AS n_keys
+               FROM orders WHERE o_orderpriority = '1-URGENT'),
+    p AS ({_BLOOM_ROWS})
+    SELECT p.target_fpp_ppm, n.n_keys,
+           CEIL(n.n_keys * p.c)::BIGINT AS m_bits,
+           p.k::BIGINT AS k,
+           (CEIL(n.n_keys * p.c)::BIGINT // 8388608)::BIGINT AS m_mb,
+           (CEIL(n.n_keys * p.c)::BIGINT <= {ADV_BCAST_B}::BIGINT * 8)
+               AS broadcastable
+    FROM n, p
+"""
 
 ORACLE["shuffle_partition_advisor"] = f"""
     WITH lc AS (

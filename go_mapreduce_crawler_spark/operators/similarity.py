@@ -991,6 +991,42 @@ def q_embedding_drift(spark, sf_dir):
 IVF_DELTA_MOD = 10     # vec_id % 10 == 0 stands in for "today's vectors"
 
 
+def ivf_base_cell_expr(spark, sf_dir) -> str:
+    """Row-local cell-affinity SQL expr from the FROZEN base-trained
+    centroids (lowest IVF_CELLS base vec_ids) — shared by the batch
+    delta refresh and the streaming index replay so both maintain the
+    identical index."""
+    base = (load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % IVF_DELTA_MOD != 0))
+    cent_rows = (base.orderBy("vec_id").limit(IVF_CELLS)
+                 .select("embedding").collect())
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+    return "array(" + ",".join(
+        f"struct({_dot_sql('embedding', c)} / {repr(nc)}D AS cos,"
+        f" {i} AS cell)"
+        for i, (c, nc) in enumerate(zip(cents, cnorms))) + ")"
+
+
+def ivf_cell_stats_of(cell_scores: str):
+    """df -> per-cell (n, two md5 checksum lanes) monoid partials."""
+    lane = lambda pos: F.conv(  # noqa: E731
+        F.substring(F.md5(F.col("vec_id").cast("string")), pos, 8),
+        16, 10).cast("long")
+
+    def index(df):
+        assigned = df.withColumn(
+            "cell",
+            F.array_max(F.expr(cell_scores)).getField("cell")
+             .cast("long"))
+        return assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lane(1)).alias("l1"),
+            F.sum(lane(9)).alias("l2"))
+
+    return index
+
+
 def q_ivf_index_delta(spark, sf_dir):
     """Incremental maintenance of the IVF ANN index — the IVM pattern
     (inverted_index_delta_refresh) applied to the vector index: the
@@ -1018,27 +1054,8 @@ def q_ivf_index_delta(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % IVF_DELTA_MOD != 0)
     delta = e.filter(F.col("vec_id") % IVF_DELTA_MOD == 0)
-    cent_rows = (base.orderBy("vec_id").limit(IVF_CELLS)
-                 .select("embedding").collect())
-    cents = [[float(x) for x in r.embedding] for r in cent_rows]
-    cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
-    cell_scores = "array(" + ",".join(
-        f"struct({_dot_sql('embedding', c)} / {repr(nc)}D AS cos,"
-        f" {i} AS cell)"
-        for i, (c, nc) in enumerate(zip(cents, cnorms))) + ")"
-    lane = lambda pos: F.conv(  # noqa: E731
-        F.substring(F.md5(F.col("vec_id").cast("string")), pos, 8),
-        16, 10).cast("long")
-
-    def index(df):
-        assigned = df.withColumn(
-            "cell",
-            F.array_max(F.expr(cell_scores)).getField("cell")
-             .cast("long"))
-        return assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(lane(1)).alias("l1"),
-            F.sum(lane(9)).alias("l2"))
+    cell_scores = ivf_base_cell_expr(spark, sf_dir)
+    index = ivf_cell_stats_of(cell_scores)
 
     b, d = index(base), index(delta)
     z = F.lit(0).cast("long")
@@ -1106,7 +1123,38 @@ def q_knn_graph_ivf(spark, sf_dir):
                     "cos", "rk"))
 
 
+KNN_CLUSTER_COS = 0.45    # edge threshold over the kNN graph
+
+
+def q_semantic_knn_clusters(spark, sf_dir):
+    """Semantic clusters = connected components over the THRESHOLDED
+    kNN graph — the step after q_knn_graph_ivf in the SemDeDup-style
+    pipeline (the graph materializes candidate structure; clustering
+    turns it into "these documents say the same thing" groups for
+    dedup-aware sampling and mixture math).  Edges are kNN pairs with
+    cos >= {t}; the graph is symmetrized (kNN is directed) and
+    min-label propagated to a fixpoint — the dedup_components engine
+    reused on embedding space.
+
+    Scale: pair work is the IVF-cell-bounded kNN graph (never
+    all-pairs); the component loop is O(diameter) joins over the
+    id-pair relation.  Output: (cluster_id = min vec_id, n_members)
+    for clusters >= 2.  Oracle: the knn-graph oracle CTEs + a
+    recursive-CTE transitive closure — composed verbatim.
+    """.format(t=KNN_CLUSTER_COS)
+    from .dedup import _min_label_components
+
+    g = (q_knn_graph_ivf(spark, sf_dir)
+         .filter(F.col("cos") >= KNN_CLUSTER_COS)
+         .select(F.col("q_id").alias("doc_a"),
+                 F.col("neighbor_id").alias("doc_b")))
+    return (_min_label_components(g)
+            .select(F.col("cluster_id").alias("cluster_vec_id"),
+                    "n_members"))
+
+
 QUERIES = {
+    "semantic_knn_clusters": q_semantic_knn_clusters,
     "knn_graph_ivf": q_knn_graph_ivf,
     "ivf_index_delta_refresh": q_ivf_index_delta,
     "knn_bruteforce_cosine": q_knn_bruteforce,
@@ -1354,6 +1402,27 @@ ORACLE["knn_graph_ivf"] = f"""
 
 # Direct index over the POST-insert corpus with BASE-trained centroids:
 # incremental == rebuild (assignment is row-local per vector).
+# kNN-graph oracle composed verbatim + recursive transitive closure
+ORACLE["semantic_knn_clusters"] = f"""
+    WITH RECURSIVE g AS MATERIALIZED (
+        SELECT q_id AS doc_a, neighbor_id AS doc_b
+        FROM ({ORACLE["knn_graph_ivf"]})
+        WHERE cos >= {KNN_CLUSTER_COS}),
+    edges AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM g
+        UNION SELECT doc_b, doc_a FROM g),
+    nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.doc_a, r.lbl FROM edges e JOIN reach r
+          ON r.node = e.doc_b),
+    minlbl AS (SELECT node, MIN(lbl) AS cluster_vec_id
+               FROM reach GROUP BY node)
+    SELECT cluster_vec_id, COUNT(*) AS n_members
+    FROM minlbl GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
 ORACLE["ivf_index_delta_refresh"] = f"""
     WITH cent AS (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,

@@ -224,7 +224,41 @@ def q_stream_gdpr_forget_replay(spark, sf_dir):
                  F.sum("s").cast("double").alias("sum_total")))
 
 
+def q_stream_ivf_index_replay(spark, sf_dir):
+    """Vector-ingest stream replay: the embeddings table split into
+    REPLAY_SPLITS files -> streaming per-cell monoid index maintenance
+    against the FROZEN base-trained centroids -> finalized index.  The
+    per-cell (n, lanes) state is a commutative monoid, so the
+    finalized index is batching-independent and the full-rebuild
+    oracle (shared verbatim with ivf_index_delta_refresh) is an
+    exactly-once value proof.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import stream_ivf_index
+    from .similarity import ivf_base_cell_expr, ivf_cell_stats_of
+
+    root = tempfile.mkdtemp(prefix="sgraft_replay_ivf_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
+    vecs = load_table(spark, sf_dir, "embeddings")
+    vecs.repartition(REPLAY_SPLITS).write.mode("overwrite") \
+        .parquet(in_dir)
+    stream = (spark.readStream.option("maxFilesPerTrigger", "1")
+              .schema(vecs.schema).parquet(in_dir))
+    index_of = ivf_cell_stats_of(ivf_base_cell_expr(spark, sf_dir))
+    q = stream_ivf_index(stream, index_of, state, ckpt)
+    _await_drained(q, "ivf_index")
+    return (read_mv_state(spark, state)
+            .select("cell", F.col("n").alias("n_vecs"),
+                    F.col("l1").alias("members_lane1"),
+                    F.col("l2").alias("members_lane2")))
+
+
 QUERIES = {
+    "stream_ivf_index_replay": q_stream_ivf_index_replay,
     "stream_gdpr_forget_replay": q_stream_gdpr_forget_replay,
     "stream_windowed_span_dedup_replay":
         q_stream_windowed_span_dedup_replay,
@@ -348,3 +382,10 @@ ORACLE = {
     "stream_decayed_engagement_replay": _decayed_engagement_oracle(),
     "stream_quantile_sketch_replay": _SCALE_ORACLE["quantile_sketch_rollup"],
 }
+
+# exactly-once proof: the streaming index over ALL vectors equals the
+# batch delta-refresh output (both maintain base ∪ delta), whose oracle
+# rebuilds the index over the full corpus directly.
+from .similarity import ORACLE as _SIM_ORACLE  # noqa: E402
+
+ORACLE["stream_ivf_index_replay"] = _SIM_ORACLE["ivf_index_delta_refresh"]

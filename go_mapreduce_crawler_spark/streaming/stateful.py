@@ -337,6 +337,57 @@ def stream_gdpr_forget(requests: DataFrame, orders: DataFrame,
             .trigger(availableNow=True).start())
 
 
+def stream_ivf_index(vecs: DataFrame, index_of, state_dir: str,
+                     checkpoint: str):
+    """Streaming ANN-index maintenance: vectors arrive as a stream,
+    each micro-batch is assigned to the FROZEN base-trained centroids
+    (``index_of`` = similarity.ivf_cell_stats_of(cell_expr) — a
+    row-local argmax, zero shuffles before the per-cell partial agg)
+    and the per-cell (n, checksum-lane) MONOID state merges under the
+    versioned-snapshot protocol — ANN serving keeps pace with vector
+    ingest without ever re-assigning the corpus (the batch twin is
+    similarity.q_ivf_index_delta).
+    """
+    spark = vecs.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        partial = index_of(batch_df)
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+            p = prev.select(F.col("cell").alias("k"),
+                            F.col("n").alias("n1"),
+                            F.col("l1").alias("a1"),
+                            F.col("l2").alias("a2"))
+            d = partial.select(F.col("cell").alias("k"),
+                               F.col("n").alias("n2"),
+                               F.col("l1").alias("b1"),
+                               F.col("l2").alias("b2"))
+            z = F.lit(0).cast("long")
+            merged = (p.join(d, "k", "full_outer")
+                      .select(F.col("k").alias("cell"),
+                              (F.coalesce("n1", z)
+                               + F.coalesce("n2", z)).alias("n"),
+                              (F.coalesce("a1", z)
+                               + F.coalesce("b1", z)).alias("l1"),
+                              (F.coalesce("a2", z)
+                               + F.coalesce("b2", z)).alias("l2")))
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}",
+                          ignore_errors=True)
+
+    return (vecs.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def stream_anomaly_scoring(events: DataFrame,
                            cell_means: DataFrame,
                            type_vars: DataFrame) -> DataFrame:

@@ -475,6 +475,81 @@ def test_video_cuts_match_python_fold(spark):
     assert any(c for _, c in expect.values())   # fixture has real cuts
 
 
+# ------------------------------------------------ semantic kNN clusters
+
+def test_semantic_clusters_match_union_find(spark):
+    from pyspark.sql import functions as FF
+
+    from go_mapreduce_crawler_spark.operators.similarity import (
+        KNN_CLUSTER_COS, q_knn_graph_ivf, q_semantic_knn_clusters)
+
+    pairs = [(r.q_id, r.neighbor_id)
+             for r in q_knn_graph_ivf(spark, SF)
+             .filter(FF.col("cos") >= KNN_CLUSTER_COS).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, set] = {}
+    for n in parent:
+        comp.setdefault(find(n), set()).add(n)
+    want = {min(m): len(m) for m in comp.values() if len(m) >= 2}
+    got = {r.cluster_vec_id: r.n_members
+           for r in q_semantic_knn_clusters(spark, SF).collect()}
+    assert got == want and want
+
+
+# -------------------------------------------------- bloom advisor
+
+def test_bloom_advisor_formula_replica(spark):
+    import math as m
+
+    from go_mapreduce_crawler_spark.operators.scale import (
+        ADV_BCAST_B, BLOOM_ADV_FPP_PPM, q_bloom_filter_advisor)
+    from pyspark.sql import functions as FF
+
+    rows = {r.target_fpp_ppm: r
+            for r in q_bloom_filter_advisor(spark, SF).collect()}
+    assert set(rows) == set(BLOOM_ADV_FPP_PPM)
+    n = (spark.read.parquet(f"{SF}/orders.parquet")
+         .filter(FF.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey").distinct().count())
+    for p, r in rows.items():
+        assert r.n_keys == n
+        c = -m.log(p / 1e6) / (m.log(2.0) ** 2)
+        assert r.m_bits == m.ceil(n * c)
+        assert r.k == max(1, round(-m.log(p / 1e6) / m.log(2.0)))
+        assert r.broadcastable == (r.m_bits <= ADV_BCAST_B * 8)
+    # tighter FP rate costs monotonically more bits
+    ms = [rows[p].m_bits for p in sorted(BLOOM_ADV_FPP_PPM,
+                                         reverse=True)]
+    assert ms == sorted(ms)
+
+
+# -------------------------------------------- streaming IVF index
+
+def test_stream_ivf_index_equals_batch_delta(spark):
+    from go_mapreduce_crawler_spark.operators.similarity import (
+        q_ivf_index_delta)
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        q_stream_ivf_index_replay)
+
+    got = sorted(tuple(r) for r in
+                 q_stream_ivf_index_replay(spark, SF).collect())
+    want = sorted(tuple(r) for r in
+                  q_ivf_index_delta(spark, SF).collect())
+    assert got == want and got
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
