@@ -146,6 +146,7 @@ HEADLINE = [
     "multimodal_video_scene_cuts",
     "bloom_filter_advisor",
     "stream_ivf_index_replay",
+    "text_kneser_ney_score",
 ]
 
 N_CRAWL_FILES = 2000
@@ -227,6 +228,11 @@ def main() -> None:
     try:
         _build_crawl_tree(crawl_root)
         schema = T.StructType([T.StructField("data", T.LongType())])
+        # Same warm-up policy as the query loop: the first collect pays
+        # ~5s of codegen/JIT for the crawl path (measured 6.9s cold vs
+        # 1.5s steady-state); one warm pass over a single subtree
+        # compiles it so the timed run measures data work.
+        Crawler(spark).collect(os.path.join(crawl_root, "d00"), schema)
         t0 = time.perf_counter()
         res = Crawler(spark).collect(crawl_root, schema)
         timings["crawl_json_sum"] = round(time.perf_counter() - t0, 3)

@@ -257,7 +257,68 @@ def q_stream_ivf_index_replay(spark, sf_dir):
                     F.col("l2").alias("members_lane2")))
 
 
+_MEM_SINK_SEQ = [0]
+
+
+def _replay_ordered_events(spark, sf_dir: str, name: str):
+    """Events as REPLAY_SPLITS ts-range files in ascending mod-time
+    order — the watermark contract (a later micro-batch never carries
+    events older than watermark; production ingest guarantees the same
+    or late rows are correctly dropped).  A random file split would
+    scatter old events into late batches where the 2h watermark drops
+    them — a replay-fixture artifact, not operator behavior."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+    import time
+
+    root = tempfile.mkdtemp(prefix=f"sgraft_replay_{name}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    lo_hi = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")) \
+              .collect()[0]
+    lo, hi = lo_hi.lo, lo_hi.hi + 1
+    for i in range(REPLAY_SPLITS):
+        a = lo + (hi - lo) * i // REPLAY_SPLITS
+        b = lo + (hi - lo) * (i + 1) // REPLAY_SPLITS
+        stage = f"{root}/stage{i}"
+        (ev.filter((us >= a) & (us < b))
+           .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        _sh.copyfile(part, f"{in_dir}/{i:02d}.parquet")
+        time.sleep(0.05)   # strictly increasing mod-times
+    return (spark.readStream.option("maxFilesPerTrigger", "1")
+            .schema(ev.schema).parquet(in_dir))
+
+
+def q_stream_sessionize_replay(spark, sf_dir):
+    """Time-ordered replay -> NATIVE session windows (session_window
+    gap-close semantics, the streaming-stateful operator family — not
+    a foreachBatch monoid) -> finalized per-session rows.  Complete
+    output mode over an availableNow replay emits the final merged
+    session set; sessions are a pure function of the event data (gap
+    <= 30 min closure), so the batch-SQL oracle is a full value proof
+    that micro-batch session MERGING (a session can span replay
+    files) converged to the batch answer.  Session value sums ride in
+    exact DECIMAL(18,2), making the hash independent of merge order.
+    """
+    stream = _replay_ordered_events(spark, sf_dir, "sess")
+    from ..streaming.sessions import stream_sessionize
+
+    _MEM_SINK_SEQ[0] += 1
+    name = f"sgraft_sessions_replay_{_MEM_SINK_SEQ[0]}"
+    q = (stream_sessionize(stream).writeStream.format("memory")
+         .queryName(name).outputMode("complete")
+         .trigger(availableNow=True).start())
+    _await_drained(q, "sessionize")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 QUERIES = {
+    "stream_sessionize_replay": q_stream_sessionize_replay,
     "stream_ivf_index_replay": q_stream_ivf_index_replay,
     "stream_gdpr_forget_replay": q_stream_gdpr_forget_replay,
     "stream_windowed_span_dedup_replay":
@@ -389,3 +450,25 @@ ORACLE = {
 from .similarity import ORACLE as _SIM_ORACLE  # noqa: E402
 
 ORACLE["stream_ivf_index_replay"] = _SIM_ORACLE["ivf_index_delta_refresh"]
+
+# the batch twin of native session windows: gap<=30min closure, end =
+# last event + gap, DECIMAL-exact session sums
+ORACLE["stream_sessionize_replay"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    s AS (SELECT user_id, us, value,
+                 CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                              ORDER BY us)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    g AS (SELECT user_id, us, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sid
+          FROM s)
+    SELECT user_id, MIN(us)::BIGINT AS start_us,
+           (MAX(us) + 1800000000)::BIGINT AS end_us,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM g GROUP BY user_id, sid
+"""

@@ -567,6 +567,64 @@ def q_text_bigram_lm_score(spark, sf_dir):
                        .alias("mean_logp")))
 
 
+def q_text_kneser_ney_score(spark, sf_dir):
+    """Kneser-Ney BIGRAM-LM quality score — the production-grade
+    smoother next to the Jelinek-Mercer operator (KN backs off to the
+    CONTINUATION distribution: how many distinct left contexts a word
+    appears in, not its raw frequency — the fix for 'Francisco' (high
+    count, one context) outranking genuinely versatile words; Kneser &
+    Ney 1995, the smoother inside every KenLM quality filter).
+
+    Absolute discount D = 3/4 makes the whole probability ONE integer
+    rational:
+        p(w|a) = [(4·c_aw - 3)·B + 3·N1+(a·)·N1+(·w)] / (4·c_a·B)
+    with N1+(a·) = distinct continuations of a, N1+(·w) = distinct
+    left contexts of w, B = distinct bigram types.  Every document
+    bigram is corpus-observed (the corpus is its own training set),
+    so c_aw >= 1 and the discount max() never binds.  log p =
+    _ln_det(num) - _ln_det(den), quantized once per DISTINCT bigram
+    to integer micro-nats, summed associatively per document — the
+    bigram_lm_score determinism recipe on a different smoother.
+    Products stay under 2^63 while N·B < 9.2e18.
+
+    Scale shape identical to the JM operator: one bigram-shaped
+    shuffle for counts, model joins back on (prev, word) — broadcast
+    at test SF, co-partitioned at vocabulary scale; the two context-
+    diversity relations are vocabulary-sized aggregates of the bigram
+    relation.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n = F.size(w)
+    bg = d.select("doc_id", F.explode(F.zip_with(
+        F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("word")))).alias("p")) \
+          .select("doc_id", "p.prev", "p.word")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    bi = bg.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c_ab"))
+    n1p = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("n1p_a"))
+    n1l = bi.groupBy("word").agg(F.count(F.lit(1)).alias("n1l_w"))
+    btypes = bi.agg(F.count(F.lit(1)).alias("B"))
+    num = "((4 * c_ab - 3) * B + 3 * n1p_a * n1l_w)"
+    den = "(4 * c_a * B)"
+    logp = (f"CAST(round(({_ln_det(num, _lit_spark)}"
+            f" - {_ln_det(den, _lit_spark)}) * 1e6, 0) AS BIGINT)")
+    model = (bi.join(n1p, "prev").join(n1l, "word")
+               .join(uni.select(F.col("word").alias("prev"),
+                                F.col("c").alias("c_a")), "prev")
+               .crossJoin(F.broadcast(btypes))
+               .selectExpr("prev", "word", f"{logp} AS logp_kn"))
+    return (bg.join(F.broadcast(model), ["prev", "word"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum("logp_kn").alias("sum_logp_kn"))
+              .select("doc_id", "n_bigrams", "sum_logp_kn",
+                      F.round(F.col("sum_logp_kn")
+                              / F.col("n_bigrams") / 1e6, 6)
+                       .alias("mean_logp")))
+
+
 SEQ_LEN = 2048        # training sequence length in whitespace tokens
 PACK_BUCKET = 1024    # docs per prefix-sum offset bucket
 
@@ -1534,6 +1592,7 @@ def q_quality_adaptive_threshold(spark, sf_dir):
 
 
 QUERIES = {
+    "text_kneser_ney_score": q_text_kneser_ney_score,
     "eval_langid_confusion": q_eval_langid_confusion,
     "quality_adaptive_threshold": q_quality_adaptive_threshold,
     "text_stats": q_text_stats,
@@ -2266,3 +2325,36 @@ ORACLE["eval_langid_confusion"] = (
            ((c.n * 1000000) // t.tot)::BIGINT AS row_ppm
     FROM c JOIN t USING (lang)
 """)
+
+
+ORACLE["text_kneser_ney_score"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS word
+           FROM d, unnest(generate_series(1, greatest(len(w) - 1, 0)))
+                   AS t(i)),
+    words AS (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents),
+    uni AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+    bi AS (SELECT prev, word, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+    n1p AS (SELECT prev, COUNT(*) AS n1p_a FROM bi GROUP BY prev),
+    n1l AS (SELECT word, COUNT(*) AS n1l_w FROM bi GROUP BY word),
+    bt AS (SELECT COUNT(*) AS B FROM bi),
+    model AS (
+        SELECT bi.prev, bi.word,
+               CAST(ROUND((
+                   {_ln_det('((4 * c_ab - 3) * B + 3 * n1p_a * n1l_w)',
+                            _lit_duck)}
+                   - {_ln_det('(4 * c_a * B)', _lit_duck)}) * 1e6, 0)
+                    AS BIGINT) AS logp_kn
+        FROM bi
+        JOIN n1p USING (prev)
+        JOIN n1l USING (word)
+        JOIN (SELECT word AS prev, c AS c_a FROM uni) ua USING (prev)
+        CROSS JOIN bt)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           SUM(logp_kn)::BIGINT AS sum_logp_kn,
+           ROUND(SUM(logp_kn) / COUNT(*) / 1e6, 6) AS mean_logp
+    FROM bg JOIN model USING (prev, word)
+    GROUP BY doc_id
+"""

@@ -45,14 +45,20 @@ def stream_sessionize(events: DataFrame,
     streaming-native equivalent of the batch lag/cumsum formulation in
     operators.relational.q_sessionize.
     """
+    # DECIMAL(18,2) session sums: the merge order of a session's
+    # events differs between engines and micro-batchings; exact decimal
+    # addition is associative-commutative bit-for-bit, which is what
+    # lets the replay driver row carry a full value oracle.
     return (events.withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("sum_value"))
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .alias("sum_dec"))
             .select("user_id",
                     F.unix_micros("sw.start").alias("start_us"),
                     F.unix_micros("sw.end").alias("end_us"),
-                    "n_events", "sum_value"))
+                    "n_events",
+                    F.col("sum_dec").cast("double").alias("sum_value")))
 
 
 def stream_trending_counts(events: DataFrame,

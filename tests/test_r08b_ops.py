@@ -550,6 +550,84 @@ def test_stream_ivf_index_equals_batch_delta(spark):
     assert got == want and got
 
 
+# ------------------------------------------------- Kneser-Ney LM score
+
+def test_kneser_ney_matches_python_replica(spark):
+    """Integer micro-nat KN score == a pure-Python replica of the same
+    rational (D=3/4) over the same corpus counts, doc by doc."""
+    import math as m
+
+    from go_mapreduce_crawler_spark.operators.text import (
+        q_text_kneser_ney_score)
+
+    docs = {r.doc_id: r.text.split(" ")
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+                          .select("doc_id", "text").collect()}
+    c_a: dict[str, int] = {}
+    c_ab: dict[tuple, int] = {}
+    for ws in docs.values():
+        for w in ws:
+            c_a[w] = c_a.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c_ab[(a, b)] = c_ab.get((a, b), 0) + 1
+    n1p: dict[str, int] = {}
+    n1l: dict[str, int] = {}
+    for (a, b) in c_ab:
+        n1p[a] = n1p.get(a, 0) + 1
+        n1l[b] = n1l.get(b, 0) + 1
+    B = len(c_ab)
+    logp = {}
+    for (a, b), c in c_ab.items():
+        num = (4 * c - 3) * B + 3 * n1p[a] * n1l[b]
+        den = 4 * c_a[a] * B
+        logp[(a, b)] = round((m.log(num) - m.log(den)) * 1e6)
+    want = {}
+    for did, ws in docs.items():
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            continue
+        s = sum(logp[p] for p in bgs)
+        want[did] = (len(bgs), s, round(s / len(bgs) / 1e6, 6))
+    got = {r.doc_id: (r.n_bigrams, r.sum_logp_kn, r.mean_logp)
+           for r in q_text_kneser_ney_score(spark, SF).collect()}
+    # _ln_det is engine-deterministic but may differ from libm by an
+    # ulp at the micro-nat rounding boundary; allow per-bigram +-1
+    # accumulated slack on the sum, exact on counts.
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert abs(got[did][1] - want[did][1]) <= want[did][0]
+    # KN must actually discount: scores differ from the JM smoother
+    from go_mapreduce_crawler_spark.operators.text import (
+        q_text_bigram_lm_score)
+    jm = {r.doc_id: r.sum_logp_bi
+          for r in q_text_bigram_lm_score(spark, SF).collect()}
+    assert any(jm[d] != got[d][1] for d in got)
+
+
+# ------------------------------------------- native session replay
+
+def test_stream_sessionize_replay_equals_batch_sessions(spark):
+    from pyspark.sql import functions as FF
+
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        q_stream_sessionize_replay)
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    got = {(r.user_id, r.start_us): (r.end_us, r.n_events, r.sum_value)
+           for r in q_stream_sessionize_replay(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    batch = (ev.groupBy(FF.session_window("ts", "30 minutes")
+                        .alias("sw"), "user_id")
+             .agg(FF.count(FF.lit(1)).alias("n"),
+                  FF.sum(FF.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sv")))
+    want = {(r.user_id, int(r.sw.start.timestamp() * 1_000_000)):
+            (int(r.sw.end.timestamp() * 1_000_000), r.n, r.sv)
+            for r in batch.collect()}
+    assert got == want and got
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
