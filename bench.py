@@ -147,6 +147,8 @@ HEADLINE = [
     "bloom_filter_advisor",
     "stream_ivf_index_replay",
     "text_kneser_ney_score",
+    "text_watermark_scan",
+    "inverted_index_compression_report",
 ]
 
 N_CRAWL_FILES = 2000

@@ -433,6 +433,61 @@ def q_inverted_index_delta(spark, sf_dir):
                 p["tf"].cast("string")))), "UTF-8")).alias("postings_md5"))
 
 
+def q_index_compression_report(spark, sf_dir):
+    """Postings-compression accounting for the inverted index: per
+    df-band (1, 2-3, 4-7, ..., 32+ docs), the raw int64 postings
+    bytes vs delta+varint bytes and the savings in ppm — the
+    storage-planning readout behind "positional delta encoding in a
+    real store" (inverted_index_delta_refresh's 100 TB note), computed
+    exactly: varint size is an integer CASE ladder over the doc-id
+    GAPS (first gap = id+1 so it is always positive), so both engines
+    agree bit-for-bit.
+
+    Scale: the per-term fold is row-local array math over the same
+    term-keyed postings relation the index ops build (collect_list
+    bounded by df, which the df-cap doctrine already bounds); the
+    report is one |bands|-key agg.  Terms are word 3-grams (the index
+    family's convention).
+    """
+    from .text import _token_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (d.select("doc_id", F.explode(
+            _token_ngrams(F.split("text", " "), 3)).alias("t"))
+         .distinct())
+    post = g.groupBy("t").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    vb = F.expr("""
+        aggregate(
+            zip_with(ds, concat(array(-1L), slice(ds, 1, size(ds) - 1)),
+                     (a, b) -> a - b),
+            0L,
+            (acc, gp) -> acc + CASE WHEN gp < 128L THEN 1L
+                                    WHEN gp < 16384L THEN 2L
+                                    WHEN gp < 2097152L THEN 3L
+                                    WHEN gp < 268435456L THEN 4L
+                                    ELSE 5L END)
+    """)
+    per_term = post.select(
+        F.size("ds").cast("long").alias("df"),
+        (F.size("ds") * 8).cast("long").alias("raw_bytes"),
+        vb.alias("varint_bytes"))
+    band = (F.when(F.col("df") == 1, "df=1")
+            .when(F.col("df") <= 3, "df=2-3")
+            .when(F.col("df") <= 7, "df=4-7")
+            .when(F.col("df") <= 15, "df=8-15")
+            .when(F.col("df") <= 31, "df=16-31")
+            .otherwise("df>=32"))
+    return (per_term.groupBy(band.alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("raw_bytes").alias("raw_bytes"),
+                 F.sum("varint_bytes").alias("varint_bytes"))
+            .select("band", "n_terms", "raw_bytes", "varint_bytes",
+                    F.expr("CAST(((raw_bytes - varint_bytes) * 1000000)"
+                           " DIV raw_bytes AS BIGINT)")
+                     .alias("savings_ppm")))
+
+
 _FORGET = 53           # forget-set predicate: c_custkey % _FORGET == 0
 
 
@@ -504,6 +559,7 @@ def q_gdpr_delete_cascade(spark, sf_dir):
 
 
 QUERIES = {
+    "inverted_index_compression_report": q_index_compression_report,
     "gdpr_delete_cascade": q_gdpr_delete_cascade,
     "inverted_index_delta_refresh": q_inverted_index_delta,
     "cdc_merge_apply": q_cdc_merge_apply,
@@ -724,4 +780,43 @@ ORACLE["mv_join_delta_refresh"] = """
            CAST(SUM(p) AS DOUBLE) AS revenue
     FROM o2 JOIN customer c ON o2.o_custkey = c.c_custkey
     GROUP BY 1
+"""
+
+ORACLE["inverted_index_compression_report"] = """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS a
+                FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 array_to_string(a[j:j+2], ' ') AS t
+          FROM ws, unnest(generate_series(1, len(a) - 2)) AS u(j)
+          WHERE len(a) >= 3),
+    post AS (SELECT t, list_sort(list(doc_id)) AS ds
+             FROM g GROUP BY t),
+    gaps AS (SELECT t, len(ds)::BIGINT AS df,
+                    (len(ds) * 8)::BIGINT AS raw_bytes,
+                    SUM(CASE
+                        WHEN ds[i] - COALESCE(ds[i - 1], -1) < 128
+                            THEN 1
+                        WHEN ds[i] - COALESCE(ds[i - 1], -1) < 16384
+                            THEN 2
+                        WHEN ds[i] - COALESCE(ds[i - 1], -1) < 2097152
+                            THEN 3
+                        WHEN ds[i] - COALESCE(ds[i - 1], -1) < 268435456
+                            THEN 4
+                        ELSE 5 END)::BIGINT AS varint_bytes
+             FROM post, unnest(generate_series(1, len(ds))) AS u(i)
+             GROUP BY t, ds),
+    banded AS (SELECT CASE WHEN df = 1 THEN 'df=1'
+                           WHEN df <= 3 THEN 'df=2-3'
+                           WHEN df <= 7 THEN 'df=4-7'
+                           WHEN df <= 15 THEN 'df=8-15'
+                           WHEN df <= 31 THEN 'df=16-31'
+                           ELSE 'df>=32' END AS band,
+                      raw_bytes, varint_bytes
+               FROM gaps)
+    SELECT band, COUNT(*)::BIGINT AS n_terms,
+           SUM(raw_bytes)::BIGINT AS raw_bytes,
+           SUM(varint_bytes)::BIGINT AS varint_bytes,
+           (((SUM(raw_bytes) - SUM(varint_bytes)) * 1000000)
+            // SUM(raw_bytes))::BIGINT AS savings_ppm
+    FROM banded GROUP BY band
 """

@@ -1522,6 +1522,43 @@ def q_chunk_content_defined(spark, sf_dir):
         "rk", "chunk_md5", "n_occurrences", "n_docs", "n_words")
 
 
+# invisible/confusable codepoints screened by the watermark scan:
+# zero-width space/joiner/non-joiner, BOM, soft hyphen, word joiner
+WM_CODEPOINTS = (0x200B, 0x200C, 0x200D, 0xFEFF, 0x00AD, 0x2060)
+WM_INJECT_MOD = 37     # doc_id % 37 == 0 gets one marker injected
+
+
+def q_text_watermark_scan(spark, sf_dir):
+    """Invisible-character WATERMARK screen: count zero-width and
+    soft-hyphen-class codepoints per document and flag carriers — the
+    poisoning/steganography screen a training-data pipeline runs
+    before ingesting third-party corpora (invisible codepoints carry
+    provenance watermarks and prompt-injection payloads, and silently
+    inflate tokenizer byte counts).
+
+    The clean synthetic corpus carries none, so the operator screens a
+    DERIVED tainted snapshot (doc_id % {m} == 0 gets one ZWSP appended
+    after its first word — the table_diff derived-fixture recipe, so
+    the detector has real positives and the oracle rebuilds the same
+    taint).  Pure projection: inject + regexp-count + flag is
+    row-local, zero shuffles, linear in corpus bytes; the output
+    summary is one partial+final agg per (lang, flagged) cell.
+    """.format(m=WM_INJECT_MOD)
+    d = _docs(spark, sf_dir)
+    zwsp = "\u200b"
+    tainted = F.when(F.col("doc_id") % WM_INJECT_MOD == 0,
+                     F.concat(F.col("text"), F.lit(zwsp))) \
+               .otherwise(F.col("text"))
+    klass = "[" + "".join(chr(c) for c in WM_CODEPOINTS) + "]"
+    n_wm = F.size(F.regexp_extract_all(tainted, F.lit(klass), 0))
+    per_doc = d.select("doc_id", "lang", n_wm.alias("n_wm"))
+    return (per_doc
+            .groupBy("lang", (F.col("n_wm") > 0).alias("flagged"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_wm").alias("n_wm_chars"),
+                 F.min("doc_id").alias("first_doc")))
+
+
 def q_eval_langid_confusion(spark, sf_dir):
     """Language-ID CONFUSION MATRIX: the labeled-eval step after
     text_langid — per (true lang, predicted lang) cell, the count and
@@ -1592,6 +1629,7 @@ def q_quality_adaptive_threshold(spark, sf_dir):
 
 
 QUERIES = {
+    "text_watermark_scan": q_text_watermark_scan,
     "text_kneser_ney_score": q_text_kneser_ney_score,
     "eval_langid_confusion": q_eval_langid_confusion,
     "quality_adaptive_threshold": q_quality_adaptive_threshold,
@@ -2357,4 +2395,19 @@ ORACLE["text_kneser_ney_score"] = f"""
            ROUND(SUM(logp_kn) / COUNT(*) / 1e6, 6) AS mean_logp
     FROM bg JOIN model USING (prev, word)
     GROUP BY doc_id
+"""
+
+
+ORACLE["text_watermark_scan"] = """
+    WITH t AS (SELECT doc_id, lang,
+                      CASE WHEN doc_id % 37 = 0
+                           THEN text || chr(8203) ELSE text END AS tx
+               FROM documents),
+    c AS (SELECT doc_id, lang,
+                 len(regexp_extract_all(tx, '[​‌‍﻿­⁠]')) AS n_wm
+          FROM t)
+    SELECT lang, (n_wm > 0) AS flagged, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_wm)::BIGINT AS n_wm_chars,
+           MIN(doc_id)::BIGINT AS first_doc
+    FROM c GROUP BY 1, 2
 """

@@ -628,6 +628,68 @@ def test_stream_sessionize_replay_equals_batch_sessions(spark):
     assert got == want and got
 
 
+# --------------------------------------------------- watermark scan
+
+def test_watermark_scan_flags_exactly_the_tainted_docs(spark):
+    from go_mapreduce_crawler_spark.operators.text import (
+        WM_INJECT_MOD, q_text_watermark_scan)
+
+    rows = q_text_watermark_scan(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "lang").collect()
+    n_docs = len(docs)
+    assert sum(r.n_docs for r in rows) == n_docs
+    flagged = [r for r in rows if r.flagged]
+    clean = [r for r in rows if not r.flagged]
+    want_flagged = sum(1 for d in docs if d.doc_id % WM_INJECT_MOD == 0)
+    assert sum(r.n_docs for r in flagged) == want_flagged > 0
+    assert all(r.n_wm_chars == r.n_docs for r in flagged)  # 1 ZWSP each
+    assert all(r.n_wm_chars == 0 for r in clean)
+    for r in flagged:
+        assert r.first_doc % WM_INJECT_MOD == 0
+
+
+# ------------------------------------------- postings compression
+
+def test_index_compression_matches_python_varint(spark):
+    from go_mapreduce_crawler_spark.operators.maintenance import (
+        q_index_compression_report)
+
+    rows = {r.band: r for r in
+            q_index_compression_report(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    post: dict[str, set] = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        for i in range(len(ws) - 2):
+            post.setdefault(" ".join(ws[i:i + 3]), set()).add(d.doc_id)
+
+    def vbytes(x):
+        return 1 if x < 128 else 2 if x < 16384 else 3 \
+            if x < 2097152 else 4 if x < 268435456 else 5
+
+    def band(df):
+        return ("df=1" if df == 1 else "df=2-3" if df <= 3 else
+                "df=4-7" if df <= 7 else "df=8-15" if df <= 15 else
+                "df=16-31" if df <= 31 else "df>=32")
+
+    want: dict[str, list] = {}
+    for ds in post.values():
+        s = sorted(ds)
+        vb = sum(vbytes(b - a) for a, b in zip([-1] + s[:-1], s))
+        st = want.setdefault(band(len(s)), [0, 0, 0])
+        st[0] += 1
+        st[1] += 8 * len(s)
+        st[2] += vb
+    assert set(rows) == set(want)
+    for b, (nt, rb, vb) in want.items():
+        r = rows[b]
+        assert (r.n_terms, r.raw_bytes, r.varint_bytes) == (nt, rb, vb)
+        assert r.savings_ppm == (rb - vb) * 10**6 // rb
+        assert r.varint_bytes < r.raw_bytes      # compression is real
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
