@@ -149,6 +149,9 @@ HEADLINE = [
     "text_kneser_ney_score",
     "text_watermark_scan",
     "inverted_index_compression_report",
+    "events_markov_stationary",
+    "column_encoding_advisor",
+    "validate_media",
 ]
 
 N_CRAWL_FILES = 2000

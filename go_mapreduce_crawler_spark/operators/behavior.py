@@ -135,6 +135,53 @@ def q_markov_transitions(spark, sf_dir):
                      .cast("long").alias("p_ppm"))
 
 
+MKV_SCALE = 10**12      # fixed-point scale for the stationary vector
+MKV_ITERS = 5
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain by POWER
+    ITERATION — where user behavior settles long-run (the steady-state
+    share of each event type), the quantity capacity planning and
+    behavioral-drift monitors track on top of q_markov_transitions'
+    one-step matrix.
+
+    Integer fixed-point end to end (the pagerank quantize-sum-
+    dequantize recipe): pi lives at 1e12 scale; each edge contribution
+    is (pi_i * n_ij) DIV tot_i — quantized per edge BEFORE the sum, so
+    the result is addition-order-independent and both engines agree
+    bit-for-bit through all {it} unrolled iterations.  The matrix is a
+    |types|^2 relation (one window shuffle on user_id to sequence,
+    partial+final agg down); each iteration is a tiny join — at 100 TB
+    the chain state never exceeds |types| rows regardless of event
+    volume.  Oracle: the same {it} iterations as an unrolled CTE chain.
+    """.format(it=MKV_ITERS)
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (e.select("user_id", "ts", "event_id", "event_type")
+          .withColumn("prev_type", F.lag("event_type").over(w))
+          .filter(F.col("prev_type").isNotNull())
+          .groupBy("prev_type", F.col("event_type").alias("next_type"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    t = t.join(tot, "prev_type").cache()
+    ntypes = (t.select(F.col("prev_type").alias("s")).distinct()
+              .agg(F.count(F.lit(1)).alias("k")))
+    pi = (t.select(F.col("prev_type").alias("s")).distinct()
+          .crossJoin(F.broadcast(ntypes))
+          .select("s", F.expr(f"CAST({MKV_SCALE} DIV k AS BIGINT)")
+                  .alias("pi")))
+    for _ in range(MKV_ITERS):
+        pi = (t.join(pi, t.prev_type == pi.s)
+              .select(F.col("next_type").alias("s2"),
+                      F.expr("CAST((pi * n) DIV tot AS BIGINT)")
+                       .alias("c"))
+              .groupBy(F.col("s2").alias("s"))
+              .agg(F.sum("c").alias("pi")))
+    return pi.select(F.col("s").alias("event_type"),
+                     F.col("pi").alias("pi_e12"))
+
+
 def q_entropy_event_mix(spark, sf_dir):
     """Shannon entropy (bits) of each user's event-type mix — a
     behavioral-diversity score.  Two cascading partial+final aggs:
@@ -721,6 +768,7 @@ def q_session_paths(spark, sf_dir):
 
 
 QUERIES = {
+    "events_markov_stationary": q_markov_stationary,
     "behavior_session_paths": q_session_paths,
     "events_decayed_engagement": q_decayed_engagement,
     "attribution_markov_removal": q_attribution_markov_removal,
@@ -1158,3 +1206,43 @@ def _markov_removal_oracle(k: int = MARKOV_ABSORB_ITERS) -> str:
 
 
 ORACLE["attribution_markov_removal"] = _markov_removal_oracle()
+
+ORACLE["events_markov_stationary"] = """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    t0 AS (SELECT prev_type, event_type AS next_type,
+                  COUNT(*)::BIGINT AS n
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tt AS (SELECT prev_type, SUM(n)::BIGINT AS tot
+           FROM t0 GROUP BY 1),
+    t AS (SELECT t0.prev_type, t0.next_type, t0.n, tt.tot
+          FROM t0 JOIN tt USING (prev_type)),
+    k AS (SELECT COUNT(DISTINCT prev_type)::BIGINT AS k FROM t),
+    p0 AS (SELECT DISTINCT prev_type AS s,
+                  (1000000000000 // (SELECT k FROM k))::BIGINT AS pi
+           FROM t),
+    p1 AS (SELECT t.next_type AS s,
+                  SUM((p0.pi * t.n) // t.tot)::BIGINT AS pi
+           FROM p0 JOIN t ON t.prev_type = p0.s
+           GROUP BY 1),
+    p2 AS (SELECT t.next_type AS s,
+                  SUM((p1.pi * t.n) // t.tot)::BIGINT AS pi
+           FROM p1 JOIN t ON t.prev_type = p1.s
+           GROUP BY 1),
+    p3 AS (SELECT t.next_type AS s,
+                  SUM((p2.pi * t.n) // t.tot)::BIGINT AS pi
+           FROM p2 JOIN t ON t.prev_type = p2.s
+           GROUP BY 1),
+    p4 AS (SELECT t.next_type AS s,
+                  SUM((p3.pi * t.n) // t.tot)::BIGINT AS pi
+           FROM p3 JOIN t ON t.prev_type = p3.s
+           GROUP BY 1),
+    p5 AS (SELECT t.next_type AS s,
+                  SUM((p4.pi * t.n) // t.tot)::BIGINT AS pi
+           FROM p4 JOIN t ON t.prev_type = p4.s
+           GROUP BY 1)
+    SELECT s AS event_type, pi AS pi_e12 FROM p5
+"""

@@ -594,7 +594,51 @@ def q_multimodal_video_cuts(spark, sf_dir):
             .mapInPandas(kernel, schema=out_schema)
 
 
+def q_validate_media(spark, sf_dir):
+    """Media-table CONTRACT scorecard — the multimodal sibling of
+    validate_events/validate_embeddings: per constraint, how many
+    assets violate it (kind in the enum, dimensions/frame counts in
+    their metadata domains, codec present, payload non-empty, and the
+    metadata<->payload agreement n_chars == payload bytes that
+    catches silent decode/transcode drift).  A media lake ingest gate
+    runs exactly this before admitting a batch.
+
+    ONE pass: every check is a row-local boolean, summed in a single
+    partial+final aggregate; the per-check rows are unpivoted from
+    the one-row summary (stack), so the binary column is scanned once
+    and never shuffled.
+    """
+    m = synth_media(spark, sf_dir)
+    checks = {
+        "kind_in_enum": ~F.col("meta.kind").isin("image", "audio",
+                                                 "video"),
+        "width_in_domain": ~F.col("meta.width").between(32, 671),
+        "height_in_domain": ~F.col("meta.height").between(32, 511),
+        "frames_in_domain": ~F.col("meta.n_frames").between(1, 120),
+        "codec_present": F.col("meta.codec").isNull()
+        | (F.length("meta.codec") == 0),
+        "payload_nonempty": F.col("payload").isNull()
+        | (F.octet_length("payload") == 0),
+        # metadata<->payload agreement under the synth contract
+        # (width = n_chars % 640 + 32, n_chars = payload bytes for the
+        # ascii corpus): a transcode that changes bytes without
+        # rewriting meta trips this
+        "meta_payload_bytes_agree":
+            (F.octet_length("payload") % 640 + 32)
+            != F.col("meta.width"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, viol in checks.items():
+        aggs.append(F.sum(viol.cast("long")).alias(f"v_{name}"))
+    wide = m.agg(*aggs)
+    stack = "stack(%d, %s) as (check, n_violations)" % (
+        len(checks),
+        ", ".join(f"'{n}', v_{n}" for n in checks))
+    return wide.select(F.expr(stack), "n_rows")
+
+
 QUERIES = {
+    "validate_media": q_validate_media,
     "multimodal_video_scene_cuts": q_multimodal_video_cuts,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "multimodal_features": q_multimodal_features,
@@ -670,6 +714,46 @@ def _crossmodal_oracle_sql() -> str:
 
 
 ORACLE = {
+    # every check re-derived from documents via the synth contract
+    "validate_media": """
+        WITH m AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   (n_chars % 640 + 32)::INT AS width,
+                   (n_chars % 480 + 32)::INT AS height,
+                   (n_chars % 120 + 1)::INT AS n_frames,
+                   'fake/v1' AS codec,
+                   octet_length(encode(text))::BIGINT AS nb
+            FROM documents),
+        w AS (
+            SELECT COUNT(*)::BIGINT AS n_rows,
+                   SUM(CASE WHEN kind NOT IN ('image','audio','video')
+                            THEN 1 ELSE 0 END)::BIGINT AS v_kind,
+                   SUM(CASE WHEN width NOT BETWEEN 32 AND 671
+                            THEN 1 ELSE 0 END)::BIGINT AS v_width,
+                   SUM(CASE WHEN height NOT BETWEEN 32 AND 511
+                            THEN 1 ELSE 0 END)::BIGINT AS v_height,
+                   SUM(CASE WHEN n_frames NOT BETWEEN 1 AND 120
+                            THEN 1 ELSE 0 END)::BIGINT AS v_frames,
+                   SUM(CASE WHEN codec IS NULL OR length(codec) = 0
+                            THEN 1 ELSE 0 END)::BIGINT AS v_codec,
+                   SUM(CASE WHEN nb = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS v_payload,
+                   SUM(CASE WHEN (nb % 640 + 32) <> width
+                            THEN 1 ELSE 0 END)::BIGINT AS v_agree
+            FROM m)
+        SELECT 'kind_in_enum' AS "check", v_kind AS n_violations,
+               n_rows FROM w
+        UNION ALL SELECT 'width_in_domain', v_width, n_rows FROM w
+        UNION ALL SELECT 'height_in_domain', v_height, n_rows FROM w
+        UNION ALL SELECT 'frames_in_domain', v_frames, n_rows FROM w
+        UNION ALL SELECT 'codec_present', v_codec, n_rows FROM w
+        UNION ALL SELECT 'payload_nonempty', v_payload, n_rows FROM w
+        UNION ALL SELECT 'meta_payload_bytes_agree', v_agree, n_rows
+        FROM w
+    """,
     # Frame runs re-derived from hex byte math: frame(j) = (j*nf) DIV L,
     # per-frame Σbyte², LAG window over observed frames, integer cut rule.
     "multimodal_video_scene_cuts": f"""

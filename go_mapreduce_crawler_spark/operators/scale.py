@@ -707,7 +707,61 @@ def q_bloom_filter_advisor(spark, sf_dir):
         (m_bits <= ADV_BCAST_B * 8).alias("broadcastable"))
 
 
+ENC_COLS = ("lang", "source", "doc_id", "n_chars")
+
+
+def q_column_encoding_advisor(spark, sf_dir):
+    """Column ENCODING advisor — the fifth advisor (join / skew /
+    shuffle / bloom / encoding): per documents column, measure the
+    exact dictionary-vs-plain byte trade and recommend the encoding a
+    columnar writer should pin (dictionary pages win when ndv is low
+    relative to rows — the decision parquet writers make adaptively
+    per row-group and a 100 TB table layout wants decided, and
+    AUDITED, from measured whole-column stats).
+
+    Exact integer byte model over the canonical string rendering (the
+    shuffle-advisor in-flight doctrine): plain = Σ value bytes over
+    ROWS; dictionary = Σ value bytes over DISTINCT values + rows x
+    code width (1/2/4 bytes as ndv fits 8/16/32 bits).  Each column
+    costs ONE partial+final agg over its compacted (value, cnt)
+    histogram — the fact table is scanned once per column and never
+    shuffled wider than the histogram.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    outs = []
+    for colname in ENC_COLS:
+        v = F.col(colname).cast("string")
+        hist = (d.groupBy(v.alias("v"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+        s = hist.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.sum(F.octet_length("v") * F.col("cnt"))
+             .alias("plain_bytes"),
+            F.sum(F.octet_length("v")).alias("dict_content_bytes"))
+        code = (F.when(F.col("ndv") <= 256, 1)
+                .when(F.col("ndv") <= 65536, 2)
+                .otherwise(4)).cast("long")
+        s = s.withColumn("code_bytes", code)
+        dict_b = (F.col("dict_content_bytes")
+                  + F.col("n_rows") * F.col("code_bytes"))
+        s = s.withColumn("dict_bytes", dict_b.cast("long"))
+        outs.append(s.select(
+            F.lit(colname).alias("col"), "n_rows", "ndv",
+            "plain_bytes", "dict_bytes", "code_bytes",
+            F.when(F.col("dict_bytes") < F.col("plain_bytes"),
+                   F.lit("dictionary")).otherwise(F.lit("plain"))
+             .alias("encoding"),
+            F.expr("CAST(((plain_bytes - dict_bytes) * 1000000)"
+                   " DIV plain_bytes AS BIGINT)").alias("savings_ppm")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
 QUERIES = {
+    "column_encoding_advisor": q_column_encoding_advisor,
     "bloom_filter_advisor": q_bloom_filter_advisor,
     "shuffle_partition_advisor": q_shuffle_partition_advisor,
     "join_strategy_advisor": q_join_strategy_advisor,
@@ -781,6 +835,32 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+_ENC_ROW = """
+    SELECT '{c}' AS col, SUM(cnt)::BIGINT AS n_rows,
+           COUNT(*)::BIGINT AS ndv,
+           SUM(strlen(v) * cnt)::BIGINT AS plain_bytes,
+           (SUM(strlen(v))
+            + SUM(cnt) * (CASE WHEN COUNT(*) <= 256 THEN 1
+                               WHEN COUNT(*) <= 65536 THEN 2
+                               ELSE 4 END))::BIGINT AS dict_bytes,
+           (CASE WHEN COUNT(*) <= 256 THEN 1
+                 WHEN COUNT(*) <= 65536 THEN 2
+                 ELSE 4 END)::BIGINT AS code_bytes
+    FROM (SELECT CAST({c} AS VARCHAR) AS v, COUNT(*)::BIGINT AS cnt
+          FROM documents GROUP BY 1)
+"""
+
+ORACLE["column_encoding_advisor"] = """
+    WITH s AS (""" + " UNION ALL ".join(
+    _ENC_ROW.format(c=c) for c in ENC_COLS) + """)
+    SELECT col, n_rows, ndv, plain_bytes, dict_bytes, code_bytes,
+           CASE WHEN dict_bytes < plain_bytes
+                THEN 'dictionary' ELSE 'plain' END AS encoding,
+           (((plain_bytes - dict_bytes) * 1000000)
+            // plain_bytes)::BIGINT AS savings_ppm
+    FROM s
+"""
 
 _BLOOM_ROWS = " UNION ALL ".join(
     f"SELECT {p} AS target_fpp_ppm, {_bloom_plan(p)[0]!r} AS c,"

@@ -690,6 +690,99 @@ def test_index_compression_matches_python_varint(spark):
         assert r.varint_bytes < r.raw_bytes      # compression is real
 
 
+# ---------------------------------------------- markov stationary
+
+def test_markov_stationary_matches_power_iteration(spark):
+    from go_mapreduce_crawler_spark.operators.behavior import (
+        MKV_ITERS, MKV_SCALE, q_markov_stationary)
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("user_id", "ts", "event_id", "event_type")
+          .collect())
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    n: dict[tuple, int] = {}
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            n[(a.event_type, b.event_type)] = \
+                n.get((a.event_type, b.event_type), 0) + 1
+    tot: dict[str, int] = {}
+    for (a, _), c in n.items():
+        tot[a] = tot.get(a, 0) + c
+    states = sorted(tot)
+    pi = {s: MKV_SCALE // len(states) for s in states}
+    for _ in range(MKV_ITERS):
+        nxt: dict[str, int] = {}
+        for (a, b), c in n.items():
+            nxt[b] = nxt.get(b, 0) + pi[a] * c // tot[a]
+        pi = nxt
+    got = {r.event_type: r.pi_e12
+           for r in q_markov_stationary(spark, SF).collect()}
+    assert got == pi and got
+    # mass approximately conserved (floor dust only)
+    assert 0 <= MKV_SCALE - sum(got.values()) < MKV_SCALE // 1000
+
+
+# ------------------------------------------------ encoding advisor
+
+def test_column_encoding_advisor_replica(spark):
+    from go_mapreduce_crawler_spark.operators.scale import (
+        ENC_COLS, q_column_encoding_advisor)
+
+    rows = {r.col: r for r in
+            q_column_encoding_advisor(spark, SF).collect()}
+    assert set(rows) == set(ENC_COLS)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    for col in ENC_COLS:
+        vals = [str(getattr(d, col)) for d in docs]
+        ndv = len(set(vals))
+        plain = sum(len(v.encode()) for v in vals)
+        code = 1 if ndv <= 256 else 2 if ndv <= 65536 else 4
+        dict_b = sum(len(v.encode()) for v in set(vals)) \
+            + len(vals) * code
+        r = rows[col]
+        assert (r.n_rows, r.ndv, r.plain_bytes, r.dict_bytes,
+                r.code_bytes) == (len(vals), ndv, plain, dict_b, code)
+        assert r.encoding == ("dictionary" if dict_b < plain
+                              else "plain")
+        # SQL DIV truncates toward zero (python // floors)
+        num = (plain - dict_b) * 10**6
+        trunc = num // plain if num >= 0 else -((-num) // plain)
+        assert r.savings_ppm == trunc
+    # low-cardinality strings dictionary-encode; unique keys don't
+    assert rows["lang"].encoding == "dictionary"
+    assert rows["doc_id"].encoding == "plain"
+
+
+# -------------------------------------------------- media validation
+
+def test_validate_media_clean_fixture_and_formula(spark):
+    from go_mapreduce_crawler_spark.operators.multimodal import (
+        q_validate_media)
+
+    rows = {r.check: r for r in q_validate_media(spark, SF).collect()}
+    assert set(rows) == {
+        "kind_in_enum", "width_in_domain", "height_in_domain",
+        "frames_in_domain", "codec_present", "payload_nonempty",
+        "meta_payload_bytes_agree"}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    for r in rows.values():
+        assert r.n_rows == n_docs
+        assert r.n_violations == 0    # the synth contract is clean
+    # the agreement check actually fires on a violating fixture
+    from pyspark.sql import functions as FF
+
+    from go_mapreduce_crawler_spark.operators.multimodal import (
+        synth_media)
+    m = synth_media(spark, SF).withColumn(
+        "payload", FF.expr("substring(payload, 1, 5)"))
+    bad = m.filter((FF.octet_length("payload") % 640 + 32)
+                   != FF.col("meta.width")).count()
+    assert bad > 0
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
