@@ -152,6 +152,8 @@ HEADLINE = [
     "events_markov_stationary",
     "column_encoding_advisor",
     "validate_media",
+    "embedding_dim_budget_eval",
+    "events_changepoint_cusum",
 ]
 
 N_CRAWL_FILES = 2000

@@ -1441,6 +1441,76 @@ def q_profile_keys_fds(spark, sf_dir):
     return out
 
 
+def q_events_changepoint_cusum(spark, sf_dir):
+    """Sequential CHANGEPOINT detection (two-sided CUSUM, Page 1954)
+    over each event type's hourly count series — the monitor that
+    catches level SHIFTS (a deploy changing event volume) that the
+    point-outlier ops (MAD, seasonal residual) miss by design: CUSUM
+    accumulates small persistent drift until it crosses a decision
+    interval.  Parameters are self-calibrated integers: allowance
+    k = mu/4, decision h = 5*mu, all at e6 fixed-point — engine-exact.
+
+    The recursion is inherently sequential PER SERIES, but a series'
+    length is bounded by CALENDAR HOURS, not event volume — so the
+    fold runs as one row-local array aggregate over the COMPACTED
+    (type, hour) counts (gap hours filled as zeros from the hour
+    range), exactly the bounded-window argument behind
+    events_ewma_smooth, extended to the unbounded-memory detector.
+    At 100 TB/day the per-type state is still one struct.
+
+    Output per type: series length, mean, up/down alarm counts, first
+    alarm hour (epoch hours, -1 = none).  Oracle: the identical
+    integer recursion as a recursive CTE, step for step.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) DIV 3600000000")
+    hc = (e.select(F.col("event_type"), hour.alias("hour"))
+          .groupBy("event_type", "hour")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    per = hc.groupBy("event_type").agg(
+        F.min("hour").alias("min_h"), F.max("hour").alias("max_h"),
+        F.sum("cnt").alias("total"),
+        F.map_from_entries(F.collect_list(F.struct("hour", "cnt")))
+         .alias("cmap"))
+    per = (per.withColumn("n_hours",
+                          F.col("max_h") - F.col("min_h") + 1)
+           .withColumn("mu_e6",
+                       F.expr("CAST((total * 1000000) DIV n_hours"
+                              " AS BIGINT)"))
+           .withColumn("k_e6", F.expr("mu_e6 DIV 4"))
+           .withColumn("h_e6", F.expr("5 * mu_e6")))
+    fold = F.expr("""
+        aggregate(
+          transform(sequence(0, CAST(n_hours - 1 AS INT)),
+                    j -> coalesce(element_at(cmap, min_h + j),
+                                  CAST(0 AS BIGINT))),
+          named_struct('sp', 0L, 'sn', 0L, 'up', 0L, 'dn', 0L,
+                       'fh', CAST(-1 AS BIGINT), 'i', 0L),
+          (a, x) -> named_struct(
+            'sp', IF(a.sp + x * 1000000L - mu_e6 - k_e6 > h_e6, 0L,
+                     GREATEST(0L, a.sp + x * 1000000L - mu_e6 - k_e6)),
+            'sn', IF(a.sn + mu_e6 - x * 1000000L - k_e6 > h_e6, 0L,
+                     GREATEST(0L, a.sn + mu_e6 - x * 1000000L - k_e6)),
+            'up', a.up + IF(a.sp + x * 1000000L - mu_e6 - k_e6 > h_e6,
+                            1L, 0L),
+            'dn', a.dn + IF(a.sn + mu_e6 - x * 1000000L - k_e6 > h_e6,
+                            1L, 0L),
+            'fh', IF(a.fh >= 0L, a.fh,
+                     IF(a.sp + x * 1000000L - mu_e6 - k_e6 > h_e6
+                        OR a.sn + mu_e6 - x * 1000000L - k_e6 > h_e6,
+                        min_h + a.i, CAST(-1 AS BIGINT))),
+            'i', a.i + 1L),
+          s -> s)
+    """)
+    return per.select(
+        "event_type", F.col("n_hours").cast("long").alias("n_hours"),
+        "mu_e6", fold.alias("st")
+    ).select("event_type", "n_hours", "mu_e6",
+             F.col("st.up").alias("up_alarms"),
+             F.col("st.dn").alias("dn_alarms"),
+             F.col("st.fh").alias("first_alarm_hour"))
+
+
 DRIFT_SPLIT = "1997-01-01"     # base snapshot < split <= incoming batch
 
 
@@ -1525,6 +1595,7 @@ def q_schema_drift(spark, sf_dir):
 
 
 QUERIES = {
+    "events_changepoint_cusum": q_events_changepoint_cusum,
     "schema_drift_detect": q_schema_drift,
     "feat_zscore_per_type": q_feat_zscore,
     "validate_referential_integrity": q_validate_referential,
@@ -2407,4 +2478,66 @@ ORACLE["profile_keys_fds"] = """
     SELECT 'fd: l_partkey -> l_suppkey' AS check, 'fd' AS kind, COUNT(DISTINCT ROW(l_partkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_partkey, l_suppkey))::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_partkey)) = COUNT(DISTINCT ROW(l_partkey, l_suppkey)) AS holds FROM lineitem
     UNION ALL
     SELECT 'fd: l_orderkey -> l_shipdate' AS check, 'fd' AS kind, COUNT(DISTINCT ROW(l_orderkey))::BIGINT AS n_distinct_lhs, COUNT(DISTINCT ROW(l_orderkey, l_shipdate))::BIGINT AS n_reference, COUNT(DISTINCT ROW(l_orderkey)) = COUNT(DISTINCT ROW(l_orderkey, l_shipdate)) AS holds FROM lineitem
+"""
+
+
+ORACLE["events_changepoint_cusum"] = """
+    WITH RECURSIVE hc AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+               COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2),
+    params AS (
+        SELECT event_type, MIN(hour) AS min_h,
+               (MAX(hour) - MIN(hour) + 1)::BIGINT AS n_hours,
+               ((SUM(cnt) * 1000000) // (MAX(hour) - MIN(hour) + 1))
+                   ::BIGINT AS mu_e6
+        FROM hc GROUP BY 1),
+    p2 AS (SELECT *, (mu_e6 // 4)::BIGINT AS k_e6,
+                  (5 * mu_e6)::BIGINT AS h_e6
+           FROM params),
+    hv AS (
+        SELECT p.event_type, u.j::BIGINT AS j, p.min_h, p.mu_e6,
+               p.k_e6, p.h_e6, p.n_hours,
+               COALESCE(c.cnt, 0)::BIGINT AS x
+        FROM p2 p
+        CROSS JOIN unnest(generate_series(1, p.n_hours)) AS u(j)
+        LEFT JOIN hc c ON c.event_type = p.event_type
+                      AND c.hour = p.min_h + u.j - 1),
+    st(event_type, j, sp, sn, up, dn, fh) AS (
+        SELECT event_type, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+               0::BIGINT, 0::BIGINT, (-1)::BIGINT
+        FROM p2
+        UNION ALL
+        SELECT s.event_type, s.j + 1,
+               CASE WHEN s.sp + h.x * 1000000 - h.mu_e6 - h.k_e6
+                         > h.h_e6
+                    THEN 0
+                    ELSE GREATEST(0, s.sp + h.x * 1000000
+                                     - h.mu_e6 - h.k_e6) END,
+               CASE WHEN s.sn + h.mu_e6 - h.x * 1000000 - h.k_e6
+                         > h.h_e6
+                    THEN 0
+                    ELSE GREATEST(0, s.sn + h.mu_e6 - h.x * 1000000
+                                     - h.k_e6) END,
+               s.up + CASE WHEN s.sp + h.x * 1000000 - h.mu_e6
+                                - h.k_e6 > h.h_e6
+                           THEN 1 ELSE 0 END,
+               s.dn + CASE WHEN s.sn + h.mu_e6 - h.x * 1000000
+                                - h.k_e6 > h.h_e6
+                           THEN 1 ELSE 0 END,
+               CASE WHEN s.fh >= 0 THEN s.fh
+                    WHEN s.sp + h.x * 1000000 - h.mu_e6 - h.k_e6
+                             > h.h_e6
+                      OR s.sn + h.mu_e6 - h.x * 1000000 - h.k_e6
+                             > h.h_e6
+                    THEN h.min_h + s.j
+                    ELSE -1 END
+        FROM st s JOIN hv h ON h.event_type = s.event_type
+                           AND h.j = s.j + 1)
+    SELECT p.event_type, p.n_hours, p.mu_e6,
+           s.up AS up_alarms, s.dn AS dn_alarms,
+           s.fh AS first_alarm_hour
+    FROM st s JOIN p2 p ON p.event_type = s.event_type
+                       AND s.j = p.n_hours
 """

@@ -1153,7 +1153,63 @@ def q_semantic_knn_clusters(spark, sf_dir):
                     "n_members"))
 
 
+DIM_BUDGETS = (64, 32, 16, 8)
+DIM_EVAL_K = 10
+
+
+def q_embedding_dim_budget(spark, sf_dir):
+    """Matryoshka-style DIMENSION-BUDGET eval: recall@10 of kNN over
+    PREFIX-TRUNCATED vectors (64 -> 32 -> 16 -> 8 dims) against the
+    full-dimension ground truth — the measurement that decides how
+    many dims the dedup/retrieval index actually pays for at 100 TB
+    (embedding storage and ANN cost scale linearly in dims; MRL-style
+    truncation is the standard budget knob, and this op measures what
+    it costs in recall ON THIS corpus instead of trusting the model
+    card).
+
+    One gated |Q| x corpus pair join computes ALL four cosines in the
+    same projection (the slices share the scan); four q_id-keyed
+    rank windows reuse one exchange; the report is a single agg
+    unpivoted to one row per budget.  Exact integer recall; full
+    value oracle.
+    """
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(_gate_query_set(
+        e.filter(F.col("vec_id") % 100 == 0), "embedding_dim_budget",
+        sf_dir).select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    pairs = q.join(e, F.col("vec_id") != F.col("q_id"))
+    cols = ["q_id", "vec_id"]
+    for d in DIM_BUDGETS:
+        qs, es = F.slice("q_vec", 1, d), F.slice("embedding", 1, d)
+        cos = F.round(dot(qs, es) / (l2_norm(qs) * l2_norm(es)), 6)
+        cols.append(cos.alias(f"cos_{d}"))
+    scored = pairs.select(*cols)
+    for d in DIM_BUDGETS:
+        w = W.partitionBy("q_id").orderBy(F.col(f"cos_{d}").desc(),
+                                          F.col("vec_id"))
+        scored = scored.withColumn(
+            f"in_{d}",
+            (F.row_number().over(w) <= DIM_EVAL_K).cast("long"))
+    base = DIM_BUDGETS[0]
+    aggs = [F.countDistinct("q_id").alias("nq")]
+    for d in DIM_BUDGETS:
+        aggs.append(F.sum(F.col(f"in_{base}")
+                          * F.col(f"in_{d}")).alias(f"hits_{d}"))
+    wide = scored.agg(*aggs)
+    stack = "stack(%d, %s) as (dims, hits)" % (
+        len(DIM_BUDGETS),
+        ", ".join(f"{d}L, hits_{d}" for d in DIM_BUDGETS))
+    return (wide.select("nq", F.expr(stack))
+            .select(F.col("dims").cast("long").alias("dims"),
+                    F.col("nq").alias("n_queries"), "hits",
+                    F.expr(f"CAST((hits * 1000000)"
+                           f" DIV (nq * {DIM_EVAL_K}) AS BIGINT)")
+                     .alias("recall_ppm")))
+
+
 QUERIES = {
+    "embedding_dim_budget_eval": q_embedding_dim_budget,
     "semantic_knn_clusters": q_semantic_knn_clusters,
     "knn_graph_ivf": q_knn_graph_ivf,
     "ivf_index_delta_refresh": q_ivf_index_delta,
@@ -1362,6 +1418,46 @@ ORACLE["ann_int8_rerank"] = f"""
 # rounded re-rank.  The Spark side's centroid norms are Python
 # math.sqrt over a left-to-right sum — bit-identical to
 # sqrt(list_reduce(...)) here.
+
+def _dim_budget_oracle() -> str:
+    cos_cols = ",\n               ".join(
+        f"ROUND({_DOT.format(a=f'q.q_vec[1:{d}]', b=f'e.embedding[1:{d}]')}"
+        f" / (sqrt({_SQN.format(a=f'q.q_vec[1:{d}]')})"
+        f" * sqrt({_SQN.format(a=f'e.embedding[1:{d}]')})), 6)"
+        f" AS cos_{d}"
+        for d in DIM_BUDGETS)
+    in_cols = ",\n               ".join(
+        f"CASE WHEN ROW_NUMBER() OVER (PARTITION BY q_id"
+        f" ORDER BY cos_{d} DESC, vec_id) <= {DIM_EVAL_K}"
+        f" THEN 1 ELSE 0 END AS in_{d}"
+        for d in DIM_BUDGETS)
+    base = DIM_BUDGETS[0]
+    hit_cols = ", ".join(
+        f"SUM(in_{base} * in_{d})::BIGINT AS hits_{d}"
+        for d in DIM_BUDGETS)
+    rows = " UNION ALL ".join(
+        f"SELECT {d}::BIGINT AS dims, nq AS n_queries,"
+        f" hits_{d} AS hits,"
+        f" ((hits_{d} * 1000000) // (nq * {DIM_EVAL_K}))::BIGINT"
+        f" AS recall_ppm FROM w"
+        for d in DIM_BUDGETS)
+    return f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                   FROM embeddings WHERE vec_id % 100 = 0),
+        p AS (SELECT q.q_id, e.vec_id,
+               {cos_cols}
+              FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        r AS (SELECT q_id, vec_id,
+               {in_cols}
+              FROM p),
+        w AS (SELECT COUNT(DISTINCT q_id)::BIGINT AS nq, {hit_cols}
+              FROM r)
+        {rows}
+    """
+
+
+ORACLE["embedding_dim_budget_eval"] = _dim_budget_oracle()
+
 ORACLE["knn_graph_ivf"] = f"""
     WITH cent AS (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,

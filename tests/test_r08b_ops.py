@@ -783,6 +783,87 @@ def test_validate_media_clean_fixture_and_formula(spark):
     assert bad > 0
 
 
+# ---------------------------------------------- dimension budget eval
+
+def test_dim_budget_full_dim_is_perfect_and_replica(spark):
+    import math as m
+
+    from go_mapreduce_crawler_spark.operators.similarity import (
+        DIM_BUDGETS, DIM_EVAL_K, q_embedding_dim_budget)
+
+    rows = {r.dims: r for r in
+            q_embedding_dim_budget(spark, SF).collect()}
+    assert set(rows) == set(DIM_BUDGETS)
+    assert rows[64].recall_ppm == 1_000_000    # self-recall
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+                         .collect()}
+    qs = [v for v in emb if v % 100 == 0]
+
+    def topk(qid, d):
+        qv = emb[qid][:d]
+        qn = m.sqrt(sum(x * x for x in qv))
+        scored = []
+        for vid, vv in emb.items():
+            if vid == qid:
+                continue
+            sv = vv[:d]
+            c = round(sum(a * b for a, b in zip(qv, sv))
+                      / (qn * m.sqrt(sum(x * x for x in sv))), 6)
+            scored.append((-c, vid))
+        scored.sort()
+        return {vid for _, vid in scored[:DIM_EVAL_K]}
+
+    for d in DIM_BUDGETS:
+        hits = sum(len(topk(q, 64) & topk(q, d)) for q in qs)
+        r = rows[d]
+        assert r.n_queries == len(qs)
+        assert r.hits == hits
+        assert r.recall_ppm == hits * 10**6 // (len(qs) * DIM_EVAL_K)
+
+
+# ------------------------------------------------- CUSUM changepoints
+
+def test_cusum_matches_python_fold(spark):
+    from go_mapreduce_crawler_spark.operators.features import (
+        q_events_changepoint_cusum)
+
+    got = {r.event_type: (r.n_hours, r.mu_e6, r.up_alarms,
+                          r.dn_alarms, r.first_alarm_hour)
+           for r in q_events_changepoint_cusum(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("event_type", "ts").collect()
+    hc: dict[str, dict] = {}
+    for r in ev:
+        h = int(r.ts.timestamp() * 1_000_000) // 3_600_000_000
+        hc.setdefault(r.event_type, {})
+        hc[r.event_type][h] = hc[r.event_type].get(h, 0) + 1
+    want = {}
+    for t, d in hc.items():
+        lo, hi = min(d), max(d)
+        n = hi - lo + 1
+        mu = sum(d.values()) * 10**6 // n
+        k, hh = mu // 4, 5 * mu
+        sp = sn = up = dn = 0
+        fh = -1
+        for i in range(n):
+            x = d.get(lo + i, 0) * 10**6
+            dsp, dsn = sp + x - mu - k, sn + mu - x - k
+            if dsp > hh or dsn > hh:
+                if fh < 0:
+                    fh = lo + i
+            if dsp > hh:
+                up, sp = up + 1, 0
+            else:
+                sp = max(0, dsp)
+            if dsn > hh:
+                dn, sn = dn + 1, 0
+            else:
+                sn = max(0, dsn)
+        want[t] = (n, mu, up, dn, fh)
+    assert got == want and got
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):

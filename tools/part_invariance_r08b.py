@@ -12,7 +12,14 @@ NEW = ["dedup_cluster_sampling_weights", "gdpr_delete_cascade",
        "dedup_incremental_lsh", "ivf_index_delta_refresh",
        "schema_drift_detect", "stream_gdpr_forget_replay",
        "eval_langid_confusion", "bpe_fertility_by_lang",
-       "shuffle_partition_advisor", "dedup_family_overlap"]
+       "shuffle_partition_advisor", "dedup_family_overlap",
+       "reservoir_delta_refresh", "knn_graph_ivf",
+       "multimodal_video_scene_cuts", "semantic_knn_clusters",
+       "bloom_filter_advisor", "stream_ivf_index_replay",
+       "text_kneser_ney_score", "stream_sessionize_replay",
+       "text_watermark_scan", "inverted_index_compression_report",
+       "events_markov_stationary", "column_encoding_advisor",
+       "validate_media"]
 SF = "/root/testdata/sf0.01"
 
 def run(master, parts, name_suffix):
