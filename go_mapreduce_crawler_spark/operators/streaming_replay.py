@@ -317,7 +317,31 @@ def q_stream_sessionize_replay(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_stream_anomaly_scoring_replay(spark, sf_dir):
+    """Replay -> STATELESS streaming scorer (stream_anomaly_scoring:
+    batch-trained (type, dow, hour) baselines broadcast onto the
+    stream, 3-sigma verdict row-local) -> the full scored relation.
+    No state and no watermark, so the scored stream is trivially
+    batching-independent — the row proves the deploy-time contract
+    (train offline, score online, bit-identical to the batch
+    operator) end to end under the driver's value hash.
+    """
+    from ..operators.features import seasonal_baseline
+    from ..streaming.stateful import stream_anomaly_scoring
+
+    batch, stream, _, _ = _replay(spark, sf_dir, "anom")
+    cell_means, var_t = seasonal_baseline(batch)
+    _MEM_SINK_SEQ[0] += 1
+    name = f"sgraft_anom_replay_{_MEM_SINK_SEQ[0]}"
+    q = (stream_anomaly_scoring(stream, cell_means, var_t)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    _await_drained(q, "anomaly_scoring")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 QUERIES = {
+    "stream_anomaly_scoring_replay": q_stream_anomaly_scoring_replay,
     "stream_sessionize_replay": q_stream_sessionize_replay,
     "stream_ivf_index_replay": q_stream_ivf_index_replay,
     "stream_gdpr_forget_replay": q_stream_gdpr_forget_replay,
@@ -471,4 +495,44 @@ ORACLE["stream_sessionize_replay"] = """
            COUNT(*)::BIGINT AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM g GROUP BY user_id, sid
+"""
+
+# the batch-trained baseline scored over ALL events (the batch
+# operator's oracle without its anomaly filter, plus the flag and the
+# left-join null contract for unseen cells)
+ORACLE["stream_anomaly_scoring_replay"] = """
+    WITH base AS (
+        SELECT event_id, event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                   AS dow,
+               EXTRACT(hour FROM ts)::INT AS hour,
+               CAST(value AS DECIMAL(12,2)) AS v
+        FROM events),
+    cells AS (
+        SELECT event_type, dow, hour,
+               COUNT(*)::BIGINT AS n_b,
+               SUM(v) AS s_b, SUM(v * v) AS s2_b
+        FROM base GROUP BY 1, 2, 3),
+    cstats AS (
+        SELECT event_type, dow, hour, n_b,
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+               CAST(FLOOR((CAST(s2_b AS DOUBLE)
+                           - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                             / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS contrib_e6
+        FROM cells),
+    var_t AS (
+        SELECT event_type,
+               (CAST(SUM(contrib_e6) AS DOUBLE) / 1e6)
+                   / CAST(SUM(n_b) AS DOUBLE) AS var_r
+        FROM cstats GROUP BY 1)
+    SELECT b.event_id, b.event_type, b.dow, b.hour,
+           CAST(FLOOR((CAST(b.v AS DOUBLE) - c.m_b) * 1e6) AS BIGINT)
+               AS resid_e6,
+           COALESCE((CAST(b.v AS DOUBLE) - c.m_b)
+                    * (CAST(b.v AS DOUBLE) - c.m_b)
+                    > 9.0 * t.var_r, FALSE) AS is_anomaly
+    FROM base b
+    LEFT JOIN cstats c USING (event_type, dow, hour)
+    LEFT JOIN var_t t USING (event_type)
 """

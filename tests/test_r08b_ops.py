@@ -864,6 +864,28 @@ def test_cusum_matches_python_fold(spark):
     assert got == want and got
 
 
+# -------------------------------------------- streaming anomaly scorer
+
+def test_stream_anomaly_replay_equals_batch_scorer(spark):
+    from go_mapreduce_crawler_spark.operators.features import (
+        _seasonal_base, seasonal_baseline)
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        q_stream_anomaly_scoring_replay)
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from go_mapreduce_crawler_spark.streaming.stateful import (
+        stream_anomaly_scoring)
+
+    got = sorted(tuple(r) for r in
+                 q_stream_anomaly_scoring_replay(spark, SF).collect())
+    ev = load_table(spark, SF, "events")
+    cm, vt = seasonal_baseline(ev)
+    want = sorted(tuple(r) for r in
+                  stream_anomaly_scoring(ev, cm, vt).collect())
+    assert got == want and got
+    flags = [r[-1] for r in got]
+    assert any(flags) and not all(flags)   # the verdict is non-trivial
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
