@@ -174,7 +174,8 @@ def q_markov_stationary(spark, sf_dir):
     for _ in range(MKV_ITERS):
         pi = (t.join(pi, t.prev_type == pi.s)
               .select(F.col("next_type").alias("s2"),
-                      F.expr("CAST((pi * n) DIV tot AS BIGINT)")
+                      F.expr("CAST((CAST(pi AS DECIMAL(38,0)) * n) DIV tot"
+                             " AS BIGINT)")
                        .alias("c"))
               .groupBy(F.col("s2").alias("s"))
               .agg(F.sum("c").alias("pi")))
@@ -1225,23 +1226,23 @@ ORACLE["events_markov_stationary"] = """
                   (1000000000000 // (SELECT k FROM k))::BIGINT AS pi
            FROM t),
     p1 AS (SELECT t.next_type AS s,
-                  SUM((p0.pi * t.n) // t.tot)::BIGINT AS pi
+                  SUM((p0.pi::HUGEINT * t.n) // t.tot)::BIGINT AS pi
            FROM p0 JOIN t ON t.prev_type = p0.s
            GROUP BY 1),
     p2 AS (SELECT t.next_type AS s,
-                  SUM((p1.pi * t.n) // t.tot)::BIGINT AS pi
+                  SUM((p1.pi::HUGEINT * t.n) // t.tot)::BIGINT AS pi
            FROM p1 JOIN t ON t.prev_type = p1.s
            GROUP BY 1),
     p3 AS (SELECT t.next_type AS s,
-                  SUM((p2.pi * t.n) // t.tot)::BIGINT AS pi
+                  SUM((p2.pi::HUGEINT * t.n) // t.tot)::BIGINT AS pi
            FROM p2 JOIN t ON t.prev_type = p2.s
            GROUP BY 1),
     p4 AS (SELECT t.next_type AS s,
-                  SUM((p3.pi * t.n) // t.tot)::BIGINT AS pi
+                  SUM((p3.pi::HUGEINT * t.n) // t.tot)::BIGINT AS pi
            FROM p3 JOIN t ON t.prev_type = p3.s
            GROUP BY 1),
     p5 AS (SELECT t.next_type AS s,
-                  SUM((p4.pi * t.n) // t.tot)::BIGINT AS pi
+                  SUM((p4.pi::HUGEINT * t.n) // t.tot)::BIGINT AS pi
            FROM p4 JOIN t ON t.prev_type = p4.s
            GROUP BY 1)
     SELECT s AS event_type, pi AS pi_e12 FROM p5

@@ -372,8 +372,9 @@ def q_bpe_fertility_by_lang(spark, sf_dir):
                  F.sum("n_tokens_before").alias("sum_words"),
                  F.sum("n_tokens_after").alias("sum_tokens"))
             .select("lang", "n_docs", "sum_words", "sum_tokens",
-                    F.expr("CAST((sum_tokens * 1000000) DIV sum_words"
-                           " AS BIGINT)").alias("fertility_ppm")))
+                    F.expr("CAST((CAST(sum_tokens AS DECIMAL(38,0)) * 1000000)"
+                           " DIV sum_words AS BIGINT)")
+                     .alias("fertility_ppm")))
 
 
 # ------------------------------------------------------------------

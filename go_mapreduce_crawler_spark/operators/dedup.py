@@ -737,7 +737,7 @@ def q_dedup_cluster_weights(spark, sf_dir):
     crawled most).  Survivor policy = the dedup_keep_best quality rule
     (longest member, ties -> lowest doc_id); docs in no cluster pass
     through with weight 1, so SUM(weight) == |corpus| exactly (the
-    mass-conservation pin in tests/test_extensions.py).
+    mass-conservation pin in tests/test_r08b_ops.py).
 
     Composition is the production pipeline's: banded MinHash-LSH pair
     generation (near-linear, never all-pairs) -> min-label components
@@ -804,8 +804,8 @@ def q_dedup_family_overlap(spark, sf_dir):
                 .select(F.lit(na).alias("family_a"),
                         F.lit(nb).alias("family_b"),
                         "n_a", "n_b", "n_common",
-                        F.expr("CAST((n_common * 1000000) DIV"
-                               " (n_a + n_b - n_common) AS BIGINT)")
+                        F.expr("CAST((CAST(n_common AS DECIMAL(38,0)) * 1000000)"
+                               " DIV (n_a + n_b - n_common) AS BIGINT)")
                          .alias("pairset_jaccard_ppm")))
 
     return (row("jaccard", "minhash")
@@ -1953,7 +1953,7 @@ _OVERLAP_ROW = """
               ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b)::BIGINT
                AS n_common,
            (((SELECT COUNT(*) FROM {a}_p x JOIN {b}_p y
-                ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b) * 1000000)
+                ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b)::HUGEINT * 1000000)
             // ((SELECT COUNT(*) FROM {a}_p)
                 + (SELECT COUNT(*) FROM {b}_p)
                 - (SELECT COUNT(*) FROM {a}_p x JOIN {b}_p y

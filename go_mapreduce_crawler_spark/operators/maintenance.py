@@ -483,8 +483,8 @@ def q_index_compression_report(spark, sf_dir):
                  F.sum("raw_bytes").alias("raw_bytes"),
                  F.sum("varint_bytes").alias("varint_bytes"))
             .select("band", "n_terms", "raw_bytes", "varint_bytes",
-                    F.expr("CAST(((raw_bytes - varint_bytes) * 1000000)"
-                           " DIV raw_bytes AS BIGINT)")
+                    F.expr("CAST((CAST(raw_bytes - varint_bytes AS DECIMAL(38,0))"
+                           " * 1000000) DIV raw_bytes AS BIGINT)")
                      .alias("savings_ppm")))
 
 

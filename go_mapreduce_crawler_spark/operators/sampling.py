@@ -270,8 +270,10 @@ def q_sample_neyman(spark, sf_dir):
     tot = st.agg(F.sum("w").alias("tw"))
     j = st.crossJoin(F.broadcast(tot))
     j = (j.withColumn("base", F.expr(
-            f"CAST(({NEYMAN_BUDGET} * w) DIV tw AS BIGINT)"))
-          .withColumn("rem", F.expr(f"({NEYMAN_BUDGET} * w) % tw")))
+            f"CAST((CAST(w AS DECIMAL(38,0)) * {NEYMAN_BUDGET})"
+            f" DIV tw AS BIGINT)"))
+          .withColumn("rem", F.expr(
+              f"(CAST(w AS DECIMAL(38,0)) * {NEYMAN_BUDGET}) % tw")))
     used = j.agg(F.sum("base").alias("used"))
     j = j.crossJoin(F.broadcast(used))
     # largest-remainder top-up over the |strata|-sized relation
@@ -313,8 +315,8 @@ ORACLE = {
         w AS (SELECT source, n, s_e3, n * s_e3 AS w FROM s),
         t AS (SELECT SUM(w) AS tw FROM w),
         j AS (SELECT source, n, s_e3,
-                     ({NEYMAN_BUDGET} * w) // tw AS base,
-                     ({NEYMAN_BUDGET} * w) % tw AS rem
+                     ((w::HUGEINT) * {NEYMAN_BUDGET}) // tw AS base,
+                     ((w::HUGEINT) * {NEYMAN_BUDGET}) % tw AS rem
               FROM w, t),
         u AS (SELECT SUM(base) AS used FROM j),
         r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source)

@@ -518,7 +518,7 @@ def _join_side_stats(df, key, canon, side):
 
 def advise_join(probe_stats, build_stats):
     """The decision kernel over two one-row side summaries — shared by
-    the query below and the fixture tests (celebrity key -> salt,
+    the query below and the fixture tests in tests/test_r08b_ops.py (celebrity key -> salt,
     oversized dim -> sort-merge)."""
     j = probe_stats.crossJoin(build_stats)
     # DECIMAL(38,0) intermediate: maxfreq * keys * 1e6 overflows BIGINT
@@ -579,7 +579,7 @@ def q_join_strategy_advisor(spark, sf_dir):
     sum), a 1x1 crossJoin of one-row summaries, integer fixed-point
     throughout.  All decision arithmetic is oracled; the celebrity
     and oversized-dim regimes are pinned on fixtures in
-    tests/test_skew.py.
+    tests/test_r08b_ops.py.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -752,8 +752,9 @@ def q_column_encoding_advisor(spark, sf_dir):
             F.when(F.col("dict_bytes") < F.col("plain_bytes"),
                    F.lit("dictionary")).otherwise(F.lit("plain"))
              .alias("encoding"),
-            F.expr("CAST(((plain_bytes - dict_bytes) * 1000000)"
-                   " DIV plain_bytes AS BIGINT)").alias("savings_ppm")))
+            F.expr("CAST((CAST(plain_bytes - dict_bytes AS DECIMAL(38,0))"
+                   " * 1000000) DIV plain_bytes AS BIGINT)")
+             .alias("savings_ppm")))
     res = outs[0]
     for o in outs[1:]:
         res = res.unionAll(o)
@@ -857,7 +858,7 @@ ORACLE["column_encoding_advisor"] = """
     SELECT col, n_rows, ndv, plain_bytes, dict_bytes, code_bytes,
            CASE WHEN dict_bytes < plain_bytes
                 THEN 'dictionary' ELSE 'plain' END AS encoding,
-           (((plain_bytes - dict_bytes) * 1000000)
+           (((plain_bytes - dict_bytes)::HUGEINT * 1000000)
             // plain_bytes)::BIGINT AS savings_ppm
     FROM s
 """

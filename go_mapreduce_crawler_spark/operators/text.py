@@ -1578,7 +1578,8 @@ def q_eval_langid_confusion(spark, sf_dir):
     t = c.groupBy("lang").agg(F.sum("n").alias("tot"))
     return (c.join(F.broadcast(t), "lang")
             .select("lang", "pred_lang", "n",
-                    F.expr("CAST((n * 1000000) DIV tot AS BIGINT)")
+                    F.expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000)"
+                           " DIV tot AS BIGINT)")
                      .alias("row_ppm")))
 
 
@@ -1624,7 +1625,8 @@ def q_quality_adaptive_threshold(spark, sf_dir):
                  .alias("n_kept")))
     return kept.select(
         "source", "cutoff_e3", "n_total", "n_kept",
-        F.expr("CAST((n_kept * 1000000) DIV n_total AS BIGINT)")
+        F.expr("CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000)"
+               " DIV n_total AS BIGINT)")
          .alias("kept_ppm"))
 
 
@@ -2360,7 +2362,7 @@ ORACLE["eval_langid_confusion"] = (
           FROM p GROUP BY 1, 2),
     t AS (SELECT lang, SUM(n)::BIGINT AS tot FROM c GROUP BY 1)
     SELECT c.lang, c.pred_lang, c.n,
-           ((c.n * 1000000) // t.tot)::BIGINT AS row_ppm
+           ((c.n::HUGEINT * 1000000) // t.tot)::BIGINT AS row_ppm
     FROM c JOIN t USING (lang)
 """)
 

@@ -10,11 +10,20 @@ import os
 import sys
 import time
 
-args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
+args: list[str] = []
 sf_dir = "/root/testdata/sf0.01"
-for a in sys.argv[1:]:
-    if a.startswith("--sf="):
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
+    if a == "--sf":           # space-separated form
+        i += 1
+        sf_dir = argv[i]
+    elif a.startswith("--sf="):
         sf_dir = a.split("=", 1)[1]
+    else:
+        args.append(a)
+    i += 1
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)

@@ -19,7 +19,8 @@ NEW = ["dedup_cluster_sampling_weights", "gdpr_delete_cascade",
        "text_kneser_ney_score", "stream_sessionize_replay",
        "text_watermark_scan", "inverted_index_compression_report",
        "events_markov_stationary", "column_encoding_advisor",
-       "validate_media"]
+       "validate_media", "embedding_dim_budget_eval",
+       "events_changepoint_cusum", "stream_anomaly_scoring_replay"]
 SF = "/root/testdata/sf0.01"
 
 def run(master, parts, name_suffix):

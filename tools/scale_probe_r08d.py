@@ -22,7 +22,7 @@ Excluded with reasons (recorded in the JSON):
     dependency); their plans contain no super-linear stage to probe —
     the plan audit + invariance run is the evidence.
 
-Run:  python tools/scale_probe_r08c.py [out_json]
+Run:  python tools/scale_probe_r08d.py [out_json]
 """
 
 from __future__ import annotations
@@ -142,7 +142,7 @@ def main():
         r["wall_ratio_10x"] = round(r["sf1"]["sec"]
                                     / max(r["sf0.1"]["sec"], 0.01), 2)
     dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        repo, "tools", "scale_probe_r08c.json")
+        repo, "tools", "scale_probe_r08d.json")
     with open(dst, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v["wall_ratio_10x"]
