@@ -558,7 +558,56 @@ def q_gdpr_delete_cascade(spark, sf_dir):
     return c_rep.unionAll(o_rep).unionAll(l_rep)
 
 
+def _sink_roundtrip_fmt(spark, sf_dir, fmt: str):
+    """Shared body of the CSV/ORC round-trips: per-lang doc aggregate ->
+    write through the sink -> re-read -> return.  The oracle computes
+    the aggregate directly, so a green row proves the format preserves
+    longs, exact-decimal-derived doubles, and the partition column's
+    text — for CSV that exercises the schema-on-read path (CSV is
+    stringly; the explicit read schema restores types bit-for-bit)."""
+    import hashlib
+    import os
+    import tempfile
+
+    agg = (load_table(spark, sf_dir, "documents")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc")))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sink_{fmt}_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    w = agg.coalesce(1).write.mode("overwrite")
+    if fmt == "csv":
+        w.option("header", "true").csv(out)
+        return (spark.read.schema(
+                    "lang string, n_docs long, sum_chars long,"
+                    " min_doc long, max_doc long")
+                .option("header", "true").csv(out))
+    w.orc(out)
+    return spark.read.orc(out)
+
+
+def q_sink_roundtrip_csv(spark, sf_dir):
+    """CSV sink round-trip (the interchange format every downstream
+    spreadsheet/legacy consumer still demands): schema-on-read with an
+    explicit schema — never inferSchema, which re-scans and can flip
+    types between runs.  Lossless under the driver's value hash."""
+    return _sink_roundtrip_fmt(spark, sf_dir, "csv")
+
+
+def q_sink_roundtrip_orc(spark, sf_dir):
+    """ORC sink round-trip — the second columnar interchange format
+    (Hive-ecosystem consumers); same lossless contract as the parquet
+    round-trip, proving the engine is not parquet-coupled."""
+    return _sink_roundtrip_fmt(spark, sf_dir, "orc")
+
+
 QUERIES = {
+    "sink_roundtrip_csv": q_sink_roundtrip_csv,
+    "sink_roundtrip_orc": q_sink_roundtrip_orc,
     "inverted_index_compression_report": q_index_compression_report,
     "gdpr_delete_cascade": q_gdpr_delete_cascade,
     "inverted_index_delta_refresh": q_inverted_index_delta,
@@ -820,3 +869,15 @@ ORACLE["inverted_index_compression_report"] = """
             // SUM(raw_bytes))::BIGINT AS savings_ppm
     FROM banded GROUP BY band
 """
+
+_SINK_LANG_AGG = """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars,
+           MIN(doc_id)::BIGINT AS min_doc,
+           MAX(doc_id)::BIGINT AS max_doc
+    FROM documents GROUP BY lang
+"""
+
+# the oracle never sees the sink: matching proves the round-trip
+ORACLE["sink_roundtrip_csv"] = _SINK_LANG_AGG
+ORACLE["sink_roundtrip_orc"] = _SINK_LANG_AGG

@@ -886,6 +886,30 @@ def test_stream_anomaly_replay_equals_batch_scorer(spark):
     assert any(flags) and not all(flags)   # the verdict is non-trivial
 
 
+# ------------------------------------------------ format round-trips
+
+def test_csv_and_orc_roundtrips_lossless(spark):
+    from pyspark.sql import functions as FF
+
+    from go_mapreduce_crawler_spark.operators.maintenance import (
+        q_sink_roundtrip_csv, q_sink_roundtrip_orc)
+
+    direct = sorted(tuple(r) for r in
+                    spark.read.parquet(f"{SF}/documents.parquet")
+                    .groupBy("lang")
+                    .agg(FF.count(FF.lit(1)).alias("n_docs"),
+                         FF.sum("n_chars").alias("sum_chars"),
+                         FF.min("doc_id").alias("min_doc"),
+                         FF.max("doc_id").alias("max_doc"))
+                    .collect())
+    for q in (q_sink_roundtrip_csv, q_sink_roundtrip_orc):
+        got = sorted(tuple(r) for r in q(spark, SF).collect())
+        assert got == direct and got
+    # CSV read restores exact TYPES via the explicit schema
+    df = q_sink_roundtrip_csv(spark, SF)
+    assert dict(df.dtypes)["n_docs"] == "bigint"
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
