@@ -154,6 +154,10 @@ HEADLINE = [
     "validate_media",
     "embedding_dim_budget_eval",
     "events_changepoint_cusum",
+    "text_collocations_llr",
+    "stream_trending_topk_replay",
+    "sink_roundtrip_csv",
+    "sink_roundtrip_orc",
 ]
 
 N_CRAWL_FILES = 2000

@@ -340,7 +340,34 @@ def q_stream_anomaly_scoring_replay(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_stream_trending_topk_replay(spark, sf_dir):
+    """Replay -> watermarked TUMBLING-window counts (native streaming
+    windowed aggregation, complete mode) -> batch-side top-3 finalize
+    (trending_topk_finalize — ranking is not expressible on an open
+    stream; the split contract of stream_trending_counts).  Tumbling
+    counts are a pure per-(window, type) function of the events, so
+    the batch twin is a full exactly-once value proof that windowed
+    aggregation state survives micro-batch boundaries.
+    """
+    from ..streaming.sessions import (stream_trending_counts,
+                                      trending_topk_finalize)
+
+    # time-ordered replay: complete mode keeps all aggregate state (no
+    # watermark eviction), but ordered files make the row independent
+    # of any engine-version lateness policy — same insurance as the
+    # session replay.
+    stream = _replay_ordered_events(spark, sf_dir, "trend")
+    _MEM_SINK_SEQ[0] += 1
+    name = f"sgraft_trend_replay_{_MEM_SINK_SEQ[0]}"
+    q = (stream_trending_counts(stream).writeStream.format("memory")
+         .queryName(name).outputMode("complete")
+         .trigger(availableNow=True).start())
+    _await_drained(q, "trending_counts")
+    return trending_topk_finalize(spark.sql(f"SELECT * FROM {name}"))
+
+
 QUERIES = {
+    "stream_trending_topk_replay": q_stream_trending_topk_replay,
     "stream_anomaly_scoring_replay": q_stream_anomaly_scoring_replay,
     "stream_sessionize_replay": q_stream_sessionize_replay,
     "stream_ivf_index_replay": q_stream_ivf_index_replay,
@@ -535,4 +562,19 @@ ORACLE["stream_anomaly_scoring_replay"] = """
     FROM base b
     LEFT JOIN cstats c USING (event_type, dow, hour)
     LEFT JOIN var_t t USING (event_type)
+"""
+
+# the batch twin: epoch-aligned tumbling counts + deterministic top-3
+ORACLE["stream_trending_topk_replay"] = """
+    WITH c AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                   AS win_start_us,
+               event_type, COUNT(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY win_start_us
+              ORDER BY n_events DESC, event_type)::INT AS rnk
+          FROM c)
+    SELECT win_start_us, event_type, n_events, rnk
+    FROM r WHERE rnk <= 3
 """

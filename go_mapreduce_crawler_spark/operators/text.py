@@ -1559,6 +1559,58 @@ def q_text_watermark_scan(spark, sf_dir):
                  F.min("doc_id").alias("first_doc")))
 
 
+LLR_TOP = 20
+
+
+def _llr_term(k: str, num: str, den: str, lit) -> str:
+    """One G² cell: k * (ln(num) - ln(den)), micro-nat-quantized per
+    cell (the pagerank fixed-point recipe), 0 when the cell is empty."""
+    return (f"CASE WHEN {k} = 0 THEN CAST(0 AS BIGINT) ELSE "
+            f"CAST(round({k} * ({_ln_det(num, lit)}"
+            f" - {_ln_det(den, lit)}) * 1e6, 0) AS BIGINT) END")
+
+
+def q_text_collocations_llr(spark, sf_dir):
+    """Dunning log-likelihood-ratio collocations (G², Dunning 1993) —
+    the statistically principled sibling of PMI for finding
+    multi-word expressions: PMI over-rewards rare pairs (two hapaxes
+    that co-occur once get maximal PMI); G² weights the evidence by
+    the full 2x2 contingency, which is why tokenizer vocab builders
+    and phrase miners rank by LLR.
+
+    Each of the four cells is k_ij * (ln(k_ij·N) - ln(R_i·C_j)) — an
+    integer rational through _ln_det, quantized to micro-nats PER
+    CELL then summed (engine-deterministic; products bounded by N²,
+    the bigram family's 2^63 contract).  Counts come from ONE
+    adjacent-bigram shuffle plus two vocabulary-sized margins; the
+    top-{k} lands via TakeOrderedAndProject, never a global window.
+    """.format(k=LLR_TOP)
+    d = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n = F.size(w)
+    bg = d.select(F.explode(F.zip_with(
+        F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("p")) \
+          .select("p.a", "p.b")
+    bi = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("k11"))
+    ra = bi.groupBy("a").agg(F.sum("k11").alias("ca"))
+    cb = bi.groupBy("b").agg(F.sum("k11").alias("cb"))
+    tot = bi.agg(F.sum("k11").alias("N"))
+    m = (bi.join(ra, "a").join(cb, "b").crossJoin(F.broadcast(tot))
+         .withColumn("k12", F.col("ca") - F.col("k11"))
+         .withColumn("k21", F.col("cb") - F.col("k11"))
+         .withColumn("k22", F.col("N") - F.col("ca") - F.col("cb")
+                     + F.col("k11")))
+    t = _llr_term
+    llr = (f"2 * ({t('k11', '(k11 * N)', '(ca * cb)', _lit_spark)}"
+           f" + {t('k12', '(k12 * N)', '(ca * (N - cb))', _lit_spark)}"
+           f" + {t('k21', '(k21 * N)', '((N - ca) * cb)', _lit_spark)}"
+           f" + {t('k22', '(k22 * N)', '((N - ca) * (N - cb))', _lit_spark)})")
+    scored = m.selectExpr("a", "b", "k11", f"{llr} AS llr_e6")
+    return (scored.orderBy(F.desc("llr_e6"), "a", "b").limit(LLR_TOP)
+            .select("a", "b", "k11", "llr_e6"))
+
+
 def q_eval_langid_confusion(spark, sf_dir):
     """Language-ID CONFUSION MATRIX: the labeled-eval step after
     text_langid — per (true lang, predicted lang) cell, the count and
@@ -1631,6 +1683,7 @@ def q_quality_adaptive_threshold(spark, sf_dir):
 
 
 QUERIES = {
+    "text_collocations_llr": q_text_collocations_llr,
     "text_watermark_scan": q_text_watermark_scan,
     "text_kneser_ney_score": q_text_kneser_ney_score,
     "eval_langid_confusion": q_eval_langid_confusion,
@@ -2413,3 +2466,35 @@ ORACLE["text_watermark_scan"] = """
            MIN(doc_id)::BIGINT AS first_doc
     FROM c GROUP BY 1, 2
 """
+
+
+def _llr_oracle() -> str:
+    t = _llr_term
+    llr = (f"2 * ({t('k11', '(k11 * N)', '(ca * cb)', _lit_duck)}"
+           f" + {t('k12', '(k12 * N)', '(ca * (N - cb))', _lit_duck)}"
+           f" + {t('k21', '(k21 * N)', '((N - ca) * cb)', _lit_duck)}"
+           + " + " + t('k22', '(k22 * N)',
+                        '((N - ca) * (N - cb))', _lit_duck) + ")")
+    return f"""
+        WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT w[i] AS a, w[i + 1] AS b
+               FROM d, unnest(generate_series(1,
+                        greatest(len(w) - 1, 0))) AS t(i)),
+        bi AS (SELECT a, b, COUNT(*)::BIGINT AS k11
+               FROM bg GROUP BY 1, 2),
+        ra AS (SELECT a, SUM(k11)::BIGINT AS ca FROM bi GROUP BY 1),
+        cbm AS (SELECT b, SUM(k11)::BIGINT AS cb FROM bi GROUP BY 1),
+        tot AS (SELECT SUM(k11)::BIGINT AS N FROM bi),
+        m AS (SELECT bi.a, bi.b, bi.k11, ra.ca, cbm.cb, tot.N,
+                     (ra.ca - bi.k11)::BIGINT AS k12,
+                     (cbm.cb - bi.k11)::BIGINT AS k21,
+                     (tot.N - ra.ca - cbm.cb + bi.k11)::BIGINT AS k22
+              FROM bi JOIN ra USING (a) JOIN cbm USING (b)
+              CROSS JOIN tot),
+        s AS (SELECT a, b, k11, {llr} AS llr_e6 FROM m)
+        SELECT a, b, k11, llr_e6 FROM s
+        ORDER BY llr_e6 DESC, a, b LIMIT {LLR_TOP}
+    """
+
+
+ORACLE["text_collocations_llr"] = _llr_oracle()

@@ -910,6 +910,79 @@ def test_csv_and_orc_roundtrips_lossless(spark):
     assert dict(df.dtypes)["n_docs"] == "bigint"
 
 
+# ---------------------------------------------- trending topk replay
+
+def test_stream_trending_replay_equals_batch_windows(spark):
+    from pyspark.sql import functions as FF
+
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        q_stream_trending_topk_replay)
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    got = {(r.win_start_us, r.event_type): (r.n_events, r.rnk)
+           for r in q_stream_trending_topk_replay(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    c = (ev.groupBy(FF.window("ts", "1 hour").alias("w"), "event_type")
+         .agg(FF.count(FF.lit(1)).alias("n")).collect())
+    byw: dict[int, list] = {}
+    for r in c:
+        byw.setdefault(int(r.w.start.timestamp() * 1e6), []) \
+           .append((r.event_type, r.n))
+    want = {}
+    for wstart, rows in byw.items():
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        for i, (t, n) in enumerate(rows[:3], 1):
+            want[(wstart, t)] = (n, i)
+    assert got == want and got
+
+
+# ---------------------------------------------- LLR collocations
+
+def test_llr_collocations_replica_and_ordering(spark):
+    import math as m
+
+    from go_mapreduce_crawler_spark.operators.text import (
+        LLR_TOP, q_text_collocations_llr)
+
+    rows = q_text_collocations_llr(spark, SF).collect()
+    assert len(rows) == LLR_TOP
+    vals = [r.llr_e6 for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v > 0 for v in vals)       # top pairs positively assoc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("text").collect()
+    bi: dict[tuple, int] = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    ca: dict[str, int] = {}
+    cb: dict[str, int] = {}
+    for (a, b), k in bi.items():
+        ca[a] = ca.get(a, 0) + k
+        cb[b] = cb.get(b, 0) + k
+    N = sum(bi.values())
+    for r in rows:
+        k11 = bi[(r.a, r.b)]
+        assert r.k11 == k11
+        k12 = ca[r.a] - k11
+        k21 = cb[r.b] - k11
+        k22 = N - ca[r.a] - cb[r.b] + k11
+
+        def term(k, num, den):
+            return 0 if k == 0 else round(
+                k * (m.log(num) - m.log(den)) * 1e6)
+        want = 2 * (term(k11, k11 * N, ca[r.a] * cb[r.b])
+                    + term(k12, k12 * N, ca[r.a] * (N - cb[r.b]))
+                    + term(k21, k21 * N, (N - ca[r.a]) * cb[r.b])
+                    + term(k22, k22 * N,
+                           (N - ca[r.a]) * (N - cb[r.b])))
+        # _ln_det may differ from libm log by an ulp at each cell's
+        # micro-nat rounding boundary: +-2 per cell, 4 cells, x2
+        assert abs(r.llr_e6 - want) <= 16, (r.a, r.b)
+
+
 # ------------------------------------------------- adaptive quality gate
 
 def test_quality_adaptive_threshold_keeps_top_75pct(spark):
