@@ -20,7 +20,9 @@ NEW = ["dedup_cluster_sampling_weights", "gdpr_delete_cascade",
        "text_watermark_scan", "inverted_index_compression_report",
        "events_markov_stationary", "column_encoding_advisor",
        "validate_media", "embedding_dim_budget_eval",
-       "events_changepoint_cusum", "stream_anomaly_scoring_replay"]
+       "events_changepoint_cusum", "stream_anomaly_scoring_replay",
+       "sink_roundtrip_csv", "sink_roundtrip_orc",
+       "stream_trending_topk_replay", "text_collocations_llr"]
 SF = "/root/testdata/sf0.01"
 
 def run(master, parts, name_suffix):
