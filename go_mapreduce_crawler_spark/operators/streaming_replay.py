@@ -95,13 +95,53 @@ def _await_drained(q, name: str) -> None:
 
 def q_stream_mv_refresh_replay(spark, sf_dir):
     """Replay -> foreachBatch MERGE-maintained per-type view -> final
-    snapshot (event_type, n_events, sum_value)."""
-    _, stream, state, ckpt = _replay(spark, sf_dir, "mv")
+    snapshot (event_type, n_events, sum_value_cents).
+
+    Self-discriminating by construction (r08 verdict item 1, third
+    attempt at the one recurring driver red):
+
+    * the state arithmetic is integer cents (``FLOOR(value*100+0.5)``
+      summed as BIGINT, stateful.py) — pure IEEE double ops + integer
+      addition that Spark and DuckDB compute bit-identically, replacing
+      the family's only double->DECIMAL cast (rounding-mode-sensitive
+      on .xx5 ties across engine point-versions);
+    * a post-replay SELF-AUDIT: the view's SUM(n) must equal the input
+      fixture's row count (every event lands in exactly one snapshot
+      merge), else this raises with the state-version ledger and
+      per-version totals — so a state-protocol bug surfaces as a
+      diagnosable ``err`` in the driver record instead of a bare wrong
+      hash (the reference's record-the-error contract,
+      crawler.go:245-253).
+    """
+    batch, stream, state, ckpt = _replay(spark, sf_dir, "mv")
+    n_input = batch.count()
     q = stream_mv_refresh(stream, state, ckpt)
     _await_drained(q, "mv_refresh")
-    return (read_mv_state(spark, state)
-            .select("event_type", F.col("n").alias("n_events"),
-                    F.col("s").alias("sum_value")))
+    view = _audit_mv_view(spark, state, n_input)
+    return view.select("event_type", F.col("n").alias("n_events"),
+                       F.col("s").alias("sum_value_cents"))
+
+
+def _audit_mv_view(spark, state: str, n_input: int):
+    """Conservation check on the finalized MV: SUM(n) over the latest
+    snapshot must equal the replayed fixture's row count (every event
+    contributes to exactly one merge — the monoid-state invariant).  On
+    violation, raise carrying the full state-version ledger so the
+    failure localizes the faulty merge instead of surfacing as an
+    unexplained hash mismatch."""
+    view = read_mv_state(spark, state)
+    n_view = view.agg(F.sum("n")).collect()[0][0]
+    if n_view != n_input:
+        from ..streaming.stateful import _state_versions
+        ledger = []
+        for v in _state_versions(state):
+            tot = (spark.read.parquet(f"{state}/state_v{v}")
+                   .agg(F.sum("n"), F.sum("s")).collect()[0])
+            ledger.append(f"state_v{v}: n={tot[0]} s_cents={tot[1]}")
+        raise RuntimeError(
+            f"mv_refresh self-audit FAILED: view SUM(n)={n_view} != "
+            f"input rows={n_input}; version ledger: {'; '.join(ledger)}")
+    return view
 
 
 def q_stream_decayed_engagement_replay(spark, sf_dir):
@@ -483,11 +523,14 @@ ORACLE = {
     "stream_windowed_span_dedup_replay": _span_oracle(),
     # the batch twin of the windowed MinHash candidate flagging
     "stream_minhash_dedup_replay": _minhash_window_oracle(),
-    # the batch twin of stream_mv_refresh (maintenance MV semantics)
+    # the batch twin of stream_mv_refresh (maintenance MV semantics);
+    # integer-cents quantization (FLOOR(v*100+0.5)) is pure IEEE double
+    # arithmetic + BIGINT sum — bit-identical across engines, unlike a
+    # double->DECIMAL cast whose tie rounding is engine-version-specific
     "stream_mv_refresh_replay": """
         SELECT event_type, COUNT(*)::BIGINT AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                    AS DECIMAL(18,2)) AS sum_value
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))::BIGINT
+                   AS sum_value_cents
         FROM events GROUP BY 1
     """,
     # the batch twins' oracles, verbatim

@@ -236,13 +236,23 @@ def stream_mv_refresh(events: DataFrame, state_dir: str, checkpoint: str):
     keyed state) and windowed aggregates (store windows): here the STATE
     IS A TABLE, merged monoid-style once per micro-batch.
 
-    Per batch: partial-aggregate the batch (count + exact DECIMAL sum
-    per event_type — map-side combine applies within the batch), read
-    the previous snapshot, full-outer monoid merge, and write snapshot
-    ``state_v<batchId>``.  Versioned snapshots make retries IDEMPOTENT
-    (a replayed batch overwrites its own version and merges from the
-    same predecessor), which is exactly-once for the view without any
-    sink transaction support.  Old versions are pruned after commit.
+    Per batch: partial-aggregate the batch (count + exact INTEGER-CENTS
+    sum per event_type — map-side combine applies within the batch),
+    read the previous snapshot, full-outer monoid merge, and write
+    snapshot ``state_v<batchId>``.  Versioned snapshots make retries
+    IDEMPOTENT (a replayed batch overwrites its own version and merges
+    from the same predecessor), which is exactly-once for the view
+    without any sink transaction support.  Old versions are pruned
+    after commit.
+
+    Arithmetic is engine-portable BY CONSTRUCTION: each value is
+    quantized to integer cents via ``FLOOR(value * 100 + 0.5)`` —
+    pure IEEE-754 double ops that every engine computes bit-identically
+    — and the state sums BIGINTs.  (A ``CAST(double AS DECIMAL)`` here
+    is rounding-mode-sensitive across engines/versions on .xx5 ties;
+    this family's two siblings already use integer/e6-quantized state,
+    and this brings the MV in line — the repo's floor-quantization
+    doctrine.)
 
     Scale: the per-batch work shuffles |keys-in-batch| partial rows;
     the merge join is |view| x |batch-keys| keyed by the view key —
@@ -255,7 +265,8 @@ def stream_mv_refresh(events: DataFrame, state_dir: str, checkpoint: str):
 
         partial = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+            F.sum(F.expr(
+                "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias("s"))
         prevs = [v for v in _state_versions(state_dir)
                  if v < batch_id]
         if prevs:
@@ -264,13 +275,13 @@ def stream_mv_refresh(events: DataFrame, state_dir: str, checkpoint: str):
                             F.col("n").alias("n1"), F.col("s").alias("s1"))
             d = partial.select(F.col("event_type").alias("k"),
                                F.col("n").alias("n2"), F.col("s").alias("s2"))
-            z = F.lit(0).cast("decimal(18,2)")
+            z = F.lit(0).cast("bigint")
             merged = (p.join(d, "k", "full_outer")
                       .select(F.col("k").alias("event_type"),
                               (F.coalesce("n1", F.lit(0))
                                + F.coalesce("n2", F.lit(0))).alias("n"),
                               (F.coalesce("s1", z) + F.coalesce("s2", z))
-                              .cast("decimal(18,2)").alias("s")))
+                              .cast("bigint").alias("s")))
         else:
             merged = partial
         merged.write.mode("overwrite").parquet(f"{state_dir}/state_v{batch_id}")

@@ -359,7 +359,7 @@ def test_crawl_stream_sink_writes_sealed_batches(spark, tmp_path):
 def test_foreachbatch_mv_refresh_equals_from_scratch(spark, event_stream_dir,
                                                      tmp_path):
     """The foreachBatch-maintained view after 4 micro-batches must equal
-    the from-scratch batch aggregate bit-for-bit (count + exact DECIMAL
+    the from-scratch batch aggregate bit-for-bit (count + integer-cents
     sum are commutative monoids), and only the latest + predecessor
     snapshots may remain on disk."""
     import glob
@@ -377,12 +377,13 @@ def test_foreachbatch_mv_refresh_equals_from_scratch(spark, event_stream_dir,
                           str(tmp_path / "ckpt"))
     q.awaitTermination(120)
 
-    got = {(r.event_type): (r.n, float(r.s))
+    got = {(r.event_type): (r.n, r.s)
            for r in read_mv_state(spark, state_dir).collect()}
-    exp = {r.event_type: (r.n, float(r.s)) for r in
+    exp = {r.event_type: (r.n, r.s) for r in
            batch_events.groupBy("event_type").agg(
                F.count(F.lit(1)).alias("n"),
-               F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+               F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+               .alias("s"))
            .collect()}
     assert got == exp
     assert len(glob.glob(f"{state_dir}/state_v*")) <= 2
@@ -706,19 +707,20 @@ def test_mv_refresh_versioned_snapshots_are_retry_idempotent(
     last_batch = spark.read.parquet(*last_files)
     partial = last_batch.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .alias("s"))
     if prev is not None:
         p = prev.select(F.col("event_type").alias("k"),
                         F.col("n").alias("n1"), F.col("s").alias("s1"))
         d = partial.select(F.col("event_type").alias("k"),
                            F.col("n").alias("n2"), F.col("s").alias("s2"))
-        z = F.lit(0).cast("decimal(18,2)")
+        z = F.lit(0).cast("bigint")
         merged = (p.join(d, "k", "full_outer")
                   .select(F.col("k").alias("event_type"),
                           (F.coalesce("n1", F.lit(0))
                            + F.coalesce("n2", F.lit(0))).alias("n"),
                           (F.coalesce("s1", z) + F.coalesce("s2", z))
-                          .cast("decimal(18,2)").alias("s")))
+                          .cast("bigint").alias("s")))
     else:
         merged = partial
     merged.write.mode("overwrite").parquet(f"{state}/state_v{last}")
@@ -762,6 +764,37 @@ def test_replay_await_raises_on_timeout_and_stream_error():
     ok = FakeQuery(drained=True)
     _await_drained(ok, "mv_refresh")   # clean drain returns silently
     assert not ok.stopped
+
+
+def test_mv_refresh_self_audit_raises_with_version_ledger(spark, tmp_path):
+    """_audit_mv_view (r08 verdict item 1b): a finalized MV whose
+    SUM(n) disagrees with the replayed fixture's row count must raise
+    with the per-version ledger in the message — converting a silent
+    wrong-hash into a diagnosable err — and must pass through the view
+    untouched when the conservation law holds."""
+    import pytest
+
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        _audit_mv_view)
+
+    state = str(tmp_path / "state")
+    (spark.createDataFrame([("a", 3, 150), ("b", 2, 75)],
+                           "event_type string, n bigint, s bigint")
+     .write.parquet(f"{state}/state_v0"))
+    (spark.createDataFrame([("a", 4, 200), ("b", 3, 99)],
+                           "event_type string, n bigint, s bigint")
+     .write.parquet(f"{state}/state_v1"))
+
+    ok = _audit_mv_view(spark, state, n_input=7)   # latest: 4 + 3
+    assert {tuple(r) for r in ok.collect()} == {("a", 4, 200),
+                                                ("b", 3, 99)}
+
+    with pytest.raises(RuntimeError) as ei:
+        _audit_mv_view(spark, state, n_input=8)
+    msg = str(ei.value)
+    assert "self-audit FAILED" in msg
+    assert "state_v0: n=5 s_cents=225" in msg
+    assert "state_v1: n=7 s_cents=299" in msg
 
 
 def test_windowed_span_dedup_replay_matches_batch_twin_and_prunes(spark):
