@@ -299,19 +299,87 @@ _FRONT_R08 = (
 )
 
 
+# The 50 queries CORRECTNESS_r08 checked (47 hash-green + 2
+# rows-only-by-design sketches + stream_mv_refresh_replay red — the
+# double->decimal tie-rounding divergence eliminated this round via
+# integer-cents state + conservation self-audit, RE-FRONTED below).
+_CHECKED_R08 = (
+    "stream_mv_refresh_replay", "stream_decayed_engagement_replay",
+    "stream_quantile_sketch_replay", "dedup_substring_suffix_array",
+    "unigram_lm_train", "unigram_lm_apply", "corpus_domain_mixture",
+    "stream_windowed_span_dedup_replay", "text_bm25_retrieval",
+    "lsh_banding_advisor", "unigram_lm_train_v1k",
+    "domain_mixture_mw_iterated", "dedup_substring_len_profile",
+    "stream_minhash_dedup_replay", "text_textrank_keywords",
+    "agg_salted_twophase", "approx_distinct_hll", "asof_next_error",
+    "asof_purchase_view", "dedup_components_bigstar",
+    "dedup_embedding_cosine", "embedding_centroids_exact",
+    "embedding_norms", "join_salted_skew", "knn_bruteforce_cosine",
+    "multimodal_frame_sample", "multimodal_resize", "ohlc_hourly",
+    "text_bigram_freq", "text_contamination_3gram", "text_fingerprint",
+    "text_heavy_hitters", "text_inverted_index", "text_langid",
+    "text_quality", "text_repetition_gopher", "text_scrub_pii",
+    "text_stats", "text_tfidf_top_terms", "text_unigram_lm_score",
+    "text_winnow_fingerprints", "ts_resample_ffill",
+    "ts_resample_interp", "ts_subsequence_search",
+    "window_range_frame_30d", "window_sliding_events",
+    "window_tumbling_events", "ann_int8_rerank", "ann_ivf_cosine",
+    "approx_quantiles_gk",
+)
+
+
+# Round-9 front (VERDICT r08 items 1-2).  Budget math, stated
+# deliberately: the re-fronted mv-refresh replay row runs FIRST (its
+# state arithmetic changed to integer cents + self-audit this round —
+# item 1), then ALL 34 never-driver-checked r08b rows (item 2; each
+# MATCHed the judge's own sf0.01 sweep, this converts them to hard
+# driver signal — after r09 no query on the surface lacks a driver
+# row), then 15 stale-rotation slots for the oldest remaining signal
+# (r03-signed rows, alphabetical) to fill the ~50 budget.  NOTE:
+# dedup_family_overlap also changed code this round (the df-cap gate,
+# item 3) and is already inside the 34.
+_FRONT_R09 = (
+    "stream_mv_refresh_replay",
+    # 34 never-driver-checked r08b rows
+    "dedup_incremental_lsh", "dedup_cluster_sampling_weights",
+    "dedup_family_overlap", "embedding_dim_budget_eval",
+    "semantic_knn_clusters", "knn_graph_ivf", "ivf_index_delta_refresh",
+    "text_collocations_llr", "text_watermark_scan",
+    "text_kneser_ney_score", "eval_langid_confusion",
+    "quality_adaptive_threshold", "validate_media",
+    "multimodal_video_scene_cuts", "multimodal_audio_energy",
+    "column_encoding_advisor", "bloom_filter_advisor",
+    "shuffle_partition_advisor", "join_strategy_advisor",
+    "sample_neyman_allocation", "reservoir_delta_refresh",
+    "events_changepoint_cusum", "schema_drift_detect",
+    "events_markov_stationary", "sink_roundtrip_csv",
+    "sink_roundtrip_orc", "inverted_index_compression_report",
+    "gdpr_delete_cascade", "bpe_fertility_by_lang",
+    "stream_trending_topk_replay", "stream_anomaly_scoring_replay",
+    "stream_sessionize_replay", "stream_ivf_index_replay",
+    "stream_gdpr_forget_replay",
+    # 15 oldest-signal rotation slots (r03-signed)
+    "basket_rules", "bfs_hops", "chunk_boilerplate", "cohort_retention",
+    "collect_sorted_arrays", "dedup_incremental", "dedup_keep_best",
+    "dedup_semantic_clusters", "dedup_spans_ngram", "doc_chunking_rag",
+    "embedding_quantize_int8", "entropy_event_mix",
+    "feat_zscore_per_type", "funnel_conversion", "grouped_rank_pandas",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    front = set(_FRONT_R08)
+    front = set(_FRONT_R09)
     round_tups = (_CHECKED_R01, _CHECKED_R02, _CHECKED_R03,
                   _CHECKED_R04, _CHECKED_R05, _CHECKED_R06,
-                  _CHECKED_R07)
+                  _CHECKED_R07, _CHECKED_R08)
     rounds = [set(t) for t in round_tups]
     checked = front | set().union(*rounds)
-    ordered = {k: q[k] for k in _FRONT_R08 if k in q}
+    ordered = {k: q[k] for k in _FRONT_R09 if k in q}
     # Anything never driver-checked in any round (this round's new ops)
     # runs right behind the front block, inside the budget.
     ordered.update({k: q[k] for k in q if k not in checked})
-    # Then oldest driver signal first (r01), freshest (r07) last; a
+    # Then oldest driver signal first (r01), freshest (r08) last; a
     # query in several rounds sorts by its freshest appearance.
     for i, tup in enumerate(round_tups):
         after = set().union(*rounds[i + 1:]) if i + 1 < len(rounds) \

@@ -50,30 +50,33 @@ def test_entry_smoke(spark):
 
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
-    put the r08 front first (the r07-red replay row + its hardened
-    siblings, the code-changed-since-last-driver-row ops, the 8 new
-    ops, and the 32 r02-stale + 3 oldest-r03 rotation — VERDICT r07
-    items 1-3), then anything else new this round, then oldest driver
-    signal before freshest (r07 last)."""
+    put the r09 front first (the twice-red, now integer-cents mv
+    replay row FIRST, then ALL 34 never-driver-checked r08b rows —
+    VERDICT r08 items 1-2 — then the 15-slot oldest-r03 rotation),
+    then anything else new this round, then oldest driver signal
+    before freshest (r08 last)."""
     names = list(QUERIES)
-    front = [n for n in entrymod._FRONT_R08 if n in QUERIES]
+    front = [n for n in entrymod._FRONT_R09 if n in QUERIES]
     checked = [set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
                set(entrymod._CHECKED_R03), set(entrymod._CHECKED_R04),
                set(entrymod._CHECKED_R05), set(entrymod._CHECKED_R06),
-               set(entrymod._CHECKED_R07)]
+               set(entrymod._CHECKED_R07), set(entrymod._CHECKED_R08)]
     assert names[:len(front)] == front
     # the front fills the ~50-query budget: the red replay row runs
-    # FIRST, and every r02-signed row is inside the budget
+    # FIRST, and every row with no driver signal at all (the 34 r08b
+    # additions) is inside the budget
     assert front[0] == "stream_mv_refresh_replay"
     assert len(front) == 50
-    r02_only = checked[1] - set().union(*checked[2:])
-    assert r02_only <= set(front)
     anychecked = set().union(*checked)
+    # front[1:35] are exactly the 34 rows with no driver row in any of
+    # r01-r08 (item 2's "done" criterion: all of them inside the budget)
+    assert all(n not in anychecked for n in front[1:35])
+    assert len(front[1:35]) == 34
     never = [n for n in names
              if n not in anychecked and n not in set(front)]
     if never:  # new-this-round queries directly after the front block
         assert max(names.index(n) for n in never) < len(front) + len(never)
     # freshest signal runs last
-    tail = checked[6] - set(front)
+    tail = checked[7] - set(front)
     assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))
