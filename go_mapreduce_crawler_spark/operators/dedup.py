@@ -71,6 +71,34 @@ def _words(spark, sf_dir) -> DataFrame:
              .distinct())
 
 
+# The exact-pair diagnostics (Jaccard / containment ground truth) run
+# an inverted-index SELF-JOIN with no df-cap: one stop-word common to n
+# docs emits O(n^2) join rows before the groupBy.  That is the point —
+# they are the EXACT calibration baseline the banded families are
+# measured against — but it makes them corpus-killing past a sample.
+# This bound ENFORCES the sample contract the docstrings promise
+# (r08 verdict item 3; the EMBED_DEDUP_MAX_ROWS precedent): generous
+# for any calibration sample, a hard refusal for a full 100 TB corpus.
+JACCARD_EXACT_MAX_DOCS = 100_000
+
+
+def _enforce_exact_pair_bound(d: DataFrame, op: str,
+                              max_docs: int | None = None) -> None:
+    """Refuse to run an exact all-pairs diagnostic on an oversized
+    corpus.  limit(N+1).count() answers over/under without a full scan;
+    callers pass the documents DF before any tokenization.  The bound
+    is read at call time so deployments can retune the module constant."""
+    if max_docs is None:
+        max_docs = JACCARD_EXACT_MAX_DOCS
+    if d.limit(max_docs + 1).count() > max_docs:
+        raise ValueError(
+            f"{op} is an exact quadratic diagnostic (inverted-index "
+            f"self-join, no df-cap); corpus exceeds the {max_docs}-doc "
+            f"sample bound. Calibrate on a sample (df.sample/limit) — "
+            f"the banded families (dedup_minhash_lsh, dedup_simhash, "
+            f"dedup_components_lsh) are the production path.")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact duplicate groups by md5 digest of the raw text."""
     d = _docs(spark, sf_dir)
@@ -136,7 +164,12 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|), integer counts -> one double
     division (engine-deterministic), rounded to 6 dp for the hash gate.
+
+    Sample-contract ENFORCED: refuses corpora past
+    JACCARD_EXACT_MAX_DOCS — this is the exact diagnostic baseline, not
+    the production dedup pass (that is the banded MinHash family).
     """
+    _enforce_exact_pair_bound(_docs(spark, sf_dir), "dedup_jaccard_pairs")
     words = _words(spark, sf_dir)
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     a = words.alias("a")
@@ -169,8 +202,10 @@ def q_dedup_containment(spark, sf_dir):
     Same inverted-index shape as dedup_jaccard_pairs — the exact
     quadratic ground truth at test SF; the scale path is the same
     MinHash machinery with containment-calibrated thresholds (Broder's
-    containment sketches), documented not duplicated.
+    containment sketches), documented not duplicated.  Sample-contract
+    ENFORCED via the shared JACCARD_EXACT_MAX_DOCS bound.
     """
+    _enforce_exact_pair_bound(_docs(spark, sf_dir), "dedup_containment")
     words = _words(spark, sf_dir)
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     a = words.alias("a")
@@ -783,9 +818,12 @@ def q_dedup_family_overlap(spark, sf_dir):
     The exact-Jaccard family is the diagnostic ground truth (its
     inverted-index self-join is quadratic in colliding docs — at
     100 TB you run it on a sample to calibrate, never the corpus; the
-    banded families are the production path).  Overlaps are id-pair
-    equi-joins; output is a 3-row summary.  The oracle composes the
-    families' oracle constructions verbatim; minhash ⊆ jaccard (its
+    banded families are the production path).  The sample contract is
+    ENFORCED, not advisory: the embedded q_dedup_jaccard_pairs call
+    refuses corpora past JACCARD_EXACT_MAX_DOCS, so this report cannot
+    be pointed at a full-scale corpus by accident.  Overlaps are
+    id-pair equi-joins; output is a 3-row summary.  The oracle composes
+    the families' oracle constructions verbatim; minhash ⊆ jaccard (its
     verify IS true Jaccard at the same threshold) is pinned in tests.
     """
     jp = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
