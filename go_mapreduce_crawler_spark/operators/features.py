@@ -1576,12 +1576,16 @@ def q_schema_drift(spark, sf_dir):
                     F.col("mn").alias("new_min"),
                     F.col("mx").alias("new_max"))
     j = b.join(nw, "col")
+    # DECIMAL(38,0) multiplicands (r08 advice item 1): plain BIGINT
+    # count*1e6 wraps silently at 100 TB cardinalities while DuckDB's
+    # HUGEINT raises — widen so engine and oracle share 128-bit math.
     ppm = lambda nl, n: F.expr(  # noqa: E731
-        f"CAST(({nl} * 1000000) DIV {n} AS BIGINT)")
+        f"CAST((CAST({nl} AS DECIMAL(38,0)) * 1000000) DIV {n} AS BIGINT)")
     j = (j.withColumn("base_null_ppm", ppm("base_null", "base_n"))
           .withColumn("new_null_ppm", ppm("new_null", "new_n"))
           .withColumn("ndv_ratio_e6", F.expr(
-              "CAST((new_ndv * 1000000) DIV base_ndv AS BIGINT)")))
+              "CAST((CAST(new_ndv AS DECIMAL(38,0)) * 1000000)"
+              " DIV base_ndv AS BIGINT)")))
     drift = ((F.col("ndv_ratio_e6") < 500_000)
              | (F.col("ndv_ratio_e6") > 2_000_000)
              | (F.abs(F.col("new_null_ppm") - F.col("base_null_ppm"))

@@ -34,6 +34,29 @@ from ..sources.tables import load_table
 
 MONEY = "decimal(12,2)"
 
+
+def _session_tmp(spark, tag: str, sf_dir: str) -> str:
+    """Per-(tag, fixture, SESSION) sink scratch dir, removed at
+    interpreter exit (r08 advice item 3): keying only on (tag, sf_dir)
+    let two concurrent sessions race on the same path (one overwrites
+    while the other reads) and leaked artifacts into /tmp.  The Spark
+    application id is unique per session, and re-runs WITHIN a session
+    stay idempotent (same path + overwrite mode)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{tag}_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + "_" + spark.sparkContext.applicationId)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
+
 _DROP, _REPRICE, _ADD = 97, 101, 103
 _REKEY = 10_000_000_000
 _SPLIT = "1997-01-01"
@@ -126,19 +149,14 @@ def q_sink_roundtrip(spark, sf_dir):
     and the partition column's string round-trip (the reference returns
     a scalar and has no sink at all, crawler.go:253).
 
-    Idempotent by construction: the target is a deterministic per-SF
-    temp dir and the write mode is overwrite, so driver re-runs land the
-    same bytes.
+    Idempotent by construction: the target is a deterministic
+    per-(SF, session) temp dir and the write mode is overwrite, so
+    driver re-runs land the same bytes; concurrent sessions never share
+    a path (_session_tmp).
     """
-    import hashlib
-    import os
-    import tempfile
-
     from ..sources.sinks import write_parquet
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _session_tmp(spark, "sink", sf_dir)
     agg = (load_table(spark, sf_dir, "orders")
            .groupBy("o_orderpriority")
            .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -170,13 +188,9 @@ def q_sink_compact(spark, sf_dir):
     real one (one wide stage, no driver materialization).  Idempotent:
     deterministic per-SF temp dirs + overwrite mode.
     """
-    import hashlib
     import os
-    import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    base = _session_tmp(spark, "compact", sf_dir)
     small = os.path.join(base, "small")
     compacted = os.path.join(base, "compacted")
     d = load_table(spark, sf_dir, "documents").select(
@@ -266,15 +280,9 @@ def q_sink_roundtrip_jsonl(spark, sf_dir):
     bounded by the writer's repartition — the 100 TB JSONL sink is
     shards of ~256 MB plus a manifest, same shape.
     """
-    import hashlib
-    import os
-    import tempfile
-
     from ..sources.sinks import write_json
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _session_tmp(spark, "jsonl", sf_dir)
     d = (load_table(spark, sf_dir, "documents")
          .select("doc_id", "text", "source", "n_chars"))
     write_json(d.repartition(4), out)
@@ -565,20 +573,13 @@ def _sink_roundtrip_fmt(spark, sf_dir, fmt: str):
     longs, exact-decimal-derived doubles, and the partition column's
     text — for CSV that exercises the schema-on-read path (CSV is
     stringly; the explicit read schema restores types bit-for-bit)."""
-    import hashlib
-    import os
-    import tempfile
-
     agg = (load_table(spark, sf_dir, "documents")
            .groupBy("lang")
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_chars").alias("sum_chars"),
                 F.min("doc_id").alias("min_doc"),
                 F.max("doc_id").alias("max_doc")))
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_sink_{fmt}_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _session_tmp(spark, f"sink_{fmt}", sf_dir)
     w = agg.coalesce(1).write.mode("overwrite")
     if fmt == "csv":
         w.option("header", "true").csv(out)

@@ -266,8 +266,12 @@ def q_sample_neyman(spark, sf_dir):
         "CAST(((n * sxx - sx * sx) * 1000000) DIV (n * (n - 1)) "
         "AS BIGINT) END")
     st = st.withColumn("s_e3", F.floor(F.sqrt(s2_e6)).cast("long"))
-    st = st.withColumn("w", F.col("n") * F.col("s_e3"))
-    tot = st.agg(F.sum("w").alias("tw"))
+    # DECIMAL(38,0) weight (r08 advice item 2): n * s_e3 in BIGINT wraps
+    # at large-corpus stratum sizes while DuckDB's SUM promotes to
+    # HUGEINT — keep w (and thus tw) in 128-bit to match the oracle.
+    st = st.withColumn("w", F.col("n").cast("decimal(38,0)")
+                       * F.col("s_e3"))
+    tot = st.agg(F.sum("w").cast("decimal(38,0)").alias("tw"))
     j = st.crossJoin(F.broadcast(tot))
     j = (j.withColumn("base", F.expr(
             f"CAST((CAST(w AS DECIMAL(38,0)) * {NEYMAN_BUDGET})"
