@@ -54,21 +54,51 @@ from .scale import ORACLE as _SCALE_ORACLE
 REPLAY_SPLITS = 4          # micro-batches per replay
 _AWAIT_S = 300
 
+# Replay fixtures are written ONCE per (sf_dir, kind) and shared across
+# the replay rows and across bench repeats (r08 verdict item 6: the
+# bench was re-writing ~6 fixtures per run, charging tempdir I/O to the
+# operators).  State/checkpoint dirs stay FRESH per query call — only
+# the immutable input files are cached.
+_FIXTURE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _fixture_dir(sf_dir: str, kind: str, writer) -> str:
+    """Return the cached input dir for (sf_dir, kind), invoking
+    ``writer(in_dir, scratch_root)`` exactly once per process.  Roots
+    are removed at interpreter exit (NOT at function return — result
+    DataFrames lazily read state parquet downstream of the stream)."""
+    key = (sf_dir, kind)
+    if key not in _FIXTURE_DIRS:
+        root = tempfile.mkdtemp(prefix=f"sgraft_fix_{kind}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        in_dir = f"{root}/in"
+        writer(in_dir, root)
+        _FIXTURE_DIRS[key] = in_dir
+    return _FIXTURE_DIRS[key]
+
+
+def _fresh_state(name: str) -> tuple[str, str]:
+    """Per-call state + checkpoint dirs (never cached — a replay must
+    start from empty state every invocation)."""
+    root = tempfile.mkdtemp(prefix=f"sgraft_state_{name}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return f"{root}/state", f"{root}/ckpt"
+
 
 def _replay(spark, sf_dir: str, name: str):
-    """Write events as a REPLAY_SPLITS-file parquet dir (the committed
-    replay fixture) and return (streaming_df, state_dir, ckpt_dir).
-
-    The fixture root is removed at interpreter exit (NOT at function
-    return — the caller's result DataFrame lazily reads the state
-    parquet, so eager removal would break the driver's later collect)."""
-    root = tempfile.mkdtemp(prefix=f"sgraft_replay_{name}_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
+    """Events as a REPLAY_SPLITS-file parquet fixture (cached) plus
+    fresh (state_dir, ckpt_dir); returns (batch_df, streaming_df,
+    state_dir, ckpt_dir)."""
     batch = load_table(spark, sf_dir, "events")
-    batch.repartition(REPLAY_SPLITS).write.mode("overwrite").parquet(in_dir)
+
+    def write(in_dir, _root):
+        batch.repartition(REPLAY_SPLITS).write.mode(
+            "overwrite").parquet(in_dir)
+
+    in_dir = _fixture_dir(sf_dir, "events4", write)
     stream = (spark.readStream.option("maxFilesPerTrigger", "1")
               .schema(batch.schema).parquet(in_dir))
+    state, ckpt = _fresh_state(name)
     return batch, stream, state, ckpt
 
 
@@ -174,28 +204,30 @@ def _replay_ordered_docs(spark, sf_dir: str, name: str):
     contract stream_windowed_span_dedup's trailing-window eviction
     requires (a production deployment gets the same guarantee from
     its ingest watermark)."""
-    import os
-    import shutil as _sh
-    import time
-
-    root = tempfile.mkdtemp(prefix=f"sgraft_replay_{name}_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
-    os.makedirs(in_dir)
     docs = load_table(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    for i in range(REPLAY_SPLITS):
-        lo = (mx + 1) * i // REPLAY_SPLITS
-        hi = (mx + 1) * (i + 1) // REPLAY_SPLITS
-        stage = f"{root}/stage{i}"
-        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-             .coalesce(1).write.mode("overwrite").parquet(stage))
+
+    def write(in_dir, root):
         import glob as _glob
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
-        _sh.copyfile(part, f"{in_dir}/{i:02d}.parquet")
-        time.sleep(0.05)   # strictly increasing mod-times
+        import os
+        import shutil as _sh
+        import time
+
+        os.makedirs(in_dir)
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        for i in range(REPLAY_SPLITS):
+            lo = (mx + 1) * i // REPLAY_SPLITS
+            hi = (mx + 1) * (i + 1) // REPLAY_SPLITS
+            stage = f"{root}/stage{i}"
+            (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                 .coalesce(1).write.mode("overwrite").parquet(stage))
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            _sh.copyfile(part, f"{in_dir}/{i:02d}.parquet")
+            time.sleep(0.05)   # strictly increasing mod-times
+
+    in_dir = _fixture_dir(sf_dir, "docs_ordered", write)
     stream = (spark.readStream.option("maxFilesPerTrigger", "1")
               .schema(docs.schema).parquet(in_dir))
+    state, ckpt = _fresh_state(name)
     return stream, state, ckpt
 
 
@@ -235,22 +267,20 @@ def q_stream_gdpr_forget_replay(spark, sf_dir):
     is batching-independent and the batch-twin SQL is a full
     exactly-once value proof (the replay family's contract).
     """.format(m=_FORGET)
-    import atexit
-    import shutil
-    import tempfile
-
     from ..streaming.stateful import stream_gdpr_forget
 
-    root = tempfile.mkdtemp(prefix="sgraft_replay_gdpr_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
     cust = load_table(spark, sf_dir, "customer")
     requests = (cust.filter(F.col("c_custkey") % _FORGET == 0)
                 .select(F.col("c_custkey").alias("fk")))
-    requests.repartition(REPLAY_SPLITS).write.mode("overwrite") \
-        .parquet(in_dir)
+
+    def write(in_dir, _root):
+        requests.repartition(REPLAY_SPLITS).write.mode(
+            "overwrite").parquet(in_dir)
+
+    in_dir = _fixture_dir(sf_dir, "gdpr_requests", write)
     stream = (spark.readStream.option("maxFilesPerTrigger", "1")
               .schema(requests.schema).parquet(in_dir))
+    state, ckpt = _fresh_state("gdpr")
     orders = load_table(spark, sf_dir, "orders")
     q = stream_gdpr_forget(stream, orders, state, ckpt)
     _await_drained(q, "gdpr_forget")
@@ -273,21 +303,19 @@ def q_stream_ivf_index_replay(spark, sf_dir):
     oracle (shared verbatim with ivf_index_delta_refresh) is an
     exactly-once value proof.
     """
-    import atexit
-    import shutil
-    import tempfile
-
     from ..streaming.stateful import stream_ivf_index
     from .similarity import ivf_base_cell_expr, ivf_cell_stats_of
 
-    root = tempfile.mkdtemp(prefix="sgraft_replay_ivf_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    in_dir, state, ckpt = f"{root}/in", f"{root}/state", f"{root}/ckpt"
     vecs = load_table(spark, sf_dir, "embeddings")
-    vecs.repartition(REPLAY_SPLITS).write.mode("overwrite") \
-        .parquet(in_dir)
+
+    def write(in_dir, _root):
+        vecs.repartition(REPLAY_SPLITS).write.mode(
+            "overwrite").parquet(in_dir)
+
+    in_dir = _fixture_dir(sf_dir, "embeddings4", write)
     stream = (spark.readStream.option("maxFilesPerTrigger", "1")
               .schema(vecs.schema).parquet(in_dir))
+    state, ckpt = _fresh_state("ivf")
     index_of = ivf_cell_stats_of(ivf_base_cell_expr(spark, sf_dir))
     q = stream_ivf_index(stream, index_of, state, ckpt)
     _await_drained(q, "ivf_index")
@@ -307,29 +335,30 @@ def _replay_ordered_events(spark, sf_dir: str, name: str):
     or late rows are correctly dropped).  A random file split would
     scatter old events into late batches where the 2h watermark drops
     them — a replay-fixture artifact, not operator behavior."""
-    import glob as _glob
-    import os
-    import shutil as _sh
-    import time
-
-    root = tempfile.mkdtemp(prefix=f"sgraft_replay_{name}_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    in_dir = f"{root}/in"
-    os.makedirs(in_dir)
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros("ts")
-    lo_hi = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")) \
-              .collect()[0]
-    lo, hi = lo_hi.lo, lo_hi.hi + 1
-    for i in range(REPLAY_SPLITS):
-        a = lo + (hi - lo) * i // REPLAY_SPLITS
-        b = lo + (hi - lo) * (i + 1) // REPLAY_SPLITS
-        stage = f"{root}/stage{i}"
-        (ev.filter((us >= a) & (us < b))
-           .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
-        _sh.copyfile(part, f"{in_dir}/{i:02d}.parquet")
-        time.sleep(0.05)   # strictly increasing mod-times
+
+    def write(in_dir, root):
+        import glob as _glob
+        import os
+        import shutil as _sh
+        import time
+
+        os.makedirs(in_dir)
+        us = F.unix_micros("ts")
+        lo_hi = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")) \
+                  .collect()[0]
+        lo, hi = lo_hi.lo, lo_hi.hi + 1
+        for i in range(REPLAY_SPLITS):
+            a = lo + (hi - lo) * i // REPLAY_SPLITS
+            b = lo + (hi - lo) * (i + 1) // REPLAY_SPLITS
+            stage = f"{root}/stage{i}"
+            (ev.filter((us >= a) & (us < b))
+               .coalesce(1).write.mode("overwrite").parquet(stage))
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            _sh.copyfile(part, f"{in_dir}/{i:02d}.parquet")
+            time.sleep(0.05)   # strictly increasing mod-times
+
+    in_dir = _fixture_dir(sf_dir, "events_ordered", write)
     return (spark.readStream.option("maxFilesPerTrigger", "1")
             .schema(ev.schema).parquet(in_dir))
 
