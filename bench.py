@@ -158,6 +158,8 @@ HEADLINE = [
     "stream_trending_topk_replay",
     "sink_roundtrip_csv",
     "sink_roundtrip_orc",
+    # r09 additions
+    "hybrid_retrieval_rrf",
 ]
 
 N_CRAWL_FILES = 2000
@@ -272,6 +274,16 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     out["unit"] = "sec"
+    # Two totals (r08 verdict item 8): the headline grew 52s -> 74s ->
+    # 152s purely by ADDING queries, making round-over-round comparison
+    # a manual tail-diff.  value_frozen87 totals the FROZEN r07 bench
+    # surface (the 86 pre-r08 headline queries + crawl_json_sum) — the
+    # stable cross-round comparator; value stays the full-surface total.
+    frozen = set(HEADLINE[:HEADLINE.index("text_bm25_retrieval")])
+    frozen.add("crawl_json_sum")
+    out["n_frozen87"] = sum(1 for n in timings if n in frozen)
+    out["value_frozen87"] = round(
+        sum(s for n, s in timings.items() if n in frozen), 3)
     out["metric"] = "headline_queries_total_runtime"
     out["value"] = round(sum(timings.values()), 3)
     print(json.dumps(out))

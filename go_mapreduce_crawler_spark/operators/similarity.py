@@ -1208,7 +1208,95 @@ def q_embedding_dim_budget(spark, sf_dir):
                      .alias("recall_ppm")))
 
 
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+HYB_TOPK = 10       # fused results per query (== TOP_K of both arms)
+HYB_QTERMS = 3      # lexical query terms taken from the seed document
+HYB_SALT = 64       # two-phase top-k fan-in (the BM25-retrieval pattern)
+
+
+def q_hybrid_retrieval_rrf(spark, sf_dir):
+    """HYBRID lexical+dense retrieval with reciprocal-rank fusion (r08
+    verdict item 5) — the "more-like-this" shape every production
+    RAG / data-curation stack runs: for each SEED document (the kNN
+    query workload, id % 100 == 0; doc and vec ids share the corpus id
+    space), retrieve top-{k} candidates by (a) BM25 over the seed's own
+    top-{t} salient terms (the lexical arm — text_bm25_retrieval's
+    scoring and two-phase salted top-k verbatim) and (b) exact cosine
+    kNN on the seed's embedding (the dense arm — knn_bruteforce_cosine
+    verbatim), then fuse with RRF: rrf_e9 = Σ_arms floor(1e9 / ({rk0} +
+    rank)), missing arm contributing 0 — pure integer arithmetic, so
+    the fused ranking is engine-exact and fully value-oracle-able.
+
+    Scale: the lexical arm broadcasts the ≤{t}·|Q| query-term relation
+    onto the posting-list-sized tf relation and ranks with the salted
+    two-phase top-k (no global window); the dense arm is the gated
+    broadcast-query kNN; fusion joins two ≤{k}·|Q|-row relations — the
+    fused stage is metadata-sized no matter the corpus.  Candidates in
+    BOTH arms' top-{k} strictly dominate single-arm candidates
+    (2·⌊1e9/({rk0}+{k})⌋ > ⌊1e9/({rk0}+1)⌋), pinned in tests.
+
+    Output: (q_doc, doc_id, lex_rk, dense_rk, rrf_e9, rk).
+    """.format(k=HYB_TOPK, t=HYB_QTERMS, rk0=RRF_K)
+    from .text import _bm25_e6_expr, _docs, _lit_spark
+
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id",
+                     F.explode(F.split("text", " ")).alias("word"))
+    tf = (words.groupBy("doc_id", "word")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scal = dl.agg(F.sum("dl").alias("total_words"),
+                  F.count(F.lit(1)).alias("n_docs"))
+    # lexical query terms: the seed doc's own top-scoring BM25 terms
+    qown = (tf.filter(F.col("doc_id") % 100 == 0)
+              .join(dfr, "word").join(dl, "doc_id")
+              .crossJoin(F.broadcast(scal))
+              .selectExpr("doc_id AS q_doc", "word", "df",
+                          _bm25_e6_expr(_lit_spark) + " AS own_e6"))
+    wq = W.partitionBy("q_doc").orderBy(F.desc("own_e6"), F.asc("word"))
+    qterms = (qown.withColumn("trk", F.row_number().over(wq))
+                  .filter(F.col("trk") <= HYB_QTERMS)
+                  .select("q_doc", "word", "df"))
+    cand = (tf.join(F.broadcast(qterms), "word")
+              .filter(F.col("doc_id") != F.col("q_doc"))
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(scal))
+              .selectExpr("q_doc", "doc_id",
+                          _bm25_e6_expr(_lit_spark) + " AS bm25_e6"))
+    lex = (cand.groupBy("q_doc", "doc_id")
+               .agg(F.sum("bm25_e6").alias("score_e6")))
+    key = F.struct((-F.col("score_e6")).alias("ns"),
+                   F.col("doc_id").alias("doc_id"))
+    p1 = (lex.groupBy("q_doc",
+                      F.pmod(F.xxhash64("doc_id"),
+                             F.lit(HYB_SALT)).alias("salt"))
+             .agg(F.slice(F.array_sort(F.collect_list(key)), 1,
+                          HYB_TOPK).alias("part")))
+    p2 = (p1.groupBy("q_doc")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("part"))),
+                         1, HYB_TOPK).alias("top")))
+    lex_rk = (p2.select("q_doc", F.posexplode("top").alias("i", "t"))
+                .select("q_doc", F.col("t.doc_id").alias("doc_id"),
+                        (F.col("i") + 1).alias("lex_rk")))
+    dense_rk = (q_knn_bruteforce(spark, sf_dir)
+                .select(F.col("q_id").alias("q_doc"),
+                        F.col("neighbor_id").alias("doc_id"),
+                        F.col("rk").alias("dense_rk")))
+    fused = (lex_rk.join(dense_rk, ["q_doc", "doc_id"], "full_outer")
+             .withColumn("rrf_e9", F.expr(
+                 f"COALESCE(1000000000 DIV ({RRF_K} + lex_rk), 0)"
+                 f" + COALESCE(1000000000 DIV ({RRF_K} + dense_rk), 0)")))
+    wf = W.partitionBy("q_doc").orderBy(F.desc("rrf_e9"),
+                                        F.asc("doc_id"))
+    return (fused.withColumn("rk", F.row_number().over(wf))
+                 .filter(F.col("rk") <= HYB_TOPK)
+                 .select("q_doc", "doc_id", "lex_rk", "dense_rk",
+                         "rrf_e9", "rk"))
+
+
 QUERIES = {
+    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "embedding_dim_budget_eval": q_embedding_dim_budget,
     "semantic_knn_clusters": q_semantic_knn_clusters,
     "knn_graph_ivf": q_knn_graph_ivf,
@@ -1307,6 +1395,85 @@ ORACLE = {
 # The vectorized kernel is candidate discovery only; final ranks come
 # from the same exact fold as the JVM path, so both share one oracle.
 ORACLE["knn_pandas_vectorized"] = ORACLE["knn_bruteforce_cosine"]
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Composes the two parents' oracle constructions: the BM25
+    tf/df/dl CTEs (text_bm25_retrieval) for the lexical arm and the
+    exact-cosine ranking (knn_bruteforce_cosine) for the dense arm,
+    fused with integer RRF."""
+    from .text import _bm25_e6_expr, _lit_duck
+
+    bm25 = _bm25_e6_expr(_lit_duck)
+    return f"""
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dfr AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+    scal AS (SELECT SUM(dl)::BIGINT AS total_words,
+                    COUNT(*)::BIGINT AS n_docs FROM dl),
+    qown AS (
+        SELECT tf.doc_id AS q_doc, tf.word, tf.tf, dfr.df, dl.dl,
+               {bm25} AS own_e6
+        FROM tf JOIN dfr USING (word) JOIN dl ON dl.doc_id = tf.doc_id,
+             scal
+        WHERE tf.doc_id % 100 = 0),
+    qterms AS (
+        SELECT q_doc, word, df FROM (
+            SELECT q_doc, word, df,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY own_e6 DESC, word) AS trk
+            FROM qown)
+        WHERE trk <= {HYB_QTERMS}),
+    cand AS (
+        SELECT qt.q_doc, tf.doc_id, tf.tf, qt.df, dl.dl,
+               {bm25} AS bm25_e6
+        FROM tf JOIN qterms qt USING (word)
+                JOIN dl ON dl.doc_id = tf.doc_id, scal
+        WHERE tf.doc_id <> qt.q_doc),
+    lex AS (SELECT q_doc, doc_id, SUM(bm25_e6)::BIGINT AS score_e6
+            FROM cand GROUP BY 1, 2),
+    lexrk AS (
+        SELECT q_doc, doc_id, lex_rk FROM (
+            SELECT q_doc, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY score_e6 DESC, doc_id)
+                       AS lex_rk
+            FROM lex)
+        WHERE lex_rk <= {HYB_TOPK}),
+    q AS (SELECT vec_id AS q_doc, embedding AS q_vec
+          FROM embeddings WHERE vec_id % 100 = 0),
+    dscored AS (
+        SELECT q_doc, e.vec_id AS doc_id,
+               ROUND({_COS.format(a='q_vec', b='e.embedding')}, 6) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_doc),
+    densrk AS (
+        SELECT q_doc, doc_id, dense_rk FROM (
+            SELECT q_doc, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY cos DESC, doc_id)
+                       AS dense_rk
+            FROM dscored)
+        WHERE dense_rk <= {HYB_TOPK}),
+    fused AS (
+        SELECT COALESCE(l.q_doc, d.q_doc) AS q_doc,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rk, d.dense_rk,
+               (COALESCE(1000000000 // ({RRF_K} + l.lex_rk), 0)
+                + COALESCE(1000000000 // ({RRF_K} + d.dense_rk), 0)
+               )::BIGINT AS rrf_e9
+        FROM lexrk l FULL OUTER JOIN densrk d
+          ON l.q_doc = d.q_doc AND l.doc_id = d.doc_id)
+    SELECT q_doc, doc_id, lex_rk, dense_rk, rrf_e9, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc
+                                     ORDER BY rrf_e9 DESC, doc_id) AS rk
+        FROM fused)
+    WHERE rk <= {HYB_TOPK}
+    """
+
+
+ORACLE["hybrid_retrieval_rrf"] = _hybrid_rrf_oracle()
 
 
 def _ann_lsh_oracle_sql() -> str:

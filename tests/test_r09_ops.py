@@ -48,3 +48,60 @@ def test_exact_jaccard_ops_still_run_and_guard_is_wired(spark):
                 op(spark, SF)
     finally:
         dd.JACCARD_EXACT_MAX_DOCS = orig
+
+
+def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
+    """hybrid_retrieval_rrf (r08 verdict item 5) pins the properties
+    the DuckDB value oracle can't localize:
+
+    * the fusion arithmetic replica: every emitted rrf_e9 must equal
+      the pure-Python floor(1e9/(60+rk)) sum of its own arm ranks;
+    * dense-parent recall: every fused dense_rk must agree with
+      knn_bruteforce_cosine's independent rank for that (query,
+      candidate), and any dense candidate ranked high enough that no
+      10 fused rows can outscore it MUST appear in the fused top-10
+      (a dense rank-r single-arm score floor(1e9/(60+r)) beats a
+      fused row's score whenever that row's rrf_e9 is lower);
+    * ranking consistency: per query, rk is 1..n and rrf_e9 is
+      non-increasing in rk.
+    """
+    import go_mapreduce_crawler_spark.operators.similarity as sim
+
+    fused = {(r.q_doc, r.doc_id): (r.lex_rk, r.dense_rk, r.rrf_e9, r.rk)
+             for r in sim.q_hybrid_retrieval_rrf(spark, SF).collect()}
+    assert fused
+
+    dense = {(r.q_id, r.neighbor_id): r.rk
+             for r in sim.q_knn_bruteforce(spark, SF).collect()}
+
+    for (q, c), (lrk, drk, rrf, rk) in fused.items():
+        expect = (10**9 // (60 + lrk) if lrk else 0) \
+            + (10**9 // (60 + drk) if drk else 0)
+        assert rrf == expect, (q, c, rrf, expect)
+        assert lrk is not None or drk is not None
+        if drk is not None:
+            assert dense[(q, c)] == drk, (q, c)
+
+    # dense-parent recall: a dense candidate absent from the fused
+    # top-10 must be OUTSCORED by all 10 fused rows of its query
+    by_q: dict = {}
+    for (q, c), (_, _, rrf, rk) in fused.items():
+        by_q.setdefault(q, []).append((rk, rrf, c))
+    for (q, c), drk in dense.items():
+        if (q, c) in fused:
+            continue
+        score = 10**9 // (60 + drk)
+        rows = by_q[q]
+        assert len(rows) == 10
+        worst = min(r[1] for r in rows)
+        # ties broken by doc_id: equal score is only a legal exclusion
+        # if every tied fused doc has a smaller doc_id
+        assert worst > score or (
+            worst == score
+            and all(r[2] < c for r in rows if r[1] == score)), (q, c)
+
+    for q, rows in by_q.items():
+        rows.sort()
+        assert all(rows[i][1] >= rows[i + 1][1]
+                   for i in range(len(rows) - 1))
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
