@@ -160,6 +160,8 @@ HEADLINE = [
     "sink_roundtrip_orc",
     # r09 additions
     "hybrid_retrieval_rrf",
+    "eval_retrieval_ndcg",
+    "retrieval_mmr_diversify",
 ]
 
 N_CRAWL_FILES = 2000

@@ -1208,6 +1208,160 @@ def q_embedding_dim_budget(spark, sf_dir):
                      .alias("recall_ppm")))
 
 
+import math as _math
+
+# NDCG@10 discount weights as INTEGER LITERALS, floor(1e6/log2(r+1)).
+# Computed once in Python and inlined into BOTH engines' plans — the
+# cross-engine log2 question never arises (the repo's shared-literal
+# doctrine, cf. the Carter-Wegman MH_AB family).
+NDCG_K = 10
+NDCG_W = tuple(int(1e6 // _math.log2(r + 1)) for r in range(1, NDCG_K + 1))
+NDCG_PREFIX = tuple(sum(NDCG_W[:m]) for m in range(NDCG_K + 1))
+
+
+def q_eval_retrieval_ndcg(spark, sf_dir):
+    """Retrieval-quality EVAL: NDCG@{k} per query for the exact-cosine
+    kNN arm, with graded relevance = label match (the embeddings
+    table's label column is the ground-truth class, the same contract
+    knn_label_vote_accuracy grades) — the ranking-quality readout a
+    retrieval stack reports next to recall (ann_recall_report) and
+    vote accuracy.
+
+    All ranking arithmetic is INTEGER: the discount weights
+    floor(1e6/log2(r+1)) are Python-computed literals shared by both
+    engines, DCG is their rel-masked sum, IDCG is the prefix sum over
+    min(R, {k}) ideal slots (R = corpus size of the query's label
+    minus the query itself), and ndcg_ppm = dcg*1e6 DIV idcg.
+
+    Scale: the kNN arm is the gated broadcast-query join; the label
+    sizes are one |labels|-row agg broadcast back; everything after
+    the arm is |Q|x{k} rows.
+
+    Output: (q_id, label, n_rel_topk, r_total, dcg_w, idcg_w,
+    ndcg_ppm).
+    """.format(k=NDCG_K)
+    e = load_table(spark, sf_dir, "embeddings")
+    nn = q_knn_bruteforce(spark, sf_dir)
+    lab = e.select("vec_id", "label")
+    ql = lab.select(F.col("vec_id").alias("q_id"),
+                    F.col("label").alias("q_label"))
+    nl = lab.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"))
+    w_case = "CASE rk " + " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W)) + " END"
+    scored = (nn.join(F.broadcast(ql), "q_id")
+                .join(nl, "neighbor_id")
+                .withColumn("rel", (F.col("n_label") == F.col("q_label"))
+                            .cast("long"))
+                .withColumn("w", F.expr(w_case)))
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_label_all"))
+    per_q = (scored.groupBy("q_id", F.col("q_label").alias("label"))
+                   .agg(F.sum("rel").alias("n_rel_topk"),
+                        F.sum(F.col("rel") * F.col("w")).alias("dcg_w")))
+    idcg_case = ("CASE LEAST(r_total, " + str(NDCG_K) + ") "
+                 + " ".join(f"WHEN {m} THEN {p}"
+                            for m, p in enumerate(NDCG_PREFIX))
+                 + " END")
+    return (per_q.join(F.broadcast(sizes), "label")
+            .withColumn("r_total", (F.col("n_label_all") - 1).cast("long"))
+            .withColumn("idcg_w", F.expr(idcg_case).cast("long"))
+            .select("q_id", "label", "n_rel_topk", "r_total",
+                    F.col("dcg_w").cast("long").alias("dcg_w"), "idcg_w",
+                    F.expr("CASE WHEN idcg_w > 0 THEN"
+                           " (dcg_w * 1000000) DIV idcg_w"
+                           " ELSE 0 END").cast("long").alias("ndcg_ppm")))
+
+
+MMR_C = 20          # dense candidates considered per query
+MMR_K = 10          # diversified results returned per query
+MMR_LAM = 70        # lambda in e2 (0.70 relevance / 0.30 diversity)
+
+
+def q_retrieval_mmr(spark, sf_dir):
+    """MMR result DIVERSIFICATION (Carbonell & Goldstein, SIGIR'98) —
+    the post-retrieval stage every RAG stack runs so the top-k isn't
+    ten near-copies of one source: greedily select {k} of the top-{c}
+    dense candidates per query, each step maximizing
+    ``{lam}*rel_e6 - {ilam}*max_sim_to_selected_e6`` (integer e6
+    arithmetic; ties break on vec_id).
+
+    Engine-exact by construction: relevance and candidate-pair cosines
+    are floor-quantized to e6 BEFORE any ranking (the IEEE fold both
+    engines share), and the greedy loop is pure integer comparison —
+    the Arrow kernel's per-dimension sequential accumulation is the
+    same left-to-right IEEE order as the oracle's list_reduce fold
+    (the _ann_bucket_kernel doctrine), so the oracle's UNROLLED
+    {k}-step SQL selects identical documents.
+
+    Scale: candidate generation is the gated broadcast-query join with
+    a per-query window over {c} rows; the greedy step runs in ONE
+    grouped-map applyInPandas over ≤{c}-row groups — per-group work is
+    O({c}^2) sims + O({k}*{c}) comparisons, constant per query, and
+    groups never co-reside beyond a shuffle partition.
+
+    Output: (q_id, vec_id, rel_e6, mmr_score, rk).
+    """.format(k=MMR_K, c=MMR_C, lam=MMR_LAM, ilam=100 - MMR_LAM)
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
+    q = F.broadcast(_gate_query_set(
+        e.filter(F.col("vec_id") % 100 == 0), "retrieval_mmr_diversify",
+        sf_dir)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+                F.col("nrm").alias("q_nrm")))
+    rel = (q.join(e, F.col("vec_id") != F.col("q_id"))
+            .withColumn("rel_e6", F.floor(
+                dot("q_vec", "embedding")
+                / (F.col("q_nrm") * F.col("nrm")) * 1e6).cast("long")))
+    w = W.partitionBy("q_id").orderBy(F.desc("rel_e6"), F.asc("vec_id"))
+    cand = (rel.withColumn("crk", F.row_number().over(w))
+               .filter(F.col("crk") <= MMR_C)
+               .select("q_id", "vec_id", "rel_e6", "embedding", "nrm"))
+
+    lam, ilam = MMR_LAM, 100 - MMR_LAM
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        # sequential per-dimension accumulation == the oracle's
+        # list_reduce fold order (see _ann_bucket_kernel)
+        acc = np.zeros((n, n))
+        for d_ in range(m.shape[1]):
+            acc += m[:, d_:d_ + 1] * m[None, :, d_]
+        sim_e6 = np.floor(acc / (nrm[:, None] * nrm[None, :]) * 1e6)
+        sim_e6 = sim_e6.astype(np.int64)
+        rel_e6 = pdf["rel_e6"].to_numpy(dtype=np.int64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        selected: list[int] = []
+        out = []
+        remaining = list(range(n))
+        while remaining and len(selected) < MMR_K:
+            best_i, best_score = None, None
+            for i in remaining:
+                mx = max((int(sim_e6[i, j]) for j in selected),
+                         default=0)
+                score = lam * int(rel_e6[i]) - ilam * mx
+                if (best_score is None or score > best_score
+                        or (score == best_score
+                            and ids[i] < ids[best_i])):
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            remaining.remove(best_i)
+            out.append((int(pdf["q_id"].iloc[0]), int(ids[best_i]),
+                        int(rel_e6[best_i]), int(best_score),
+                        len(selected)))
+        return pd.DataFrame(out, columns=["q_id", "vec_id", "rel_e6",
+                                          "mmr_score", "rk"])
+
+    return cand.groupBy("q_id").applyInPandas(
+        kernel,
+        "q_id long, vec_id long, rel_e6 long, mmr_score long, rk int")
+
+
 RRF_K = 60          # the standard reciprocal-rank-fusion constant
 HYB_TOPK = 10       # fused results per query (== TOP_K of both arms)
 HYB_QTERMS = 3      # lexical query terms taken from the seed document
@@ -1297,6 +1451,8 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
 
 QUERIES = {
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
+    "eval_retrieval_ndcg": q_eval_retrieval_ndcg,
+    "retrieval_mmr_diversify": q_retrieval_mmr,
     "embedding_dim_budget_eval": q_embedding_dim_budget,
     "semantic_knn_clusters": q_semantic_knn_clusters,
     "knn_graph_ivf": q_knn_graph_ivf,
@@ -1474,6 +1630,116 @@ def _hybrid_rrf_oracle() -> str:
 
 
 ORACLE["hybrid_retrieval_rrf"] = _hybrid_rrf_oracle()
+
+
+def _ndcg_oracle() -> str:
+    w_case = "CASE rk " + " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W)) + " END"
+    idcg_case = (f"CASE LEAST(r_total, {NDCG_K}) "
+                 + " ".join(f"WHEN {m} THEN {p}"
+                            for m, p in enumerate(NDCG_PREFIX))
+                 + " END")
+    return f"""
+    WITH nn AS ({ORACLE["knn_bruteforce_cosine"]}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    scored AS (
+        SELECT nn.q_id, ql.label AS q_label,
+               CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel,
+               {w_case} AS w
+        FROM nn JOIN lab ql ON ql.vec_id = nn.q_id
+                JOIN lab nl ON nl.vec_id = nn.neighbor_id),
+    per_q AS (
+        SELECT q_id, q_label AS label,
+               SUM(rel)::BIGINT AS n_rel_topk,
+               SUM(rel * w)::BIGINT AS dcg_w
+        FROM scored GROUP BY 1, 2),
+    sizes AS (SELECT label, COUNT(*)::BIGINT AS n_label_all
+              FROM lab GROUP BY 1),
+    j AS (SELECT q_id, label, n_rel_topk, dcg_w,
+                 (n_label_all - 1)::BIGINT AS r_total
+          FROM per_q JOIN sizes USING (label)),
+    k AS (SELECT *, ({idcg_case})::BIGINT AS idcg_w FROM j)
+    SELECT q_id, label, n_rel_topk, r_total, dcg_w, idcg_w,
+           (CASE WHEN idcg_w > 0
+                 THEN (dcg_w * 1000000) // idcg_w
+                 ELSE 0 END)::BIGINT AS ndcg_ppm
+    FROM k
+    """
+
+
+ORACLE["eval_retrieval_ndcg"] = _ndcg_oracle()
+
+
+def _mmr_oracle() -> str:
+    """UNROLLED greedy: MMR's sequential argmax is not a monotone
+    recursion (each step needs an argmax over the remainder), so the
+    oracle unrolls the MMR_K steps as generated CTE blocks — the
+    batched-BPE oracle pattern.  Every comparison is on e6-quantized
+    integers, so the SQL selects exactly the kernel's documents."""
+    cos = _COS.format(a="{a}", b="{b}")
+    lam, ilam = MMR_LAM, 100 - MMR_LAM
+
+    def q6(a, b):
+        return ("CAST(FLOOR((" + cos.format(a=a, b=b)
+                + ") * 1e6) AS BIGINT)")
+
+    steps = []
+    for i in range(2, MMR_K + 1):
+        prev = f"sel{i - 1}"
+        steps.append(f"""
+    sel{i} AS MATERIALIZED (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT q_id, vec_id, rel_e6, mmr_score, {i} AS rk FROM (
+            SELECT t.*, ROW_NUMBER() OVER (PARTITION BY t.q_id
+                           ORDER BY t.mmr_score DESC, t.vec_id) AS rn
+            FROM (SELECT c.q_id, c.vec_id, c.rel_e6,
+                         {lam} * c.rel_e6 - {ilam} * m.mx AS mmr_score
+                  FROM cand c
+                  JOIN (SELECT p.q_id, p.a_id, MAX(p.sim_e6) AS mx
+                        FROM psym p JOIN {prev} s
+                          ON s.q_id = p.q_id AND s.vec_id = p.b_id
+                        GROUP BY 1, 2) m
+                    ON m.q_id = c.q_id AND m.a_id = c.vec_id
+                  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                                    WHERE x.q_id = c.q_id
+                                      AND x.vec_id = c.vec_id)) t)
+        WHERE rn = 1)""")
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    rel AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, c.vec_id,
+               {q6('q.embedding', 'c.embedding')} AS rel_e6
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0),
+    cand AS MATERIALIZED (
+        SELECT q_id, vec_id, rel_e6 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY rel_e6 DESC, vec_id) AS crk
+            FROM rel)
+        WHERE crk <= {MMR_C}),
+    psim AS MATERIALIZED (
+        SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+               {q6('ea.embedding', 'eb.embedding')} AS sim_e6
+        FROM cand a JOIN cand b
+          ON a.q_id = b.q_id AND a.vec_id < b.vec_id
+             JOIN e ea ON ea.vec_id = a.vec_id
+             JOIN e eb ON eb.vec_id = b.vec_id),
+    psym AS MATERIALIZED (SELECT q_id, a_id, b_id, sim_e6 FROM psim
+             UNION ALL
+             SELECT q_id, b_id AS a_id, a_id AS b_id, sim_e6 FROM psim),
+    sel1 AS MATERIALIZED (
+        SELECT q_id, vec_id, rel_e6,
+               {lam} * rel_e6 AS mmr_score, 1 AS rk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY rel_e6 DESC, vec_id) AS rn
+            FROM cand)
+        WHERE rn = 1),{','.join(steps)}
+    SELECT q_id, vec_id, rel_e6, mmr_score, rk FROM sel{MMR_K}
+    """
+
+
+ORACLE["retrieval_mmr_diversify"] = _mmr_oracle()
 
 
 def _ann_lsh_oracle_sql() -> str:

@@ -50,6 +50,106 @@ def test_exact_jaccard_ops_still_run_and_guard_is_wired(spark):
         dd.JACCARD_EXACT_MAX_DOCS = orig
 
 
+def _load_embeddings(sf=SF):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.array([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    labels = t["label"].to_numpy()
+    order = np.argsort(ids)
+    return ids[order], m[order], labels[order]
+
+
+def _seq_dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def test_eval_retrieval_ndcg_python_replica(spark):
+    """eval_retrieval_ndcg against an independent pyarrow+numpy
+    replica: exact-cosine top-10 with sequential-fold dots, label-match
+    relevance, the same integer discount weights, ppm division — the
+    whole row set must agree exactly."""
+    import math
+
+    import go_mapreduce_crawler_spark.operators.similarity as sim
+
+    got = {r.q_id: (r.label, r.n_rel_topk, r.r_total, r.dcg_w,
+                    r.idcg_w, r.ndcg_ppm)
+           for r in sim.q_eval_retrieval_ndcg(spark, SF).collect()}
+
+    ids, m, labels = _load_embeddings()
+    nrm = [math.sqrt(_seq_dot(v, v)) for v in m]
+    W = [int(1e6 // math.log2(r + 1)) for r in range(1, 11)]
+    label_counts = {}
+    for lb in labels:
+        label_counts[lb] = label_counts.get(lb, 0) + 1
+    exp = {}
+    for qi in range(len(ids)):
+        if ids[qi] % 100 != 0:
+            continue
+        scored = sorted(
+            (round(-_seq_dot(m[qi], m[ci]) / (nrm[qi] * nrm[ci]), 6),
+             ids[ci], ci)
+            for ci in range(len(ids)) if ci != qi)[:10]
+        rel = [1 if labels[ci] == labels[qi] else 0
+               for _, _, ci in scored]
+        dcg = sum(r * w for r, w in zip(rel, W))
+        r_total = label_counts[labels[qi]] - 1
+        idcg = sum(W[:min(r_total, 10)])
+        exp[ids[qi]] = (labels[qi], sum(rel), r_total, dcg, idcg,
+                        dcg * 10**6 // idcg if idcg > 0 else 0)
+    assert got == exp and len(got) >= 5
+
+
+def test_retrieval_mmr_python_replica(spark):
+    """retrieval_mmr_diversify against an independent greedy replica
+    (pyarrow+numpy, sequential-fold dots, e6 floors): the selected
+    documents, their order, and every integer score must agree."""
+    import math
+
+    import go_mapreduce_crawler_spark.operators.similarity as sim
+
+    got = [(r.q_id, r.rk, r.vec_id, r.rel_e6, r.mmr_score)
+           for r in sim.q_retrieval_mmr(spark, SF).collect()]
+    got.sort()
+
+    ids, m, labels = _load_embeddings()
+    nrm = [math.sqrt(_seq_dot(v, v)) for v in m]
+
+    def cos_e6(i, j):
+        return math.floor(_seq_dot(m[i], m[j]) / (nrm[i] * nrm[j]) * 1e6)
+
+    exp = []
+    for qi in range(len(ids)):
+        if ids[qi] % 100 != 0:
+            continue
+        rels = {ci: cos_e6(qi, ci)
+                for ci in range(len(ids)) if ci != qi}
+        cand = sorted(rels, key=lambda c: (-rels[c], ids[c]))[:20]
+        selected = []
+        for rk in range(1, 11):
+            best, best_s = None, None
+            for c in cand:
+                if c in selected:
+                    continue
+                mx = max((cos_e6(c, s) for s in selected), default=0)
+                s = 70 * rels[c] - 30 * mx
+                if best_s is None or s > best_s \
+                        or (s == best_s and ids[c] < ids[best]):
+                    best, best_s = c, s
+            selected.append(best)
+            exp.append((int(ids[qi]), rk, int(ids[best]),
+                        rels[best], best_s))
+    exp.sort()
+    assert got == exp and len(got) >= 50
+
+
 def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
     """hybrid_retrieval_rrf (r08 verdict item 5) pins the properties
     the DuckDB value oracle can't localize:
