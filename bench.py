@@ -162,6 +162,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "eval_retrieval_ndcg",
     "retrieval_mmr_diversify",
+    "stream_inverted_index_replay",
 ]
 
 N_CRAWL_FILES = 2000

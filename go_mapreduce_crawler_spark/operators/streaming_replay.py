@@ -325,6 +325,22 @@ def q_stream_ivf_index_replay(spark, sf_dir):
                     F.col("l2").alias("members_lane2")))
 
 
+def q_stream_inverted_index_replay(spark, sf_dir):
+    """Document-ingest stream replay -> streaming LEXICAL-index
+    maintenance (term-keyed postings merge, the inverted twin of the
+    IVF row) -> finalized per-term digest relation.  Batches carry
+    disjoint doc sets, so merged == rebuilt bit-for-bit and the batch
+    twin's direct-index oracle (inverted_index_delta_refresh's,
+    shared verbatim) is a full exactly-once value proof."""
+    from ..streaming.stateful import (inverted_index_finalize,
+                                      stream_inverted_index)
+
+    stream, state, ckpt = _replay_ordered_docs(spark, sf_dir, "invidx")
+    q = stream_inverted_index(stream, state, ckpt)
+    _await_drained(q, "inverted_index")
+    return inverted_index_finalize(read_mv_state(spark, state))
+
+
 _MEM_SINK_SEQ = [0]
 
 
@@ -440,6 +456,7 @@ QUERIES = {
     "stream_anomaly_scoring_replay": q_stream_anomaly_scoring_replay,
     "stream_sessionize_replay": q_stream_sessionize_replay,
     "stream_ivf_index_replay": q_stream_ivf_index_replay,
+    "stream_inverted_index_replay": q_stream_inverted_index_replay,
     "stream_gdpr_forget_replay": q_stream_gdpr_forget_replay,
     "stream_windowed_span_dedup_replay":
         q_stream_windowed_span_dedup_replay,
@@ -573,6 +590,13 @@ ORACLE = {
 from .similarity import ORACLE as _SIM_ORACLE  # noqa: E402
 
 ORACLE["stream_ivf_index_replay"] = _SIM_ORACLE["ivf_index_delta_refresh"]
+
+# the lexical twin: the streaming index over ALL documents equals the
+# batch delta-refresh output, whose oracle indexes the corpus directly
+from .maintenance import ORACLE as _MAINT_ORACLE  # noqa: E402
+
+ORACLE["stream_inverted_index_replay"] = \
+    _MAINT_ORACLE["inverted_index_delta_refresh"]
 
 # the batch twin of native session windows: gap<=30min closure, end =
 # last event + gap, DECIMAL-exact session sums

@@ -399,6 +399,80 @@ def stream_ivf_index(vecs: DataFrame, index_of, state_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stream_inverted_index(docs: DataFrame, state_dir: str,
+                          checkpoint: str):
+    """Streaming LEXICAL-index maintenance — the inverted-index twin
+    of stream_ivf_index, completing the retrieval pair (a hybrid
+    search stack keeps BOTH indexes fresh as documents arrive): each
+    micro-batch is indexed (term 3-gram -> sorted (doc_id, tf)
+    postings, exactly maintenance.q_inverted_index_delta's algebra)
+    and merged into the versioned snapshot by a term-keyed full-outer
+    array concat+sort — doc batches are disjoint, so merged == rebuilt
+    bit-for-bit and the batch twin's direct-index oracle is an
+    exactly-once value proof.
+
+    Scale: the state is THE INDEX (what a search cluster actually
+    maintains) — bounded by index size, never stream length; per-batch
+    merge cost is O(|batch index|) through the term-keyed join, and
+    postings ride as arrays (positional delta encoding at 100 TB — the
+    batch twin's note — changes storage, not this merge algebra).
+    """
+    from ..operators.text import _token_ngrams
+
+    spark = docs.sparkSession
+    empty = F.array().cast("array<struct<doc_id:bigint,tf:bigint>>")
+
+    def index(batch):
+        g = batch.select("doc_id", F.explode(
+            _token_ngrams(F.split("text", " "), 3)).alias("t"))
+        return (g.groupBy("t", "doc_id")
+                 .agg(F.count(F.lit(1)).alias("tf"))
+                 .groupBy("t")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("doc_id", "tf"))).alias("post")))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        partial = index(batch_df)
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+            merged = (prev.withColumnRenamed("post", "pa")
+                      .join(partial.withColumnRenamed("post", "pb"),
+                            "t", "full_outer")
+                      .select("t", F.array_sort(F.concat(
+                          F.coalesce("pa", empty),
+                          F.coalesce("pb", empty))).alias("post")))
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}",
+                          ignore_errors=True)
+
+    return (docs.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def inverted_index_finalize(index: DataFrame) -> DataFrame:
+    """(t, post) snapshot -> the digest relation of the batch twin:
+    per term df, total tf, and the md5 of the sorted posting list (the
+    full index content value-hashed without shipping arrays)."""
+    return index.select(
+        "t",
+        F.size("post").cast("long").alias("df"),
+        F.aggregate("post", F.lit(0).cast("long"),
+                    lambda a, p: a + p["tf"]).alias("tf"),
+        F.md5(F.encode(F.concat_ws(",", F.transform(
+            "post", lambda p: F.concat_ws(
+                ":", p["doc_id"].cast("string"),
+                p["tf"].cast("string")))), "UTF-8")).alias("postings_md5"))
+
+
 def stream_anomaly_scoring(events: DataFrame,
                            cell_means: DataFrame,
                            type_vars: DataFrame) -> DataFrame:

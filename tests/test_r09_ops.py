@@ -150,6 +150,24 @@ def test_retrieval_mmr_python_replica(spark):
     assert got == exp and len(got) >= 50
 
 
+def test_stream_inverted_index_equals_batch_twin(spark):
+    """stream_inverted_index_replay must equal the batch
+    inverted_index_delta_refresh output bit-for-bit (both relations
+    describe the index over the full corpus; disjoint doc batches make
+    the streaming merge == rebuild) — the lexical half of the
+    streaming index-maintenance pair, pinned against its batch twin
+    the way the IVF half is."""
+    from go_mapreduce_crawler_spark.operators.maintenance import (
+        q_inverted_index_delta)
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        q_stream_inverted_index_replay)
+
+    got = {tuple(r) for r in
+           q_stream_inverted_index_replay(spark, SF).collect()}
+    exp = {tuple(r) for r in q_inverted_index_delta(spark, SF).collect()}
+    assert got == exp and len(got) > 0
+
+
 def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
     """hybrid_retrieval_rrf (r08 verdict item 5) pins the properties
     the DuckDB value oracle can't localize:
