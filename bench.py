@@ -163,6 +163,7 @@ HEADLINE = [
     "eval_retrieval_ndcg",
     "retrieval_mmr_diversify",
     "stream_inverted_index_replay",
+    "quality_ensemble_gate",
 ]
 
 N_CRAWL_FILES = 2000

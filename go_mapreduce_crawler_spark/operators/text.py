@@ -2498,3 +2498,93 @@ def _llr_oracle() -> str:
 
 
 ORACLE["text_collocations_llr"] = _llr_oracle()
+
+
+ENSEMBLE_KEEP_PTS = 70   # gate threshold on the 100-point ensemble
+
+
+def q_quality_ensemble_gate(spark, sf_dir):
+    """ENSEMBLE quality gate — the aggregate filter a production
+    curation run applies after computing the individual signals (the
+    C4/Gopher-pipeline composition step): fuse four independent
+    verdicts into one 100-point integer score per document and gate at
+    ENSEMBLE_KEEP_PTS.
+
+      pts_quality (30) — text_quality's heuristic gate;
+      pts_gopher  (30) — the Gopher repetition gate;
+      pts_lang    (20) — langid prediction agrees with the declared
+                         lang (metadata-consistency check);
+      pts_lm      (20) — the doc's mean unigram log-likelihood beats
+                         the token-weighted corpus mean, compared
+                         DIVISION-FREE by integer cross-multiplication
+                         s_d * N_tok > S * n_d in DECIMAL(38,0)/
+                         HUGEINT (no rounding, no overflow at any
+                         corpus size).
+
+    Composition by construction: each arm IS the already-oracled
+    parent operator (the dedup_family_overlap doctrine), so the
+    ensemble inherits their determinism; fusion is integer addition.
+    Scale: three doc_id-keyed joins of corpus-sized relations (bucket
+    by doc_id at 100 TB and they co-locate) + one broadcast 1-row
+    total.
+
+    Output: (doc_id, pts_quality, pts_gopher, pts_lang, pts_lm,
+    ensemble_pts, keep_ensemble).
+    """
+    q = q_text_quality(spark, sf_dir).select(
+        "doc_id", (F.col("passes_quality").cast("long") * 30)
+        .alias("pts_quality"))
+    g = q_text_repetition(spark, sf_dir).select(
+        "doc_id", (F.col("keep").cast("long") * 30).alias("pts_gopher"))
+    lid = q_text_langid(spark, sf_dir).select(
+        "doc_id", ((F.col("pred_lang") == F.col("lang")).cast("long")
+                   * 20).alias("pts_lang"))
+    lm = q_text_lm_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "sum_logp_u")
+    tot = lm.agg(F.sum("n_tokens").alias("n_tok_all"),
+                 F.sum("sum_logp_u").alias("s_all"))
+    lm_pts = (lm.crossJoin(F.broadcast(tot))
+              .select("doc_id", (F.expr(
+                  "CAST(sum_logp_u AS DECIMAL(38,0)) * n_tok_all"
+                  " > CAST(s_all AS DECIMAL(38,0)) * n_tokens")
+                  .cast("long") * 20).alias("pts_lm")))
+    j = (q.join(g, "doc_id").join(lid, "doc_id").join(lm_pts, "doc_id")
+         .withColumn("ensemble_pts",
+                     F.col("pts_quality") + F.col("pts_gopher")
+                     + F.col("pts_lang") + F.col("pts_lm")))
+    return j.select("doc_id", "pts_quality", "pts_gopher", "pts_lang",
+                    "pts_lm", "ensemble_pts",
+                    (F.col("ensemble_pts") >= ENSEMBLE_KEEP_PTS)
+                    .alias("keep_ensemble"))
+
+
+QUERIES["quality_ensemble_gate"] = q_quality_ensemble_gate
+
+ORACLE["quality_ensemble_gate"] = f"""
+    WITH tq AS ({ORACLE["text_quality"]}),
+    tg AS ({ORACLE["text_repetition_gopher"]}),
+    tl AS ({ORACLE["text_langid"]}),
+    lm AS ({ORACLE["text_unigram_lm_score"]}),
+    tot AS (SELECT SUM(n_tokens)::BIGINT AS n_tok_all,
+                   SUM(sum_logp_u)::BIGINT AS s_all FROM lm),
+    pts AS (
+        SELECT tq.doc_id,
+               (CASE WHEN tq.passes_quality THEN 1 ELSE 0 END * 30)
+                   ::BIGINT AS pts_quality,
+               (CASE WHEN tg.keep THEN 1 ELSE 0 END * 30)
+                   ::BIGINT AS pts_gopher,
+               (CASE WHEN tl.pred_lang = tl.lang THEN 1 ELSE 0 END
+                   * 20)::BIGINT AS pts_lang,
+               (CASE WHEN lm.sum_logp_u::HUGEINT * tot.n_tok_all
+                          > tot.s_all::HUGEINT * lm.n_tokens
+                     THEN 1 ELSE 0 END * 20)::BIGINT AS pts_lm
+        FROM tq JOIN tg ON tg.doc_id = tq.doc_id
+                JOIN tl ON tl.doc_id = tq.doc_id
+                JOIN lm ON lm.doc_id = tq.doc_id, tot)
+    SELECT doc_id, pts_quality, pts_gopher, pts_lang, pts_lm,
+           (pts_quality + pts_gopher + pts_lang + pts_lm)::BIGINT
+               AS ensemble_pts,
+           (pts_quality + pts_gopher + pts_lang + pts_lm)
+               >= {ENSEMBLE_KEEP_PTS} AS keep_ensemble
+    FROM pts
+"""

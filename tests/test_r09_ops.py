@@ -168,6 +168,43 @@ def test_stream_inverted_index_equals_batch_twin(spark):
     assert got == exp and len(got) > 0
 
 
+def test_quality_ensemble_gate_agrees_with_parents(spark):
+    """quality_ensemble_gate: every per-arm point column must equal
+    the parent operator's own verdict x weight, pts_lm must equal the
+    exact-integer cross-multiplied mean comparison computed in Python,
+    and the gate is pts >= 70."""
+    import go_mapreduce_crawler_spark.operators.text as tx
+
+    ens = {r.doc_id: r for r in
+           tx.q_quality_ensemble_gate(spark, SF).collect()}
+    assert ens
+
+    passes = {r.doc_id: r.passes_quality
+              for r in tx.q_text_quality(spark, SF).collect()}
+    keeps = {r.doc_id: r.keep
+             for r in tx.q_text_repetition(spark, SF).collect()}
+    langok = {r.doc_id: r.pred_lang == r.lang
+              for r in tx.q_text_langid(spark, SF).collect()}
+    lm = {r.doc_id: (r.n_tokens, r.sum_logp_u)
+          for r in tx.q_text_lm_score(spark, SF).collect()}
+    n_all = sum(n for n, _ in lm.values())
+    s_all = sum(s for _, s in lm.values())
+
+    assert set(ens) == set(passes)
+    for d, r in ens.items():
+        assert r.pts_quality == 30 * int(passes[d])
+        assert r.pts_gopher == 30 * int(keeps[d])
+        assert r.pts_lang == 20 * int(langok[d])
+        n_d, s_d = lm[d]
+        assert r.pts_lm == 20 * int(s_d * n_all > s_all * n_d)
+        total = r.pts_quality + r.pts_gopher + r.pts_lang + r.pts_lm
+        assert r.ensemble_pts == total
+        assert r.keep_ensemble == (total >= 70)
+    # the gate must be non-degenerate on the fixture
+    kept = sum(1 for r in ens.values() if r.keep_ensemble)
+    assert 0 < kept < len(ens)
+
+
 def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
     """hybrid_retrieval_rrf (r08 verdict item 5) pins the properties
     the DuckDB value oracle can't localize:
