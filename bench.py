@@ -164,6 +164,7 @@ HEADLINE = [
     "retrieval_mmr_diversify",
     "stream_inverted_index_replay",
     "quality_ensemble_gate",
+    "curation_epoch_schedule",
 ]
 
 N_CRAWL_FILES = 2000

@@ -891,6 +891,63 @@ def q_corpus_domain_mixture(spark, sf_dir):
                            " AS BIGINT) AS mixture_ppm"))
 
 
+EPOCHS = 4                 # training epochs in the mixing schedule
+EPOCH_TOKENS = 100_000     # token budget allocated per epoch
+
+
+def q_curation_epoch_schedule(spark, sf_dir):
+    """EPOCH-ANNEALED data-mixing SCHEDULE — the artifact a training
+    run actually consumes downstream of DoReMi weights: per (epoch,
+    source), a token allocation that anneals LINEARLY from the natural
+    corpus distribution (epoch 0 — early training wants in-distribution
+    data) to the difficulty-reweighted target mixture (epoch {E1} —
+    the corpus_domain_mixture weights), with each epoch's {B}-token
+    budget apportioned exactly by largest remainder (Σ alloc == {B}
+    per epoch, no floor dust — the sample_neyman_allocation recipe).
+
+    All integer: the interpolated weight is a single positive-
+    numerator DIV ((mix*e + nat*({E1}-e)) DIV {E1} — truncation ==
+    floor, no negative-DIV engine divergence), products are widened to
+    DECIMAL(38,0)/HUGEINT, and the remainder rank orders a
+    |sources|x{E}-row relation — metadata-sized at any corpus scale.
+
+    Output: (epoch, source, natural_ppm, mixture_ppm, w_ppm,
+    alloc_tokens).
+    """.format(E=EPOCHS, E1=EPOCHS - 1, B=EPOCH_TOKENS)
+    mix = q_corpus_domain_mixture(spark, sf_dir).select(
+        "source", "n_words", "mixture_ppm")
+    tot = mix.agg(F.sum("n_words").alias("nw_all"))
+    base = (mix.crossJoin(F.broadcast(tot))
+            .withColumn("natural_ppm", F.expr(
+                "CAST(CAST(n_words AS DECIMAL(38,0)) * 1000000"
+                " DIV nw_all AS BIGINT)")))
+    ep = spark.range(EPOCHS).select(F.col("id").cast("int")
+                                    .alias("epoch"))
+    sched = (base.crossJoin(F.broadcast(ep))
+             .withColumn("w_ppm", F.expr(
+                 f"CAST((CAST(mixture_ppm AS DECIMAL(38,0)) * epoch"
+                 f" + CAST(natural_ppm AS DECIMAL(38,0))"
+                 f" * ({EPOCHS - 1} - epoch))"
+                 f" DIV {EPOCHS - 1} AS BIGINT)")))
+    tw = sched.groupBy("epoch").agg(F.sum("w_ppm").alias("tw"))
+    j = (sched.join(tw, "epoch")
+         .withColumn("bse", F.expr(
+             f"CAST(CAST(w_ppm AS DECIMAL(38,0)) * {EPOCH_TOKENS}"
+             f" DIV tw AS BIGINT)"))
+         .withColumn("rem", F.expr(
+             f"(CAST(w_ppm AS DECIMAL(38,0)) * {EPOCH_TOKENS}) % tw")))
+    used = j.groupBy("epoch").agg(F.sum("bse").alias("used"))
+    rk = F.row_number().over(
+        W.partitionBy("epoch").orderBy(F.col("rem").desc(), "source"))
+    return (j.join(used, "epoch")
+            .withColumn("rk", rk)
+            .select("epoch", "source", "natural_ppm", "mixture_ppm",
+                    "w_ppm",
+                    (F.col("bse")
+                     + (F.col("rk") <= EPOCH_TOKENS - F.col("used"))
+                     .cast("long")).alias("alloc_tokens")))
+
+
 DOREMI_ROUNDS = 5          # multiplicative-weights iterations
 DOREMI_ETA_PPM = 500_000   # step size eta = 0.5 in ppm
 
@@ -1640,6 +1697,7 @@ QUERIES = {
     "unigram_lm_train_v1k": q_unigram_lm_train_v1k,
     "unigram_lm_apply": q_unigram_lm_apply,
     "corpus_domain_mixture": q_corpus_domain_mixture,
+    "curation_epoch_schedule": q_curation_epoch_schedule,
     "domain_mixture_mw_iterated": q_domain_mixture_mw,
     "bpe_apply_batched": q_bpe_apply_batched,
     "skyline_pareto_docs": q_skyline_pareto_docs,
@@ -1664,6 +1722,39 @@ ORACLE = {
         v=UNIG1K_V, rounds=UNIG1K_ROUNDS, chunked=True),
     "unigram_lm_apply": _unigram_oracle_sql(apply=True),
     "corpus_domain_mixture": _unigram_oracle_sql(mixture=True),
+    "curation_epoch_schedule": f"""
+        WITH mix AS ({_unigram_oracle_sql(mixture=True)}),
+        tot AS (SELECT SUM(n_words)::BIGINT AS nw_all FROM mix),
+        base AS (SELECT source, mixture_ppm,
+                        CAST(n_words::HUGEINT * 1000000 // nw_all
+                             AS BIGINT) AS natural_ppm
+                 FROM mix, tot),
+        ep AS (SELECT CAST(unnest(generate_series(0, {EPOCHS - 1}))
+                           AS INT) AS epoch),
+        sched AS (
+            SELECT epoch, source, natural_ppm, mixture_ppm,
+                   CAST((mixture_ppm::HUGEINT * epoch
+                         + natural_ppm::HUGEINT * ({EPOCHS - 1} - epoch))
+                        // {EPOCHS - 1} AS BIGINT) AS w_ppm
+            FROM base, ep),
+        tw AS (SELECT epoch, SUM(w_ppm)::HUGEINT AS tw
+               FROM sched GROUP BY 1),
+        j AS (SELECT s.*,
+                     CAST(s.w_ppm::HUGEINT * {EPOCH_TOKENS} // t.tw
+                          AS BIGINT) AS bse,
+                     (s.w_ppm::HUGEINT * {EPOCH_TOKENS}) % t.tw AS rem
+              FROM sched s JOIN tw t USING (epoch)),
+        used AS (SELECT epoch, SUM(bse)::BIGINT AS used
+                 FROM j GROUP BY 1),
+        r AS (SELECT j.*, used.used,
+                     ROW_NUMBER() OVER (PARTITION BY j.epoch
+                         ORDER BY j.rem DESC, j.source) AS rk
+              FROM j JOIN used USING (epoch))
+        SELECT epoch, source, natural_ppm, mixture_ppm, w_ppm,
+               (bse + CASE WHEN rk <= {EPOCH_TOKENS} - used
+                           THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens
+        FROM r
+    """,
     "domain_mixture_mw_iterated": _doremi_oracle_sql(),
     "bpe_apply_batched": _bpe_apply_batched_oracle_sql(),
     "bpe_apply_compression": _bpe_apply_oracle_sql(),

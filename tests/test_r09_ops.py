@@ -205,6 +205,34 @@ def test_quality_ensemble_gate_agrees_with_parents(spark):
     assert 0 < kept < len(ens)
 
 
+def test_epoch_schedule_conserves_budget_and_anneals(spark):
+    """curation_epoch_schedule: every epoch's allocations must sum to
+    EXACTLY the budget (largest-remainder contract), epoch 0 must
+    carry the natural weights, the last epoch the target mixture, and
+    each source's weight must move monotonically between the two."""
+    from go_mapreduce_crawler_spark.operators.curation import (
+        EPOCH_TOKENS, EPOCHS, q_curation_epoch_schedule)
+
+    rows = q_curation_epoch_schedule(spark, SF).collect()
+    assert rows
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == set(range(EPOCHS))
+    for ep, rs in by_epoch.items():
+        assert sum(r.alloc_tokens for r in rs) == EPOCH_TOKENS
+    for r in by_epoch[0]:
+        assert r.w_ppm == r.natural_ppm
+    for r in by_epoch[EPOCHS - 1]:
+        assert r.w_ppm == r.mixture_ppm
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r.source, {})[r.epoch] = r.w_ppm
+    for src, w in per_src.items():
+        seq = [w[e] for e in range(EPOCHS)]
+        assert seq == sorted(seq) or seq == sorted(seq, reverse=True)
+
+
 def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
     """hybrid_retrieval_rrf (r08 verdict item 5) pins the properties
     the DuckDB value oracle can't localize:
