@@ -165,6 +165,7 @@ HEADLINE = [
     "stream_inverted_index_replay",
     "quality_ensemble_gate",
     "curation_epoch_schedule",
+    "sink_schema_evolution",
 ]
 
 N_CRAWL_FILES = 2000

@@ -591,6 +591,38 @@ def _sink_roundtrip_fmt(spark, sf_dir, fmt: str):
     return spark.read.orc(out)
 
 
+def q_sink_schema_evolution(spark, sf_dir):
+    """SCHEMA-EVOLUTION read contract (the sink family's forward-
+    compatibility half): a v1 writer lands (batch, lang, n_docs); a v2
+    writer adds sum_chars; a mergeSchema read over both file sets must
+    surface the union schema with NULLs for the pre-evolution rows —
+    the exact contract a 100 TB lake relies on when producers upgrade
+    before consumers (no rewrite of historical files, schema-on-read
+    fills the gap).
+
+    The oracle computes the same union directly (v1 rows with NULL
+    sum_chars), so a green row proves Spark's parquet schema merge is
+    lossless for longs and the added column's null semantics.
+    """
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"))
+             .select(F.lit(0).alias("batch"), "lang", "n_docs"))
+    evolved = (d.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"))
+                .select(F.lit(1).alias("batch"), "lang", "n_docs",
+                        "sum_chars"))
+    root = _session_tmp(spark, "schema_evo", sf_dir)
+    p0, p1 = os.path.join(root, "v1"), os.path.join(root, "v2")
+    base.coalesce(1).write.mode("overwrite").parquet(p0)
+    evolved.coalesce(1).write.mode("overwrite").parquet(p1)
+    return (spark.read.option("mergeSchema", "true").parquet(p0, p1)
+            .select("batch", "lang", "n_docs", "sum_chars"))
+
+
 def q_sink_roundtrip_csv(spark, sf_dir):
     """CSV sink round-trip (the interchange format every downstream
     spreadsheet/legacy consumer still demands): schema-on-read with an
@@ -609,6 +641,7 @@ def q_sink_roundtrip_orc(spark, sf_dir):
 QUERIES = {
     "sink_roundtrip_csv": q_sink_roundtrip_csv,
     "sink_roundtrip_orc": q_sink_roundtrip_orc,
+    "sink_schema_evolution": q_sink_schema_evolution,
     "inverted_index_compression_report": q_index_compression_report,
     "gdpr_delete_cascade": q_gdpr_delete_cascade,
     "inverted_index_delta_refresh": q_inverted_index_delta,
@@ -882,3 +915,15 @@ _SINK_LANG_AGG = """
 # the oracle never sees the sink: matching proves the round-trip
 ORACLE["sink_roundtrip_csv"] = _SINK_LANG_AGG
 ORACLE["sink_roundtrip_orc"] = _SINK_LANG_AGG
+
+# the v1 writer's rows surface with NULL in the evolved column — the
+# mergeSchema forward-compatibility contract, computed directly
+ORACLE["sink_schema_evolution"] = """
+    SELECT 0 AS batch, lang, COUNT(*)::BIGINT AS n_docs,
+           NULL::BIGINT AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 1 AS batch, lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars
+    FROM documents GROUP BY lang
+"""
