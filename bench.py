@@ -166,6 +166,7 @@ HEADLINE = [
     "quality_ensemble_gate",
     "curation_epoch_schedule",
     "sink_schema_evolution",
+    "behavior_cep_pattern",
 ]
 
 N_CRAWL_FILES = 2000

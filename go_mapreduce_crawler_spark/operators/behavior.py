@@ -768,7 +768,51 @@ def q_session_paths(spark, sf_dir):
                  .agg(F.count(F.lit(1)).alias("n_sessions")))
 
 
+CEP_FUNNEL = "v+c+p"   # views then clicks then purchase
+CEP_ERRBURST = "ee+"   # 2+ consecutive errors
+
+
+def q_behavior_cep_pattern(spark, sf_dir):
+    """Complex-event-processing PATTERN MATCH over per-user event-type
+    sequences — the batch form of SQL MATCH_RECOGNIZE / Flink CEP
+    (declare a regex over the event alphabet, count its occurrences
+    per key): each user's history becomes a character string (one
+    letter per event type, (ts, event_id)-ordered for a total order)
+    and the patterns are counted with regexp_extract_all —
+    `{f}` (the browse->click->buy funnel, counted non-overlapping) and
+    `{e}` (error bursts: 2+ consecutive failures, the alerting
+    pattern).  Both engines' regex engines agree on this
+    backtracking-free pattern class (greedy, leftmost,
+    non-overlapping scan).
+
+    Scale: ONE user-keyed shuffle; the sequence is built array-locally
+    (array_sort of (ts, id, char) structs — the qnames recipe, no
+    ordered-agg dependency) and bounded by a user's own history; the
+    regex is row-local.  At 100 TB: bucket by user_id and even the
+    shuffle disappears.
+
+    Output: (user_id, n_events, n_funnel, n_error_bursts).
+    """.format(f=CEP_FUNNEL, e=CEP_ERRBURST)
+    e = load_table(spark, sf_dir, "events")
+    ch = F.substring("event_type", 1, 1)
+    seq = (e.select("user_id", F.unix_micros("ts").alias("us"),
+                    "event_id", ch.alias("ch"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("us", "event_id", "ch"))),
+                     lambda s: s["ch"]), "").alias("seq")))
+    return seq.select(
+        "user_id", "n_events",
+        F.size(F.expr(f"regexp_extract_all(seq, '{CEP_FUNNEL}', 0)"))
+         .cast("long").alias("n_funnel"),
+        F.size(F.expr(f"regexp_extract_all(seq, '{CEP_ERRBURST}', 0)"))
+         .cast("long").alias("n_error_bursts"))
+
+
 QUERIES = {
+    "behavior_cep_pattern": q_behavior_cep_pattern,
     "events_markov_stationary": q_markov_stationary,
     "behavior_session_paths": q_session_paths,
     "events_decayed_engagement": q_decayed_engagement,
@@ -787,6 +831,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    # per-user (ts, event_id)-ordered type-initial string; DuckDB's
+    # ordered string_agg builds what Spark builds via array_sort
+    "behavior_cep_pattern": f"""
+        SELECT user_id, COUNT(*)::BIGINT AS n_events,
+               len(regexp_extract_all(
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY epoch_us(ts), event_id),
+                   '{CEP_FUNNEL}'))::BIGINT AS n_funnel,
+               len(regexp_extract_all(
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY epoch_us(ts), event_id),
+                   '{CEP_ERRBURST}'))::BIGINT AS n_error_bursts
+        FROM events GROUP BY user_id
+    """,
     # Chained min-join — since the r04 celebrity-safety rewrite the
     # Spark side uses the same algorithm; the independent cross-check
     # against the sorted-fold formulation lives in

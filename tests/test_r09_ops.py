@@ -233,6 +233,37 @@ def test_epoch_schedule_conserves_budget_and_anneals(spark):
         assert seq == sorted(seq) or seq == sorted(seq, reverse=True)
 
 
+def test_behavior_cep_pattern_python_replica(spark):
+    """behavior_cep_pattern against Python's re module on sequences
+    rebuilt from raw parquet — a third regex engine agreeing on the
+    non-overlapping greedy count rules out a shared Spark/DuckDB
+    semantic quirk."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from go_mapreduce_crawler_spark.operators.behavior import (
+        q_behavior_cep_pattern)
+
+    got = {r.user_id: (r.n_events, r.n_funnel, r.n_error_bursts)
+           for r in q_behavior_cep_pattern(spark, SF).collect()}
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts", "event_id",
+                               "event_type"])
+    rows = sorted(zip(t["user_id"].to_pylist(),
+                      [v.timestamp() for v in t["ts"].to_pylist()],
+                      t["event_id"].to_pylist(),
+                      t["event_type"].to_pylist()),
+                  key=lambda r: (r[0], r[1], r[2]))
+    seqs: dict = {}
+    for u, _, _, et in rows:
+        seqs[u] = seqs.get(u, "") + et[0]
+    exp = {u: (len(s), len(re.findall("v+c+p", s)),
+               len(re.findall("ee+", s))) for u, s in seqs.items()}
+    assert got == exp and len(got) > 100
+
+
 def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
     """hybrid_retrieval_rrf (r08 verdict item 5) pins the properties
     the DuckDB value oracle can't localize:
