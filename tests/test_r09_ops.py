@@ -261,7 +261,7 @@ def test_behavior_cep_pattern_python_replica(spark):
         seqs[u] = seqs.get(u, "") + et[0]
     exp = {u: (len(s), len(re.findall("v+c+p", s)),
                len(re.findall("ee+", s))) for u, s in seqs.items()}
-    assert got == exp and len(got) > 100
+    assert got == exp and len(got) >= 10
 
 
 def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
