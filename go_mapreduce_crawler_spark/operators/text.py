@@ -2588,3 +2588,95 @@ ORACLE["quality_ensemble_gate"] = f"""
                >= {ENSEMBLE_KEEP_PTS} AS keep_ensemble
     FROM pts
 """
+
+
+RAKE_TOP = 20          # keyphrases returned
+RAKE_MAX_PHRASE = 4    # max words per candidate phrase (standard RAKE cap)
+
+
+def q_text_keyphrase_rake(spark, sf_dir):
+    """RAKE corpus KEYPHRASES (Rose et al. 2010) — the phrase-level
+    complement to TextRank's word ranking: candidate phrases are
+    maximal stopword-free token runs (<= {m} words), each word scores
+    degree/frequency over phrase INSTANCES (degree = Σ lengths of the
+    phrases it appears in), and a phrase scores the sum of its member
+    words' scores.  Word scores are floor-quantized to e6 BEFORE the
+    phrase sum (one DIV per word, positive operands — truncation ==
+    floor in both engines), making the whole ranking integer-exact.
+
+    Scale: phrase segmentation is one doc-keyed window over token
+    positions (a doc's tokens co-reside by construction); word stats
+    and phrase scores are two hash aggs over the phrase-instance
+    relation; the only global step is the TakeOrdered top-{k} on the
+    COMPACTED distinct-phrase relation.  Degree sums widen to
+    DECIMAL(38,0)/HUGEINT before the x1e6.
+
+    Output: (rk, phrase, n_occurrences, score_e6).
+    """.format(m=RAKE_MAX_PHRASE, k=RAKE_TOP)
+    d = _docs(spark, sf_dir)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    toks = (d.select("doc_id",
+                     F.posexplode(F.split(F.lower("text"), " "))
+                     .alias("pos", "w"))
+             .withColumn("is_stop", F.array_contains(sw, F.col("w"))))
+    grp = F.sum(F.col("is_stop").cast("int")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ph = (toks.withColumn("grp", grp)
+              .filter(~F.col("is_stop"))
+              .groupBy("doc_id", "grp")
+              .agg(F.array_join(F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                       lambda s: s["w"]), " ").alias("phrase"),
+                   F.count(F.lit(1)).alias("plen"))
+              .filter(F.col("plen") <= RAKE_MAX_PHRASE))
+    pw = ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+    ws = (pw.groupBy("w")
+            .agg(F.expr("CAST(CAST(SUM(plen) AS DECIMAL(38,0)) * 1000000"
+                        " DIV COUNT(*) AS BIGINT)").alias("wscore_e6")))
+    pu = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    psc = (pu.select("phrase", "n_occurrences",
+                     F.explode(F.split("phrase", " ")).alias("w"))
+             .join(ws, "w")
+             .groupBy("phrase", "n_occurrences")
+             .agg(F.sum("wscore_e6").cast("long").alias("score_e6")))
+    top = (psc.orderBy(F.desc("score_e6"), "phrase").limit(RAKE_TOP)
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy(F.desc("score_e6"), F.asc("phrase")))))
+    return top.select("rk", "phrase", "n_occurrences", "score_e6")
+
+
+QUERIES["text_keyphrase_rake"] = q_text_keyphrase_rake
+
+ORACLE["text_keyphrase_rake"] = f"""
+    WITH toks AS (
+        SELECT doc_id, j - 1 AS pos, a[j] AS w,
+               a[j] IN ({_SW["en"][1:-1]}) AS is_stop
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+              FROM documents),
+             unnest(generate_series(1, len(a))) AS u(j)),
+    g AS (SELECT doc_id, pos, w, is_stop,
+                 SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM toks),
+    ph AS (SELECT doc_id, grp,
+                  string_agg(w, ' ' ORDER BY pos) AS phrase,
+                  COUNT(*) AS plen
+           FROM g WHERE NOT is_stop GROUP BY doc_id, grp
+           HAVING COUNT(*) <= {RAKE_MAX_PHRASE}),
+    pw AS (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM ph),
+    ws AS (SELECT w, CAST(SUM(plen)::HUGEINT * 1000000 // COUNT(*)
+                          AS BIGINT) AS wscore_e6
+           FROM pw GROUP BY w),
+    pu AS (SELECT phrase, COUNT(*)::BIGINT AS n_occurrences
+           FROM ph GROUP BY phrase),
+    pwx AS (SELECT phrase, n_occurrences,
+                   unnest(string_split(phrase, ' ')) AS w
+            FROM pu),
+    psc AS (SELECT phrase, n_occurrences,
+                   SUM(ws.wscore_e6)::BIGINT AS score_e6
+            FROM pwx JOIN ws USING (w) GROUP BY 1, 2)
+    SELECT ROW_NUMBER() OVER (ORDER BY score_e6 DESC, phrase) AS rk,
+           phrase, n_occurrences, score_e6
+    FROM psc ORDER BY score_e6 DESC, phrase LIMIT {RAKE_TOP}
+"""

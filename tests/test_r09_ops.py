@@ -264,6 +264,50 @@ def test_behavior_cep_pattern_python_replica(spark):
     assert got == exp and len(got) >= 10
 
 
+def test_text_keyphrase_rake_python_replica(spark):
+    """text_keyphrase_rake against a pure-Python RAKE from raw parquet:
+    phrase segmentation, per-instance word degree/frequency, the e6
+    floor quantization, and the top-20 ordering must agree exactly."""
+    import pyarrow.parquet as pq
+
+    from go_mapreduce_crawler_spark.operators.text import (
+        RAKE_MAX_PHRASE, RAKE_TOP, STOPWORDS, q_text_keyphrase_rake)
+
+    got = [(r.rk, r.phrase, r.n_occurrences, r.score_e6)
+           for r in q_text_keyphrase_rake(spark, SF).collect()]
+
+    stops = set(STOPWORDS["en"])
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    phrases = []
+    for t in texts:
+        run = []
+        for w in t.lower().split(" "):
+            if w in stops:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(run)
+    phrases = [p for p in phrases if len(p) <= RAKE_MAX_PHRASE]
+    freq, deg = {}, {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    ws = {w: deg[w] * 10**6 // freq[w] for w in freq}
+    occ, score = {}, {}
+    for p in phrases:
+        k = " ".join(p)
+        occ[k] = occ.get(k, 0) + 1
+        score[k] = sum(ws[w] for w in p)
+    top = sorted(score, key=lambda k: (-score[k], k))[:RAKE_TOP]
+    exp = [(i + 1, k, occ[k], score[k]) for i, k in enumerate(top)]
+    assert got == exp and len(got) == RAKE_TOP
+
+
 def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
     """hybrid_retrieval_rrf (r08 verdict item 5) pins the properties
     the DuckDB value oracle can't localize:
