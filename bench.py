@@ -168,6 +168,8 @@ HEADLINE = [
     "sink_schema_evolution",
     "behavior_cep_pattern",
     "text_keyphrase_rake",
+    "text_word_burstiness",
+    "sample_coreset_kcenter",
 ]
 
 N_CRAWL_FILES = 2000

@@ -290,7 +290,105 @@ def q_sample_neyman(spark, sf_dir):
                        .cast("long")).alias("alloc")))
 
 
+KCENTER_K = 8    # coreset size (greedy farthest-point rounds)
+
+
+def _d2_lit_sql(vec_col: str, values) -> str:
+    """Squared-L2 distance of a vector column to a LITERAL center as
+    one SQL string (the similarity._dot_sql pattern: repr round-trips
+    float64 exactly, so both engines parse the identical doubles; the
+    sequential fold matches DuckDB's list_reduce order)."""
+    arr = "array(" + ",".join(repr(float(x)) + "D" for x in values) + ")"
+    return (f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " 0D, (acc, x) -> acc + x)")
+
+
+def q_sample_coreset_kcenter(spark, sf_dir):
+    """CORESET selection by greedy k-center (farthest-point traversal,
+    Gonzalez 1985) over the embedding table — the geometry-coverage
+    data-pruning pass (pick the {k} most mutually-distant exemplars;
+    the 2-approximation to the k-center cover) that complements the
+    density-based passes (SemDeDup drops redundancy, k-center KEEPS
+    spread).  Seed = min vec_id; each round selects the vector
+    maximizing its min squared-L2 distance to the chosen set (floor-e6
+    quantized BEFORE comparison; ties -> smaller vec_id).
+
+    Exactly k bounded driver round-trips (the kmeans/BPE trainer
+    contract): each round is ONE full-scan argmax agg carrying
+    (mind2_e6, -vec_id, embedding) through max(struct(...)), then a
+    row-local LEAST() update against the new center shipped back as a
+    LITERAL expression — no window, no join, no driver-side data
+    beyond one 64-float row per round.  At 100 TB the same k passes
+    stream; sub-sampled or hybrid (cluster-then-kcenter) variants
+    change the candidate relation, not this loop.
+
+    Output: (rk, vec_id, sel_d2_e6) — sel_d2_e6 is the selection
+    radius (0 for the seed), non-increasing in rk (pinned in tests).
+    """.format(k=KCENTER_K)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    seed = e.orderBy("vec_id").first()
+    out = [(1, int(seed.vec_id), 0)]
+    center = seed.embedding
+    cur = e.filter(F.col("vec_id") != int(seed.vec_id)).withColumn(
+        "mind2", F.expr(
+            f"CAST(FLOOR(({_d2_lit_sql('embedding', center)}) * 1e6)"
+            " AS BIGINT)"))
+    for rk in range(2, KCENTER_K + 1):
+        best = cur.agg(F.max(F.struct(
+            F.col("mind2").alias("d"),
+            (-F.col("vec_id")).alias("negid"),
+            F.col("embedding").alias("emb"))).alias("b")).collect()[0].b
+        vid = -best.negid
+        out.append((rk, int(vid), int(best.d)))
+        cur = (cur.filter(F.col("vec_id") != int(vid))
+               .withColumn("mind2", F.least("mind2", F.expr(
+                   f"CAST(FLOOR(({_d2_lit_sql('embedding', best.emb)})"
+                   " * 1e6) AS BIGINT)"))))
+    return spark.createDataFrame(
+        out, "rk int, vec_id long, sel_d2_e6 long")
+
+
+def _kcenter_oracle() -> str:
+    d2 = ("list_reduce(list_transform(list_zip({a}, {b}),"
+          " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+          " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+          " (acc, x) -> acc + x)")
+
+    def q6(a, b):
+        return ("CAST(FLOOR((" + d2.format(a=a, b=b)
+                + ") * 1e6) AS BIGINT)")
+
+    steps, finals = [], ["SELECT 1 AS rk, vec_id, 0::BIGINT AS "
+                         "sel_d2_e6 FROM c1"]
+    for i in range(2, KCENTER_K + 1):
+        p = i - 1
+        steps.append(f"""
+    c{i} AS MATERIALIZED (
+        SELECT vec_id, embedding, mind2 FROM m{p}
+        ORDER BY mind2 DESC, vec_id LIMIT 1),
+    m{i} AS MATERIALIZED (
+        SELECT m{p}.vec_id, m{p}.embedding,
+               LEAST(m{p}.mind2,
+                     {q6(f'm{p}.embedding', f'c{i}.embedding')}) AS mind2
+        FROM m{p}, c{i} WHERE m{p}.vec_id <> c{i}.vec_id)""")
+        finals.append(f"SELECT {i} AS rk, vec_id, mind2 AS sel_d2_e6"
+                      f" FROM c{i}")
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    c1 AS MATERIALIZED (SELECT vec_id, embedding FROM e
+                        ORDER BY vec_id LIMIT 1),
+    m1 AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding,
+               {q6('e.embedding', 'c1.embedding')} AS mind2
+        FROM e, c1 WHERE e.vec_id <> c1.vec_id),{','.join(steps)}
+    {' UNION ALL '.join(finals)}
+    """
+
+
 QUERIES = {
+    "sample_coreset_kcenter": q_sample_coreset_kcenter,
     "sample_neyman_allocation": q_sample_neyman,
     "sample_split_deterministic": q_sample_split,
     "sample_split_group_holdout": q_sample_split_group,
@@ -303,6 +401,7 @@ QUERIES = {
 _B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE = {
+    "sample_coreset_kcenter": _kcenter_oracle(),
     "sample_neyman_allocation": f"""
         WITH st AS (SELECT source, COUNT(*)::BIGINT AS n,
                            SUM(n_chars::HUGEINT) AS sx,

@@ -2680,3 +2680,70 @@ ORACLE["text_keyphrase_rake"] = f"""
            phrase, n_occurrences, score_e6
     FROM psc ORDER BY score_e6 DESC, phrase LIMIT {RAKE_TOP}
 """
+
+
+BURST_MIN_DF = 5     # words must appear in >= this many docs
+BURST_TOP = 30       # burstiest words returned
+
+
+def q_text_word_burstiness(spark, sf_dir):
+    """Word BURSTINESS (Church & Gale 1995): the variance-to-mean
+    ratio of a word's per-document counts over the documents that
+    contain it — function words sit near Poisson (VMR ~ 1), content/
+    topical words "burst" (VMR >> 1).  The standard lexical statistic
+    for weighting schemes and stopword induction, and a quality signal
+    (template/boilerplate corpora show depressed burstiness).
+
+    Engine-exact: per word the sufficient statistics are integers
+    (n = df, S = Σc, Q = Σc²) from ONE partial+final agg over the
+    (doc, word) count relation; VMR_e6 = (n·Q − S²)·1e6 DIV
+    (S·(n−1)) — non-negative numerator, positive denominator, so
+    truncation == floor in both engines; products widen to
+    DECIMAL(38,0)/HUGEINT.  Top-{k} is a TakeOrdered over the
+    df-filtered vocab relation.
+
+    Output: (rk, word, df, cf, vmr_e6).
+    """.format(k=BURST_TOP)
+    d = _docs(spark, sf_dir)
+    tf = (d.select("doc_id",
+                   F.explode(F.split(F.lower("text"), " ")).alias("w"))
+           .groupBy("doc_id", "w")
+           .agg(F.count(F.lit(1)).alias("c")))
+    stats = (tf.groupBy("w")
+               .agg(F.count(F.lit(1)).alias("df"),
+                    F.sum("c").alias("cf"),
+                    F.sum(F.col("c") * F.col("c")).alias("q"))
+               .filter(F.col("df") >= BURST_MIN_DF))
+    vmr = F.expr(
+        "CAST((CAST(df AS DECIMAL(38,0)) * q - CAST(cf AS DECIMAL(38,0))"
+        " * cf) * 1000000 DIV (CAST(cf AS DECIMAL(38,0)) * (df - 1))"
+        " AS BIGINT)")
+    scored = stats.select(F.col("w").alias("word"), "df", "cf",
+                          vmr.alias("vmr_e6"))
+    return (scored.orderBy(F.desc("vmr_e6"), "word").limit(BURST_TOP)
+            .withColumn("rk", F.row_number().over(
+                Window.orderBy(F.desc("vmr_e6"), F.asc("word"))))
+            .select("rk", "word", "df", "cf", "vmr_e6"))
+
+
+QUERIES["text_word_burstiness"] = q_text_word_burstiness
+
+ORACLE["text_word_burstiness"] = f"""
+    WITH tf AS (
+        SELECT doc_id, w, COUNT(*)::BIGINT AS c FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+        GROUP BY 1, 2),
+    stats AS (
+        SELECT w AS word, COUNT(*)::BIGINT AS df, SUM(c)::BIGINT AS cf,
+               SUM(c * c)::BIGINT AS q
+        FROM tf GROUP BY 1 HAVING COUNT(*) >= {BURST_MIN_DF}),
+    scored AS (
+        SELECT word, df, cf,
+               CAST((df::HUGEINT * q - cf::HUGEINT * cf) * 1000000
+                    // (cf::HUGEINT * (df - 1)) AS BIGINT) AS vmr_e6
+        FROM stats)
+    SELECT ROW_NUMBER() OVER (ORDER BY vmr_e6 DESC, word) AS rk,
+           word, df, cf, vmr_e6
+    FROM scored ORDER BY vmr_e6 DESC, word LIMIT {BURST_TOP}
+"""

@@ -308,6 +308,78 @@ def test_text_keyphrase_rake_python_replica(spark):
     assert got == exp and len(got) == RAKE_TOP
 
 
+def test_text_word_burstiness_python_replica(spark):
+    """text_word_burstiness against pure-Python sufficient statistics:
+    (df, cf, q) per word and the exact-integer VMR formula."""
+    import pyarrow.parquet as pq
+
+    from go_mapreduce_crawler_spark.operators.text import (
+        BURST_MIN_DF, BURST_TOP, q_text_word_burstiness)
+
+    got = [(r.rk, r.word, r.df, r.cf, r.vmr_e6)
+           for r in q_text_word_burstiness(spark, SF).collect()]
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    per_doc: list = []
+    for t in texts:
+        c: dict = {}
+        for w in t.lower().split(" "):
+            c[w] = c.get(w, 0) + 1
+        per_doc.append(c)
+    stats: dict = {}
+    for c in per_doc:
+        for w, n in c.items():
+            df_, cf_, q_ = stats.get(w, (0, 0, 0))
+            stats[w] = (df_ + 1, cf_ + n, q_ + n * n)
+    scored = {w: (df_, cf_,
+                  (df_ * q_ - cf_ * cf_) * 10**6 // (cf_ * (df_ - 1)))
+              for w, (df_, cf_, q_) in stats.items()
+              if df_ >= BURST_MIN_DF}
+    top = sorted(scored, key=lambda w: (-scored[w][2], w))[:BURST_TOP]
+    exp = [(i + 1, w, scored[w][0], scored[w][1], scored[w][2])
+           for i, w in enumerate(top)]
+    assert got == exp and len(got) == BURST_TOP
+
+
+def test_sample_coreset_kcenter_python_replica(spark):
+    """sample_coreset_kcenter against a pure-Python greedy
+    farthest-point replica (sequential-fold squared-L2, e6 floors):
+    the selected ids, order, and radii must agree exactly, and the
+    selection radius must be non-increasing (the k-center invariant
+    behind the 2-approximation)."""
+    import math
+
+    from go_mapreduce_crawler_spark.operators.sampling import (
+        KCENTER_K, q_sample_coreset_kcenter)
+
+    got = [(r.rk, r.vec_id, r.sel_d2_e6)
+           for r in q_sample_coreset_kcenter(spark, SF).collect()]
+    got.sort()
+
+    ids, m, _ = _load_embeddings()
+
+    def d2e6(i, j):
+        s = 0.0
+        for x, y in zip(m[i], m[j]):
+            s += (x - y) * (x - y)
+        return math.floor(s * 1e6)
+
+    sel = [0]           # min vec_id is index 0 (ids sorted, start at 0)
+    exp = [(1, int(ids[0]), 0)]
+    mind = {i: d2e6(i, 0) for i in range(1, len(ids))}
+    for rk in range(2, KCENTER_K + 1):
+        best = max(mind, key=lambda i: (mind[i], -ids[i]))
+        exp.append((rk, int(ids[best]), mind[best]))
+        sel.append(best)
+        del mind[best]
+        for i in mind:
+            mind[i] = min(mind[i], d2e6(i, best))
+    assert got == exp
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
 def test_hybrid_rrf_fusion_arithmetic_and_dense_parent_recall(spark):
     """hybrid_retrieval_rrf (r08 verdict item 5) pins the properties
     the DuckDB value oracle can't localize:
