@@ -11,6 +11,8 @@ NEW = ["hybrid_retrieval_rrf", "eval_retrieval_ndcg",
        "retrieval_mmr_diversify", "stream_inverted_index_replay",
        "quality_ensemble_gate", "curation_epoch_schedule",
        "sink_schema_evolution", "behavior_cep_pattern",
+       "text_keyphrase_rake", "text_word_burstiness",
+       "sample_coreset_kcenter",
        # code-changed-this-round ops (mv cents fix, jaccard guard,
        # advice decimal widenings, cached replay fixtures)
        "stream_mv_refresh_replay", "dedup_jaccard_pairs",
