@@ -919,3 +919,65 @@ def test_phash_near_dup_candidates_are_rank_equijoined(spark, sf_small):
     # band explode on both join inputs + the neighbor-offset explode —
     # and nothing else ("Generate (" matches tree nodes once each)
     assert plan.count("Generate (") == 3, plan[:2500]
+
+
+def test_hybrid_rrf_plan_broadcasts_and_never_cartesian(spark, sf_small):
+    """hybrid_retrieval_rrf: the query-term relation and kNN query set
+    must BROADCAST onto the corpus-sized relations (posting-list and
+    embedding scans), and no CartesianProduct may appear — the plan
+    property that keeps the hybrid linear in the corpus."""
+    from go_mapreduce_crawler_spark.operators import similarity
+
+    df = similarity.q_hybrid_retrieval_rrf(spark, sf_small)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan
+    assert not has_python_udf(df)
+
+
+def test_mmr_plan_single_arrow_kernel_no_row_python(spark, sf_small):
+    """retrieval_mmr_diversify: the greedy step must run as ONE
+    Arrow grouped-map (FlatMapGroupsInPandas), never row-at-a-time
+    Python (BatchEvalPython), and candidate generation must broadcast
+    the gated query set."""
+    from go_mapreduce_crawler_spark.operators import similarity
+
+    df = similarity.q_retrieval_mmr(spark, sf_small)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert not has_python_udf(df)
+    assert has_broadcast_join(df)
+
+
+def test_rake_and_burstiness_plans_stay_jvm_side(spark, sf_small):
+    """text_keyphrase_rake / text_word_burstiness: whole plan JVM-side
+    (no Python anywhere), partial+final aggregation for the corpus
+    statistics, and the only window in RAKE is doc_id-keyed (no global
+    single-partition window)."""
+    from go_mapreduce_crawler_spark.operators import text as tx
+
+    rake = tx.q_text_keyphrase_rake(spark, sf_small)
+    plan = physical_plan(rake)
+    assert not has_python_udf(rake)
+    # phrase segmentation window is doc-keyed, not global
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() and "pos" in line:
+            assert "doc_id" in line, line
+
+    burst = tx.q_text_word_burstiness(spark, sf_small)
+    assert not has_python_udf(burst)
+    assert has_partial_and_final_agg(burst)
+
+
+def test_ensemble_gate_plan_partial_final_and_no_python(spark, sf_small):
+    """quality_ensemble_gate composes four JVM-side parents plus one
+    Arrow kernel (the unigram scorer); the fusion itself must add no
+    Python and keep the doc_id joins shuffle-based (co-locatable by
+    bucketing at scale), with the corpus total broadcast."""
+    from go_mapreduce_crawler_spark.operators import text as tx
+
+    df = tx.q_quality_ensemble_gate(spark, sf_small)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)   # the 1-row total
+    assert "BatchEvalPython" not in plan
