@@ -367,19 +367,71 @@ _FRONT_R09 = (
 )
 
 
+# The 50 queries CORRECTNESS_r09 checked (all 50 fully green — rows,
+# schema and hash; the mv-refresh replay red is gone for good).
+# Freshest driver signal — runs last.
+_CHECKED_R09 = (
+    "stream_mv_refresh_replay", "dedup_incremental_lsh",
+    "dedup_cluster_sampling_weights", "dedup_family_overlap",
+    "embedding_dim_budget_eval", "semantic_knn_clusters",
+    "knn_graph_ivf", "ivf_index_delta_refresh", "text_collocations_llr",
+    "text_watermark_scan", "text_kneser_ney_score",
+    "eval_langid_confusion", "quality_adaptive_threshold",
+    "validate_media", "multimodal_video_scene_cuts",
+    "multimodal_audio_energy", "column_encoding_advisor",
+    "bloom_filter_advisor", "shuffle_partition_advisor",
+    "join_strategy_advisor", "sample_neyman_allocation",
+    "reservoir_delta_refresh", "events_changepoint_cusum",
+    "schema_drift_detect", "events_markov_stationary",
+    "sink_roundtrip_csv", "sink_roundtrip_orc",
+    "inverted_index_compression_report", "gdpr_delete_cascade",
+    "bpe_fertility_by_lang", "stream_trending_topk_replay",
+    "stream_anomaly_scoring_replay", "stream_sessionize_replay",
+    "stream_ivf_index_replay", "stream_gdpr_forget_replay",
+    "basket_rules", "bfs_hops", "chunk_boilerplate", "cohort_retention",
+    "collect_sorted_arrays", "dedup_incremental", "dedup_keep_best",
+    "dedup_semantic_clusters", "dedup_spans_ngram", "doc_chunking_rag",
+    "embedding_quantize_int8", "entropy_event_mix",
+    "feat_zscore_per_type", "funnel_conversion", "grouped_rank_pandas",
+)
+
+
+# Round-10 front (VERDICT r09 item 1): the 11 r09-new rows — judge-
+# verified MATCH at sf0.01 in the r09 verdict but never driver-checked
+# (they sat past the ~50 budget at positions 51-61) — run FIRST and
+# convert to hard driver signal.  behavior_cep_pattern additionally
+# changed code this round (the celebrity-skew chunked sequence build,
+# verdict item 2) and is already inside the 11.  Budget math, stated
+# deliberately: 11 front slots + this round's new never-checked ops
+# (auto-slotted right behind the front by the never-checked rule
+# below) leave the rest of the ~50 budget for the stale rotation,
+# which the freshest-last loop fills oldest-first — the 32 remaining
+# r03-signed rows (the oldest signal on the surface; the r09 verdict's
+# "r04 block" phrasing undercounts — 32 rows' freshest row is still
+# r03).  11 + ~7 new + 32 = ~50; the 49 r04-signed rows rotate in r11.
+_FRONT_R10 = (
+    "hybrid_retrieval_rrf", "eval_retrieval_ndcg",
+    "retrieval_mmr_diversify", "quality_ensemble_gate",
+    "stream_inverted_index_replay", "curation_epoch_schedule",
+    "sink_schema_evolution", "behavior_cep_pattern",
+    "text_keyphrase_rake", "text_word_burstiness",
+    "sample_coreset_kcenter",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    front = set(_FRONT_R09)
+    front = set(_FRONT_R10)
     round_tups = (_CHECKED_R01, _CHECKED_R02, _CHECKED_R03,
                   _CHECKED_R04, _CHECKED_R05, _CHECKED_R06,
-                  _CHECKED_R07, _CHECKED_R08)
+                  _CHECKED_R07, _CHECKED_R08, _CHECKED_R09)
     rounds = [set(t) for t in round_tups]
     checked = front | set().union(*rounds)
-    ordered = {k: q[k] for k in _FRONT_R09 if k in q}
+    ordered = {k: q[k] for k in _FRONT_R10 if k in q}
     # Anything never driver-checked in any round (this round's new ops)
     # runs right behind the front block, inside the budget.
     ordered.update({k: q[k] for k in q if k not in checked})
-    # Then oldest driver signal first (r01), freshest (r08) last; a
+    # Then oldest driver signal first (r01), freshest (r09) last; a
     # query in several rounds sorts by its freshest appearance.
     for i, tup in enumerate(round_tups):
         after = set().union(*rounds[i + 1:]) if i + 1 < len(rounds) \
