@@ -23,6 +23,8 @@ Scale notes (100 TB event log):
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -770,6 +772,26 @@ def q_session_paths(spark, sf_dir):
 
 CEP_FUNNEL = "v+c+p"   # views then clicks then purchase
 CEP_ERRBURST = "ee+"   # 2+ consecutive errors
+CEP_CHUNK = 4096       # events per (user, chunk) aggregation buffer
+CEP_MAX_EVENTS = 1 << 25   # loud cap on one user's sequence length
+
+# The pattern constants are format-injected into BOTH engines' SQL
+# (java.util.regex on the Spark side, RE2 in DuckDB), so they must
+# stay inside the shared backtracking-free semantics class: no
+# backreferences, no lookaround (RE2 rejects them; java.util.regex
+# would silently accept and diverge).
+_RE2_UNSAFE = _re.compile(r"\\\d|\(\?<?[=!]")
+
+
+def _assert_re2_safe(pat: str) -> None:
+    """Reject regexes outside the engine-portable (RE2-safe,
+    backtracking-free) class — backreferences and lookaround match
+    differently (or not at all) between java.util.regex and DuckDB's
+    RE2, so a constant using them would silently diverge."""
+    if _RE2_UNSAFE.search(pat):
+        raise ValueError(
+            f"CEP pattern {pat!r} uses backreferences/lookaround — "
+            "outside the RE2-safe class shared by Spark and DuckDB")
 
 
 def q_behavior_cep_pattern(spark, sf_dir):
@@ -783,27 +805,64 @@ def q_behavior_cep_pattern(spark, sf_dir):
     `{e}` (error bursts: 2+ consecutive failures, the alerting
     pattern).  Both engines' regex engines agree on this
     backtracking-free pattern class (greedy, leftmost,
-    non-overlapping scan).
+    non-overlapping scan; guarded by _assert_re2_safe).
 
-    Scale: ONE user-keyed shuffle; the sequence is built array-locally
-    (array_sort of (ts, id, char) structs — the qnames recipe, no
-    ordered-agg dependency) and bounded by a user's own history; the
-    regex is row-local.  At 100 TB: bucket by user_id and even the
-    shuffle disappears.
+    Celebrity-skew bound (r09 verdict item 2): no aggregation buffer
+    ever holds a whole user's history.  The sequence builds in two
+    stages — rank within user (row_number, a SPILLABLE sort, not an
+    in-memory buffer), then collect per (user_id, rn DIV {c}) chunk
+    (<= {c} structs per buffer) and concatenate the <= n/{c} chunk
+    strings per user (1 byte/event, vs ~50 bytes/event for the struct
+    form) — so the r04 funnel fixture's 300k-event bot costs a 300 KB
+    string, not a 300k-struct buffer (tests/test_skew.py).  A user
+    beyond {m} events (a {m}-byte row) raises loudly in-plan rather
+    than degrading: past that, chunk the match itself per (user,
+    time-bucket) with finite-width overlap stitching (both patterns
+    are finite-overlap: 1 trailing char decides `{e}` continuation;
+    `{f}` needs the open v+/c+ frontier carried, the
+    funnel_conversion chained-min-agg form).
+
+    Scale: ONE user-keyed shuffle — the row_number exchange on
+    user_id satisfies both downstream groupBys (user_id ⊂ both keys);
+    the regex is row-local.  At 100 TB: bucket by user_id and even
+    the shuffle disappears.
 
     Output: (user_id, n_events, n_funnel, n_error_bursts).
-    """.format(f=CEP_FUNNEL, e=CEP_ERRBURST)
+    """.format(f=CEP_FUNNEL, e=CEP_ERRBURST, c=CEP_CHUNK,
+               m=CEP_MAX_EVENTS)
+    for p in (CEP_FUNNEL, CEP_ERRBURST):
+        _assert_re2_safe(p)
     e = load_table(spark, sf_dir, "events")
     ch = F.substring("event_type", 1, 1)
-    seq = (e.select("user_id", F.unix_micros("ts").alias("us"),
-                    "event_id", ch.alias("ch"))
-            .groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.array_join(F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct("us", "event_id", "ch"))),
-                     lambda s: s["ch"]), "").alias("seq")))
+    w_seq = W.partitionBy("user_id").orderBy("us", "event_id")
+    ranked = (e.select("user_id", F.unix_micros("ts").alias("us"),
+                       "event_id", ch.alias("ch"))
+               .withColumn("rn", F.row_number().over(w_seq)))
+    chunks = (ranked.groupBy("user_id",
+                             F.expr(f"(rn - 1) DIV {CEP_CHUNK}")
+                              .alias("chk"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.array_join(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("rn", "ch"))),
+                       lambda s: s["ch"]), "").alias("part")))
+    seq = (chunks.groupBy("user_id")
+           .agg(F.sum("n").cast("long").alias("n_events"),
+                F.array_join(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("chk", "part"))),
+                    lambda s: s["part"]), "").alias("seq")))
+    guarded = F.when(
+        F.col("n_events") > CEP_MAX_EVENTS,
+        F.raise_error(F.concat(
+            F.lit("behavior_cep_pattern: user "),
+            F.col("user_id").cast("string"),
+            F.lit(f" exceeds CEP_MAX_EVENTS={CEP_MAX_EVENTS} events "
+                  "— chunk the match per (user, time-bucket) with "
+                  "overlap stitching before raising the cap")))
+    ).otherwise(F.col("seq"))
     return seq.select(
+        "user_id", "n_events", guarded.alias("seq")).select(
         "user_id", "n_events",
         F.size(F.expr(f"regexp_extract_all(seq, '{CEP_FUNNEL}', 0)"))
          .cast("long").alias("n_funnel"),

@@ -245,3 +245,47 @@ def test_lsh_banding_advisor_recall_and_budget(spark):
                 if r.recall90_e6 >= LSH_ADV_RECALL_FLOOR_E6]
     assert c.recall90_e6 >= LSH_ADV_RECALL_FLOOR_E6
     assert all(c.candidate_pairs <= r.candidate_pairs for r in eligible)
+
+
+def test_cep_pattern_correct_under_skew(spark, skew_dir, rows):
+    """behavior_cep_pattern under the bot (r09 verdict item 2): the
+    300k-event hot key flows through <= CEP_CHUNK-struct aggregation
+    buffers (never one whole-history collect_list) and still counts
+    exactly what a Python re.findall over the (ts, event_id)-ordered
+    type-initial string counts."""
+    import re
+
+    from go_mapreduce_crawler_spark.operators import behavior
+
+    got = {r.user_id: (r.n_events, r.n_funnel, r.n_error_bursts)
+           for r in behavior.q_behavior_cep_pattern(
+               spark, skew_dir).collect()}
+    want = {}
+    for uid, u in rows.groupby("user_id"):
+        s = "".join(t[0] for t in u.event_type)
+        want[uid] = (len(s),
+                     len(re.findall(behavior.CEP_FUNNEL, s)),
+                     len(re.findall(behavior.CEP_ERRBURST, s)))
+    assert got == want
+    # the stress is non-vacuous: the bot cycles s,v,c,p,e so every
+    # cycle contributes one funnel match
+    assert want[BOT][1] == BOT_EVENTS // len(TYPES)
+    # and the bot's history spans many chunks
+    assert BOT_EVENTS > 10 * behavior.CEP_CHUNK
+
+
+def test_cep_pattern_re2_guard():
+    """Patterns outside the RE2-safe class (backreferences or
+    lookaround) are rejected loudly instead of silently diverging
+    between java.util.regex and DuckDB's RE2 (r09 advice item 3)."""
+    import pytest as _pytest
+
+    from go_mapreduce_crawler_spark.operators.behavior import \
+        _assert_re2_safe
+
+    _assert_re2_safe("v+c+p")
+    _assert_re2_safe("ee+")
+    _assert_re2_safe("[a-z]{2,5}(vc)+")
+    for bad in (r"(v)\1", "v(?=c)", "v(?!c)", "(?<=v)c", "(?<!v)c"):
+        with _pytest.raises(ValueError):
+            _assert_re2_safe(bad)
