@@ -451,7 +451,42 @@ def q_stream_trending_topk_replay(spark, sf_dir):
     return trending_topk_finalize(spark.sql(f"SELECT * FROM {name}"))
 
 
+def q_stream_decontam_bloom_replay(spark, sf_dir):
+    """EVAL-SET-ingest stream replay (r09 verdict item 3 — the
+    inline-filter family's missing streaming sibling): the eval
+    documents (doc_id % EVAL_MOD == 0, the batch decontaminator's
+    fixture) split into REPLAY_SPLITS files -> streaming bloom-filter
+    maintenance (per-batch partial (slot, word) bitmaps bit_or-merged
+    under the versioned-snapshot protocol) -> the finalized filter
+    probes the TRAIN corpus with the batch twin's exact probe stage.
+    ``bit_or`` is a commutative IDEMPOTENT monoid, so the finalized
+    filter — and therefore the report — is independent of micro-batch
+    boundaries and of replays; the oracle is text_contamination_bloom's
+    SQL verbatim, making a hash MATCH an end-to-end exactly-once proof
+    of ingest-time decontamination.
+    """
+    from ..streaming.stateful import stream_bloom_build
+    from .text import EVAL_MOD, bloom_partial, bloom_probe_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+
+    def write(in_dir, _root):
+        ev.repartition(REPLAY_SPLITS).write.mode(
+            "overwrite").parquet(in_dir)
+
+    in_dir = _fixture_dir(sf_dir, "docs_eval4", write)
+    stream = (spark.readStream.option("maxFilesPerTrigger", "1")
+              .schema(docs.schema).parquet(in_dir))
+    state, ckpt = _fresh_state("bloom")
+    q = stream_bloom_build(stream, bloom_partial, state, ckpt)
+    _await_drained(q, "decontam_bloom")
+    bloom = read_mv_state(spark, state)
+    return bloom_probe_report(spark, sf_dir, bloom)
+
+
 QUERIES = {
+    "stream_decontam_bloom_replay": q_stream_decontam_bloom_replay,
     "stream_trending_topk_replay": q_stream_trending_topk_replay,
     "stream_anomaly_scoring_replay": q_stream_anomaly_scoring_replay,
     "stream_sessionize_replay": q_stream_sessionize_replay,
@@ -597,6 +632,14 @@ from .maintenance import ORACLE as _MAINT_ORACLE  # noqa: E402
 
 ORACLE["stream_inverted_index_replay"] = \
     _MAINT_ORACLE["inverted_index_delta_refresh"]
+
+# the ingest-time bloom build equals the batch build (bit_or monoid),
+# so the batch decontaminator's oracle is shared verbatim — a hash
+# MATCH proves the streamed filter bit-for-bit
+from .text import ORACLE as _TEXT_ORACLE  # noqa: E402
+
+ORACLE["stream_decontam_bloom_replay"] = \
+    _TEXT_ORACLE["text_contamination_bloom"]
 
 # the batch twin of native session windows: gap<=30min closure, end =
 # last event + gap, DECIMAL-exact session sums

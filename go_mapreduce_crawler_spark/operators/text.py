@@ -407,6 +407,78 @@ CONTAM_BLOOM_BITS = 1 << 20   # m: fixed bitmap budget (128 KB) at ANY eval size
 CONTAM_BLOOM_K = 4            # probes per gram
 
 
+def _contam_grams(docs):
+    """(doc_id, g) 3-gram relation of a documents relation — shared by
+    the batch bloom decontaminator and its streaming replay twin."""
+    w = F.split(F.col("text"), " ")
+    return docs.select("doc_id",
+                       F.explode(_token_ngrams(w, CONTAM_N)).alias("g"))
+
+
+def _bloom_probe_positions(col):
+    """k probe positions per gram: the four 8-hex-char chunks of ONE
+    md5 — engine-portable (DuckDB recomputes them identically)."""
+    h = F.md5(F.encode(col, "UTF-8"))
+    return F.array(*[
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+        % CONTAM_BLOOM_BITS
+        for i in range(CONTAM_BLOOM_K)])
+
+
+# 32 bits per slot word (not 64): DuckDB raises on 1::BIGINT << 63
+# (checked signed overflow), so the portable packing keeps the
+# shift <= 31.  Bitmap budget is unchanged; the slot table is
+# m/32 = 32,768 rows (~256 KB) — still fixed-size at any eval size.
+_BLOOM_SLOT = F.shiftright(F.col("pos"), 5)
+# python-side shiftleft takes only literal counts; the SQL form shifts
+# by a column
+_BLOOM_BIT = F.expr("shiftleft(1L, cast(pos % 32 as int))")
+
+
+def bloom_partial(eval_docs):
+    """(slot, word) bloom bitmap of a documents relation's eval grams —
+    a partial+final ``bit_or`` build with no driver bitmap assembly.
+    ``bit_or`` is a commutative idempotent MONOID, so partial bitmaps
+    from any partitioning of the eval corpus (including streaming
+    micro-batches) merge to the same filter — the property
+    stream_bloom_build rides."""
+    return (_contam_grams(eval_docs)
+            .select(F.explode(_bloom_probe_positions(F.col("g")))
+                    .alias("pos"))
+            .select(_BLOOM_SLOT.alias("slot"), _BLOOM_BIT.alias("b"))
+            .groupBy("slot").agg(F.bit_or("b").alias("word")))
+
+
+def bloom_probe_report(spark, sf_dir, bloom):
+    """Probe the TRAIN side of the corpus against a finalized
+    (slot, word) bloom relation and emit the contamination report —
+    the exact output contract of q_text_contamination_bloom, shared
+    verbatim with the streaming replay twin."""
+    grams = _contam_grams(_docs(spark, sf_dir))
+    probed = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+              .select("doc_id", "g").distinct()
+              .select("doc_id", "g",
+                      F.explode(_bloom_probe_positions(F.col("g")))
+                      .alias("pos"))
+              .select("doc_id", "g", _BLOOM_SLOT.alias("slot"),
+                      _BLOOM_BIT.alias("b")))
+    hits = (probed.join(F.broadcast(bloom), "slot")
+            .filter(F.col("b").bitwiseAND(F.col("word")) != 0)
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("k_hit"))
+            .filter(F.col("k_hit") == CONTAM_BLOOM_K)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bloom")))
+    train = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_grams"),
+                  F.size(F.collect_set("g")).alias("n_distinct")))
+    return (train.join(hits, "doc_id")
+            .select("doc_id", "n_grams", "n_shared_bloom",
+                    F.round(F.col("n_shared_bloom") / F.col("n_distinct"), 6)
+                     .alias("contamination_bloom")))
+
+
 def q_text_contamination_bloom(spark, sf_dir):
     """q_text_contamination's 100 TB form: membership against a BLOOM
     FILTER of the eval grams instead of the gram set itself.
@@ -433,49 +505,8 @@ def q_text_contamination_bloom(spark, sf_dir):
     gets a FULL value oracle; the superset invariant and the FP
     envelope stay pinned against the exact operator in tests.
     """
-    m, k = CONTAM_BLOOM_BITS, CONTAM_BLOOM_K
-    d = _docs(spark, sf_dir)
-    w = F.split(F.col("text"), " ")
-    grams = d.select("doc_id", F.explode(_token_ngrams(w, CONTAM_N)).alias("g"))
-
-    def probe_positions(col):
-        h = F.md5(F.encode(col, "UTF-8"))
-        return F.array(*[
-            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m
-            for i in range(k)])
-
-    # 32 bits per slot word (not 64): DuckDB raises on 1::BIGINT << 63
-    # (checked signed overflow), so the portable packing keeps the
-    # shift <= 31.  Bitmap budget is unchanged; the slot table is
-    # m/32 = 32,768 rows (~256 KB) — still fixed-size at any eval size.
-    slot = F.shiftright(F.col("pos"), 5)
-    # python-side shiftleft takes only literal counts; the SQL form shifts
-    # by a column
-    bit = F.expr("shiftleft(1L, cast(pos % 32 as int))")
-    bloom = (grams.filter(F.col("doc_id") % EVAL_MOD == 0)
-             .select(F.explode(probe_positions(F.col("g"))).alias("pos"))
-             .select(slot.alias("slot"), bit.alias("b"))
-             .groupBy("slot").agg(F.bit_or("b").alias("word")))
-    probed = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
-              .select("doc_id", "g").distinct()
-              .select("doc_id", "g",
-                      F.explode(probe_positions(F.col("g"))).alias("pos"))
-              .select("doc_id", "g", slot.alias("slot"), bit.alias("b")))
-    hits = (probed.join(F.broadcast(bloom), "slot")
-            .filter(F.col("b").bitwiseAND(F.col("word")) != 0)
-            .groupBy("doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("k_hit"))
-            .filter(F.col("k_hit") == k)
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_shared_bloom")))
-    train = (grams.filter(F.col("doc_id") % EVAL_MOD != 0)
-             .groupBy("doc_id")
-             .agg(F.count(F.lit(1)).alias("n_grams"),
-                  F.size(F.collect_set("g")).alias("n_distinct")))
-    return (train.join(hits, "doc_id")
-            .select("doc_id", "n_grams", "n_shared_bloom",
-                    F.round(F.col("n_shared_bloom") / F.col("n_distinct"), 6)
-                     .alias("contamination_bloom")))
+    ev = _docs(spark, sf_dir).filter(F.col("doc_id") % EVAL_MOD == 0)
+    return bloom_probe_report(spark, sf_dir, bloom_partial(ev))
 
 
 def q_text_lm_score(spark, sf_dir):

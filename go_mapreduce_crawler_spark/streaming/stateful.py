@@ -399,6 +399,54 @@ def stream_ivf_index(vecs: DataFrame, index_of, state_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stream_bloom_build(docs: DataFrame, bloom_of, state_dir: str,
+                       checkpoint: str):
+    """Streaming BLOOM-FILTER maintenance — the ingest-time form of
+    text.q_text_contamination_bloom's build stage (r09 verdict item 3,
+    the inline-filter family's missing member): eval-set documents
+    arrive as a stream, each micro-batch contributes its partial
+    (slot, word) bitmap (``bloom_of`` = text.bloom_partial — grams ->
+    k md5-chunk probes -> groupBy(slot).bit_or), and the state merges
+    with ``bit_or`` — a commutative IDEMPOTENT monoid, so the
+    finalized filter is independent of micro-batch boundaries AND of
+    replays (a re-delivered document ORs in bits already set), the
+    strongest exactly-once shape in the family.  The state is the
+    fixed m/32-slot relation (~256 KB) at ANY stream length — the
+    100 TB contract of the batch twin, kept under streaming ingest.
+    """
+    spark = docs.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        partial = bloom_of(batch_df)
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+            p = prev.select(F.col("slot").alias("k"),
+                            F.col("word").alias("w1"))
+            d = partial.select(F.col("slot").alias("k"),
+                               F.col("word").alias("w2"))
+            z = F.lit(0).cast("long")
+            merged = (p.join(d, "k", "full_outer")
+                      .select(F.col("k").alias("slot"),
+                              F.coalesce("w1", z)
+                              .bitwiseOR(F.coalesce("w2", z))
+                              .alias("word")))
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}",
+                          ignore_errors=True)
+
+    return (docs.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def stream_inverted_index(docs: DataFrame, state_dir: str,
                           checkpoint: str):
     """Streaming LEXICAL-index maintenance — the inverted-index twin

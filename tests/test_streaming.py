@@ -914,3 +914,44 @@ def test_windowed_minhash_replay_matches_batch_twin_and_family(spark):
     assert in_window   # the consistency claim is non-vacuous
     missed = [p for p in in_window if p[1] not in flagged]
     assert not missed, missed[:5]
+
+
+def test_decontam_bloom_replay_matches_batch_twin(spark):
+    """stream_decontam_bloom_replay: (a) the ingest-time-built bloom
+    state is bit-for-bit the batch build (bit_or monoid over any
+    batching), and (b) the finalized report equals the batch
+    decontaminator's output exactly (r09 verdict item 3)."""
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        q_stream_decontam_bloom_replay)
+    from go_mapreduce_crawler_spark.operators.text import (
+        EVAL_MOD, bloom_partial, q_text_contamination_bloom)
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.doc_id, r.n_grams, r.n_shared_bloom,
+            r.contamination_bloom)
+           for r in q_stream_decontam_bloom_replay(spark, sf).collect()}
+    want = {(r.doc_id, r.n_grams, r.n_shared_bloom,
+             r.contamination_bloom)
+            for r in q_text_contamination_bloom(spark, sf).collect()}
+    assert got == want and got   # non-vacuous: fixture is contaminated
+
+    # the streamed filter itself equals the batch-built filter
+    # bit-for-bit (idempotent monoid: re-delivery cannot flip a bit)
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        _FIXTURE_DIRS, _await_drained, _fresh_state)
+    from go_mapreduce_crawler_spark.streaming.stateful import (
+        read_mv_state, stream_bloom_build)
+
+    assert (sf, "docs_eval4") in _FIXTURE_DIRS
+    in_dir = _FIXTURE_DIRS[(sf, "docs_eval4")]
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    stream = (spark.readStream.option("maxFilesPerTrigger", "1")
+              .schema(d.schema).parquet(in_dir))
+    state, ckpt = _fresh_state("bloomtest")
+    _await_drained(stream_bloom_build(stream, bloom_partial,
+                                      state, ckpt), "bloomtest")
+    streamed = {(r.slot, r.word)
+                for r in read_mv_state(spark, state).collect()}
+    batch_bloom = {(r.slot, r.word) for r in bloom_partial(
+        d.filter(F.col("doc_id") % EVAL_MOD == 0)).collect()}
+    assert streamed == batch_bloom and len(batch_bloom) > 100
