@@ -1391,6 +1391,18 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
 
     Output: (q_doc, doc_id, lex_rk, dense_rk, rrf_e9, rk).
     """.format(k=HYB_TOPK, t=HYB_QTERMS, rk0=RRF_K)
+    dense_rk = (q_knn_bruteforce(spark, sf_dir)
+                .select(F.col("q_id").alias("q_doc"),
+                        F.col("neighbor_id").alias("doc_id"),
+                        F.col("rk").alias("dense_rk")))
+    return _rrf_fuse(_lex_bm25_topk(spark, sf_dir), dense_rk)
+
+
+def _lex_bm25_topk(spark, sf_dir):
+    """The hybrid family's shared LEXICAL arm: per seed doc, top-k
+    BM25 candidates over the seed's own top salient terms —
+    text_bm25_retrieval's scoring and two-phase salted top-k verbatim.
+    Returns (q_doc, doc_id, lex_rk)."""
     from .text import _bm25_e6_expr, _docs, _lit_spark
 
     d = _docs(spark, sf_dir)
@@ -1430,13 +1442,14 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
     p2 = (p1.groupBy("q_doc")
             .agg(F.slice(F.array_sort(F.flatten(F.collect_list("part"))),
                          1, HYB_TOPK).alias("top")))
-    lex_rk = (p2.select("q_doc", F.posexplode("top").alias("i", "t"))
-                .select("q_doc", F.col("t.doc_id").alias("doc_id"),
-                        (F.col("i") + 1).alias("lex_rk")))
-    dense_rk = (q_knn_bruteforce(spark, sf_dir)
-                .select(F.col("q_id").alias("q_doc"),
-                        F.col("neighbor_id").alias("doc_id"),
-                        F.col("rk").alias("dense_rk")))
+    return (p2.select("q_doc", F.posexplode("top").alias("i", "t"))
+              .select("q_doc", F.col("t.doc_id").alias("doc_id"),
+                      (F.col("i") + 1).alias("lex_rk")))
+
+
+def _rrf_fuse(lex_rk, dense_rk):
+    """Reciprocal-rank fusion of the two ≤HYB_TOPK·|Q|-row arm
+    relations — integer arithmetic, metadata-sized at any corpus."""
     fused = (lex_rk.join(dense_rk, ["q_doc", "doc_id"], "full_outer")
              .withColumn("rrf_e9", F.expr(
                  f"COALESCE(1000000000 DIV ({RRF_K} + lex_rk), 0)"
@@ -1449,8 +1462,36 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
                          "rrf_e9", "rk"))
 
 
+def q_hybrid_retrieval_rrf_ivf(spark, sf_dir):
+    """ANN-backed hybrid retrieval (r09 verdict item 4): the same
+    lexical arm and RRF arithmetic as q_hybrid_retrieval_rrf, with
+    the dense arm swapped from exact kNN to the IVF scale path
+    (q_ann_ivf: coarse-quantize to {c} frozen centroids, probe the
+    {p} nearest cells per query, re-rank probed candidates exactly).
+
+    This is the form that survives |Q| growth at 100 TB: the exact
+    hybrid's dense leg is gated by KNN_MAX_QUERIES (it scores
+    |Q| x |corpus| pairs); the IVF leg scores only ~{p}/{c} of the
+    corpus per query, with the same two-phase top-k fan-in — no
+    |Q| x |N| relation anywhere in the plan.  Fully deterministic
+    (frozen deterministic centroids, exact re-rank, integer RRF), so
+    the row carries a FULL value oracle; recall vs the exact hybrid
+    is pinned separately in tests (the approximation shows up only
+    through which candidates the probes surface, exactly like
+    ann_ivf_cosine vs knn_bruteforce_cosine).
+
+    Output: (q_doc, doc_id, lex_rk, dense_rk, rrf_e9, rk).
+    """.format(c=IVF_CELLS, p=IVF_PROBES)
+    dense_rk = (q_ann_ivf(spark, sf_dir)
+                .select(F.col("q_id").alias("q_doc"),
+                        F.col("neighbor_id").alias("doc_id"),
+                        F.col("rk").alias("dense_rk")))
+    return _rrf_fuse(_lex_bm25_topk(spark, sf_dir), dense_rk)
+
+
 QUERIES = {
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
+    "hybrid_retrieval_rrf_ivf": q_hybrid_retrieval_rrf_ivf,
     "eval_retrieval_ndcg": q_eval_retrieval_ndcg,
     "retrieval_mmr_diversify": q_retrieval_mmr,
     "embedding_dim_budget_eval": q_embedding_dim_budget,
@@ -1553,14 +1594,57 @@ ORACLE = {
 ORACLE["knn_pandas_vectorized"] = ORACLE["knn_bruteforce_cosine"]
 
 
-def _hybrid_rrf_oracle() -> str:
-    """Composes the two parents' oracle constructions: the BM25
-    tf/df/dl CTEs (text_bm25_retrieval) for the lexical arm and the
-    exact-cosine ranking (knn_bruteforce_cosine) for the dense arm,
-    fused with integer RRF."""
+def _hybrid_rrf_oracle(dense: str = "exact") -> str:
+    """Composes the parents' oracle constructions: the BM25 tf/df/dl
+    CTEs (text_bm25_retrieval) for the lexical arm and — per the
+    ``dense`` switch — either the exact-cosine ranking
+    (knn_bruteforce_cosine) or the IVF probe-and-rerank chain
+    (ann_ivf_cosine, verbatim up to column renames) for the dense
+    arm, fused with integer RRF."""
     from .text import _bm25_e6_expr, _lit_duck
 
     bm25 = _bm25_e6_expr(_lit_duck)
+    if dense == "exact":
+        dense_ctes = f"""
+    q AS (SELECT vec_id AS q_doc, embedding AS q_vec
+          FROM embeddings WHERE vec_id % 100 = 0),
+    dscored AS (
+        SELECT q_doc, e.vec_id AS doc_id,
+               ROUND({_COS.format(a='q_vec', b='e.embedding')}, 6) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_doc),"""
+    else:
+        dense_ctes = f"""
+    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec,
+               sqrt({_SQN.format(a='embedding')}) AS cnrm
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {IVF_CELLS})),
+    affin AS MATERIALIZED (
+        SELECT e.vec_id, c.cell,
+               {_DOT.format(a='e.embedding', b='c.cvec')} / c.cnrm AS a
+        FROM embeddings e CROSS JOIN cent c),
+    ranked_aff AS MATERIALIZED (
+        SELECT vec_id, cell, a,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY a DESC, cell DESC) AS rk
+        FROM affin),
+    assigned AS (SELECT vec_id, cell FROM ranked_aff WHERE rk = 1),
+    dprobes AS (
+        SELECT vec_id AS q_doc, cell AS probe
+        FROM ranked_aff WHERE vec_id % 100 = 0 AND rk <= {IVF_PROBES}),
+    dcand AS (
+        SELECT p.q_doc, a.vec_id
+        FROM dprobes p JOIN assigned a ON a.cell = p.probe
+        WHERE a.vec_id <> p.q_doc),
+    dscored AS (
+        SELECT cd.q_doc, cd.vec_id AS doc_id,
+               ROUND({_DOT.format(a='q.embedding', b='e.embedding')}
+                     / (sqrt({_SQN.format(a='q.embedding')})
+                        * sqrt({_SQN.format(a='e.embedding')})), 6) AS cos
+        FROM dcand cd
+        JOIN embeddings e ON e.vec_id = cd.vec_id
+        JOIN embeddings q ON q.vec_id = cd.q_doc),"""
     return f"""
     WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                    FROM documents),
@@ -1597,13 +1681,7 @@ def _hybrid_rrf_oracle() -> str:
                                       ORDER BY score_e6 DESC, doc_id)
                        AS lex_rk
             FROM lex)
-        WHERE lex_rk <= {HYB_TOPK}),
-    q AS (SELECT vec_id AS q_doc, embedding AS q_vec
-          FROM embeddings WHERE vec_id % 100 = 0),
-    dscored AS (
-        SELECT q_doc, e.vec_id AS doc_id,
-               ROUND({_COS.format(a='q_vec', b='e.embedding')}, 6) AS cos
-        FROM q JOIN embeddings e ON e.vec_id <> q.q_doc),
+        WHERE lex_rk <= {HYB_TOPK}),{dense_ctes}
     densrk AS (
         SELECT q_doc, doc_id, dense_rk FROM (
             SELECT q_doc, doc_id,
@@ -1630,6 +1708,7 @@ def _hybrid_rrf_oracle() -> str:
 
 
 ORACLE["hybrid_retrieval_rrf"] = _hybrid_rrf_oracle()
+ORACLE["hybrid_retrieval_rrf_ivf"] = _hybrid_rrf_oracle("ivf")
 
 
 def _ndcg_oracle() -> str:

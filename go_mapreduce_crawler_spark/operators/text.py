@@ -429,10 +429,16 @@ def _bloom_probe_positions(col):
 # (checked signed overflow), so the portable packing keeps the
 # shift <= 31.  Bitmap budget is unchanged; the slot table is
 # m/32 = 32,768 rows (~256 KB) — still fixed-size at any eval size.
-_BLOOM_SLOT = F.shiftright(F.col("pos"), 5)
+# (Functions, not module constants: building a Column needs an active
+# SparkContext, which a bare import must not require.)
+def _bloom_slot():
+    return F.shiftright(F.col("pos"), 5)
+
+
 # python-side shiftleft takes only literal counts; the SQL form shifts
 # by a column
-_BLOOM_BIT = F.expr("shiftleft(1L, cast(pos % 32 as int))")
+def _bloom_bit():
+    return F.expr("shiftleft(1L, cast(pos % 32 as int))")
 
 
 def bloom_partial(eval_docs):
@@ -445,7 +451,7 @@ def bloom_partial(eval_docs):
     return (_contam_grams(eval_docs)
             .select(F.explode(_bloom_probe_positions(F.col("g")))
                     .alias("pos"))
-            .select(_BLOOM_SLOT.alias("slot"), _BLOOM_BIT.alias("b"))
+            .select(_bloom_slot().alias("slot"), _bloom_bit().alias("b"))
             .groupBy("slot").agg(F.bit_or("b").alias("word")))
 
 
@@ -460,8 +466,8 @@ def bloom_probe_report(spark, sf_dir, bloom):
               .select("doc_id", "g",
                       F.explode(_bloom_probe_positions(F.col("g")))
                       .alias("pos"))
-              .select("doc_id", "g", _BLOOM_SLOT.alias("slot"),
-                      _BLOOM_BIT.alias("b")))
+              .select("doc_id", "g", _bloom_slot().alias("slot"),
+                      _bloom_bit().alias("b")))
     hits = (probed.join(F.broadcast(bloom), "slot")
             .filter(F.col("b").bitwiseAND(F.col("word")) != 0)
             .groupBy("doc_id", "g")
