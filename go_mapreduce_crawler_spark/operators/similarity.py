@@ -1272,6 +1272,166 @@ def q_eval_retrieval_ndcg(spark, sf_dir):
                            " ELSE 0 END").cast("long").alias("ndcg_ppm")))
 
 
+RAG_DIMS = 32       # hashed-3-gram projection dims (the embed proxy)
+RAG_CELLS = 8       # IVF coarse cells over chunk vectors
+RAG_PROBES = 3      # probed cells per query document
+RAG_QMOD = 20       # seed queries: every 20th document
+
+
+def _rag_chunk_vecs(spark, sf_dir):
+    """(doc_id, chunk_idx, v): doc_chunking_rag's overlapping windows
+    (text.q_doc_chunking verbatim, keeping the chunk text one stage
+    longer) carried to an 8-dim INTEGER embedding via a hashed-3-gram
+    projection — the deterministic embed-proxy seam (a production
+    pipeline swaps this projection for a model server / Pandas-UDF
+    batch; the plan shape — a row-local map over the scan, zero
+    shuffles — is identical).  One md5 per 3-gram supplies both the
+    dim bucket (hex chars 1-8) and the signed milli-weight (chars
+    9-16, the quality_classifier_hashed recipe), so every vector
+    coordinate is an exact BIGINT both engines reproduce bit-for-bit.
+    """
+    from .text import CHUNK_LEN, CHUNK_STRIDE, _docs, _token_ngrams
+
+    d = _docs(spark, sf_dir)
+    n = F.length("text")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(CHUNK_STRIDE))
+    chunks = (d.select("doc_id", "text",
+                       F.posexplode(starts)
+                        .alias("chunk_idx", "chunk_start"))
+               .select("doc_id", "chunk_idx",
+                       F.expr(f"substr(text, chunk_start + 1, "
+                              f"{CHUNK_LEN})").alias("sub")))
+
+    def tok(g):
+        h = F.md5(F.encode(g, "UTF-8"))
+        return F.struct(
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % RAG_DIMS).alias("b"),
+            (F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+             % 2001 - 1000).alias("wt"))
+
+    # Stage the hashed gram structs as their OWN projection: the 32
+    # dim folds below each reference `gs`, and collapsing the two
+    # projects would re-inline (and re-evaluate) the md5 transform
+    # once per dim — 32x the digest work.  CollapseProject keeps a
+    # multiply-referenced non-cheap alias as a boundary, so the
+    # transform runs once per row.
+    staged = chunks.select(
+        "doc_id", "chunk_idx",
+        F.transform(_token_ngrams(F.split(F.col("sub"), " "), 3),
+                    tok).alias("gs"))
+
+    def dim_sum(j):
+        return F.aggregate(
+            F.col("gs"), F.lit(0).cast("long"),
+            lambda acc, s: acc + F.when(s["b"] == j, s["wt"])
+                                  .otherwise(F.lit(0)))
+
+    dims = F.array(*[dim_sum(j) for j in range(RAG_DIMS)])
+    return staged.select("doc_id", "chunk_idx", dims.alias("v"))
+
+
+def q_pipeline_rag_index(spark, sf_dir):
+    """RAG INDEX-BUILD end to end as ONE declarative chain (r09
+    verdict item 5 — the retrieval twin of pipeline_pretraining_e2e):
+    chunk (doc_chunking_rag's windows) -> embed (hashed-3-gram
+    integer projection, the deterministic proxy seam) -> IVF-assign
+    (argmax inner product against {c} frozen centroids — the first
+    {c} chunks by (doc_id, chunk_idx), a bounded {c}-row collect, the
+    trainers' contract) -> retrieve -> NDCG@{k} readout as DOC->CHUNK
+    SELF-RETRIEVAL: each seed document queries the index with its
+    doc-level vector (the per-dim sum of its chunk vectors) and its
+    own chunks are the graded ground truth — the label-free
+    index-build sanity eval (a perfectly-probed index scores
+    ndcg_ppm = 1e6 per query; every shortfall is an IVF probe miss or
+    a hash-collision impostor outranking a true chunk, so the readout
+    measures exactly what the index build controls).
+
+    Every stage is integer-exact (dims are signed milli-weights, dots
+    are BIGINT sums, NDCG uses the shared floor(1e6/log2(r+1))
+    literals), so the whole composition carries a FULL value oracle
+    built from the parents' CTEs.
+
+    Scale: chunk+embed+assign are row-local over the scan (zero
+    shuffles); the doc-vector agg is one doc_id-keyed shuffle; the
+    retrieve join is EQUI on the cell key (broadcast seed queries —
+    no |Q| x |chunks| relation, the IVF contract); ranking windows
+    over ~{p}/{c} of the corpus per query; the NDCG readout is
+    |Q| x {k} rows.
+
+    Output: (q_doc, n_rel_topk, r_total, dcg_w, idcg_w, ndcg_ppm).
+    """.format(c=RAG_CELLS, p=RAG_PROBES, k=NDCG_K)
+    # One embed pass serves all four consumers (centroid collect,
+    # cell assignment, doc vectors, the re-rank join) — the ann_lsh
+    # sketch-cache pattern; ~(16+8*RAG_DIMS) bytes/chunk, corpus-sized
+    # metadata, never the text.
+    vecs = _rag_chunk_vecs(spark, sf_dir).cache()
+    cent_rows = (vecs.orderBy("doc_id", "chunk_idx")
+                 .limit(RAG_CELLS).select("v").collect())
+    cents = [list(r.v) for r in cent_rows]
+
+    def cdot(c, col):
+        return F.expr(" + ".join(
+            f"{col}[{i}] * {int(x)}L" for i, x in enumerate(c)))
+
+    def cell_scores(col):
+        return F.array(*[
+            F.struct(cdot(c, col).alias("a"),
+                     F.lit(i).cast("int").alias("cell"))
+            for i, c in enumerate(cents)])
+
+    assigned = vecs.withColumn(
+        "cell", F.array_max(cell_scores("v"))["cell"])
+    docv = (vecs.groupBy("doc_id")
+            .agg(F.array(*[F.sum(F.col("v")[i]).cast("long")
+                           for i in range(RAG_DIMS)]).alias("dv"),
+                 F.count(F.lit(1)).alias("n_chunks")))
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(cell_scores("dv"))), 1,
+                RAG_PROBES),
+        lambda s: s["cell"])
+    qs = (docv.filter(F.col("doc_id") % RAG_QMOD == 0)
+          .select(F.col("doc_id").alias("q_doc"), "dv",
+                  F.explode(probes).alias("probe")))
+    cand = assigned.join(F.broadcast(qs),
+                         F.col("cell") == F.col("probe"))
+    dot_i = F.aggregate(
+        F.zip_with(F.col("dv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = W.partitionBy("q_doc").orderBy(
+        F.desc("dot"), F.asc("doc_id"), F.asc("chunk_idx"))
+    topk = (cand.withColumn("dot", dot_i)
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= NDCG_K))
+    w_case = "CASE rk " + " ".join(
+        f"WHEN {r + 1} THEN {wt}"
+        for r, wt in enumerate(NDCG_W)) + " ELSE 0 END"
+    per_q = (topk.withColumn("rel", (F.col("doc_id") == F.col("q_doc"))
+                             .cast("long"))
+                 .withColumn("w", F.expr(w_case).cast("long"))
+                 .groupBy("q_doc")
+                 .agg(F.sum("rel").alias("n_rel_topk"),
+                      F.sum(F.col("rel") * F.col("w")).alias("dcg_w")))
+    idcg_case = ("CASE LEAST(r_total, " + str(NDCG_K) + ") "
+                 + " ".join(f"WHEN {m} THEN {p}"
+                            for m, p in enumerate(NDCG_PREFIX))
+                 + " END")
+    sizes = docv.select(F.col("doc_id").alias("q_doc"), "n_chunks")
+    return (per_q.join(F.broadcast(sizes), "q_doc")
+            .withColumn("r_total", F.col("n_chunks").cast("long"))
+            .withColumn("idcg_w", F.expr(idcg_case).cast("long"))
+            .select("q_doc",
+                    F.col("n_rel_topk").cast("long").alias("n_rel_topk"),
+                    "r_total",
+                    F.col("dcg_w").cast("long").alias("dcg_w"),
+                    "idcg_w",
+                    F.expr("CASE WHEN idcg_w > 0 THEN"
+                           " (dcg_w * 1000000) DIV idcg_w"
+                           " ELSE 0 END").cast("long")
+                     .alias("ndcg_ppm")))
+
+
 MMR_C = 20          # dense candidates considered per query
 MMR_K = 10          # diversified results returned per query
 MMR_LAM = 70        # lambda in e2 (0.70 relevance / 0.30 diversity)
@@ -1492,6 +1652,7 @@ def q_hybrid_retrieval_rrf_ivf(spark, sf_dir):
 QUERIES = {
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "hybrid_retrieval_rrf_ivf": q_hybrid_retrieval_rrf_ivf,
+    "pipeline_rag_index_e2e": q_pipeline_rag_index,
     "eval_retrieval_ndcg": q_eval_retrieval_ndcg,
     "retrieval_mmr_diversify": q_retrieval_mmr,
     "embedding_dim_budget_eval": q_embedding_dim_budget,
@@ -1747,6 +1908,124 @@ def _ndcg_oracle() -> str:
 
 
 ORACLE["eval_retrieval_ndcg"] = _ndcg_oracle()
+
+
+def _rag_index_oracle() -> str:
+    """DuckDB twin of q_pipeline_rag_index, composing the parents'
+    constructions: doc_chunking_rag's window CTE (keeping the chunk
+    text one stage longer), the hashed-3-gram projection, the IVF
+    assign/probe chain (ann_ivf_cosine's shape over integer dots),
+    and the NDCG readout's shared integer weights."""
+    from .text import CHUNK_LEN, CHUNK_STRIDE
+
+    idot = ("list_reduce(list_prepend(0::BIGINT, "
+            "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+            "(acc, x) -> acc + x)")
+    dim_exprs = ", ".join(
+        "list_reduce(list_prepend(0::BIGINT, list_transform(gs, "
+        f"s -> CASE WHEN s.b = {j} THEN s.wt ELSE 0::BIGINT END)), "
+        "(acc, x) -> acc + x)"
+        for j in range(RAG_DIMS))
+    dv_exprs = ", ".join(f"SUM(v[{i + 1}])::BIGINT"
+                         for i in range(RAG_DIMS))
+    w_case = "CASE rk " + " ".join(
+        f"WHEN {r + 1} THEN {wt}"
+        for r, wt in enumerate(NDCG_W)) + " ELSE 0 END"
+    idcg_case = (f"CASE LEAST(n_chunks, {NDCG_K}) "
+                 + " ".join(f"WHEN {m} THEN {p}"
+                            for m, p in enumerate(NDCG_PREFIX))
+                 + " END")
+    return f"""
+    WITH chunks AS MATERIALIZED (
+        SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               substr(text, CAST(s + 1 AS INT), {CHUNK_LEN}) AS sub
+        FROM documents,
+             unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                    {CHUNK_STRIDE})) AS t(s)),
+    toks AS MATERIALIZED (
+        SELECT doc_id, chunk_idx,
+               list_transform(
+                   list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2])),
+                   g -> struct_pack(
+                       b := ('0x' || substr(md5(g), 1, 8))::BIGINT
+                            % {RAG_DIMS},
+                       wt := ('0x' || substr(md5(g), 9, 8))::BIGINT
+                             % 2001 - 1000)) AS gs
+        FROM (SELECT doc_id, chunk_idx, string_split(sub, ' ') AS w
+              FROM chunks)),
+    vecs AS MATERIALIZED (
+        SELECT doc_id, chunk_idx, [{dim_exprs}] AS v FROM toks),
+    docv AS MATERIALIZED (
+        SELECT doc_id, [{dv_exprs}] AS dv,
+               COUNT(*)::BIGINT AS n_chunks
+        FROM vecs GROUP BY doc_id),
+    cent AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY doc_id, chunk_idx) - 1
+                   AS cell,
+               v AS cvec
+        FROM (SELECT doc_id, chunk_idx, v FROM vecs
+              ORDER BY doc_id, chunk_idx LIMIT {RAG_CELLS})),
+    affin AS MATERIALIZED (
+        SELECT e.doc_id, e.chunk_idx, c.cell,
+               {idot.format(a='e.v', b='c.cvec')} AS a
+        FROM vecs e CROSS JOIN cent c),
+    assigned AS (
+        SELECT doc_id, chunk_idx, cell FROM (
+            SELECT doc_id, chunk_idx, cell,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
+                                      ORDER BY a DESC, cell DESC) AS rk
+            FROM affin)
+        WHERE rk = 1),
+    qaffin AS MATERIALIZED (
+        SELECT q.doc_id AS q_doc, c.cell,
+               {idot.format(a='q.dv', b='c.cvec')} AS a
+        FROM docv q CROSS JOIN cent c
+        WHERE q.doc_id % {RAG_QMOD} = 0),
+    qprobes AS (
+        SELECT q_doc, cell AS probe FROM (
+            SELECT q_doc, cell,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY a DESC, cell DESC) AS rk
+            FROM qaffin)
+        WHERE rk <= {RAG_PROBES}),
+    cand AS (
+        SELECT p.q_doc, a.doc_id, a.chunk_idx
+        FROM qprobes p JOIN assigned a ON a.cell = p.probe),
+    scored AS MATERIALIZED (
+        SELECT cd.q_doc, cd.doc_id, cd.chunk_idx,
+               {idot.format(a='q.dv', b='e.v')} AS dot
+        FROM cand cd
+        JOIN vecs e ON e.doc_id = cd.doc_id
+                   AND e.chunk_idx = cd.chunk_idx
+        JOIN docv q ON q.doc_id = cd.q_doc),
+    topk AS (
+        SELECT * FROM (
+            SELECT q_doc, doc_id, chunk_idx,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY dot DESC, doc_id,
+                                               chunk_idx) AS rk
+            FROM scored)
+        WHERE rk <= {NDCG_K}),
+    perq AS (
+        SELECT q_doc,
+               SUM(CASE WHEN doc_id = q_doc THEN 1 ELSE 0 END)::BIGINT
+                   AS n_rel_topk,
+               SUM(CASE WHEN doc_id = q_doc THEN {w_case} ELSE 0 END
+                   )::BIGINT AS dcg_w
+        FROM topk GROUP BY 1)
+    SELECT q_doc, n_rel_topk,
+           n_chunks::BIGINT AS r_total, dcg_w,
+           ({idcg_case})::BIGINT AS idcg_w,
+           (CASE WHEN ({idcg_case}) > 0
+                 THEN dcg_w * 1000000 // ({idcg_case})
+                 ELSE 0 END)::BIGINT AS ndcg_ppm
+    FROM perq JOIN docv ON docv.doc_id = perq.q_doc
+    """
+
+
+ORACLE["pipeline_rag_index_e2e"] = _rag_index_oracle()
 
 
 def _mmr_oracle() -> str:
