@@ -1140,7 +1140,8 @@ def _unigram_oracle_sql(apply: bool = False,
                         mixture: bool = False,
                         v: int = UNIG_V,
                         rounds: int = UNIG_ROUNDS,
-                        chunked: bool = False) -> str:
+                        chunked: bool = False,
+                        mixture_cte: bool = False) -> str:
     """Unrolled DuckDB twin of q_unigram_lm_train: candidate seeding +
     cap, then per EM round an UNROLLED Viterbi (dp stage per char
     position up to UNIG_MAXW, ROW_NUMBER tie-break on (cost, j)), an
@@ -1284,11 +1285,21 @@ per2 AS (
          CAST(sum_cost_un::HUGEINT // n_words::HUGEINT AS BIGINT)
              AS difficulty_ppw
   FROM per),
-tot AS (SELECT SUM(difficulty_ppw)::HUGEINT AS t FROM per2)
-SELECT source, n_words, sum_cost_un, difficulty_ppw,
+tot AS (SELECT SUM(difficulty_ppw)::HUGEINT AS t FROM per2)""")
+        mix_sel = """SELECT source, n_words, sum_cost_un, difficulty_ppw,
        CAST(difficulty_ppw::HUGEINT * 1000000 // t AS BIGINT)
            AS mixture_ppm
-FROM per2 CROSS JOIN tot""")
+FROM per2 CROSS JOIN tot"""
+        if mixture_cte:
+            # Splice mode (the composing oracles): the trainer chain's
+            # CTE list continues at the SAME top level and the mixture
+            # result lands in a small MATERIALIZED `mix` — nesting the
+            # whole chain as a derived table instead measurably
+            # disables DuckDB's pushdown through it (~2.5x the wall,
+            # r09 verdict's oracle-sweep-tax item).
+            q.append(f",\nmix AS MATERIALIZED ({mix_sel})")
+        else:
+            q.append("\n" + mix_sel)
         return "".join(q)
     q.append(""",
 dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -1722,13 +1733,22 @@ ORACLE = {
         v=UNIG1K_V, rounds=UNIG1K_ROUNDS, chunked=True),
     "unigram_lm_apply": _unigram_oracle_sql(apply=True),
     "corpus_domain_mixture": _unigram_oracle_sql(mixture=True),
+    # The unigram-LM parent chain SPLICES in at the top level
+    # (mixture_cte mode) with its result in a small MATERIALIZED
+    # `mix`; every downstream CTE derives from those 20 cached rows,
+    # so the trainer runs once with pushdown intact.  (Referencing an
+    # inlined parent twice re-ran the whole trainer per reference;
+    # nesting it as a derived table blocked pushdown through it —
+    # each ~2-6x the sf0.01 preflight wall, the r09 verdict's
+    # oracle-sweep-tax item.)
     "curation_epoch_schedule": f"""
-        WITH mix AS ({_unigram_oracle_sql(mixture=True)}),
-        tot AS (SELECT SUM(n_words)::BIGINT AS nw_all FROM mix),
-        base AS (SELECT source, mixture_ppm,
-                        CAST(n_words::HUGEINT * 1000000 // nw_all
-                             AS BIGINT) AS natural_ppm
-                 FROM mix, tot),
+        {_unigram_oracle_sql(mixture=True, mixture_cte=True)},
+        base AS (
+            SELECT source, mixture_ppm,
+                   CAST(n_words::HUGEINT * 1000000
+                        // SUM(n_words::HUGEINT) OVER ()
+                        AS BIGINT) AS natural_ppm
+            FROM mix),
         ep AS (SELECT CAST(unnest(generate_series(0, {EPOCHS - 1}))
                            AS INT) AS epoch),
         sched AS (
