@@ -29,6 +29,53 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from go_mapreduce_crawler_spark.session import get_spark
 from go_mapreduce_crawler_spark.operators import all_queries
 
+# The FROZEN r07 bench surface, by NAME (r09 advice item 4: deriving
+# membership from HEADLINE.index("text_bm25_retrieval") meant any
+# insertion before the sentinel silently changed the frozen set and
+# broke round-over-round comparability; this tuple is the comparator's
+# identity and must never change — an assertion below fails loudly if
+# it drifts out of sync with HEADLINE).
+FROZEN_87 = (
+    "agg_distinct", "ann_ivf_cosine", "ann_lsh_cosine", "ann_pq_adc",
+    "asof_purchase_view", "attribution_markov_removal",
+    "attribution_position_based", "basket_rules",
+    "behavior_session_paths", "bpe_train_batched",
+    "bpe_train_batched512", "cdc_merge_apply", "chunk_content_defined",
+    "corpus_clean_pipeline", "corpus_line_dedup_keepfirst",
+    "crawl_json_sum", "crawl_url_frontier_dedup",
+    "crossmodal_dedup_report", "decontaminate_fuzzy_minhash",
+    "dedup_embedding_cosine", "dedup_exact_groups", "dedup_minhash_lsh",
+    "dedup_semantic_clusters", "dedup_simhash",
+    "dedup_substring_suffix_array", "dsir_importance_weights",
+    "embedding_random_projection", "events_anomaly_mad",
+    "events_crosscorr_lagged", "events_ewma_smooth",
+    "events_holt_forecast", "funnel_conversion",
+    "graph_shortest_path_weighted", "hard_negative_mining",
+    "intervals_union_active_time", "join_bloom_prefilter",
+    "join_interval_overlap", "join_salted_skew",
+    "knn_bruteforce_cosine", "knn_pandas_vectorized",
+    "multimodal_near_dup_phash", "mv_join_delta_refresh", "ohlc_hourly",
+    "pipeline_pretraining_e2e", "q10_returned_items",
+    "q12_ship_delay_priority", "q18_large_volume_customer",
+    "q19_disjunctive_predicates", "q1_pricing_summary",
+    "q21_waiting_suppliers", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q5_local_supplier", "q6_revenue_change",
+    "q8_market_share", "quality_classifier_hashed",
+    "quality_perplexity_buckets", "quantile_sketch_rollup",
+    "sample_cap_per_source", "scd2_upsert", "seq_packing_gpt",
+    "sessionize_events", "shard_assignment", "skew_salt_advisor",
+    "skyline_pareto_docs", "sort_limit_top20", "stats_ks_two_sample",
+    "stats_levene_robust", "stats_mannwhitney_u", "stats_spearman_corr",
+    "text_heavy_hitters", "text_heavy_hitters_cms",
+    "text_ngram_novelty", "text_quality", "text_remove_boilerplate",
+    "text_repetition_gopher", "text_tfidf_doc_pairs",
+    "text_tfidf_top_terms", "text_unigram_lm_score",
+    "text_winnow_fingerprints", "text_zipf_slope", "ts_resample_ffill",
+    "unigram_lm_train", "validate_referential_integrity",
+    "window_range_frame_30d", "window_topk_per_group",
+    "window_tumbling_events",
+)
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -170,7 +217,20 @@ HEADLINE = [
     "text_keyphrase_rake",
     "text_word_burstiness",
     "sample_coreset_kcenter",
+    # r10 additions — one representative per new family
+    "stream_decontam_bloom_replay",
+    "hybrid_retrieval_rrf_ivf",
+    "pipeline_rag_index_e2e",
 ]
+
+# Drift guard for the frozen comparator: every frozen name must still
+# be benched (crawl_json_sum is timed separately from HEADLINE), and
+# the set size is pinned — fail LOUDLY instead of silently skewing the
+# round-over-round number.
+assert len(FROZEN_87) == 87 and len(set(FROZEN_87)) == 87, \
+    "FROZEN_87 must stay exactly the 87 r07-surface names"
+_missing = set(FROZEN_87) - set(HEADLINE) - {"crawl_json_sum"}
+assert not _missing, f"frozen comparator names left the bench: {_missing}"
 
 N_CRAWL_FILES = 2000
 
@@ -289,8 +349,7 @@ def main() -> None:
     # a manual tail-diff.  value_frozen87 totals the FROZEN r07 bench
     # surface (the 86 pre-r08 headline queries + crawl_json_sum) — the
     # stable cross-round comparator; value stays the full-surface total.
-    frozen = set(HEADLINE[:HEADLINE.index("text_bm25_retrieval")])
-    frozen.add("crawl_json_sum")
+    frozen = set(FROZEN_87)
     out["n_frozen87"] = sum(1 for n in timings if n in frozen)
     out["value_frozen87"] = round(
         sum(s for n, s in timings.items() if n in frozen), 3)

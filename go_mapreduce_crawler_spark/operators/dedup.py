@@ -92,7 +92,15 @@ def _enforce_exact_pair_bound(d: DataFrame, op: str,
     is read at call time so deployments can retune the module constant.
     A passing probe is cached per (corpus_key, bound) — the
     similarity._GATE_PROBED pattern — so repeat calls on the same
-    fixture (family_overlap, bench best-of-3) pay it once."""
+    fixture (family_overlap, bench best-of-3) pay it once.
+
+    IMMUTABILITY ASSUMPTION (r09 advice item 2): the cache key is the
+    corpus PATH, so a fixture rewritten/grown in-process after a
+    passing probe would skip the guard.  The driver/bench/test
+    fixtures under /root/testdata are immutable by contract; callers
+    pointing this at a mutable location must pass corpus_key=None
+    (probe every call) or fold a content fingerprint (e.g. file
+    mtimes) into corpus_key themselves."""
     if max_docs is None:
         max_docs = JACCARD_EXACT_MAX_DOCS
     cache = (corpus_key, max_docs) if corpus_key is not None else None

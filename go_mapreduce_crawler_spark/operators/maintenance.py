@@ -35,13 +35,18 @@ from ..sources.tables import load_table
 MONEY = "decimal(12,2)"
 
 
+_SESSION_TMP_REGISTERED: set[str] = set()
+
+
 def _session_tmp(spark, tag: str, sf_dir: str) -> str:
     """Per-(tag, fixture, SESSION) sink scratch dir, removed at
     interpreter exit (r08 advice item 3): keying only on (tag, sf_dir)
     let two concurrent sessions race on the same path (one overwrites
     while the other reads) and leaked artifacts into /tmp.  The Spark
     application id is unique per session, and re-runs WITHIN a session
-    stay idempotent (same path + overwrite mode)."""
+    stay idempotent (same path + overwrite mode).  Cleanup registers
+    ONCE per path (r09 advice item 5 — a long bench session otherwise
+    accumulates one duplicate atexit entry per call)."""
     import atexit
     import hashlib
     import os
@@ -53,7 +58,9 @@ def _session_tmp(spark, tag: str, sf_dir: str) -> str:
         f"spark_graft_{tag}_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         + "_" + spark.sparkContext.applicationId)
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    if out not in _SESSION_TMP_REGISTERED:
+        _SESSION_TMP_REGISTERED.add(out)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
     return out
 
 

@@ -342,10 +342,16 @@ def q_sample_coreset_kcenter(spark, sf_dir):
             F.col("embedding").alias("emb"))).alias("b")).collect()[0].b
         vid = -best.negid
         out.append((rk, int(vid), int(best.d)))
+        # Lazy localCheckpoint per round (the KMR suffix-array recipe):
+        # without it the chained LEAST folds stay in one lineage and
+        # round r's argmax re-evaluates all r-1 prior distance folds
+        # over the corpus — O(k^2) folds total vs the docstring's
+        # one-bounded-pass-per-round contract (r09 advice item 1).
         cur = (cur.filter(F.col("vec_id") != int(vid))
                .withColumn("mind2", F.least("mind2", F.expr(
                    f"CAST(FLOOR(({_d2_lit_sql('embedding', best.emb)})"
-                   " * 1e6) AS BIGINT)"))))
+                   " * 1e6) AS BIGINT)")))
+               .localCheckpoint(eager=False))
     return spark.createDataFrame(
         out, "rk int, vec_id long, sel_d2_e6 long")
 
