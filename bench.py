@@ -221,6 +221,7 @@ HEADLINE = [
     "stream_decontam_bloom_replay",
     "hybrid_retrieval_rrf_ivf",
     "pipeline_rag_index_e2e",
+    "ivf_probe_sweep_advisor",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

@@ -290,6 +290,108 @@ def q_ann_ivf(spark, sf_dir):
                   .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos", "rk"))
 
 
+IVF_ADV_PROBES = (1, 2, 4, 6, 8)      # nprobe operating points swept
+IVF_ADV_RECALL_FLOOR_PPM = 500_000    # required mean recall@10 vs exact
+
+
+def q_ivf_probe_sweep(spark, sf_dir):
+    """IVF nprobe TUNING ADVISOR (the ANN twin of lsh_banding_advisor):
+    sweep the probe count over {ps} against the SAME frozen centroids
+    as ann_ivf_cosine and report, per operating point, the MEASURED
+    mean recall@{k} vs the exact kNN ground truth, the candidate-pair
+    cost, and the chosen point — the smallest nprobe whose recall
+    clears {floor} ppm (else the largest swept).  This is the
+    recall/cost frontier an ANN deployment reads before fixing
+    nprobe; the repo's own IVF_PROBES=6 sits on it.
+
+    Deterministic end to end (exact re-ranked cosines, integer hit
+    counts, ppm DIV), so the advisor carries a FULL value oracle —
+    the recall numbers in the driver record are MEASURED quality, not
+    a closed-form estimate (contrast: lsh_banding_advisor's analytic
+    recall curve, pinned separately).
+
+    Scale: affinities and probe ranks are row-local (centroid
+    literals); candidates score ONCE at the max swept nprobe and
+    every sweep point filters that one relation by probe rank (prk)
+    — the sweep costs one candidate pass, not |sweep| passes.  The
+    exact arm is the gated query-set closure (KNN_MAX_QUERIES); a
+    100 TB deployment runs this advisor on a query SAMPLE by
+    construction.
+
+    Output: (nprobe, n_queries, sum_hits, recall_ppm, cand_pairs,
+    chosen).
+    """.format(ps=IVF_ADV_PROBES, k=TOP_K,
+               floor=IVF_ADV_RECALL_FLOOR_PPM)
+    e = _emb(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
+    cent_rows = (load_table(spark, sf_dir, "embeddings")
+                 .orderBy("vec_id").limit(IVF_CELLS)
+                 .select("embedding").collect())
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+    cell_scores = "array(" + ",".join(
+        f"struct({_dot_sql('embedding', c)} / {repr(nc)}D AS cos,"
+        f" {i} AS cell)"
+        for i, (c, nc) in enumerate(zip(cents, cnorms))) + ")"
+    assigned = e.withColumn(
+        "cell", F.array_max(F.expr(cell_scores)).getField("cell"))
+    pmax = max(IVF_ADV_PROBES)
+    probes = F.expr(
+        f"transform(slice(reverse(array_sort({cell_scores})), 1,"
+        f" {pmax}), s -> s.cell)")
+    q = (_gate_query_set(e.filter(F.col("vec_id") % 100 == 0),
+                         "ivf_probe_sweep_advisor", sf_dir)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec"),
+                 F.col("nrm").alias("q_nrm"),
+                 F.posexplode(probes).alias("pi", "probe")))
+    scored = (assigned.join(F.broadcast(q),
+                            (F.col("cell") == F.col("probe"))
+                            & (F.col("vec_id") != F.col("q_id")))
+              .withColumn("cos", F.round(
+                  dot("q_vec", "embedding")
+                  / (F.col("q_nrm") * F.col("nrm")), 6))
+              .select("q_id", "vec_id", (F.col("pi") + 1).alias("prk"),
+                      "cos")
+              .localCheckpoint(eager=False))   # scored once, 5 readers
+    ex = F.broadcast(q_knn_bruteforce(spark, sf_dir)
+                     .select("q_id", F.col("neighbor_id")
+                             .alias("vec_id")))
+    nq = ex.agg(F.countDistinct("q_id").alias("n_queries"))
+    wnd = W.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                        F.col("vec_id"))
+    parts = []
+    for p in IVF_ADV_PROBES:
+        sub = scored.filter(F.col("prk") <= p)
+        top = (sub.withColumn("rk", F.row_number().over(wnd))
+                  .filter(F.col("rk") <= TOP_K)
+                  .select("q_id", "vec_id"))
+        hits = top.join(ex, ["q_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("sum_hits"))
+        cnt = sub.agg(F.count(F.lit(1)).alias("cand_pairs"))
+        parts.append(hits.crossJoin(cnt)
+                     .select(F.lit(p).cast("int").alias("nprobe"),
+                             "sum_hits", "cand_pairs"))
+    rows = parts[0]
+    for pt in parts[1:]:
+        rows = rows.unionAll(pt)
+    calc = (rows.crossJoin(F.broadcast(nq))
+            .withColumn("recall_ppm", F.expr(
+                f"sum_hits * 1000000 DIV ({TOP_K} * n_queries)")
+                .cast("long")))
+    sel = calc.agg(F.coalesce(
+        F.min(F.when(F.col("recall_ppm")
+                     >= IVF_ADV_RECALL_FLOOR_PPM, F.col("nprobe"))),
+        F.max("nprobe")).alias("ch"))
+    return (calc.crossJoin(F.broadcast(sel))
+            .select("nprobe",
+                    F.col("n_queries").cast("long").alias("n_queries"),
+                    F.col("sum_hits").cast("long").alias("sum_hits"),
+                    "recall_ppm",
+                    F.col("cand_pairs").cast("long").alias("cand_pairs"),
+                    (F.col("nprobe") == F.col("ch")).cast("int")
+                    .alias("chosen")))
+
+
 def q_knn_pandas(spark, sf_dir):
     """Brute-force kNN with a vectorized (Arrow + numpy) kernel and an
     exact re-score — same output contract (and oracle) as
@@ -1653,6 +1755,7 @@ QUERIES = {
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "hybrid_retrieval_rrf_ivf": q_hybrid_retrieval_rrf_ivf,
     "pipeline_rag_index_e2e": q_pipeline_rag_index,
+    "ivf_probe_sweep_advisor": q_ivf_probe_sweep,
     "eval_retrieval_ndcg": q_eval_retrieval_ndcg,
     "retrieval_mmr_diversify": q_retrieval_mmr,
     "embedding_dim_budget_eval": q_embedding_dim_budget,
@@ -2026,6 +2129,88 @@ def _rag_index_oracle() -> str:
 
 
 ORACLE["pipeline_rag_index_e2e"] = _rag_index_oracle()
+
+
+def _ivf_probe_sweep_oracle() -> str:
+    """DuckDB twin of q_ivf_probe_sweep: the ann_ivf_cosine
+    affinity/assignment CTEs, candidates scored once at max nprobe
+    with their probe rank, the exact-kNN CTE (knn_bruteforce_cosine's
+    construction) as ground truth, and one unrolled stat block per
+    swept operating point."""
+    pmax = max(IVF_ADV_PROBES)
+    stats, unions = [], []
+    for p in IVF_ADV_PROBES:
+        stats.append(f""",
+    top{p} AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rk
+            FROM cscored WHERE prk <= {p})
+        WHERE rk <= {TOP_K}),
+    stat{p} AS (
+        SELECT {p} AS nprobe,
+               (SELECT COUNT(*)::BIGINT FROM top{p} t
+                JOIN nn ON nn.q_id = t.q_id
+                       AND nn.neighbor_id = t.vec_id) AS sum_hits,
+               (SELECT COUNT(*)::BIGINT FROM cscored
+                WHERE prk <= {p}) AS cand_pairs)""")
+        unions.append(f"SELECT * FROM stat{p}")
+    return f"""
+    WITH cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec,
+               sqrt({_SQN.format(a='embedding')}) AS cnrm
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {IVF_CELLS})),
+    affin AS MATERIALIZED (
+        SELECT e.vec_id, c.cell,
+               {_DOT.format(a='e.embedding', b='c.cvec')} / c.cnrm AS a
+        FROM embeddings e CROSS JOIN cent c),
+    ranked_aff AS MATERIALIZED (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY a DESC, cell DESC) AS rk
+        FROM affin),
+    assigned AS (SELECT vec_id, cell FROM ranked_aff WHERE rk = 1),
+    qprobes AS (
+        SELECT vec_id AS q_id, cell AS probe, rk AS prk
+        FROM ranked_aff
+        WHERE vec_id % 100 = 0 AND rk <= {pmax}),
+    cscored AS MATERIALIZED (
+        SELECT p.q_id, a.vec_id, p.prk,
+               ROUND({_DOT.format(a='q.embedding', b='e.embedding')}
+                     / (sqrt({_SQN.format(a='q.embedding')})
+                        * sqrt({_SQN.format(a='e.embedding')})), 6)
+                   AS cos
+        FROM qprobes p
+        JOIN assigned a ON a.cell = p.probe AND a.vec_id <> p.q_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.q_id),
+    nn AS MATERIALIZED (
+        SELECT q_id, neighbor_id
+        FROM ({ORACLE["knn_bruteforce_cosine"]})){''.join(stats)},
+    rows AS ({' UNION ALL '.join(unions)}),
+    nq AS (SELECT COUNT(DISTINCT q_id)::BIGINT AS n_queries FROM nn),
+    calc AS (
+        SELECT nprobe, n_queries, sum_hits,
+               (sum_hits * 1000000 // ({TOP_K} * n_queries))::BIGINT
+                   AS recall_ppm,
+               cand_pairs
+        FROM rows, nq),
+    sel AS (SELECT COALESCE(
+                MIN(CASE WHEN recall_ppm >= {IVF_ADV_RECALL_FLOOR_PPM}
+                         THEN nprobe END),
+                MAX(nprobe)) AS ch
+            FROM calc)
+    SELECT nprobe::INT AS nprobe, n_queries, sum_hits, recall_ppm,
+           cand_pairs,
+           (CASE WHEN nprobe = ch THEN 1 ELSE 0 END)::INT AS chosen
+    FROM calc, sel
+    """
+
+
+ORACLE["ivf_probe_sweep_advisor"] = _ivf_probe_sweep_oracle()
 
 
 def _mmr_oracle() -> str:

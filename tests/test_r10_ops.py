@@ -138,3 +138,35 @@ def test_pipeline_rag_index_matches_python_replica(spark, sf_small):
     hits = [v for v in want.values() if v[0] > 0]
     assert len(hits) >= len(want) * 2 // 3, (len(hits), len(want))
     assert any(v[4] < 1_000_000 for v in want.values())
+
+
+def test_ivf_probe_sweep_advisor_properties(spark, sf_medium):
+    """The sweep must be a real recall/cost frontier: recall and
+    candidate cost monotone in nprobe, chosen = min point clearing
+    the floor (else max), and the nprobe=6 row must agree with an
+    independent intersection of ann_ivf_cosine (which runs at
+    IVF_PROBES=6) against the exact kNN."""
+    from collections import defaultdict
+
+    rows = [q.asDict() for q in similarity.q_ivf_probe_sweep(
+        spark, sf_medium).collect()]
+    rows.sort(key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == list(similarity.IVF_ADV_PROBES)
+    rec = [r["recall_ppm"] for r in rows]
+    cand = [r["cand_pairs"] for r in rows]
+    assert rec == sorted(rec)                    # recall monotone
+    assert cand == sorted(cand) and len(set(cand)) == len(cand)
+    meeting = [r["nprobe"] for r in rows
+               if r["recall_ppm"] >= similarity.IVF_ADV_RECALL_FLOOR_PPM]
+    want_chosen = min(meeting) if meeting else rows[-1]["nprobe"]
+    assert [r["nprobe"] for r in rows if r["chosen"]] == [want_chosen]
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in similarity.q_knn_bruteforce(spark, sf_medium).collect():
+        ex[r.q_id].add(r.neighbor_id)
+    for r in similarity.q_ann_ivf(spark, sf_medium).collect():
+        ap[r.q_id].add(r.neighbor_id)
+    hits6 = sum(len(ex[q] & ap[q]) for q in ex)
+    row6 = next(r for r in rows if r["nprobe"] == similarity.IVF_PROBES)
+    assert row6["sum_hits"] == hits6
+    assert row6["n_queries"] == len(ex)
