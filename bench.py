@@ -222,6 +222,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf_ivf",
     "pipeline_rag_index_e2e",
     "ivf_probe_sweep_advisor",
+    "retrieval_prf_expansion",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

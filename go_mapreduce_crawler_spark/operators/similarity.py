@@ -1660,11 +1660,10 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
     return _rrf_fuse(_lex_bm25_topk(spark, sf_dir), dense_rk)
 
 
-def _lex_bm25_topk(spark, sf_dir):
-    """The hybrid family's shared LEXICAL arm: per seed doc, top-k
-    BM25 candidates over the seed's own top salient terms —
-    text_bm25_retrieval's scoring and two-phase salted top-k verbatim.
-    Returns (q_doc, doc_id, lex_rk)."""
+def _bm25_base(spark, sf_dir):
+    """The BM25 statistics relations (tf, dfr, dl, scal) plus the seed
+    queries' own top-terms relation (qterms) — shared by the hybrid
+    family's lexical arm and the PRF expansion round."""
     from .text import _bm25_e6_expr, _docs, _lit_spark
 
     d = _docs(spark, sf_dir)
@@ -1686,7 +1685,18 @@ def _lex_bm25_topk(spark, sf_dir):
     qterms = (qown.withColumn("trk", F.row_number().over(wq))
                   .filter(F.col("trk") <= HYB_QTERMS)
                   .select("q_doc", "word", "df"))
-    cand = (tf.join(F.broadcast(qterms), "word")
+    return tf, dfr, dl, scal, qterms
+
+
+def _bm25_salted_topk(terms, tf, dl, scal, k=HYB_TOPK,
+                      rank_col="lex_rk"):
+    """Score every posting of a (q_doc, word, df) term relation with
+    BM25 and return the per-query top-k by the two-phase salted top-k
+    (no global window) — text_bm25_retrieval's shape verbatim.
+    Returns (q_doc, doc_id, score_e6, <rank_col>)."""
+    from .text import _bm25_e6_expr, _lit_spark
+
+    cand = (tf.join(F.broadcast(terms), "word")
               .filter(F.col("doc_id") != F.col("q_doc"))
               .join(dl, "doc_id")
               .crossJoin(F.broadcast(scal))
@@ -1700,13 +1710,24 @@ def _lex_bm25_topk(spark, sf_dir):
                       F.pmod(F.xxhash64("doc_id"),
                              F.lit(HYB_SALT)).alias("salt"))
              .agg(F.slice(F.array_sort(F.collect_list(key)), 1,
-                          HYB_TOPK).alias("part")))
+                          k).alias("part")))
     p2 = (p1.groupBy("q_doc")
             .agg(F.slice(F.array_sort(F.flatten(F.collect_list("part"))),
-                         1, HYB_TOPK).alias("top")))
+                         1, k).alias("top")))
     return (p2.select("q_doc", F.posexplode("top").alias("i", "t"))
               .select("q_doc", F.col("t.doc_id").alias("doc_id"),
-                      (F.col("i") + 1).alias("lex_rk")))
+                      (-F.col("t.ns")).alias("score_e6"),
+                      (F.col("i") + 1).alias(rank_col)))
+
+
+def _lex_bm25_topk(spark, sf_dir):
+    """The hybrid family's shared LEXICAL arm: per seed doc, top-k
+    BM25 candidates over the seed's own top salient terms —
+    text_bm25_retrieval's scoring and two-phase salted top-k verbatim.
+    Returns (q_doc, doc_id, lex_rk)."""
+    tf, dfr, dl, scal, qterms = _bm25_base(spark, sf_dir)
+    return _bm25_salted_topk(qterms, tf, dl, scal).select(
+        "q_doc", "doc_id", "lex_rk")
 
 
 def _rrf_fuse(lex_rk, dense_rk):
@@ -1722,6 +1743,57 @@ def _rrf_fuse(lex_rk, dense_rk):
                  .filter(F.col("rk") <= HYB_TOPK)
                  .select("q_doc", "doc_id", "lex_rk", "dense_rk",
                          "rrf_e9", "rk"))
+
+
+PRF_EXP_TERMS = 3     # expansion terms mined from the feedback docs
+
+
+def q_retrieval_prf_expansion(spark, sf_dir):
+    """PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 skeleton —
+    Lavrenko & Croft 2001 relevance models, as deployed in every
+    Lucene/Anserini stack): round 1 retrieves the BM25 top-{k} for
+    each seed query (the hybrid family's lexical arm verbatim); the
+    {e} terms scoring highest SUMMED BM25 across those feedback
+    documents (minus the original query terms) join the query; round
+    2 re-retrieves with the expanded term set.  All integer (summed
+    bm25_e6, rank ties on word/doc_id), so the whole two-round chain
+    is engine-exact and fully value-oracled.
+
+    Scale: both rounds are the salted two-phase top-k over
+    posting-sized relations with ≤({t}+{e})·|Q| broadcast query
+    terms; the feedback-mining stage joins the {k}·|Q|-row feedback
+    relation to tf by doc_id — metadata-sized against the corpus.
+    No stage holds a global window or a |Q| x |corpus| relation.
+
+    Output: (q_doc, doc_id, score_e6, rk, r1_rk) — r1_rk is the
+    document's round-1 rank (NULL = surfaced only by expansion, the
+    recall the technique exists to buy).
+    """.format(k=HYB_TOPK, e=PRF_EXP_TERMS, t=HYB_QTERMS)
+    from .text import _bm25_e6_expr, _lit_spark
+
+    tf, dfr, dl, scal, qterms = _bm25_base(spark, sf_dir)
+    r1 = _bm25_salted_topk(qterms, tf, dl, scal)
+    fb = r1.select("q_doc", "doc_id")
+    fbterms = (tf.join(F.broadcast(fb), "doc_id")
+                 .join(dfr, "word").join(dl, "doc_id")
+                 .crossJoin(F.broadcast(scal))
+                 .selectExpr("q_doc", "word", "df",
+                             _bm25_e6_expr(_lit_spark) + " AS w_e6")
+                 .groupBy("q_doc", "word")
+                 .agg(F.max("df").alias("df"),
+                      F.sum("w_e6").alias("fb_e6"))
+                 .join(qterms.select("q_doc", "word"),
+                       ["q_doc", "word"], "left_anti"))
+    we = W.partitionBy("q_doc").orderBy(F.desc("fb_e6"), F.asc("word"))
+    exp = (fbterms.withColumn("erk", F.row_number().over(we))
+                  .filter(F.col("erk") <= PRF_EXP_TERMS)
+                  .select("q_doc", "word", "df"))
+    q2 = qterms.unionAll(exp)
+    r2 = _bm25_salted_topk(q2, tf, dl, scal, rank_col="rk")
+    return (r2.join(r1.select("q_doc", "doc_id",
+                              F.col("lex_rk").alias("r1_rk")),
+                    ["q_doc", "doc_id"], "left")
+              .select("q_doc", "doc_id", "score_e6", "rk", "r1_rk"))
 
 
 def q_hybrid_retrieval_rrf_ivf(spark, sf_dir):
@@ -1756,6 +1828,7 @@ QUERIES = {
     "hybrid_retrieval_rrf_ivf": q_hybrid_retrieval_rrf_ivf,
     "pipeline_rag_index_e2e": q_pipeline_rag_index,
     "ivf_probe_sweep_advisor": q_ivf_probe_sweep,
+    "retrieval_prf_expansion": q_retrieval_prf_expansion,
     "eval_retrieval_ndcg": q_eval_retrieval_ndcg,
     "retrieval_mmr_diversify": q_retrieval_mmr,
     "embedding_dim_budget_eval": q_embedding_dim_budget,
@@ -1858,6 +1931,54 @@ ORACLE = {
 ORACLE["knn_pandas_vectorized"] = ORACLE["knn_bruteforce_cosine"]
 
 
+def _lex_oracle_ctes() -> str:
+    """The lexical arm's CTE prefix (BM25 stats + seed top-terms +
+    round-1 salted top-k as `lexrk`) — shared by the hybrid fusion
+    oracles and the PRF expansion oracle."""
+    from .text import _bm25_e6_expr, _lit_duck
+
+    bm25 = _bm25_e6_expr(_lit_duck)
+    return f"""
+    words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+    tf AS MATERIALIZED (SELECT doc_id, word, COUNT(*) AS tf
+                        FROM words GROUP BY 1, 2),
+    dfr AS MATERIALIZED (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    dl AS MATERIALIZED (SELECT doc_id, SUM(tf)::BIGINT AS dl
+                        FROM tf GROUP BY 1),
+    scal AS (SELECT SUM(dl)::BIGINT AS total_words,
+                    COUNT(*)::BIGINT AS n_docs FROM dl),
+    qown AS (
+        SELECT tf.doc_id AS q_doc, tf.word, tf.tf, dfr.df, dl.dl,
+               {bm25} AS own_e6
+        FROM tf JOIN dfr USING (word) JOIN dl ON dl.doc_id = tf.doc_id,
+             scal
+        WHERE tf.doc_id % 100 = 0),
+    qterms AS MATERIALIZED (
+        SELECT q_doc, word, df FROM (
+            SELECT q_doc, word, df,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY own_e6 DESC, word) AS trk
+            FROM qown)
+        WHERE trk <= {HYB_QTERMS}),
+    cand AS (
+        SELECT qt.q_doc, tf.doc_id, tf.tf, qt.df, dl.dl,
+               {bm25} AS bm25_e6
+        FROM tf JOIN qterms qt USING (word)
+                JOIN dl ON dl.doc_id = tf.doc_id, scal
+        WHERE tf.doc_id <> qt.q_doc),
+    lex AS (SELECT q_doc, doc_id, SUM(bm25_e6)::BIGINT AS score_e6
+            FROM cand GROUP BY 1, 2),
+    lexrk AS MATERIALIZED (
+        SELECT q_doc, doc_id, score_e6, lex_rk FROM (
+            SELECT q_doc, doc_id, score_e6,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY score_e6 DESC, doc_id)
+                       AS lex_rk
+            FROM lex)
+        WHERE lex_rk <= {HYB_TOPK})"""
+
+
 def _hybrid_rrf_oracle(dense: str = "exact") -> str:
     """Composes the parents' oracle constructions: the BM25 tf/df/dl
     CTEs (text_bm25_retrieval) for the lexical arm and — per the
@@ -1865,9 +1986,6 @@ def _hybrid_rrf_oracle(dense: str = "exact") -> str:
     (knn_bruteforce_cosine) or the IVF probe-and-rerank chain
     (ann_ivf_cosine, verbatim up to column renames) for the dense
     arm, fused with integer RRF."""
-    from .text import _bm25_e6_expr, _lit_duck
-
-    bm25 = _bm25_e6_expr(_lit_duck)
     if dense == "exact":
         dense_ctes = f"""
     q AS (SELECT vec_id AS q_doc, embedding AS q_vec
@@ -1910,42 +2028,7 @@ def _hybrid_rrf_oracle(dense: str = "exact") -> str:
         JOIN embeddings e ON e.vec_id = cd.vec_id
         JOIN embeddings q ON q.vec_id = cd.q_doc),"""
     return f"""
-    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                   FROM documents),
-    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
-    dfr AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
-    dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY 1),
-    scal AS (SELECT SUM(dl)::BIGINT AS total_words,
-                    COUNT(*)::BIGINT AS n_docs FROM dl),
-    qown AS (
-        SELECT tf.doc_id AS q_doc, tf.word, tf.tf, dfr.df, dl.dl,
-               {bm25} AS own_e6
-        FROM tf JOIN dfr USING (word) JOIN dl ON dl.doc_id = tf.doc_id,
-             scal
-        WHERE tf.doc_id % 100 = 0),
-    qterms AS (
-        SELECT q_doc, word, df FROM (
-            SELECT q_doc, word, df,
-                   ROW_NUMBER() OVER (PARTITION BY q_doc
-                                      ORDER BY own_e6 DESC, word) AS trk
-            FROM qown)
-        WHERE trk <= {HYB_QTERMS}),
-    cand AS (
-        SELECT qt.q_doc, tf.doc_id, tf.tf, qt.df, dl.dl,
-               {bm25} AS bm25_e6
-        FROM tf JOIN qterms qt USING (word)
-                JOIN dl ON dl.doc_id = tf.doc_id, scal
-        WHERE tf.doc_id <> qt.q_doc),
-    lex AS (SELECT q_doc, doc_id, SUM(bm25_e6)::BIGINT AS score_e6
-            FROM cand GROUP BY 1, 2),
-    lexrk AS (
-        SELECT q_doc, doc_id, lex_rk FROM (
-            SELECT q_doc, doc_id,
-                   ROW_NUMBER() OVER (PARTITION BY q_doc
-                                      ORDER BY score_e6 DESC, doc_id)
-                       AS lex_rk
-            FROM lex)
-        WHERE lex_rk <= {HYB_TOPK}),{dense_ctes}
+    WITH {_lex_oracle_ctes()},{dense_ctes}
     densrk AS (
         SELECT q_doc, doc_id, dense_rk FROM (
             SELECT q_doc, doc_id,
@@ -2211,6 +2294,65 @@ def _ivf_probe_sweep_oracle() -> str:
 
 
 ORACLE["ivf_probe_sweep_advisor"] = _ivf_probe_sweep_oracle()
+
+
+def _prf_oracle() -> str:
+    """DuckDB twin of q_retrieval_prf_expansion: the shared lexical
+    CTE prefix (round 1 = lexrk), feedback-term mining with the same
+    BM25 weight, the expanded term set, and the round-2 rerank."""
+    from .text import _bm25_e6_expr, _lit_duck
+
+    bm25 = _bm25_e6_expr(_lit_duck)
+    return f"""
+    WITH {_lex_oracle_ctes()},
+    fbterms AS (
+        SELECT q_doc, word, MAX(df) AS df,
+               SUM(w_e6)::BIGINT AS fb_e6
+        FROM (
+            SELECT fb.q_doc, tf.word, tf.tf, dfr.df, dl.dl,
+                   {bm25} AS w_e6
+            FROM tf
+            JOIN (SELECT q_doc, doc_id FROM lexrk) fb
+              ON fb.doc_id = tf.doc_id
+            JOIN dfr USING (word)
+            JOIN dl ON dl.doc_id = tf.doc_id, scal)
+        GROUP BY 1, 2),
+    expterms AS (
+        SELECT q_doc, word, df FROM (
+            SELECT f.q_doc, f.word, f.df,
+                   ROW_NUMBER() OVER (PARTITION BY f.q_doc
+                                      ORDER BY f.fb_e6 DESC, f.word)
+                       AS erk
+            FROM fbterms f
+            ANTI JOIN qterms qt
+              ON qt.q_doc = f.q_doc AND qt.word = f.word)
+        WHERE erk <= {PRF_EXP_TERMS}),
+    q2 AS (SELECT q_doc, word, df FROM qterms
+           UNION ALL SELECT q_doc, word, df FROM expterms),
+    cand2 AS (
+        SELECT qt.q_doc, tf.doc_id, tf.tf, qt.df, dl.dl,
+               {bm25} AS bm25_e6
+        FROM tf JOIN q2 qt USING (word)
+                JOIN dl ON dl.doc_id = tf.doc_id, scal
+        WHERE tf.doc_id <> qt.q_doc),
+    lex2 AS (SELECT q_doc, doc_id, SUM(bm25_e6)::BIGINT AS score_e6
+             FROM cand2 GROUP BY 1, 2),
+    r2 AS (
+        SELECT q_doc, doc_id, score_e6, rk FROM (
+            SELECT q_doc, doc_id, score_e6,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY score_e6 DESC, doc_id)
+                       AS rk
+            FROM lex2)
+        WHERE rk <= {HYB_TOPK})
+    SELECT r2.q_doc, r2.doc_id, r2.score_e6, r2.rk,
+           l.lex_rk AS r1_rk
+    FROM r2 LEFT JOIN lexrk l
+      ON l.q_doc = r2.q_doc AND l.doc_id = r2.doc_id
+    """
+
+
+ORACLE["retrieval_prf_expansion"] = _prf_oracle()
 
 
 def _mmr_oracle() -> str:

@@ -170,3 +170,30 @@ def test_ivf_probe_sweep_advisor_properties(spark, sf_medium):
     row6 = next(r for r in rows if r["nprobe"] == similarity.IVF_PROBES)
     assert row6["sum_hits"] == hits6
     assert row6["n_queries"] == len(ex)
+
+
+def test_prf_expansion_properties(spark, sf_medium):
+    """PRF must (a) answer every round-1 query, (b) rank by summed
+    BM25 with deterministic ties (rk dense 1..10 per query), and
+    (c) actually do its job — at least one query surfaces a document
+    the original terms missed (r1_rk NULL), the recall the technique
+    exists to buy."""
+    from collections import defaultdict
+
+    rows = similarity.q_retrieval_prf_expansion(
+        spark, sf_medium).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.q_doc].append(r)
+    r1 = _topk_sets(similarity._lex_bm25_topk(spark, sf_medium),
+                    "q_doc", "doc_id")
+    assert set(by_q) == set(r1)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_e6 for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # r1_rk agrees with the independent round-1 run
+        for r in rs:
+            assert (r.r1_rk is not None) == (r.doc_id in r1[q])
+    assert any(r.r1_rk is None for r in rows)
