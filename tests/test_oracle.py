@@ -50,33 +50,35 @@ def test_entry_smoke(spark):
 
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
-    put the r09 front first (the twice-red, now integer-cents mv
-    replay row FIRST, then ALL 34 never-driver-checked r08b rows —
-    VERDICT r08 items 1-2 — then the 15-slot oldest-r03 rotation),
-    then anything else new this round, then oldest driver signal
-    before freshest (r08 last)."""
+    put the r10 front first (the 11 r09-new rows with no driver
+    signal — VERDICT r09 item 1), then anything new this round
+    (inside the budget), then the stale rotation oldest-first (the 32
+    r03-signed rows next), with the freshest signal (r09) last."""
     names = list(QUERIES)
-    front = [n for n in entrymod._FRONT_R09 if n in QUERIES]
+    front = [n for n in entrymod._FRONT_R10 if n in QUERIES]
     checked = [set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
                set(entrymod._CHECKED_R03), set(entrymod._CHECKED_R04),
                set(entrymod._CHECKED_R05), set(entrymod._CHECKED_R06),
-               set(entrymod._CHECKED_R07), set(entrymod._CHECKED_R08)]
+               set(entrymod._CHECKED_R07), set(entrymod._CHECKED_R08),
+               set(entrymod._CHECKED_R09)]
     assert names[:len(front)] == front
-    # the front fills the ~50-query budget: the red replay row runs
-    # FIRST, and every row with no driver signal at all (the 34 r08b
-    # additions) is inside the budget
-    assert front[0] == "stream_mv_refresh_replay"
-    assert len(front) == 50
+    assert len(front) == 11
     anychecked = set().union(*checked)
-    # front[1:35] are exactly the 34 rows with no driver row in any of
-    # r01-r08 (item 2's "done" criterion: all of them inside the budget)
-    assert all(n not in anychecked for n in front[1:35])
-    assert len(front[1:35]) == 34
+    # the front is exactly the 11 rows with no driver row in r01-r09
+    # that existed last round (item 1's "done" criterion)
+    assert all(n not in anychecked for n in front)
     never = [n for n in names
              if n not in anychecked and n not in set(front)]
     if never:  # new-this-round queries directly after the front block
         assert max(names.index(n) for n in never) < len(front) + len(never)
+    # front + new + the 32 oldest-signal (r03-freshest) rows all fit
+    # the ~50 budget
+    later = set().union(*checked[3:])
+    r03_oldest = (checked[2] & set(QUERIES)) - later - set(front)
+    budget = set(names[:len(front) + len(never) + len(r03_oldest)])
+    assert r03_oldest <= budget
+    assert len(front) + len(never) + len(r03_oldest) <= 51
     # freshest signal runs last
-    tail = checked[7] - set(front)
+    tail = (checked[8] & set(QUERIES)) - set(front)
     assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))
