@@ -37,8 +37,17 @@ def _unwrap(data: dict) -> dict:
     if isinstance(tail, str):
         qm = re.search(r'"queries": \{(.*?)\}', tail)
         if qm:
-            qs = {k: float(v) for k, v in
-                  re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', qm.group(1))}
+            body = qm.group(1)
+        else:
+            # Front-truncation can clip the '"queries": {' opener
+            # itself (seen in BENCH_r09.json) — the tail then STARTS
+            # mid-map, so every pair before the first '}' still
+            # belongs to the queries map.  Partial per-query coverage
+            # beats silently falling back to a rounds-old baseline.
+            body = tail.split("}", 1)[0]
+        qs = {k: float(v) for k, v in
+              re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', body)}
+        if qs:
             vm = re.search(r'"value": ([0-9.]+)', tail)
             return {"queries": qs,
                     "value": float(vm.group(1)) if vm else None}
