@@ -223,6 +223,8 @@ HEADLINE = [
     "pipeline_rag_index_e2e",
     "ivf_probe_sweep_advisor",
     "retrieval_prf_expansion",
+    "stream_cdc_merge_replay",
+    "sink_partitioned_pruning",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

@@ -240,6 +240,18 @@ def q_cdc_merge_apply(spark, sf_dir):
     construction (ROW_NUMBER over seq DESC, op DESC) — two independent
     formulations of last-writer-wins must agree.
     """
+    win = (cdc_changelog(spark, sf_dir)
+           .groupBy("k")
+           .agg(F.max(F.struct("seq", "op", "price", "status"))
+                 .alias("w"))
+           .select("k", "w.op", "w.price", "w.status"))
+    return cdc_apply_winners(spark, sf_dir, win)
+
+
+def cdc_changelog(spark, sf_dir):
+    """The deterministic CDC changelog relation (k, seq, op, price,
+    status) — shared by the batch MERGE and its streaming replay
+    twin (q_cdc_merge_apply's derivation, verbatim)."""
     o = (load_table(spark, sf_dir, "orders")
          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
     k = F.col("o_orderkey")
@@ -251,18 +263,24 @@ def q_cdc_merge_apply(spark, sf_dir):
 
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
-    log = (op(o.filter(k % 7 == 0), k, 1, "D", null_d, null_s)
-           .union(op(o.filter(k % 5 == 0), k, 1, "U",
-                     F.col("o_totalprice") + 10.0, F.col("o_orderstatus")))
-           .union(op(o.filter(k % 15 == 0), k, 2, "U",
-                     F.col("o_totalprice") + 20.0, F.lit("X")))
-           .union(op(o.filter(k % 11 == 0), k + CDC_INS_OFFSET, 1, "I",
-                     F.col("o_totalprice"), F.lit("N"))))
-    win = (log.groupBy("k")
-              .agg(F.max(F.struct("seq", "op", "price", "status"))
-                    .alias("w"))
-              .select("k", "w.op", "w.price", "w.status"))
-    base = o.select(k.alias("k"), F.col("o_totalprice").alias("b_price"),
+    return (op(o.filter(k % 7 == 0), k, 1, "D", null_d, null_s)
+            .union(op(o.filter(k % 5 == 0), k, 1, "U",
+                      F.col("o_totalprice") + 10.0,
+                      F.col("o_orderstatus")))
+            .union(op(o.filter(k % 15 == 0), k, 2, "U",
+                      F.col("o_totalprice") + 20.0, F.lit("X")))
+            .union(op(o.filter(k % 11 == 0), k + CDC_INS_OFFSET, 1, "I",
+                      F.col("o_totalprice"), F.lit("N"))))
+
+
+def cdc_apply_winners(spark, sf_dir, win):
+    """Merge a per-key winner relation (k, op, price, status) into the
+    base orders table — the batch MERGE's final join + delete filter,
+    shared with the streaming replay twin."""
+    o = (load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    base = o.select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("b_price"),
                     F.col("o_orderstatus").alias("b_status"))
     j = base.join(win, "k", "full_outer")
     return (j.filter((F.col("op").isNull()) | (F.col("op") != "D"))
@@ -295,6 +313,38 @@ def q_sink_roundtrip_jsonl(spark, sf_dir):
     write_json(d.repartition(4), out)
     back = spark.read.schema(
         "doc_id long, text string, source string, n_chars long").json(out)
+    chk = "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"
+    return (back.selectExpr("source", "n_chars", f"{chk} AS chk")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"),
+                     F.sum("chk").alias("text_checksum")))
+
+
+def q_sink_partitioned_pruning(spark, sf_dir):
+    """Hive-partitioned lake layout as a checked operator: write
+    documents PARTITIONED BY lang (the 100 TB layout decision — the
+    column every downstream curation query filters on becomes the
+    directory key), then read back with a lang predicate and return
+    per-source aggregates incl. the md5 text checksum.  A green row
+    proves the partition cycle is byte-exact AND that the partition
+    column round-trips out of the directory name (it is no longer in
+    the data files).  The pruning itself — the read plan touching
+    ONLY the matching lang directories (PartitionFilters, no data
+    filter residue) — is pinned in tests/test_r10_ops.py; at 100 TB
+    that is the difference between scanning one language and scanning
+    the lake.
+
+    Idempotent (deterministic temp dir + overwrite); file count =
+    |langs| x repartition(2) — the same bounded-writer contract as
+    the other sinks.
+    """
+    out = _session_tmp(spark, "partlang", sf_dir)
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "text", "source", "n_chars", "lang"))
+    (d.repartition(2).write.mode("overwrite")
+      .partitionBy("lang").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
     chk = "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"
     return (back.selectExpr("source", "n_chars", f"{chk} AS chk")
                 .groupBy("source")
@@ -654,6 +704,7 @@ QUERIES = {
     "inverted_index_delta_refresh": q_inverted_index_delta,
     "cdc_merge_apply": q_cdc_merge_apply,
     "sink_roundtrip_jsonl": q_sink_roundtrip_jsonl,
+    "sink_partitioned_pruning": q_sink_partitioned_pruning,
     "table_checksum_orders": q_table_checksum,
     "table_diff": q_table_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
@@ -839,6 +890,14 @@ ORACLE["sink_roundtrip_jsonl"] = """
            SUM(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
                AS text_checksum
     FROM documents GROUP BY 1
+"""
+
+ORACLE["sink_partitioned_pruning"] = """
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars,
+           SUM(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
+               AS text_checksum
+    FROM documents WHERE lang = 'en' GROUP BY 1
 """
 
 ORACLE["table_checksum_orders"] = """

@@ -485,7 +485,40 @@ def q_stream_decontam_bloom_replay(spark, sf_dir):
     return bloom_probe_report(spark, sf_dir, bloom)
 
 
+def q_stream_cdc_merge_replay(spark, sf_dir):
+    """CDC-changelog stream replay: the deterministic changelog
+    (maintenance.cdc_changelog, the batch MERGE's derivation verbatim)
+    split into REPLAY_SPLITS files -> streaming per-key winner
+    maintenance (max(struct(seq, op, payload)) — a commutative
+    IDEMPOTENT monoid, so the finalized winner set is independent of
+    micro-batch boundaries and replays) -> ONE final merge into the
+    base orders table with the batch twin's join + delete filter.
+    Oracle = cdc_merge_apply's SQL verbatim: a hash MATCH proves
+    exactly-once last-writer-wins ingestion through streaming
+    checkpoints.
+    """
+    from ..streaming.stateful import stream_cdc_merge
+    from .maintenance import cdc_apply_winners, cdc_changelog
+
+    log = cdc_changelog(spark, sf_dir)
+
+    def write(in_dir, _root):
+        log.repartition(REPLAY_SPLITS).write.mode(
+            "overwrite").parquet(in_dir)
+
+    in_dir = _fixture_dir(sf_dir, "cdc_log4", write)
+    stream = (spark.readStream.option("maxFilesPerTrigger", "1")
+              .schema(log.schema).parquet(in_dir))
+    state, ckpt = _fresh_state("cdc")
+    q = stream_cdc_merge(stream, state, ckpt)
+    _await_drained(q, "cdc_merge")
+    win = (read_mv_state(spark, state)
+           .select("k", "w.op", "w.price", "w.status"))
+    return cdc_apply_winners(spark, sf_dir, win)
+
+
 QUERIES = {
+    "stream_cdc_merge_replay": q_stream_cdc_merge_replay,
     "stream_decontam_bloom_replay": q_stream_decontam_bloom_replay,
     "stream_trending_topk_replay": q_stream_trending_topk_replay,
     "stream_anomaly_scoring_replay": q_stream_anomaly_scoring_replay,
@@ -640,6 +673,10 @@ from .text import ORACLE as _TEXT_ORACLE  # noqa: E402
 
 ORACLE["stream_decontam_bloom_replay"] = \
     _TEXT_ORACLE["text_contamination_bloom"]
+
+# the streamed per-key winner equals the batch MERGE's (idempotent
+# max monoid), so the batch twin's oracle is shared verbatim
+ORACLE["stream_cdc_merge_replay"] = _MAINT_ORACLE["cdc_merge_apply"]
 
 # the batch twin of native session windows: gap<=30min closure, end =
 # last event + gap, DECIMAL-exact session sums

@@ -447,6 +447,48 @@ def stream_bloom_build(docs: DataFrame, bloom_of, state_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stream_cdc_merge(changes: DataFrame, state_dir: str,
+                     checkpoint: str):
+    """Streaming CDC MERGE maintenance (the Debezium-ingest shape):
+    changelog rows (k, seq, op, price, status) arrive as a stream and
+    the maintained state is the per-key WINNER — max(struct(seq, op,
+    payload)), last-writer-wins under the (seq, op) total order the
+    batch twin (maintenance.q_cdc_merge_apply) relies on.  ``max`` is
+    a commutative IDEMPOTENT monoid, so the finalized winner relation
+    is independent of micro-batch boundaries AND of replays (a
+    re-delivered change can only re-assert the same winner) — the
+    decontamination bloom's exactly-once class, on the lakehouse
+    upsert primitive.  State is bounded by |changed keys|, never by
+    changelog length; the base-table merge happens once at finalize,
+    not per batch.
+    """
+    spark = changes.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        partial = (batch_df.groupBy("k")
+                   .agg(F.max(F.struct("seq", "op", "price", "status"))
+                         .alias("w")))
+        prevs = [v for v in _state_versions(state_dir)
+                 if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+            merged = (prev.select("k", "w").unionByName(partial)
+                      .groupBy("k").agg(F.max("w").alias("w")))
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}",
+                          ignore_errors=True)
+
+    return (changes.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def stream_inverted_index(docs: DataFrame, state_dir: str,
                           checkpoint: str):
     """Streaming LEXICAL-index maintenance — the inverted-index twin
