@@ -418,16 +418,80 @@ _FRONT_R10 = (
     "sample_coreset_kcenter",
 )
 
+# The 50 queries CORRECTNESS_r10 checked (all 50 hash-green, zero
+# err): the 11-row r10 front, the 7 r10-new ops, and 32 of the
+# r03-signed stale rotation.  Freshest driver signal — runs last.
+_CHECKED_R10 = (
+    "hybrid_retrieval_rrf", "eval_retrieval_ndcg", "retrieval_mmr_diversify",
+    "quality_ensemble_gate", "stream_inverted_index_replay", "curation_epoch_schedule",
+    "sink_schema_evolution", "behavior_cep_pattern", "text_keyphrase_rake",
+    "text_word_burstiness", "sample_coreset_kcenter", "hybrid_retrieval_rrf_ivf",
+    "pipeline_rag_index_e2e", "ivf_probe_sweep_advisor", "retrieval_prf_expansion",
+    "sink_partitioned_pruning", "stream_cdc_merge_replay", "stream_decontam_bloom_replay",
+    "sample_split_deterministic", "sample_temperature_mix", "sample_stratified_by_lang",
+    "sample_cap_per_source", "sample_weighted_reservoir", "udtf_sentences",
+    "regr_value_time", "skyline_pareto_2d", "profile_documents",
+    "validate_events", "histogram_equiwidth", "markov_transitions",
+    "triangle_count", "pagerank_copurchase", "table_diff",
+    "mv_incremental_refresh", "kmeans_embeddings", "q4_order_priority",
+    "q12_ship_delay_priority", "scalar_json", "scalar_array_hof",
+    "scalar_map_histogram", "seq_packing_gpt", "multimodal_features",
+    "sink_roundtrip_parquet", "knn_pandas_vectorized", "text_contamination_bloom",
+    "quality_classifier_hashed", "text_blocklist_filter", "sample_token_budget",
+    "shard_assignment", "stats_trimmed_mean",
+)
+
+# Round-11 front (VERDICT r10 item 1): the 49 rows whose latest driver
+# signal is r04 — the oldest cumulative signal anywhere on the 333-row
+# surface (latest-round histogram after r10: {r04: 49, r05: 47,
+# r06: 45, r07: 43, r08: 49, r09: 50, r10: 50}).  The r10 judge
+# sampled 8 of them (8/8 MATCH), but the driver row is the hard
+# signal, so all 49 run first.  embedding_pca_project leads the block:
+# its kernel changed this round (VERDICT r10 item 2 — deterministic
+# seeded orthogonal iteration with a full DuckDB value oracle,
+# replacing the rows-only eigendecomposition), so its row is both
+# stale AND code-changed.  Budget math, stated deliberately: 49 front
+# slots + this round's new never-checked ops (auto-slotted right
+# behind the front) ≈ the ~50 budget; the 47 r05-signed rows rotate
+# in r12.
+_FRONT_R11 = (
+    "embedding_pca_project",
+    "asof_nearest_error", "bpe_train_merges", "bpe_apply_compression",
+    "dedup_containment_pairs", "events_anomaly_mad",
+    "histogram_equidepth", "label_propagation",
+    "pipeline_pretraining_e2e", "rollup_time_hierarchy", "scalar_variant",
+    "sink_compact_small_files", "text_bigram_lm_score",
+    "text_heavy_hitters_cms", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_components_lsh", "ann_lsh_cosine", "division_all_priorities",
+    "agg_mode_per_group", "snapshot_latest_as_of",
+    "weighted_median_price", "abc_analysis_parts",
+    "dedup_cluster_size_histogram", "decontaminate_fuzzy_minhash",
+    "dedup_lsh_precision_report", "knn_label_vote_accuracy",
+    "ann_recall_report", "embedding_drift_report",
+    "embedding_outlier_scores", "embedding_gram_matrix",
+    "hard_negative_mining",
+    "embedding_random_projection", "text_oov_rate",
+    "quality_perplexity_buckets", "text_ngram_novelty",
+    "doc_length_log2_histogram", "text_bm25_top_terms",
+    "text_remove_boilerplate", "text_tfidf_doc_pairs",
+    "text_pmi_cooccurrence", "multimodal_dedup_exact",
+    "asof_tolerance_1h", "window_streak_longest",
+    "events_seasonality_profile", "intervals_union_active_time",
+    "window_rolling_zscore_30d", "window_cumulative_distinct_users",
+    "events_autocorrelation",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
-    front = set(_FRONT_R10)
+    front = set(_FRONT_R11)
     round_tups = (_CHECKED_R01, _CHECKED_R02, _CHECKED_R03,
                   _CHECKED_R04, _CHECKED_R05, _CHECKED_R06,
-                  _CHECKED_R07, _CHECKED_R08, _CHECKED_R09)
+                  _CHECKED_R07, _CHECKED_R08, _CHECKED_R09,
+                  _CHECKED_R10)
     rounds = [set(t) for t in round_tups]
     checked = front | set().union(*rounds)
-    ordered = {k: q[k] for k in _FRONT_R10 if k in q}
+    ordered = {k: q[k] for k in _FRONT_R11 if k in q}
     # Anything never driver-checked in any round (this round's new ops)
     # runs right behind the front block, inside the budget.
     ordered.update({k: q[k] for k in q if k not in checked})

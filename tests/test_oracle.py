@@ -50,35 +50,31 @@ def test_entry_smoke(spark):
 
 def test_queries_order_frontloads_weakest_driver_signal():
     """The driver budget caps at ~50 queries/run; the dict order must
-    put the r10 front first (the 11 r09-new rows with no driver
-    signal — VERDICT r09 item 1), then anything new this round
-    (inside the budget), then the stale rotation oldest-first (the 32
-    r03-signed rows next), with the freshest signal (r09) last."""
+    put the r11 front first (the 49 rows whose latest driver signal
+    is r04 — VERDICT r10 item 1, with the code-changed
+    embedding_pca_project leading), then anything new this round
+    directly behind, with the freshest signal (r10) last."""
     names = list(QUERIES)
-    front = [n for n in entrymod._FRONT_R10 if n in QUERIES]
+    front = [n for n in entrymod._FRONT_R11 if n in QUERIES]
     checked = [set(entrymod._CHECKED_R01), set(entrymod._CHECKED_R02),
                set(entrymod._CHECKED_R03), set(entrymod._CHECKED_R04),
                set(entrymod._CHECKED_R05), set(entrymod._CHECKED_R06),
                set(entrymod._CHECKED_R07), set(entrymod._CHECKED_R08),
-               set(entrymod._CHECKED_R09)]
+               set(entrymod._CHECKED_R09), set(entrymod._CHECKED_R10)]
     assert names[:len(front)] == front
-    assert len(front) == 11
+    assert len(front) == 49
+    # the front is exactly the rows whose LATEST driver row is r04:
+    # checked in r04, never re-checked in r05-r10
+    later = set().union(*checked[4:])
+    r04_latest = (checked[3] & set(QUERIES)) - later
+    assert set(front) == r04_latest
+    assert front[0] == "embedding_pca_project"  # code-changed this round
     anychecked = set().union(*checked)
-    # the front is exactly the 11 rows with no driver row in r01-r09
-    # that existed last round (item 1's "done" criterion)
-    assert all(n not in anychecked for n in front)
     never = [n for n in names
              if n not in anychecked and n not in set(front)]
     if never:  # new-this-round queries directly after the front block
         assert max(names.index(n) for n in never) < len(front) + len(never)
-    # front + new + the 32 oldest-signal (r03-freshest) rows all fit
-    # the ~50 budget
-    later = set().union(*checked[3:])
-    r03_oldest = (checked[2] & set(QUERIES)) - later - set(front)
-    budget = set(names[:len(front) + len(never) + len(r03_oldest)])
-    assert r03_oldest <= budget
-    assert len(front) + len(never) + len(r03_oldest) <= 51
     # freshest signal runs last
-    tail = (checked[8] & set(QUERIES)) - set(front)
+    tail = (checked[9] & set(QUERIES)) - set(front)
     assert set(names[-len(tail):]) == tail
     assert len(names) == len(set(names))
