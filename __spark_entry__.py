@@ -5,12 +5,13 @@ queries()     — every implemented operator (SURVEY.md §2 + north-star
                 extensions), (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query; entries omitted only
                 for the 3 ops whose kernels are genuinely not
-                SQL-expressible (the engine-specific HLL and GK
-                sketches, and the eigendecomposition inside
-                embedding_pca_project — whose distributed sufficient
-                statistic, embedding_gram_matrix, IS fully oracled) —
-                those get the driver's rows-only check and are pinned
-                against ground truth in tests/.
+                SQL-expressible (the engine-specific HLL x2 and GK
+                sketches) — those get the driver's rows-only check and
+                are pinned against ground truth in tests/.
+                embedding_pca_project gained a full value oracle in
+                r11: its kernel is a PCA_ROUNDS-round seeded
+                orthogonal iteration whose recurrence DuckDB re-runs
+                in matching IEEE op order.
 """
 
 from __future__ import annotations

@@ -230,11 +230,14 @@ HEADLINE = [
 # Drift guard for the frozen comparator: every frozen name must still
 # be benched (crawl_json_sum is timed separately from HEADLINE), and
 # the set size is pinned — fail LOUDLY instead of silently skewing the
-# round-over-round number.
-assert len(FROZEN_87) == 87 and len(set(FROZEN_87)) == 87, \
-    "FROZEN_87 must stay exactly the 87 r07-surface names"
+# round-over-round number.  Explicit raises, not asserts: `python -O`
+# strips asserts, which would silently disable this contract
+# (r10 advice item 4).
+if len(FROZEN_87) != 87 or len(set(FROZEN_87)) != 87:
+    raise RuntimeError("FROZEN_87 must stay exactly the 87 r07-surface names")
 _missing = set(FROZEN_87) - set(HEADLINE) - {"crawl_json_sum"}
-assert not _missing, f"frozen comparator names left the bench: {_missing}"
+if _missing:
+    raise RuntimeError(f"frozen comparator names left the bench: {_missing}")
 
 N_CRAWL_FILES = 2000
 
@@ -336,29 +339,70 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    # Key order matters operationally: the driver's log capture has
-    # truncated the FRONT of this (long) line before (BENCH_r05's tail
-    # lost the headline total) — emit the big per-query dict first and
-    # the {"metric","value"} summary LAST so a surviving tail always
-    # contains the totals.
-    out = {
-        "queries": timings,
-        "sf": sf_val,
-    }
-    if errors:
-        out["errors"] = errors
-    out["unit"] = "sec"
     # Two totals (r08 verdict item 8): the headline grew 52s -> 74s ->
     # 152s purely by ADDING queries, making round-over-round comparison
     # a manual tail-diff.  value_frozen87 totals the FROZEN r07 bench
     # surface (the 86 pre-r08 headline queries + crawl_json_sum) — the
     # stable cross-round comparator; value stays the full-surface total.
     frozen = set(FROZEN_87)
-    out["n_frozen87"] = sum(1 for n in timings if n in frozen)
-    out["value_frozen87"] = round(
-        sum(s for n, s in timings.items() if n in frozen), 3)
+    n_frozen = sum(1 for n in timings if n in frozen)
+    value_frozen = round(sum(s for n, s in timings.items() if n in frozen), 3)
+    total = round(sum(timings.values()), 3)
+
+    # Full-precision record, ALL queries, to a sidecar file: the
+    # driver's log capture keeps only the last ~2000 chars of stdout,
+    # so a 140-query map at 3 decimals (~5KB) always clipped mid-JSON
+    # (BENCH_r09/r10 `parsed: null`).  The sidecar carries the
+    # complete map; the stdout line below is budgeted to FIT the
+    # capture so it always parses whole.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_PATH",
+        os.path.join(repo_root, "tools", "bench_latest_full.json"))
+    full = {
+        "queries": timings,
+        "sf": sf_val,
+        "unit": "sec",
+        "n_frozen87": n_frozen,
+        "value_frozen87": value_frozen,
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+    }
+    if errors:
+        full["errors"] = errors
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the totals
+
+    # The ONE stdout line.  Key order matters operationally: totals
+    # LAST so even a tail-keeps-end truncation preserves them; the
+    # per-query map is filled greedily most-expensive-first at one
+    # decimal and stops before the serialized line exceeds the
+    # capture budget, so the line as a whole stays parseable.
+    out: dict = {
+        "queries": {},
+        "queries_omitted": 0,
+        "queries_full": os.path.relpath(full_path, repo_root),
+        "sf": sf_val,
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+        out["errors"] = {k: errors[k][:80] for k in sorted(errors)[:3]}
+    out["unit"] = "sec"
+    out["n_queries"] = len(timings)
+    out["n_frozen87"] = n_frozen
+    out["value_frozen87"] = value_frozen
     out["metric"] = "headline_queries_total_runtime"
-    out["value"] = round(sum(timings.values()), 3)
+    out["value"] = total
+    LINE_BUDGET = 1850   # driver capture observed at ~2000 chars
+    for name, t in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        out["queries"][name] = round(t, 1)
+        if len(json.dumps(out)) > LINE_BUDGET:
+            del out["queries"][name]
+            out["queries_omitted"] += 1
     print(json.dumps(out))
 
 

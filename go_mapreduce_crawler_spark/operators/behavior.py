@@ -778,9 +778,17 @@ CEP_MAX_EVENTS = 1 << 25   # loud cap on one user's sequence length
 # The pattern constants are format-injected into BOTH engines' SQL
 # (java.util.regex on the Spark side, RE2 in DuckDB), so they must
 # stay inside the shared backtracking-free semantics class: no
-# backreferences, no lookaround (RE2 rejects them; java.util.regex
-# would silently accept and diverge).
-_RE2_UNSAFE = _re.compile(r"\\\d|\(\?<?[=!]")
+# backreferences (numeric \1 or named \k<name>), no lookaround, no
+# atomic groups (?>...), no possessive quantifiers (a++/a*+/a?+/
+# a{n,m}+) — RE2 rejects them; java.util.regex would silently accept
+# and diverge (r10 advice item 2).
+_RE2_UNSAFE = _re.compile(
+    r"\\\d"             # numeric backreference
+    r"|\\k<"            # named backreference
+    r"|\(\?<?[=!]"      # lookahead / lookbehind
+    r"|\(\?>"           # atomic group
+    r"|[+*?}]\+"        # possessive quantifier
+)
 
 
 def _assert_re2_safe(pat: str) -> None:

@@ -22,6 +22,20 @@ FACTOR = 2.0
 SLACK_SEC = 0.3
 
 
+def _known_query_names() -> set[str] | None:
+    """The bench's query-name universe, for sanity-checking recovered
+    keys (r10 advice item 3).  Lazy: importing bench pulls pyspark;
+    only the tail-recovery fallback pays that cost.  None = could not
+    resolve (don't filter)."""
+    try:
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        import bench
+        return set(bench.HEADLINE) | {"crawl_json_sum"}
+    except Exception:
+        return None
+
+
 def _unwrap(data: dict) -> dict:
     """Driver-recorded BENCH_r*.json nests bench.py's line under
     'parsed'; a raw bench.py line is already flat.  Some driver logs
@@ -32,7 +46,7 @@ def _unwrap(data: dict) -> dict:
         return {}
     inner = data.get("parsed", data)
     if isinstance(inner, dict):
-        return inner
+        return _merge_sidecar(inner)
     tail = data.get("tail")
     if isinstance(tail, str):
         qm = re.search(r'"queries": \{(.*?)\}', tail)
@@ -48,10 +62,42 @@ def _unwrap(data: dict) -> dict:
         qs = {k: float(v) for k, v in
               re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', body)}
         if qs:
+            # If truncation landed inside a DIFFERENT nested object,
+            # the recovered pairs are foreign keys — intersect with
+            # the known query-name universe before trusting them.
+            known = _known_query_names()
+            if known is not None:
+                qs = {k: v for k, v in qs.items() if k in known}
+        if qs:
             vm = re.search(r'"value": ([0-9.]+)', tail)
             return {"queries": qs,
                     "value": float(vm.group(1)) if vm else None}
     return {}
+
+
+def _merge_sidecar(inner: dict) -> dict:
+    """bench.py trims the stdout per-query map to fit the driver's
+    log capture and writes the complete full-precision map to a
+    sidecar ('queries_full').  Use the sidecar when it provably
+    belongs to the same run: the sidecar is overwritten per run, so
+    an old baseline's pointer may reference a NEWER run's file — the
+    totals must match before trusting it."""
+    side_rel = inner.get("queries_full")
+    if not (isinstance(side_rel, str) and inner.get("queries_omitted")):
+        return inner
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (side_rel, os.path.join(repo_root, side_rel)):
+        try:
+            side = json.load(open(cand))
+        except (OSError, ValueError):
+            continue
+        if (isinstance(side, dict) and side.get("queries")
+                and side.get("value") == inner.get("value")
+                and len(side["queries"]) == inner.get("n_queries")):
+            merged = dict(inner)
+            merged["queries"] = side["queries"]
+            return merged
+    return inner
 
 
 def latest_baseline(repo_root: str) -> str | None:
@@ -97,9 +143,16 @@ def main() -> int:
     med = ratios[len(ratios) // 2] if ratios else 1.0
     med = max(med, 1.0)     # a faster machine must not hide regressions
     bad = []
+    # A trimmed stdout line whose sidecar could not be merged has
+    # legitimately-absent cheap queries; only genuinely-full new maps
+    # can prove a query VANISHED.
+    new_trimmed = bool(new.get("queries_omitted")) and \
+        len(nq) < (new.get("n_queries") or len(nq))
     for name, old_t in sorted(bq.items()):
         t = nq.get(name)
         if t is None:
+            if new_trimmed:
+                continue
             bad.append(f"{name}: missing from new bench (baseline {old_t}s)")
         elif t > FACTOR * med * old_t + SLACK_SEC:
             bad.append(f"{name}: {t}s vs baseline {old_t}s "
