@@ -466,7 +466,19 @@ def q_stream_decontam_bloom_replay(spark, sf_dir):
     of ingest-time decontamination.
     """
     from ..streaming.stateful import stream_bloom_build
-    from .text import EVAL_MOD, bloom_partial, bloom_probe_report
+    from .text import bloom_partial
+
+    stream, state, ckpt = _bloom_stream(spark, sf_dir)
+    q = stream_bloom_build(stream, bloom_partial, state, ckpt)
+    _await_drained(q, "decontam_bloom")
+    return _bloom_finalize(spark, sf_dir, state)
+
+
+def _bloom_stream(spark, sf_dir):
+    """(stream, state, ckpt) for the eval-set bloom ingest — split out
+    so the restart-recovery test (tests/test_streaming_restart.py) can
+    kill and resume the same query the replay row runs."""
+    from .text import EVAL_MOD
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
@@ -479,8 +491,12 @@ def q_stream_decontam_bloom_replay(spark, sf_dir):
     stream = (spark.readStream.option("maxFilesPerTrigger", "1")
               .schema(docs.schema).parquet(in_dir))
     state, ckpt = _fresh_state("bloom")
-    q = stream_bloom_build(stream, bloom_partial, state, ckpt)
-    _await_drained(q, "decontam_bloom")
+    return stream, state, ckpt
+
+
+def _bloom_finalize(spark, sf_dir, state):
+    from .text import bloom_probe_report
+
     bloom = read_mv_state(spark, state)
     return bloom_probe_report(spark, sf_dir, bloom)
 
@@ -498,7 +514,17 @@ def q_stream_cdc_merge_replay(spark, sf_dir):
     checkpoints.
     """
     from ..streaming.stateful import stream_cdc_merge
-    from .maintenance import cdc_apply_winners, cdc_changelog
+
+    stream, state, ckpt = _cdc_stream(spark, sf_dir)
+    q = stream_cdc_merge(stream, state, ckpt)
+    _await_drained(q, "cdc_merge")
+    return _cdc_finalize(spark, sf_dir, state)
+
+
+def _cdc_stream(spark, sf_dir):
+    """(stream, state, ckpt) for the CDC changelog ingest — split out
+    for the restart-recovery test."""
+    from .maintenance import cdc_changelog
 
     log = cdc_changelog(spark, sf_dir)
 
@@ -510,8 +536,12 @@ def q_stream_cdc_merge_replay(spark, sf_dir):
     stream = (spark.readStream.option("maxFilesPerTrigger", "1")
               .schema(log.schema).parquet(in_dir))
     state, ckpt = _fresh_state("cdc")
-    q = stream_cdc_merge(stream, state, ckpt)
-    _await_drained(q, "cdc_merge")
+    return stream, state, ckpt
+
+
+def _cdc_finalize(spark, sf_dir, state):
+    from .maintenance import cdc_apply_winners
+
     win = (read_mv_state(spark, state)
            .select("k", "w.op", "w.price", "w.status"))
     return cdc_apply_winners(spark, sf_dir, win)
