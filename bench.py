@@ -225,6 +225,9 @@ HEADLINE = [
     "retrieval_prf_expansion",
     "stream_cdc_merge_replay",
     "sink_partitioned_pruning",
+    # r11 additions
+    "retrieval_qld_dirichlet",
+    "hybrid_qld_bm25_rrf",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

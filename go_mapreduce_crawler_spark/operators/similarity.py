@@ -1784,13 +1784,22 @@ def _bm25_salted_topk(terms, tf, dl, scal, k=HYB_TOPK,
                           _bm25_e6_expr(_lit_spark) + " AS bm25_e6"))
     lex = (cand.groupBy("q_doc", "doc_id")
                .agg(F.sum("bm25_e6").alias("score_e6")))
+    return _salted_topk(lex, k, rank_col)
+
+
+def _salted_topk(scored, k, rank_col):
+    """Per-query top-k of a (q_doc, doc_id, score_e6) relation without
+    a global window: local top-k per (q_doc, xxhash salt) bucket, then
+    one HYB_SALT*k-row fold per query.  Ties (score desc, doc_id asc).
+    No task ever holds more than one bucket's rows — the retrieval
+    family's bounded-memory ranking primitive."""
     key = F.struct((-F.col("score_e6")).alias("ns"),
                    F.col("doc_id").alias("doc_id"))
-    p1 = (lex.groupBy("q_doc",
-                      F.pmod(F.xxhash64("doc_id"),
-                             F.lit(HYB_SALT)).alias("salt"))
-             .agg(F.slice(F.array_sort(F.collect_list(key)), 1,
-                          k).alias("part")))
+    p1 = (scored.groupBy("q_doc",
+                         F.pmod(F.xxhash64("doc_id"),
+                                F.lit(HYB_SALT)).alias("salt"))
+                .agg(F.slice(F.array_sort(F.collect_list(key)), 1,
+                             k).alias("part")))
     p2 = (p1.groupBy("q_doc")
             .agg(F.slice(F.array_sort(F.flatten(F.collect_list("part"))),
                          1, k).alias("top")))
@@ -1903,7 +1912,109 @@ def q_hybrid_retrieval_rrf_ivf(spark, sf_dir):
     return _rrf_fuse(_lex_bm25_topk(spark, sf_dir), dense_rk)
 
 
+QLD_MU = 1000   # Dirichlet pseudo-count (the Anserini/INQUERY default)
+
+
+def _qld_gain_pen(lit) -> tuple[str, str]:
+    """Query-likelihood Dirichlet scoring as two engine-deterministic
+    integer micro-nat expressions (the _ln_det recipe — every log is
+    of a positive INTEGER, so both engines compute bit-identical
+    doubles and quantize to the same BIGINT).
+
+    The Dirichlet query likelihood  log((tf + MU*cf/T) / (dl + MU))
+    summed over query terms decomposes (Zhai & Lafferty 2001, the
+    Lucene/Anserini LMDirichletSimilarity form) into
+
+      sum_{t in Q and D} [ln(tf*T + MU*cf) - ln(MU*cf)]       (gain)
+      - |Q| * ln(dl + MU)                                     (penalty)
+      + |Q|-dependent constants that cancel within a query.
+
+    gain's log argument tf*T + MU*cf is an exact BIGINT (headroom:
+    T ~ 1e13 corpus tokens with tf <= 1e3 stays under 2^63 with MU*cf
+    <= 1e16 — beyond that, pre-scale T by a power of two, which only
+    shifts the cancelled constant)."""
+    gain_arg = f"(tf * total_words + {QLD_MU} * cf)"
+    smooth_arg = f"({QLD_MU} * cf)"
+    from .text import _ln_det
+    gain = (f"CAST(FLOOR(({_ln_det(gain_arg, lit)}"
+            f" - {_ln_det(smooth_arg, lit)})"
+            f" * 1000000.0 + 0.5) AS BIGINT)")
+    pen = (f"CAST(FLOOR({_ln_det(f'(dl + {QLD_MU})', lit)}"
+           f" * 1000000.0 + 0.5) AS BIGINT)")
+    return gain, pen
+
+
+def q_retrieval_qld_dirichlet(spark, sf_dir):
+    """QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (r10
+    verdict item 4 — the hybrid stack's second lexical scorer): rank
+    documents by log P(Q|D) under a Dirichlet-smoothed document
+    language model (Zhai & Lafferty, SIGIR'01; the
+    LMDirichletSimilarity every Lucene/Anserini deployment ships next
+    to BM25).  Same seed-query workload as the hybrid family
+    (each doc_id % 100 == 0 document's own top-{t} BM25 terms), so
+    the two scorers rank the same posting universe and fuse directly.
+
+    Candidates are the union of the query terms' postings (the
+    standard posting-bounded evaluation — a doc sharing no query term
+    scores only the length prior and is never surfaced).  Per-posting
+    gain and per-doc length penalty are integer micro-nats via
+    _ln_det, so the whole scorer is engine-exact and fully
+    value-oracled; ranking ties break (score desc, doc_id).
+
+    Scale: identical shape to the BM25 arm — posting-sized joins with
+    the |Q|x{t}-row term relation broadcast, collection frequencies
+    joined only for query terms (broadcast), and the two-phase salted
+    top-{k} fold; no global window, no |Q| x |corpus| relation.
+
+    Output: (q_doc, doc_id, score_e6, rk).
+    """.format(t=HYB_QTERMS, k=HYB_TOPK)
+    from .text import _lit_spark
+
+    tf, dfr, dl, scal, qterms = _bm25_base(spark, sf_dir)
+    cfq = (tf.join(qterms.select("word").distinct(), "word")
+             .groupBy("word").agg(F.sum("tf").alias("cf")))
+    qlen = qterms.groupBy("q_doc").agg(F.count(F.lit(1)).alias("qlen"))
+    gain, pen = _qld_gain_pen(_lit_spark)
+    cand = (tf.join(F.broadcast(qterms.select("q_doc", "word")), "word")
+              .filter(F.col("doc_id") != F.col("q_doc"))
+              .join(F.broadcast(cfq), "word")
+              .crossJoin(F.broadcast(scal))
+              .selectExpr("q_doc", "doc_id", gain + " AS gain_e6"))
+    m = (cand.groupBy("q_doc", "doc_id")
+             .agg(F.sum("gain_e6").alias("match_e6")))
+    scored = (m.join(dl, "doc_id")
+               .join(F.broadcast(qlen), "q_doc")
+               .selectExpr("q_doc", "doc_id",
+                           f"match_e6 - qlen * {pen} AS score_e6"))
+    return (_salted_topk(scored, HYB_TOPK, "rk")
+            .select("q_doc", "doc_id", "score_e6", "rk"))
+
+
+def q_hybrid_qld_bm25_rrf(spark, sf_dir):
+    """Two-scorer LEXICAL hybrid: BM25 and query-likelihood-Dirichlet
+    rank the same posting universe for the same seed queries, fused
+    with the family's integer reciprocal-rank fusion (_rrf_fuse
+    verbatim; qld_rk rides the fuse's second slot).  The production
+    rationale: BM25's tf saturation and QLD's length prior fail on
+    different documents, and RRF needs no score calibration between
+    them — the same reason the dense hybrid exists, applied across
+    lexical model families.  Both arms integer-exact => fully
+    value-oracled.
+
+    Output: (q_doc, doc_id, lex_rk, qld_rk, rrf_e9, rk).
+    """
+    tf, dfr, dl, scal, qterms = _bm25_base(spark, sf_dir)
+    lex = _bm25_salted_topk(qterms, tf, dl, scal)
+    qld = (q_retrieval_qld_dirichlet(spark, sf_dir)
+           .select("q_doc", "doc_id", F.col("rk").alias("dense_rk")))
+    return (_rrf_fuse(lex.select("q_doc", "doc_id", "lex_rk"), qld)
+            .select("q_doc", "doc_id", "lex_rk",
+                    F.col("dense_rk").alias("qld_rk"), "rrf_e9", "rk"))
+
+
 QUERIES = {
+    "retrieval_qld_dirichlet": q_retrieval_qld_dirichlet,
+    "hybrid_qld_bm25_rrf": q_hybrid_qld_bm25_rrf,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "hybrid_retrieval_rrf_ivf": q_hybrid_retrieval_rrf_ivf,
     "pipeline_rag_index_e2e": q_pipeline_rag_index,
@@ -2136,6 +2247,66 @@ def _hybrid_rrf_oracle(dense: str = "exact") -> str:
 
 ORACLE["hybrid_retrieval_rrf"] = _hybrid_rrf_oracle()
 ORACLE["hybrid_retrieval_rrf_ivf"] = _hybrid_rrf_oracle("ivf")
+
+
+def _qld_oracle_ctes() -> str:
+    """The QLD arm's CTE suffix (collection frequencies + posting
+    gains + length penalty + salted-equivalent ranked top-k as
+    `qldrk`) — appended after _lex_oracle_ctes' prefix, whose tf/dl/
+    scal/qterms it reuses verbatim."""
+    from .text import _lit_duck
+
+    gain, pen = _qld_gain_pen(_lit_duck)
+    return f"""
+    cfr AS MATERIALIZED (
+        SELECT word, SUM(tf)::BIGINT AS cf FROM tf
+        WHERE word IN (SELECT word FROM qterms) GROUP BY 1),
+    qcand AS (
+        SELECT qt.q_doc, tf.doc_id, {gain} AS gain_e6
+        FROM tf JOIN qterms qt USING (word)
+                JOIN cfr USING (word), scal
+        WHERE tf.doc_id <> qt.q_doc),
+    qlen AS (SELECT q_doc, COUNT(*)::BIGINT AS qlen
+             FROM qterms GROUP BY 1),
+    qmatch AS (SELECT q_doc, doc_id, SUM(gain_e6)::BIGINT AS match_e6
+               FROM qcand GROUP BY 1, 2),
+    qscored AS (
+        SELECT m.q_doc, m.doc_id,
+               (m.match_e6 - ql.qlen * {pen})::BIGINT AS score_e6
+        FROM qmatch m JOIN dl ON dl.doc_id = m.doc_id
+                      JOIN qlen ql ON ql.q_doc = m.q_doc),
+    qldrk AS MATERIALIZED (
+        SELECT q_doc, doc_id, score_e6, qld_rk FROM (
+            SELECT q_doc, doc_id, score_e6,
+                   ROW_NUMBER() OVER (PARTITION BY q_doc
+                                      ORDER BY score_e6 DESC, doc_id)
+                       AS qld_rk
+            FROM qscored)
+        WHERE qld_rk <= {HYB_TOPK})"""
+
+
+ORACLE["retrieval_qld_dirichlet"] = f"""
+    WITH {_lex_oracle_ctes()},{_qld_oracle_ctes()}
+    SELECT q_doc, doc_id, score_e6, qld_rk AS rk FROM qldrk
+"""
+
+ORACLE["hybrid_qld_bm25_rrf"] = f"""
+    WITH {_lex_oracle_ctes()},{_qld_oracle_ctes()},
+    fused AS (
+        SELECT COALESCE(l.q_doc, d.q_doc) AS q_doc,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rk, d.qld_rk,
+               (COALESCE(1000000000 // ({RRF_K} + l.lex_rk), 0)
+                + COALESCE(1000000000 // ({RRF_K} + d.qld_rk), 0)
+               )::BIGINT AS rrf_e9
+        FROM lexrk l FULL OUTER JOIN qldrk d
+          ON l.q_doc = d.q_doc AND l.doc_id = d.doc_id)
+    SELECT q_doc, doc_id, lex_rk, qld_rk, rrf_e9, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc
+                                     ORDER BY rrf_e9 DESC, doc_id) AS rk
+        FROM fused)
+    WHERE rk <= {HYB_TOPK}
+"""
 
 
 def _ndcg_oracle() -> str:

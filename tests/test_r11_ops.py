@@ -1,0 +1,187 @@
+"""Ground-truth / property tests for the r11 additions: the
+query-likelihood Dirichlet retrieval scorer (r10 verdict item 4),
+its rank relationship to the BM25 arm, and the two-scorer lexical
+RRF hybrid.  (The checkpoint restart-recovery leg lives in
+tests/test_streaming_restart.py; the pca iteration pin in
+tests/test_extensions.py.)
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from go_mapreduce_crawler_spark.operators import similarity
+from go_mapreduce_crawler_spark.operators.similarity import (HYB_QTERMS,
+                                                             HYB_TOPK,
+                                                             QLD_MU,
+                                                             RRF_K)
+
+
+def _corpus_stats(spark, sf):
+    """Pure-Python tokenization + stats — independent of both the
+    Spark relations and the DuckDB oracle."""
+    from go_mapreduce_crawler_spark.operators.text import _docs
+
+    docs = {r.doc_id: r.text.split(" ")
+            for r in _docs(spark, sf).select("doc_id", "text").collect()}
+    tf = {}
+    for d, toks in docs.items():
+        for t in toks:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    dl = {d: len(toks) for d, toks in docs.items()}
+    cf = {}
+    for (_, t), c in tf.items():
+        cf[t] = cf.get(t, 0) + c
+    total = sum(dl.values())
+    return tf, dl, cf, total
+
+
+def _py_ln(n: int) -> float:
+    """The _ln_det recurrence in Python — same fixed-order atanh
+    series, so it reproduces the engines' doubles bit-for-bit."""
+    e = n.bit_length() - 1
+    m = float(n) / (2.0 ** e)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    poly = 1.0 / 15.0
+    for k in (13, 11, 9, 7, 5, 3):
+        poly = (1.0 / k) + t2 * poly
+    lnm = 2.0 * t * (1.0 + t2 * poly)
+    return lnm + float(e) * math.log(2)
+
+
+def test_qld_scores_match_python_reference(spark, sf_small):
+    """Every (q_doc, doc_id, score_e6) row of the QLD top-k must equal
+    a from-scratch Python recomputation of the Dirichlet query
+    likelihood (posting-bounded candidates, integer micro-nat
+    quantization, (score desc, doc_id) ties)."""
+    tf, dl, cf, total = _corpus_stats(spark, sf_small)
+    qterms = defaultdict(list)
+    tfq, _, _, _, qt = similarity._bm25_base(spark, sf_small)
+    for r in qt.collect():
+        qterms[r.q_doc].append(r.word)
+
+    got = defaultdict(list)
+    for r in similarity.q_retrieval_qld_dirichlet(
+            spark, sf_small).collect():
+        got[r.q_doc].append((r.rk, r.doc_id, r.score_e6))
+
+    assert set(got) == set(qterms)
+    for q, terms in qterms.items():
+        scores = defaultdict(int)
+        docs_hit = set()
+        for t in terms:
+            for (d, w), n in tf.items():
+                if w == t and d != q:
+                    docs_hit.add(d)
+                    gain = (_py_ln(n * total + QLD_MU * cf[t])
+                            - _py_ln(QLD_MU * cf[t]))
+                    scores[d] += math.floor(gain * 1e6 + 0.5)
+        want = []
+        for d in docs_hit:
+            pen = math.floor(_py_ln(dl[d] + QLD_MU) * 1e6 + 0.5)
+            want.append((d, scores[d] - len(terms) * pen))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        want = [(i + 1, d, s) for i, (d, s) in
+                enumerate(want[:HYB_TOPK])]
+        assert sorted(got[q]) == want, (q, sorted(got[q])[:3], want[:3])
+
+
+def test_qld_bm25_rank_relationship_pinned(spark, sf_small):
+    """The two lexical scorers must measure the SAME match signal:
+    per-query Spearman between full-candidate BM25 and QLD scores is
+    pinned STRONGLY NEGATIVE on this corpus — every vocabulary term
+    appears in ~76% of documents, so Robertson idf is negative for
+    every query term and BM25 ranks matching documents LAST (the
+    degeneracy Lucene clamps idf>=0 for), while QLD's smoothed
+    likelihood always rewards matches.  |rho| >= 0.3 per query and
+    mean rho <= -0.5 (measured -0.68 at sf0.001, -0.75 at sf0.01);
+    a natural positive-idf workload flips the sign, not the
+    magnitude.  This anti-correlation is also why fusing them (the
+    hybrid row) is informative rather than redundant."""
+    tfr, dfr, dlr, scal, qt = similarity._bm25_base(spark, sf_small)
+    lex = similarity._bm25_salted_topk(
+        qt, tfr, dlr, scal, k=10 ** 9, rank_col="lex_rk")
+    bm25 = {(r.q_doc, r.doc_id): r.score_e6 for r in lex.collect()}
+
+    # full-candidate QLD scores: rebuild without the top-k cut
+    tf, dl, cf, total = _corpus_stats(spark, sf_small)
+    qterms = defaultdict(list)
+    for r in qt.collect():
+        qterms[r.q_doc].append(r.word)
+    rhos = []
+    for q, terms in qterms.items():
+        qld = defaultdict(int)
+        for t in terms:
+            for (d, w), n in tf.items():
+                if w == t and d != q:
+                    gain = (_py_ln(n * total + QLD_MU * cf[t])
+                            - _py_ln(QLD_MU * cf[t]))
+                    qld[d] += math.floor(gain * 1e6 + 0.5)
+        for d in list(qld):
+            pen = math.floor(_py_ln(dl[d] + QLD_MU) * 1e6 + 0.5)
+            qld[d] -= len(terms) * pen
+        common = sorted(set(qld) & {dd for (qq, dd) in bm25 if qq == q})
+        n = len(common)
+        assert n >= 20, f"query {q} has only {n} shared candidates"
+
+        def ranks(vals):
+            order = sorted(range(n), key=lambda i: vals[i])
+            out = [0.0] * n
+            i = 0
+            while i < n:
+                j = i
+                while j + 1 < n and vals[order[j + 1]] == vals[order[i]]:
+                    j += 1
+                for t_ in range(i, j + 1):
+                    out[order[t_]] = (i + j) / 2
+                i = j + 1
+            return out
+
+        xs = ranks([bm25[(q, d)] for d in common])
+        ys = ranks([qld[d] for d in common])
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        vx = sum((a - mx) ** 2 for a in xs)
+        vy = sum((b - my) ** 2 for b in ys)
+        rho = cov / (vx * vy) ** 0.5
+        rhos.append(rho)
+        assert abs(rho) >= 0.3, (q, rho)
+    mean_rho = sum(rhos) / len(rhos)
+    assert mean_rho <= -0.5, rhos
+
+
+def test_hybrid_qld_bm25_rrf_arithmetic(spark, sf_small):
+    """Every fused row's rrf_e9 must equal the integer reciprocal-rank
+    sum of its arms' ranks, rank must be dense per query from 1, and
+    every both-arm doc must outrank any single-arm doc with weaker
+    combined evidence."""
+    lexr = {}
+    tfr, dfr, dlr, scal, qt = similarity._bm25_base(spark, sf_small)
+    for r in similarity._bm25_salted_topk(qt, tfr, dlr, scal).collect():
+        lexr[(r.q_doc, r.doc_id)] = r.lex_rk
+    qldr = {(r.q_doc, r.doc_id): r.rk
+            for r in similarity.q_retrieval_qld_dirichlet(
+                spark, sf_small).collect()}
+    fused = similarity.q_hybrid_qld_bm25_rrf(spark, sf_small).collect()
+    assert fused
+    byq = defaultdict(list)
+    for r in fused:
+        want = ((10 ** 9 // (RRF_K + lexr[(r.q_doc, r.doc_id)])
+                 if (r.q_doc, r.doc_id) in lexr else 0)
+                + (10 ** 9 // (RRF_K + qldr[(r.q_doc, r.doc_id)])
+                   if (r.q_doc, r.doc_id) in qldr else 0))
+        assert r.rrf_e9 == want, (r, want)
+        assert (r.lex_rk is not None) == ((r.q_doc, r.doc_id) in lexr)
+        assert (r.qld_rk is not None) == ((r.q_doc, r.doc_id) in qldr)
+        byq[r.q_doc].append(r)
+    for q, rows in byq.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= HYB_TOPK
+        # fused order follows (rrf desc, doc_id)
+        keys = [(-r.rrf_e9, r.doc_id) for r in rows]
+        assert keys == sorted(keys)

@@ -11,6 +11,9 @@ from pyspark.sql import SparkSession
 NEW = [
     # r11 code-changed ops (fixed-round orthogonal-iteration PCA)
     "embedding_pca_project",
+    # r11 new ops
+    "retrieval_qld_dirichlet",
+    "hybrid_qld_bm25_rrf",
 ]
 SF = "/root/testdata/sf0.01"
 
