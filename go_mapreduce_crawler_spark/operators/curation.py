@@ -575,21 +575,24 @@ UNIG_ROUNDS = 3   # hard-EM rounds
 UNIG_MAXW = 12    # word-length unroll bound shared with the oracle
 
 
-def _unig_costs(spark, vocab):
+def _unig_costs(vocab):
     """{piece: cost} in integer micro-nats, cost = round((ln(total) -
-    ln(cnt)) * 1e6) — both ln's through the ENGINE-evaluated _ln_det
-    (collected from a vocab-sized Spark job), so the integers the
-    Python DP compares are bit-identical to what the DuckDB twin
-    derives with _lit_duck."""
-    from .text import _ln_det, _lit_spark
+    ln(cnt)) * 1e6), through _ln_det_py — the pure-Python replica of
+    the engines' _ln_det recurrence (bit-identical IEEE op order;
+    floor(x*1e6 + 0.5) equals Spark/DuckDB round(x*1e6, 0) HALF_UP
+    for these positive sub-2^52 magnitudes, verified value-for-value
+    against the engine form on the v1k vocab).  Driver-side so each
+    EM round skips a vocab-sized Spark job — the integers the Python
+    DP compares stay bit-identical to what the DuckDB twin derives
+    with _lit_duck (r10 verdict item 7)."""
+    import math as _m
+
+    from .text import _ln_det_py
 
     total = sum(c for _, c in vocab)
-    vdf = spark.createDataFrame(vocab, "piece string, cnt long")
-    expr = (f"CAST(round(({_ln_det(str(total), _lit_spark)}"
-            f" - {_ln_det('cnt', _lit_spark)}) * 1e6, 0) AS BIGINT)")
-    return {r.piece: r.cost_un
-            for r in vdf.selectExpr("piece",
-                                    f"{expr} AS cost_un").collect()}
+    lt = _ln_det_py(total)
+    return {p: int(_m.floor((lt - _ln_det_py(c)) * 1e6 + 0.5))
+            for p, c in vocab}
 
 
 def _viterbi_kernel(costs):
@@ -735,8 +738,17 @@ _unigram_words.__doc__ = _unigram_words.__doc__.replace(
 def _unigram_train(spark, sf_dir, v: int = UNIG_V,
                    rounds: int = UNIG_ROUNDS, chunked: bool = False):
     """The trainer loop (seed + hard-EM rounds); returns
-    (distinct-word DataFrame, final vocab list)."""
-    words = _unigram_words(spark, sf_dir, chunked)
+    (distinct-word DataFrame, final vocab list).
+
+    The compacted distinct-word relation is persisted across the EM
+    rounds (r10 verdict item 7): it feeds the unroll guard, the
+    candidate seeding, and every round's Viterbi pass — without the
+    cache each pass re-runs the chunk-explode + distinct agg against
+    the corpus scan (rounds+2 redundant corpus passes; the relation
+    itself is Heaps-sublinear and fits executor storage by
+    construction).  Unpersisted before return — downstream consumers
+    re-derive it lazily."""
+    words = _unigram_words(spark, sf_dir, chunked).persist()
     # Loud unroll-bound guard (r07 ADVICE item 1): UNIG_MAXW bounds the
     # ORACLE's unrolled DP only — the Spark kernels are unbounded — so
     # a corpus word longer than the bound would silently vanish from
@@ -767,7 +779,7 @@ def _unigram_train(spark, sf_dir, v: int = UNIG_V,
     vocab = ([(r.piece, r.cnt) for r in multi.collect()]
              + [(r.piece, r.cnt) for r in chars.collect()])
     for _ in range(rounds):
-        costs = _unig_costs(spark, vocab)
+        costs = _unig_costs(vocab)
         usage = {r.piece: r.usage for r in
                  (words.select("w", "c")
                        .mapInPandas(_viterbi_kernel(costs),
@@ -778,6 +790,7 @@ def _unigram_train(spark, sf_dir, v: int = UNIG_V,
                   if len(p) > 1 and usage.get(p, 0) > 0]
                  + [(p, max(usage.get(p, 0), 1)) for (p, _) in vocab
                     if len(p) == 1])
+    words.unpersist()
     return words, vocab
 
 
@@ -831,7 +844,7 @@ def q_unigram_lm_apply(spark, sf_dir):
     one keyed join + one doc agg, no payload ever reaches the DP.
     """
     words, vocab = _unigram_train(spark, sf_dir)
-    costs = _unig_costs(spark, vocab)
+    costs = _unig_costs(vocab)
     wp = (words.select("w")
                .mapInPandas(_viterbi_len_kernel(costs),
                             "w string, n_pieces int, cost_un long")
@@ -868,7 +881,7 @@ def q_corpus_domain_mixture(spark, sf_dir):
     relation, so the mixture math is metadata-sized.
     """
     words, vocab = _unigram_train(spark, sf_dir)
-    costs = _unig_costs(spark, vocab)
+    costs = _unig_costs(vocab)
     wp = (words.select("w")
                .mapInPandas(_viterbi_len_kernel(costs),
                             "w string, n_pieces int, cost_un long")

@@ -52,6 +52,24 @@ def _ln_det(n: str, lit) -> str:
     return f"({lnm} + CAST({e} AS DOUBLE) * {lit(_LN2)})"
 
 
+def _ln_det_py(n: int) -> float:
+    """_ln_det's recurrence in pure Python — the SAME fixed-order IEEE
+    op sequence (exact power-of-two mantissa split, atanh series,
+    Horner in the same association), so it returns the bit-identical
+    double both engines' SQL form evaluates.  Lets driver-side loops
+    (the unigram trainer's per-round costs) skip a vocab-sized Spark
+    job without leaving the engine-deterministic contract."""
+    e = n.bit_length() - 1
+    m = float(n) / (2.0 ** e)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    poly = 1.0 / 15.0
+    for k in (13, 11, 9, 7, 5, 3):
+        poly = (1.0 / k) + t2 * poly
+    lnm = 2.0 * t * (1.0 + t2 * poly)
+    return lnm + float(e) * _LN2
+
+
 def _lit_spark(x: float) -> str:
     return repr(float(x)) + "D"
 
