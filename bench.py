@@ -228,6 +228,7 @@ HEADLINE = [
     # r11 additions
     "retrieval_qld_dirichlet",
     "hybrid_qld_bm25_rrf",
+    "kmv_theta_setops",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

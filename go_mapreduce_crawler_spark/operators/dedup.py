@@ -2034,3 +2034,196 @@ ORACLE["dedup_family_overlap"] = (
     + _OVERLAP_ROW.format(a="jaccard", b="minhash")
     + " UNION ALL " + _OVERLAP_ROW.format(a="jaccard", b="simhash")
     + " UNION ALL " + _OVERLAP_ROW.format(a="minhash", b="simhash"))
+
+
+KMV_K = 32          # sketch size — small enough that BOTH the exact
+                    # (unsaturated) and estimator (saturated) paths are
+                    # exercised at the test SFs (25 distinct docs per
+                    # source at sf0.01, 250 at sf0.1); production runs
+                    # raise it (error ~ 1/sqrt(K))
+KMV_SALT = 16       # phase-1 merge fan-in
+_KMV_SPACE = 1 << 60   # hash space: 15 md5 hex chars, uniform [0, 2^60)
+
+
+def q_kmv_theta_setops(spark, sf_dir):
+    """KMV/THETA-SKETCH SET OPERATIONS across corpus sources — the
+    dedup-planning estimator: for every source pair, estimate distinct
+    document counts, union, intersection, and A-only/B-only
+    differences from {k}-minimum-value sketches instead of exact
+    distinct aggs.  This is the question a 100 TB multi-source ingest
+    asks BEFORE running dedup ("how much does source B add beyond
+    A?"), answerable from metadata-sized sketches; unlike HLL, the
+    theta/KMV form supports intersection and difference (the
+    Datasketches A-not-B primitive).
+
+    Fully deterministic, unlike the engine-specific HLL rows: the
+    "random" hash is md5's first 15 hex chars as a 60-bit integer —
+    identical in both engines — and a KMV sketch is an order statistic
+    (the K smallest values), not a sampled structure.  Estimators are
+    the textbook theta forms with theta* = LEAST over the pair's
+    per-source thresholds (theta_s = the K-th minimum when the source
+    saturated its sketch, else the full hash space — which makes the
+    same single formula exact when nothing saturated):
+    est(pred) = |{{h in sketch-union : h < theta*, pred}}| * 2^60 DIV
+    theta*.  All integer: the count widens to DECIMAL(38,0) before the
+    2^60 multiply (counts <= {k} keep it far inside 38 digits).
+
+    Scale: one distinct (source, h) agg over the corpus (the same
+    shuffle any per-source dedup pass pays), then a salted two-phase
+    K-smallest — ROW_NUMBER over (source, h % {s}) buckets (spillable
+    sort, <= {k} rows kept per bucket), merged by a second window over
+    the {s}x{k}-row survivors.  Everything downstream (pair cross of
+    the ~|sources|-row sketch relation, flag union, estimates) is
+    metadata-sized — no corpus-scale join anywhere.
+
+    Output: (src_a, src_b, est_a, est_b, est_union, est_inter,
+    est_a_only, est_b_only, jaccard_permille_est).
+    """.format(k=KMV_K, s=KMV_SALT)
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+    keys = d.selectExpr("source", f"{h} AS h").distinct()
+    w1 = (W.partitionBy("source", F.pmod(F.col("h"), F.lit(KMV_SALT)))
+           .orderBy("h"))
+    p1 = (keys.withColumn("rn", F.row_number().over(w1))
+              .filter(F.col("rn") <= KMV_K).drop("rn"))
+    w2 = W.partitionBy("source").orderBy("h")
+    sk = (p1.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= KMV_K))
+    theta = (sk.groupBy("source")
+               .agg(F.max("rn").alias("n_s"),
+                    F.max(F.when(F.col("rn") == KMV_K, F.col("h")))
+                     .alias("h_k"))
+               .selectExpr(
+                   "source",
+                   f"CASE WHEN n_s = {KMV_K} THEN h_k"
+                   f" ELSE {_KMV_SPACE}L END AS th"))
+    scale = (f"CAST((CAST({{c}} AS DECIMAL(38,0)) * {_KMV_SPACE})"
+             f" DIV {{t}} AS BIGINT)")
+    est1 = (sk.join(theta, "source")
+              .filter(F.col("h") < F.col("th"))
+              .groupBy("source", "th")
+              .agg(F.count(F.lit(1)).alias("c_s"))
+              .selectExpr("source",
+                          scale.format(c="c_s", t="th")
+                          + " AS est_distinct"))
+    srcs = sk.select("source").distinct()
+    pairs = (srcs.selectExpr("source AS src_a")
+                 .crossJoin(F.broadcast(srcs.selectExpr(
+                     "source AS src_b")))
+                 .filter(F.col("src_a") < F.col("src_b")))
+    va = (pairs.join(sk.selectExpr("source AS src_a", "h"), "src_a")
+               .select("src_a", "src_b", "h",
+                       F.lit(1).alias("a"), F.lit(0).alias("b")))
+    vb = (pairs.join(sk.selectExpr("source AS src_b", "h"), "src_b")
+               .select("src_a", "src_b", "h",
+                       F.lit(0).alias("a"), F.lit(1).alias("b")))
+    u = (va.unionByName(vb)
+           .groupBy("src_a", "src_b", "h")
+           .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b")))
+    pth = (pairs
+           .join(theta.selectExpr("source AS src_a", "th AS th_a"),
+                 "src_a")
+           .join(theta.selectExpr("source AS src_b", "th AS th_b"),
+                 "src_b")
+           .selectExpr("src_a", "src_b",
+                       "LEAST(th_a, th_b) AS th"))
+    cnt = (u.join(F.broadcast(pth), ["src_a", "src_b"])
+            .filter(F.col("h") < F.col("th"))
+            .groupBy("src_a", "src_b", "th")
+            .agg(F.sum(F.expr("in_a * in_b")).alias("c_i"),
+                 F.sum(F.expr("in_a * (1 - in_b)")).alias("c_a"),
+                 F.sum(F.expr("(1 - in_a) * in_b")).alias("c_b")))
+    return (cnt
+            .join(est1.selectExpr("source AS src_a",
+                                  "est_distinct AS est_a"), "src_a")
+            .join(est1.selectExpr("source AS src_b",
+                                  "est_distinct AS est_b"), "src_b")
+            .selectExpr(
+                "src_a", "src_b", "est_a", "est_b",
+                scale.format(c="(c_i + c_a + c_b)", t="th")
+                + " AS est_union",
+                scale.format(c="c_i", t="th") + " AS est_inter",
+                scale.format(c="c_a", t="th") + " AS est_a_only",
+                scale.format(c="c_b", t="th") + " AS est_b_only",
+                f"({scale.format(c='c_i', t='th')} * 1000)"
+                f" DIV GREATEST({scale.format(c='(c_i + c_a + c_b)', t='th')}, 1)"
+                " AS jaccard_permille_est"))
+
+
+QUERIES["kmv_theta_setops"] = q_kmv_theta_setops
+
+ORACLE["kmv_theta_setops"] = f"""
+    WITH keys AS MATERIALIZED (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        FROM documents),
+    p1 AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source, h % {KMV_SALT}
+                                      ORDER BY h) AS rn
+            FROM keys)
+        WHERE rn <= {KMV_K}),
+    sk AS MATERIALIZED (
+        SELECT source, h, rn FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY h) AS rn
+            FROM p1)
+        WHERE rn <= {KMV_K}),
+    theta AS MATERIALIZED (
+        SELECT source,
+               CASE WHEN MAX(rn) = {KMV_K}
+                    THEN MAX(CASE WHEN rn = {KMV_K} THEN h END)
+                    ELSE {_KMV_SPACE} END AS th
+        FROM sk GROUP BY 1),
+    est1 AS MATERIALIZED (
+        SELECT sk.source,
+               (COUNT(*)::HUGEINT * {_KMV_SPACE} // MAX(th))::BIGINT
+                   AS est_distinct
+        FROM sk JOIN theta USING (source)
+        WHERE sk.h < theta.th
+        GROUP BY 1),
+    pairs AS MATERIALIZED (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM (SELECT DISTINCT source FROM sk) a,
+             (SELECT DISTINCT source FROM sk) b
+        WHERE a.source < b.source),
+    u AS MATERIALIZED (
+        SELECT src_a, src_b, h,
+               MAX(a)::BIGINT AS in_a, MAX(b)::BIGINT AS in_b
+        FROM (
+            SELECT p.src_a, p.src_b, s.h, 1 AS a, 0 AS b
+            FROM pairs p JOIN sk s ON s.source = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, s.h, 0 AS a, 1 AS b
+            FROM pairs p JOIN sk s ON s.source = p.src_b)
+        GROUP BY 1, 2, 3),
+    pth AS MATERIALIZED (
+        SELECT p.src_a, p.src_b, LEAST(ta.th, tb.th) AS th
+        FROM pairs p JOIN theta ta ON ta.source = p.src_a
+                     JOIN theta tb ON tb.source = p.src_b),
+    cnt AS MATERIALIZED (
+        SELECT u.src_a, u.src_b, MAX(pth.th) AS th,
+               SUM(u.in_a * u.in_b)::BIGINT AS c_i,
+               SUM(u.in_a * (1 - u.in_b))::BIGINT AS c_a,
+               SUM((1 - u.in_a) * u.in_b)::BIGINT AS c_b
+        FROM u JOIN pth USING (src_a, src_b)
+        WHERE u.h < pth.th
+        GROUP BY 1, 2)
+    SELECT c.src_a, c.src_b,
+           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+           ((c.c_i + c.c_a + c.c_b)::HUGEINT * {_KMV_SPACE}
+            // c.th)::BIGINT AS est_union,
+           (c.c_i::HUGEINT * {_KMV_SPACE} // c.th)::BIGINT AS est_inter,
+           (c.c_a::HUGEINT * {_KMV_SPACE} // c.th)::BIGINT AS est_a_only,
+           (c.c_b::HUGEINT * {_KMV_SPACE} // c.th)::BIGINT AS est_b_only,
+           ((c.c_i::HUGEINT * {_KMV_SPACE} // c.th) * 1000
+            // GREATEST((c.c_i + c.c_a + c.c_b)::HUGEINT * {_KMV_SPACE}
+                        // c.th, 1))::BIGINT AS jaccard_permille_est
+    FROM cnt c
+    JOIN est1 ea ON ea.source = c.src_a
+    JOIN est1 eb ON eb.source = c.src_b
+"""

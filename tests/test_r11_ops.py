@@ -185,3 +185,67 @@ def test_hybrid_qld_bm25_rrf_arithmetic(spark, sf_small):
         # fused order follows (rrf desc, doc_id)
         keys = [(-r.rrf_e9, r.doc_id) for r in rows]
         assert keys == sorted(keys)
+
+
+def _exact_sets(spark, sf):
+    import hashlib
+
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    rows = load_table(spark, sf, "documents").select(
+        "source", "text").collect()
+    by_src = defaultdict(set)
+    for r in rows:
+        h = int(hashlib.md5(r.text.encode()).hexdigest()[:15], 16)
+        by_src[r.source].add(h)
+    return by_src
+
+
+def test_kmv_theta_exact_when_unsaturated(spark, sf_small):
+    """At sf0.001 every source holds 25 distinct docs < KMV_K=32, so
+    no sketch saturates, theta* stays the full hash space, and the
+    single estimator formula must return the EXACT distinct/union/
+    intersection/difference counts for every pair."""
+    from go_mapreduce_crawler_spark.operators import dedup
+
+    by_src = _exact_sets(spark, sf_small)
+    assert all(len(s) < dedup.KMV_K for s in by_src.values()), \
+        "fixture saturated — this test's premise changed"
+    got = {(r.src_a, r.src_b): r for r in
+           dedup.q_kmv_theta_setops(spark, sf_small).collect()}
+    srcs = sorted(by_src)
+    expect_pairs = {(a, b) for i, a in enumerate(srcs)
+                    for b in srcs[i + 1:]}
+    assert set(got) == expect_pairs
+    for (a, b), r in got.items():
+        A, B = by_src[a], by_src[b]
+        assert r.est_a == len(A) and r.est_b == len(B)
+        assert r.est_union == len(A | B), (a, b)
+        assert r.est_inter == len(A & B)
+        assert r.est_a_only == len(A - B)
+        assert r.est_b_only == len(B - A)
+        assert r.jaccard_permille_est == \
+            len(A & B) * 1000 // max(len(A | B), 1)
+
+
+def test_kmv_theta_estimator_accuracy_when_saturated(spark):
+    """At sf0.1 every source holds 250 distinct docs > KMV_K=32, so
+    every sketch saturates and the theta estimator engages: pin the
+    relative error of the union and per-source estimates within 3x
+    the KMV standard error (1/sqrt(K-2) ~ 18% -> 55%), and exact-zero
+    intersections must estimate exactly zero (no false mass)."""
+    from go_mapreduce_crawler_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.1"
+    by_src = _exact_sets(spark, sf)
+    assert all(len(s) > dedup.KMV_K for s in by_src.values())
+    rows = dedup.q_kmv_theta_setops(spark, sf).collect()
+    assert rows
+    bound = 3.0 / math.sqrt(dedup.KMV_K - 2)
+    for r in rows:
+        A, B = by_src[r.src_a], by_src[r.src_b]
+        for est, true in ((r.est_a, len(A)), (r.est_b, len(B)),
+                          (r.est_union, len(A | B))):
+            assert abs(est - true) <= bound * true, \
+                (r.src_a, r.src_b, est, true)
+        if not (A & B):
+            assert r.est_inter == 0, (r.src_a, r.src_b, r.est_inter)

@@ -14,6 +14,7 @@ NEW = [
     # r11 new ops
     "retrieval_qld_dirichlet",
     "hybrid_qld_bm25_rrf",
+    "kmv_theta_setops",
 ]
 SF = "/root/testdata/sf0.01"
 
