@@ -229,6 +229,7 @@ HEADLINE = [
     "retrieval_qld_dirichlet",
     "hybrid_qld_bm25_rrf",
     "kmv_theta_setops",
+    "stream_lateness_audit",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

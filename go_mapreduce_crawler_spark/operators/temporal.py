@@ -1453,3 +1453,94 @@ def _holt_oracle() -> str:
 
 
 ORACLE["events_holt_forecast"] = _holt_oracle()
+
+
+LATE_DELAY_MOD = 600    # synthetic network delay: 0..599s per event
+LATE_CANDS = (30, 60, 120, 300, 600)   # candidate watermark delays (s)
+_LATE_BKT_US = 3600 * 1_000_000       # hourly arrival buckets
+
+
+def q_stream_lateness_audit(spark, sf_dir):
+    """WATERMARK-LATENESS AUDIT — the report an engineer reads before
+    choosing ``withWatermark``'s delay: replay the event stream in
+    arrival order and, for each candidate delay W, count the events a
+    W-second watermark would DROP (events whose event-time trails the
+    running max event-time seen at their arrival by more than W).
+    The events fixture arrives in perfect event-time order, so arrival
+    is modeled as ts + a deterministic per-event network delay
+    (md5(event_id) % {m}s — the md5-jitter recipe); the watermark is
+    the per-event running max, the standard event-level approximation
+    of Spark's per-batch watermark advance (a batch watermark only
+    drops FEWER events, so the audit is conservative).
+
+    Scale: lateness needs a prefix max over the arrival order — done
+    with the two-level bucketed prefix (the KS/median recipe): hourly
+    arrival buckets, per-bucket running max windows (spillable sort,
+    partitioned), and a |buckets|-row cumulative-max offset relation
+    broadcast back.  No global single-partition sort at any scale;
+    the candidate-delay fan-out joins a {c}-row literal relation.
+
+    Output: one row per candidate delay —
+    (delay_s, n_dropped, n_total, drop_ppm, max_late_s).
+    """.format(m=LATE_DELAY_MOD, c=len(LATE_CANDS))
+    e = load_table(spark, sf_dir, "events")
+    base = e.selectExpr(
+        "unix_micros(ts) AS ts_us",
+        f"unix_micros(ts) + (CAST(conv(substring("
+        f"md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        f" % {LATE_DELAY_MOD}) * 1000000 AS arr_us",
+        "event_id")
+    pts = base.withColumn("bkt", F.expr(f"arr_us DIV {_LATE_BKT_US}"))
+    bmax = pts.groupBy("bkt").agg(F.max("ts_us").alias("bm"))
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bmax.select(
+        "bkt", F.max("bm").over(w_off).alias("off_max"))
+    w_in = (W.partitionBy("bkt").orderBy("arr_us", "event_id")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = (pts.join(F.broadcast(offs), "bkt")
+              .withColumn("rmax", F.greatest(
+                  F.max("ts_us").over(w_in),
+                  F.coalesce("off_max", F.lit(0))))
+              .selectExpr("(rmax - ts_us) DIV 1000000 AS late_s"))
+    cands = spark.createDataFrame([(w,) for w in LATE_CANDS],
+                                  "delay_s int")
+    return (run.crossJoin(F.broadcast(cands))
+               .groupBy("delay_s")
+               .agg(F.sum(F.expr("CASE WHEN late_s > delay_s THEN 1"
+                                 " ELSE 0 END")).alias("n_dropped"),
+                    F.count(F.lit(1)).alias("n_total"),
+                    F.max("late_s").alias("max_late_s"))
+               .selectExpr("delay_s", "n_dropped", "n_total",
+                           "(n_dropped * 1000000) DIV n_total"
+                           " AS drop_ppm",
+                           "max_late_s"))
+
+
+QUERIES["stream_lateness_audit"] = q_stream_lateness_audit
+
+ORACLE["stream_lateness_audit"] = f"""
+    WITH base AS MATERIALIZED (
+        SELECT epoch_us(ts) AS ts_us,
+               epoch_us(ts)
+               + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % {LATE_DELAY_MOD}) * 1000000 AS arr_us,
+               event_id
+        FROM events),
+    run AS MATERIALIZED (
+        SELECT (MAX(ts_us) OVER (ORDER BY arr_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - ts_us)
+               // 1000000 AS late_s
+        FROM base),
+    cands AS (SELECT unnest([{", ".join(str(w) for w in LATE_CANDS)}])
+                  AS delay_s)
+    SELECT CAST(delay_s AS INT) AS delay_s,
+           SUM(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)::BIGINT
+               AS n_dropped,
+           COUNT(*)::BIGINT AS n_total,
+           (SUM(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*))::BIGINT AS drop_ppm,
+           MAX(late_s)::BIGINT AS max_late_s
+    FROM run, cands
+    GROUP BY 1
+"""

@@ -249,3 +249,47 @@ def test_kmv_theta_estimator_accuracy_when_saturated(spark):
                 (r.src_a, r.src_b, est, true)
         if not (A & B):
             assert r.est_inter == 0, (r.src_a, r.src_b, r.est_inter)
+
+
+def test_lateness_audit_matches_python_reference(spark, sf_small):
+    """The audit must equal a from-scratch Python replay (md5 jitter,
+    arrival-order prefix max, per-delay drop counts), drop_ppm must be
+    non-increasing in the delay, and the 600s candidate must drop
+    ZERO events — the jitter bound guarantees lateness < 600s
+    (an event B arriving before A satisfies tsB - tsA <= dA - dB
+    < 600s, so the running max never leads an event's own time by a
+    full jitter span)."""
+    import hashlib
+
+    from go_mapreduce_crawler_spark.operators import temporal
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    ev = (load_table(spark, sf_small, "events")
+          .selectExpr("event_id", "unix_micros(ts) AS ts_us").collect())
+    pts = []
+    for r in ev:
+        d = int(hashlib.md5(str(r.event_id).encode())
+                .hexdigest()[:8], 16) % temporal.LATE_DELAY_MOD
+        pts.append((r.ts_us + d * 1_000_000, r.event_id, r.ts_us))
+    pts.sort()
+    want = {w: 0 for w in temporal.LATE_CANDS}
+    rmax, max_late = 0, 0
+    for arr, _eid, ts in pts:
+        rmax = max(rmax, ts)
+        late = (rmax - ts) // 1_000_000
+        max_late = max(max_late, late)
+        for w in temporal.LATE_CANDS:
+            if late > w:
+                want[w] += 1
+    got = {r.delay_s: r for r in
+           temporal.q_stream_lateness_audit(spark, sf_small).collect()}
+    assert set(got) == set(temporal.LATE_CANDS)
+    for w in temporal.LATE_CANDS:
+        assert got[w].n_dropped == want[w], (w, got[w], want[w])
+        assert got[w].n_total == len(pts)
+        assert got[w].max_late_s == max_late
+        assert got[w].drop_ppm == want[w] * 1_000_000 // len(pts)
+    ppms = [got[w].drop_ppm for w in sorted(temporal.LATE_CANDS)]
+    assert ppms == sorted(ppms, reverse=True)
+    assert got[600].n_dropped == 0
+    assert got[30].n_dropped > 0, "jitter produced no late events"

@@ -15,6 +15,7 @@ NEW = [
     "retrieval_qld_dirichlet",
     "hybrid_qld_bm25_rrf",
     "kmv_theta_setops",
+    "stream_lateness_audit",
 ]
 SF = "/root/testdata/sf0.01"
 
