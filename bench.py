@@ -230,6 +230,7 @@ HEADLINE = [
     "hybrid_qld_bm25_rrf",
     "kmv_theta_setops",
     "stream_lateness_audit",
+    "feat_target_encode_oof",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

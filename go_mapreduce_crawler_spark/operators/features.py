@@ -2545,3 +2545,102 @@ ORACLE["events_changepoint_cusum"] = """
     FROM st s JOIN p2 p ON p.event_type = s.event_type
                        AND s.j = p.n_hours
 """
+
+
+TE_FOLDS = 5        # out-of-fold split count
+TE_SMOOTH_M = 20    # prior pseudo-count (the empirical-Bayes m)
+
+
+def q_feat_target_encode_oof(spark, sf_dir):
+    """OUT-OF-FOLD TARGET ENCODING with empirical-Bayes smoothing —
+    the leakage-safe categorical encoder every tabular-ML pipeline
+    ships (a row's own fold is excluded from the mean that encodes
+    it, so the feature never sees its own target): for category
+    c = o_orderpriority, fold f = md5(o_orderkey) % {k}, the encoding
+    for fold f is
+
+      (sum_cents(c) - sum_cents(c, f) + {m} * prior_f)
+      / (n(c) - n(c, f) + {m})
+
+    where prior_f is the fold's own out-of-fold GLOBAL mean — both
+    numerator and denominator exclude fold f entirely.  Targets
+    quantize to exact integer cents (floor(x*100 + 0.5)); the one
+    division per grid cell happens on exact integers and floors to
+    micro-units, so the whole grid is engine-exact.
+
+    Scale: one partial+final agg to the (category x fold) grid
+    (|cats| x {k} rows), one to the fold grid, then broadcast
+    arithmetic — the encoder's classic one-pass property: nothing
+    but the grid ever shuffles, and applying the encoding to rows is
+    a broadcast hash join against that grid.
+
+    Output: (category, fold, n_in, n_oof, enc_e6) — n_in the fold's
+    own rows (excluded), n_oof the rows the encoding averaged.
+    """.format(k=TE_FOLDS, m=TE_SMOOTH_M)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.selectExpr(
+        "o_orderpriority AS category",
+        f"CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+        f" 16, 10) AS BIGINT) % {TE_FOLDS} AS fold",
+        "CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)"
+        " AS BIGINT) AS cents")
+    grid = (base.groupBy("category", "fold")
+                .agg(F.count(F.lit(1)).alias("n_cf"),
+                     F.sum("cents").alias("s_cf")))
+    cat = (grid.groupBy("category")
+               .agg(F.sum("n_cf").alias("n_c"),
+                    F.sum("s_cf").alias("s_c")))
+    fold = (grid.groupBy("fold")
+                .agg(F.sum("n_cf").alias("n_f"),
+                     F.sum("s_cf").alias("s_f")))
+    tot = grid.agg(F.sum("n_cf").alias("n_t"),
+                   F.sum("s_cf").alias("s_t"))
+    # prior_f (micro-cents, floored) = out-of-fold global mean
+    pri = (fold.crossJoin(F.broadcast(tot))
+               .selectExpr("fold",
+                           "CAST((CAST(s_t - s_f AS DECIMAL(38,0))"
+                           " * 1000000) DIV (n_t - n_f) AS BIGINT)"
+                           " AS prior_e6"))
+    return (grid.join(cat, "category").join(F.broadcast(pri), "fold")
+            .selectExpr(
+                "category", "CAST(fold AS INT) AS fold",
+                "n_cf AS n_in", "n_c - n_cf AS n_oof",
+                f"CAST((CAST(s_c - s_cf AS DECIMAL(38,0)) * 1000000"
+                f" + CAST({TE_SMOOTH_M} AS DECIMAL(38,0)) * prior_e6)"
+                f" DIV (n_c - n_cf + {TE_SMOOTH_M}) AS BIGINT)"
+                " AS enc_e6"))
+
+
+QUERIES["feat_target_encode_oof"] = q_feat_target_encode_oof
+
+ORACLE["feat_target_encode_oof"] = f"""
+    WITH base AS (
+        SELECT o_orderpriority AS category,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   ::BIGINT % {TE_FOLDS} AS fold,
+               CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM orders),
+    grid AS MATERIALIZED (
+        SELECT category, fold, COUNT(*)::BIGINT AS n_cf,
+               SUM(cents)::BIGINT AS s_cf
+        FROM base GROUP BY 1, 2),
+    cat AS (SELECT category, SUM(n_cf)::BIGINT AS n_c,
+                   SUM(s_cf)::BIGINT AS s_c
+            FROM grid GROUP BY 1),
+    fold AS (SELECT fold, SUM(n_cf)::BIGINT AS n_f,
+                    SUM(s_cf)::BIGINT AS s_f
+             FROM grid GROUP BY 1),
+    tot AS (SELECT SUM(n_cf)::BIGINT AS n_t, SUM(s_cf)::BIGINT AS s_t
+            FROM grid),
+    pri AS (SELECT fold.fold,
+                   ((tot.s_t - fold.s_f)::HUGEINT * 1000000
+                    // (tot.n_t - fold.n_f))::BIGINT AS prior_e6
+            FROM fold, tot)
+    SELECT g.category, CAST(g.fold AS INT) AS fold,
+           g.n_cf AS n_in, (c.n_c - g.n_cf)::BIGINT AS n_oof,
+           (((c.s_c - g.s_cf)::HUGEINT * 1000000
+             + {TE_SMOOTH_M}::HUGEINT * p.prior_e6)
+            // (c.n_c - g.n_cf + {TE_SMOOTH_M}))::BIGINT AS enc_e6
+    FROM grid g JOIN cat c USING (category) JOIN pri p ON p.fold = g.fold
+"""

@@ -293,3 +293,69 @@ def test_lateness_audit_matches_python_reference(spark, sf_small):
     assert ppms == sorted(ppms, reverse=True)
     assert got[600].n_dropped == 0
     assert got[30].n_dropped > 0, "jitter produced no late events"
+
+
+def test_target_encode_oof_matches_python_and_is_leakage_safe(
+        spark, sf_small):
+    """The (category x fold) grid must equal a from-scratch Python
+    replay (md5 folds, integer-cents sums, smoothed out-of-fold
+    means), and be leakage-safe by construction: recomputing any
+    cell's encoding after ARBITRARILY corrupting that fold's own
+    targets must not change it (the fold's rows appear in neither
+    numerator nor denominator)."""
+    import hashlib
+
+    from go_mapreduce_crawler_spark.operators import features
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_small, "orders")
+            .selectExpr("o_orderkey", "o_orderpriority",
+                        "CAST(o_totalprice AS DOUBLE) AS p").collect())
+    K, M = features.TE_FOLDS, features.TE_SMOOTH_M
+
+    def grid_of(corrupt_fold=None):
+        g = defaultdict(lambda: [0, 0])       # (cat, fold) -> [n, s]
+        for r in rows:
+            f = int(hashlib.md5(str(r.o_orderkey).encode())
+                    .hexdigest()[:8], 16) % K
+            cents = math.floor(r.p * 100 + 0.5)
+            if corrupt_fold is not None and f == corrupt_fold:
+                cents += 10 ** 9              # absurd corruption
+            cell = g[(r.o_orderpriority, f)]
+            cell[0] += 1
+            cell[1] += cents
+        return g
+
+    def encode(g):
+        cats = defaultdict(lambda: [0, 0])
+        folds = defaultdict(lambda: [0, 0])
+        nt = st = 0
+        for (c, f), (n, s) in g.items():
+            cats[c][0] += n
+            cats[c][1] += s
+            folds[f][0] += n
+            folds[f][1] += s
+            nt += n
+            st += s
+        out = {}
+        for (c, f), (n, s) in g.items():
+            prior = (st - folds[f][1]) * 1_000_000 // (nt - folds[f][0])
+            enc = ((cats[c][1] - s) * 1_000_000 + M * prior) \
+                // (cats[c][0] - n + M)
+            out[(c, f)] = (n, cats[c][0] - n, enc)
+        return out
+
+    want = encode(grid_of())
+    got = {(r.category, r.fold): (r.n_in, r.n_oof, r.enc_e6)
+           for r in features.q_feat_target_encode_oof(
+               spark, sf_small).collect()}
+    assert got == want
+    # leakage-safety: corrupting fold 2's targets must change every
+    # OTHER fold's encodings (they average fold 2's rows) but NEVER
+    # fold 2's own
+    corrupted = encode(grid_of(corrupt_fold=2))
+    for (c, f), v in want.items():
+        if f == 2:
+            assert corrupted[(c, f)] == v, (c, f)
+        else:
+            assert corrupted[(c, f)] != v, (c, f)

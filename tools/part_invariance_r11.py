@@ -16,6 +16,7 @@ NEW = [
     "hybrid_qld_bm25_rrf",
     "kmv_theta_setops",
     "stream_lateness_audit",
+    "feat_target_encode_oof",
 ]
 SF = "/root/testdata/sf0.01"
 
