@@ -231,6 +231,8 @@ HEADLINE = [
     "kmv_theta_setops",
     "stream_lateness_audit",
     "feat_target_encode_oof",
+    "approx_groupby_sample_ci",
+    "eval_retrieval_recall_mrr",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

@@ -606,3 +606,93 @@ QUERIES["reservoir_delta_refresh"] = q_reservoir_delta
 
 # direct reservoir over the POST-insert corpus: merged == rebuilt
 ORACLE["reservoir_delta_refresh"] = ORACLE["sample_weighted_reservoir"]
+
+
+AGB_MOD = 16        # deterministic 1/16 hash sample
+AGB_Z_E6 = 1_959_964   # z_{0.975} in micro-units (shared literal)
+
+
+def q_approx_groupby_sample_ci(spark, sf_dir):
+    """APPROXIMATE GROUP BY from a deterministic hash sample with
+    normal-approximation confidence intervals — the interactive-
+    exploration primitive at 100 TB (BlinkDB's contract): scan only
+    the 1/{m} sample (md5(orderkey, linenumber) % {m} == 0 — a
+    deterministic, repeatable sample, not rand()), aggregate
+    per-group integer-cent sums/squares, and report the estimated
+    mean with a 95% CI half-width so the reader knows when the
+    sample suffices and when to pay for the exact scan.
+
+    Engine-exact: the sample predicate, n, sum(cents) and
+    sum(cents^2) are exact integers (squares widen to DECIMAL(38,0)
+    — cents^2 ~ 1e14 times millions of rows overflows BIGINT); the
+    variance numerator n*ssq - s^2 stays exact DECIMAL and converts
+    to double ONCE (correctly rounded from the same integer in both
+    engines) before the single sqrt; mean and CI quantize to
+    micro-cents.
+
+    Scale: one narrow filter (16x scan reduction in rows touched;
+    with a persisted sample table it is a 16x I/O reduction) + one
+    partial+final agg to the |groups|-row grid.  Nothing else.
+
+    Output: (l_returnflag, l_linestatus, n_sample, est_n_total,
+    mean_e4, ci_half_e4).
+    """.format(m=AGB_MOD)
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (li.selectExpr(
+        "l_returnflag", "l_linestatus",
+        "CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)"
+        " AS BIGINT) AS cents",
+        f"CAST(conv(substring(md5(concat_ws('-',"
+        f" CAST(l_orderkey AS STRING),"
+        f" CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % {AGB_MOD} AS sel")
+        .filter(F.col("sel") == 0))
+    g = (base.groupBy("l_returnflag", "l_linestatus")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("cents").alias("s"),
+                  F.sum(F.expr(
+                      "CAST(cents AS DECIMAL(38,0)) * cents"))
+                   .alias("ssq"))
+             .filter(F.col("n") > 1))   # a 1-row group has no variance
+    return g.selectExpr(
+        "l_returnflag", "l_linestatus",
+        "n AS n_sample",
+        f"n * {AGB_MOD} AS est_n_total",
+        "CAST((CAST(s AS DECIMAL(38,0)) * 10000) DIV n AS BIGINT)"
+        " AS mean_e4",
+        # var = (n*ssq - s^2) / (n*(n-1)); ci = z * sqrt(var / n)
+        f"CAST(FLOOR({AGB_Z_E6}E-6 * SQRT("
+        " CAST(CAST(n AS DECIMAL(38,0)) * ssq"
+        "      - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS ci_half_e4")
+
+
+QUERIES["approx_groupby_sample_ci"] = q_approx_groupby_sample_ci
+
+ORACLE["approx_groupby_sample_ci"] = f"""
+    WITH base AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM lineitem
+        WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+              % {AGB_MOD} = 0),
+    g AS (
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*)::BIGINT AS n,
+               SUM(cents)::HUGEINT AS s,
+               SUM(cents::HUGEINT * cents)::HUGEINT AS ssq
+        FROM base GROUP BY 1, 2
+        HAVING COUNT(*) > 1)
+    SELECT l_returnflag, l_linestatus,
+           n AS n_sample,
+           (n * {AGB_MOD})::BIGINT AS est_n_total,
+           (s * 10000 // n)::BIGINT AS mean_e4,
+           CAST(FLOOR(0.000001 * {AGB_Z_E6} * SQRT(
+               CAST(n::HUGEINT * ssq - s * s AS DOUBLE)
+               / CAST(n::HUGEINT * (n - 1) AS DOUBLE)
+               / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS ci_half_e4
+    FROM g
+"""

@@ -3272,3 +3272,73 @@ def _pq_oracle() -> str:
 
 
 ORACLE["ann_pq_adc"] = _pq_oracle()
+
+
+def q_eval_retrieval_recall_mrr(spark, sf_dir):
+    """Retrieval EVAL #2 — recall@k and MRR of the IVF-backed hybrid
+    against the exact hybrid as ground truth (the production question
+    for an ANN rollout: how much of the exact stack's top-{k} does
+    the scale path keep, and how early does the first agreed-relevant
+    document appear?).  Completes the eval family next to NDCG
+    (ranking quality vs labels) and ann_recall_report (dense arm
+    only): this row grades the FUSED end-to-end ranking.
+
+    Integer arithmetic throughout: recall_permille = hits*1000 DIV
+    |truth|, mrr_e6 = 1e6 DIV (first hit's system rank), 0 when no
+    overlap — so the row is engine-exact and fully value-oracled
+    (both parents' oracles splice in as derived-table CTEs).
+
+    Scale: both parents are probe/posting-bounded (no |Q| x |corpus|
+    relation — the exact hybrid's dense arm stays KNN_MAX_QUERIES-
+    gated as ground truth generation, the audited cost of evaluating
+    an ANN rollout); this row adds one |Q| x {k} join.
+
+    Output: (q_doc, n_truth, n_hits, recall_permille, mrr_e6).
+    """.format(k=HYB_TOPK)
+    truth = (q_hybrid_retrieval_rrf(spark, sf_dir)
+             .select("q_doc", F.col("doc_id").alias("t_doc")))
+    sys = (q_hybrid_retrieval_rrf_ivf(spark, sf_dir)
+           .select("q_doc", F.col("doc_id").alias("s_doc"),
+                   F.col("rk").alias("s_rk")))
+    nt = truth.groupBy("q_doc").agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = (sys.join(truth,
+                     (sys["q_doc"] == truth["q_doc"])
+                     & (sys["s_doc"] == truth["t_doc"]))
+               .select(sys["q_doc"].alias("q"), "s_rk"))
+    per_q = (hits.groupBy("q")
+                 .agg(F.count(F.lit(1)).alias("n_hits"),
+                      F.min("s_rk").alias("first_rk")))
+    return (nt.join(per_q, nt["q_doc"] == per_q["q"], "left")
+              .selectExpr(
+                  "q_doc", "n_truth",
+                  "COALESCE(n_hits, 0) AS n_hits",
+                  "(COALESCE(n_hits, 0) * 1000) DIV n_truth"
+                  " AS recall_permille",
+                  "CASE WHEN first_rk IS NULL THEN 0"
+                  " ELSE 1000000 DIV first_rk END AS mrr_e6"))
+
+
+QUERIES["eval_retrieval_recall_mrr"] = q_eval_retrieval_recall_mrr
+
+ORACLE["eval_retrieval_recall_mrr"] = f"""
+    WITH truth AS MATERIALIZED (
+        SELECT q_doc, doc_id AS t_doc FROM ({_hybrid_rrf_oracle()})),
+    sys AS MATERIALIZED (
+        SELECT q_doc, doc_id AS s_doc, rk AS s_rk
+        FROM ({_hybrid_rrf_oracle("ivf")})),
+    nt AS (SELECT q_doc, COUNT(*)::BIGINT AS n_truth
+           FROM truth GROUP BY 1),
+    per_q AS (
+        SELECT s.q_doc, COUNT(*)::BIGINT AS n_hits,
+               MIN(s.s_rk) AS first_rk
+        FROM sys s JOIN truth t
+          ON t.q_doc = s.q_doc AND t.t_doc = s.s_doc
+        GROUP BY 1)
+    SELECT nt.q_doc, nt.n_truth,
+           COALESCE(p.n_hits, 0)::BIGINT AS n_hits,
+           (COALESCE(p.n_hits, 0) * 1000 // nt.n_truth)::BIGINT
+               AS recall_permille,
+           CASE WHEN p.first_rk IS NULL THEN 0
+                ELSE 1000000 // p.first_rk END::BIGINT AS mrr_e6
+    FROM nt LEFT JOIN per_q p USING (q_doc)
+"""

@@ -359,3 +359,81 @@ def test_target_encode_oof_matches_python_and_is_leakage_safe(
             assert corrupted[(c, f)] == v, (c, f)
         else:
             assert corrupted[(c, f)] != v, (c, f)
+
+
+def test_approx_groupby_ci_matches_python_and_covers_truth(
+        spark, sf_small):
+    """The sampled-group grid must equal a from-scratch Python replay
+    (md5 sample, integer-cent moments, z*sqrt(var/n) CI), and the
+    estimate must actually be useful: within 4 CI half-widths of the
+    EXACT full-table mean for every group (normal-approx sanity, not
+    a coverage-rate claim)."""
+    import hashlib
+
+    from go_mapreduce_crawler_spark.operators import sampling
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_small, "lineitem")
+            .selectExpr("l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_linestatus",
+                        "CAST(l_extendedprice AS DOUBLE) AS p")
+            .collect())
+    M = sampling.AGB_MOD
+    samp = defaultdict(list)
+    exact = defaultdict(list)
+    for r in rows:
+        cents = math.floor(r.p * 100 + 0.5)
+        g = (r.l_returnflag, r.l_linestatus)
+        exact[g].append(cents)
+        key = f"{r.l_orderkey}-{r.l_linenumber}"
+        if int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % M == 0:
+            samp[g].append(cents)
+    want = {}
+    for g, cs in samp.items():
+        n, s = len(cs), sum(cs)
+        if n <= 1:
+            continue
+        ssq = sum(c * c for c in cs)
+        var = float(n * ssq - s * s) / float(n * (n - 1))
+        ci = math.floor(1.959964 * math.sqrt(var / float(n)) * 10000)
+        want[g] = (n, n * M, s * 10000 // n, ci)
+    got = {(r.l_returnflag, r.l_linestatus):
+           (r.n_sample, r.est_n_total, r.mean_e4, r.ci_half_e4)
+           for r in sampling.q_approx_groupby_sample_ci(
+               spark, sf_small).collect()}
+    assert got == want
+    for g, (n, _nt, mean_e4, ci_e4) in got.items():
+        true_mean_e4 = sum(exact[g]) * 10000 // len(exact[g])
+        assert abs(mean_e4 - true_mean_e4) <= 4 * max(ci_e4, 1), \
+            (g, mean_e4, true_mean_e4, ci_e4)
+
+
+def test_recall_mrr_eval_consistent_with_parents(spark, sf_medium):
+    """The eval row must agree with a direct Python comparison of its
+    two parent rankings, and its aggregates must sit in the legal
+    range (recall in [0,1000]; mrr_e6 = 1e6//first-rank or 0; a
+    perfect-overlap query must read 1000/1e6)."""
+    from go_mapreduce_crawler_spark.operators import similarity
+
+    truth = defaultdict(set)
+    for r in similarity.q_hybrid_retrieval_rrf(
+            spark, sf_medium).collect():
+        truth[r.q_doc].add(r.doc_id)
+    sysr = defaultdict(dict)
+    for r in similarity.q_hybrid_retrieval_rrf_ivf(
+            spark, sf_medium).collect():
+        sysr[r.q_doc][r.doc_id] = r.rk
+    got = {r.q_doc: r for r in
+           similarity.q_eval_retrieval_recall_mrr(
+               spark, sf_medium).collect()}
+    assert set(got) == set(truth)
+    for q, t in truth.items():
+        hits = [rk for d, rk in sysr[q].items() if d in t]
+        g = got[q]
+        assert g.n_truth == len(t)
+        assert g.n_hits == len(hits)
+        assert g.recall_permille == len(hits) * 1000 // len(t)
+        assert g.mrr_e6 == (10 ** 6 // min(hits) if hits else 0)
+        assert 0 <= g.recall_permille <= 1000
+        if t == set(sysr[q]):
+            assert g.recall_permille == 1000

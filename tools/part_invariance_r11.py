@@ -17,6 +17,8 @@ NEW = [
     "kmv_theta_setops",
     "stream_lateness_audit",
     "feat_target_encode_oof",
+    "approx_groupby_sample_ci",
+    "eval_retrieval_recall_mrr",
 ]
 SF = "/root/testdata/sf0.01"
 
