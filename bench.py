@@ -233,6 +233,8 @@ HEADLINE = [
     "feat_target_encode_oof",
     "approx_groupby_sample_ci",
     "eval_retrieval_recall_mrr",
+    # r11 second-session additions (enter the comparator in r12)
+    "dedup_sorted_neighborhood",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

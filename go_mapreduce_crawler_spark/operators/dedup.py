@@ -207,6 +207,88 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
             .select("doc_a", "doc_b", "jaccard"))
 
 
+SN_WINDOW = 4         # sorted-neighborhood comparison window (ranks)
+SN_KEY_CHARS = 32     # normalized sort-key prefix length
+
+
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge):
+    sort the corpus by a normalized key prefix and compare each document
+    only to its SN_WINDOW successors in sort order — the classic
+    pre-LSH blocking family, and still the right tool when near-dups
+    are PREFIX-agreeing (truncated crawls, boilerplate-led re-renders)
+    because the sort puts them adjacent regardless of how much tail
+    content diverged (token-bag LSH scores the whole document, so a
+    short doc wholly contained in a long one can band apart).
+
+    Key = first {SN_KEY_CHARS} chars of lower(alnum-only(text[:64])).
+    Candidate pairs = rank gap in [1, SN_WINDOW]; verification = exact
+    word-set Jaccard >= JACCARD_T (shared convention with
+    dedup_jaccard_pairs).  Output: canonical (doc_a < doc_b) verified
+    pairs with their rank gap.
+
+    Scale shape (the point of SN at 100 TB): candidate count is exactly
+    N x SN_WINDOW — linear, no quadratic blowup and no banding false
+    positives.  The global rank is computed WITHOUT a global
+    single-partition sort: order-preserving key-prefix buckets get
+    per-bucket row_numbers (spillable sorts), and a |buckets|-row
+    cumulative-offset relation broadcasts back (the two-level recipe
+    shared with the temporal prefix-max family).  The rank-band join
+    is EQUI (explode gap 1..W, join on rank) — shuffles (rank, id)
+    pairs, never text.  Known limit, stated not hidden: a celebrity
+    key prefix (shared boilerplate head) makes one bucket's sort big —
+    that sort spills; it never changes the pair bound.
+    """
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    key = F.substring(
+        F.regexp_replace(F.lower(F.substring(F.col("text"), 1, 64)),
+                         "[^a-z0-9]", ""),
+        1, SN_KEY_CHARS)
+    keyed = d.select("doc_id", key.alias("k"))
+    bucketed = keyed.withColumn("b", F.substring("k", 1, 2))
+    rb = F.row_number().over(W.partitionBy("b").orderBy("k", "doc_id"))
+    per = bucketed.withColumn("rb", rb)
+    # |buckets|-row offsets: the only single-partition window is over
+    # <= 36^2 rows (bucket ids), not the corpus.
+    sizes = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (W.orderBy("b")
+             .rowsBetween(W.unboundedPreceding, -1))
+    offs = sizes.select(
+        "b", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+    ranked = (per.join(F.broadcast(offs), "b")
+              .select("doc_id", (F.col("rb") + F.col("off")).alias("rk")))
+
+    gaps = F.array(*[F.lit(i) for i in range(1, SN_WINDOW + 1)])
+    cand = (ranked.select(F.col("doc_id").alias("id_lo"),
+                          F.col("rk").alias("ra"))
+            .withColumn("rank_gap", F.explode(gaps))
+            .withColumn("rk", F.col("ra") + F.col("rank_gap"))
+            .join(ranked.select(F.col("doc_id").alias("id_hi"), "rk"), "rk")
+            .select("id_lo", "id_hi", "rank_gap"))
+
+    words = _words(spark, sf_dir)
+    sizes_w = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    wa = words.select(F.col("doc_id").alias("id_lo"), "word")
+    wb = words.select(F.col("doc_id").alias("id_hi"), "word")
+    common = (cand.join(wa, "id_lo").join(wb, ["id_hi", "word"])
+              .groupBy("id_lo", "id_hi", "rank_gap")
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes_w.select(F.col("doc_id").alias("id_lo"),
+                        F.col("nw").alias("na"))
+    sb = sizes_w.select(F.col("doc_id").alias("id_hi"),
+                        F.col("nw").alias("nb"))
+    jac = F.round(F.col("common")
+                  / (F.col("na") + F.col("nb") - F.col("common")), 6)
+    return (common.join(sa, "id_lo").join(sb, "id_hi")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .select(F.least("id_lo", "id_hi").alias("doc_a"),
+                    F.greatest("id_lo", "id_hi").alias("doc_b"),
+                    "rank_gap", "jaccard"))
+
+
 CONTAIN_T = 0.9       # containment threshold (|A∩B| / |A|)
 
 
@@ -1513,6 +1595,7 @@ QUERIES = {
     "dedup_spans_ngram": q_dedup_spans,
     "dedup_substring_suffix_array": q_dedup_substring_suffix,
     "dedup_substring_len_profile": q_dedup_substring_len_profile,
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_exact_groups": q_dedup_exact,
     "corpus_clean_pipeline": q_corpus_clean,
     "dedup_exact_keep_min": q_dedup_exact_keep,
@@ -1839,6 +1922,41 @@ ORACLE = {
                ROUND(c / si.n, 6) AS containment
         FROM common JOIN sizes si ON si.doc_id = inner_doc
         WHERE ROUND(c / si.n, 6) >= 0.9
+    """,
+    "dedup_sorted_neighborhood": f"""
+        WITH keyed AS MATERIALIZED (
+            SELECT doc_id,
+                   substring(regexp_replace(lower(substring(text, 1, 64)),
+                                            '[^a-z0-9]', '', 'g'),
+                             1, {SN_KEY_CHARS}) AS k
+            FROM documents),
+        ranked AS MATERIALIZED (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk
+            FROM keyed),
+        cand AS MATERIALIZED (
+            SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+                   (b.rk - a.rk)::INT AS rank_gap
+            FROM ranked a JOIN ranked b
+              ON b.rk > a.rk AND b.rk <= a.rk + {SN_WINDOW}),
+        words AS MATERIALIZED (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        sizes AS MATERIALIZED (
+            SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+        common AS (
+            SELECT c.id_lo, c.id_hi, c.rank_gap, COUNT(*) AS c
+            FROM cand c
+            JOIN words wa ON wa.doc_id = c.id_lo
+            JOIN words wb ON wb.doc_id = c.id_hi AND wb.word = wa.word
+            GROUP BY 1, 2, 3)
+        SELECT LEAST(id_lo, id_hi) AS doc_a,
+               GREATEST(id_lo, id_hi) AS doc_b,
+               rank_gap,
+               ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_lo
+        JOIN sizes sb ON sb.doc_id = id_hi
+        WHERE ROUND(c / (sa.n + sb.n - c), 6) >= {JACCARD_T}
     """,
     "dedup_jaccard_pairs": """
         WITH words AS (
