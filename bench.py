@@ -235,6 +235,7 @@ HEADLINE = [
     "eval_retrieval_recall_mrr",
     # r11 second-session additions (enter the comparator in r12)
     "dedup_sorted_neighborhood",
+    "stream_stream_join_replay",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

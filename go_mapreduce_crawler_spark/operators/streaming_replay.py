@@ -547,7 +547,61 @@ def _cdc_finalize(spark, sf_dir, state):
     return cdc_apply_winners(spark, sf_dir, win)
 
 
+SSJOIN_WINDOW_H = 4     # view->purchase attribution window (hours)
+SSJOIN_WATERMARK = "6 hours"   # > join window, so no state is evicted
+#                                before its matches can still arrive
+
+
+def q_stream_stream_join_replay(spark, sf_dir):
+    """STREAM-STREAM interval join — the Structured Streaming operator
+    class none of the other replays cover (they are stream-batch or
+    foreachBatch-stateful): purchases and views are two watermarked
+    branches of the same time-ordered event replay, inner-joined on
+    user with v_ts in [p_ts - {W}h, p_ts], append mode.
+
+    Both sides buffer in join STATE until the watermark passes their
+    match horizon; the 6h watermark strictly exceeds the 4h join
+    window, so with time-ordered delivery (the _replay_ordered_events
+    contract) no row is evicted while a future match could exist —
+    making the batch interval join an exact value oracle, and a green
+    row an end-to-end proof of watermarked join-state retention and
+    cleanup across micro-batches.
+
+    Scale: state is bounded by rows-per-watermark-horizon (6h of
+    stream), not stream length; the join keys shuffle by user_id.
+    Output gap rides as BIGINT epoch-micro difference (TZ-exact in
+    both engines).
+    """
+    stream = _replay_ordered_events(spark, sf_dir, "ssjoin")
+    p = (stream.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"), "user_id",
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", SSJOIN_WATERMARK))
+    v = (stream.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("v_id"),
+                 F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts"))
+         .withWatermark("v_ts", SSJOIN_WATERMARK))
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts")
+           - F.expr(f"INTERVAL {SSJOIN_WINDOW_H} HOURS")),
+        "inner")
+    out = joined.select(
+        "p_id", "v_id", "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"))
+    _MEM_SINK_SEQ[0] += 1
+    name = f"sgraft_ssjoin_replay_{_MEM_SINK_SEQ[0]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    _await_drained(q, "stream_stream_join")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 QUERIES = {
+    "stream_stream_join_replay": q_stream_stream_join_replay,
     "stream_cdc_merge_replay": q_stream_cdc_merge_replay,
     "stream_decontam_bloom_replay": q_stream_decontam_bloom_replay,
     "stream_trending_topk_replay": q_stream_trending_topk_replay,
@@ -651,6 +705,18 @@ def _minhash_window_oracle() -> str:
 
 
 ORACLE = {
+    # the batch twin of the watermarked stream-stream interval join:
+    # plain interval self-join on the events table (gap as epoch-micro
+    # BIGINT, TZ-exact in both engines)
+    "stream_stream_join_replay": f"""
+        SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+               (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+        FROM events p JOIN events v
+          ON v.user_id = p.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL {SSJOIN_WINDOW_H} HOUR
+    """,
     # the batch twin of the streaming forget cascade: retained ==
     # predicate-filtered join, independent of request batching
     "stream_gdpr_forget_replay": f"""

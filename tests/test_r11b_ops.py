@@ -12,6 +12,63 @@ from go_mapreduce_crawler_spark.operators.dedup import (JACCARD_T,
                                                         SN_WINDOW, _docs)
 
 
+def test_stream_stream_join_matches_python_replica(spark, sf_small):
+    """Append-mode output of the watermarked stream-stream interval
+    join == a from-scratch Python interval join over the same events;
+    exactly-once (no duplicate emitted pairs)."""
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        SSJOIN_WINDOW_H)
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from __spark_entry__ import queries
+
+    rows = queries()["stream_stream_join_replay"](
+        spark, sf_small).collect()
+    got = [(r.p_id, r.v_id, r.user_id, r.gap_us) for r in rows]
+    assert len(got) == len(set(got)), "append sink emitted a pair twice"
+
+    ev = [(r.event_id, r.user_id, r.event_type, r.us)
+          for r in load_table(spark, sf_small, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.unix_micros("ts").alias("us")).collect()]
+    win_us = SSJOIN_WINDOW_H * 3_600_000_000
+    purchases = [(i, u, t) for i, u, k, t in ev if k == "purchase"]
+    views = [(i, u, t) for i, u, k, t in ev if k == "view"]
+    want = {(pi, vi, pu, pt - vt)
+            for pi, pu, pt in purchases
+            for vi, vu, vt in views
+            if vu == pu and vt <= pt and vt >= pt - win_us}
+    assert set(got) == want and want
+
+
+def test_stream_stream_join_state_spans_microbatches(spark, sf_medium):
+    """At least one emitted pair must have its purchase and view in
+    DIFFERENT replay files — proving the join buffered one side in
+    state across a micro-batch boundary (otherwise the replay would
+    pass even with a per-batch-only join).  sf0.01: the deterministic
+    fixture has exactly one straddling pair; sf0.001's three pairs
+    all land inside one ts-range split."""
+    sf_small = sf_medium
+    from go_mapreduce_crawler_spark.operators.streaming_replay import (
+        REPLAY_SPLITS)
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from __spark_entry__ import queries
+
+    ev = {r.event_id: r.us
+          for r in load_table(spark, sf_small, "events")
+          .select("event_id", F.unix_micros("ts").alias("us")).collect()}
+    lo, hi = min(ev.values()), max(ev.values()) + 1
+
+    def split_of(us):
+        return next(i for i in range(REPLAY_SPLITS)
+                    if us < lo + (hi - lo) * (i + 1) // REPLAY_SPLITS)
+
+    rows = queries()["stream_stream_join_replay"](
+        spark, sf_small).collect()
+    assert any(split_of(ev[r.p_id]) != split_of(ev[r.v_id])
+               for r in rows), \
+        "no emitted pair straddles a micro-batch boundary"
+
+
 def _py_sorted_neighborhood(spark, sf):
     """From-scratch Python replica: normalize key, globally sort,
     window-compare, exact word-set Jaccard."""
