@@ -236,6 +236,7 @@ HEADLINE = [
     # r11 second-session additions (enter the comparator in r12)
     "dedup_sorted_neighborhood",
     "stream_stream_join_replay",
+    "eval_conformal_coverage",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

@@ -2644,3 +2644,145 @@ ORACLE["feat_target_encode_oof"] = f"""
             // (c.n_c - g.n_cf + {TE_SMOOTH_M}))::BIGINT AS enc_e6
     FROM grid g JOIN cat c USING (category) JOIN pri p ON p.fold = g.fold
 """
+
+
+# ------------------------------------------------ split-conformal eval
+
+CONF_SPLITS = 4        # md5(doc_id) % 4: {0,1}=train, 2=calibration, 3=test
+CONF_ALPHA_N = 10      # alpha = 1/10 miscoverage target (90% intervals)
+
+
+def q_eval_conformal_coverage(spark, sf_dir):
+    """SPLIT-CONFORMAL prediction intervals with a per-lang coverage
+    report — the distribution-free uncertainty wrapper every deployed
+    pipeline scorer needs (Vovk et al.; the inductive/split variant,
+    the only one that is one-pass at corpus scale).
+
+    Underlying predictor: simple OLS word-count ~ n_chars fit on the
+    train split (exact integer moments -> fixed-order double solve,
+    the regr_value_time recipe).  Calibration nonconformity = absolute
+    residual; q_hat = the ceil((1-alpha)(n_cal+1))-th smallest score
+    (the finite-sample-valid order statistic, NOT an interpolated
+    percentile).  Report: per lang, how often the test split's truth
+    lands inside pred +/- q_hat — the marginal-coverage guarantee
+    (>= 90%) made inspectable per slice (slice-conditional dips are
+    exactly what the report is for).
+
+    Scale shape: the fit is a 5-scalar partial+final agg; the order
+    statistic uses integer residual buckets + per-bucket spillable
+    row_numbers + a |buckets|-row offset window (the two-level rank
+    recipe — NO corpus-wide single-partition sort; the plan carries
+    exactly 2 scalar SinglePartition exchanges: the moment agg and the
+    bucket-offset window); q_hat and the coefficients broadcast back
+    as one-row scalar attaches.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    D38 = "decimal(38,0)"
+    sp = (F.conv(F.substring(
+              F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")),
+              1, 8), 16, 10).cast("long") % CONF_SPLITS)
+    base = d.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+        sp.alias("sp"))
+
+    tr = base.filter(F.col("sp").isin(0, 1))
+    xd, yd = F.col("x").cast(D38), F.col("y").cast(D38)
+    mom = tr.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(xd * xd).alias("sxx"), F.sum(xd * yd).alias("sxy"))
+    nn = F.col("n").cast(D38)
+    coef = (mom.select(
+        ((nn * F.col("sxy") - F.col("sx").cast(D38) * F.col("sy").cast(D38))
+         .cast("double")
+         / (nn * F.col("sxx") - F.col("sx").cast(D38) * F.col("sx").cast(D38))
+         .cast("double")).alias("b"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("n").cast("double").alias("nd"))
+        .select("b", ((F.col("syd") - F.col("b") * F.col("sxd"))
+                      / F.col("nd")).alias("a")))
+
+    score = F.abs(F.col("y").cast("double")
+                  - (F.col("a") + F.col("b") * F.col("x").cast("double")))
+    cal = (base.filter(F.col("sp") == 2)
+           .crossJoin(F.broadcast(coef))
+           .select("doc_id", score.alias("s")))
+
+    bkt = cal.withColumn("bk", F.floor("s").cast("long"))
+    rb = F.row_number().over(W.partitionBy("bk").orderBy("s", "doc_id"))
+    per = bkt.withColumn("rb", rb)
+    sizes = bkt.groupBy("bk").agg(F.count(F.lit(1)).alias("nb"))
+    w_off = W.orderBy("bk").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("bk").rowsBetween(W.unboundedPreceding,
+                                        W.unboundedFollowing)
+    offs = sizes.select(
+        "bk", F.coalesce(F.sum("nb").over(w_off), F.lit(0)).alias("off"),
+        F.sum("nb").over(w_all).alias("n_cal"))
+    ranked = (per.join(F.broadcast(offs), "bk")
+              .withColumn("rk", F.col("rb") + F.col("off"))
+              .withColumn("k", F.floor(
+                  ((CONF_ALPHA_N - 1) * (F.col("n_cal") + 1)
+                   + (CONF_ALPHA_N - 1)) / CONF_ALPHA_N).cast("long")))
+    qh = ranked.filter(F.col("rk") == F.col("k")).select(
+        F.col("s").alias("qhat"))
+
+    t = (base.filter(F.col("sp") == 3)
+         .crossJoin(F.broadcast(coef))
+         .crossJoin(F.broadcast(qh))
+         .select("lang", score.alias("s"), "qhat"))
+    cov = F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0))
+    return (t.groupBy("lang", "qhat")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 cov.cast("long").alias("n_covered"))
+            .select("lang", "n_test", "n_covered",
+                    F.expr("CAST((n_covered * 1000) DIV n_test AS BIGINT)")
+                    .alias("coverage_permille"),
+                    F.floor(F.col("qhat") * 1000000.0 + 0.5)
+                    .cast("long").alias("q_hat_e6")))
+
+
+QUERIES["eval_conformal_coverage"] = q_eval_conformal_coverage
+
+ORACLE["eval_conformal_coverage"] = f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, lang, n_chars::BIGINT AS x,
+               len(string_split(text, ' '))::BIGINT AS y,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                % {CONF_SPLITS}) AS sp
+        FROM documents),
+    mom AS MATERIALIZED (
+        SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+               SUM(y)::BIGINT AS sy,
+               SUM(x::HUGEINT * x)::HUGEINT AS sxx,
+               SUM(x::HUGEINT * y)::HUGEINT AS sxy
+        FROM base WHERE sp IN (0, 1)),
+    coef AS MATERIALIZED (
+        SELECT b, (sy::DOUBLE - b * sx::DOUBLE) / n::DOUBLE AS a
+        FROM (SELECT ((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                      / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
+                         AS b,
+                     n, sx, sy
+              FROM mom)),
+    cal AS MATERIALIZED (
+        SELECT doc_id, abs(y::DOUBLE - (a + b * x::DOUBLE)) AS s
+        FROM base, coef WHERE sp = 2),
+    qh AS MATERIALIZED (
+        SELECT s AS qhat
+        FROM (SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rk
+              FROM cal),
+             (SELECT ({CONF_ALPHA_N - 1} * (COUNT(*) + 1)
+                      + {CONF_ALPHA_N - 1}) // {CONF_ALPHA_N} AS k
+              FROM cal)
+        WHERE rk = k),
+    t AS (SELECT lang, abs(y::DOUBLE - (a + b * x::DOUBLE)) AS s, qhat
+          FROM base, coef, qh WHERE sp = 3)
+    SELECT lang, COUNT(*)::BIGINT AS n_test,
+           SUM(CASE WHEN s <= qhat THEN 1 ELSE 0 END)::BIGINT
+               AS n_covered,
+           (SUM(CASE WHEN s <= qhat THEN 1 ELSE 0 END) * 1000)
+               // COUNT(*) AS coverage_permille,
+           CAST(FLOOR(qhat * 1000000.0 + 0.5) AS BIGINT) AS q_hat_e6
+    FROM t GROUP BY lang, qhat
+"""

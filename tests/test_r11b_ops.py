@@ -127,3 +127,65 @@ def test_sorted_neighborhood_pair_bound_and_properties(spark, sf_small):
         lo, hi = dup[0].lo, dup[0].hi
         perfect = {(r.doc_a, r.doc_b) for r in rows if r.jaccard == 1.0}
         assert (lo, hi) in perfect
+
+
+def test_conformal_coverage_matches_python_replica(spark, sf_small):
+    """From-scratch Python split-conformal: same splits, same OLS,
+    same order-statistic q_hat, same per-lang report."""
+    import hashlib
+    import math
+
+    from go_mapreduce_crawler_spark.operators.features import (CONF_ALPHA_N,
+                                                               CONF_SPLITS)
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from __spark_entry__ import queries
+
+    rows = (load_table(spark, sf_small, "documents")
+            .select("doc_id", "lang", "n_chars", "text").collect())
+    data = [(r.doc_id, r.lang, r.n_chars, len(r.text.split(" ")),
+             int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+             % CONF_SPLITS) for r in rows]
+    tr = [(x, y) for _, _, x, y, sp in data if sp in (0, 1)]
+    n = len(tr)
+    sx = sum(x for x, _ in tr); sy = sum(y for _, y in tr)
+    sxx = sum(x * x for x, _ in tr); sxy = sum(x * y for x, y in tr)
+    b = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a = (float(sy) - b * float(sx)) / float(n)
+
+    def score(x, y):
+        return abs(float(y) - (a + b * float(x)))
+
+    cal = sorted((score(x, y), did)
+                 for did, _, x, y, sp in data if sp == 2)
+    k = ((CONF_ALPHA_N - 1) * (len(cal) + 1) + (CONF_ALPHA_N - 1)) \
+        // CONF_ALPHA_N
+    qhat = cal[k - 1][0]
+
+    want = {}
+    for did, lang, x, y, sp in data:
+        if sp != 3:
+            continue
+        nt, nc = want.get(lang, (0, 0))
+        want[lang] = (nt + 1, nc + (1 if score(x, y) <= qhat else 0))
+    expect = {(lang, nt, nc, nc * 1000 // nt,
+               math.floor(qhat * 1_000_000 + 0.5))
+              for lang, (nt, nc) in want.items()}
+
+    got = {(r.lang, r.n_test, r.n_covered, r.coverage_permille,
+            r.q_hat_e6)
+           for r in queries()["eval_conformal_coverage"](
+               spark, sf_small).collect()}
+    assert got == expect and got
+
+
+def test_conformal_marginal_coverage_guarantee(spark, sf_medium):
+    """Aggregate (marginal) coverage must sit near the 1 - alpha
+    target: >= 85% observed at sf0.01 (the finite-sample guarantee is
+    >= 90% in expectation over splits; this pins the realized draw)."""
+    from __spark_entry__ import queries
+
+    rows = queries()["eval_conformal_coverage"](
+        spark, sf_medium).collect()
+    n = sum(r.n_test for r in rows)
+    c = sum(r.n_covered for r in rows)
+    assert n > 0 and c * 1000 // n >= 850
