@@ -237,6 +237,7 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "stream_stream_join_replay",
     "eval_conformal_coverage",
+    "feat_psi_drift",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

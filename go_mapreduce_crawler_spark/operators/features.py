@@ -2786,3 +2786,153 @@ ORACLE["eval_conformal_coverage"] = f"""
            CAST(FLOOR(qhat * 1000000.0 + 0.5) AS BIGINT) AS q_hat_e6
     FROM t GROUP BY lang, qhat
 """
+
+
+# ------------------------------------------------ PSI feature drift
+
+PSI_BUCKETS = 10           # equi-width deciles from the reference window
+PSI_ALERT_E9 = 200_000_000  # the standard 0.2 "significant shift" bar
+
+
+def q_feat_psi_drift(spark, sf_dir):
+    """Population Stability Index drift report over the event stream's
+    ``value`` feature, per event_type — the standard production
+    monitor for "has this feature's distribution moved since the
+    model/pipeline was calibrated".
+
+    Protocol: reference = the first half of the event-time range,
+    current = the second half (midpoint on exact epoch-micros integer
+    arithmetic).  Buckets = {PSI_BUCKETS} equi-width bins of the
+    REFERENCE cents range per type (current-window outliers clamp
+    into the edge bins — integer DIV, and the clamp absorbs the
+    DIV-vs-floor negative-operand divergence).  Counts are add-1
+    smoothed (all bins present via an exploded 0..9 spine), and
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b) rides the deterministic
+    atanh-series ln over INTEGERS (ln(cps) + ln(tqs) - ln(cqs) -
+    ln(tps) — the sum form, so no product overflow at any scale),
+    quantized per-bucket to e9 BEFORE the sum (integer-sum order
+    independence).
+
+    Scale shape: two partial+final counts (per-type stats, per-bucket
+    counts) + a |types| x {PSI_BUCKETS} spine; everything after the
+    scans is |types|-sized.  cites crawler.go:204-233 (Transform +
+    Accumulate: per-split partial tallies merged once).
+    """
+    from .text import _lit_spark, _ln_det
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("et"),
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+    mid = (base.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+           .select((F.col("lo")
+                    + F.expr("(hi - lo) DIV 2")).alias("mid")))
+    tagged = (base.crossJoin(F.broadcast(mid))
+              .withColumn("is_ref", F.col("us") < F.col("mid")))
+
+    refstat = (tagged.filter("is_ref").groupBy("et")
+               .agg(F.min("c").alias("lo_c"), F.max("c").alias("hi_c"),
+                    F.count(F.lit(1)).alias("tp")))
+    curtot = (tagged.filter(~F.col("is_ref")).groupBy("et")
+              .agg(F.count(F.lit(1)).alias("tq")))
+
+    bkt = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.greatest(F.lit(0), F.expr(
+            f"((c - lo_c) * {PSI_BUCKETS}) DIV (hi_c - lo_c + 1)")))
+    counts = (tagged.join(F.broadcast(refstat.select("et", "lo_c", "hi_c")),
+                          "et")
+              .withColumn("b", bkt.cast("long"))
+              .groupBy("et", "b")
+              .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                   .alias("cp"),
+                   F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+                   .alias("cq")))
+
+    spine = (refstat.join(curtot, "et", "left")
+             .select("et", "tp", F.coalesce("tq", F.lit(0)).alias("tq"),
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("b0"))
+             .select("et", "tp", "tq",
+                     F.col("b0").cast("long").alias("b")))
+    cells = (spine.join(counts, ["et", "b"], "left")
+             .select("et", "tp", "tq",
+                     (F.coalesce("cp", F.lit(0)) + 1).alias("cps"),
+                     (F.coalesce("cq", F.lit(0)) + 1).alias("cqs"),
+                     (F.col("tp") + PSI_BUCKETS).alias("tps"),
+                     (F.col("tq") + PSI_BUCKETS).alias("tqs")))
+    L = _lit_spark
+    contrib = (f"CAST(FLOOR((CAST(cps AS DOUBLE) / CAST(tps AS DOUBLE)"
+               f" - CAST(cqs AS DOUBLE) / CAST(tqs AS DOUBLE))"
+               f" * (({_ln_det('cps', L)} + {_ln_det('tqs', L)})"
+               f" - ({_ln_det('cqs', L)} + {_ln_det('tps', L)}))"
+               f" * {L(1e9)} + {L(0.5)}) AS BIGINT)")
+    return (cells.selectExpr("et", "tp", "tq", f"{contrib} AS ce9")
+            .groupBy("et")
+            .agg(F.min("tp").alias("n_ref"), F.min("tq").alias("n_cur"),
+                 F.sum("ce9").alias("psi_e9"))
+            .select(F.col("et").alias("event_type"),
+                    "n_ref", "n_cur", "psi_e9",
+                    (F.col("psi_e9") >= PSI_ALERT_E9).cast("int")
+                    .alias("drifted")))
+
+
+QUERIES["feat_psi_drift"] = q_feat_psi_drift
+
+
+def _psi_oracle() -> str:
+    from .text import _lit_duck, _ln_det
+
+    L = _lit_duck
+    contrib = (f"CAST(FLOOR((CAST(cps AS DOUBLE) / CAST(tps AS DOUBLE)"
+               f" - CAST(cqs AS DOUBLE) / CAST(tqs AS DOUBLE))"
+               f" * (({_ln_det('cps', L)} + {_ln_det('tqs', L)})"
+               f" - ({_ln_det('cqs', L)} + {_ln_det('tps', L)}))"
+               f" * {L(1e9)} + {L(0.5)}) AS BIGINT)")
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT event_type AS et, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events),
+    mid AS MATERIALIZED (
+        SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid FROM base),
+    tagged AS MATERIALIZED (
+        SELECT et, c, (us < mid) AS is_ref FROM base, mid),
+    refstat AS MATERIALIZED (
+        SELECT et, MIN(c) AS lo_c, MAX(c) AS hi_c,
+               COUNT(*)::BIGINT AS tp
+        FROM tagged WHERE is_ref GROUP BY et),
+    curtot AS MATERIALIZED (
+        SELECT et, COUNT(*)::BIGINT AS tq
+        FROM tagged WHERE NOT is_ref GROUP BY et),
+    counts AS MATERIALIZED (
+        SELECT t.et,
+               LEAST({PSI_BUCKETS - 1}, GREATEST(0,
+                   ((t.c - r.lo_c) * {PSI_BUCKETS})
+                   // (r.hi_c - r.lo_c + 1)))::BIGINT AS b,
+               SUM(CASE WHEN t.is_ref THEN 1 ELSE 0 END)::BIGINT AS cp,
+               SUM(CASE WHEN t.is_ref THEN 0 ELSE 1 END)::BIGINT AS cq
+        FROM tagged t JOIN refstat r ON r.et = t.et
+        GROUP BY 1, 2),
+    spine AS MATERIALIZED (
+        SELECT r.et, r.tp, COALESCE(ct.tq, 0) AS tq, g.b::BIGINT AS b
+        FROM refstat r
+        LEFT JOIN curtot ct ON ct.et = r.et,
+        (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS b) g),
+    cells AS MATERIALIZED (
+        SELECT s.et, s.tp, s.tq,
+               COALESCE(c.cp, 0) + 1 AS cps,
+               COALESCE(c.cq, 0) + 1 AS cqs,
+               s.tp + {PSI_BUCKETS} AS tps,
+               s.tq + {PSI_BUCKETS} AS tqs
+        FROM spine s LEFT JOIN counts c ON c.et = s.et AND c.b = s.b)
+    SELECT et AS event_type, MIN(tp)::BIGINT AS n_ref,
+           MIN(tq)::BIGINT AS n_cur,
+           SUM({contrib})::BIGINT AS psi_e9,
+           (SUM({contrib}) >= {PSI_ALERT_E9})::INT AS drifted
+    FROM cells GROUP BY et
+    """
+
+
+ORACLE["feat_psi_drift"] = _psi_oracle()

@@ -189,3 +189,89 @@ def test_conformal_marginal_coverage_guarantee(spark, sf_medium):
     n = sum(r.n_test for r in rows)
     c = sum(r.n_covered for r in rows)
     assert n > 0 and c * 1000 // n >= 850
+
+
+def test_psi_drift_matches_python_replica(spark, sf_small):
+    """From-scratch Python PSI: same midpoint split, same reference
+    deciles + clamping, same add-1 smoothing, same deterministic-ln
+    quantized sum."""
+    import math
+
+    from go_mapreduce_crawler_spark.operators.features import (PSI_ALERT_E9,
+                                                               PSI_BUCKETS)
+    from go_mapreduce_crawler_spark.operators.text import _ln_det_py
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from __spark_entry__ import queries
+
+    rows = (load_table(spark, sf_small, "events")
+            .select("event_type", F.unix_micros("ts").alias("us"), "value")
+            .collect())
+    data = [(r.event_type, r.us, math.floor(r.value * 100 + 0.5))
+            for r in rows]
+    lo = min(u for _, u, _ in data); hi = max(u for _, u, _ in data)
+    mid = lo + (hi - lo) // 2
+
+    expect = set()
+    for et in {t for t, _, _ in data}:
+        ref = [c for t, u, c in data if t == et and u < mid]
+        cur = [c for t, u, c in data if t == et and u >= mid]
+        if not ref:
+            continue
+        lo_c, hi_c, w = min(ref), max(ref), max(ref) - min(ref) + 1
+
+        def bucket(c):
+            return min(PSI_BUCKETS - 1,
+                       max(0, ((c - lo_c) * PSI_BUCKETS) // w))
+
+        cp = [0] * PSI_BUCKETS; cq = [0] * PSI_BUCKETS
+        for c in ref:
+            cp[bucket(c)] += 1
+        for c in cur:
+            cq[bucket(c)] += 1
+        tps, tqs = len(ref) + PSI_BUCKETS, len(cur) + PSI_BUCKETS
+        psi = 0
+        for b in range(PSI_BUCKETS):
+            cps, cqs = cp[b] + 1, cq[b] + 1
+            diff = cps / tps - cqs / tqs
+            lnr = ((_ln_det_py(cps) + _ln_det_py(tqs))
+                   - (_ln_det_py(cqs) + _ln_det_py(tps)))
+            psi += math.floor(diff * lnr * 1e9 + 0.5)
+        expect.add((et, len(ref), len(cur), psi,
+                    1 if psi >= PSI_ALERT_E9 else 0))
+
+    got = {(r.event_type, r.n_ref, r.n_cur, r.psi_e9, r.drifted)
+           for r in queries()["feat_psi_drift"](spark, sf_small).collect()}
+    assert got == expect and got
+
+
+def test_psi_drift_zero_on_identical_halves(spark, sf_small):
+    """Property: PSI of a distribution against itself is ~0 — feeding
+    the SAME rows as both halves (every ref row duplicated into the
+    current window) must score psi_e9 == 0 exactly for every type
+    (identical smoothed bucket masses => every contribution is
+    floor(0 * lnr + 0.5) = 0)."""
+    import math
+
+    from go_mapreduce_crawler_spark.operators.features import PSI_BUCKETS
+    from go_mapreduce_crawler_spark.operators.text import _ln_det_py
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_small, "events")
+            .select("event_type", "value").collect())
+    for et in {r.event_type for r in rows}:
+        vals = [math.floor(r.value * 100 + 0.5)
+                for r in rows if r.event_type == et]
+        lo_c, w = min(vals), max(vals) - min(vals) + 1
+        cp = [0] * PSI_BUCKETS
+        for c in vals:
+            cp[min(PSI_BUCKETS - 1,
+                   max(0, ((c - lo_c) * PSI_BUCKETS) // w))] += 1
+        tps = len(vals) + PSI_BUCKETS
+        psi = 0
+        for b in range(PSI_BUCKETS):
+            cps = cp[b] + 1
+            diff = cps / tps - cps / tps
+            lnr = ((_ln_det_py(cps) + _ln_det_py(tps))
+                   - (_ln_det_py(cps) + _ln_det_py(tps)))
+            psi += math.floor(diff * lnr * 1e9 + 0.5)
+        assert psi == 0
