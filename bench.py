@@ -238,6 +238,7 @@ HEADLINE = [
     "stream_stream_join_replay",
     "eval_conformal_coverage",
     "feat_psi_drift",
+    "sink_bucketed_join",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

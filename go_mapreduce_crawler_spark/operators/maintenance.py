@@ -993,3 +993,63 @@ ORACLE["sink_schema_evolution"] = """
            SUM(n_chars)::BIGINT AS sum_chars
     FROM documents GROUP BY lang
 """
+
+
+# ------------------------------------------------ bucketed co-located join
+
+BKT_N = 8              # bucket count (both sides MUST match for co-location)
+
+
+def q_sink_bucketed_join(spark, sf_dir):
+    """BUCKETED-LAYOUT co-located join — the 100 TB layout decision
+    this engine's join section promises (SURVEY §4): orders and
+    lineitem are written ONCE as external bucketed tables
+    (bucketBy({BKT_N}, orderkey) + sortBy, Spark's hash-bucket layout),
+    and the join back reads bucket-aligned files so the SortMergeJoin
+    needs NO Exchange on either side — the shuffle is paid once at
+    write time and amortized over every subsequent join.
+
+    The returned relation is the per-priority order-revenue rollup of
+    the bucketed join (value-oracled against the plain-table join —
+    layout must never change results); the SCALE claim is the PLAN pin
+    in tests/test_r11b_ops.py: SortMergeJoin present, zero
+    `Exchange hashpartitioning(..orderkey..)` anywhere (only the final
+    tiny per-priority agg may exchange), and the scans report selected
+    buckets.  Table names carry the fixture hash + session-unique
+    paths (_session_tmp), so re-runs within a session are idempotent
+    catalog hits and concurrent sessions never collide.
+
+    Port note: the reference has no layout surface at all
+    (crawler.go:204-255 re-lists and re-reads the tree every run);
+    bucketing is the Spark-native answer to its re-crawl cost.
+    """
+    import hashlib
+
+    root = _session_tmp(spark, "bktjoin", sf_dir)
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    to, tl = f"sg_bkt_orders_{sfx}", f"sg_bkt_lineitem_{sfx}"
+    for name, tbl, key in ((to, "orders", "o_orderkey"),
+                           (tl, "lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(name):
+            (load_table(spark, sf_dir, tbl).write
+             .bucketBy(BKT_N, key).sortBy(key)
+             .option("path", f"{root}/{name}")
+             .mode("overwrite").saveAsTable(name))
+    o = spark.table(to).hint("merge")
+    l = spark.table(tl).hint("merge")
+    j = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(dec("l_extendedprice", MONEY)).cast("double")
+                 .alias("revenue")))
+
+
+QUERIES["sink_bucketed_join"] = q_sink_bucketed_join
+
+ORACLE["sink_bucketed_join"] = """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""

@@ -275,3 +275,36 @@ def test_psi_drift_zero_on_identical_halves(spark, sf_small):
                    - (_ln_det_py(cps) + _ln_det_py(tps)))
             psi += math.floor(diff * lnr * 1e9 + 0.5)
         assert psi == 0
+
+
+def test_bucketed_join_plan_is_shuffle_free(spark, sf_small):
+    """The layout claim of sink_bucketed_join: SortMergeJoin over two
+    bucketed scans with ZERO Exchange on the join keys — the only
+    exchange in the plan is the final tiny per-priority aggregate."""
+    import re
+
+    from __spark_entry__ import queries
+
+    df = queries()["sink_bucketed_join"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all("orderpriority" in e for e in exchanges), exchanges
+
+    # layout must never change results: same rows as the plain join
+    from go_mapreduce_crawler_spark.operators.maintenance import MONEY
+    from go_mapreduce_crawler_spark.sources.tables import load_table
+    from go_mapreduce_crawler_spark.functions.exact import dec
+
+    o = load_table(spark, sf_small, "orders")
+    l = load_table(spark, sf_small, "lineitem")
+    want = {(r.o_orderpriority, r.n_items, r.revenue)
+            for r in (o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+                      .groupBy("o_orderpriority")
+                      .agg(F.count(F.lit(1)).alias("n_items"),
+                           F.sum(dec("l_extendedprice", MONEY))
+                           .cast("double").alias("revenue"))).collect()}
+    got = {(r.o_orderpriority, r.n_items, r.revenue)
+           for r in df.collect()}
+    assert got == want and got
