@@ -239,6 +239,7 @@ HEADLINE = [
     "eval_conformal_coverage",
     "feat_psi_drift",
     "sink_bucketed_join",
+    "stream_psi_drift_replay",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

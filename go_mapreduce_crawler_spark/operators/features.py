@@ -2850,7 +2850,18 @@ def q_feat_psi_drift(spark, sf_dir):
                    F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
                    .alias("cq")))
 
-    spine = (refstat.join(curtot, "et", "left")
+    return psi_finalize(refstat.join(curtot, "et", "left"), counts)
+
+
+def psi_finalize(totals, counts):
+    """Shared PSI finalize — totals = (et, tp[, lo_c, hi_c], tq
+    nullable), counts = (et, b, cp, cq).  Used verbatim by the batch
+    op and the streaming replay (stream_psi_drift_replay), so
+    streamed-counts == batch-counts implies streamed-PSI ==
+    batch-PSI structurally."""
+    from .text import _lit_spark, _ln_det
+
+    spine = (totals
              .select("et", "tp", F.coalesce("tq", F.lit(0)).alias("tq"),
                      F.explode(F.sequence(
                          F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("b0"))

@@ -600,7 +600,83 @@ def q_stream_stream_join_replay(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_stream_psi_drift_replay(spark, sf_dir):
+    """Streaming twin of feat_psi_drift — the deploy-time shape of a
+    drift monitor: the REFERENCE bins + counts are frozen at
+    calibration time (batch pass over the first half of the event-time
+    range), and only the CURRENT window streams — each micro-batch
+    merges (event_type, bucket) cell counts through the count-monoid
+    versioned-snapshot state (stream_cell_counts; idempotent retries =
+    exactly-once counts), and the finalize feeds the frozen reference
+    and the streamed histogram through the SAME psi_finalize the batch
+    op uses.  Oracle = feat_psi_drift's SQL VERBATIM, so a green row
+    is an end-to-end proof that ingest-time drift monitoring equals
+    the batch recomputation bit-for-bit.
+
+    A conservation self-audit (sum of streamed cell counts == the
+    fixture's bucketized current-row count) raises with the state
+    ledger instead of publishing a wrong histogram
+    (crawler.go:245-253's record-the-error contract).
+    """
+    from ..streaming.stateful import read_mv_state, stream_cell_counts
+    from .features import PSI_BUCKETS, psi_finalize
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("et"),
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+    rng = base.agg(F.min("us"), F.max("us")).collect()[0]
+    mid = rng[0] + (rng[1] - rng[0]) // 2    # bounded scalar collect
+
+    refstat = (base.filter(F.col("us") < mid).groupBy("et")
+               .agg(F.min("c").alias("lo_c"), F.max("c").alias("hi_c"),
+                    F.count(F.lit(1)).alias("tp")))
+    bkt = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.greatest(F.lit(0), F.expr(
+            f"((c - lo_c) * {PSI_BUCKETS}) DIV (hi_c - lo_c + 1)")))
+    refcnt = (base.filter(F.col("us") < mid)
+              .join(F.broadcast(refstat.select("et", "lo_c", "hi_c")), "et")
+              .withColumn("b", bkt.cast("long"))
+              .groupBy("et", "b").agg(F.count(F.lit(1)).alias("cp")))
+
+    stream = _replay_ordered_events(spark, sf_dir, "psi")
+    cur_cells = (stream
+                 .select(F.col("event_type").alias("et"),
+                         F.unix_micros("ts").alias("us"),
+                         F.floor(F.col("value") * 100 + F.lit(0.5))
+                         .cast("long").alias("c"))
+                 .filter(F.col("us") >= mid)
+                 .join(F.broadcast(refstat.select("et", "lo_c", "hi_c")),
+                       "et")
+                 .select(F.col("et").alias("k1"),
+                         bkt.cast("long").alias("k2")))
+    state, ckpt = _fresh_state("psi")
+    q = stream_cell_counts(cur_cells, state, ckpt)
+    _await_drained(q, "psi_drift")
+
+    cq = (read_mv_state(spark, state)
+          .select(F.col("k1").alias("et"), F.col("k2").alias("b"),
+                  F.col("n").alias("cq")))
+    streamed = cq.agg(F.sum("cq")).collect()[0][0] or 0
+    expected = (base.filter(F.col("us") >= mid)
+                .join(refstat.select("et"), "et").count())
+    if streamed != expected:
+        raise RuntimeError(
+            f"streamed cell counts {streamed} != fixture current rows "
+            f"{expected} — state merge lost or double-counted a batch")
+
+    counts = (refcnt.join(cq, ["et", "b"], "full_outer")
+              .select("et", "b",
+                      F.coalesce("cp", F.lit(0)).alias("cp"),
+                      F.coalesce("cq", F.lit(0)).alias("cq")))
+    curtot = cq.groupBy("et").agg(F.sum("cq").alias("tq"))
+    return psi_finalize(refstat.join(curtot, "et", "left"), counts)
+
+
 QUERIES = {
+    "stream_psi_drift_replay": q_stream_psi_drift_replay,
     "stream_stream_join_replay": q_stream_stream_join_replay,
     "stream_cdc_merge_replay": q_stream_cdc_merge_replay,
     "stream_decontam_bloom_replay": q_stream_decontam_bloom_replay,
@@ -850,3 +926,9 @@ ORACLE["stream_trending_topk_replay"] = """
     SELECT win_start_us, event_type, n_events, rnk
     FROM r WHERE rnk <= 3
 """
+
+from .features import ORACLE as _FEAT_ORACLE  # noqa: E402
+
+# streamed current-window histogram == batch recomputation, so the
+# batch PSI oracle is the streaming row's oracle VERBATIM
+ORACLE["stream_psi_drift_replay"] = _FEAT_ORACLE["feat_psi_drift"]

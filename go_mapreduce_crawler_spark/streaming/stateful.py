@@ -293,6 +293,48 @@ def stream_mv_refresh(events: DataFrame, state_dir: str, checkpoint: str):
             .trigger(availableNow=True).start())
 
 
+def stream_cell_counts(cells: DataFrame, state_dir: str,
+                       checkpoint: str):
+    """foreachBatch-maintained CELL-COUNT state over an arbitrary
+    2-part key (``k1``, ``k2``) — the pure count monoid (commutative,
+    associative; the versioned-snapshot protocol of stream_mv_refresh
+    makes batch retries idempotent, so the maintained counts are
+    exactly-once).  Used by the streaming PSI monitor
+    (streaming_replay.q_stream_psi_drift_replay): cells = (event_type,
+    bucket) and the finalized state is the current-window histogram.
+
+    Scale: per batch shuffles |cells-in-batch| partial rows; the merge
+    is |state| x |batch-cells| keyed equi-join — bounded by cell
+    cardinality, never stream length.
+    """
+    spark = cells.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        partial = batch_df.groupBy("k1", "k2").agg(
+            F.count(F.lit(1)).alias("n"))
+        prevs = [v for v in _state_versions(state_dir) if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/state_v{prevs[-1]}")
+            p = prev.select("k1", "k2", F.col("n").alias("n1"))
+            d = partial.select("k1", "k2", F.col("n").alias("n2"))
+            merged = (p.join(d, ["k1", "k2"], "full_outer")
+                      .select("k1", "k2",
+                              (F.coalesce("n1", F.lit(0))
+                               + F.coalesce("n2", F.lit(0))).alias("n")))
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/state_v{batch_id}")
+        for v in prevs[:-1]:
+            shutil.rmtree(f"{state_dir}/state_v{v}", ignore_errors=True)
+
+    return (cells.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def read_mv_state(spark, state_dir: str) -> DataFrame:
     """Latest snapshot of the foreachBatch-maintained view."""
     versions = _state_versions(state_dir)

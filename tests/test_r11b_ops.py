@@ -308,3 +308,18 @@ def test_bucketed_join_plan_is_shuffle_free(spark, sf_small):
     got = {(r.o_orderpriority, r.n_items, r.revenue)
            for r in df.collect()}
     assert got == want and got
+
+
+def test_stream_psi_drift_equals_batch_op(spark, sf_small):
+    """The streaming PSI monitor (frozen reference bins + streamed
+    current-window cell counts through the count-monoid state) must
+    equal the batch recomputation row-for-row — the deploy-time
+    contract of ingest-time drift monitoring."""
+    from __spark_entry__ import queries
+
+    q = queries()
+    got = {tuple(r) for r in
+           q["stream_psi_drift_replay"](spark, sf_small).collect()}
+    want = {tuple(r) for r in
+            q["feat_psi_drift"](spark, sf_small).collect()}
+    assert got == want and got
