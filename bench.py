@@ -240,6 +240,7 @@ HEADLINE = [
     "feat_psi_drift",
     "sink_bucketed_join",
     "stream_psi_drift_replay",
+    "graph_modularity_score",
 ]
 
 # Drift guard for the frozen comparator: every frozen name must still

@@ -546,6 +546,16 @@ def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
 def _lpa_oracle(n_iter: int = LPA_ITERS) -> str:
     """Unrolled-CTE DuckDB twin of q_label_propagation — integer/rank
     arithmetic only, so it matches the Spark side exactly."""
+    return (_lpa_ctes(n_iter)
+            + f" SELECT node, label FROM l{n_iter}")
+
+
+def _lpa_ctes(n_iter: int = LPA_ITERS) -> str:
+    """The WITH-chain of _lpa_oracle without the final SELECT, so
+    composing oracles (graph_modularity_score) can SPLICE it at top
+    level and keep extending the same CTE list (the r10 mixture_cte
+    recipe — nesting a WITH-chain as a derived table blocks DuckDB
+    pushdown and re-runs it per reference)."""
     parts = ["""WITH items AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
     e AS (SELECT a.i AS pa, b.i AS pb
@@ -563,7 +573,7 @@ def _lpa_oracle(n_iter: int = LPA_ITERS) -> str:
         FROM (SELECT adj.dst AS node, l{i}.label, COUNT(*) AS cnt
               FROM adj JOIN l{i} ON adj.src = l{i}.node
               GROUP BY 1, 2) m) WHERE rk = 1)""")
-    return "".join(parts) + f" SELECT node, label FROM l{n_iter}"
+    return "".join(parts)
 
 
 ORACLE = {
@@ -857,3 +867,94 @@ def _ppr_oracle(n_iter: int = 5, d: float = 0.85) -> str:
 
 
 ORACLE["graph_ppr_seeded"] = _ppr_oracle()
+
+
+# ------------------------------------------------ community quality
+
+MOD_E9 = 1_000_000_000
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Newman MODULARITY of the label-propagation communities over the
+    strong co-purchase graph — the quality readout that closes the
+    community-detection loop (LPA gives labels; this says whether the
+    partition beats random: Q = sum_c [e_c/m - (d_c/2m)^2]).
+
+    Per community: intra-edge count e_c (edges whose endpoints share
+    the final label), degree mass d_c, node count, and the EXACT
+    integer e9-quantized contribution — both division terms are exact
+    integer floor-divisions (the d_c^2 * 1e9 numerator would overflow
+    BIGINT at ~1e19, so it long-divides in two BIGINT-safe steps:
+    floor(a*C1*C2/den) = (a*C1 DIV den)*C2 + ((a*C1) % den)*C2 DIV
+    den with C1*C2 = 1e9 — every intermediate <= 4e17; DuckDB computes
+    the same integers via HUGEINT //).  Total modularity = SUM(q_e9),
+    order-independent by integer addition.
+
+    Scale shape: two label-broadcast joins + |labels|-sized groupBys
+    on top of the cached LPA adjacency; m is one bounded scalar
+    collect.  Singleton/no-intra-edge communities keep their negative
+    (d_c/2m)^2 term — dropping them would inflate Q.
+    """
+    edges = _pair_counts(_items(spark, sf_dir)).select("pa", "pb").cache()
+    m = edges.count()
+    if m == 0:
+        raise ValueError("empty co-purchase graph — no modularity")
+    lab = q_label_propagation(spark, sf_dir)
+    la = lab.select(F.col("node").alias("pa"), F.col("label").alias("ca"))
+    lb = lab.select(F.col("node").alias("pb"), F.col("label").alias("cb"))
+    intra = (edges.join(la, "pa").join(lb, "pb")
+             .filter(F.col("ca") == F.col("cb"))
+             .groupBy(F.col("ca").alias("label"))
+             .agg(F.count(F.lit(1)).alias("e_intra")))
+    deg = (edges.select(F.col("pa").alias("node"))
+           .union(edges.select(F.col("pb").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    comm = (deg.join(lab, "node").groupBy("label")
+            .agg(F.sum("deg").alias("d_sum"),
+                 F.count(F.lit(1)).alias("n_nodes"))
+            .join(intra, "label", "left")
+            .select("label", "n_nodes", "d_sum",
+                    F.coalesce("e_intra", F.lit(0)).alias("e_intra")))
+    den = 4 * m * m
+    c1, c2 = 10_000, 100_000       # c1*c2 = 1e9; d2*c1 <= 1e14, rem*c2 <= 4e17
+    return comm.selectExpr(
+        "label", "n_nodes", "d_sum", "e_intra",
+        f"CAST((e_intra * {MOD_E9}) DIV {m}"
+        f" - ((d_sum * d_sum * {c1}) DIV {den}) * {c2}"
+        f" - (((d_sum * d_sum * {c1}) % {den}) * {c2}) DIV {den}"
+        " AS BIGINT) AS q_e9")
+
+
+QUERIES["graph_modularity_score"] = q_graph_modularity
+
+
+def _modularity_oracle(n_iter: int = LPA_ITERS) -> str:
+    return (_lpa_ctes(n_iter) + f"""
+    , lf AS MATERIALIZED (SELECT node, label FROM l{n_iter}),
+    mm AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS m FROM e),
+    intra AS MATERIALIZED (
+        SELECT la.label, COUNT(*)::BIGINT AS e_intra
+        FROM e
+        JOIN lf la ON la.node = e.pa
+        JOIN lf lb ON lb.node = e.pb
+        WHERE la.label = lb.label
+        GROUP BY 1),
+    deg AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS deg FROM
+        (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY 1),
+    comm AS MATERIALIZED (
+        SELECT lf.label, COUNT(*)::BIGINT AS n_nodes,
+               SUM(d.deg)::BIGINT AS d_sum
+        FROM deg d JOIN lf ON lf.node = d.node
+        GROUP BY 1)
+    SELECT c.label, c.n_nodes, c.d_sum,
+           COALESCE(i.e_intra, 0)::BIGINT AS e_intra,
+           ((COALESCE(i.e_intra, 0)::HUGEINT * {MOD_E9}) // mm.m
+            - (c.d_sum::HUGEINT * c.d_sum * {MOD_E9})
+              // (4::HUGEINT * mm.m * mm.m))::BIGINT AS q_e9
+    FROM comm c LEFT JOIN intra i ON i.label = c.label, mm
+    """)
+
+
+ORACLE["graph_modularity_score"] = _modularity_oracle()

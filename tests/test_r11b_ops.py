@@ -323,3 +323,56 @@ def test_stream_psi_drift_equals_batch_op(spark, sf_small):
     want = {tuple(r) for r in
             q["feat_psi_drift"](spark, sf_small).collect()}
     assert got == want and got
+
+
+def test_graph_modularity_matches_python_replica(spark, sf_small):
+    """From-scratch Python modularity over the same strong co-purchase
+    graph + LPA labels: same exact integer floor-divisions, and the
+    total Q must land in the valid [-0.5, 1] range."""
+    from collections import Counter, defaultdict
+
+    from go_mapreduce_crawler_spark.operators.graph import (MOD_E9,
+                                                            LPA_ITERS,
+                                                            _items,
+                                                            _pair_counts)
+    from __spark_entry__ import queries
+
+    edges = [(r.pa, r.pb) for r in _pair_counts(
+        _items(spark, sf_small)).select("pa", "pb").collect()]
+    m = len(edges)
+
+    # python LPA replica (most-frequent neighbor label, ties smallest)
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {v: v for v in adj}
+    for _ in range(LPA_ITERS):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(lab[u] for u in adj[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+
+    e_c = Counter()
+    for a, b in edges:
+        if lab[a] == lab[b]:
+            e_c[lab[a]] += 1
+    d_c = Counter(); n_c = Counter()
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1; deg[b] += 1
+    for v in adj:
+        d_c[lab[v]] += deg[v]
+        n_c[lab[v]] += 1
+    expect = {(c, n_c[c], d_c[c], e_c.get(c, 0),
+               (e_c.get(c, 0) * MOD_E9) // m
+               - (d_c[c] * d_c[c] * MOD_E9) // (4 * m * m))
+              for c in n_c}
+
+    rows = queries()["graph_modularity_score"](spark, sf_small).collect()
+    got = {(r.label, r.n_nodes, r.d_sum, r.e_intra, r.q_e9) for r in rows}
+    assert got == expect and got
+    q_total = sum(r.q_e9 for r in rows) / MOD_E9
+    assert -0.5 <= q_total <= 1.0
