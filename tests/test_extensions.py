@@ -486,18 +486,16 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_small):
     (run by test_oracle) proves the rows survive bit-for-bit; here we
     pin the operational contract — the file count actually shrinks."""
     import glob
-    import hashlib
     import os
-    import tempfile
 
     from go_mapreduce_crawler_spark.operators.maintenance import (
-        COMPACT_TARGET_FILES, q_sink_compact)
+        COMPACT_TARGET_FILES, _session_tmp, q_sink_compact)
 
     q_sink_compact(spark, sf_small).count()
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_compact_"
-        + hashlib.md5(sf_small.encode()).hexdigest()[:10])
+    # Resolve the scratch dir the same way the operator does — the
+    # path carries the Spark applicationId since the r08 session-
+    # scoping fix, so reconstructing it by hand goes stale.
+    base = _session_tmp(spark, "compact", sf_small)
     n_small = len(glob.glob(os.path.join(base, "small", "part-*")))
     n_comp = len(glob.glob(os.path.join(base, "compacted", "part-*")))
     assert n_comp <= COMPACT_TARGET_FILES < n_small, (n_small, n_comp)
