@@ -665,7 +665,7 @@ def q_attribution_markov_removal(spark, sf_dir):
                     .alias("v")))
         v = (nxt.filter(~F.col("state").isin("CONV", "NULL"))
                 .union(v.filter(F.col("state").isin("CONV", "NULL")))
-                .localCheckpoint())
+                .localCheckpoint(eager=False))   # lazy: rounds pipeline
     starts = (v.filter(F.col("state") == "START")
                .select("removed", F.col("v").alias("p_conv")))
     base = (starts.filter(F.col("removed") == "BASE")

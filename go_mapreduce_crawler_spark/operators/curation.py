@@ -895,7 +895,9 @@ def q_corpus_domain_mixture(spark, sf_dir):
                     F.sum("cost_un").alias("sum_cost_un"))
                .selectExpr("source", "n_words", "sum_cost_un",
                            "CAST(sum_cost_un DIV n_words AS BIGINT)"
-                           " AS difficulty_ppw"))
+                           " AS difficulty_ppw")
+               .cache())   # |sources| rows, corpus-sized to compute;
+    #                        feeds the total AND the final projection
     tot = per.agg(F.sum("difficulty_ppw").alias("t"))
     return (per.crossJoin(F.broadcast(tot))
                .selectExpr("source", "n_words", "sum_cost_un",
@@ -994,7 +996,11 @@ def q_domain_mixture_mw(spark, sf_dir):
     from .text import _lit_spark, _ln_det
 
     d = load_table(spark, sf_dir, "documents")
-    words_all = d.select(F.explode(F.split("text", " ")).alias("word"))
+    # words_all feeds the total, the unigram model, the unigram margins
+    # AND the N scalar — four plan references, each re-running the
+    # corpus explode without a cache (same fix as _bm25_base)
+    words_all = (d.select(F.explode(F.split("text", " ")).alias("word"))
+                 .cache())
     total = words_all.agg(F.count(F.lit(1)).alias("total"))
     logp_u = (f"CAST(round(({_ln_det('cnt', _lit_spark)}"
               f" - {_ln_det('total', _lit_spark)}) * 1e6, 0) AS BIGINT)")
@@ -1014,8 +1020,9 @@ def q_domain_mixture_mw(spark, sf_dir):
               F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
               lambda a, b: F.struct(a.alias("prev"), b.alias("word"))))
            .alias("p"))
-           .select("source", "p.prev", "p.word"))
-    uni = words_all.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+           .select("source", "p.prev", "p.word").cache())  # model + scoring
+    uni = (words_all.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+           .cache())   # joined twice (c_a and c_b margins)
     bi = bg.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c_ab"))
     logp_bi = (f"CAST(round(({_ln_det('(c_ab * N + c_a * c_b)', _lit_spark)}"
                f" - {_ln_det('(2 * c_a * N)', _lit_spark)}) * 1e6, 0)"

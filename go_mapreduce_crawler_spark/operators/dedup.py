@@ -684,7 +684,8 @@ def _min_label_labels(pairs: DataFrame) -> DataFrame:
     # (35s -> 4s at sf0.001).  Checkpointing restarts the plan from the
     # materialized partitions every round.
     labels = (edges.select(F.col("doc_a").alias("node")).distinct()
-              .withColumn("lbl", F.col("node")).localCheckpoint())
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint(eager=False))
     # Convergence check: sum(lbl) strictly decreases every iteration
     # that changes any label (labels only move down), so one scalar
     # aggregate per iteration detects the fixpoint — no join-and-count.
@@ -694,10 +695,12 @@ def _min_label_labels(pairs: DataFrame) -> DataFrame:
         nbr_min = (edges.join(labels, edges.doc_b == labels.node)
                    .groupBy(F.col("doc_a").alias("node"))
                    .agg(F.min("lbl").alias("nbr_lbl")))
+        # LAZY checkpoint: the round's sum-collect below materializes
+        # it inside its own job — eager ran a separate job per round.
         labels = (labels.join(nbr_min, "node", "left")
                   .select("node", F.least(
                       "lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
@@ -748,7 +751,8 @@ def _star_components(pairs: DataFrame) -> DataFrame:
     DuckDB oracle, plus a pinned-equality test.
     """
     edges = _canonical(pairs.select(F.col("doc_a").alias("a"),
-                                    F.col("doc_b").alias("b"))).localCheckpoint()
+                                    F.col("doc_b").alias("b"))
+                       ).localCheckpoint(eager=False)
 
     def checksum(e: DataFrame):
         # hash sum in decimal(38,0): a long sum of 64-bit hashes
@@ -770,7 +774,7 @@ def _star_components(pairs: DataFrame) -> DataFrame:
         large = (nbrs.filter(F.col("b") > F.col("a"))
                  .join(mins, "a")
                  .select(F.col("b").alias("a"), F.col("m").alias("b")))
-        edges = _canonical(large).localCheckpoint()
+        edges = _canonical(large).localCheckpoint(eager=False)
         # small-star: (v, min(N⁻(u) ∪ {u})) for v in N⁻(u) ∪ {u}
         nbrs = edges.union(edges.select(F.col("b").alias("a"),
                                         F.col("a").alias("b")))
@@ -779,7 +783,9 @@ def _star_components(pairs: DataFrame) -> DataFrame:
         small = (down.join(mins, "a")
                  .select(F.col("b").alias("a"), F.col("m").alias("b"))
                  .union(mins.select(F.col("a"), F.col("m").alias("b"))))
-        edges = _canonical(small).localCheckpoint()
+        # lazy like the large-star cut: each round's checksum collect
+        # materializes both cuts in one job instead of three
+        edges = _canonical(small).localCheckpoint(eager=False)
         cur = checksum(edges)
         if cur == prev:
             converged = True

@@ -1119,8 +1119,11 @@ def q_stats_spearman(spark, sf_dir):
     no un-scaling.
     """
     l = load_table(spark, sf_dir, "lineitem")
+    # fact feeds both midrank maps AND the final join — three plan
+    # references, each re-running the fact scan + decimal casts; one
+    # cache fill serves all three (two narrow decimals per row).
     fact = l.select(dec(_SPEAR_X, MONEY).alias("x"),
-                    dec(_SPEAR_Y, MONEY).alias("y"))
+                    dec(_SPEAR_Y, MONEY).alias("y")).cache()
 
     def midrank2_map(col, bucket_div):
         vc = fact.groupBy(col).agg(F.count(F.lit(1)).alias("c"))

@@ -144,12 +144,16 @@ def q_pagerank_copurchase(spark, sf_dir, n_iter: int = 5, d: float = 0.85):
                                F.col("pa").alias("dst")))
            .cache())
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    adj_deg = adj.join(deg, "src").localCheckpoint()
+    # LAZY checkpoints (the _substring_report convention): the loop has
+    # no mid-round action, so eager=False keeps the lineage cut while
+    # letting all rounds pipeline inside the final job instead of
+    # running n_iter+1 serialized materialization jobs.
+    adj_deg = adj.join(deg, "src").localCheckpoint(eager=False)
     n_nodes = deg.count()
     pr = deg.select(F.col("src").alias("node"),
                     (F.lit(1.0) / F.lit(n_nodes)).alias("rank"))
     for _ in range(n_iter):
-        pr = _pr_step(adj_deg, pr, n_nodes, d).localCheckpoint()
+        pr = _pr_step(adj_deg, pr, n_nodes, d).localCheckpoint(eager=False)
     return pr.select("node", F.floor(F.col("rank") * 1e9)
                      .cast("long").alias("rank_e9"))
 
@@ -180,7 +184,7 @@ def q_bfs_hops(spark, sf_dir, n_iter: int = 4):
                        (F.col("hops") + F.lit(1)).alias("hops")))
         dist = (dist.union(nxt)
                 .groupBy("node").agg(F.min("hops").alias("hops"))
-                .localCheckpoint())
+                .localCheckpoint(eager=False))   # lazy: rounds pipeline
     return dist
 
 
@@ -218,7 +222,7 @@ def q_label_propagation(spark, sf_dir):
         lab = (counts.withColumn("rk", F.row_number().over(w))
                      .filter(F.col("rk") == 1)
                      .select("node", "label")
-                     .localCheckpoint())
+                     .localCheckpoint(eager=False))  # lazy: rounds pipeline
     return lab
 
 
@@ -308,7 +312,7 @@ def q_kcore_peel(spark, sf_dir):
     adj = (edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
            .union(edges.select(F.col("pb").alias("src"),
                                F.col("pa").alias("dst")))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))   # lazy: rounds pipeline
     alive = adj.select(F.col("src").alias("node")).distinct()
     live = None
     for _ in range(KCORE_ROUNDS):
@@ -316,7 +320,8 @@ def q_kcore_peel(spark, sf_dir):
                    .join(alive.select(F.col("node").alias("dst")), "dst"))
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         alive = (deg.filter(F.col("deg") >= KCORE_K)
-                    .select(F.col("src").alias("node")).localCheckpoint())
+                    .select(F.col("src").alias("node"))
+                    .localCheckpoint(eager=False))
     final = (adj.join(alive.select(F.col("node").alias("src")), "src")
                 .join(alive.select(F.col("node").alias("dst")), "dst")
                 .groupBy("src").agg(F.count(F.lit(1)).alias("core_degree")))
@@ -409,7 +414,7 @@ def q_ppr_seeded(spark, sf_dir, n_iter: int = 5, d: float = 0.85):
                                F.col("pa").alias("dst")))
            .cache())
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    adj_deg = adj.join(deg, "src").localCheckpoint()
+    adj_deg = adj.join(deg, "src").localCheckpoint(eager=False)  # lazy
     seeds = [r[0] for r in
              deg.select("src").orderBy("src").limit(PPR_N_SEEDS).collect()]
     seed_df = spark.createDataFrame([(s,) for s in seeds], "seed bigint")
@@ -436,7 +441,7 @@ def q_ppr_seeded(spark, sf_dir, n_iter: int = 5, d: float = 0.85):
                         .otherwise(F.lit(0.0))
                        + F.lit(d) * (F.col("inflow_fp").cast("double")
                                      / F.lit(1e15))).alias("rank"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))   # lazy: rounds pipeline
     return pr.select("node", F.floor(F.col("rank") * 1e9)
                      .cast("long").alias("rank_e9"))
 
@@ -481,7 +486,7 @@ def q_shortest_path_weighted(spark, sf_dir, n_iter: int = 4):
         dist = (dist.union(nxt)
                 .groupBy("node").agg(F.min("cost").alias("min_cost"))
                 .withColumnRenamed("min_cost", "cost")
-                .localCheckpoint())
+                .localCheckpoint(eager=False))   # lazy: rounds pipeline
     return dist.select("node", F.col("cost").alias("min_cost"))
 
 

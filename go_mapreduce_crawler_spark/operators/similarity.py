@@ -1743,18 +1743,28 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
 def _bm25_base(spark, sf_dir):
     """The BM25 statistics relations (tf, dfr, dl, scal) plus the seed
     queries' own top-terms relation (qterms) — shared by the hybrid
-    family's lexical arm and the PRF expansion round."""
+    family's lexical arm and the PRF expansion round.
+
+    Every relation here is referenced several times by each consumer
+    (the PRF round's final plan held ~20 copies of the words-explode ->
+    tf-agg subtree: tf feeds dfr, dl, scal AND the scoring join, and
+    qterms re-reads all four), and Catalyst does not dedupe common
+    subtrees — each reference re-ran the corpus explode.  cache() each
+    relation once: tf is posting-list-sized (16 B + term per row), the
+    others are vocab-/doc-/1-row-sized, so the memory cost is noise
+    next to re-running the corpus scan per reference.  Results are
+    unchanged (caching only short-circuits recomputation)."""
     from .text import _bm25_e6_expr, _docs, _lit_spark
 
     d = _docs(spark, sf_dir)
     words = d.select("doc_id",
                      F.explode(F.split("text", " ")).alias("word"))
     tf = (words.groupBy("doc_id", "word")
-               .agg(F.count(F.lit(1)).alias("tf")))
-    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    scal = dl.agg(F.sum("dl").alias("total_words"),
-                  F.count(F.lit(1)).alias("n_docs"))
+               .agg(F.count(F.lit(1)).alias("tf")).cache())
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df")).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).cache()
+    scal = (dl.agg(F.sum("dl").alias("total_words"),
+                   F.count(F.lit(1)).alias("n_docs")).cache())
     # lexical query terms: the seed doc's own top-scoring BM25 terms
     qown = (tf.filter(F.col("doc_id") % 100 == 0)
               .join(dfr, "word").join(dl, "doc_id")
@@ -1764,7 +1774,7 @@ def _bm25_base(spark, sf_dir):
     wq = W.partitionBy("q_doc").orderBy(F.desc("own_e6"), F.asc("word"))
     qterms = (qown.withColumn("trk", F.row_number().over(wq))
                   .filter(F.col("trk") <= HYB_QTERMS)
-                  .select("q_doc", "word", "df"))
+                  .select("q_doc", "word", "df").cache())
     return tf, dfr, dl, scal, qterms
 
 

@@ -1052,8 +1052,11 @@ def q_text_bm25_retrieval(spark, sf_dir):
     d = _docs(spark, sf_dir)
     words = d.select("doc_id",
                      F.explode(F.split("text", " ")).alias("word"))
+    # tf feeds dfr, dl, scal AND the scoring join — four references,
+    # and Catalyst re-runs the corpus explode per reference (the
+    # q_text_bm25 cache rationale, which this query predated).
     tf = (words.groupBy("doc_id", "word")
-               .agg(F.count(F.lit(1)).alias("tf")))
+               .agg(F.count(F.lit(1)).alias("tf")).cache())
     dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     scal = dl.agg(F.sum("dl").alias("total_words"),
@@ -1159,9 +1162,15 @@ def q_text_textrank_keywords(spark, sf_dir):
            .union(wedges.select(F.col("wb").alias("src"),
                                 F.col("wa").alias("dst"), "wgt")))
     wsum = adj.groupBy("src").agg(F.sum("wgt").alias("wsum"))
+    # Eager checkpoint (counted immediately below); n_nodes and the
+    # rank seed then derive from the MATERIALIZED adj_deg instead of
+    # re-running the pair-explode -> vocab-join -> agg pipeline a
+    # second time through wsum (same rows: adj_deg's src set IS wsum's
+    # key set — the join keeps every adj row).
     adj_deg = adj.join(wsum, "src").localCheckpoint()
-    n_nodes = wsum.count()
-    pr = wsum.select(F.col("src").alias("node"),
+    srcs = adj_deg.select("src").distinct()
+    n_nodes = srcs.count()
+    pr = srcs.select(F.col("src").alias("node"),
                      (F.lit(1.0) / F.lit(n_nodes)).alias("rank"))
     for _ in range(TR_ITER):
         contribs = (adj_deg.join(pr, adj_deg.src == pr.node)
@@ -1176,7 +1185,7 @@ def q_text_textrank_keywords(spark, sf_dir):
             (F.lit(1.0 - TR_D) / F.lit(n_nodes)
              + F.lit(TR_D) * (F.col("inflow_fp").cast("double")
                               / F.lit(1e15))).alias("rank")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)   # lazy: rounds pipeline
     ranked = pr.select(F.col("node").alias("word"),
                        F.floor(F.col("rank") * 1e9)
                         .cast("long").alias("rank_e9"))
@@ -1343,7 +1352,8 @@ def q_text_ngram_novelty(spark, sf_dir):
                       F.explode(F.array_distinct(
                           _token_ngrams(F.split("text", " "), 3)))
                        .alias("g"))
-              .select("doc_id", F.md5("g").alias("h")))
+              .select("doc_id", F.md5("g").alias("h"))
+              .cache())   # feeds the first-owner agg AND the join back
     firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (grams.join(firsts, "h")
                  .groupBy("doc_id")
@@ -1647,7 +1657,9 @@ def q_text_collocations_llr(spark, sf_dir):
         F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("p")) \
           .select("p.a", "p.b")
-    bi = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("k11"))
+    # bi feeds both margins, the total AND the scoring join — four plan
+    # references, each re-running the bigram explode+agg without a cache
+    bi = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("k11")).cache()
     ra = bi.groupBy("a").agg(F.sum("k11").alias("ca"))
     cb = bi.groupBy("b").agg(F.sum("k11").alias("cb"))
     tot = bi.agg(F.sum("k11").alias("N"))
