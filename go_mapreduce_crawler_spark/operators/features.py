@@ -1547,27 +1547,32 @@ def q_schema_drift(spark, sf_dir):
     # (plain "100" < "99" would invert the escape flags).
     pad = {"o_totalprice": 15, "o_custkey": 12}
 
-    def profile(df):
-        aggs = [F.count(F.lit(1)).alias("n")]
-        for name, c in cols.items():
-            mn, mx = F.min(c).cast("string"), F.max(c).cast("string")
-            if name in pad:
-                mn = F.lpad(mn, pad[name], "0")
-                mx = F.lpad(mx, pad[name], "0")
-            aggs += [
-                F.sum(c.isNull().cast("long")).alias(f"nn_{name}"),
-                F.countDistinct(c).alias(f"ndv_{name}"),
-                mn.alias(f"mn_{name}"),
-                mx.alias(f"mx_{name}"),
-            ]
-        wide = df.agg(*aggs)
-        stack = "stack(%d, %s) as (col, n_null, ndv, mn, mx)" % (
-            len(cols), ", ".join(
-                f"'{n}', nn_{n}, ndv_{n}, mn_{n}, mx_{n}" for n in cols))
-        return wide.select("n", F.expr(stack))
-
-    base = profile(o.filter(F.col("o_orderdate") < DRIFT_SPLIT))
-    new = profile(o.filter(F.col("o_orderdate") >= DRIFT_SPLIT))
+    # ONE grouped pass over the table profiles BOTH sides (group key =
+    # which side of the split the row falls on): the per-side profile()
+    # calls each ran their own scan + multi-countDistinct Expand — two
+    # full passes for four stats columns.  Same aggregates, same
+    # stack() unpivot, same output values.
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, c in cols.items():
+        mn, mx = F.min(c).cast("string"), F.max(c).cast("string")
+        if name in pad:
+            mn = F.lpad(mn, pad[name], "0")
+            mx = F.lpad(mx, pad[name], "0")
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"nn_{name}"),
+            F.countDistinct(c).alias(f"ndv_{name}"),
+            mn.alias(f"mn_{name}"),
+            mx.alias(f"mx_{name}"),
+        ]
+    side = (F.col("o_orderdate") < DRIFT_SPLIT).alias("is_base")
+    wide2 = o.groupBy(side).agg(*aggs)
+    stack = "stack(%d, %s) as (col, n_null, ndv, mn, mx)" % (
+        len(cols), ", ".join(
+            f"'{n}', nn_{n}, ndv_{n}, mn_{n}, mx_{n}" for n in cols))
+    # 8-row relation, corpus-sized to compute; feeds both side filters
+    prof = wide2.select("is_base", "n", F.expr(stack)).cache()
+    base = prof.filter(F.col("is_base")).drop("is_base")
+    new = prof.filter(~F.col("is_base")).drop("is_base")
     b = base.select(F.col("col"), F.col("n").alias("base_n"),
                     F.col("n_null").alias("base_null"),
                     F.col("ndv").alias("base_ndv"),

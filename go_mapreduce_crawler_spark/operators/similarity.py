@@ -1565,10 +1565,13 @@ def q_pipeline_rag_index(spark, sf_dir):
 
     assigned = vecs.withColumn(
         "cell", F.array_max(cell_scores("v"))["cell"])
+    # docv feeds the probe-exploded query relation AND the per-query
+    # size join — cache so the 32-dim sum agg runs once per call
     docv = (vecs.groupBy("doc_id")
             .agg(F.array(*[F.sum(F.col("v")[i]).cast("long")
                            for i in range(RAG_DIMS)]).alias("dv"),
-                 F.count(F.lit(1)).alias("n_chunks")))
+                 F.count(F.lit(1)).alias("n_chunks"))
+            .cache())
     probes = F.transform(
         F.slice(F.reverse(F.array_sort(cell_scores("dv"))), 1,
                 RAG_PROBES),

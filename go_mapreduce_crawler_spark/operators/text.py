@@ -903,11 +903,15 @@ def q_remove_boilerplate(spark, sf_dir):
     (both engines construct identically).
     """
     d = _docs(spark, sf_dir)
+    # segs feeds the recurrence count, the per-doc totals AND the
+    # anti-join — three plan references, each re-running the segment
+    # explode + md5 without a cache
     segs = (d.select("doc_id", F.posexplode(F.expr(
                 f"transform(sequence(0, (size(split(text, ' ')) - 1) div {SEG_WORDS}),"
                 f" i -> array_join(slice(split(text, ' '), i * {SEG_WORDS} + 1,"
                 f" {SEG_WORDS}), ' '))")).alias("seg_idx", "seg"))
-             .withColumn("dg", F.md5(F.encode("seg", "UTF-8"))))
+             .withColumn("dg", F.md5(F.encode("seg", "UTF-8")))
+             .cache())
     boiler = (segs.groupBy("dg")
                   .agg(F.countDistinct("doc_id").alias("nd"))
                   .filter(F.col("nd") >= 2)
@@ -944,11 +948,13 @@ def q_corpus_line_dedup(spark, sf_dir):
     engines construct identically).
     """
     d = _docs(spark, sf_dir)
+    # same 3-reference fanout as q_remove_boilerplate — cache once
     segs = (d.select("doc_id", F.posexplode(F.expr(
                 f"transform(sequence(0, (size(split(text, ' ')) - 1) div {SEG_WORDS}),"
                 f" i -> array_join(slice(split(text, ' '), i * {SEG_WORDS} + 1,"
                 f" {SEG_WORDS}), ' '))")).alias("seg_idx", "seg"))
-             .withColumn("dg", F.md5(F.encode("seg", "UTF-8"))))
+             .withColumn("dg", F.md5(F.encode("seg", "UTF-8")))
+             .cache())
     owner = (segs.select("doc_id", "seg_idx", "dg")
                  .groupBy("dg")
                  .agg(F.min(F.struct("doc_id", "seg_idx")).alias("o"))
