@@ -663,9 +663,17 @@ def q_attribution_markov_removal(spark, sf_dir):
                .groupBy("removed", F.col("s").alias("state"))
                .agg((F.sum("pv_fp").cast("double") / F.lit(1e15))
                     .alias("v")))
+        # EAGER checkpoint, deliberately (r11-opt measured): v is
+        # referenced TWICE per round (the join and the absorbing-state
+        # union), and with eager=False AQE materializes independent
+        # query stages concurrently — both branches can race to
+        # compute the not-yet-persisted checkpoint, so the 8-level
+        # chain re-executed whole prefixes (2.8 s -> 6.4 s in two full
+        # bench runs; the single-reference loops in graph.py keep the
+        # lazy form, where the same change measured 1.4-3.6x FASTER).
         v = (nxt.filter(~F.col("state").isin("CONV", "NULL"))
                 .union(v.filter(F.col("state").isin("CONV", "NULL")))
-                .localCheckpoint(eager=False))   # lazy: rounds pipeline
+                .localCheckpoint())
     starts = (v.filter(F.col("state") == "START")
                .select("removed", F.col("v").alias("p_conv")))
     base = (starts.filter(F.col("removed") == "BASE")

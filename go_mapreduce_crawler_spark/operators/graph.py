@@ -483,10 +483,14 @@ def q_shortest_path_weighted(spark, sf_dir, n_iter: int = 4):
         nxt = (adj.join(dist, adj.src == dist.node)
                .select(F.col("dst").alias("node"),
                        (F.col("cost") + F.col("ecost")).alias("cost")))
+        # EAGER, deliberately: dist is referenced twice per round
+        # (frontier join + union) — the markov lesson (behavior.py):
+        # lazy checkpoints under AQE can recompute the unmaterialized
+        # branch; this loop read +0.6 s in the full bench under lazy.
         dist = (dist.union(nxt)
                 .groupBy("node").agg(F.min("cost").alias("min_cost"))
                 .withColumnRenamed("min_cost", "cost")
-                .localCheckpoint(eager=False))   # lazy: rounds pipeline
+                .localCheckpoint())
     return dist.select("node", F.col("cost").alias("min_cost"))
 
 
