@@ -1581,9 +1581,13 @@ def q_pipeline_rag_index(spark, sf_dir):
                   F.explode(probes).alias("probe")))
     cand = assigned.join(F.broadcast(qs),
                          F.col("cell") == F.col("probe"))
-    dot_i = F.aggregate(
-        F.zip_with(F.col("dv"), F.col("v"), lambda a, b: a * b),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # Explicit 32-term sum instead of a zip_with+aggregate HOF: the
+    # HOF pair is interpreted (CodegenFallback) and ran once per
+    # candidate row in the probe join's hot loop; the unrolled sum is
+    # whole-stage-codegen'd.  BIGINT addition is exact and
+    # order-free, so the values are bit-identical.
+    dot_i = F.expr(" + ".join(
+        f"dv[{i}] * v[{i}]" for i in range(RAG_DIMS))).cast("long")
     w = W.partitionBy("q_doc").orderBy(
         F.desc("dot"), F.asc("doc_id"), F.asc("chunk_idx"))
     topk = (cand.withColumn("dot", dot_i)

@@ -837,6 +837,42 @@ def _read_meta(state_dir: str, version: int):
     return pq.read_table(files[0])["mx"][0].as_py()
 
 
+def _parquet_col_max(directory: str, col: str):
+    """Exact max of an int64 column from parquet FOOTER statistics —
+    no Spark job.  The windowed-dedup merges just WROTE the batch's
+    verdict relation (one row per batch doc), so its doc_id max IS the
+    batch max; reading it back from the row-group stats replaces one
+    whole-batch aggregation job per micro-batch.  Returns None when
+    any populated row group lacks min/max stats (caller must fall back
+    to a Spark aggregate) or when the relation is empty."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    mx = None
+    for f in _glob.glob(f"{directory}/part-*.parquet"):
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_row_groups == 0:
+            continue
+        leaf = None
+        g0 = pf.metadata.row_group(0)
+        for i in range(g0.num_columns):
+            if g0.column(i).path_in_schema == col:
+                leaf = i
+                break
+        for rg in range(pf.metadata.num_row_groups):
+            g = pf.metadata.row_group(rg)
+            if g.num_rows == 0:
+                continue
+            if leaf is None:
+                return None
+            st = g.column(leaf).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
                                checkpoint: str):
     """Streaming WINDOWED SPAN DEDUP (r07 verdict item 6) — the
@@ -928,7 +964,13 @@ def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
                                  .cast("long").alias("n_dup_grams")))
         verd_new.write.mode("overwrite").parquet(
             f"{state_dir}/verdicts_b{batch_id}")
-        bmx = batch_df.agg(F.max("doc_id")).collect()[0][0]
+        # batch max from the verdict footers just written (one row per
+        # batch doc) — replaces a whole-batch aggregation job; falls
+        # back to the Spark agg only if footer stats are absent
+        bmx = _parquet_col_max(f"{state_dir}/verdicts_b{batch_id}",
+                               "doc_id")
+        if bmx is None:
+            bmx = batch_df.agg(F.max("doc_id")).collect()[0][0]
         mx = max(x for x in (prev_mx, bmx) if x is not None) \
             if (prev_mx is not None or bmx is not None) else None
         _write_meta(state_dir, batch_id, mx)
@@ -1036,7 +1078,11 @@ def stream_windowed_minhash_dedup(docs: DataFrame, state_dir: str,
                              .cast("long").alias("n_hit_bands")))
         verd_new.write.mode("overwrite").parquet(
             f"{state_dir}/verdicts_b{batch_id}")
-        bmx = batch_df.agg(F.max("doc_id")).collect()[0][0]
+        # batch max from the verdict footers (see the span merge)
+        bmx = _parquet_col_max(f"{state_dir}/verdicts_b{batch_id}",
+                               "doc_id")
+        if bmx is None:
+            bmx = batch_df.agg(F.max("doc_id")).collect()[0][0]
         mx = max(x for x in (prev_mx, bmx) if x is not None) \
             if (prev_mx is not None or bmx is not None) else None
         _write_meta(state_dir, batch_id, mx)
