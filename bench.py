@@ -370,11 +370,16 @@ def main() -> None:
     # so a 140-query map at 3 decimals (~5KB) always clipped mid-JSON
     # (BENCH_r09/r10 `parsed: null`).  The sidecar carries the
     # complete map; the stdout line below is budgeted to FIT the
-    # capture so it always parses whole.
+    # capture so it always parses whole.  The default path is
+    # PER-CORE-COUNT (r11 verdict item 2): the driver's low-core
+    # scaling run used to overwrite the 32-core full map, leaving only
+    # the budgeted stdout line as the round's complete record.
     repo_root = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL_PATH",
-        os.path.join(repo_root, "tools", "bench_latest_full.json"))
+        os.path.join(repo_root, "tools",
+                     f"bench_latest_full_c{cpus}.json"))
     full = {
         "queries": timings,
         "sf": sf_val,

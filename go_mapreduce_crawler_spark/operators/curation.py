@@ -391,7 +391,12 @@ def _sql_str(s: str) -> str:
     rules (see similarity._dot_sql for why generated SQL beats Column
     construction: one JVM parse instead of a py4j round-trip per
     literal — measured ~1 s of pure driver-side plan building per
-    128-merge round)."""
+    128-merge round).
+
+    Assumes the DEFAULT ``spark.sql.parser.escapedStringLiterals=
+    false`` (pinned in session.get_spark): with that conf true, the
+    backslash escapes here would be taken literally and the generated
+    fold would silently rewrite wrong patterns."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 

@@ -1569,8 +1569,34 @@ def q_schema_drift(spark, sf_dir):
     stack = "stack(%d, %s) as (col, n_null, ndv, mn, mx)" % (
         len(cols), ", ".join(
             f"'{n}', nn_{n}, ndv_{n}, mn_{n}, mx_{n}" for n in cols))
-    # 8-row relation, corpus-sized to compute; feeds both side filters
-    prof = wide2.select("is_base", "n", F.expr(stack)).cache()
+    # 8-row relation, corpus-sized to compute; feeds both side filters.
+    # SPINE left-join (r11 verdict item 8): the grouped pass emits NO
+    # group for an empty side, unlike the per-side df.agg() it replaced
+    # (one row per column with n=0 / ndv=0 / NULL sums+ranges) — so a
+    # table entirely on one side of DRIFT_SPLIT produced a silent EMPTY
+    # drift report.  The 8-row (is_base x col) spine restores the zero
+    # rows, and with them the old loud ANSI divide-by-zero on the empty
+    # side's ndv — an ingest monitor must fail, not report "no drift".
+    # LocalRelation spine (SQL VALUES, not createDataFrame — an
+    # ExistingRDD scan would defeat broadcast and force a sort-merge
+    # join with exchanges around the profile agg: measured 0.76s ->
+    # 4.0s); the 8-row stacked profile broadcasts, so the spine join
+    # adds no exchange and the corpus is still scanned exactly once.
+    spark = o.sparkSession
+    spine = spark.sql(
+        "SELECT is_base, col FROM VALUES "
+        + ", ".join(f"({b}, '{c}')"
+                    for b in ("true", "false") for c in cols)
+        + " AS t(is_base, col)")
+    prof = (spine.join(
+                F.broadcast(wide2.select("is_base", "n", F.expr(stack))),
+                ["is_base", "col"], "left")
+            .select("is_base", "col",
+                    F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+                    "n_null",                  # NULL like sum() over empty
+                    F.coalesce("ndv", F.lit(0).cast("long")).alias("ndv"),
+                    "mn", "mx")
+            .cache())
     base = prof.filter(F.col("is_base")).drop("is_base")
     new = prof.filter(~F.col("is_base")).drop("is_base")
     b = base.select(F.col("col"), F.col("n").alias("base_n"),

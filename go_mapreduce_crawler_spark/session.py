@@ -50,6 +50,12 @@ def get_spark(app_name: str = "go-mapreduce-crawler-spark",
         # test with explicit thresholds.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Generated-SQL string literals (curation._sql_str, the BPE
+        # rewrite fold) escape backslashes/quotes under Spark's DEFAULT
+        # backslash-escape parsing; pin the conf so a deployment that
+        # flips escapedStringLiterals=true cannot silently change what
+        # the generated fold rewrites (r11 advice item 3).
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python data source filter pushdown (crawl_source.PushdownCrawlReader)
         .config("spark.sql.python.filterPushdown.enabled", "true")

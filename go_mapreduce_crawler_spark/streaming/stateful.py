@@ -816,6 +816,7 @@ def _write_meta(state_dir: str, batch_id: int, mx) -> None:
     replay rows — pure scheduling, zero data work).  Same bytes, same
     path, same overwrite-idempotence; ``spark.read.parquet`` on the
     directory remains valid for any external reader."""
+    import glob as _glob
     import os
 
     import pyarrow as pa
@@ -823,6 +824,15 @@ def _write_meta(state_dir: str, batch_id: int, mx) -> None:
 
     d = f"{state_dir}/state_v{batch_id}/meta"
     os.makedirs(d, exist_ok=True)
+    # Overwrite-idempotence across FORMAT transitions (r11 advice item
+    # 2): a retried batch landing on a meta dir written by the previous
+    # Spark-write format (part-00000-<uuid>-*.parquet) must not leave
+    # the stale file behind — it sorts before 'part-00000.parquet'
+    # ('-' < '.'), so _read_meta would return the stale max and
+    # spark.read.parquet would see 2 rows.  mode('overwrite') wiped the
+    # dir; replicate that here.
+    for stale in _glob.glob(f"{d}/*.parquet"):
+        os.remove(stale)
     pq.write_table(pa.table({"mx": pa.array([mx], type=pa.int64())}),
                    f"{d}/part-00000.parquet")
 

@@ -19,6 +19,7 @@ from go_mapreduce_crawler_spark.operators import all_queries  # noqa: E402
 names: list[str] = []
 sf_dir = "/root/testdata/sf0.1"
 suffix = "before"
+round_dir = "r12"
 argv = sys.argv[1:]
 i = 0
 while i < len(argv):
@@ -29,12 +30,15 @@ while i < len(argv):
     elif a == "--suffix":
         i += 1
         suffix = argv[i]
+    elif a == "--round":
+        i += 1
+        round_dir = argv[i]
     else:
         names.append(a)
     i += 1
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-out_dir = os.path.join(repo, "plans", "r11")
+out_dir = os.path.join(repo, "plans", round_dir)
 os.makedirs(out_dir, exist_ok=True)
 
 spark = get_spark("opt_plan")
