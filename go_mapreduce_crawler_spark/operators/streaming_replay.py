@@ -594,9 +594,27 @@ def q_stream_stream_join_replay(spark, sf_dir):
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"))
     _MEM_SINK_SEQ[0] += 1
     name = f"sgraft_ssjoin_replay_{_MEM_SINK_SEQ[0]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    _await_drained(q, "stream_stream_join")
+    # Skip the trailing NO-DATA micro-batch (r12, guide §1/§7 measured:
+    # recentProgress showed a 5th batch with rows_in=0 whose only work
+    # is state eviction — 0.9-2s of 32 state-store commits).  For an
+    # INNER join in append mode every output row is emitted in the data
+    # batch that completes the match, and watermark eviction is still
+    # exercised across data batches 1-3 (numRowsTotal holds ~10.5k
+    # while ~10k rows/batch insert), so the finalized result is
+    # byte-identical (1455 rows at sf0.1 in both configs); the query
+    # terminates right after the drain, so the skipped eviction freed
+    # no memory anyone uses.  Scoped to this query and restored — an
+    # OUTER stream-stream join (or any watermark-completed emission)
+    # must keep no-data batches on.
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await_drained(q, "stream_stream_join")
+    finally:
+        spark.conf.set(key, prev)
     return spark.sql(f"SELECT * FROM {name}")
 
 
