@@ -382,11 +382,18 @@ def _sig_agg_of(docs_df: DataFrame) -> DataFrame:
     tri = F.zip_with(pair, F.slice(w, 3, n - 2),
                      lambda ab, c_: F.concat_ws(" ", ab, c_))
     sh = F.when(n >= SHINGLE_N, tri).otherwise(F.array(F.col("text")))
+    # explode_OUTER + null-filter (r12): plain explode's inferred
+    # non-empty filter re-evaluates the collapsed shingle+md5
+    # transform in a Filter below the Generate — a duplicate hash
+    # pass per row (and, in the streaming merges, one that sinks
+    # below the spread exchange into the serial scan task).  h is
+    # never null (conv of md5), so rows match the inner explode.
     hs_rows = (docs_df
                .select("doc_id", F.array_distinct(sh).alias("shingles"))
-               .select("doc_id", F.explode(F.expr(
+               .select("doc_id", F.explode_outer(F.expr(
                    "transform(shingles, s -> cast(conv(substring("
-                   "md5(s), 1, 8), 16, 10) as bigint))")).alias("h")))
+                   "md5(s), 1, 8), 16, 10) as bigint))")).alias("h"))
+               .filter(F.col("h").isNotNull()))
     return hs_rows.groupBy("doc_id").agg(*[
         F.min(F.expr(f"({a}L * h + {b}L) % {MH_P}L")).alias(f"h{k}")
         for k, (a, b) in enumerate(MH_AB)])
@@ -1142,7 +1149,13 @@ def q_dedup_spans(spark, sf_dir):
             lambda i: F.md5(F.encode(
                 F.array_join(F.slice(w, i + 1, SPAN_N), " "), "UTF-8"))),
     ).otherwise(F.array().cast("array<string>"))
-    g1 = (d.select("doc_id", F.explode(grams).alias("gm"))
+    # explode_OUTER + null-filter (r12): plain explode's inferred
+    # non-empty filter re-evaluates the whole md5 gram transform in a
+    # Filter below the Generate — a full second hash pass over every
+    # document.  gm is never null (md5), so the post-generate filter
+    # reproduces inner-explode rows exactly.
+    g1 = (d.select("doc_id", F.explode_outer(grams).alias("gm"))
+            .filter(F.col("gm").isNotNull())
             .groupBy("gm", "doc_id")
             .agg(F.count(F.lit(1)).alias("n_in_doc")))
     firsts = g1.groupBy("gm").agg(F.min("doc_id").alias("first_doc"))

@@ -427,10 +427,17 @@ CONTAM_BLOOM_K = 4            # probes per gram
 
 def _contam_grams(docs):
     """(doc_id, g) 3-gram relation of a documents relation — shared by
-    the batch bloom decontaminator and its streaming replay twin."""
+    the batch bloom decontaminator and its streaming replay twin.
+
+    explode_OUTER + null-filter (r12): plain explode's inferred
+    non-empty filter re-evaluates the zip_with gram chain in a Filter
+    below the Generate (and below a spread exchange in the streaming
+    merge); g is never null, so rows match the inner explode."""
     w = F.split(F.col("text"), " ")
-    return docs.select("doc_id",
-                       F.explode(_token_ngrams(w, CONTAM_N)).alias("g"))
+    return (docs.select("doc_id",
+                        F.explode_outer(_token_ngrams(w, CONTAM_N))
+                        .alias("g"))
+            .filter(F.col("g").isNotNull()))
 
 
 def _bloom_probe_positions(col):

@@ -401,12 +401,16 @@ def stream_ivf_index(vecs: DataFrame, index_of, state_dir: str,
     ingest without ever re-assigning the corpus (the batch twin is
     similarity.q_ivf_index_delta).
     """
+    from ..sources.tables import spread
+
     spark = vecs.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
-        partial = index_of(batch_df)
+        # spread: the 1-file micro-batch's 16-centroid dot-fold
+        # assignment ran in one task (guide §2.5; span-merge lesson)
+        partial = index_of(spread(batch_df))
         prevs = [v for v in _state_versions(state_dir)
                  if v < batch_id]
         if prevs:
@@ -456,12 +460,16 @@ def stream_bloom_build(docs: DataFrame, bloom_of, state_dir: str,
     fixed m/32-slot relation (~256 KB) at ANY stream length — the
     100 TB contract of the batch twin, kept under streaming ingest.
     """
+    from ..sources.tables import spread
+
     spark = docs.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
-        partial = bloom_of(batch_df)
+        # spread: the 1-file micro-batch's gram+md5-probe pass ran in
+        # one task (guide §2.5; span-merge lesson)
+        partial = bloom_of(spread(batch_df.select("doc_id", "text")))
         prevs = [v for v in _state_versions(state_dir)
                  if v < batch_id]
         if prevs:
@@ -550,13 +558,22 @@ def stream_inverted_index(docs: DataFrame, state_dir: str,
     batch twin's note — changes storage, not this merge algebra).
     """
     from ..operators.text import _token_ngrams
+    from ..sources.tables import spread
 
     spark = docs.sparkSession
     empty = F.array().cast("array<struct<doc_id:bigint,tf:bigint>>")
 
     def index(batch):
-        g = batch.select("doc_id", F.explode(
-            _token_ngrams(F.split("text", " "), 3)).alias("t"))
+        # spread: a 1-file micro-batch is one scan partition — the
+        # 3-gram build ran serially (guide §2.5).  explode_outer +
+        # null-filter keeps the inferred non-empty filter from
+        # re-evaluating the zip_with gram chain below the exchange
+        # (the span-merge lesson); grams are never null, so rows are
+        # identical to the inner explode.
+        g = (spread(batch.select("doc_id", "text"))
+             .select("doc_id", F.explode_outer(
+                 _token_ngrams(F.split("text", " "), 3)).alias("t"))
+             .filter(F.col("t").isNotNull()))
         return (g.groupBy("t", "doc_id")
                  .agg(F.count(F.lit(1)).alias("tf"))
                  .groupBy("t")
@@ -923,12 +940,22 @@ def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
     length.
     """
     from ..operators.dedup import SPAN_N
+    from ..sources.tables import spread
 
     spark = docs.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
+        # A maxFilesPerTrigger=1 micro-batch is ONE scan partition, so
+        # the interpreted md5 gram explode ran in a single task (guide
+        # §2.5 input skew: measured 2 x ~1.3s one-task jobs per batch —
+        # the two consumers' AQE stages raced the unfilled cache).
+        # spread() fans the batch across the engine's cores (gated:
+        # no-op once a production batch already has enough splits);
+        # project to the two consumed columns FIRST so the serial scan
+        # task decodes and the exchange ships only them (guide §2.3).
+        batch_df = spread(batch_df.select("doc_id", "text"))
         w = F.split("text", " ")
         grams = F.when(
             F.size(w) >= SPAN_N,
@@ -942,9 +969,19 @@ def stream_windowed_span_dedup(docs: DataFrame, state_dir: str,
         # batch-scoped cache: the gram explode feeds BOTH the verdict
         # job and the postings write job — without it the interpreted
         # md5 HOF runs twice per batch (measured ~30% of batch wall
-        # at the sf1 probe); unpersisted before merge returns
-        occ = (g.select("doc_id", F.explode("grams").alias("gm"))
+        # at the sf1 probe); eagerly filled (count) so the consumers'
+        # concurrently-materialized AQE stages cannot race the fill
+        # and each recompute the explode; unpersisted before return.
+        # explode_OUTER + null-filter, not explode: the inner form's
+        # inferred non-empty filter (size(grams)>0) pushes below the
+        # spread exchange and re-evaluates the whole md5 transform in
+        # the serial scan task (measured 1.10s -> 0.17s noop; rows
+        # identical — gm is never null, so the filter only drops the
+        # outer form's empty-doc null row exactly like inner explode).
+        occ = (g.select("doc_id", F.explode_outer("grams").alias("gm"))
+                .filter(F.col("gm").isNotNull())
                 .cache())
+        occ.count()
         base = g.select("doc_id",
                         F.size("grams").cast("long").alias("n_grams"))
         prevs = [v for v in _state_versions(state_dir)
@@ -1048,6 +1085,7 @@ def stream_windowed_minhash_dedup(docs: DataFrame, state_dir: str,
     window plus the batch, never stream length.
     """
     from ..operators.dedup import _band_buckets_of
+    from ..sources.tables import spread
 
     spark = docs.sparkSession
 
@@ -1056,8 +1094,14 @@ def stream_windowed_minhash_dedup(docs: DataFrame, state_dir: str,
 
         # batch-scoped cache: the signature build feeds the probe,
         # the history union, AND the postings write — one md5 pass
-        # per batch instead of three; unpersisted before return
-        bands = _band_buckets_of(batch_df).cache()
+        # per batch instead of three; EAGER fill (count) so the
+        # consumers' concurrently-materialized AQE stages cannot race
+        # the unfilled cache; spread() first because a 1-file
+        # micro-batch is one scan partition and the Carter-Wegman
+        # signature pass ran serially (guide §2.5; span-merge lesson).
+        bands = _band_buckets_of(
+            spread(batch_df.select("doc_id", "text"))).cache()
+        bands.count()
         prevs = [v for v in _state_versions(state_dir)
                  if v < batch_id]
         if prevs:

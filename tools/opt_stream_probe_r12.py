@@ -34,8 +34,12 @@ from go_mapreduce_crawler_spark.session import get_spark  # noqa: E402
 args = sys.argv[1:]
 mode = args[0] if args else "ssjoin"
 rest = args[1:]
-sf_dir = rest[0] if rest and not rest[0].startswith("--") \
-    else "/root/testdata/sf0.1"
+pos = [a for a in rest if not a.startswith("--")
+       and "=" not in a]            # positional (non --conf k=v) args
+if mode == "jobs":
+    sf_dir = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
+else:
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.1"
 extra = {}
 for i, a in enumerate(rest):
     if a == "--conf":
@@ -115,13 +119,13 @@ def jobs_probe(qname):
     q = all_queries()[qname]
     q(spark, sf_dir).count()          # warm/fixture pass
     spark.catalog.clearCache()
-    group = f"probe-{qname}"
-    sc.setJobGroup(group, qname)
+    # foreachBatch / streaming-thread jobs don't inherit the job group;
+    # attribute by job-id range instead (nothing else runs).
+    last_id = max((j["jobId"] for j in _rest("/jobs")), default=-1)
     t0 = time.perf_counter()
     q(spark, sf_dir).count()
     wall = time.perf_counter() - t0
-    sc.setJobGroup("idle", "idle")
-    jobs = [j for j in _rest("/jobs") if j.get("jobGroup") == group]
+    jobs = [j for j in _rest("/jobs") if j["jobId"] > last_id]
     jobs.sort(key=lambda j: j["jobId"])
     print(f"\n=== {qname}: wall {wall:.2f}s, {len(jobs)} jobs")
     from datetime import datetime
@@ -134,8 +138,10 @@ def jobs_probe(qname):
         dur = (ts(j["completionTime"]) - ts(j["submissionTime"])
                ).total_seconds()
         tot += dur
+        desc = (j.get("description") or "").splitlines()
+        desc = desc[-1][:70] if desc else ""
         print(f"  job {j['jobId']}: {dur:6.3f}s tasks={j['numTasks']} "
-              f"desc={j.get('description', '')[:90]}")
+              f"desc={desc}")
     print(f"  sum of job walls: {tot:.2f}s (gaps = driver time: "
           f"{wall - tot:.2f}s)")
 
