@@ -1372,8 +1372,12 @@ def q_dedup_substring_len_profile(spark, sf_dir):
             continue
         starts = (cur.join(base, "doc_id")
                      .filter(F.col("pos") + L <= F.col("n_tokens")))
+        # dup is consumed by BOTH the flagged semi-join and the class
+        # count — uncached, each reference re-ran the level's 1M-row
+        # starts aggregation (r12; class relation is dup-class-sized,
+        # metadata next to the position relation)
         dup = (starts.groupBy("r").agg(F.count(F.lit(1)).alias("n"))
-                     .filter(F.col("n") >= 2))
+                     .filter(F.col("n") >= 2).cache())
         flagged = starts.join(dup, "r", "left_semi")
         a = flagged.agg(
             F.count(F.lit(1)).alias("n_dup_positions"),
