@@ -274,13 +274,21 @@ def q_ann_ivf(spark, sf_dir):
     probes = F.expr(
         f"transform(slice(reverse(array_sort({cell_scores})), 1, {IVF_PROBES}),"
         " s -> s.cell)")
+    # explode_OUTER + null-filter and a NULL-SAFE join key (r12): the
+    # inner explode's inferred non-empty filter and the equi-join's
+    # inferred isnotnull(cell) each re-evaluated the full 16x64-literal
+    # cell_scores array in a Filter below the scan exchange (plan had
+    # 51 aggregate-fold copies; the serial pre-spread task burned ~4s
+    # CPU at sf0.1).  probe/cell are never null, so <=> == == and the
+    # post-generate filter reproduces the inner explode exactly.
     q = (_gate_query_set(e.filter(F.col("vec_id") % 100 == 0), "ann_ivf_cosine", sf_dir)
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_vec"),
                   F.col("nrm").alias("q_nrm"),
-                  F.explode(probes).alias("probe")))
+                  F.explode_outer(probes).alias("probe"))
+          .filter(F.col("probe").isNotNull()))
     cand = assigned.join(F.broadcast(q),
-                         (F.col("cell") == F.col("probe"))
+                         (F.col("cell").eqNullSafe(F.col("probe")))
                          & (F.col("vec_id") != F.col("q_id")))
     scored = cand.withColumn("cos", F.round(
         dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6))
@@ -343,9 +351,12 @@ def q_ivf_probe_sweep(spark, sf_dir):
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_vec"),
                  F.col("nrm").alias("q_nrm"),
-                 F.posexplode(probes).alias("pi", "probe")))
+                 F.posexplode_outer(probes).alias("pi", "probe"))
+         .filter(F.col("probe").isNotNull()))
+    # null-safe key + outer explode: see q_ann_ivf (r12) — stops the
+    # inferred filters re-evaluating cell_scores below the exchange
     scored = (assigned.join(F.broadcast(q),
-                            (F.col("cell") == F.col("probe"))
+                            (F.col("cell").eqNullSafe(F.col("probe")))
                             & (F.col("vec_id") != F.col("q_id")))
               .withColumn("cos", F.round(
                   dot("q_vec", "embedding")
@@ -1579,6 +1590,10 @@ def q_pipeline_rag_index(spark, sf_dir):
     qs = (docv.filter(F.col("doc_id") % RAG_QMOD == 0)
           .select(F.col("doc_id").alias("q_doc"), "dv",
                   F.explode(probes).alias("probe")))
+    # (r12: the q_ann_ivf null-safe-key/outer-explode rewrite was
+    # A/B'd here and REGRESSED 4.6 -> 11.2s — both join inputs are
+    # cached, so the inferred filters read the cache and the rewrite
+    # only perturbed the join plan; kept as-is.)
     cand = assigned.join(F.broadcast(qs),
                          F.col("cell") == F.col("probe"))
     # Explicit 32-term sum instead of a zip_with+aggregate HOF: the
