@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 
 # ------------------------------------------------------------------
@@ -278,7 +278,11 @@ def q_bpe_train(spark, sf_dir):
     rows, fully deterministic, value-oracled by an unrolled DuckDB
     pipeline that recomputes its own top pairs.
     """
-    d = (load_table(spark, sf_dir, "documents")
+    # spread (r12): the single-split fixture scan ran every round's
+    # corpus-wide pair count in ONE task (guide §2.5); gated no-op on
+    # a real multi-split corpus
+    d = (spread(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text"))
          .select("doc_id",
                  F.concat(F.lit(" "),
                           F.regexp_replace("text", " ", "  "),
@@ -456,7 +460,11 @@ def _bpe_train_batched_impl(spark, sf_dir, rounds, topn, batch_cap):
     """The batched trainer, parameterized (rounds, pool size, per-round
     acceptance cap) — q_bpe_train_batched uses the 5x96x16 toy scale,
     q_bpe_train_batched512 the production-shaped 16x4096x64."""
-    d = (load_table(spark, sf_dir, "documents")
+    # spread (r12): the single-split fixture scan ran every round's
+    # corpus-wide pair count in ONE task (guide §2.5); gated no-op on
+    # a real multi-split corpus
+    d = (spread(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text"))
          .select("doc_id",
                  F.concat(F.lit(" "),
                           F.regexp_replace("text", " ", "  "),
@@ -548,7 +556,9 @@ def q_bpe_apply_batched(spark, sf_dir):
     row-local, zero shuffles, trivially streamable.  Integer token
     arithmetic, so the unrolled oracle's final corpus matches exactly.
     """
-    base = (load_table(spark, sf_dir, "documents")
+    # spread (r12): see _bpe_train_batched_impl
+    base = (spread(load_table(spark, sf_dir, "documents")
+                   .select("doc_id", "text"))
             .select("doc_id",
                     F.concat(F.lit(" "),
                              F.regexp_replace("text", " ", "  "),
@@ -1436,7 +1446,11 @@ def q_bpe_apply(spark, sf_dir):
     integer, so the oracle (the same unrolled pipeline's final corpus)
     matches exactly.
     """
-    d = (load_table(spark, sf_dir, "documents")
+    # spread (r12): the single-split fixture scan ran every round's
+    # corpus-wide pair count in ONE task (guide §2.5); gated no-op on
+    # a real multi-split corpus
+    d = (spread(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text"))
          .select("doc_id",
                  F.concat(F.lit(" "),
                           F.regexp_replace("text", " ", "  "),
