@@ -1776,9 +1776,13 @@ def _bm25_base(spark, sf_dir):
     others are vocab-/doc-/1-row-sized, so the memory cost is noise
     next to re-running the corpus scan per reference.  Results are
     unchanged (caching only short-circuits recomputation)."""
+    from ..sources.tables import spread
     from .text import _bm25_e6_expr, _docs, _lit_spark
 
-    d = _docs(spark, sf_dir)
+    # spread (r12): the single-split fixture scan ran the corpus words
+    # explode + tf partial agg in ONE task (guide §2.5); gated no-op
+    # on a real multi-split corpus
+    d = spread(_docs(spark, sf_dir).select("doc_id", "text"))
     words = d.select("doc_id",
                      F.explode(F.split("text", " ")).alias("word"))
     tf = (words.groupBy("doc_id", "word")
