@@ -779,6 +779,10 @@ def _unigram_train(spark, sf_dir, v: int = UNIG_V,
     itself is Heaps-sublinear and fits executor storage by
     construction).  Unpersisted before return — downstream consumers
     re-derive it lazily."""
+    # (r12: spread()ing this relation to engine parallelism was A/B'd
+    # and REGRESSED — 31-9.8k distinct words over 32 round-robin
+    # partitions is pure task overhead per EM round; kept at the
+    # data-sized shuffle partitioning.)
     words = _unigram_words(spark, sf_dir, chunked).persist()
     # Loud unroll-bound guard (r07 ADVICE item 1): UNIG_MAXW bounds the
     # ORACLE's unrolled DP only — the Spark kernels are unbounded — so

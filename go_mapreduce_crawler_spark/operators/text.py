@@ -1663,6 +1663,9 @@ def q_text_collocations_llr(spark, sf_dir):
     adjacent-bigram shuffle plus two vocabulary-sized margins; the
     top-{k} lands via TakeOrderedAndProject, never a global window.
     """.format(k=LLR_TOP)
+    # (r12: spread()ing the doc scan was A/B'd here and regressed
+    # 2.04 -> 2.35s — the added exchange outweighs parallelizing the
+    # one ~0.4s serial explode at this SF; left as the scan's splits.)
     d = _docs(spark, sf_dir)
     w = F.split("text", " ")
     n = F.size(w)
